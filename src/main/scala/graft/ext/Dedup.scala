@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (BASELINE.json
+  * extension surface): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is a hash groupBy on a digest — one shuffle keyed by md5,
+  *    never by the full text (shuffle bytes ∝ 32-char digest, not documents).
+  *  - MinHash+LSH: per-doc signatures are computed scan-side (no shuffle);
+  *    the only shuffle keys on (band, bucket), whose cardinality ~ n_docs ×
+  *    n_bands; candidate pairs then verify with exact Jaccard — a self-join
+  *    restricted to same-bucket groups instead of the quadratic cross join.
+  *  - SimHash: 64-bit signature scan-side; near-dup lookup via bucketing on
+  *    the high bits + XOR bit_count verification.
+  */
+object Dedup {
+
+  /** Exact-dup clusters keyed by content digest (md5 of raw text). */
+  def exactClusters(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Keep one doc per exact-content group (the minimum id). */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.dropDuplicates(textCol)
+
+  /** Word n-gram shingles as a distinct array; empty when the doc is shorter
+    * than n (guard keeps ANSI `sequence` happy). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextStats.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array_distinct(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signature: for each of `k` seeded hash functions, the minimum
+    * xxhash64 over the shingle set. Computed entirely scan-side. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleCol, sh => xxhash64(seed, sh))))
+
+  /** LSH banding: signature of length k split into `bands` rows of width
+    * k/bands; each band hashes to one bucket id. */
+  def lshBuckets(sigCol: Column, k: Int, bands: Int): Column = {
+    val width = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(b, slice(sigCol, b * width + 1, lit(width))).as("bucket")))
+  }
+
+  /** Docs annotated with shingles + minhash signature + band/bucket rows
+    * (exploded): the shuffle-ready form for candidate generation. */
+  def minhashTable(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val sh = shingles(col(textCol), shingleN)
+    docs
+      .select(col(idCol), sh.as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .withColumn("bb", explode(lshBuckets(col("sig"), k, bands)))
+      .select(col(idCol), col("shingles"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from LSH buckets, verified with exact Jaccard over the
+    * shingle sets; only pairs ≥ threshold survive. The self-join is
+    * restricted to same (band,bucket) groups — the LSH trick that replaces
+    * the O(n²) cross join at scale. */
+  def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val mt = minhashTable(docs, textCol, idCol, shingleN, k, bands)
+    val a = mt.select(col("band"), col("bucket"),
+      col(idCol).as("doc_a"), col("shingles").as("sh_a"))
+    val b = mt.select(col("band"), col("bucket"),
+      col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over tokens: majority vote per bit of the token hashes.
+    * The bit loop unrolls at plan-build time (shift amounts must be static);
+    * token hashes are materialized once per row. At 100 TB this would be
+    * promoted to a single custom Catalyst Expression with codegen, but the
+    * unrolled form already stays scan-side with zero shuffle. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextStats.tokens(text), t => xxhash64(t))
+    val bits: Seq[Column] = (0 until 64).map { i =>
+      when(
+        aggregate(hashes, lit(0),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+        lit(1L)).otherwise(lit(0L))
+    }
+    bits.zipWithIndex
+      .map { case (b, i) => shiftleft(b, 63 - i) }
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two simhashes (bit_count of XOR). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket on the top 16 bits (scale path — only
+    * same-bucket docs join), verify hamming ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      maxHamming: Int = 12): DataFrame = {
+    val sh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+      .withColumn("bucket", shiftright(col("sh"), 48))
+    val a = sh.select(col("bucket"), col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("bucket"), col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(hamming(col("sh_a"), col("sh_b")) <= maxHamming)
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (BASELINE.json extension
+  * surface): tokenization, token counting, quality scoring, language ID and
+  * document fingerprinting over the `documents` table.
+  *
+  * Everything is a codegen-friendly column expression (no UDFs): at 100 TB
+  * these run embarrassingly parallel inside the parquet scan stage with zero
+  * shuffle, so throughput is IO-bound.
+  */
+object TextStats {
+
+  /** Whitespace tokenization. `trim` first so leading/trailing space cannot
+    * produce empty edge tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** The classic chars/4 BPE estimate used when no tokenizer is available. */
+  def estBpeTokens(text: Column): Column = ceil(length(text) / 4.0)
+
+  /** Punctuation count: strip everything that is not punctuation, measure. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("long")
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("long")
+
+  /** Heuristic quality score in the spirit of length/punct/stopword-ratio
+    * filters (C4/Gopher-style rules): stopword density minus punctuation
+    * density. Pure arithmetic — kept identical to the oracle SQL. */
+  def qualityScore(text: Column): Column = {
+    val words = size(tokens(text))
+    val stopRatio = stopwordCount(text) / words
+    val punctRatio = punctCount(text) / length(text)
+    stopRatio - punctRatio
+  }
+
+  /** Per-language stopword/marker sets for the n-gram-free language-ID
+    * heuristic. Covers the langs present in the documents table. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "que", "por", "con"))
+
+  /** Language ID: vote by marker-token hits per language; CJK codepoint ratio
+    * decides `zh` first. Ties break by fixed language order (en,de,fr,es). */
+  def langGuess(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val votes = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(size(filter(toks, t => t.isin(ws: _*))).as("votes"), lit(lang).as("lang"))
+    }
+    // array_max on (votes, lang) structs picks highest vote count; the struct
+    // comparison tie-breaks on the lang string, so make order explicit:
+    val best = array_max(array(votes: _*))
+    when(cjk > 0, lit("zh"))
+      .when(best.getField("votes") > 0, best.getField("lang"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over tokens (content-defined doc
+    * fingerprint). Modulus keeps the accumulator bounded (ANSI-safe). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => (acc * 1000003L + pmod(crc32(encode(t, "UTF-8")), lit(1000000007L))) % 2147483647L)
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-shaped ops from SURVEY §2.3.
+  *
+  * Scale posture: every reference join keys on a low-cardinality dimension
+  * (region, category, hour, feed_id), so the small side is broadcast —
+  * `broadcast()` is applied explicitly where we KNOW the side is an aggregate
+  * over few keys, turning a shuffle join into a map-side hash join. At 100 TB
+  * the big side streams through unshuffled.
+  */
+object Joins {
+
+  /** Missing = expected − arrived (J5). The reference does this client-side
+    * with a python set difference (`feed_detector.py:48`); the canonical
+    * distributed form is a left-anti join. `expected` is a small dim →
+    * the arrived side is aggregated per key first, keeping the anti-join tiny.
+    */
+  def missingKeys(expected: DataFrame, arrived: DataFrame, key: String): DataFrame =
+    expected.join(arrived.select(key).distinct(), Seq(key), "left_anti")
+
+  /** Today-vs-baseline keyed deviation (J1/J2 + P10): left join today's
+    * per-key totals against per-key baseline averages, compute deviation %.
+    * Baseline side is an aggregate over few keys → broadcast. */
+  def keyedDeviation(today: DataFrame, baseline: DataFrame, key: String,
+      todayCol: String = "today_value", baseCol: String = "baseline_avg"): DataFrame =
+    today.join(broadcast(baseline), Seq(key), "left")
+      .withColumn("deviation_pct",
+        when(col(baseCol) > 0, (col(todayCol) - col(baseCol)) / col(baseCol) * 100))
+
+  /** Full-outer hourly reconciliation with COALESCE on key and counts (J3),
+    * mirroring `reconciliation_detector.py:120-128`. Both sides are 24-row
+    * hourly aggregates → broadcast-able, but full_outer keeps it symmetric. */
+  def reconcile(src: DataFrame, dst: DataFrame, key: String,
+      srcCnt: String = "source_count", dstCnt: String = "dest_count"): DataFrame =
+    src.join(dst, Seq(key), "full_outer")
+      .select(
+        col(key),
+        coalesce(col(srcCnt), lit(0L)).as(srcCnt),
+        coalesce(col(dstCnt), lit(0L)).as(dstCnt))
+      .withColumn("diff", col(srcCnt) - col(dstCnt))
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+import graft.ops._
+import Q._
+
+/** LLM-data-pipeline extension queries (BASELINE.json surface): dedup,
+  * similarity search, text analysis, multimodal plumbing, streaming-shaped
+  * windows. Engine-hash-dependent ops (minhash/simhash/LSH/langid) have no
+  * SQL oracle — the driver records a rows-only check — but each is covered by
+  * a ScalaTest spec instead.
+  */
+object ExtQ {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup summary: total vs distinct content + digest cardinality.
+    "q24_dedup_exact" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents").agg(
+          count(lit(1)).as("total_docs"),
+          countDistinct(col("text")).as("distinct_texts"),
+          (count(lit(1)) - countDistinct(col("text"))).as("dup_docs"),
+          countDistinct(md5(col("text").cast("binary"))).as("distinct_fps")),
+      Some("""
+        SELECT COUNT(*) AS total_docs,
+          COUNT(DISTINCT text) AS distinct_texts,
+          COUNT(*) - COUNT(DISTINCT text) AS dup_docs,
+          COUNT(DISTINCT md5(text)) AS distinct_fps
+        FROM documents""")),
+
+    // Token counting: whitespace tokens + chars/4 BPE estimate.
+    "q25_token_stats" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          TextStats.estBpeTokens(col("text")).as("est_bpe_tokens"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_calc,
+          CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: stopword density minus punctuation density.
+    "q26_text_quality" -> QueryDef(
+      (s, dir) => {
+        val toks = TextStats.tokens(col("text"))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          (TextStats.stopwordCount(col("text")) / size(toks)).as("stop_ratio"),
+          (TextStats.punctCount(col("text")) / length(col("text"))).as("punct_ratio"),
+          TextStats.qualityScore(col("text")).as("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+            regexp_split_to_array(trim(text), '\s+') AS toks,
+            CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stops,
+            punct, CAST(length(text) AS BIGINT) AS n_chars
+          FROM d)
+        SELECT doc_id, n_words,
+          stops / n_words AS stop_ratio,
+          punct / n_chars AS punct_ratio,
+          stops / n_words - punct / n_chars AS quality_score
+        FROM r ORDER BY doc_id""")),
+
+    // Language ID heuristic (marker-token votes + CJK ratio). No SQL oracle —
+    // rows-only; accuracy asserted in LangIdSpec against the lang column.
+    "q27_langid" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          TextStats.langGuess(col("text")).as("lang_guess"))
+          .withColumn("is_match", col("lang") === col("lang_guess"))
+          .orderBy("doc_id"),
+      None),
+
+    // MinHash signatures + LSH band/bucket rows (engine-hash based; no oracle).
+    "q28_minhash_signatures" -> QueryDef(
+      (s, dir) =>
+        Dedup.minhashTable(t(s, dir, "documents"), "text", "doc_id")
+          .select(col("doc_id"), col("band"), col("bucket"))
+          .orderBy("doc_id", "band"),
+      None),
+
+    // MinHash-LSH candidate pairs verified by exact shingle Jaccard.
+    "q29_lsh_neardup_pairs" -> QueryDef(
+      (s, dir) =>
+        Dedup.nearDupPairs(t(s, dir, "documents"), shingleN = 3, threshold = 0.3)
+          .orderBy(desc("jaccard"), col("doc_a"), col("doc_b")),
+      None),
+
+    // SimHash signatures + high-bit buckets (no oracle).
+    "q30_simhash" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+          .withColumn("bucket", shiftright(col("simhash"), 48))
+          .orderBy("doc_id"),
+      None),
+
+    // Brute-force cosine top-k vs vec_id 0 — DuckDB list_cosine_similarity
+    // over DOUBLE[] matches our zip_with/aggregate formula exactly.
+    "q31_embedding_cosine_topk" -> QueryDef(
+      (s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10),
+      Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cosine_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT 10""")),
+
+    // LSH-bucketed ANN variant (recall measured against q31 in tests).
+    "q32_ann_lsh_topk" -> QueryDef(
+      (s, dir) => Similarity.annTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10, nPlanes = 2),
+      None),
+
+    // Multimodal payload features: binary column + digest + magic bytes.
+    "q33_multimodal_features" -> QueryDef(
+      (s, dir) =>
+        Multimodal.payloadFeatures(
+          Multimodal.fromDocuments(t(s, dir, "documents")))
+          .orderBy("media_id"),
+      Some("""
+        SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          CAST(length(text) AS BIGINT) AS n_bytes,
+          sha256(text) AS sha256,
+          substring(upper(hex(encode(text))), 1, 8) AS magic
+        FROM documents ORDER BY media_id""")),
+
+    // Tumbling 1-hour event-time windows (streaming W6 semantics in batch
+    // form; the readStream twin lives in graft.streaming).
+    "q34_tumbling_window" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"), Exact.sum6(col("value")).as("total_value"))
+          .select(col("w.start").as("window_start"), col("n"), col("total_value"))
+          .orderBy("window_start"),
+      Some("""
+        SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Embedding-space near-dup pairs above a cosine threshold.
+    "q35_embedding_neardup" -> QueryDef(
+      (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.45
+        ORDER BY cosine_sim DESC, id_a, id_b"""))
+  )
+}

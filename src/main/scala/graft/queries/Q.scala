@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registry entry: a Spark implementation plus (when SQL-expressible) the
+  * equivalent ANSI/DuckDB SQL the driver's oracle runs over the same parquet
+  * tables. Column names and row order are part of the contract — every
+  * computed column is aliased identically on both sides, and every
+  * multi-row result carries a deterministic ORDER BY.
+  */
+final case class QueryDef(
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Q {
+  /** Load one of the driver test tables (TESTDATA.md).
+    *
+    * The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; with `spark.sql.legacy.parquet.nanosAsLong`
+    * (set by Sessions/Verify/Bench) it surfaces as a LongType of nanoseconds
+    * and is converted here to a proper TimestampType (micros — the values
+    * carry no sub-microsecond precision). */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType ==
+        org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  // Fixed anchors replacing CURRENT_DATE()/CURRENT_TIMESTAMP() (SURVEY §7.4):
+  // orders span 1995-01-01..2001-08-01, events span 2024-01-01..2024-01-30.
+  val OrdersToday = java.time.LocalDate.parse("2001-08-01")
+  val EventsNow: java.time.Instant = java.time.Instant.parse("2024-01-31T00:00:00Z")
+  val EventsToday = java.time.LocalDate.parse("2024-01-30")
+}

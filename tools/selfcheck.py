@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/selfcheck.py <verify_out_dir> <sf_dir>
+
+For each query result parquet under <verify_out_dir>, runs the matching
+oracle SQL from oracle_sql.json in DuckDB (tables = <sf_dir>/*.parquet
+registered by name) and compares: schema (column names sorted), row count,
+and cell values in row order (floats compared exactly AND with tolerance so
+we can tell hash-breaking diffs from representation noise).
+"""
+import json, math, sys
+import duckdb
+
+def norm(v):
+    return v
+
+def cmp_cell(a, b):
+    if a is None and b is None:
+        return True, 0.0
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return False, float("inf")
+        if isinstance(a, bool) != isinstance(b, bool):
+            return False, float("inf")
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True, 0.0
+        if fa == fb:
+            return True, 0.0
+        d = abs(fa - fb) / max(1e-12, abs(fa), abs(fb))
+        return False, d
+    return a == b, (0.0 if a == b else float("inf"))
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for tbl in ["region","nation","customer","supplier","part","orders",
+                "lineitem","events","documents","embeddings"]:
+        con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sfdir}/{tbl}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    import os
+    names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
+    for name in names:
+        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        if name not in oracle:
+            print(f"  {name:32s} rows-only: {len(got.fetchall())} rows")
+            continue
+        want = con.sql(oracle[name])
+        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
+            print(f"! {name:32s} SCHEMA MISMATCH spark={gcols} oracle={wcols}")
+            failures += 1
+            continue
+        grows = [tuple(r[got.columns.index(c)] for c in gcols) for r in got.fetchall()]
+        wrows = [tuple(r[want.columns.index(c)] for c in wcols) for r in want.fetchall()]
+        if len(grows) != len(wrows):
+            print(f"! {name:32s} ROWCOUNT spark={len(grows)} oracle={len(wrows)}")
+            failures += 1
+            continue
+        bad = []
+        worst = 0.0
+        for i, (gr, wr) in enumerate(zip(grows, wrows)):
+            for j, (a, b) in enumerate(zip(gr, wr)):
+                ok, d = cmp_cell(a, b)
+                if not ok:
+                    worst = max(worst, d if d == d else float("inf"))
+                    if len(bad) < 3:
+                        bad.append((i, gcols[j], a, b, d))
+        if bad:
+            print(f"! {name:32s} {len(bad)}+ CELL DIFFS (worst rel={worst:.2e})")
+            for i, c, a, b, d in bad:
+                print(f"      row {i} col {c}: spark={a!r} oracle={b!r} rel={d:.2e}")
+            failures += 1
+        else:
+            print(f"  {name:32s} OK ({len(grows)} rows)")
+    print(f"\n{'FAIL' if failures else 'ALL OK'}: {failures} failing / {len(names)} queries")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
