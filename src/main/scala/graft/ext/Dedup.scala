@@ -39,50 +39,61 @@ object Dedup {
       .otherwise(array_distinct(array(concat_ws(" ", toks))))
   }
 
-  /** MinHash signature: for each of `k` seeded hash functions, the minimum
-    * xxhash64 over the shingle set. Computed entirely scan-side. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleCol, sh => xxhash64(seed, sh))))
-
-  /** LSH banding: signature of length k split into `bands` rows of width
-    * k/bands; each band hashes to one bucket id. */
-  def lshBuckets(sigCol: Column, k: Int, bands: Int): Column = {
-    val width = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(b, slice(sigCol, b * width + 1, lit(width))).as("bucket")))
-  }
-
-  /** Docs annotated with shingles + minhash signature + band/bucket rows
-    * (exploded): the shuffle-ready form for candidate generation. */
-  def minhashTable(docs: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
-    val sh = shingles(col(textCol), shingleN)
+  /** Per-(doc, seed) min-hashes via the explode/groupBy formulation.
+    *
+    * Why not nested higher-order functions (`transform(seeds,
+    * array_min(transform(shingles, ...)))`): HOFs are interpreted, and after
+    * projection collapse the shingle expression re-evaluates once per seed —
+    * O(k) scans of every document. Here each shingle is string-hashed exactly
+    * once (`base`), the k seeded variants are cheap long-hashes, and the
+    * min reduces through a partial (map-side) aggregation — so the shuffle
+    * carries at most docs × k tiny rows no matter how large the corpus.
+    */
+  def minhashes(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 32): DataFrame =
     docs
-      .select(col(idCol), sh.as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), k))
-      .withColumn("bb", explode(lshBuckets(col("sig"), k, bands)))
-      .select(col(idCol), col("shingles"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("base"))
+      .select(col(idCol), col("base"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(xxhash64(col("seed"), col("base"))).as("mh"))
+
+  /** LSH banding over [[minhashes]] output: seed div (k/bands) → band; the
+    * band's bucket id hashes the seed-ordered minhash slice. */
+  def minhashBuckets(mh: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    val width = k / bands
+    mh.withColumn("band", expr(s"seed div $width"))
+      .groupBy(col(idCol), col("band"))
+      .agg(xxhash64(sort_array(collect_list(struct(col("seed"), col("mh"))))).as("bucket"))
   }
+
+  /** Docs → (id, band, bucket) LSH table. */
+  def minhashTable(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
+    minhashBuckets(minhashes(docs, textCol, idCol, shingleN, k), idCol, k, bands)
 
   /** Candidate pairs from LSH buckets, verified with exact Jaccard over the
     * shingle sets; only pairs ≥ threshold survive. The self-join is
     * restricted to same (band,bucket) groups — the LSH trick that replaces
-    * the O(n²) cross join at scale. */
+    * the quadratic cross join at scale — and shingle arrays are only joined
+    * back in for the (few) surviving candidates.
+    */
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val mt = minhashTable(docs, textCol, idCol, shingleN, k, bands)
-    val a = mt.select(col("band"), col("bucket"),
-      col(idCol).as("doc_a"), col("shingles").as("sh_a"))
-    val b = mt.select(col("band"), col("bucket"),
-      col(idCol).as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val bk = minhashTable(docs, textCol, idCol, shingleN, k, bands)
+    val a = bk.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
+    val b = bk.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

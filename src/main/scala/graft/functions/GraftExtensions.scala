@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer exposing the engine's native expressions
+  * to SQL (`spark.sql.extensions=graft.functions.GraftExtensions`), plus a
+  * programmatic registrar for sessions created without the conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotFunction)
+  }
+}
+
+object GraftExtensions {
+  private def builder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => DotProduct(a, b)
+    case _ => throw new IllegalArgumentException("graft_dot expects exactly 2 arguments")
+  }
+
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    builder _)
+
+  /** Idempotent per-session registration for SQL-string use. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_dot", builder, "built-in")
+}
