@@ -1,0 +1,102 @@
+package graft.detectors
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.core.Clock
+import graft.ops.{BaselineStats, Exact, Thresholds, TimeFilters, ZScore}
+
+/** Revenue anomaly detection (reference
+  * `monitoring/detectors/revenue_detector.py`).
+  *
+  * API parity: `check_revenue_anomaly(date)` → [[checkRevenueAnomaly]],
+  * `forecast_revenue(days_ahead)` → [[forecastRevenue]].
+  *
+  * The reference collects ~30 daily sums and finishes with python
+  * `statistics` (`revenue_detector.py:124-136`); here the 30-day baseline
+  * (avg/std/median/min/max/n) is ONE distributed aggregate
+  * ([[BaselineStats.stats]]) and only the single stats row is collected.
+  * Guards replicated: std==0 → z=0 (`:49`), min-sample n<7 → no verdict
+  * (`:126`).
+  */
+final class RevenueDetector(
+    revenue: DataFrame, clock: Clock,
+    analyzer: Analyzer = RuleBasedAnalyzer,
+    tsCol: String = "transaction_date", valueCol: String = "revenue",
+    categoryCol: String = "product_category",
+    baselineDays: Int = 30, minSamples: Int = 7, zThreshold: Double = 2.5) {
+
+  def checkRevenueAnomaly(date: LocalDate): RevenueStatus = {
+    val currentTotal = TimeFilters.filterOnDate(revenue, tsCol, date)
+      .agg(coalesce(Exact.sum2(col(valueCol)), lit(0.0))).head().getDouble(0)
+
+    val daily = BaselineStats.dailyTotals(
+      TimeFilters.filterDateBetween(revenue, tsCol,
+        date.minusDays(baselineDays.toLong), date.minusDays(1)),
+      tsCol, valueCol)
+    val statsRow: Row = BaselineStats.stats(daily, "daily_total").head()
+    val n = statsRow.getLong(5)
+
+    if (n < minSamples) {
+      RevenueStatus(date, currentTotal, None, 0.0, isAnomaly = false,
+        deviationPct = 0.0, severity = "NONE", breakdown = Nil, analysis = None)
+    } else {
+      val base = Baseline(statsRow.getDouble(0), statsRow.getDouble(1),
+        statsRow.getDouble(2), statsRow.getDouble(3), statsRow.getDouble(4), n)
+      val z = if (base.stdDev > 0) (currentTotal - base.avg) / base.stdDev else 0.0
+      val isAnomaly = math.abs(z) > zThreshold
+      val deviationPct = if (base.avg > 0) (currentTotal - base.avg) / base.avg * 100 else 0.0
+      val severity =
+        if (isAnomaly) Thresholds.RevenueDeviation.severity(math.abs(deviationPct)) else "NONE"
+      val breakdown =
+        if (isAnomaly) categoryBreakdown(date) else Nil
+      val analysis =
+        if (isAnomaly)
+          Some(analyzer.analyze("revenue_anomaly",
+            Map("z" -> z.toString, "deviation_pct" -> deviationPct.toString)))
+        else None
+      RevenueStatus(date, currentTotal, Some(base), z, isAnomaly, deviationPct,
+        severity, breakdown, analysis)
+    }
+  }
+
+  /** Top-10 category revenue for the day (revenue_detector.py:141-155). */
+  def categoryBreakdown(date: LocalDate, topK: Int = 10): Seq[(String, Double)] =
+    TimeFilters.filterOnDate(revenue, tsCol, date)
+      .groupBy(col(categoryCol))
+      .agg(Exact.sum2(col(valueCol)).as("category_revenue"))
+      .orderBy(desc("category_revenue"), col(categoryCol))
+      .limit(topK)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+  /** Same-weekday seasonal context: mean of the last `samples` same-weekday
+    * daily totals within `lookbackDays` (revenue_detector.py:173-199). */
+  def weekdayContext(date: LocalDate, lookbackDays: Int = 90, samples: Int = 12): Option[Double] = {
+    val daily = BaselineStats.dailyTotals(
+      TimeFilters.filterDateBetween(revenue, tsCol,
+        date.minusDays(lookbackDays.toLong), date.minusDays(1)),
+      tsCol, valueCol)
+    val rows = daily
+      .filter(date_format(col("d"), "EEEE") ===
+        date_format(lit(java.sql.Date.valueOf(date)), "EEEE"))
+      .orderBy(col("d").desc).limit(samples)
+      .agg((Exact.sum2(col("daily_total")) / count(lit(1))).as("avg"), count(lit(1)))
+      .head()
+    if (rows.getLong(1) == 0) None else Some(rows.getDouble(0))
+  }
+
+  /** 7-day moving-average forecast (revenue_detector.py:284-311). */
+  def forecastRevenue(daysAhead: Int, asOf: Option[LocalDate] = None): Option[Double] = {
+    val anchor = asOf.getOrElse(clock.today)
+    val daily = BaselineStats.dailyTotals(
+      TimeFilters.filterDateBetween(revenue, tsCol, anchor.minusDays(30), anchor),
+      tsCol, valueCol)
+    val r = daily.orderBy(col("d").desc).limit(7)
+      .agg((Exact.sum2(col("daily_total")) / count(lit(1))).as("ma"), count(lit(1)))
+      .head()
+    if (r.getLong(1) < 7) None else Some(r.getDouble(0) * daysAhead)
+  }
+}

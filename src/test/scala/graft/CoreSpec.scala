@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.alerts._
+import graft.core._
+import graft.detectors.RuleBasedAnalyzer
+import graft.ops.{Thresholds, Velocity}
+import graft.pipeline._
+
+class CoreSpec extends AnyFunSuite {
+
+  test("FixedClock pins date math in UTC") {
+    val c = FixedClock.at("2024-01-31T00:00:00Z")
+    assert(c.today.toString == "2024-01-31")
+    assert(c.nowTs.getTime == 1706659200000L)
+  }
+
+  test("Thresholds ladder matches reference cut points") {
+    val t = Thresholds.RevenueDeviation
+    assert(t.severity(55) == "CRITICAL")
+    assert(t.severity(30) == "HIGH")
+    assert(t.severity(15) == "MEDIUM")
+    assert(t.severity(5) == "LOW")
+    assert(t.severity(0) == "NONE")
+  }
+
+  test("ErrorClassifier recognizes the seeded double-dot class") {
+    val c = ErrorClassifier.classify("Malformed table reference: 'selfhealing..employee_data'")
+    assert(c.errorType == "table_reference" && c.fixType == "code_patch")
+    assert(ErrorClassifier.classify("java.lang.OutOfMemoryError: Java heap space").errorType == "oom")
+    assert(ErrorClassifier.classify("Access Denied: dataset").errorType == "permission")
+    assert(ErrorClassifier.classify("wat").errorType == "unknown")
+  }
+
+  test("AutoHealer collapses dot runs exactly like the reference regex") {
+    assert(AutoHealer.fixDoubleDots("selfhealing..employee_data") == "selfhealing.employee_data")
+    assert(AutoHealer.fixDoubleDots("a...b..c.d") == "a.b.c.d")
+  }
+
+  test("AutoHealer traceback slicing: Traceback window, else head+tail") {
+    val log = ("x" * 3000) + "Traceback (most recent call last)" + ("y" * 5000)
+    val ctx = AutoHealer.extractErrorContext(log)
+    assert(ctx.startsWith("Traceback") && ctx.length == 4000)
+    val noTb = "a" * 10000
+    val ctx2 = AutoHealer.extractErrorContext(noTb)
+    assert(ctx2.length == 4005 && ctx2.contains("..."))
+  }
+
+  test("Retry retries then surfaces the last failure") {
+    var n = 0
+    val r = Retry(3) { n += 1; if (n < 3) sys.error("boom"); n }
+    assert(r == 3)
+    assertThrows[RuntimeException](Retry(2) { sys.error("always") })
+  }
+
+  test("SelfHealingRunner heals a bad artifact then gives up on unknown errors") {
+    val (result, attempts) = new SelfHealingRunner().run("ns..table") { ref =>
+      if (ref.contains("..")) throw BadTableRef(ref) else s"ok:$ref"
+    }
+    assert(result == "ok:ns.table")
+    assert(attempts.size == 1 && attempts.head.healed)
+    assertThrows[RuntimeException](
+      new SelfHealingRunner().run("fine") { _ => sys.error("unclassifiable") })
+  }
+
+  test("Velocity breach projection with zero-rate guard") {
+    val (h, breach) = Velocity.projectBreach(0, 100000, 25000.0, 4.0)
+    assert(h == 4.0 && !breach)
+    val (h2, breach2) = Velocity.projectBreach(0, 100000, 10000.0, 4.0)
+    assert(h2 == 10.0 && breach2)
+    assert(Velocity.projectBreach(0, 100, 0.0, 4.0)._2)
+  }
+
+  test("AlertManager dedups within 1h, routes by severity, formats currency") {
+    val t0 = java.time.Instant.parse("2024-01-31T00:00:00Z")
+    var nowRef = t0
+    val clock = new Clock { def now: java.time.Instant = nowRef }
+    val mem = new InMemorySink("slack")
+    val log = new InMemorySink("log")
+    val email = new InMemorySink("email")
+    val am = new AlertManager(clock, Seq(mem, log, email))
+    assert(am.sendAlert("revenue_anomaly", "CRITICAL", "t", Map("revenue" -> "12345.6")))
+    assert(!am.sendAlert("revenue_anomaly", "HIGH", "t")) // deduped same (type,title)
+    nowRef = t0.plusSeconds(3601)
+    assert(am.sendAlert("revenue_anomaly", "MEDIUM", "t")) // window expired
+    // CRITICAL hit all three sinks; MEDIUM hit slack only
+    assert(log.received.size == 1 && email.received.size == 1 && mem.received.size == 2)
+    assert(mem.received.head._2.contains("$12,345.60"))
+    assert(!am.sendAlert("x", "UNKNOWN_SEV", "y")) // unroutable
+  }
+
+  test("RuleBasedAnalyzer mirrors reference fallback payloads") {
+    val a = RuleBasedAnalyzer.analyze("missing_feeds", Map.empty)
+    assert(a.rootCause.contains("Feed delivery failure"))
+    assert(a.recommendedActions.size == 4)
+    assert(RuleBasedAnalyzer.analyze("nope", Map.empty).rootCause.contains("Unknown issue"))
+  }
+}

@@ -1,0 +1,177 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.{Instant, LocalDate}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.alerts.{AlertManager, InMemorySink}
+import graft.core.FixedClock
+import graft.detectors._
+import graft.pipeline.MonitoringRunner
+
+/** End-to-end detector scenarios on reference-shaped seeded fixtures
+  * (FIXTURES.md §B): feeds 7/12/15 missing the last 2 days ⇒ 3/15 = 20% ⇒
+  * MEDIUM (`feed_detector.py:182-193`); today's revenue seeded low ⇒
+  * |z| > 2.5 anomaly (`setup_bigquery.sql:104-107`).
+  */
+class DetectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val clock = FixedClock.at("2024-01-31T12:00:00Z")
+  private val today = LocalDate.parse("2024-01-31")
+
+  private def ts(day: LocalDate, h: Int = 10, m: Int = 0): Timestamp =
+    Timestamp.from(day.atTime(h, m).toInstant(java.time.ZoneOffset.UTC))
+
+  /** 15 feeds × 30 days, feeds 7/12/15 absent for the last 2 days. */
+  private lazy val feedFixture: DataFrame = {
+    val rows = for {
+      d <- 0 until 30
+      f <- 1 to 15
+      day = today.minusDays(d.toLong)
+      if !(Set(7, 12, 15).contains(f) && d < 2)
+    } yield (f"FEED_$f%03d", ts(day), 5000L + f * 100)
+    rows.toDF("feed_id", "arrival_time", "record_count")
+  }
+
+  /** 40 days of revenue ~10k/day (3 txns), today seeded low (~2k). */
+  private lazy val revenueFixture: DataFrame = {
+    val rows = (1 to 40).flatMap { d =>
+      val day = today.minusDays(d.toLong)
+      Seq(
+        (s"T${d}a", ts(day, 9), 3300.0 + d % 7, "Electronics", "NORTH_AMERICA", s"C$d"),
+        (s"T${d}b", ts(day, 12), 3400.0 - d % 5, "Food", "EUROPE", s"C$d"),
+        (s"T${d}c", ts(day, 15), 3300.0 + d % 3, "Books", "ASIA", null))
+    } ++ Seq(("T0", ts(today, 9), 2000.0, "Electronics", "NORTH_AMERICA", null))
+    rows.toDF("transaction_id", "transaction_date", "revenue",
+      "product_category", "region", "customer_id")
+  }
+
+  test("FeedDetector: 3/15 missing => 20% => MEDIUM, anti-join finds exact feeds") {
+    val det = new FeedDetector(feedFixture, FixedClock.at("2024-01-31T17:00:00Z"))
+    val st = det.checkFeedStatus((1 to 15).map(f => f"FEED_$f%03d"))
+    assert(st.missingFeeds == Seq("FEED_007", "FEED_012", "FEED_015"))
+    assert(math.abs(st.missingPct - 20.0) < 1e-12)
+    assert(st.severity == "MEDIUM")
+    assert(st.analysis.exists(_.rootCause.contains("Feed delivery")))
+    assert(det.getFeedTrends(7).count() == 7)
+  }
+
+  test("RevenueDetector: seeded low day breaches 2.5 sigma with breakdown") {
+    val det = new RevenueDetector(revenueFixture, clock)
+    val st = det.checkRevenueAnomaly(today)
+    assert(st.currentTotal == 2000.0)
+    assert(st.baseline.exists(_.n == 30))
+    assert(st.isAnomaly && st.zScore < -2.5)
+    assert(st.severity == "CRITICAL") // ~80% below baseline
+    assert(st.breakdown.nonEmpty && st.breakdown.head._1 == "Electronics")
+    assert(st.analysis.isDefined)
+    // min-sample gate: 3 days of history -> no verdict
+    val tiny = revenueFixture.filter($"transaction_date" >= ts(today.minusDays(3)))
+    val st2 = new RevenueDetector(tiny, clock).checkRevenueAnomaly(today)
+    assert(st2.baseline.isEmpty && !st2.isAnomaly && st2.severity == "NONE")
+  }
+
+  test("RevenueDetector: forecast and weekday context") {
+    val det = new RevenueDetector(revenueFixture, clock)
+    val f = det.forecastRevenue(3, asOf = Some(today.minusDays(1)))
+    assert(f.exists(v => v > 25000 && v < 35000)) // ~10k/day * 3
+    assert(det.weekdayContext(today).isDefined)
+  }
+
+  test("TransactionDetector: same-hour baseline and min-sample gate") {
+    val det = new TransactionDetector(revenueFixture, FixedClock.at("2024-01-31T09:30:00Z"),
+      tsCol = "transaction_date")
+    val st = det.checkTransactionVolume(hours = 1)
+    assert(st.hour == 9)
+    assert(st.baseline.exists(b => b.n == 30 && math.abs(b.avg - 1.0) < 1e-12))
+    assert(st.currentCount == 1) // today's 09:00 txn inside the trailing hour
+    assert(!st.isAnomaly)
+  }
+
+  test("FreshnessDetector: stale source ratio and severity") {
+    val fresh = Seq(ts(today, 11, 30)).toDF("ts")
+    val stale = Seq(ts(today.minusDays(3))).toDF("ts")
+    val det = new FreshnessDetector(
+      Seq(("fresh", fresh, "ts"), ("stale", stale, "ts")), clock)
+    val st = det.checkDataFreshness(maxAgeMinutes = 120)
+    assert(st.isStale && st.staleRatio == 50.0 && st.severity == "CRITICAL")
+    val bySource = st.sources.map(s => s.source -> s.isStale).toMap
+    assert(!bySource("fresh") && bySource("stale"))
+  }
+
+  test("PatternDetector: vanished region is a break; stable dims are quiet") {
+    // NORTH_AMERICA present all baseline days, absent today
+    val rows = (1 to 31).flatMap { d =>
+      val day = today.minusDays(d.toLong)
+      Seq(("NORTH_AMERICA", "Electronics", ts(day)), ("EUROPE", "Food", ts(day)))
+    } ++ Seq(("EUROPE", "Food", ts(today)))
+    val df = rows.toDF("region", "product_category", "transaction_date")
+    val st = new PatternDetector(df, clock, baselineDays = 30).checkPatternBreaks()
+    assert(st.hasBreaks)
+    assert(st.breaks.exists(b => b.dimension == "product_category" && b.key == "Electronics"))
+    assert(st.severity != "NONE")
+  }
+
+  test("ReconciliationDetector: self-vs-self reconciles; dropped slice does not") {
+    val det = new ReconciliationDetector(clock)
+    val same = det.checkReconciliation(revenueFixture, revenueFixture, today.minusDays(5))
+    assert(same.isReconciled && same.discrepancyPct == 0.0 && same.severity == "NONE")
+    val dropped = revenueFixture.filter(!($"transaction_id".endsWith("b")))
+    val diff = det.checkReconciliation(revenueFixture, dropped, today.minusDays(5))
+    assert(!diff.isReconciled && diff.discrepancy == 1)
+    assert(diff.hourlyBreakdown.exists(h => h.hour == 12 && h.diff == 1))
+  }
+
+  test("SlaDetector: healthy rate passes, slow rate projects a breach") {
+    // 100 records in the trailing hour => ~6000/h  => 100k needs ~16h > 4h SLA
+    val slow = (0 until 100).map(i =>
+      Timestamp.from(Instant.parse("2024-01-31T11:00:00Z").plusSeconds(i * 36L)))
+      .toDF("arrival_time")
+    val st = new SlaDetector(slow, clock).predictSlaBreach(100000L, 4.0)
+    assert(st.willBreachSla && st.projectedHours > 4 && st.severity == "CRITICAL")
+  }
+
+  test("QualityDetector: null-rate jump and duplicate ids flagged") {
+    val base = (1 to 30).flatMap { d =>
+      (1 to 10).map(i => (s"id$d-$i", ts(today.minusDays(d.toLong)), s"c$i", "EU"))
+    }
+    val todayRows = (1 to 10).map(i =>
+      (if (i <= 2) "dup" else s"t$i", ts(today), if (i <= 5) null else s"c$i", "EU"))
+    val df = (base ++ todayRows)
+      .toDF("transaction_id", "transaction_date", "customer_id", "region")
+    val st = new QualityDetector(df, clock).checkQualityDegradation()
+    assert(st.degradedColumns == Seq("customer_id")) // 0% -> 50% nulls
+    assert(st.dupPct > 0.5)
+    assert(st.hasDegradation && st.severity == "HIGH") // 2 issues
+  }
+
+  test("MonitoringRunner: fan-out, guarded alerts, report; failures isolated") {
+    val slack = new InMemorySink("slack")
+    val log = new InMemorySink("log")
+    val email = new InMemorySink("email")
+    val am = new AlertManager(clock, Seq(slack, log, email))
+    val feeds = new FeedDetector(feedFixture, FixedClock.at("2024-01-31T17:00:00Z"))
+    val rev = new RevenueDetector(revenueFixture, clock)
+    val result = new MonitoringRunner(am).run(
+      feeds = () => feeds.checkFeedStatus((1 to 15).map(f => f"FEED_$f%03d")),
+      revenue = () => rev.checkRevenueAnomaly(today),
+      volume = () => sys.error("detector crashed"), // isolated failure
+      freshness = () => new FreshnessDetector(
+        Seq(("rev", revenueFixture, "transaction_date")), clock)
+        .checkDataFreshness(24 * 60),
+      patterns = () => new PatternDetector(revenueFixture, clock).checkPatternBreaks(),
+      recon = () => new ReconciliationDetector(clock)
+        .checkReconciliation(revenueFixture, revenueFixture, today.minusDays(5)),
+      sla = () => new SlaDetector(revenueFixture, clock, tsCol = "transaction_date")
+        .predictSlaBreach(),
+      quality = () => new QualityDetector(revenueFixture, clock).checkQualityDegradation())
+    assert(result.volume.isEmpty)            // crashed check reported as failed
+    assert(result.feeds.exists(_.missingFeeds.size == 3))
+    assert(result.revenue.exists(_.isAnomaly))
+    assert(result.alertsSent >= 2)           // missing feeds + revenue anomaly
+    assert(result.report.contains("CHECK FAILED"))
+    assert(result.report.contains("3 missing"))
+  }
+}

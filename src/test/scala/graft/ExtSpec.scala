@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old barn today", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog near the old barn tonight", "en"), // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles here", "en"),
+    (3L, "the quick brown fox jumps over the lazy dog near the old barn today", "en"), // exact dup of 0
+    (4L, "der hund und die katze sind nicht ein problem für das haus", "de"),
+    (5L, "le chat est dans la maison et il est pour une pomme", "fr"))
+    .toDF("doc_id", "text", "lang")
+
+  test("TextStats: token counts, quality, fingerprint determinism") {
+    val r = docs.select(
+      TextStats.tokenCount($"text"),
+      TextStats.stopwordCount($"text"),
+      TextStats.fingerprint($"text")).collect()
+    assert(r(0).getLong(0) == 14)
+    assert(r(0).getLong(1) == 3) // 'the' x3
+    assert(r(0).getLong(2) == r(3).getLong(2)) // same text, same fingerprint
+    assert(r(0).getLong(2) != r(2).getLong(2))
+  }
+
+  test("TextStats.langGuess identifies marker languages") {
+    val got = docs.select($"lang", TextStats.langGuess($"text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.count { case (want, g) => want == g } >= 5)
+    val zh = Seq((9L, "这 是 中文 文本")).toDF("doc_id", "text")
+    assert(zh.select(TextStats.langGuess($"text")).head().getString(0) == "zh")
+  }
+
+  test("Dedup.exactClusters keys by digest; dropExactDuplicates keeps one") {
+    val clusters = Dedup.exactClusters(docs).collect()
+    assert(clusters.length == 1 && clusters.head.getAs[Long]("n_docs") == 2)
+    assert(clusters.head.getAs[Long]("keeper_id") == 0L)
+    assert(Dedup.dropExactDuplicates(docs).count() == 5)
+  }
+
+  test("Dedup minhash-LSH finds near-dup and exact-dup pairs, verified by jaccard") {
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.3)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L))) // exact dup, jaccard 1.0
+    assert(keys.contains((0L, 1L)) || keys.contains((1L, 3L))) // near dup
+    assert(pairs.forall(_._3 >= 0.3))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).exists(_._3 == 1.0))
+  }
+
+  test("Dedup.simhash: identical texts collide, hamming ladder sane") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(1L)) < java.lang.Long.bitCount(sh(0L) ^ sh(2L)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("Similarity: codegen dot matches manual math; topk ordering deterministic") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val d = emb.filter($"vec_id" === 1)
+      .select(Similarity.dot($"embedding", $"embedding")).head().getDouble(0)
+    val expected = 0.9f.toDouble * 0.9f.toDouble + 0.1f.toDouble * 0.1f.toDouble
+    assert(d == expected) // floats widen to double exactly, sum is sequential
+    val top = Similarity.bruteForceTopK(emb, 0L, 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(top.head.getDouble(1) > 0.99)
+  }
+
+  test("Similarity: SQL surface via SparkSessionExtensions (graft_dot)") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("Similarity: ANN buckets are deterministic and recall is measurable") {
+    val emb = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 5).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(emb, 0L, 5, nPlanes = 2).collect().map(_.getLong(0)).toSet
+    assert(ann.nonEmpty)
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.2) // probe-1 LSH trades recall for scan reduction
+  }
+
+  test("Multimodal: payload plumbing, stub decode batch shape, frame sampling") {
+    val media = Multimodal.fromDocuments(
+      docs.withColumn("source", lit("srcX")).withColumn("n_chars", length($"text")))
+    assert(media.columns.toSeq == Seq("media_id", "kind", "payload", "meta"))
+    val feats = Multimodal.payloadFeatures(media).collect()
+    assert(feats.forall(_.getAs[String]("sha256").length == 64))
+    val decoded = Multimodal.decodeStub(media)
+    assert(decoded.schema == Multimodal.decodedSchema)
+    val f = decoded.orderBy("media_id").collect()
+    assert(f.forall(_.getAs[Seq[Float]]("feature").size == 8))
+    assert(math.abs(f.head.getAs[Seq[Float]]("feature").sum - 1.0f) < 1e-3)
+    val frames = Multimodal.frameSample(media, every = 16, frameLen = 4)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
+    assert(frames.filter($"media_id" === 0L).count() ==
+      math.ceil(docs.filter($"doc_id" === 0L).head().getString(1).length / 16.0).toLong)
+  }
+}

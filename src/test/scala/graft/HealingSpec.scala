@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{BadTableRef, Catalog, TableNotFound}
+import graft.pipeline.TransformJob
+import graft.quality.DataQualityCheck
+
+/** The self-healing transform end-to-end (SURVEY §3.2 / §2.11 D4): a job
+  * submitted with the reference's seeded double-dot table reference fails
+  * with a typed error, the healing loop classifies + patches it, and the
+  * rerun succeeds — all local, deterministic, no LLM.
+  */
+class HealingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = java.nio.file.Files.createTempDirectory("graft-cat").toString
+  private lazy val catalog = new Catalog(spark, root)
+
+  test("Catalog raises typed errors for bad refs and missing tables") {
+    assertThrows[BadTableRef](catalog.parseRef("selfhealing..employee_data"))
+    assertThrows[BadTableRef](catalog.parseRef("justonetoken"))
+    assertThrows[TableNotFound](catalog.load("selfhealing.nope"))
+  }
+
+  test("transform job with seeded double-dot ref heals and succeeds") {
+    val employees = Seq((1L, "alice", "eng", 100.0), (2L, "bob", "ops", 90.0))
+      .toDF("id", "name", "department", "salary")
+    catalog.save(employees, "selfhealing.employee_data")
+
+    val job = new TransformJob(catalog)
+    // direct run with the bad ref fails with the typed error
+    assertThrows[BadTableRef](job.run("selfhealing..employee_data", "output.emp"))
+    // healed run: classify -> patch '..' -> rerun succeeds
+    val (count, attempts) = job.runHealed("selfhealing..employee_data", "output.emp")
+    assert(count == 2)
+    assert(attempts.size == 1)
+    assert(attempts.head.classification.errorType == "table_reference")
+    assert(attempts.head.healed)
+    assert(catalog.load("output.emp").count() == 2)
+  }
+
+  test("overwrite-with-new-schema mirrors allowFieldAddition/Relaxation") {
+    val v1 = Seq((1L, "a")).toDF("id", "name")
+    catalog.save(v1, "output.evolve")
+    val v2 = Seq((2L, "b", 9.5)).toDF("id", "name", "score") // added column
+    catalog.save(v2, "output.evolve")
+    val back = catalog.load("output.evolve")
+    assert(back.columns.toSeq == Seq("id", "name", "score"))
+    assert(back.count() == 1)
+  }
+
+  test("DataQualityCheck: schema-driven null profile + assessment") {
+    val df = Seq((Some(1), Some("x")), (None, Some("y")), (None, None))
+      .toDF("a", "b")
+    val rep = DataQualityCheck.check(df, "t")
+    assert(rep.totalRows == 3)
+    assert(rep.nullCounts == Map("a" -> 2L, "b" -> 1L))
+    assert(rep.assessment.startsWith("WARN") && rep.assessment.contains("'a'"))
+    val clean = Seq((1, "x")).toDF("a", "b")
+    assert(DataQualityCheck.check(clean, "t").assessment.startsWith("PASS"))
+    assert(DataQualityCheck.check(clean.filter(lit(false)), "t").assessment.startsWith("FAIL"))
+  }
+}

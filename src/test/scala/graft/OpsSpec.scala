@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Exact.sum2 is reproducible at any parallelism") {
+    val vals = (1 to 10000).map(i => i * 0.01)
+    val a = vals.toDF("v").repartition(1).agg(Exact.sum2(col("v"))).head().getDouble(0)
+    val b = vals.toDF("v").repartition(13).agg(Exact.sum2(col("v"))).head().getDouble(0)
+    assert(a == b)
+    assert(a == 500050.0)
+  }
+
+  test("BaselineStats.stats computes sample stddev / exact median") {
+    val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("x")
+    val r = BaselineStats.stats(df, "x").head()
+    assert(math.abs(r.getDouble(0) - 5.0) < 1e-12)       // mean
+    assert(math.abs(r.getDouble(1) - 2.138089935299395) < 1e-9) // sample stddev
+    assert(r.getDouble(2) == 4.5)                         // median interpolated
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 9.0 && r.getLong(5) == 8)
+  }
+
+  test("ZScore guards: zero stddev -> 0, zero expected -> 0 deviation") {
+    val df = Seq((10.0, 10.0, 0.0)).toDF("x", "m", "s")
+    val r = df.select(
+      ZScore.z(col("x") + 5, col("m"), col("s")),
+      ZScore.deviationPct(col("x"), lit(0.0))).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("Profiles.nullProfile counts per-column nulls in one pass") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None))
+      .toDF("i", "s")
+    val r = Profiles.nullProfile(df).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1 && r.getLong(2) == 1)
+  }
+
+  test("Profiles.dupStats exact and approx") {
+    val df = Seq(1, 1, 2, 3, 3, 3).toDF("k")
+    val r = Profiles.dupStats(df, "k").head()
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3 && r.getLong(2) == 3)
+    assert(math.abs(r.getDouble(3) - 50.0) < 1e-12)
+  }
+
+  test("Joins.missingKeys = expected minus arrived (anti-join)") {
+    val expected = Seq("a", "b", "c").toDF("k")
+    val arrived = Seq("b").toDF("k")
+    val missing = Joins.missingKeys(expected, arrived, "k").as[String].collect().sorted
+    assert(missing.toSeq == Seq("a", "c"))
+  }
+
+  test("Joins.reconcile coalesces missing hours to zero") {
+    val src = Seq((1L, 10L), (2L, 20L)).toDF("hour", "source_count")
+    val dst = Seq((2L, 15L), (3L, 5L)).toDF("hour", "dest_count")
+    val rows = Joins.reconcile(src, dst, "hour").orderBy("hour").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 10L, 0L, 10L), (2L, 20L, 15L, 5L), (3L, 0L, 5L, -5L)))
+  }
+
+  test("TimeFilters ranges push down to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pushdown").toString
+    spark.range(100).select(
+      org.apache.spark.sql.functions.timestamp_micros(col("id") * 86400L * 1000000L).as("ts"),
+      col("id")).write.mode("overwrite").parquet(dir)
+    val scanned = spark.read.parquet(dir)
+      .filter(TimeFilters.onDate(col("ts"), java.time.LocalDate.parse("1970-01-05")))
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"))
+    assert(scanned.count() == 1)
+  }
+
+  test("Velocity.measure derives records/hour with NULLIF guard") {
+    val df = Seq(
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:30:00Z")))
+      .toDF("ts")
+    val r = Velocity.measure(df, "ts").head()
+    assert(r.getLong(0) == 2 && r.getLong(3) == 30)
+    assert(math.abs(r.getDouble(4) - 4.0) < 1e-12)
+    // single record -> 0 minutes -> null rate, not a division error
+    val one = Seq(java.sql.Timestamp.from(java.time.Instant.now())).toDF("ts")
+    assert(Velocity.measure(one, "ts").head().isNullAt(4))
+  }
+}
