@@ -11,22 +11,36 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.simhashFunction)
   }
 }
 
 object GraftExtensions {
-  private def builder(args: Seq[Expression]): Expression = args match {
+  private def dotBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(a, b) => DotProduct(a, b)
     case _ => throw new IllegalArgumentException("graft_dot expects exactly 2 arguments")
+  }
+
+  private def simhashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => SimHash64(a)
+    case _ => throw new IllegalArgumentException("graft_simhash64 expects exactly 1 argument")
   }
 
   val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    builder _)
+    dotBuilder _)
+
+  val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+    simhashBuilder _)
 
   /** Idempotent per-session registration for SQL-string use. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dot", builder, "built-in")
+      .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_simhash64", simhashBuilder, "built-in")
+  }
 }

@@ -249,6 +249,26 @@ object RelationalQ {
         FROM orders WHERE o_orderkey <= 400
         ORDER BY o_orderkey""")),
 
+    // A9/A2/A3: per-feed arrival profile incl. mean arrival hour
+    // (feed_detector.py:84-114: AVG(EXTRACT(HOUR FROM arrival_time)) with
+    // int() truncation for display at :109).
+    "q38_arrival_profile" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type").as("feed_id"))
+          .agg(
+            count(lit(1)).as("n_arrivals"),
+            avg(hour(col("ts"))).as("avg_arrival_hour"),
+            floor(avg(hour(col("ts")))).as("avg_hour_display"),
+            countDistinct(to_date(col("ts"))).as("n_days"))
+          .orderBy("feed_id"),
+      Some("""
+        SELECT event_type AS feed_id, COUNT(*) AS n_arrivals,
+          AVG(EXTRACT(HOUR FROM ts)) AS avg_arrival_hour,
+          CAST(floor(AVG(EXTRACT(HOUR FROM ts))) AS BIGINT) AS avg_hour_display,
+          COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // S5 retention semantics: partition_expiration_days as a scan predicate
     // (setup_bigquery.sql:24 — 90d feeds; here 15d against the events span).
     "q36_retention_scan" -> QueryDef(
