@@ -43,10 +43,20 @@ object BaselineStats {
   /** Windowed variant (SURVEY §2.5 W1): trailing `days`-row baseline per row,
     * excluding the current row — computes the baseline for ALL days at once
     * instead of one anchor date. Idiomatic Spark upgrade of the reference's
-    * one-date-at-a-time loop; used by the all-days z-score sweep. */
-  def trailingWindow(daily: DataFrame, dateCol: String, valueCol: String, days: Int): DataFrame = {
+    * one-date-at-a-time loop; used by the all-days z-score sweep.
+    *
+    * `partitionBy` is the scale lever: per-entity baselines (per feed, per
+    * region) window inside their key partition — no single-partition global
+    * sort exists at 100 TB. An empty `partitionBy` is only acceptable
+    * because the input here is an already-aggregated daily table (≤365
+    * rows per entity). */
+  def trailingWindow(daily: DataFrame, dateCol: String, valueCol: String, days: Int,
+      partitionBy: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(dateCol)).rowsBetween(-days, -1)
+    val base =
+      if (partitionBy.isEmpty) Window.orderBy(col(dateCol))
+      else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(dateCol))
+    val w = base.rowsBetween(-days, -1)
     daily
       .withColumn("baseline_avg", avg(col(valueCol)).over(w))
       .withColumn("baseline_std", stddev(col(valueCol)).over(w))

@@ -17,6 +17,14 @@ import org.apache.spark.sql.types.DecimalType
   * Derived moments (avg, stddev, z-score) are then computed from the exact
   * sums with an explicit double formula, so engine and oracle evaluate the
   * identical IEEE expression tree.
+  *
+  * Precision envelope: the decimal sums are always exact, but once a sum
+  * exceeds 2^53 in units of its scale (e.g. sum-of-squares of ~1e6-scale
+  * values), the final decimal->double conversion rounds, and the moments
+  * cancellation can leave an absolute error ~sqrt(q*eps) in stddev. Cross-
+  * engine parity still holds to ±1 ulp (identical formula; outputs that
+  * matter are rounded at fixed decimals), and [[varianceFrom]] clamps the
+  * epsilon-negative case that would otherwise sqrt to NaN.
   */
 object Exact {
 
@@ -39,11 +47,13 @@ object Exact {
   /** Mean from an exact sum: identical to `CAST(SUM(DECIMAL) AS DOUBLE)/COUNT`. */
   def avg2(c: Column): Column = sum2(c) / count(c)
 
-  /** Sample variance from exact moments: (q - s*s/n) / (n-1).
+  /** Sample variance from exact moments: (q - s*s/n) / (n-1), clamped at 0 —
+    * for (near-)constant series the two big terms cancel and double rounding
+    * can leave an epsilon-negative value whose sqrt would be NaN.
     * Matches BigQuery `STDDEV` and python `statistics.stdev` (sample form,
     * reference `monitoring/detectors/revenue_detector.py:131`). */
   def varianceFrom(s: Column, q: Column, n: Column): Column =
-    (q - s * s / n) / (n - lit(1))
+    greatest((q - s * s / n) / (n - lit(1)), lit(0.0))
 
   def stddevFrom(s: Column, q: Column, n: Column): Column =
     sqrt(varianceFrom(s, q, n))

@@ -119,7 +119,7 @@ object DetectorQ {
           WHERE o_orderdate >= TIMESTAMP '2001-08-01 00:00:00' AND o_orderdate < TIMESTAMP '2001-08-02 00:00:00'),
         z AS (
           SELECT current_total, s / n AS baseline_avg,
-            sqrt((q - s * s / n) / (n - 1)) AS std_dev,
+            sqrt(greatest((q - s * s / n) / (n - 1), 0.0)) AS std_dev,
             median_value, min_value, max_value, n AS sample_size
           FROM t, m)
         SELECT DATE '2001-08-01' AS as_of_date, current_total, baseline_avg,
@@ -233,7 +233,7 @@ object DetectorQ {
           FROM per_day),
         b AS (
           SELECT s / n_days AS baseline_avg,
-            sqrt((q - s * s / n_days) / (n_days - 1)) AS std_dev,
+            sqrt(greatest((q - s * s / n_days) / (n_days - 1), 0.0)) AS std_dev,
             n_days, min_count, max_count
           FROM m),
         c AS (
@@ -435,7 +435,7 @@ object DetectorQ {
           WINDOW win AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
         z AS (
           SELECT d, daily_total, s / baseline_n AS baseline_avg,
-            sqrt((q - s * s / baseline_n) / (baseline_n - 1)) AS std_dev, baseline_n
+            sqrt(greatest((q - s * s / baseline_n) / (baseline_n - 1), 0.0)) AS std_dev, baseline_n
           FROM w WHERE baseline_n >= 7)
         SELECT d, daily_total, baseline_avg, round(std_dev, 4) AS std_dev, baseline_n,
           round(CASE WHEN std_dev > 0 THEN (daily_total - baseline_avg) / std_dev ELSE 0.0 END, 6) AS z_score,

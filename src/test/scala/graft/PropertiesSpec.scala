@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{BaselineStats, Thresholds}
+import graft.pipeline.AutoHealer
+
+/** ScalaCheck properties for the pure math the detectors depend on
+  * (SURVEY §5 test plan): z-score guards, severity ladder monotonicity,
+  * baseline statistics vs a straightforward reference implementation,
+  * anti-join set semantics, healing idempotence. Raw Gen + fixed seeds
+  * (the scalatestplus bridge isn't on the offline classpath), so runs are
+  * deterministic.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  private def forAllN[A](gen: Gen[A], n: Int = 40)(f: A => Unit): Unit =
+    (0 until n).foreach(i => gen.apply(params, Seed(i.toLong)).foreach(f))
+
+  test("severity ladder is monotone in the input value") {
+    val rank = Map("NONE" -> 0, "LOW" -> 1, "MEDIUM" -> 2, "HIGH" -> 3, "CRITICAL" -> 4)
+    val t = Thresholds.RevenueDeviation
+    forAllN(Gen.zip(Gen.chooseNum(-10.0, 100.0), Gen.chooseNum(-10.0, 100.0)), 200) {
+      case (a, b) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        assert(rank(t.severity(lo)) <= rank(t.severity(hi)))
+    }
+  }
+
+  test("baseline stats match a direct reference implementation") {
+    val gen = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 50000000).map(_ / 100.0)))
+    forAllN(gen, 15) { xs =>
+      val r = BaselineStats.stats(xs.toDF("x"), "x").head()
+      val mean = xs.sum / xs.size
+      val sampleStd = math.sqrt(xs.map(v => (v - mean) * (v - mean)).sum / (xs.size - 1))
+      assert(math.abs(r.getDouble(0) - mean) < 1e-6)
+      assert(math.abs(r.getDouble(1) - sampleStd) < 1e-4)
+      assert(r.getDouble(3) == xs.min && r.getDouble(4) == xs.max)
+      assert(r.getLong(5) == xs.size)
+      val sorted = xs.sorted
+      val med =
+        if (xs.size % 2 == 1) sorted(xs.size / 2)
+        else (sorted(xs.size / 2 - 1) + sorted(xs.size / 2)) / 2
+      assert(math.abs(r.getDouble(2) - med) < 1e-9)
+    }
+  }
+
+  test("constant series => zero stddev => z-score guard yields 0") {
+    // 2-decimal values below ~1.5e5 keep the sum-of-squares inside the
+    // 2^53 exactness envelope (see Exact scaladoc); there stddev is a hard 0.
+    val gen = Gen.zip(Gen.chooseNum(100L, 15000000L).map(_ / 100.0), Gen.chooseNum(2, 40))
+    forAllN(gen, 10) { case (v, n) =>
+      val r = BaselineStats.stats(List.fill(n)(v).toDF("x"), "x").head()
+      val std = r.getDouble(1)
+      assert(std == 0.0)
+      val z = if (std > 0) (v - r.getDouble(0)) / std else 0.0
+      assert(z == 0.0)
+    }
+  }
+
+  test("missing = expected − arrived, order-insensitive, duplicates irrelevant") {
+    val keys = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    forAllN(Gen.zip(keys, keys), 15) { case (expected, arrived) =>
+      if (expected.nonEmpty) {
+        val got = graft.ops.Joins.missingKeys(
+            expected.toDF("k"), arrived.toDF("k"), "k")
+          .as[String].collect().toSet
+        assert(got == expected.toSet.diff(arrived.toSet))
+      }
+    }
+  }
+
+  test("double-dot healing is idempotent and dot-run-collapsing") {
+    val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    forAllN(Gen.zip(token, token, Gen.chooseNum(2, 5)), 100) { case (a, b, dots) =>
+      val broken = a + ("." * dots) + b
+      val fixed = AutoHealer.fixDoubleDots(broken)
+      assert(fixed == s"$a.$b")
+      assert(AutoHealer.fixDoubleDots(fixed) == fixed)
+    }
+  }
+}
