@@ -77,8 +77,9 @@ object ExtQ {
           stops / n_words - punct / n_chars AS quality_score
         FROM r ORDER BY doc_id""")),
 
-    // Language ID heuristic (marker-token votes + CJK ratio). No SQL oracle —
-    // rows-only; accuracy asserted in LangIdSpec against the lang column.
+    // Language ID heuristic (marker-token votes + CJK override). Tie-break =
+    // lexicographically greatest language among max-vote entries (struct
+    // array_max semantics), mirrored in the CASE order below.
     "q27_langid" -> QueryDef(
       (s, dir) =>
         t(s, dir, "documents").select(
@@ -86,7 +87,30 @@ object ExtQ {
           TextStats.langGuess(col("text")).as("lang_guess"))
           .withColumn("is_match", col("lang") === col("lang_guess"))
           .orderBy("doc_id"),
-      None),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+          FROM documents),
+        v AS (
+          SELECT doc_id, lang, cjk,
+            len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) AS v_de,
+            len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS v_en,
+            len(list_filter(toks, t -> t IN ('el','la','los','y','es','una','en','que','por','con'))) AS v_es,
+            len(list_filter(toks, t -> t IN ('le','la','les','et','est','une','dans','que','pour','des'))) AS v_fr
+          FROM d),
+        g AS (
+          SELECT doc_id, lang,
+            CASE WHEN cjk > 0 THEN 'zh'
+                 WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'unknown'
+                 WHEN v_fr = greatest(v_de, v_en, v_es, v_fr) THEN 'fr'
+                 WHEN v_es = greatest(v_de, v_en, v_es, v_fr) THEN 'es'
+                 WHEN v_en = greatest(v_de, v_en, v_es, v_fr) THEN 'en'
+                 ELSE 'de' END AS lang_guess
+          FROM v)
+        SELECT doc_id, lang, lang_guess, lang = lang_guess AS is_match
+        FROM g ORDER BY doc_id""")),
 
     // MinHash signatures + LSH band/bucket rows (engine-hash based; no oracle).
     "q28_minhash_signatures" -> QueryDef(
@@ -96,12 +120,30 @@ object ExtQ {
           .orderBy("doc_id", "band"),
       None),
 
-    // MinHash-LSH candidate pairs verified by exact shingle Jaccard.
+    // MinHash-LSH candidate pairs verified by exact shingle Jaccard. The
+    // oracle scans ALL pairs exhaustively — a hash-match therefore proves
+    // the banded-LSH candidate generation had no false negatives at these
+    // parameters (k=32, 8 bands over 3-gram shingles, threshold 0.3).
     "q29_lsh_neardup_pairs" -> QueryDef(
       (s, dir) =>
         Dedup.nearDupPairs(t(s, dir, "documents"), shingleN = 3, threshold = 0.3)
           .orderBy(desc("jaccard"), col("doc_a"), col("doc_b")),
-      None),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM d),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM p
+        WHERE jaccard >= 0.3
+        ORDER BY jaccard DESC, doc_a, doc_b""")),
 
     // SimHash signatures + high-bit buckets (no oracle).
     "q30_simhash" -> QueryDef(
@@ -157,6 +199,18 @@ object ExtQ {
         SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // A3 scale variant: HLL approx distinct beside the exact form (sketches
+    // merge map-side — the 100 TB substitute for a value shuffle). Approx
+    // values are engine-specific => rows-only; error bound asserted in
+    // OpsSpec.
+    "q39_approx_distinct" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "events").agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users_precise")),
+      None),
 
     // Embedding-space near-dup pairs above a cosine threshold.
     "q35_embedding_neardup" -> QueryDef(

@@ -73,6 +73,16 @@ class OpsSpec extends SparkSpec {
     assert(scanned.count() == 1)
   }
 
+  test("approx_count_distinct tracks exact within its error bound") {
+    val df = spark.range(20000).select((col("id") % 7919).as("k"))
+    val r = df.agg(
+      countDistinct(col("k")), approx_count_distinct(col("k"), 0.01)).head()
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(exact == 7919.0)
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
   test("Velocity.measure derives records/hour with NULLIF guard") {
     val df = Seq(
       java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")),
