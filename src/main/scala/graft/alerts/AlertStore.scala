@@ -1,0 +1,51 @@
+package graft.alerts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Catalog
+
+/** Alert-history persistence in the reference's `monitoring_alerts` shape
+  * (`monitoring/setup_bigquery.sql:45-58`: alert_id, alert_type, severity,
+  * title, details JSON, recommendations JSON, created_at; partitioned by
+  * DATE(created_at), 180-day retention). Details/recommendations are
+  * serialized with `to_json` — the engine-side treatment of the reference's
+  * JSON columns (SURVEY §1.2).
+  */
+object AlertStore {
+
+  val RetentionDays = 180
+
+  def toDataFrame(spark: SparkSession, alerts: Seq[Alert]): DataFrame = {
+    import spark.implicits._
+    alerts.map { a =>
+      (a.alertType, a.severity, a.title, a.details, a.recommendations,
+        java.sql.Timestamp.from(a.createdAt))
+    }.toDF("alert_type", "severity", "title", "details_map", "recs_seq", "created_at")
+      .select(
+        // deterministic id from content (reference uses GENERATE_UUID();
+        // content-hash keeps replays idempotent and tests stable)
+        md5(concat_ws("|", col("alert_type"), col("title"), col("created_at").cast("string")))
+          .as("alert_id"),
+        col("alert_type"), col("severity"), col("title"),
+        to_json(col("details_map")).as("details"),
+        to_json(col("recs_seq")).as("recommendations"),
+        col("created_at"),
+        to_date(col("created_at")).as("alert_date"))
+  }
+
+  /** Append alert history, partitioned by alert_date (the scan-pruning key). */
+  def append(catalog: Catalog, spark: SparkSession, alerts: Seq[Alert],
+      ref: String = "financial_monitoring.monitoring_alerts"): Unit = {
+    if (alerts.isEmpty) return
+    val (ns, table) = catalog.parseRef(ref)
+    toDataFrame(spark, alerts).write.mode("append")
+      .partitionBy("alert_date").parquet(catalog.path(ns, table))
+  }
+
+  /** Load history with the 180-day retention predicate applied at scan. */
+  def load(catalog: Catalog, asOf: java.time.Instant,
+      ref: String = "financial_monitoring.monitoring_alerts"): DataFrame =
+    catalog.load(ref).filter(
+      graft.ops.TimeFilters.retention(col("created_at"), asOf, RetentionDays))
+}

@@ -39,38 +39,42 @@ object Dedup {
       .otherwise(array_distinct(array(concat_ws(" ", toks))))
   }
 
-  /** Per-(doc, seed) min-hashes via the explode/groupBy formulation.
+  /** Per-doc minhash signature as k wide columns (`mh_0..mh_{k-1}`) in ONE
+    * grouped aggregate.
     *
-    * Why not nested higher-order functions (`transform(seeds,
-    * array_min(transform(shingles, ...)))`): HOFs are interpreted, and after
-    * projection collapse the shingle expression re-evaluates once per seed —
-    * O(k) scans of every document. Here each shingle is string-hashed exactly
-    * once (`base`), the k seeded variants are cheap long-hashes, and the
-    * min reduces through a partial (map-side) aggregation — so the shuffle
-    * carries at most docs × k tiny rows no matter how large the corpus.
-    */
-  def minhashes(docs: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, k: Int = 32): DataFrame =
+    * Why this shape: nested higher-order functions (`transform(seeds,
+    * array_min(transform(shingles, ...)))`) are interpreted and re-evaluate
+    * the shingle expression per seed; an explicit seed-explode creates a
+    * docs × shingles × k row blow-up before the groupBy. Here shingle rows
+    * explode once (docs × shingles), each shingle is string-hashed once
+    * (`base`), and the k seeded variants are k codegen'd `min(xxhash64(j,
+    * base))` aggregates over the same row — partial (map-side) aggregation
+    * reduces the shuffle to one k-column row per doc regardless of corpus
+    * size. */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 32): DataFrame = {
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("base"))).as(s"mh_$j"))
     docs
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
       .select(col(idCol), xxhash64(col("sh")).as("base"))
-      .select(col(idCol), col("base"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(xxhash64(col("seed"), col("base"))).as("mh"))
-
-  /** LSH banding over [[minhashes]] output: seed div (k/bands) → band; the
-    * band's bucket id hashes the seed-ordered minhash slice. */
-  def minhashBuckets(mh: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
-    val width = k / bands
-    mh.withColumn("band", expr(s"seed div $width"))
-      .groupBy(col(idCol), col("band"))
-      .agg(xxhash64(sort_array(collect_list(struct(col("seed"), col("mh"))))).as("bucket"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Docs → (id, band, bucket) LSH table. */
+  /** Docs → (id, band, bucket) LSH table: each band's bucket hashes its
+    * signature slice; bands explode from an in-row array (no extra shuffle). */
   def minhashTable(docs: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
-    minhashBuckets(minhashes(docs, textCol, idCol, shingleN, k), idCol, k, bands)
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val width = k / bands
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until width).map(i => col(s"mh_${b * width + i}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bucket"))
+    }
+    sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
 
   /** Candidate pairs from LSH buckets, verified with exact Jaccard over the
     * shingle sets; only pairs ≥ threshold survive. The self-join is

@@ -50,6 +50,25 @@ class HealingSpec extends SparkSpec {
     assert(back.count() == 1)
   }
 
+  test("AlertStore: monitoring_alerts shape, partitioned append, retention load") {
+    import graft.alerts.{Alert, AlertStore}
+    val now = java.time.Instant.parse("2024-01-31T00:00:00Z")
+    val alerts = Seq(
+      Alert("revenue_anomaly", "HIGH", "t1", Map("z" -> "3.1"), Seq("check"), now),
+      Alert("missing_feeds", "MEDIUM", "t2", Map.empty, Nil,
+        now.minusSeconds(200L * 86400))) // beyond 180d retention
+    AlertStore.append(catalog, spark, alerts)
+    val all = catalog.load("financial_monitoring.monitoring_alerts")
+    assert(all.columns.toSet == Set("alert_id", "alert_type", "severity", "title",
+      "details", "recommendations", "created_at", "alert_date"))
+    assert(all.count() == 2)
+    val row = all.filter($"alert_type" === "revenue_anomaly").head()
+    assert(row.getAs[String]("details").contains("\"z\":\"3.1\""))
+    assert(row.getAs[String]("alert_id").length == 32)
+    val retained = AlertStore.load(catalog, now)
+    assert(retained.count() == 1)
+  }
+
   test("DataQualityCheck: schema-driven null profile + assessment") {
     val df = Seq((Some(1), Some("x")), (None, Some("y")), (None, None))
       .toDF("a", "b")
