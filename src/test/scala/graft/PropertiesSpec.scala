@@ -62,6 +62,17 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("Thresholds column form agrees with the pure form everywhere") {
+    val t = Thresholds.TxnDeviation
+    val gen = Gen.listOfN(60, Gen.chooseNum(-5.0, 120.0))
+    forAllN(gen, 5) { xs =>
+      val got = xs.toDF("v")
+        .select(t.severityCol(org.apache.spark.sql.functions.col("v")))
+        .as[String].collect().toSeq
+      assert(got == xs.map(t.severity))
+    }
+  }
+
   test("missing = expected − arrived, order-insensitive, duplicates irrelevant") {
     val keys = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAllN(Gen.zip(keys, keys), 15) { case (expected, arrived) =>
