@@ -147,6 +147,25 @@ class DetectorsSpec extends SparkSpec {
     assert(st.hasDegradation && st.severity == "HIGH") // 2 issues
   }
 
+  test("reference seeded scenario via Generators: gap feeds + low-revenue day fire") {
+    val asOf = LocalDate.parse("2024-01-31")
+    val feeds = graft.ops.Generators.feedArrivals(spark, asOf)
+    val st = new FeedDetector(feeds, FixedClock.at("2024-01-31T17:00:00Z"))
+      .checkFeedStatus((1 to 15).map(f => f"FEED_$f%03d"))
+    assert(st.missingFeeds == Seq("FEED_007", "FEED_012", "FEED_015"))
+    assert(st.severity == "MEDIUM") // 3/15 = 20% (feed_detector.py:182-193)
+
+    val revenue = graft.ops.Generators.dailyRevenue(spark, asOf)
+    val rst = new RevenueDetector(revenue, FixedClock.at("2024-01-31T18:00:00Z"))
+      .checkRevenueAnomaly(asOf)
+    assert(rst.isAnomaly && rst.zScore < -2.5) // seeded ~80%-below day
+    assert(rst.severity == "CRITICAL")
+    // yesterday's seeded high day also stands out, in the other direction
+    val yst = new RevenueDetector(revenue, FixedClock.at("2024-01-31T18:00:00Z"))
+      .checkRevenueAnomaly(asOf.minusDays(1))
+    assert(yst.zScore > 0)
+  }
+
   test("MonitoringRunner: fan-out, guarded alerts, report; failures isolated") {
     val slack = new InMemorySink("slack")
     val log = new InMemorySink("log")

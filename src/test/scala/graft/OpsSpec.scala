@@ -73,6 +73,20 @@ class OpsSpec extends SparkSpec {
     assert(scanned.count() == 1)
   }
 
+  test("trailingWindow computes per-key trailing baselines without cross-key leakage") {
+    val daily = Seq(
+      ("A", "2024-01-01", 10.0), ("A", "2024-01-02", 20.0), ("A", "2024-01-03", 30.0),
+      ("B", "2024-01-01", 100.0), ("B", "2024-01-02", 200.0))
+      .toDF("k", "d", "v").withColumn("d", to_date(col("d")))
+    val w = BaselineStats.trailingWindow(daily, "d", "v", days = 30, partitionBy = Seq("k"))
+      .orderBy("k", "d").collect()
+    // first row per key has an empty (null) baseline; later rows only see own key
+    assert(w(0).isNullAt(w(0).fieldIndex("baseline_avg")))
+    assert(w(2).getAs[Double]("baseline_avg") == 15.0) // avg(10,20), no B values
+    assert(w(4).getAs[Double]("baseline_avg") == 100.0)
+    assert(w(2).getAs[Long]("baseline_n") == 2)
+  }
+
   test("approx_count_distinct tracks exact within its error bound") {
     val df = spark.range(20000).select((col("id") % 7919).as("k"))
     val r = df.agg(
