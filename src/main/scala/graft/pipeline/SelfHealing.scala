@@ -44,6 +44,9 @@ object ErrorClassifier {
   }
 
   private def Regex(s: String): Regex = s.r
+
+  /** API-parity alias (`vertex_ai_handler.analyze_error`, SURVEY §7.5). */
+  def analyzeError(errorText: String): ErrorClassification = classify(errorText)
 }
 
 object AutoHealer {
@@ -58,6 +61,9 @@ object AutoHealer {
     case "table_reference" => fixDoubleDots(artifact)
     case _ => artifact
   }
+
+  /** API-parity alias (`vertex_ai_handler.suggest_fix`, SURVEY §7.5). */
+  def suggestFix(c: ErrorClassification): String = c.suggestedFix
 
   /** Traceback extraction (`dag/self_healing_pipeline.py:100-115`): slice
     * 4000 chars from the first "Traceback"; otherwise head 2000 + tail 2000. */
