@@ -57,6 +57,40 @@ class StreamingSpec extends SparkSpec {
       "B" -> "2024-01-01T11:00:00Z"))
   }
 
+  test("StreamingMonitor: stream-static baseline join flags an anomalous hour") {
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+    // history: hours 10/11 get 4-6 events/day over 21 days (jitter so the
+    // baseline has nonzero variance — a zero-std baseline z-guards to 0)
+    val history = (0 until 21).flatMap { d =>
+      (0 until 4 + d % 3).flatMap(i => Seq(10, 11).map(h =>
+        ts(f"2024-01-${d + 1}%02dT$h%02d:0$i:00Z")))
+    }.toDF("ts")
+    val baseline = StreamingMonitor.hourlyBaseline(history, "ts")
+    val b = baseline.orderBy("hod").collect()
+    assert(b.map(_.getInt(0)).toSeq == Seq(10, 11))
+    assert(b.forall(r => r.getDouble(1) == 5.0 && r.getDouble(2) > 0.5))
+
+    val input = MemoryStream[Timestamp]
+    // live: hour 10 normal (5 events), hour 11 surge (40 events)
+    input.addData((0 until 5).map(i => ts(f"2024-01-25T10:0$i:00Z")): _*)
+    input.addData((0 until 40).map(i => ts(f"2024-01-25T11:${i % 60}%02d:30Z")): _*)
+    input.addData(ts("2024-01-25T18:00:00Z")) // advance watermark
+    input.addData(ts("2024-01-25T22:00:00Z"))
+    val q = StreamingMonitor.start(
+      StreamingMonitor.volumeAnomalies(input.toDF().toDF("ts"), baseline, "ts"),
+      "vol_anomalies")
+    q.awaitTermination(120000)
+    val rows = spark.table("vol_anomalies")
+      .filter($"baseline_avg".isNotNull)
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1),
+        r.getBoolean(5), r.getString(6)))
+    assert(rows.contains(("2024-01-25T10:00:00Z", 5L, false, "NONE")))
+    val surge = rows.find(_._1 == "2024-01-25T11:00:00Z").get
+    assert(surge._2 == 40L && surge._3 && surge._4 == "CRITICAL")
+  }
+
   test("dedupStateful: suppresses repeats inside the window, passes after it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]
