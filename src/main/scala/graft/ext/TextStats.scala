@@ -22,6 +22,16 @@ object TextStats {
   /** The classic chars/4 BPE estimate used when no tokenizer is available. */
   def estBpeTokens(text: Column): Column = ceil(length(text) / 4.0)
 
+  /** GPT2-style pre-tokenizer regex (contractions | letter runs | digit
+    * runs | punctuation runs | whitespace runs — the BPE-ish split used
+    * when counting LLM tokens without a vocab). */
+  val BpeRegex: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-tokenizer piece count under [[BpeRegex]]. */
+  def bpeRegexTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeRegex), lit(0))).cast("long")
+
   /** Punctuation count: strip everything that is not punctuation, measure. */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.!?,;:]", "")).cast("long")

@@ -31,20 +31,23 @@ object ExtQ {
           COUNT(DISTINCT md5(text)) AS distinct_fps
         FROM documents""")),
 
-    // Token counting: whitespace tokens + chars/4 BPE estimate.
+    // Token counting: whitespace tokens, chars/4 estimate, and a GPT2-style
+    // pre-tokenizer regex piece count (the BPE-ish split).
     "q25_token_stats" -> QueryDef(
       (s, dir) =>
         t(s, dir, "documents").select(
           col("doc_id"),
           TextStats.tokenCount(col("text")).as("n_tokens"),
           length(col("text")).cast("long").as("n_chars_calc"),
-          TextStats.estBpeTokens(col("text")).as("est_bpe_tokens"))
+          TextStats.estBpeTokens(col("text")).as("est_bpe_tokens"),
+          TextStats.bpeRegexTokens(col("text")).as("n_bpe_pieces"))
           .orderBy("doc_id"),
       Some("""
         SELECT doc_id,
           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
           CAST(length(text) AS BIGINT) AS n_chars_calc,
-          CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+          CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+          CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_pieces
         FROM documents ORDER BY doc_id""")),
 
     // Quality scoring: stopword density minus punctuation density.
