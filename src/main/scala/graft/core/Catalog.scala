@@ -65,4 +65,27 @@ final class Catalog(spark: SparkSession, root: String) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(ns, t))
   }
+
+  /** Bucketed save via the session catalog (`bucketBy` requires
+    * `saveAsTable`). Two tables bucketed the same way on the join key
+    * co-locate: the join reads matching buckets directly and the plan has
+    * NO shuffle on either side — the 100 TB answer for repeated large-to-
+    * large equi-joins (e.g. fact-to-fact reconciliation), where neither
+    * side broadcasts and a per-query sort-merge shuffle would dominate.
+    * Table name is `ns_table` in the session catalog. */
+  def saveBucketed(df: DataFrame, ref: String, bucketCol: String, buckets: Int): String = {
+    val (ns, t) = parseRef(ref)
+    val tableName = s"${ns}_$t"
+    // overwrite must be idempotent across sessions: a previous session's
+    // managed-table location can survive after its catalog entry is gone
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tableName)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(warehouse)) fs.delete(warehouse, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(tableName)
+    tableName
+  }
 }

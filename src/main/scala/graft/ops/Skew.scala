@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins and aggregations (100 TB posture).
+  *
+  * First line of defense is AQE's skew-join splitting (enabled in
+  * `core/Sessions`), which re-plans oversized shuffle partitions at runtime.
+  * These helpers cover the cases AQE cannot: broadcast-ineligible dimension
+  * joins with a few pathological hot keys, and hot-key groupBys.
+  *
+  *  - [[saltedJoin]]: the big side gets a random salt in [0, factor); the
+  *    small side is replicated `factor`× with every salt value; the join key
+  *    becomes (key, salt), spreading each hot key over `factor` partitions.
+  *    Correctness is unchanged for equi-joins (each big row still matches
+  *    exactly its key's rows, now on one specific replica).
+  *  - [[saltedAggregate]]: two-phase hot-key aggregation — partial agg on
+  *    (key, salt), final agg on key. Only safe for reassociatable aggregates
+  *    (sum/count/min/max), which is why it takes them explicitly.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key` with `factor`-way salting. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, factor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(factor > 0)
+    val salted = big.withColumn("__salt", (rand(42) * factor).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-phase aggregation: partial on (keys, salt), final on keys.
+    * `partial` aggregates run per salt bucket; `finalAggs` must recombine
+    * them (e.g. partial sum -> final sum, partial count -> final sum). */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], factor: Int,
+      partial: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
+    require(factor > 0 && partial.nonEmpty && finalAggs.nonEmpty)
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(factor)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+      .drop("__salt")
+  }
+}

@@ -87,6 +87,49 @@ class OpsSpec extends SparkSpec {
     assert(w(2).getAs[Long]("baseline_n") == 2)
   }
 
+  test("Skew.saltedJoin preserves equi-join results under hot keys") {
+    val big = (Seq.fill(500)("hot") ++ Seq("a", "b", "c")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val small = Seq(("hot", 1), ("a", 2), ("z", 9)).toDF("k", "w")
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum($"v"), sum($"w")).head()
+    val salted = Skew.saltedJoin(big, small, "k", factor = 8)
+      .agg(count(lit(1)), sum($"v"), sum($"w")).head()
+    assert(plain == salted)
+    // left join parity incl. unmatched rows
+    val lp = big.join(small, Seq("k"), "left").count()
+    assert(Skew.saltedJoin(big, small, "k", 8, "left").count() == lp)
+  }
+
+  test("Skew.saltedAggregate two-phase hot-key aggregation") {
+    val df = (Seq.fill(1000)(("hot", 1.0)) ++ Seq(("cold", 2.0))).toDF("k", "v")
+    val r = Skew.saltedAggregate(df, Seq("k"), factor = 8,
+      partial = Seq(sum($"v").as("ps"), count(lit(1)).as("pc")),
+      finalAggs = Seq(sum($"ps").as("total"), sum($"pc").as("n")))
+      .orderBy("k").collect()
+    assert(r.map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSeq ==
+      Seq(("cold", 2.0, 1L), ("hot", 1000.0, 1000L)))
+  }
+
+  test("bucketed tables co-locate: join plans without a shuffle") {
+    val a = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("x"))
+    val b = spark.range(1000).select($"id".as("k"), ($"id" * 3).as("y"))
+    val cat = new graft.core.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-bkt").toString)
+    val ta = cat.saveBucketed(a, "wh.facts_a", "k", 4)
+    val tb = cat.saveBucketed(b, "wh.facts_b", "k", 4)
+    // force the large-to-large path (tiny test tables would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(ta).join(spark.table(tb), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("approx_count_distinct tracks exact within its error bound") {
     val df = spark.range(20000).select((col("id") % 7919).as("k"))
     val r = df.agg(
