@@ -95,4 +95,25 @@ object Similarity {
       .filter(col("cosine_sim") > threshold)
       .orderBy(desc("cosine_sim"), col("id_a"), col("id_b"))
   }
+
+  /** The production form of [[nearDupPairs]]: both sides bucketed by
+    * hyperplane sign bits and joined on the bucket, so only same-bucket
+    * pairs are scored — the pair space shrinks ~2^nPlanes× and the join is
+    * an ordinary shuffle join on the bucket key (AQE handles bucket skew).
+    * Recall is probabilistic: a pair at angle θ collides with probability
+    * (1 - θ/π)^nPlanes, ≈1 for true near-duplicates; tune nPlanes against
+    * the threshold (measured vs the exact form in ExtSpec). */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double, nPlanes: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = emb.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") > threshold)
+      .orderBy(desc("cosine_sim"), col("id_a"), col("id_b"))
+  }
 }

@@ -94,6 +94,20 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.2) // probe-1 LSH trades recall for scan reduction
   }
 
+  test("Similarity.nearDupPairsLsh finds true near-dups through bucket pruning") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f)),
+      (1L, Array(0.99f, 0.02f, 0.0f)),  // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.2f)),
+      (3L, Array(-0.5f, -0.5f, 0.7f))).toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(emb, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, threshold = 0.9, nPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((0L, 1L)))
+    assert(lsh == exact) // near-identical vectors always share buckets
+  }
+
   test("Multimodal: payload plumbing, stub decode batch shape, frame sampling") {
     val media = Multimodal.fromDocuments(
       docs.withColumn("source", lit("srcX")).withColumn("n_chars", length($"text")))
