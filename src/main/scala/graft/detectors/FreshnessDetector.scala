@@ -18,9 +18,12 @@ import graft.ops.Thresholds
 final class FreshnessDetector(
     sources: Seq[(String, DataFrame, String)], clock: Clock) {
 
-  /** Severity on the percentage of sources that are stale
-    * (freshness_detector.py:171-186 ratio ladder). */
-  private val ladder = Thresholds(critical = 50, high = 25, medium = 1)
+  /** Severity on the WORST source's staleness ratio
+    * `max(age_minutes) / max_age` (freshness_detector.py:171-186:
+    * >=10x expected age CRITICAL, >=5x HIGH, >=2x MEDIUM, else LOW when
+    * anything is stale). One source stale by 20x among ten is CRITICAL even
+    * though only 10% of sources are stale. */
+  private val ladder = Thresholds(critical = 10, high = 5, medium = 2)
 
   def checkDataFreshness(maxAgeMinutes: Long): FreshnessStatus = {
     val nowMicros = clock.now.toEpochMilli * 1000L
@@ -33,10 +36,16 @@ final class FreshnessDetector(
       }
       SourceFreshness(name, last, minutes, minutes > maxAgeMinutes)
     }
+    val stale = perSource.filter(_.isStale)
     val staleRatio =
       if (perSource.isEmpty) 0.0
-      else perSource.count(_.isStale).toDouble * 100 / perSource.size
-    FreshnessStatus(perSource, perSource.exists(_.isStale), staleRatio,
-      ladder.severity(staleRatio))
+      else stale.size.toDouble * 100 / perSource.size
+    // a never-arrived source (minutes = Long.MaxValue) saturates to CRITICAL
+    val maxStalenessRatio =
+      if (stale.isEmpty) 0.0
+      else stale.map(_.minutesStale).max.toDouble / maxAgeMinutes.toDouble
+    // any stale source has ratio > 1 > `low`, so the ladder lands on LOW+
+    FreshnessStatus(perSource, stale.nonEmpty, staleRatio,
+      ladder.severity(maxStalenessRatio))
   }
 }

@@ -12,15 +12,23 @@ import graft.ops.{Joins, Thresholds, TimeFilters}
   * product_category), flagging keys whose deviation exceeds a threshold
   * (SURVEY §2.3 J1/J2, §2.2 P6/P10).
   *
-  * API parity: `check_pattern_breaks()` → [[checkPatternBreaks]].
-  * The baseline side is a per-key aggregate over few keys — broadcast, so
-  * the today-side scan never shuffles (scale posture for wide fact tables).
+  * API parity: `check_pattern_breaks()` → [[checkPatternBreaks]]. Per-
+  * dimension thresholds follow the reference: region breaks at >100%
+  * deviation (pattern_detector.py:99), product_category at >80% (`:150`).
+  *
+  * Both joins are between tiny per-key aggregates, and both are
+  * broadcastable shapes: today-LEFT-baseline builds the broadcast on the
+  * baseline side (BroadcastHashJoin supports LeftOuter/BuildRight), and the
+  * vanished-key probe is a left-anti with today's keys broadcast — unlike a
+  * full-outer join, where a broadcast hint is unsupported and silently
+  * degrades to a shuffle.
   */
 final class PatternDetector(
     facts: DataFrame, clock: Clock,
-    dimensions: Seq[String] = Seq("region", "product_category"),
+    dimensions: Seq[(String, Double)] =
+      Seq("region" -> 100.0, "product_category" -> 80.0),
     tsCol: String = "transaction_date",
-    baselineDays: Int = 30, breakThresholdPct: Double = 50.0,
+    baselineDays: Int = 30,
     minDailyCount: Long = 0) {
 
   /** Break-count severity ladder (pattern_detector.py:234-243 shape). */
@@ -28,7 +36,7 @@ final class PatternDetector(
 
   def checkPatternBreaks(): PatternStatus = {
     val today = clock.today
-    val breaks = dimensions.flatMap { dim =>
+    val breaks = dimensions.flatMap { case (dim, breakThresholdPct) =>
       val todayCounts = TimeFilters.filterOnDate(facts, tsCol, today)
         .groupBy(col(dim).as("key"))
         .agg(count(lit(1)).cast("double").as("today_value"))
@@ -38,16 +46,22 @@ final class PatternDetector(
         .agg(count(lit(1)).as("cnt"))
         .groupBy("key")
         .agg(avg(col("cnt")).as("baseline_avg"))
-      // full-outer (vs the reference's LEFT JOIN, pattern_detector.py:98):
-      // a key that VANISHED today would be invisible to a today-side left
-      // join; coalescing today's count to 0 makes disappearance a -100% break.
-      todayCounts.join(broadcast(baseline), Seq("key"), "full_outer")
-        .withColumn("today_value", coalesce(col("today_value"), lit(0.0)))
+        .filter(col("baseline_avg") > minDailyCount)
+      // reference shape (pattern_detector.py:98): today LEFT JOIN baseline
+      val present = todayCounts.join(broadcast(baseline), Seq("key"), "left")
         .withColumn("deviation_pct",
           when(col("baseline_avg") > 0,
             (col("today_value") - col("baseline_avg")) / col("baseline_avg") * 100))
-        .filter(col("baseline_avg") > minDailyCount)
         .filter(abs(col("deviation_pct")) > breakThresholdPct)
+      // beyond the reference: a key present all baseline days but absent
+      // today is invisible to the today-side left join; a disappearance is
+      // always a break (deviation -100%), regardless of the pct threshold
+      val vanished = baseline
+        .join(broadcast(todayCounts.select("key")), Seq("key"), "left_anti")
+        .select(col("key"), lit(0.0).as("today_value"),
+          col("baseline_avg"), lit(-100.0).as("deviation_pct"))
+      present.select("key", "today_value", "baseline_avg", "deviation_pct")
+        .union(vanished)
         .orderBy(abs(col("deviation_pct")).desc, col("key"))
         .collect()
         .map(r => PatternBreak(dim, r.getAs[String]("key"),

@@ -25,9 +25,14 @@ final class TransactionDetector(
       .count()
     val currentHour = clock.now.atZone(java.time.ZoneOffset.UTC).getHour
 
-    // per-day counts at the same hour over the trailing baseline window
+    // per-day counts at the same hour over the trailing baseline window,
+    // EXCLUDING the current check window (transaction_detector.py:113
+    // `transaction_date < TIMESTAMP_SUB(now, INTERVAL {hours} HOUR)`) so a
+    // currently-anomalous hour cannot dampen its own z-score
+    val baselineEnd = clock.now.minusSeconds(hours.toLong * 3600)
     val perDay = txns
       .filter(TimeFilters.trailing(col(tsCol), clock.now, days = baselineDays))
+      .filter(col(tsCol) < lit(java.sql.Timestamp.from(baselineEnd)))
       .filter(hour(col(tsCol)) === currentHour)
       .groupBy(to_date(col(tsCol)).as("d"))
       .agg(count(lit(1)).as("cnt"))

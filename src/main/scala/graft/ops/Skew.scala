@@ -21,10 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Equi-join `big ⋈ small` on `key` with `factor`-way salting. */
+  /** Equi-join `big ⋈ small` on `key` with `factor`-way salting.
+    *
+    * Only inner/left(_outer)/left_semi are admitted: under right/full outer
+    * joins each unmatched small-side key would surface once per salt replica
+    * (factor null-padded rows instead of one), silently corrupting results.
+    */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, factor: Int,
       joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi").contains(jt),
+      s"saltedJoin supports inner/left/left_semi only, got '$joinType' " +
+        "(right/full outer would emit one unmatched row per salt replica)")
     val salted = big.withColumn("__salt", (rand(42) * factor).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
@@ -33,12 +42,21 @@ object Skew {
 
   /** Two-phase aggregation: partial on (keys, salt), final on keys.
     * `partial` aggregates run per salt bucket; `finalAggs` must recombine
-    * them (e.g. partial sum -> final sum, partial count -> final sum). */
+    * them (e.g. partial sum -> final sum, partial count -> final sum).
+    *
+    * The salt is `hash(all columns) mod factor` — a pure row function, so a
+    * lost partition recomputed through lineage (or an AQE re-plan, or a
+    * `repartition` upstream) assigns every row the same salt again. Layout-
+    * dependent salts (`spark_partition_id`, `monotonically_increasing_id`,
+    * per-partition-seeded `rand`) break that recomputation story. Rows that
+    * are full duplicates share a salt bucket; that only degrades spreading
+    * if a hot key's rows are mostly identical, in which case a pre-agg
+    * `groupBy(all columns).count` is the better tool anyway. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], factor: Int,
       partial: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
     require(factor > 0 && partial.nonEmpty && finalAggs.nonEmpty)
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(factor)))
+      pmod(hash(df.columns.map(col).toSeq: _*), lit(factor)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)

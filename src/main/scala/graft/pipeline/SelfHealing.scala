@@ -18,9 +18,17 @@ object ErrorClassifier {
   /** Classify an error text (exception message / captured stderr). Patterns
     * mirror the reference's fix rules (`auto_healer.py:97-117`): the seeded
     * double-dot table reference, table-not-found, OOM, permissions, syntax. */
+  /** A table-reference-shaped double dot: word chars on BOTH sides, as in
+    * the seeded `selfhealing..output_table` (`scripts/transform_script:13`).
+    * A bare `contains("..")` would also match free-text ellipses — including
+    * the `[snip]`-style separator [[AutoHealer.extractErrorContext]] inserts
+    * into long logs — misrouting every long unknown error here. */
+  private val doubleDotRef: Regex = """\w\.\.+\w""".r
+
   def classify(errorText: String): ErrorClassification = {
     val t = errorText
-    if (t.contains("..") || t.matches("(?s).*Malformed table reference.*"))
+    if (doubleDotRef.findFirstIn(t).isDefined ||
+        t.matches("(?s).*Malformed table reference.*"))
       ErrorClassification("table_reference", "Malformed table reference (double dot)",
         "code_patch", "Replace '..'+ with '.' in the table reference")
     else if (Regex("(?i)not found:? table|table .* not found|TableNotFound").unanchored
@@ -51,10 +59,14 @@ object ErrorClassifier {
 
 object AutoHealer {
 
-  /** The reference's exact repair for the seeded bug class: collapse any
-    * run of dots to a single dot in table references
-    * (`auto_healer.py:97-101`: `re.sub(r'\.\.+', '.', ...)`). */
-  def fixDoubleDots(text: String): String = text.replaceAll("\\.\\.+", ".")
+  /** Repair for the seeded bug class: collapse a run of dots in a table
+    * reference (`auto_healer.py:97-101`). The reference's raw
+    * `re.sub(r'\.\.+', '.', ...)` would also collapse free-text ellipses
+    * anywhere in the artifact (e.g. a `"..."` inside a string literal or
+    * comment); we require word characters on both sides so only
+    * ref-shaped `a..b` runs are touched. */
+  def fixDoubleDots(text: String): String =
+    text.replaceAll("(\\w)\\.\\.+(\\w)", "$1.$2")
 
   /** Apply the classified fix to a job artifact (script text or table ref). */
   def applyFix(artifact: String, c: ErrorClassification): String = c.errorType match {
@@ -66,12 +78,14 @@ object AutoHealer {
   def suggestFix(c: ErrorClassification): String = c.suggestedFix
 
   /** Traceback extraction (`dag/self_healing_pipeline.py:100-115`): slice
-    * 4000 chars from the first "Traceback"; otherwise head 2000 + tail 2000. */
+    * 4000 chars from the first "Traceback"; otherwise head 2000 + tail 2000.
+    * The snip separator deliberately contains no consecutive dots so it can
+    * never be mistaken for the double-dot table-reference error class. */
   def extractErrorContext(log: String): String = {
     val idx = log.indexOf("Traceback")
     if (idx >= 0) log.substring(idx, math.min(log.length, idx + 4000))
     else if (log.length <= 4000) log
-    else log.take(2000) + "\n...\n" + log.takeRight(2000)
+    else log.take(2000) + "\n[snip]\n" + log.takeRight(2000)
   }
 }
 

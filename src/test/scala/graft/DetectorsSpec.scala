@@ -85,7 +85,9 @@ class DetectorsSpec extends SparkSpec {
       tsCol = "transaction_date")
     val st = det.checkTransactionVolume(hours = 1)
     assert(st.hour == 9)
-    assert(st.baseline.exists(b => b.n == 30 && math.abs(b.avg - 1.0) < 1e-12))
+    // 29, not 30: the current check window (incl. today's 09:00 txn) is
+    // excluded from its own baseline (transaction_detector.py:113)
+    assert(st.baseline.exists(b => b.n == 29 && math.abs(b.avg - 1.0) < 1e-12))
     assert(st.currentCount == 1) // today's 09:00 txn inside the trailing hour
     assert(!st.isAnomaly)
   }

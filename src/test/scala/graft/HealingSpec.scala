@@ -40,6 +40,34 @@ class HealingSpec extends SparkSpec {
     assert(catalog.load("output.emp").count() == 2)
   }
 
+  test("long OOM log classifies as oom, not table_reference (snip separator)") {
+    import graft.pipeline.{AutoHealer, ErrorClassifier}
+    // >4000-char log with no Traceback: head+tail slicing inserts the snip
+    // separator, which must NOT trip the double-dot table-reference rule
+    val log = ("x" * 4500) + "\njava.lang.OutOfMemoryError: Java heap space\n" + ("y" * 500)
+    val ctx = AutoHealer.extractErrorContext(log)
+    assert(ctx.contains("[snip]"))
+    assert(ErrorClassifier.classify(ctx).errorType == "oom")
+    // free-text ellipsis alone is not a table reference either
+    assert(ErrorClassifier.classify("loading data ... please wait").errorType == "unknown")
+    // but a ref-shaped double dot still is
+    assert(ErrorClassifier.classify(
+      "TableNotFound: selfhealing..employee_data").errorType == "table_reference")
+  }
+
+  test("applyFix leaves ellipses in unrelated artifacts untouched") {
+    import graft.pipeline.{AutoHealer, ErrorClassifier}
+    val artifact = """SELECT '...' AS dots FROM selfhealing.employee_data -- etc..."""
+    // unrelated failure: classification is not table_reference -> no-op
+    val oom = ErrorClassifier.classify("java.lang.OutOfMemoryError")
+    assert(AutoHealer.applyFix(artifact, oom) eq artifact)
+    // even a table_reference fix only rewrites ref-shaped a..b runs
+    val bad = "FROM selfhealing..employee_data -- see docs... '...'"
+    val fixRef = ErrorClassifier.classify("BadTableRef: selfhealing..employee_data")
+    assert(AutoHealer.applyFix(bad, fixRef) ==
+      "FROM selfhealing.employee_data -- see docs... '...'")
+  }
+
   test("overwrite-with-new-schema mirrors allowFieldAddition/Relaxation") {
     val v1 = Seq((1L, "a")).toDF("id", "name")
     catalog.save(v1, "output.evolve")
