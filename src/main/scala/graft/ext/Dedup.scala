@@ -79,8 +79,14 @@ object Dedup {
   /** Candidate pairs from LSH buckets, verified with exact Jaccard over the
     * shingle sets; only pairs ≥ threshold survive. The self-join is
     * restricted to same (band,bucket) groups — the LSH trick that replaces
-    * the quadratic cross join at scale — and shingle arrays are only joined
+    * the quadratic cross join at scale — and shingle sets are only joined
     * back in for the (few) surviving candidates.
+    *
+    * The verify join carries `xxhash64(shingle)` arrays, not the shingle
+    * strings: Jaccard over the hashed sets equals Jaccard over the strings
+    * up to 2^-64 collisions (xxhash64 is injective in practice on any real
+    * shingle universe), and the candidate shuffle moves 8 bytes per shingle
+    * instead of the n-gram text.
     */
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
@@ -91,7 +97,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sh = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val sh = docs.select(col(idCol),
+      transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("sh"))
     candidates
       .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

@@ -66,7 +66,7 @@ object AutoHealer {
     * comment); we require word characters on both sides so only
     * ref-shaped `a..b` runs are touched. */
   def fixDoubleDots(text: String): String =
-    text.replaceAll("(\\w)\\.\\.+(\\w)", "$1.$2")
+    text.replaceAll("(?<=\\w)\\.\\.+(?=\\w)", ".")
 
   /** Apply the classified fix to a job artifact (script text or table ref). */
   def applyFix(artifact: String, c: ErrorClassification): String = c.errorType match {

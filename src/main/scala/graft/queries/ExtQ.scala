@@ -215,9 +215,14 @@ object ExtQ {
           approx_count_distinct(col("user_id"), 0.01).as("approx_users_precise")),
       None),
 
-    // Embedding-space near-dup pairs above a cosine threshold.
+    // Embedding-space near-dup pairs above a cosine threshold, via the
+    // OR-amplified multi-table LSH form (the 100 TB plan shape — bucketed
+    // self-join on narrow rows, never a cartesian product; plan asserted in
+    // ExtSpec). The oracle below scans ALL pairs exhaustively, so a
+    // hash-match proves the (nPlanes=2, nTables=16) configuration had zero
+    // false negatives on this corpus — the same proof pattern as q29.
     "q35_embedding_neardup" -> QueryDef(
-      (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45),
+      (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.45),
       Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -36,6 +36,8 @@ class CoreSpec extends AnyFunSuite {
   test("AutoHealer collapses dot runs exactly like the reference regex") {
     assert(AutoHealer.fixDoubleDots("selfhealing..employee_data") == "selfhealing.employee_data")
     assert(AutoHealer.fixDoubleDots("a...b..c.d") == "a.b.c.d")
+    // unlike the reference's raw \.\.+ sub, free-text ellipses survive
+    assert(AutoHealer.fixDoubleDots("wait... '...' done") == "wait... '...' done")
   }
 
   test("AutoHealer traceback slicing: Traceback window, else head+tail") {
@@ -44,7 +46,7 @@ class CoreSpec extends AnyFunSuite {
     assert(ctx.startsWith("Traceback") && ctx.length == 4000)
     val noTb = "a" * 10000
     val ctx2 = AutoHealer.extractErrorContext(noTb)
-    assert(ctx2.length == 4005 && ctx2.contains("..."))
+    assert(ctx2.length == 4000 + "\n[snip]\n".length && ctx2.contains("[snip]"))
   }
 
   test("Retry retries then surfaces the last failure") {

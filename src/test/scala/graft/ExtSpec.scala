@@ -108,6 +108,38 @@ class ExtSpec extends SparkSpec {
     assert(lsh == exact) // near-identical vectors always share buckets
   }
 
+  test("nearDupPairsLsh plan has no cartesian product / nested-loop join") {
+    val emb = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => math.cos(i * 3.0 + j).toFloat))).toDF("vec_id", "embedding")
+    val plan = Similarity.nearDupPairsLsh(emb, threshold = 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the exact form IS the cartesian scan — the point of the LSH swap
+    val exactPlan = Similarity.nearDupPairs(emb, threshold = 0.45)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("CartesianProduct") ||
+      exactPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("multi-table LSH OR-amplification recovers low-cosine pairs single tables miss") {
+    // pairs just above a 0.45 threshold (theta ~ 63deg) collide per 2-bit
+    // table with p ~ 0.42; 16 tables amplify recall to ~1 - 0.58^16 > 0.999
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val emb = ((0L until 40L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    } :+ (98L, base) :+ (99L, base.zipWithIndex.map { case (x, j) =>
+      // mix with noise to land near the 0.45-0.6 cosine band
+      (0.6f * x + 0.9f * (if (j % 2 == 0) 1 else -1) * math.abs(rnd.nextGaussian()).toFloat)
+    })).toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(emb, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // deterministic full recall at these parameters
+  }
+
   test("Multimodal: payload plumbing, stub decode batch shape, frame sampling") {
     val media = Multimodal.fromDocuments(
       docs.withColumn("source", lit("srcX")).withColumn("n_chars", length($"text")))
