@@ -61,8 +61,21 @@ object TextStats {
     "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "que", "por", "con"))
 
   /** Language ID: vote by marker-token hits per language; CJK codepoint ratio
-    * decides `zh` first. Ties break by fixed language order (en,de,fr,es). */
-  def langGuess(text: Column): Column = {
+    * decides `zh` first. Ties break to the lexicographically greatest
+    * language among max-vote entries.
+    *
+    * Routed through the single-pass native [[graft.functions.LangId]]
+    * expression: one walk of the raw string (tokenize + lowercase + vote +
+    * CJK detect in the same loop) instead of 4 interpreted `filter` HOFs +
+    * `lower` + `split` + `regexp_replace`, each re-walking the document.
+    * Semantics are identical (see [[langGuessComposable]] and the
+    * equivalence test in ExtSpec). */
+  def langGuess(text: Column): Column = graft.functions.LangId(text)
+
+  /** The original composable form of [[langGuess]] — kept as the
+    * reference-semantics twin for equivalence testing of the native
+    * expression. */
+  def langGuessComposable(text: Column): Column = {
     val toks = tokens(lower(text))
     val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
     val votes = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>

@@ -49,7 +49,7 @@ case class LangId(child: Expression) extends UnaryExpression with CodegenFallbac
 
     def closeToken(): Unit = {
       if (sb.length > 0) {
-        MarkerIndex.get(sb.toString.toLowerCase(Locale.ROOT)).foreach { langs =>
+        MultiIndex.get(sb.toString.toLowerCase(Locale.ROOT)).foreach { langs =>
           var j = 0
           while (j < langs.length) { votes(langs(j)) += 1; j += 1 }
         }
@@ -96,14 +96,8 @@ object LangId {
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
     "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "que", "por", "con"))
 
-  /** token -> language index; tokens claimed by several languages map to
-    * each (e.g. "la" is both fr and es) so they vote for all claimants. */
-  private val MarkerIndex: Map[String, Int] = {
-    // a token shared across languages must bump EVERY claimant's counter;
-    // model that by expanding lookups over a multimap
-    Map.empty // placeholder, replaced below by MultiIndex path
-  }
-
+  /** token -> indices of every language claiming it (e.g. "la" is both fr
+    * and es), so a shared token votes for all claimants. */
   private val MultiIndex: Map[String, Array[Int]] =
     Markers.toSeq
       .flatMap { case (lang, ws) => ws.map(w => (w, Langs.indexOf(lang))) }

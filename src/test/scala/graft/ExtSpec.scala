@@ -35,6 +35,22 @@ class ExtSpec extends SparkSpec {
     assert(zh.select(TextStats.langGuess($"text")).head().getString(0) == "zh")
   }
 
+  test("LangId native expression is equivalent to the composable form") {
+    // Edge cases: empty, whitespace-only, tabs/newlines, ties, shared
+    // markers ("la" is fr+es, "que" is fr+es), CJK override, no-marker text.
+    val edge = Seq(
+      "", "   ", "\t\n ", "xyzzy plugh", "la la la", "que", "la que",
+      "the und", "von with", "mixed 中文 and english the the",
+      "  leading and trailing the of   ", "UPPER THE AND OF CASE")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = edge.union(docs.select($"doc_id" + 100L, $"text"))
+      .select(
+        TextStats.langGuess($"text").as("native"),
+        TextStats.langGuessComposable($"text").as("composable"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1), s"mismatch: $r"))
+  }
+
   test("Dedup.exactClusters keys by digest; dropExactDuplicates keeps one") {
     val clusters = Dedup.exactClusters(docs).collect()
     assert(clusters.length == 1 && clusters.head.getAs[Long]("n_docs") == 2)
