@@ -82,26 +82,39 @@ object Similarity {
       .orderBy(desc("cosine_sim"), col("id_a"), col("id_b"))
   }
 
-  /** The production form of [[nearDupPairs]]: OR-amplified multi-table LSH.
+  /** (nPlanes, nTables) sized to the corpus and threshold.
     *
-    * Each of `nTables` independent tables buckets every vector by `nPlanes`
-    * hyperplane sign bits (disjoint plane sets per table); candidate pairs
-    * are ids that share a (table, bucket) cell in ANY table. A pair at angle
-    * θ collides per table with probability p^nPlanes (p = 1 − θ/π), so
-    * recall = 1 − (1 − p^nPlanes)^nTables — tune (nPlanes, nTables) to the
-    * threshold: for true near-duplicates (cos ≥ 0.9) a few wide tables
-    * (nPlanes 6-8, nTables 2-4) prune the pair space ~2^nPlanes× per table;
-    * the default (2, 16) is sized for the much looser 0.45 regime of the
-    * test corpus, where recall needs OR-amplification.
-    *
-    * Shuffle discipline: the bucket self-join carries ONLY (table, bucket,
-    * id) rows — never vectors; candidates dedupe across tables on (id_a,
-    * id_b) before any scoring, and the two join-backs that fetch vectors for
-    * the surviving candidates key on id (broadcast when candidates are few).
-    * No step is quadratic in the corpus and no plan node is a
-    * CartesianProduct — asserted in ExtSpec. */
-  def nearDupPairsLsh(emb: DataFrame, threshold: Double, nPlanes: Int = 2,
-      nTables: Int = 16,
+    * Planes first: enough sign bits that the MEAN bucket holds about
+    * `targetBucketRows` vectors — candidate volume per table is then
+    * ~n·targetBucketRows/2, i.e. LINEAR in n for a fixed target, which is
+    * the property that makes the bucket join survive a 100× scale-up.
+    * Tables second: a pair at cosine `threshold` (angle θ) collides per
+    * table with probability p^nPlanes (p = 1 − θ/π), so
+    * recall = 1 − (1 − p^nPlanes)^nTables; solve for the table count that
+    * reaches `targetRecall`. If that exceeds `maxTables`, planes are
+    * dropped one at a time (recall beats pruning) — for LOOSE thresholds
+    * over huge corpora hyperplane LSH fundamentally cannot give both high
+    * recall and deep pruning, and this function makes that trade explicit
+    * instead of silently emitting Θ(n²) candidates. */
+  def lshParams(n: Long, threshold: Double, targetRecall: Double = 0.98,
+      targetBucketRows: Long = 1024L, maxTables: Int = 64): (Int, Int) = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    def tablesFor(k: Int): Int = {
+      val pk = math.pow(p, k)
+      if (pk >= 1.0 || pk <= 0.0) 1
+      else math.ceil(math.log(1.0 - math.min(0.999999, targetRecall)) /
+        math.log(1.0 - pk)).toInt
+    }
+    var planes = math.min(24, math.max(2,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
+    while (planes > 2 && tablesFor(planes) > maxTables) planes -= 1
+    (planes, math.max(1, math.min(maxTables, tablesFor(planes))))
+  }
+
+  /** The (tbl, bucket) self-join candidate pairs for [[nearDupPairsLsh]] —
+    * exposed so tests can assert candidate VOLUME (the actual scale
+    * property), not just the absence of a CartesianProduct plan node. */
+  def lshCandidates(emb: DataFrame, nPlanes: Int, nTables: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val buckets = emb
       .select(col(idCol),
@@ -109,10 +122,38 @@ object Similarity {
       .toDF(idCol, "tbl", "bucket")
     val a = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
     val b = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
-    val candidates = a.join(b, Seq("tbl", "bucket"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** The production form of [[nearDupPairs]]: OR-amplified multi-table LSH.
+    *
+    * Each of `nTables` independent tables buckets every vector by `nPlanes`
+    * hyperplane sign bits (disjoint plane sets per table); candidate pairs
+    * are ids that share a (table, bucket) cell in ANY table. Pass
+    * `nPlanes = 0` (the default) to size both knobs from the corpus row
+    * count via [[lshParams]] — candidate volume is then
+    * Θ(n · targetBucketRows · nTables), linear in the corpus; an explicit
+    * (nPlanes, nTables) is honored verbatim for reproducible configs (the
+    * q35 oracle proof uses (2, 16) on the small test corpus, where
+    * exhaustive-scan DuckDB agreement proves zero false negatives — that
+    * config is NOT sub-quadratic and is only for oracle-scale data).
+    *
+    * Shuffle discipline: the bucket self-join carries ONLY (table, bucket,
+    * id) rows — never vectors; candidates dedupe across tables on (id_a,
+    * id_b) before any scoring, and the two join-backs that fetch vectors for
+    * the surviving candidates key on id (broadcast when candidates are few).
+    * With auto-sized params no step is quadratic in the corpus; candidate
+    * growth is asserted in ExtSpec (count-based, not plan-node-based). */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double, nPlanes: Int = 0,
+      nTables: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (planes, tables) =
+      if (nPlanes > 0) (nPlanes, nTables)
+      else lshParams(emb.count(), threshold)
+    val candidates = lshCandidates(emb, planes, tables, idCol, vecCol)
     val v = emb.select(col(idCol), col(vecCol))
     candidates
       .join(v.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))

@@ -222,7 +222,8 @@ object ExtQ {
     // hash-match proves the (nPlanes=2, nTables=16) configuration had zero
     // false negatives on this corpus — the same proof pattern as q29.
     "q35_embedding_neardup" -> QueryDef(
-      (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.45),
+      (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.45,
+        nPlanes = 2, nTables = 16),
       Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

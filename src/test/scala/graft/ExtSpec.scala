@@ -151,9 +151,42 @@ class ExtSpec extends SparkSpec {
     })).toDF("vec_id", "embedding")
     val exact = Similarity.nearDupPairs(emb, threshold = 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.nearDupPairsLsh(emb, threshold = 0.45)
+    val lsh = Similarity.nearDupPairsLsh(emb, threshold = 0.45, nPlanes = 2, nTables = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact) // deterministic full recall at these parameters
+  }
+
+  test("lshParams scales planes with corpus size and respects the table cap") {
+    // bigger corpus => more planes (deeper pruning), tables re-solved for recall
+    val (pSmall, _) = Similarity.lshParams(1000L, 0.9)
+    val (pBig, tBig) = Similarity.lshParams(1000000000L, 0.9)
+    assert(pBig > pSmall)
+    assert(tBig <= 64)
+    // loose threshold over a huge corpus: planes get dropped (recall beats
+    // pruning) rather than tables silently blowing past the cap
+    val (pLoose, tLoose) = Similarity.lshParams(1000000000L, 0.45)
+    assert(pLoose <= pBig && tLoose <= 64)
+    // recall formula holds at the returned params
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    assert(1.0 - math.pow(1.0 - math.pow(p, pBig), tBig) >= 0.98 - 1e-9)
+  }
+
+  test("LSH candidate volume grows linearly, not quadratically, under auto sizing") {
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(42)
+      (0 until n).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    def candidates(n: Int): Long = {
+      // small targetBucketRows so pruning is visible at test scale
+      val (planes, tables) = Similarity.lshParams(n, 0.9, targetBucketRows = 16L)
+      Similarity.lshCandidates(corpus(n), planes, tables).count()
+    }
+    val c256 = candidates(256)
+    val c512 = candidates(512)
+    assert(c512 < 512L * 511L / 4, s"c512=$c512 is not sub-quadratic")
+    // doubling n should ~double candidates (quadratic would 4x them)
+    assert(c512.toDouble / c256 < 3.2, s"growth ${c512.toDouble / c256}")
   }
 
   test("Multimodal: payload plumbing, stub decode batch shape, frame sampling") {
