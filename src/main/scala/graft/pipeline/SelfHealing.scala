@@ -18,12 +18,21 @@ object ErrorClassifier {
   /** Classify an error text (exception message / captured stderr). Patterns
     * mirror the reference's fix rules (`auto_healer.py:97-117`): the seeded
     * double-dot table reference, table-not-found, OOM, permissions, syntax. */
-  /** A table-reference-shaped double dot: word chars on BOTH sides, as in
-    * the seeded `selfhealing..output_table` (`scripts/transform_script:13`).
-    * A bare `contains("..")` would also match free-text ellipses — including
-    * the `[snip]`-style separator [[AutoHealer.extractErrorContext]] inserts
-    * into long logs — misrouting every long unknown error here. */
-  private val doubleDotRef: Regex = """\w\.\.+\w""".r
+  /** A table-reference-shaped double dot, as in the seeded
+    * `selfhealing..output_table` (`scripts/transform_script:13`).
+    *
+    * The reference's bare `contains("..")` also matches free-text ellipses —
+    * including any whitespace-isolated ` ... ` and the `[snip]` separator
+    * [[AutoHealer.extractErrorContext]] inserts into long logs — misrouting
+    * every long unknown error here. We exclude ONLY those known free-text
+    * shapes: a dot run counts as ref-shaped when both neighbors are
+    * non-space and non-dot (covers plain `a..b` AND backtick-quoted
+    * `` `project`..`dataset` ``; a dot neighbor would let a 3-dot ellipsis
+    * like `docs...` self-match via backtracking), or when exactly two dots
+    * end the input after a word/backtick char (a truncated ref at end of
+    * message; a 3+-dot trailing run is conventionally an ellipsis, e.g.
+    * `Retrying...`, and stays unmatched). */
+  private val doubleDotRef: Regex = """[^\s.]\.\.+[^\s.]|[\w`]\.\.(?!\.)$""".r
 
   def classify(errorText: String): ErrorClassification = {
     val t = errorText
@@ -63,10 +72,10 @@ object AutoHealer {
     * reference (`auto_healer.py:97-101`). The reference's raw
     * `re.sub(r'\.\.+', '.', ...)` would also collapse free-text ellipses
     * anywhere in the artifact (e.g. a `"..."` inside a string literal or
-    * comment); we require word characters on both sides so only
-    * ref-shaped `a..b` runs are touched. */
+    * comment); we require word characters or backticks on both sides so
+    * only ref-shaped `a..b` / `` `a`..`b` `` runs are touched. */
   def fixDoubleDots(text: String): String =
-    text.replaceAll("(?<=\\w)\\.\\.+(?=\\w)", ".")
+    text.replaceAll("(?<=[\\w`])\\.\\.+(?=[\\w`])", ".")
 
   /** Apply the classified fix to a job artifact (script text or table ref). */
   def applyFix(artifact: String, c: ErrorClassification): String = c.errorType match {

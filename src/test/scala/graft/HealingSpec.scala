@@ -55,6 +55,21 @@ class HealingSpec extends SparkSpec {
       "TableNotFound: selfhealing..employee_data").errorType == "table_reference")
   }
 
+  test("double-dot rule catches backtick-quoted and end-of-message refs") {
+    import graft.pipeline.{AutoHealer, ErrorClassifier}
+    // backtick-quoted ref (the shape BigQuery SQL errors actually quote)
+    assert(ErrorClassifier.classify(
+      "Bad ref in query: `selfhealing`..`employee_data`").errorType == "table_reference")
+    assert(AutoHealer.fixDoubleDots("FROM `selfhealing`..`employee_data`") ==
+      "FROM `selfhealing`.`employee_data`")
+    // truncated ref at the very end of a message
+    assert(ErrorClassifier.classify(
+      "Malformed dataset qualifier: selfhealing..").errorType == "table_reference")
+    // trailing 3+-dot ellipsis stays free text
+    assert(ErrorClassifier.classify("Retrying...").errorType == "unknown")
+    assert(ErrorClassifier.classify("Loading, please wait ...").errorType == "unknown")
+  }
+
   test("applyFix leaves ellipses in unrelated artifacts untouched") {
     import graft.pipeline.{AutoHealer, ErrorClassifier}
     val artifact = """SELECT '...' AS dots FROM selfhealing.employee_data -- etc..."""
