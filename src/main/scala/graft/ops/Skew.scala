@@ -44,23 +44,54 @@ object Skew {
     * `partial` aggregates run per salt bucket; `finalAggs` must recombine
     * them (e.g. partial sum -> final sum, partial count -> final sum).
     *
-    * The salt is `hash(all columns) mod factor` — a pure row function, so a
-    * lost partition recomputed through lineage (or an AQE re-plan, or a
-    * `repartition` upstream) assigns every row the same salt again. Layout-
-    * dependent salts (`spark_partition_id`, `monotonically_increasing_id`,
-    * per-partition-seeded `rand`) break that recomputation story. Rows that
-    * are full duplicates share a salt bucket; that only degrades spreading
-    * if a hot key's rows are mostly identical, in which case a pre-agg
-    * `groupBy(all columns).count` is the better tool anyway. */
+    * The default salt is `hash(hashable columns) mod factor` — a pure row
+    * function, so a lost partition recomputed through lineage (or an AQE
+    * re-plan, or a `repartition` upstream) assigns every row the same salt
+    * again. Layout-dependent salts (`spark_partition_id`,
+    * `monotonically_increasing_id`, per-partition-seeded `rand`) break that
+    * recomputation story. MapType columns are excluded from the hash (Spark
+    * rejects `hash` over maps — unordered entries have no canonical hash);
+    * a frame whose EVERY column is map-typed must supply `salt` explicitly.
+    *
+    * Rows that are full duplicates share a salt bucket, so a hot key whose
+    * rows are mostly IDENTICAL stays on one bucket — the degenerate case
+    * this helper cannot fix from row content alone. For that shape either
+    * pre-aggregate duplicates first (`groupBy(all columns).count` — usually
+    * the better tool anyway) or pass an explicit `salt` such as
+    * `pmod(hash(col("k"), monotonically_increasing_id()), lit(factor))`,
+    * accepting that a mid-job recomputation may re-bucket rows (final
+    * results stay correct — the outer agg collapses salt — but partial-agg
+    * sizes can differ between attempts). */
   def saltedAggregate(df: DataFrame, keys: Seq[String], factor: Int,
-      partial: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
+      partial: Seq[Column], finalAggs: Seq[Column],
+      salt: Option[Column] = None): DataFrame = {
     require(factor > 0 && partial.nonEmpty && finalAggs.nonEmpty)
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toSeq: _*), lit(factor)))
+    val saltCol = salt.getOrElse {
+      val hashable = df.schema.fields.collect {
+        case f if isHashable(f.dataType) => col(f.name)
+      }.toSeq
+      require(hashable.nonEmpty,
+        "saltedAggregate: every column is map-typed (unhashable); " +
+          "pass an explicit salt column")
+      pmod(hash(hashable: _*), lit(factor))
+    }
+    val salted = df.withColumn("__salt", saltCol)
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
     phase1.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
       .drop("__salt")
+  }
+
+  /** Whether `hash()` accepts this type: maps are rejected anywhere in the
+    * type tree (`spark.sql.legacy.allowHashOnMapType` defaults false). */
+  private def isHashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => isHashable(f.dataType))
+      case a: ArrayType => isHashable(a.elementType)
+      case _ => true
+    }
   }
 }

@@ -110,6 +110,33 @@ class OpsSpec extends SparkSpec {
       Seq(("cold", 2.0, 1L), ("hot", 1000.0, 1000L)))
   }
 
+  test("Skew.saltedAggregate skips map columns and honors explicit salt") {
+    // a MapType column must not break the default hash-derived salt
+    val df = (Seq.fill(200)(("hot", 1.0)) ++ Seq(("cold", 2.0)))
+      .toDF("k", "v")
+      .withColumn("m", map(lit("a"), $"v"))
+    val r = Skew.saltedAggregate(df, Seq("k"), factor = 4,
+      partial = Seq(sum($"v").as("ps")), finalAggs = Seq(sum($"ps").as("total")))
+      .orderBy("k").collect()
+    assert(r.map(x => (x.getString(0), x.getDouble(1))).toSeq ==
+      Seq(("cold", 2.0), ("hot", 200.0)))
+    // all-map frame: default salt is underivable -> explicit salt required
+    val allMaps = Seq(Map("a" -> 1.0)).toDF("m")
+    assertThrows[IllegalArgumentException] {
+      Skew.saltedAggregate(allMaps, Seq.empty, 4,
+        Seq(count(lit(1)).as("pc")), Seq(sum($"pc").as("n")))
+    }
+    // duplicate-heavy hot key: caller-supplied salt restores spreading
+    val dup = (Seq.fill(400)(("hot", 1.0)) ++ Seq(("cold", 2.0))).toDF("k", "v")
+    val spread = Skew.saltedAggregate(dup, Seq("k"), factor = 8,
+      partial = Seq(sum($"v").as("ps"), count(lit(1)).as("pc")),
+      finalAggs = Seq(sum($"ps").as("total"), sum($"pc").as("n")),
+      salt = Some(pmod(hash($"k", monotonically_increasing_id()), lit(8))))
+      .orderBy("k").collect()
+    assert(spread.map(x => (x.getString(0), x.getDouble(1), x.getLong(2))).toSeq ==
+      Seq(("cold", 2.0, 1L), ("hot", 400.0, 400L)))
+  }
+
   test("bucketed tables co-locate: join plans without a shuffle") {
     val a = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("x"))
     val b = spark.range(1000).select($"id".as("k"), ($"id" * 3).as("y"))
