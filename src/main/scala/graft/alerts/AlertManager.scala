@@ -66,8 +66,10 @@ final class AlertManager(
     "MEDIUM" -> Seq("slack"),
     "LOW" -> Seq("log"))
 
+  /** Emoji ladder (`alert_manager.py:59-66`); unknown severities fall back
+    * to the reference's 📢. */
   private val emoji: Map[String, String] = Map(
-    "CRITICAL" -> "🚨", "HIGH" -> "⚠️", "MEDIUM" -> "🔶", "LOW" -> "ℹ️")
+    "CRITICAL" -> "🚨", "HIGH" -> "⚠️", "MEDIUM" -> "📊", "LOW" -> "ℹ️")
 
   /** API parity: `send_alert(type, severity, title, details,
     * recommendations)` (`alert_manager.py:24`). Returns false when
@@ -91,10 +93,58 @@ final class AlertManager(
     true
   }
 
+  /** API parity: `create_feed_alert(feed_status)`
+    * (`alert_manager.py:215-239`) — builds the FEED alert from a detector
+    * status: expected/arrived/missing counts, first 10 missing ids, and the
+    * analyzer's recommended actions (reference defaults when absent).
+    * Severity NONE produces nothing. Returns whether an alert was sent. */
+  def createFeedAlert(s: graft.detectors.FeedStatus): Boolean = {
+    if (s.severity == "NONE") return false
+    val missing = s.missingFeeds.size
+    sendAlert(
+      alertType = "FEED",
+      severity = s.severity,
+      title = s"Missing Feeds Detected: $missing feeds",
+      details = Map(
+        "Expected Feeds" -> s.expectedCount.toString,
+        "Arrived Feeds" -> s.arrivedCount.toString,
+        "Missing Feeds" -> missing.toString,
+        "Missing IDs" -> s.missingFeeds.take(10).mkString(", ")),
+      recommendations = s.analysis.map(_.recommendedActions).getOrElse(Seq(
+        "Check upstream data providers",
+        "Verify network connectivity",
+        "Review feed processing logs")))
+  }
+
+  /** API parity: `create_revenue_alert(revenue_status)`
+    * (`alert_manager.py:241-263`) — REVENUE alert with the reference's
+    * Drop/Spike direction in the title, signed deviation, dollar impact
+    * (current − baseline avg) and 2-decimal z-score. Severity NONE produces
+    * nothing. Returns whether an alert was sent. */
+  def createRevenueAlert(s: graft.detectors.RevenueStatus): Boolean = {
+    if (s.severity == "NONE") return false
+    val baselineAvg = s.baseline.map(_.avg).getOrElse(0.0)
+    val direction = if (s.deviationPct < 0) "Drop" else "Spike"
+    sendAlert(
+      alertType = "REVENUE",
+      severity = s.severity,
+      title = f"Revenue $direction: ${math.abs(s.deviationPct)}%.1f%% deviation",
+      details = Map(
+        "Current Revenue" -> s.currentTotal.toString,
+        "Expected Revenue" -> baselineAvg.toString,
+        "Deviation" -> f"${s.deviationPct}%+.1f%%",
+        "Dollar Impact" -> (s.currentTotal - baselineAvg).toString,
+        "Z-Score" -> f"${s.zScore}%.2f"),
+      recommendations = s.analysis.map(_.recommendedActions).getOrElse(Seq(
+        "Investigate transaction data",
+        "Check for system issues",
+        "Review pricing changes")))
+  }
+
   /** Formatter (`alert_manager.py:57-101`): emoji header, detail lines with
     * currency/percent formatting, numbered recommendations. */
   def format(a: Alert): String = {
-    val header = s"${emoji.getOrElse(a.severity, "")} [${a.severity}] ${a.title}"
+    val header = s"${emoji.getOrElse(a.severity, "📢")} [${a.severity}] ${a.title}"
     val details = a.details.toSeq.sortBy(_._1).map { case (k, v) =>
       val shown = formatValue(k, v)
       s"  • $k: $shown"

@@ -58,6 +58,17 @@ class DetectorsSpec extends SparkSpec {
     assert(det.getFeedTrends(7).count() == 7)
   }
 
+  test("FeedDetector: before the checkTime deadline nothing is due or missing") {
+    // same fixture, but the clock reads 09:30 — feeds aren't due until 17:00
+    val early = new FeedDetector(feedFixture, FixedClock.at("2024-01-31T09:30:00Z"))
+    val st = early.checkFeedStatus((1 to 15).map(f => f"FEED_$f%03d"))
+    assert(st.missingFeeds.isEmpty && st.severity == "NONE")
+    // an earlier custom deadline that has already passed restores the check
+    val st2 = early.checkFeedStatus((1 to 15).map(f => f"FEED_$f%03d"), checkTime = "09:00")
+    assert(st2.missingFeeds == Seq("FEED_007", "FEED_012", "FEED_015"))
+    assert(st2.severity == "MEDIUM")
+  }
+
   test("RevenueDetector: seeded low day breaches 2.5 sigma with breakdown") {
     val det = new RevenueDetector(revenueFixture, clock)
     val st = det.checkRevenueAnomaly(today)
@@ -166,6 +177,45 @@ class DetectorsSpec extends SparkSpec {
     val yst = new RevenueDetector(revenue, FixedClock.at("2024-01-31T18:00:00Z"))
       .checkRevenueAnomaly(asOf.minusDays(1))
     assert(yst.zScore > 0)
+  }
+
+  test("createFeedAlert / createRevenueAlert: reference titles, details, defaults") {
+    val mem = new InMemorySink("slack")
+    val am = new AlertManager(clock, Seq(mem))
+    // severity NONE produces no alert (alert_manager.py:217,243)
+    assert(!am.createFeedAlert(FeedStatus(15, 15L, Nil, 0.0, "NONE", None)))
+    assert(mem.received.isEmpty)
+
+    val fs = FeedStatus(15, 12L, Seq("FEED_001", "FEED_002", "FEED_003"),
+      20.0, "CRITICAL", None)
+    assert(am.createFeedAlert(fs))
+    val (fa, fRendered) = mem.received.head
+    assert(fa.alertType == "FEED" && fa.severity == "CRITICAL")
+    assert(fa.title == "Missing Feeds Detected: 3 feeds")
+    assert(fa.details("Expected Feeds") == "15" && fa.details("Arrived Feeds") == "12")
+    assert(fa.details("Missing IDs") == "FEED_001, FEED_002, FEED_003")
+    // analyzer absent -> the reference's default recommendations
+    assert(fa.recommendations.head == "Check upstream data providers")
+    assert(fRendered.contains("🚨"))
+
+    val rs = RevenueStatus(today, 80000.0,
+      Some(Baseline(100000.0, 5000.0, 100000.0, 90000.0, 110000.0, 30)),
+      -4.0, isAnomaly = true, deviationPct = -20.0, severity = "HIGH",
+      breakdown = Nil, analysis = Some(Analysis("rc", "HIGH", Seq("Do X"))))
+    assert(am.createRevenueAlert(rs))
+    val (ra, rRendered) = mem.received.last
+    assert(ra.alertType == "REVENUE")
+    assert(ra.title == "Revenue Drop: 20.0% deviation")
+    assert(ra.details("Deviation") == "-20.0%")
+    assert(ra.details("Z-Score") == "-4.00")
+    assert(ra.details("Dollar Impact") == "-20000.0")
+    assert(ra.recommendations == Seq("Do X")) // analyzer actions win
+    assert(rRendered.contains("$80,000.00")) // currency format on Current Revenue
+    // spike direction flips the title
+    assert(am.createRevenueAlert(rs.copy(deviationPct = 12.3,
+      currentTotal = 112300.0, severity = "MEDIUM")))
+    assert(mem.received.last._1.title == "Revenue Spike: 12.3% deviation")
+    assert(mem.received.last._2.contains("📊")) // reference MEDIUM emoji
   }
 
   test("MonitoringRunner: fan-out, guarded alerts, report; failures isolated") {
