@@ -22,7 +22,19 @@ final class FeedDetector(
     analyzer: Analyzer = RuleBasedAnalyzer,
     feedCol: String = "feed_id", tsCol: String = "arrival_time") {
 
-  def checkFeedStatus(expectedFeeds: Seq[String]): FeedStatus = {
+  /** API parity: `check_feed_status(expected_feeds, check_time='17:00')`
+    * (`feed_detector.py:20`). `checkTime` is the daily feed deadline
+    * (HH:mm, UTC like all [[Clock]] math): before today's deadline the
+    * feeds are not yet DUE, so nothing is reported missing (severity NONE
+    * — a scheduler firing early must not page anyone); at or after it,
+    * today's arrivals are diffed against the expected list. */
+  def checkFeedStatus(expectedFeeds: Seq[String],
+      checkTime: String = "17:00"): FeedStatus = {
+    val deadline = clock.today
+      .atTime(java.time.LocalTime.parse(checkTime))
+      .toInstant(java.time.ZoneOffset.UTC)
+    if (clock.now.isBefore(deadline))
+      return FeedStatus(expectedFeeds.size, 0L, Nil, 0.0, "NONE", None)
     val spark = feeds.sparkSession
     import spark.implicits._
     val today = TimeFilters.filterOnDate(feeds, tsCol, clock.today)
