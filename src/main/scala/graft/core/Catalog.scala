@@ -66,6 +66,17 @@ final class Catalog(spark: SparkSession, root: String) {
       .parquet(path(ns, t))
   }
 
+  /** Append-only ingest (streaming `foreachBatch` / incremental batch
+    * loads). Parquet append is atomic per task file, so a failed batch
+    * retry never corrupts committed data; partition by the event-date
+    * column at scale so downstream date filters prune. */
+  def append(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil): Unit = {
+    val (ns, t) = parseRef(ref)
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(ns, t))
+  }
+
   /** Bucketed save via the session catalog (`bucketBy` requires
     * `saveAsTable`). Two tables bucketed the same way on the join key
     * co-locate: the join reads matching buckets directly and the plan has

@@ -23,10 +23,15 @@ object Profiles {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Null percentage per listed column (A12): `<col>_null_pct`. */
+  /** Null percentage per listed column (A12): `<col>_null_pct`.
+    * Zero rows profile as 0.0% null (not an ANSI divide-by-zero) — an empty
+    * window is a legitimate input for detectors running before any history
+    * exists. Values on non-empty input are unchanged (oracle-identical). */
   def nullPcts(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("total_rows") +:
-      cols.map(n => (countIf(col(n).isNull) * lit(100.0) / count(lit(1))).as(s"${n}_null_pct"))
+    val n = count(lit(1))
+    val aggs = n.as("total_rows") +:
+      cols.map(c => when(n > 0, countIf(col(c).isNull) * lit(100.0) / n)
+        .otherwise(lit(0.0)).as(s"${c}_null_pct"))
     df.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -39,7 +44,10 @@ object Profiles {
       .select(
         col("total_rows"), col("distinct_keys"),
         (col("total_rows") - col("distinct_keys")).as("dup_count"),
-        (col("total_rows") - col("distinct_keys")).cast("double") * 100 / col("total_rows")
-          .cast("double") as "dup_pct")
+        // empty input: 0 duplicates, not a divide-by-zero
+        when(col("total_rows") > 0,
+          (col("total_rows") - col("distinct_keys")).cast("double") * 100 /
+            col("total_rows").cast("double"))
+          .otherwise(lit(0.0)).as("dup_pct"))
   }
 }

@@ -91,6 +91,65 @@ class StreamingSpec extends SparkSpec {
     assert(surge._2 == 40L && surge._3 && surge._4 == "CRITICAL")
   }
 
+  test("MonitoringLoop: per-batch 8-detector run with alert dedup across batches") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-loop").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val mem = new InMemorySink("slack")
+    // fixed wall clock => both batches land inside the 1h dedup window
+    val am = new AlertManager(FixedClock.at("2024-01-31T18:00:00Z"),
+      Seq(mem, new InMemorySink("log"), new InMemorySink("email")))
+    val loop = new MonitoringLoop(catalog, "monitoring.events", am,
+      expectedFeeds = Seq("click", "purchase", "view"))
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = loop.start(stream, continuous = true, interval = "1 second")
+
+    // batch 1: click + view arrive after the 17:00 deadline; purchase missing
+    input.addData(
+      (1L, ts("2024-01-31T17:30:00Z"), 10L, "click", 5.0, "{}"),
+      (2L, ts("2024-01-31T17:45:00Z"), 11L, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: more clicks, purchase STILL missing -> same alert, deduped
+    input.addData(
+      (3L, ts("2024-01-31T17:50:00Z"), 12L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    // batch 3: purchase finally arrives -> nothing missing anymore
+    input.addData(
+      (4L, ts("2024-01-31T17:55:00Z"), 13L, "purchase", 9.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+
+    val o = loop.outcomes
+    assert(o.size == 3)
+    // every detector must complete on minimal/empty-history inputs — no
+    // crashed checks silently reported as failed
+    o.foreach { b =>
+      val r = b.result
+      assert(Seq(r.feeds, r.revenue, r.volume, r.freshness, r.patterns,
+        r.recon, r.sla, r.quality).forall(_.isDefined), r.report)
+    }
+    assert(o(0).result.feeds.exists(_.missingFeeds == Seq("purchase")))
+    assert(o(0).result.alertsSent >= 1) // missing-feed alert dispatched
+    // batch 2 re-detects the same condition but every alert is suppressed
+    // by the cross-batch (type, title) dedup state
+    assert(o(1).result.feeds.exists(_.missingFeeds == Seq("purchase")))
+    assert(o(1).result.alertsSent == 0)
+    // batch 3 sees the accumulated table: all feeds arrived
+    assert(o(2).result.feeds.exists(_.missingFeeds.isEmpty))
+    // ingest accumulated all four events across the three micro-batches
+    assert(catalog.load("monitoring.events").count() == 4)
+    // the per-batch report is the same daily-report rendering batch mode uses
+    assert(o(0).result.report.contains("1 missing"))
+    assert(mem.received.nonEmpty)
+  }
+
   test("dedupStateful: suppresses repeats inside the window, passes after it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]
