@@ -471,6 +471,94 @@ object DetectorQ {
           COUNT(daily_total) OVER win AS n7
         FROM daily
         WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        ORDER BY d"""))
+        ORDER BY d""")),
+
+    // W1 keyed-window form: the SAME trailing-30 z-score as q22, but
+    // per-category with Window.partitionBy — the shape a 100 TB dataset
+    // needs. The global-ORDER q22 window runs on ONE partition (fine only
+    // because its input is a ~90-row daily table); partitionBy(category)
+    // windows inside each key's partition, so the sort parallelizes and no
+    // executor ever sees more than one key's history.
+    "q40_keyed_window_zscore" -> QueryDef(
+      (s, dir) => {
+        val daily = TimeFilters.filterDateBetween(t(s, dir, "orders"), "o_orderdate",
+            LocalDate.parse("2001-05-01"), OrdersToday)
+          .groupBy(col("o_orderpriority").as("category"),
+            to_date(col("o_orderdate")).as("d"))
+          .agg(Exact.sum2(col("o_totalprice")).as("daily_total"))
+        val w = Window.partitionBy("category").orderBy("d").rowsBetween(-30, -1)
+        val dec = col("daily_total").cast(DecimalType(18, 2))
+        daily
+          .withColumn("s", sum(dec).over(w).cast("double"))
+          .withColumn("q", sum(dec * dec).over(w).cast("double"))
+          .withColumn("baseline_n", count(col("daily_total")).over(w))
+          .filter(col("baseline_n") >= 7)
+          .withColumn("baseline_avg", col("s") / col("baseline_n"))
+          .withColumn("std_dev", Exact.stddevFrom(col("s"), col("q"), col("baseline_n")))
+          .withColumn("z_score",
+            ZScore.z(col("daily_total"), col("baseline_avg"), col("std_dev")))
+          .withColumn("is_anomaly", ZScore.isAnomaly(col("z_score")))
+          .withColumn("std_dev", round(col("std_dev"), 4))
+          .withColumn("z_score", round(col("z_score"), 6))
+          .select("category", "d", "daily_total", "baseline_avg", "std_dev",
+            "baseline_n", "z_score", "is_anomaly")
+          .orderBy("category", "d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_orderpriority AS category, CAST(o_orderdate AS DATE) AS d,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_total
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2001-05-01 00:00:00' AND o_orderdate < TIMESTAMP '2001-08-02 00:00:00'
+          GROUP BY 1, 2),
+        w AS (
+          SELECT category, d, daily_total,
+            CAST(SUM(CAST(daily_total AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s,
+            CAST(SUM(CAST(daily_total AS DECIMAL(18,2)) * CAST(daily_total AS DECIMAL(18,2))) OVER win AS DOUBLE) AS q,
+            COUNT(daily_total) OVER win AS baseline_n
+          FROM daily
+          WINDOW win AS (PARTITION BY category ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
+        z AS (
+          SELECT category, d, daily_total, s / baseline_n AS baseline_avg,
+            sqrt(greatest((q - s * s / baseline_n) / (baseline_n - 1), 0.0)) AS std_dev, baseline_n
+          FROM w WHERE baseline_n >= 7)
+        SELECT category, d, daily_total, baseline_avg, round(std_dev, 4) AS std_dev, baseline_n,
+          round(CASE WHEN std_dev > 0 THEN (daily_total - baseline_avg) / std_dev ELSE 0.0 END, 6) AS z_score,
+          ABS(CASE WHEN std_dev > 0 THEN (daily_total - baseline_avg) / std_dev ELSE 0.0 END) > 2.5 AS is_anomaly
+        FROM z ORDER BY category, d""")),
+
+    // W5 keyed-window form: per-category 7-day moving average
+    // (partitionBy(category) — see q40 for why the keyed form is the one
+    // that survives a 100x scale-up).
+    "q41_keyed_ma7_window" -> QueryDef(
+      (s, dir) => {
+        val daily = TimeFilters.filterDateBetween(t(s, dir, "orders"), "o_orderdate",
+            LocalDate.parse("2001-06-01"), OrdersToday)
+          .groupBy(col("o_orderpriority").as("category"),
+            to_date(col("o_orderdate")).as("d"))
+          .agg(Exact.sum2(col("o_totalprice")).as("daily_total"))
+        val w = Window.partitionBy("category").orderBy("d").rowsBetween(-6, 0)
+        val dec = col("daily_total").cast(DecimalType(18, 2))
+        daily
+          .withColumn("s", sum(dec).over(w).cast("double"))
+          .withColumn("n7", count(col("daily_total")).over(w))
+          .withColumn("ma7", col("s") / col("n7"))
+          .select("category", "d", "daily_total", "ma7", "n7")
+          .orderBy("category", "d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_orderpriority AS category, CAST(o_orderdate AS DATE) AS d,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_total
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00' AND o_orderdate < TIMESTAMP '2001-08-02 00:00:00'
+          GROUP BY 1, 2)
+        SELECT category, d, daily_total,
+          CAST(SUM(CAST(daily_total AS DECIMAL(18,2))) OVER win AS DOUBLE)
+            / COUNT(daily_total) OVER win AS ma7,
+          COUNT(daily_total) OVER win AS n7
+        FROM daily
+        WINDOW win AS (PARTITION BY category ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY category, d"""))
   )
 }

@@ -85,6 +85,15 @@ class OpsSpec extends SparkSpec {
     assert(w(2).getAs[Double]("baseline_avg") == 15.0) // avg(10,20), no B values
     assert(w(4).getAs[Double]("baseline_avg") == 100.0)
     assert(w(2).getAs[Long]("baseline_n") == 2)
+    // the scale property: a keyed window hash-partitions by key (parallel
+    // sort per key); only the unkeyed form collapses to a single partition
+    val keyedPlan = BaselineStats.trailingWindow(daily, "d", "v", 30, Seq("k"))
+      .queryExecution.executedPlan.toString
+    val globalPlan = BaselineStats.trailingWindow(daily, "d", "v", 30)
+      .queryExecution.executedPlan.toString
+    assert(!keyedPlan.contains("SinglePartition"), keyedPlan)
+    assert(keyedPlan.contains("hashpartitioning(k"), keyedPlan)
+    assert(globalPlan.contains("SinglePartition"))
   }
 
   test("Skew.saltedJoin preserves equi-join results under hot keys") {
