@@ -21,6 +21,33 @@ object Joins {
   def missingKeys(expected: DataFrame, arrived: DataFrame, key: String): DataFrame =
     expected.join(arrived.select(key).distinct(), Seq(key), "left_anti")
 
+  /** Scale variant of [[missingKeys]] for when the expected side is too big
+    * to broadcast as an exact key set (say 10^9 expected entity ids at
+    * 100 TB): build a Bloom filter over the EXPECTED keys (~1.2 bytes/key
+    * at 1% fpp — 10-50x smaller than a broadcast hash set) and use it to
+    * prune the arrived side AT SCAN TIME before the distinct+anti-join, so
+    * arrivals for keys outside the expected universe never enter the
+    * shuffle at all.
+    *
+    * Exactness: pruning the anti-join's right side with a Bloom filter is
+    * semantically free — false positives only let through irrelevant
+    * arrivals that then match nothing in the join (no effect on a
+    * left_anti result), and Bloom filters have no false negatives, so no
+    * genuinely-arrived expected key is ever dropped. The final answer is
+    * bit-identical to [[missingKeys]]; the OpsSpec equivalence test pins it.
+    *
+    * Keys are compared as strings on both build and probe sides, making the
+    * helper type-agnostic. `approxExpectedKeys` sizes the filter (overshoot
+    * is cheap; undershoot only raises the fpp). */
+  def missingKeysBloom(expected: DataFrame, arrived: DataFrame, key: String,
+      approxExpectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = expected.select(col(key).cast("string").as(key))
+      .stat.bloomFilter(key, approxExpectedKeys, fpp)
+    val bc = expected.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: String) => k != null && bc.value.mightContainString(k))
+    missingKeys(expected, arrived.filter(might(col(key).cast("string"))), key)
+  }
+
   /** Today-vs-baseline keyed deviation (J1/J2 + P10): left join today's
     * per-key totals against per-key baseline averages, compute deviation %.
     * Baseline side is an aggregate over few keys → broadcast. */

@@ -96,6 +96,31 @@ class OpsSpec extends SparkSpec {
     assert(globalPlan.contains("SinglePartition"))
   }
 
+  test("missingKeysBloom is exactly equivalent to the left_anti missingKeys") {
+    val rnd = new scala.util.Random(11)
+    val expected = (1 to 500).map(i => f"KEY_$i%04d").toDF("k")
+    // arrivals: a random subset of expected plus plenty of out-of-universe
+    // noise keys (the rows the bloom filter prunes before the shuffle)
+    val arrived = ((1 to 500).filter(_ => rnd.nextBoolean()).map(i => f"KEY_$i%04d")
+      ++ (1 to 2000).map(i => s"NOISE_$i")
+      ++ Seq("KEY_0007", "KEY_0007")) // duplicates must not matter
+      .toDF("k")
+    val exact = Joins.missingKeys(expected, arrived, "k")
+      .orderBy("k").as[String].collect().toSeq
+    val bloom = Joins.missingKeysBloom(expected, arrived, "k",
+      approxExpectedKeys = 500L)
+      .orderBy("k").as[String].collect().toSeq
+    assert(bloom == exact)
+    assert(exact.nonEmpty && exact.forall(_.startsWith("KEY_")))
+    // long-typed keys go through the string cast transparently
+    val expL = (1L to 100L).toDF("k")
+    val arrL = (1L to 100L by 2).toDF("k")
+    val exactL = Joins.missingKeys(expL, arrL, "k").orderBy("k").as[Long].collect().toSeq
+    val bloomL = Joins.missingKeysBloom(expL, arrL, "k", 100L)
+      .orderBy("k").as[Long].collect().toSeq
+    assert(bloomL == exactL && exactL == (2L to 100L by 2))
+  }
+
   test("Skew.saltedJoin preserves equi-join results under hot keys") {
     val big = (Seq.fill(500)("hot") ++ Seq("a", "b", "c")).zipWithIndex
       .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
