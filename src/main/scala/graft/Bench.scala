@@ -22,9 +22,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up parquet reader + codegen + shuffle machinery once so the first
-    // measured query doesn't absorb JVM startup.
+    // measured query doesn't absorb JVM startup. The decimal-routed sum
+    // exercises the unsafe decimal aggregation codegen path every revenue
+    // query uses (without it, q01 absorbs that first-compilation cost).
     spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("l_quantity").cast("decimal(18,2)")),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
