@@ -230,6 +230,22 @@ object ExtQ {
           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.45
+        ORDER BY cosine_sim DESC, id_a, id_b""")),
+
+    // The AUTO-SIZED twin of q35: same semantics, but (nPlanes, nTables)
+    // come from Similarity.lshParams(corpus count, threshold) — the
+    // production configuration whose candidate volume stays linear in the
+    // corpus. Benched to show the sizing live at sf0.1; correctness is
+    // checked against the same exhaustive-pair oracle as q35 (full recall
+    // of the auto config on the verify corpora).
+    "q42_embedding_neardup_auto" -> QueryDef(
+      (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.45),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.45
         ORDER BY cosine_sim DESC, id_a, id_b"""))
   )
 }
