@@ -12,6 +12,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
+    ext.injectFunction(GraftExtensions.langIdFunction)
+    ext.injectFunction(GraftExtensions.hyperplaneLshFunction)
   }
 }
 
@@ -26,6 +28,28 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("graft_simhash64 expects exactly 1 argument")
   }
 
+  private def langIdBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => LangId(a)
+    case _ => throw new IllegalArgumentException("graft_lang_id expects exactly 1 argument")
+  }
+
+  private def intLit(e: Expression, fn: String): Int =
+    if (e.foldable) e.eval().asInstanceOf[Number].intValue()
+    else throw new IllegalArgumentException(s"$fn: parameter must be a literal integer")
+
+  /** graft_hyperplane_lsh(vec, nPlanes[, nTables[, planeOffset]]) →
+    * array<long> of sign-bit buckets (see [[HyperplaneLsh]]). */
+  private def lshBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v, p) => HyperplaneLsh(v, intLit(p, "graft_hyperplane_lsh"), 1, 0)
+    case Seq(v, p, t) =>
+      HyperplaneLsh(v, intLit(p, "graft_hyperplane_lsh"), intLit(t, "graft_hyperplane_lsh"), 0)
+    case Seq(v, p, t, o) =>
+      HyperplaneLsh(v, intLit(p, "graft_hyperplane_lsh"),
+        intLit(t, "graft_hyperplane_lsh"), intLit(o, "graft_hyperplane_lsh"))
+    case _ => throw new IllegalArgumentException(
+      "graft_hyperplane_lsh expects (vec, nPlanes[, nTables[, planeOffset]])")
+  }
+
   val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -36,11 +60,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
     simhashBuilder _)
 
+  val langIdFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lang_id"),
+    new ExpressionInfo(classOf[LangId].getName, "graft_lang_id"),
+    langIdBuilder _)
+
+  val hyperplaneLshFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hyperplane_lsh"),
+    new ExpressionInfo(classOf[HyperplaneLsh].getName, "graft_hyperplane_lsh"),
+    lshBuilder _)
+
   /** Idempotent per-session registration for SQL-string use. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_simhash64", simhashBuilder, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64", simhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_lang_id", langIdBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_lsh", lshBuilder, "built-in")
   }
 }

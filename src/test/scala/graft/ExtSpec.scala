@@ -100,6 +100,32 @@ class ExtSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("SQL surface exposes lang_id, simhash and hyperplane_lsh natively") {
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_lang_id('le chat est dans la maison')")
+      .head().getString(0) == "fr")
+    // simhash over a token array; SQL and column forms agree on one text
+    val sqlHash = spark.sql(
+      "SELECT graft_simhash64(split(trim('the quick brown fox'), '\\\\s+'))")
+      .head().getLong(0)
+    assert(sqlHash == docs.limit(1)
+      .select(Dedup.simhash(lit("the quick brown fox"))).head().getLong(0))
+    // lsh buckets: nTables entries, deterministic across invocations
+    val b = spark.sql(
+      "SELECT graft_hyperplane_lsh(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT)), 4, 3)")
+      .head().getSeq[Long](0)
+    assert(b.size == 3 && b.forall(x => x >= 0 && x < 16))
+    assert(b == spark.sql(
+      "SELECT graft_hyperplane_lsh(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT)), 4, 3)")
+      .head().getSeq[Long](0))
+    // non-literal plane count is rejected with a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hyperplane_lsh(array(CAST(1.0 AS FLOAT)), CAST(rand() * 4 AS INT))")
+        .head()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("Similarity: ANN buckets are deterministic and recall is measurable") {
     val emb = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))).toDF("vec_id", "embedding")
