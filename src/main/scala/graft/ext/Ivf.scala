@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.NearestCentroid
+
+/** IVF (inverted-file) approximate nearest neighbour — the k-means-coarse-
+  * quantizer alternative to the hyperplane-LSH path in [[Similarity]].
+  *
+  * IVF beats LSH when the corpus is CLUSTERED (real embedding corpora are):
+  * the coarse quantizer adapts its cells to the data distribution, while
+  * hyperplane buckets are data-oblivious. Cost: a training pass; LSH needs
+  * none.
+  *
+  * Everything is deterministic — seeding by `xxhash64(id)` order, argmin
+  * ties to the lowest centroid index ([[NearestCentroid]]), elementwise
+  * means through Spark aggregates — so train + probe reproduce bit-for-bit
+  * on any partitioning.
+  *
+  * Scale design: training touches the corpus `iters` times but each pass is
+  * one scan + one (cluster, dim)-keyed aggregation — shuffle rows = k·dim,
+  * not corpus size. The centroid matrix (k·dim doubles) rides inside the
+  * [[NearestCentroid]] expression, so assignment is scan-stage work with no
+  * join; at 100 TB, write `cluster` as a partition column once
+  * (`partitionBy("cluster")`) and every probe prunes to nProbe/k of the
+  * files — the classic IVF file-pruning story, expressed as Spark
+  * partition pruning.
+  */
+object Ivf {
+
+  private def toVec(row: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    row.getSeq[Any](i).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
+
+  /** Deterministic Lloyd k-means over an `array<float|double>` column.
+    * Returns the k centroids (empty clusters keep their previous centroid,
+    * mirroring the standard "dead centroid" convention). */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 1)
+    // seed: the k vectors with smallest hashed id — a deterministic
+    // pseudo-random sample, independent of row order and partitioning
+    var cents: Array[Array[Double]] = emb
+      .select(col(vecCol), xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(k)
+      .collect().map(toVec(_, 0))
+    var it = 0
+    while (it < iters) {
+      // elementwise means per cluster: explode to (cluster, dim, value),
+      // aggregate — k·dim result rows regardless of corpus size
+      val sums = emb
+        .select(NearestCentroid(col(vecCol), cents).as("cluster"),
+          posexplode(col(vecCol)))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        byCluster.get(c)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+          .getOrElse(prev)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Cluster assignment column for writing/bucketing the corpus. */
+  def assign(emb: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("cluster", NearestCentroid(col(vecCol), centroids))
+
+  /** IVF top-k: probe only the `nProbe` cells nearest the query vector,
+    * exact-rerank by cosine inside them. Same output shape/ordering as
+    * [[Similarity.bruteForceTopK]]; recall vs that baseline is measured in
+    * ExtSpec. */
+  def ivfTopK(emb: DataFrame, centroids: Array[Array[Double]], queryId: Long,
+      k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol)).head()
+    val qv = toVec(qRow, 0)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (l2(qv, c), i) }.sorted.take(nProbe).map(_._2).toSeq
+    assign(emb, centroids, vecCol)
+      .filter(col("cluster").isin(probes: _*))
+      .crossJoin(broadcast(
+        emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(Similarity.cosine(col(vecCol), col("qv")), 6).as("cosine_sim"))
+      .orderBy(desc("cosine_sim"), col(idCol))
+      .limit(k)
+  }
+}

@@ -246,6 +246,18 @@ object ExtQ {
           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.45
-        ORDER BY cosine_sim DESC, id_a, id_b"""))
+        ORDER BY cosine_sim DESC, id_a, id_b""")),
+
+    // IVF ANN: k-means coarse quantizer + nProbe cell probing — the
+    // data-adaptive alternative to q32's hyperplane LSH. Engine-specific
+    // training (no SQL oracle form); recall vs the exact q31 baseline is
+    // asserted in ExtSpec.
+    "q43_ivf_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
+        Ivf.ivfTopK(emb, cents, queryId = 0L, k = 10, nProbe = 3)
+      },
+      None)
   )
 }

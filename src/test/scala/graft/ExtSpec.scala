@@ -136,6 +136,35 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.2) // probe-1 LSH trades recall for scan reduction
   }
 
+  test("Ivf: deterministic k-means separates clusters; probe-1 recall is total") {
+    // two tight clusters around orthogonal anchors
+    val rnd = new scala.util.Random(5)
+    def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val emb = ((0L until 20L).map(i => (i, near(a))) ++
+      (20L until 40L).map(i => (i, near(b)))).toDF("vec_id", "embedding")
+    val cents = Ivf.trainCentroids(emb, k = 2, iters = 4)
+    assert(cents.length == 2)
+    // training is deterministic on any partitioning
+    val again = Ivf.trainCentroids(emb.repartition(7), k = 2, iters = 4)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // assignment puts each cluster's members in one cell
+    val assigned = Ivf.assign(emb, cents).select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0L until 20L).map(assigned).toSet.size == 1)
+    assert((20L until 40L).map(assigned).toSet.size == 1)
+    assert(assigned(0L) != assigned(39L))
+    // probing ONE cell already recovers the exact top-k (query in cluster A)
+    val exact = Similarity.bruteForceTopK(emb, 3L, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val ivf = Ivf.ivfTopK(emb, cents, 3L, 5, nProbe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf == exact)
+    // and the probed scan touched only the query's cell
+    assert(Ivf.assign(emb, cents).filter($"cluster" === assigned(3L)).count() == 20)
+  }
+
   test("Similarity.nearDupPairsLsh finds true near-dups through bucket pruning") {
     val emb = Seq(
       (0L, Array(1.0f, 0.01f, 0.0f)),
