@@ -104,12 +104,21 @@ final class MonitoringLoop(
 
   /** Attach the loop to an events stream. AvailableNow reproduces the
     * reference's polled cadence and drains what's queued; ProcessingTime
-    * keeps it running on `interval`. */
+    * keeps it running on `interval`.
+    *
+    * Pass `checkpoint` for restart durability: offsets commit after each
+    * batch, so a restarted job resumes at the first unprocessed batch. The
+    * ingest append is then effectively at-least-once (a batch that crashed
+    * between append and commit re-appends on restart) — at scale,
+    * deduplicate on a batch-id/event-id key downstream or write through an
+    * ACID table format; alert dedup already absorbs replays by design. */
   def start(stream: DataFrame, queryName: String = "graft_monitoring_loop",
-      continuous: Boolean = false, interval: String = "1 minute"): StreamingQuery = {
-    val w = stream.writeStream
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val w0 = stream.writeStream
       .queryName(queryName)
       .foreachBatch((batch: DataFrame, id: Long) => { runBatch(batch, id); () })
+    val w = checkpoint.fold(w0)(p => w0.option("checkpointLocation", p))
     (if (continuous) w.trigger(Trigger.ProcessingTime(interval))
      else w.trigger(Trigger.AvailableNow())).start()
   }
