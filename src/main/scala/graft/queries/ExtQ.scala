@@ -207,12 +207,20 @@ object ExtQ {
     // merge map-side — the 100 TB substitute for a value shuffle). Approx
     // values are engine-specific => rows-only; error bound asserted in
     // OpsSpec.
+    //
+    // The exact and approx sides are computed as separate single-row aggs
+    // and cross-joined: mixing a distinct aggregate with regular aggregates
+    // in one agg() makes Spark Expand every input row 2x (one replica per
+    // grouping set), so two lean scans of the one projected column beat one
+    // doubled scan — and the HLL side stays a pure map-side-merge plan.
     "q39_approx_distinct" -> QueryDef(
-      (s, dir) =>
-        t(s, dir, "events").agg(
-          countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users_precise")),
+      (s, dir) => {
+        val users = t(s, dir, "events").select(col("user_id"))
+        users.agg(countDistinct(col("user_id")).as("exact_users"))
+          .crossJoin(users.agg(
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            approx_count_distinct(col("user_id"), 0.01).as("approx_users_precise")))
+      },
       None),
 
     // Embedding-space near-dup pairs above a cosine threshold, via the
