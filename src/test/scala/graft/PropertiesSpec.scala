@@ -85,6 +85,23 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("lshParams: recall target met or table cap binding, planes bounded") {
+    val gen = Gen.zip(
+      Gen.chooseNum(1L, 10000000000L),      // corpus size
+      Gen.chooseNum(0.30, 0.99))            // cosine threshold
+    forAllN(gen, 200) { case (n, threshold) =>
+      val (planes, tables) = graft.ext.Similarity.lshParams(n, threshold)
+      assert(planes >= 2 && planes <= 24)
+      assert(tables >= 1 && tables <= 64)
+      val p = 1.0 - math.acos(threshold) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, planes), tables)
+      // either the OR-amplified recall reaches the 0.98 default target, or
+      // the table cap is binding (the explicit infeasible-regime trade)
+      assert(recall >= 0.98 - 1e-9 || tables == 64,
+        s"n=$n t=$threshold -> ($planes, $tables) recall=$recall")
+    }
+  }
+
   test("double-dot healing is idempotent and dot-run-collapsing") {
     val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     forAllN(Gen.zip(token, token, Gen.chooseNum(2, 5)), 100) { case (a, b, dots) =>
