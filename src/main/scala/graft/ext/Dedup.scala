@@ -29,8 +29,12 @@ object Dedup {
   def dropExactDuplicates(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.dropDuplicates(textCol)
 
-  /** Word n-gram shingles as a distinct array; empty when the doc is shorter
-    * than n (guard keeps ANSI `sequence` happy). */
+  /** Word n-gram shingles as a distinct array; falls back to the whole
+    * text as one shingle when the doc is shorter than n (guard keeps ANSI
+    * `sequence` happy). Composable HOF form — the reference semantics twin
+    * of the production [[shingleHashes]] path (HOFs have no codegen, so
+    * this walks interpreted machinery; kept for tests and for callers that
+    * need the shingle STRINGS). */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextStats.tokens(text)
     when(size(toks) >= n,
@@ -39,26 +43,36 @@ object Dedup {
       .otherwise(array_distinct(array(concat_ws(" ", toks))))
   }
 
-  /** Per-doc minhash signature as k wide columns (`mh_0..mh_{k-1}`) in ONE
-    * grouped aggregate.
+  /** `xxhash64` of each distinct shingle, via the single-pass native
+    * [[graft.functions.ShingleHashes]] expression — bit-identical to
+    * `transform(shingles(text, n), s => xxhash64(s))` (equivalence-tested)
+    * at a fraction of the cost: the interpreted shingle HOF alone measured
+    * ~3s at sf0.1, dominating every minhash query. All hashed-shingle
+    * consumers (signatures, Jaccard verify) go through this. */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.ShingleHashes(text, n)
+
+  /** Per-doc minhash signature as k wide columns (`mh_0..mh_{k-1}`), via
+    * the single-pass native [[graft.functions.MinHashK]] expression —
+    * shuffle-FREE scan-stage work.
     *
-    * Why this shape: nested higher-order functions (`transform(seeds,
-    * array_min(transform(shingles, ...)))`) are interpreted and re-evaluate
-    * the shingle expression per seed; an explicit seed-explode creates a
-    * docs × shingles × k row blow-up before the groupBy. Here shingle rows
-    * explode once (docs × shingles), each shingle is string-hashed once
-    * (`base`), and the k seeded variants are k codegen'd `min(xxhash64(j,
-    * base))` aggregates over the same row — partial (map-side) aggregation
-    * reduces the shuffle to one k-column row per doc regardless of corpus
-    * size. */
+    * Evolution of this shape: nested higher-order functions
+    * (`transform(seeds, array_min(transform(shingles, ...)))`) re-evaluated
+    * the shingle expression per seed (107s at sf0.1); the round-1 rework
+    * exploded shingle rows once and ran k codegen'd `min(xxhash64(j,
+    * base))` grouped aggregates (4.7s — but still a docs×shingles explode,
+    * a 32-aggregate hash aggregation, and a doc-keyed shuffle). The native
+    * expression walks the in-row shingle array once with k running minima:
+    * no explode, no aggregation, no shuffle — and hash values BIT-IDENTICAL
+    * to the aggregate form (equivalence-tested), so LSH buckets and
+    * candidate pairs downstream are unchanged. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 32): DataFrame = {
-    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("base"))).as(s"mh_$j"))
+    val wide = (0 until k).map(j => element_at(col("__sig"), j + 1).as(s"mh_$j"))
     docs
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
-      .select(col(idCol), xxhash64(col("sh")).as("base"))
-      .groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        graft.functions.MinHashK(shingleHashes(col(textCol), shingleN), k).as("__sig"))
+      .select(col(idCol) +: wide: _*)
   }
 
   /** Docs → (id, band, bucket) LSH table: each band's bucket hashes its
@@ -98,7 +112,7 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
     val sh = docs.select(col(idCol),
-      transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("sh"))
+      shingleHashes(col(textCol), shingleN).as("sh"))
     candidates
       .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

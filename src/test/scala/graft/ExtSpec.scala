@@ -58,6 +58,44 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.dropExactDuplicates(docs).count() == 5)
   }
 
+  // whitespace edges: leading tab (split yields a leading empty token after
+  // the space-only trim), trailing newline (trailing empty token), multiple
+  // spaces, short docs (whole-text fallback shingle), empty text
+  private lazy val edgeDocs = (docs.select($"doc_id", $"text") union Seq(
+    (100L, ""), (101L, "   "), (102L, "\tleading tab doc with words"),
+    (103L, "trailing newline doc\n"), (104L, "double  space   doc here"),
+    (105L, "short doc"), (106L, "one")).toDF("doc_id", "text"))
+
+  test("ShingleHashes is bit-identical to the composable transform pipeline") {
+    val composable = edgeDocs.select($"doc_id",
+      transform(Dedup.shingles($"text", 3), s => xxhash64(s)).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val native = edgeDocs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(native.toSeq == composable.toSeq)
+  }
+
+  test("MinHashK native signatures are bit-identical to the aggregate form") {
+    val k = 32
+    // the pre-native pipeline: explode shingles, hash once, k min-aggs
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("base"))).as(s"mh_$j"))
+    val viaAgg = edgeDocs
+      .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("sh"))
+      .select($"doc_id", xxhash64($"sh").as("base"))
+      .groupBy($"doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id").collect()
+      .map(r => (0 until k).map(j => r.getLong(j + 1)))
+    val viaNative = Dedup.minhashSignatures(edgeDocs, "text", "doc_id", 3, k)
+      .orderBy("doc_id").collect()
+      .map(r => (0 until k).map(j => r.getLong(j + 1)))
+    assert(viaNative.toSeq == viaAgg.toSeq)
+    // and the native plan has no shuffle at all
+    val plan = Dedup.minhashSignatures(docs, "text", "doc_id", 3, k)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("Dedup minhash-LSH finds near-dup and exact-dup pairs, verified by jaccard") {
     val pairs = Dedup.nearDupPairs(docs, threshold = 0.3)
       .orderBy("doc_a", "doc_b").collect()
