@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.langIdFunction)
     ext.injectFunction(GraftExtensions.hyperplaneLshFunction)
+    ext.injectFunction(GraftExtensions.shingleHashesFunction)
+    ext.injectFunction(GraftExtensions.minhashFunction)
   }
 }
 
@@ -31,6 +33,20 @@ object GraftExtensions {
   private def langIdBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(a) => LangId(a)
     case _ => throw new IllegalArgumentException("graft_lang_id expects exactly 1 argument")
+  }
+
+  /** graft_shingle_hashes(text, n) → array<long> of distinct n-gram hashes. */
+  private def shingleBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(t, n) => ShingleHashes(t, intLit(n, "graft_shingle_hashes"))
+    case _ => throw new IllegalArgumentException(
+      "graft_shingle_hashes expects (text, n)")
+  }
+
+  /** graft_minhash(shingle_hashes, k) → array<long> signature of length k. */
+  private def minhashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(h, k) => MinHashK(h, intLit(k, "graft_minhash"))
+    case _ => throw new IllegalArgumentException(
+      "graft_minhash expects (shingle_hashes, k)")
   }
 
   private def intLit(e: Expression, fn: String): Int =
@@ -70,6 +86,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HyperplaneLsh].getName, "graft_hyperplane_lsh"),
     lshBuilder _)
 
+  val shingleHashesFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+    shingleBuilder _)
+
+  val minhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashK].getName, "graft_minhash"),
+    minhashBuilder _)
+
   /** Idempotent per-session registration for SQL-string use. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -77,5 +103,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_simhash64", simhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id", langIdBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_lsh", lshBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes", shingleBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
   }
 }

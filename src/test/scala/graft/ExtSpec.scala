@@ -162,6 +162,15 @@ class ExtSpec extends SparkSpec {
         .head()
     }
     assert(e.getMessage.contains("literal"))
+    // shingle + minhash compose in SQL and agree with the column forms
+    val viaSql = spark.sql(
+      "SELECT graft_minhash(graft_shingle_hashes('the quick brown fox jumps', 3), 8)")
+      .head().getSeq[Long](0)
+    val viaCols = spark.range(1)
+      .select(graft.functions.MinHashK(
+        Dedup.shingleHashes(lit("the quick brown fox jumps"), 3), 8))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaCols && viaSql.size == 8)
   }
 
   test("Similarity: ANN buckets are deterministic and recall is measurable") {
