@@ -48,6 +48,37 @@ class DetectorsSpec extends SparkSpec {
       "product_category", "region", "customer_id")
   }
 
+  test("all 8 detectors complete on EMPTY tables (pre-first-ingest state)") {
+    // a monitoring deployment watching brand-new tables must report, not
+    // crash (ANSI mode turns any x/0 into an exception — see Profiles)
+    val emptyFeeds = Seq.empty[(String, Timestamp, Long)]
+      .toDF("feed_id", "arrival_time", "record_count")
+    val emptyRev = Seq.empty[(String, Timestamp, Double, String, String, String)]
+      .toDF("transaction_id", "transaction_date", "revenue",
+        "product_category", "region", "customer_id")
+    val postDeadline = FixedClock.at("2024-01-31T18:00:00Z")
+    val fs = new FeedDetector(emptyFeeds, postDeadline)
+      .checkFeedStatus((1 to 3).map(f => f"FEED_$f%03d"))
+    assert(fs.missingFeeds.size == 3) // nothing arrived => all missing
+    val rs = new RevenueDetector(emptyRev, postDeadline).checkRevenueAnomaly(today)
+    assert(!rs.isAnomaly && rs.severity == "NONE") // no baseline => no page
+    val vs = new TransactionDetector(emptyFeeds, postDeadline, tsCol = "arrival_time")
+      .checkTransactionVolume(hours = 1)
+    assert(!vs.isAnomaly)
+    val fr = new FreshnessDetector(Seq(("f", emptyFeeds, "arrival_time")), postDeadline)
+      .checkDataFreshness(maxAgeMinutes = 240)
+    assert(fr.sources.forall(_.lastArrival.isEmpty))
+    val ps = new PatternDetector(emptyRev, postDeadline).checkPatternBreaks()
+    assert(!ps.hasBreaks)
+    val rc = new ReconciliationDetector(postDeadline)
+      .checkReconciliation(emptyRev, emptyRev, today.minusDays(1))
+    assert(rc.isReconciled) // 0 == 0
+    val sla = new SlaDetector(emptyFeeds, postDeadline).predictSlaBreach()
+    assert(sla.recordCount == 0L)
+    val qs = new QualityDetector(emptyRev, postDeadline).checkQualityDegradation()
+    assert(!qs.hasDegradation)
+  }
+
   test("FeedDetector: 3/15 missing => 20% => MEDIUM, anti-join finds exact feeds") {
     val det = new FeedDetector(feedFixture, FixedClock.at("2024-01-31T17:00:00Z"))
     val st = det.checkFeedStatus((1 to 15).map(f => f"FEED_$f%03d"))
