@@ -227,11 +227,21 @@ object ExtQ {
     // OR-amplified multi-table LSH form (the 100 TB plan shape — bucketed
     // self-join on narrow rows, never a cartesian product; plan asserted in
     // ExtSpec). The oracle below scans ALL pairs exhaustively, so a
-    // hash-match proves the (nPlanes=2, nTables=16) configuration had zero
-    // false negatives on this corpus — the same proof pattern as q29.
+    // hash-match proves the pinned (nPlanes=4, nTables=32) configuration
+    // had zero false negatives on this corpus — the same proof pattern as
+    // q29 (deterministic planes make the proof exact, not probabilistic).
+    //
+    // Honest scale note: at this LOOSE threshold (0.45) the 32-table OR
+    // coverage of the pair space is near-total whatever the bucket depth
+    // (1-(1-1/16)^32 ~ 0.87), so the query's cost is dominated by the
+    // exact cosine rerank over ~0.9*C(n,2) candidates — hyperplane LSH
+    // fundamentally cannot prune a loose-threshold search. The production
+    // regime is TIGHT thresholds (cos >= 0.9 true near-dups), where
+    // lshParams sizes few tables of deep buckets and candidates collapse;
+    // q42 shows the corpus-sized path.
     "q35_embedding_neardup" -> QueryDef(
       (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.45,
-        nPlanes = 2, nTables = 16),
+        nPlanes = 4, nTables = 32),
       Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
