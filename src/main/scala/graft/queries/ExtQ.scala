@@ -266,6 +266,83 @@ object ExtQ {
         WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.45
         ORDER BY cosine_sim DESC, id_a, id_b""")),
 
+    // The flagship curation pipeline: the end-to-end shape of an LLM
+    // training-data cleaning job, composing the individually-proven
+    // operators — language ID gate (q27 semantics), token-count range +
+    // quality floor (q25/q26), exact dedup keeping the lowest id per
+    // content digest (q24), then near-duplicate removal dropping the
+    // higher id of every LSH-verified Jaccard pair (q29). The oracle
+    // mirrors every stage in SQL with the near-dup stage as the EXHAUSTIVE
+    // pair scan — so a hash-match proves the banded-LSH dedup removed
+    // exactly the right documents, end to end.
+    "q44_curation_pipeline" -> QueryDef(
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(
+            col("doc_id"), col("text"),
+            TextStats.langGuess(col("text")).as("lang_guess"),
+            TextStats.tokenCount(col("text")).as("n_tokens"),
+            TextStats.qualityScore(col("text")).as("quality_score"))
+          .filter(col("lang_guess") === "en")
+          .filter(col("n_tokens").between(5, 5000))
+          .filter(col("quality_score") > 0.0)
+          .withColumn("fp", md5(col("text").cast("binary")))
+        val keepers = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        val exactKept = scored.join(keepers, Seq("fp", "doc_id"))
+        val dropB = Dedup.nearDupPairs(exactKept, shingleN = 3, threshold = 0.3)
+          .select(col("doc_b").as("doc_id")).distinct()
+        exactKept.join(dropB, Seq("doc_id"), "left_anti")
+          .select("doc_id", "n_tokens", "quality_score")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+            regexp_split_to_array(trim(text), '\s+') AS toks,
+            length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+            CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct
+          FROM documents),
+        v AS (
+          SELECT doc_id, text, toks, cjk, punct,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stops,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            len(list_filter(ltoks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) AS v_de,
+            len(list_filter(ltoks, t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS v_en,
+            len(list_filter(ltoks, t -> t IN ('el','la','los','y','es','una','en','que','por','con'))) AS v_es,
+            len(list_filter(ltoks, t -> t IN ('le','la','les','et','est','une','dans','que','pour','des'))) AS v_fr
+          FROM d),
+        scored AS (
+          SELECT doc_id, text, toks, n_tokens,
+            stops / n_tokens - punct / n_chars AS quality_score,
+            md5(text) AS fp
+          FROM v
+          WHERE (CASE WHEN cjk > 0 THEN 'zh'
+                 WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'unknown'
+                 WHEN v_fr = greatest(v_de, v_en, v_es, v_fr) THEN 'fr'
+                 WHEN v_es = greatest(v_de, v_en, v_es, v_fr) THEN 'es'
+                 WHEN v_en = greatest(v_de, v_en, v_es, v_fr) THEN 'en'
+                 ELSE 'de' END) = 'en'
+            AND n_tokens BETWEEN 5 AND 5000
+            AND stops / n_tokens - punct / n_chars > 0.0),
+        kept AS (
+          SELECT s.* FROM scored s
+          JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM scored GROUP BY fp) k
+            ON s.fp = k.fp AND s.doc_id = k.doc_id),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM kept),
+        dropb AS (
+          SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3)
+        SELECT doc_id, n_tokens, quality_score
+        FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropb)
+        ORDER BY doc_id""")),
+
     // IVF ANN: k-means coarse quantizer + nProbe cell probing — the
     // data-adaptive alternative to q32's hyperplane LSH. Engine-specific
     // training (no SQL oracle form); recall vs the exact q31 baseline is
