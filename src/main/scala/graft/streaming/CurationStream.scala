@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextStats
+
+/** Streaming twin of the q44 curation pipeline — the always-on ingest form
+  * of LLM training-data cleaning.
+  *
+  * Scan-side stages (language gate, token-count range, quality floor) are
+  * the SAME native/codegen column expressions the batch query uses — they
+  * attach to a stream unchanged. Exact dedup becomes
+  * `dropDuplicatesWithinWatermark` on the content digest: state holds one
+  * digest per distinct document inside the watermark horizon and expires
+  * with event time, so memory is bounded by the dedup window, not the
+  * stream's lifetime.
+  *
+  * Near-duplicate removal is deliberately NOT in the stream: LSH pair
+  * state is cross-batch and corpus-global, which a per-key watermark
+  * cannot bound. The production shape is this stream for ingest hygiene +
+  * periodic batch LSH sweeps (q29/q44's stage) over the accumulated table
+  * — the same split the reference's daily-cron design implies.
+  */
+object CurationStream {
+
+  /** Curated stream: rows that pass the language/length/quality gates and
+    * are the FIRST occurrence of their content digest within the watermark
+    * horizon. Column thresholds mirror q44. */
+  def curate(docs: DataFrame, textCol: String = "text", tsCol: String = "ts",
+      lang: String = "en", minTokens: Long = 5L, maxTokens: Long = 5000L,
+      minQuality: Double = 0.0, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("lang_guess", TextStats.langGuess(col(textCol)))
+      .withColumn("n_tokens", TextStats.tokenCount(col(textCol)))
+      .withColumn("quality_score", TextStats.qualityScore(col(textCol)))
+      .filter(col("lang_guess") === lang)
+      .filter(col("n_tokens").between(minTokens, maxTokens))
+      .filter(col("quality_score") > minQuality)
+      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp", "lang_guess")
+}

@@ -150,6 +150,34 @@ class StreamingSpec extends SparkSpec {
     assert(mem.received.nonEmpty)
   }
 
+  test("CurationStream: gates + cross-batch exact dedup within the watermark") {
+    import graft.streaming.CurationStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = CurationStream.curate(stream)
+      .select("doc_id", "n_tokens", "quality_score")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    val en = "the quick brown fox and the lazy dog in a field of green grass"
+    // batch 1: a good doc, a German doc (lang gate), a too-short doc
+    input.addData(
+      (1L, ts("2024-01-01T10:00:00Z"), en),
+      (2L, ts("2024-01-01T10:01:00Z"), "der hund und die katze sind nicht ein problem für das haus"),
+      (3L, ts("2024-01-01T10:02:00Z"), "too short"))
+    q.processAllAvailable()
+    // batch 2: an exact duplicate of doc 1 (dropped by digest state) and a
+    // fresh good doc (kept)
+    input.addData(
+      (4L, ts("2024-01-01T10:30:00Z"), en),
+      (5L, ts("2024-01-01T10:31:00Z"),
+        "it is a truth of the land that good data makes for a good model"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("curated").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L))
+  }
+
   test("dedupStateful: suppresses repeats inside the window, passes after it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]
