@@ -266,6 +266,18 @@ object ExtQ {
         WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.45
         ORDER BY cosine_sim DESC, id_a, id_b""")),
 
+    // Document fingerprints: polynomial rolling hash over tokens (content-
+    // defined identity — survives re-encoding, unlike byte digests). The
+    // crc32-based engine hash has no DuckDB twin => rows-only; determinism
+    // and discrimination invariants are in ExtSpec. Grouping by fingerprint
+    // also demonstrates the dedup-by-content-identity use.
+    "q45_doc_fingerprint" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
+          .orderBy("doc_id"),
+      None),
+
     // The flagship curation pipeline: the end-to-end shape of an LLM
     // training-data cleaning job, composing the individually-proven
     // operators — language ID gate (q27 semantics), token-count range +
