@@ -46,7 +46,11 @@ final class MonitoringLoop(
   private val runner = new MonitoringRunner(alerts)
   private val outcomeBuf = mutable.ArrayBuffer.empty[BatchOutcome]
 
-  /** Per-batch results, oldest first (driver-side observability). */
+  /** Most recent per-batch results kept for observability — bounded so an
+    * always-on loop doesn't grow driver memory with its batch count. */
+  val maxOutcomes: Int = 1000
+
+  /** Per-batch results, oldest first (up to [[maxOutcomes]], newest kept). */
   def outcomes: Seq[BatchOutcome] = outcomeBuf.toSeq
 
   /** `feed_arrivals` view of the events table (FIXTURES.md mapping). */
@@ -99,6 +103,7 @@ final class MonitoringLoop(
       quality = () => new QualityDetector(revenue, clock).checkQualityDegradation())
 
     outcomeBuf += BatchOutcome(batchId, rows, result)
+    if (outcomeBuf.size > maxOutcomes) outcomeBuf.remove(0, outcomeBuf.size - maxOutcomes)
     result
   }
 
