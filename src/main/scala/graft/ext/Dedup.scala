@@ -50,7 +50,11 @@ object Dedup {
     * ~3s at sf0.1, dominating every minhash query. All hashed-shingle
     * consumers (signatures, Jaccard verify) go through this. */
   def shingleHashes(text: Column, n: Int): Column =
-    graft.functions.ShingleHashes(text, n)
+    // coalesce mirrors the composable form's null tolerance: shingles(null)
+    // yields [""] (concat_ws is null-tolerant), so two null-text docs ARE
+    // an exact near-dup pair; a bare null-skipping expression would
+    // silently let duplicated null-text docs survive dedup
+    graft.functions.ShingleHashes(coalesce(text, lit("")), n)
 
   /** Per-doc minhash signature as k wide columns (`mh_0..mh_{k-1}`), via
     * the single-pass native [[graft.functions.MinHashK]] expression —

@@ -13,10 +13,16 @@ import graft.functions.NearestCentroid
   * hyperplane buckets are data-oblivious. Cost: a training pass; LSH needs
   * none.
   *
-  * Everything is deterministic — seeding by `xxhash64(id)` order, argmin
-  * ties to the lowest centroid index ([[NearestCentroid]]), elementwise
-  * means through Spark aggregates — so train + probe reproduce bit-for-bit
-  * on any partitioning.
+  * Determinism: seeding by `xxhash64(id)` order and argmin ties to the
+  * lowest centroid index ([[NearestCentroid]]) are exact; the per-cluster
+  * means are Spark double `avg`s, whose partial sums are EXACT for
+  * `array<float>` corpora (24-bit mantissas summed in 53-bit doubles, n
+  * far below 2^29 per cluster) — so float-embedding train + probe
+  * reproduce bit-for-bit on any partitioning (repartition-invariance is
+  * test-pinned). For `array<double>` corpora the merge order of partial
+  * sums can differ in the last ulp across partitionings; assignments are
+  * then deterministic only up to boundary vectors within an ulp of two
+  * centroids.
   *
   * Scale design: training touches the corpus `iters` times but each pass is
   * one scan + one (cluster, dim)-keyed aggregation — shuffle rows = k·dim,

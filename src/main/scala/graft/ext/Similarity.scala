@@ -136,10 +136,13 @@ object Similarity {
     * `nPlanes = 0` (the default) to size both knobs from the corpus row
     * count via [[lshParams]] — candidate volume is then
     * Θ(n · targetBucketRows · nTables), linear in the corpus; an explicit
-    * (nPlanes, nTables) is honored verbatim for reproducible configs (the
-    * q35 oracle proof uses (2, 16) on the small test corpus, where
-    * exhaustive-scan DuckDB agreement proves zero false negatives — that
-    * config is NOT sub-quadratic and is only for oracle-scale data).
+    * (nPlanes, nTables) pair is honored verbatim for reproducible configs
+    * (the q35 oracle proof pins (4, 32), where exhaustive-scan DuckDB
+    * agreement proves zero false negatives on the verify corpora — a
+    * loose-threshold config whose candidate coverage is near-total, only
+    * for oracle-scale data). The knobs are all-or-nothing: passing only
+    * one of them is rejected rather than silently mixing an explicit value
+    * with an auto-sized partner.
     *
     * Shuffle discipline: the bucket self-join carries ONLY (table, bucket,
     * id) rows — never vectors; candidates dedupe across tables on (id_a,
@@ -148,8 +151,11 @@ object Similarity {
     * With auto-sized params no step is quadratic in the corpus; candidate
     * growth is asserted in ExtSpec (count-based, not plan-node-based). */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, nPlanes: Int = 0,
-      nTables: Int = 16,
+      nTables: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes >= 0 && nTables >= 0 && (nPlanes > 0) == (nTables > 0),
+      s"pass BOTH nPlanes and nTables explicitly or NEITHER (auto-sizing); " +
+        s"got nPlanes=$nPlanes, nTables=$nTables")
     val (planes, tables) =
       if (nPlanes > 0) (nPlanes, nTables)
       else lshParams(emb.count(), threshold)

@@ -67,12 +67,18 @@ object Skew {
       salt: Option[Column] = None): DataFrame = {
     require(factor > 0 && partial.nonEmpty && finalAggs.nonEmpty)
     val saltCol = salt.getOrElse {
+      // hash only NON-key columns: the group keys are constant within the
+      // hot key by definition, so a keys-only hash would collapse every
+      // hot-key row into one salt bucket — a silent no-op of the exact
+      // mitigation this helper exists for
+      val keySet = keys.toSet
       val hashable = df.schema.fields.collect {
-        case f if isHashable(f.dataType) => col(f.name)
+        case f if !keySet.contains(f.name) && isHashable(f.dataType) => col(f.name)
       }.toSeq
       require(hashable.nonEmpty,
-        "saltedAggregate: every column is map-typed (unhashable); " +
-          "pass an explicit salt column")
+        "saltedAggregate: no hashable non-key column to derive a spreading " +
+          "salt from (value columns are map-typed or absent); pass an " +
+          "explicit salt column")
       pmod(hash(hashable: _*), lit(factor))
     }
     val salted = df.withColumn("__salt", saltCol)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.alerts.AlertManager
-import graft.core.{Catalog, Clock, FixedClock}
+import graft.core.{Catalog, Clock, EventViews, FixedClock}
 import graft.detectors._
 import graft.pipeline.{MonitoringResult, MonitoringRunner}
 
@@ -29,9 +29,14 @@ final case class BatchOutcome(batchId: Long, batchRows: Long, result: Monitoring
   *    100 TB partition it by event date so the detectors' date-window
   *    filters prune partitions instead of scanning history. Per-batch
   *    detector cost is bounded by their trailing windows, not total size.
-  *  - "Now" is EVENT time — the max `ts` ingested so far — so a backfill
-  *    replays with identical decisions, and tests pin the timeline. This is
-  *    the batch-side mirror of the streaming watermark.
+  *  - "Now" defaults to EVENT time — the max `ts` ingested so far — so a
+  *    backfill replays with identical decisions, and tests pin the
+  *    timeline. The trade: an event-time clock cannot see an ingestion
+  *    STALL (if feeds die, "now" freezes with them and the deadline/
+  *    staleness checks never trip). A production deployment watching live
+  *    feeds should pass `clock = Some(SystemClock)` (or any wall clock) —
+  *    then silence itself becomes visible to the freshness/deadline
+  *    checks, at the cost of replay determinism.
   *  - The detector suite itself is the SAME code the daily batch run uses:
   *    one semantics, two execution modes.
   */
@@ -41,7 +46,8 @@ final class MonitoringLoop(
     checkTime: String = "17:00",
     slaTotalRecords: Long = 100000L, slaHours: Double = 4.0,
     maxAgeMinutes: Long = 240L,
-    partitionBy: Seq[String] = Nil) {
+    partitionBy: Seq[String] = Nil,
+    clock: Option[Clock] = None) {
 
   private val runner = new MonitoringRunner(alerts)
   private val outcomeBuf = mutable.ArrayBuffer.empty[BatchOutcome]
@@ -50,60 +56,68 @@ final class MonitoringLoop(
     * always-on loop doesn't grow driver memory with its batch count. */
   val maxOutcomes: Int = 1000
 
-  /** Per-batch results, oldest first (up to [[maxOutcomes]], newest kept). */
-  def outcomes: Seq[BatchOutcome] = outcomeBuf.toSeq
+  /** Per-batch results, oldest first (up to [[maxOutcomes]], newest kept).
+    * Synchronized against the stream-execution thread's appends, so it is
+    * safe to call while the query runs. */
+  def outcomes: Seq[BatchOutcome] = outcomeBuf.synchronized { outcomeBuf.toSeq }
 
-  /** `feed_arrivals` view of the events table (FIXTURES.md mapping). */
-  private def feedView(events: DataFrame): DataFrame = events.select(
-    col("event_type").as("feed_id"),
-    col("ts").as("arrival_time"),
-    col("value").cast("long").as("record_count"))
+  // running event-time high-water mark: the accumulated table is
+  // append-only, so its max(ts) is the max over per-batch maxima —
+  // maintained at O(batch) per tick instead of re-scanning the whole
+  // (unboundedly growing) table every micro-batch
+  private var maxEventTime: Option[java.time.Instant] = None
 
-  /** `daily_revenue` view of the events table (FIXTURES.md mapping). */
-  private def revenueView(events: DataFrame): DataFrame = events.select(
-    col("event_id").cast("string").as("transaction_id"),
-    col("ts").as("transaction_date"),
-    col("value").as("revenue"),
-    col("event_type").as("product_category"),
-    lit("ALL").as("region"),
-    col("user_id").cast("string").as("customer_id"))
-
-  /** Event-time clock: "now" is the latest ingested `ts`. Deterministic
-    * under replay/backfill; an empty table reads as the epoch. */
-  private def eventClock(events: DataFrame): Clock =
-    events.agg(max(col("ts").cast("timestamp"))).head().get(0) match {
-      case t: java.sql.Timestamp => FixedClock(t.toInstant)
-      case _ => FixedClock(java.time.Instant.EPOCH)
-    }
+  /** The loop's "now" for this tick: the configured wall clock if one was
+    * given, else the event-time high-water mark (epoch before any data). */
+  private def tickClock(): Clock = clock.getOrElse(
+    FixedClock(maxEventTime.getOrElse(java.time.Instant.EPOCH)))
 
   /** The foreachBatch body — public so batch jobs and tests can drive the
     * exact same per-tick logic without a streaming source. */
   def runBatch(batch: DataFrame, batchId: Long): MonitoringResult = {
+    // persist so the count, the max-ts probe, and the append execute the
+    // micro-batch source once, not three times
+    batch.persist()
     val rows = batch.count()
+    batch.agg(max(col("ts").cast("timestamp"))).head().get(0) match {
+      case t: java.sql.Timestamp =>
+        if (maxEventTime.forall(_.isBefore(t.toInstant)))
+          maxEventTime = Some(t.toInstant)
+      case _ => ()
+    }
     catalog.append(batch, table, partitionBy)
+    batch.unpersist()
+
     val events = catalog.load(table)
-    val feeds = feedView(events)
-    val revenue = revenueView(events)
-    val clock = eventClock(events)
+    val feeds = EventViews.feedView(events)
+    val revenue = EventViews.revenueView(events)
+    val now = tickClock()
 
     val result = runner.run(
-      feeds = () => new FeedDetector(feeds, clock)
+      feeds = () => new FeedDetector(feeds, now)
         .checkFeedStatus(expectedFeeds, checkTime),
-      revenue = () => new RevenueDetector(revenue, clock)
-        .checkRevenueAnomaly(clock.today),
-      volume = () => new TransactionDetector(feeds, clock, tsCol = "arrival_time")
+      revenue = () => new RevenueDetector(revenue, now)
+        .checkRevenueAnomaly(now.today),
+      volume = () => new TransactionDetector(feeds, now, tsCol = "arrival_time")
         .checkTransactionVolume(hours = 1),
       freshness = () => new FreshnessDetector(
-        Seq((table, feeds, "arrival_time")), clock)
+        Seq((table, feeds, "arrival_time")), now)
         .checkDataFreshness(maxAgeMinutes),
-      patterns = () => new PatternDetector(revenue, clock).checkPatternBreaks(),
-      recon = () => new ReconciliationDetector(clock)
-        .checkReconciliation(revenue, revenue, clock.today.minusDays(1)),
-      sla = () => new SlaDetector(feeds, clock).predictSlaBreach(slaTotalRecords, slaHours),
-      quality = () => new QualityDetector(revenue, clock).checkQualityDegradation())
+      patterns = () => new PatternDetector(revenue, now).checkPatternBreaks(),
+      // self-vs-self reconciliation is REFERENCE PARITY, not an oversight:
+      // the reference's complete DAG reconciles daily_revenue against
+      // itself (dag/financial_monitoring_complete.py:98). Pass a real
+      // source/destination pair via a custom runner for a non-vacuous check.
+      recon = () => new ReconciliationDetector(now)
+        .checkReconciliation(revenue, revenue, now.today.minusDays(1)),
+      sla = () => new SlaDetector(feeds, now).predictSlaBreach(slaTotalRecords, slaHours),
+      quality = () => new QualityDetector(revenue, now).checkQualityDegradation())
 
-    outcomeBuf += BatchOutcome(batchId, rows, result)
-    if (outcomeBuf.size > maxOutcomes) outcomeBuf.remove(0, outcomeBuf.size - maxOutcomes)
+    outcomeBuf.synchronized {
+      outcomeBuf += BatchOutcome(batchId, rows, result)
+      if (outcomeBuf.size > maxOutcomes)
+        outcomeBuf.remove(0, outcomeBuf.size - maxOutcomes)
+    }
     result
   }
 

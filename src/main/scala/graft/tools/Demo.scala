@@ -20,7 +20,9 @@ object Demo {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.core.Sessions.local(8)
 
-    // FIXTURES.md mapping
+    // FIXTURES.md mapping: orders carries real category/region dims so the
+    // richer orders-side projection stays local; the events-side views are
+    // the shared graft.core.EventViews mapping the streaming loop also uses
     val revenue = Q.t(spark, sfDir, "orders").select(
       col("o_orderkey").cast("string").as("transaction_id"),
       col("o_orderdate").cast("timestamp").as("transaction_date"),
@@ -28,10 +30,7 @@ object Demo {
       col("o_orderpriority").as("product_category"),
       col("o_orderstatus").as("region"),
       col("o_custkey").cast("string").as("customer_id"))
-    val feeds = Q.t(spark, sfDir, "events").select(
-      col("event_type").as("feed_id"),
-      col("ts").as("arrival_time"),
-      col("value").cast("long").as("record_count"))
+    val feeds = graft.core.EventViews.feedView(Q.t(spark, sfDir, "events"))
 
     val ordersClock = FixedClock.at("2001-08-01T18:00:00Z")
     val eventsClock = FixedClock.at("2024-01-30T23:59:00Z")

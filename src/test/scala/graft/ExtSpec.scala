@@ -64,7 +64,9 @@ class ExtSpec extends SparkSpec {
   private lazy val edgeDocs = (docs.select($"doc_id", $"text") union Seq(
     (100L, ""), (101L, "   "), (102L, "\tleading tab doc with words"),
     (103L, "trailing newline doc\n"), (104L, "double  space   doc here"),
-    (105L, "short doc"), (106L, "one")).toDF("doc_id", "text"))
+    (105L, "short doc"), (106L, "one"),
+    (107L, null.asInstanceOf[String]), // null text: composable yields [""]
+    (108L, null.asInstanceOf[String])).toDF("doc_id", "text"))
 
   test("ShingleHashes is bit-identical to the composable transform pipeline") {
     val composable = edgeDocs.select($"doc_id",
@@ -220,7 +222,7 @@ class ExtSpec extends SparkSpec {
       (3L, Array(-0.5f, -0.5f, 0.7f))).toDF("vec_id", "embedding")
     val exact = Similarity.nearDupPairs(emb, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.nearDupPairsLsh(emb, threshold = 0.9, nPlanes = 2)
+    val lsh = Similarity.nearDupPairsLsh(emb, threshold = 0.9, nPlanes = 2, nTables = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact == Set((0L, 1L)))
     assert(lsh == exact) // near-identical vectors always share buckets
