@@ -150,6 +150,33 @@ class StreamingSpec extends SparkSpec {
     assert(mem.received.nonEmpty)
   }
 
+  test("MonitoringLoop with a wall clock sees ingestion stalls the event clock hides") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stall").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val am = new AlertManager(FixedClock.at("2024-01-31T20:00:00Z"),
+      Seq(new InMemorySink("slack"), new InMemorySink("log"), new InMemorySink("email")))
+    // feeds died at 10:00; the wall clock reads 20:00 (past the deadline)
+    val wall = FixedClock.at("2024-01-31T20:00:00Z")
+    val loop = new MonitoringLoop(catalog, "monitoring.stalled", am,
+      expectedFeeds = Seq("click"), maxAgeMinutes = 240L, clock = Some(wall))
+    val batch = Seq((1L, ts("2024-01-31T10:00:00Z"), 10L, "click", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = loop.runBatch(batch, 0L)
+    // event-time clock would pin "now" at 10:00 and see a fresh, pre-deadline
+    // world; the wall clock exposes the 10h stall
+    assert(r.freshness.exists(_.isStale))
+    assert(r.feeds.exists(_.missingFeeds.isEmpty)) // click did arrive today
+    // and the same batch under the default event clock reports nothing stale
+    val loopEv = new MonitoringLoop(catalog, "monitoring.stalled2", am,
+      expectedFeeds = Seq("click"), maxAgeMinutes = 240L)
+    val rEv = loopEv.runBatch(batch, 0L)
+    assert(rEv.freshness.exists(!_.isStale))
+  }
+
   test("CurationStream: gates + cross-batch exact dedup within the watermark") {
     import graft.streaming.CurationStream
     implicit val sqlCtx = spark.sqlContext
