@@ -17,7 +17,16 @@ object TextStats {
     * produce empty edge tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  /** Token/stopword/punctuation/character counts as ONE single-pass native
+    * struct (`graft.functions.TextMetrics`): `n_tokens, stops, punct,
+    * n_chars`. Query paths should select this once and derive ratios from
+    * the fields in a following projection — one document walk instead of
+    * one per measure (the HOF stopword filter alone has no codegen).
+    * Bit-identical to the composable forms (ExtSpec equivalence test). */
+  def metrics(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    graft.functions.TextMetrics(text, stopwords)
+
+  def tokenCount(text: Column): Column = metrics(text).getField("n_tokens")
 
   /** The classic chars/4 BPE estimate used when no tokenizer is available. */
   def estBpeTokens(text: Column): Column = ceil(length(text) / 4.0)
@@ -32,24 +41,25 @@ object TextStats {
   def bpeRegexTokens(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeRegex), lit(0))).cast("long")
 
-  /** Punctuation count: strip everything that is not punctuation, measure. */
-  def punctCount(text: Column): Column =
-    length(regexp_replace(text, "[^.!?,;:]", "")).cast("long")
+  /** Punctuation count (chars in `.!?,;:`), via [[metrics]]. */
+  def punctCount(text: Column): Column = metrics(text).getField("punct")
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
-    size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("long")
+    metrics(text, stopwords).getField("stops")
 
   /** Heuristic quality score in the spirit of length/punct/stopword-ratio
     * filters (C4/Gopher-style rules): stopword density minus punctuation
-    * density. Pure arithmetic — kept identical to the oracle SQL. */
+    * density. Arithmetic shape kept identical to the oracle SQL. Prefer
+    * selecting [[metrics]] once and deriving the ratio from its fields in
+    * hot query paths — this convenience form references the struct four
+    * times in one expression. */
   def qualityScore(text: Column): Column = {
-    val words = size(tokens(text))
-    val stopRatio = stopwordCount(text) / words
-    val punctRatio = punctCount(text) / length(text)
-    stopRatio - punctRatio
+    val m = metrics(text)
+    m.getField("stops") / m.getField("n_tokens") -
+      m.getField("punct") / m.getField("n_chars")
   }
 
   /** Per-language stopword/marker sets for the n-gram-free language-ID

@@ -50,18 +50,21 @@ object ExtQ {
           CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_pieces
         FROM documents ORDER BY doc_id""")),
 
-    // Quality scoring: stopword density minus punctuation density.
+    // Quality scoring: stopword density minus punctuation density. The
+    // TextMetrics struct is selected ONCE and ratios derive from its
+    // fields in the next projection — one document walk for all measures.
     "q26_text_quality" -> QueryDef(
-      (s, dir) => {
-        val toks = TextStats.tokens(col("text"))
-        t(s, dir, "documents").select(
-          col("doc_id"),
-          size(toks).cast("long").as("n_words"),
-          (TextStats.stopwordCount(col("text")) / size(toks)).as("stop_ratio"),
-          (TextStats.punctCount(col("text")) / length(col("text"))).as("punct_ratio"),
-          TextStats.qualityScore(col("text")).as("quality_score"))
-          .orderBy("doc_id")
-      },
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextStats.metrics(col("text")).as("m"))
+          .select(
+            col("doc_id"),
+            col("m.n_tokens").as("n_words"),
+            (col("m.stops") / col("m.n_tokens")).as("stop_ratio"),
+            (col("m.punct") / col("m.n_chars")).as("punct_ratio"),
+            (col("m.stops") / col("m.n_tokens") -
+              col("m.punct") / col("m.n_chars")).as("quality_score"))
+          .orderBy("doc_id"),
       Some("""
         WITH d AS (
           SELECT doc_id, text,
@@ -292,8 +295,12 @@ object ExtQ {
         val scored = t(s, dir, "documents").select(
             col("doc_id"), col("text"),
             TextStats.langGuess(col("text")).as("lang_guess"),
-            TextStats.tokenCount(col("text")).as("n_tokens"),
-            TextStats.qualityScore(col("text")).as("quality_score"))
+            TextStats.metrics(col("text")).as("m"))
+          .select(
+            col("doc_id"), col("text"), col("lang_guess"),
+            col("m.n_tokens").as("n_tokens"),
+            (col("m.stops") / col("m.n_tokens") -
+              col("m.punct") / col("m.n_chars")).as("quality_score"))
           .filter(col("lang_guess") === "en")
           .filter(col("n_tokens").between(5, 5000))
           .filter(col("quality_score") > 0.0)

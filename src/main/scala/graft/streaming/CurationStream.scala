@@ -33,8 +33,12 @@ object CurationStream {
     docs
       .withWatermark(tsCol, watermark)
       .withColumn("lang_guess", TextStats.langGuess(col(textCol)))
-      .withColumn("n_tokens", TextStats.tokenCount(col(textCol)))
-      .withColumn("quality_score", TextStats.qualityScore(col(textCol)))
+      .withColumn("__m", TextStats.metrics(col(textCol)))
+      .withColumn("n_tokens", col("__m.n_tokens"))
+      .withColumn("quality_score",
+        col("__m.stops") / col("__m.n_tokens") -
+          col("__m.punct") / col("__m.n_chars"))
+      .drop("__m")
       .filter(col("lang_guess") === lang)
       .filter(col("n_tokens").between(minTokens, maxTokens))
       .filter(col("quality_score") > minQuality)

@@ -68,6 +68,24 @@ class ExtSpec extends SparkSpec {
     (107L, null.asInstanceOf[String]), // null text: composable yields [""]
     (108L, null.asInstanceOf[String])).toDF("doc_id", "text"))
 
+  test("TextMetrics struct is bit-identical to the composable measure pipeline") {
+    // the four pre-native expressions, inlined
+    val toks = split(trim($"text"), "\\s+")
+    val composable = edgeDocs.select($"doc_id",
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => t.isin(TextStats.EnglishStopwords: _*)))
+        .cast("long").as("stops"),
+      length(regexp_replace($"text", "[^.!?,;:]", "")).cast("long").as("punct"),
+      length($"text").cast("long").as("n_chars"))
+      .orderBy("doc_id").collect()
+      .map(r => (1 to 4).map(i => if (r.isNullAt(i)) null else r.getLong(i)))
+    val native = edgeDocs.select($"doc_id", TextStats.metrics($"text").as("m"))
+      .select($"doc_id", $"m.n_tokens", $"m.stops", $"m.punct", $"m.n_chars")
+      .orderBy("doc_id").collect()
+      .map(r => (1 to 4).map(i => if (r.isNullAt(i)) null else r.getLong(i)))
+    assert(native.toSeq == composable.toSeq)
+  }
+
   test("ShingleHashes is bit-identical to the composable transform pipeline") {
     val composable = edgeDocs.select($"doc_id",
       transform(Dedup.shingles($"text", 3), s => xxhash64(s)).as("sh"))
