@@ -102,6 +102,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("native text expressions are bit-identical to composable forms on random text") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Dedup, TextStats}
+    // random strings over an alphabet heavy in whitespace variety, marker
+    // words, stopwords, punctuation, and CJK — one Spark job over the
+    // whole sample, comparing native vs composable columns row by row
+    val pieces = Seq(" ", "\t", "\n", "  ", "the", "la", "und", "fox", "a.b",
+      "...", "!?", "中文", "x", "Words", "of", "que", ";")
+    val rnd = new scala.util.Random(23)
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString)
+    }
+    val df = texts.toDF("id", "text")
+    val toks = split(trim($"text"), "\\s+")
+    val compared = df.select(
+      $"id",
+      // TextMetrics vs its four composable measures
+      TextStats.metrics($"text").as("m"),
+      size(toks).cast("long").as("c_tokens"),
+      size(filter(toks, t => t.isin(TextStats.EnglishStopwords: _*))).cast("long").as("c_stops"),
+      length(regexp_replace($"text", "[^.!?,;:]", "")).cast("long").as("c_punct"),
+      length($"text").cast("long").as("c_chars"),
+      // ShingleHashes vs the transform pipeline
+      Dedup.shingleHashes($"text", 3).as("n_sh"),
+      transform(Dedup.shingles($"text", 3), s => xxhash64(s)).as("c_sh"),
+      // LangId vs the composable vote
+      TextStats.langGuess($"text").as("n_lang"),
+      TextStats.langGuessComposable($"text").as("c_lang"))
+      .collect()
+    compared.foreach { r =>
+      val m = r.getStruct(r.fieldIndex("m"))
+      assert(m.getLong(0) == r.getLong(r.fieldIndex("c_tokens")), s"tokens@${r.getLong(0)}")
+      assert(m.getLong(1) == r.getLong(r.fieldIndex("c_stops")), s"stops@${r.getLong(0)}")
+      assert(m.getLong(2) == r.getLong(r.fieldIndex("c_punct")), s"punct@${r.getLong(0)}")
+      assert(m.getLong(3) == r.getLong(r.fieldIndex("c_chars")), s"chars@${r.getLong(0)}")
+      assert(r.getSeq[Long](r.fieldIndex("n_sh")) == r.getSeq[Long](r.fieldIndex("c_sh")),
+        s"shingles@${r.getLong(0)}")
+      assert(r.getString(r.fieldIndex("n_lang")) == r.getString(r.fieldIndex("c_lang")),
+        s"lang@${r.getLong(0)}")
+    }
+  }
+
   test("double-dot healing is idempotent and dot-run-collapsing") {
     val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     forAllN(Gen.zip(token, token, Gen.chooseNum(2, 5)), 100) { case (a, b, dots) =>
