@@ -38,7 +38,7 @@ object Bench {
     // the neighbor. Identical data and plans both runs — nothing is cached
     // between them beyond the OS page cache, which a warm re-read shares
     // with every other query here anyway.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -25,9 +25,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, d) => k -> d.spark }
 
+  /** The benchmark subset: registry entries minus proof-only configurations
+    * (entries whose deliberately exhaustive parameters exist to certify
+    * correctness against an oracle, with a production-shaped twin carrying
+    * the benched form). Correctness (Verify) always runs the full registry. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    all.collect { case (k, d) if d.bench => k -> d.spark }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (engine-hash-based minhash/simhash/LSH/langid) → rows-only check. */
   def oracleSql: Map[String, String] =
-    all.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql.trim }
+    all.collect { case (k, d) if d.oracle.isDefined => k -> d.oracle.get.trim }
 }

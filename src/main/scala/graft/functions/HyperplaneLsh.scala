@@ -51,21 +51,51 @@ case class HyperplaneLsh(child: Expression, nPlanes: Int, nTables: Int, planeOff
     h2.toInt.toDouble / 4294967296.0
   }
 
+  /** Plane components memoized per expression instance: hashing is a pure
+    * function of (plane, dim), so recomputing two Murmur3 rounds per
+    * component per ROW (nPlanes·nTables·dim·2 hash calls each) would
+    * dominate the scan. Built lazily at the first row's dimensionality and
+    * rebuilt only if a wider vector appears; rows are indexed with the
+    * matrix's own stride so a concurrent rebuild (benign race — every build
+    * writes identical values) can never misalign a reader. */
+  @transient private var planeCache: Array[Double] = _
+
+  private def planeMatrix(dims: Int): Array[Double] = {
+    val rows = nPlanes * nTables
+    var c = planeCache
+    if (c == null || c.length < rows * dims) {
+      c = new Array[Double](rows * dims)
+      var r = 0
+      while (r < rows) {
+        var i = 0
+        while (i < dims) {
+          c(r * dims + i) = component((planeOffset + r).toLong, i.toLong)
+          i += 1
+        }
+        r += 1
+      }
+      planeCache = c
+    }
+    c
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val n = vec.numElements()
+    val mat = planeMatrix(n)
+    val stride = mat.length / (nPlanes * nTables)
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
       var bucket = 0L
       var p = 0
       while (p < nPlanes) {
-        val plane = (planeOffset + t * nPlanes + p).toLong
+        val base = (t * nPlanes + p) * stride
         var proj = 0.0
         var i = 0
         while (i < n) {
           val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-          proj += v * component(plane, i.toLong)
+          proj += v * mat(base + i)
           i += 1
         }
         bucket = (bucket << 1) | (if (proj >= 0) 1L else 0L)

@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     spark: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    bench: Boolean = true)
 
 object Q {
   /** Load one of the driver test tables (TESTDATA.md).

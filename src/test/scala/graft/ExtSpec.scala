@@ -311,6 +311,34 @@ class ExtSpec extends SparkSpec {
     assert(c512.toDouble / c256 < 3.2, s"growth ${c512.toDouble / c256}")
   }
 
+  test("q46 pinned tight config (10 planes, 64 tables) prunes AND recalls fully") {
+    // Mirror of the q46 corpus shape: random base vectors plus an additive
+    // near-dup twin per vector (v + c), which lands twin pairs around the
+    // 0.9 tight threshold without making them identical-direction (a scaled
+    // twin would trivially share every sign bucket and prove nothing).
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 400L).map(i => (i, Array.fill(32)(rnd.nextGaussian())))
+    val twins = base.map { case (i, v) => (i + 1000000L, v.map(_ + 0.25)) }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val n = 800L
+
+    // Pruning: the pinned config's candidate volume is the sparse-bucket
+    // model (~tables/2^planes = 6% of the pair space), nothing like the
+    // near-total coverage of the loose q35 pin.
+    val cand = Similarity.lshCandidates(corpus, nPlanes = 10, nTables = 64).count()
+    val allPairs = n * (n - 1) / 2
+    assert(cand < allPairs * 0.15, s"candidates $cand of $allPairs pairs — no pruning")
+
+    // Full recall: the LSH result at the pinned config equals the exact
+    // all-pairs scan above the tight threshold, pair for pair.
+    val exact = Similarity.nearDupPairs(corpus, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(corpus, 0.9, nPlanes = 10, nTables = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "tight-threshold corpus planted no pairs — vacuous test")
+    assert(lsh == exact, s"LSH missed ${(exact -- lsh).size} pairs, extra ${(lsh -- exact).size}")
+  }
+
   test("Multimodal: payload plumbing, stub decode batch shape, frame sampling") {
     val media = Multimodal.fromDocuments(
       docs.withColumn("source", lit("srcX")).withColumn("n_chars", length($"text")))
