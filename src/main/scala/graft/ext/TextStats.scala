@@ -100,8 +100,19 @@ object TextStats {
   }
 
   /** Polynomial rolling-hash fingerprint over tokens (content-defined doc
-    * fingerprint). Modulus keeps the accumulator bounded (ANSI-safe). */
-  def fingerprint(text: Column): Column =
+    * fingerprint). Modulus keeps the accumulator bounded (ANSI-safe).
+    *
+    * Routed through the single-pass native [[graft.functions.DocFingerprint]]
+    * expression: one walk of the document's bytes feeding a reused CRC32,
+    * instead of an interpreted `aggregate` HOF re-evaluating a boxed
+    * crc32/encode/pmod tree per token. Bit-identical to
+    * [[fingerprintComposable]] (equivalence test in ExtSpec). */
+  def fingerprint(text: Column): Column = graft.functions.DocFingerprint(text)
+
+  /** The original composable form of [[fingerprint]] — kept as the
+    * reference-semantics twin for equivalence testing of the native
+    * expression. */
+  def fingerprintComposable(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),

@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hyperplaneLshFunction)
     ext.injectFunction(GraftExtensions.shingleHashesFunction)
     ext.injectFunction(GraftExtensions.minhashFunction)
+    ext.injectFunction(GraftExtensions.docFingerprintFunction)
   }
 }
 
@@ -47,6 +48,11 @@ object GraftExtensions {
     case Seq(h, k) => MinHashK(h, intLit(k, "graft_minhash"))
     case _ => throw new IllegalArgumentException(
       "graft_minhash expects (shingle_hashes, k)")
+  }
+
+  private def docFingerprintBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => DocFingerprint(a)
+    case _ => throw new IllegalArgumentException("graft_doc_fingerprint expects exactly 1 argument")
   }
 
   private def intLit(e: Expression, fn: String): Int =
@@ -96,6 +102,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashK].getName, "graft_minhash"),
     minhashBuilder _)
 
+  val docFingerprintFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_doc_fingerprint"),
+    new ExpressionInfo(classOf[DocFingerprint].getName, "graft_doc_fingerprint"),
+    docFingerprintBuilder _)
+
   /** Idempotent per-session registration for SQL-string use. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -105,5 +116,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_hyperplane_lsh", lshBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes", shingleBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_doc_fingerprint", docFingerprintBuilder, "built-in")
   }
 }

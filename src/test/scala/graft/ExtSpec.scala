@@ -51,6 +51,26 @@ class ExtSpec extends SparkSpec {
     both.foreach(r => assert(r.getString(0) == r.getString(1), s"mismatch: $r"))
   }
 
+  test("DocFingerprint native expression is equivalent to the composable form") {
+    // Edge cases: empty / all-space / all-separator inputs (leading and
+    // trailing empty tokens), non-space ASCII whitespace at the edges after
+    // the space-only trim, NON-ASCII whitespace (U+00A0 is NOT a Java \s
+    // separator — must stay inside its token), multi-byte UTF-8, and
+    // adjacent separator runs.
+    val edge = Seq(
+      "", " ", "   ", "\t", "\t\n ", "a", " a ", "a  b", "\ta\tb\t",
+      "a b c", "中文 漢字 test", "émojis 🎉 and ümlauts", "one",
+      "trailing space ", " leading", "a\u00A0b", "a\nb\rc\fde",
+      "the quick brown fox. the quick brown fox!")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = edge.union(docs.select($"doc_id" + 100L, $"text"))
+      .select(
+        TextStats.fingerprint($"text").as("native"),
+        TextStats.fingerprintComposable($"text").as("composable"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r"))
+  }
+
   test("Dedup.exactClusters keys by digest; dropExactDuplicates keeps one") {
     val clusters = Dedup.exactClusters(docs).collect()
     assert(clusters.length == 1 && clusters.head.getAs[Long]("n_docs") == 2)
