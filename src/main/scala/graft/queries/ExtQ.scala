@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.ext._
 import graft.ops._
@@ -347,8 +349,20 @@ object ExtQ {
           .filter(col("n_tokens").between(5, 5000))
           .filter(col("quality_score") > 0.0)
           .withColumn("fp", md5(col("text").cast("binary")))
-        val keepers = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        val exactKept = scored.join(keepers, Seq("fp", "doc_id"))
+        // Exact-dedup keepers via a keyed window min instead of the former
+        // groupBy + self-join on (fp, doc_id): one shuffle on fp, no second
+        // documents lineage. The surviving stage is then PERSISTED because
+        // two branches still consume it (the near-dup shingle pass and the
+        // final anti-join) — without it each branch would re-run the
+        // documents scan + LangId + TextMetrics lineage, and at 100 TB a
+        // curation job must materialize between stages (MEMORY_AND_DISK so
+        // an executor-memory shortfall spills instead of recomputing).
+        val exactKept = scored
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+          .filter(col("doc_id") === col("keep_id"))
+          .drop("keep_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val dropB = Dedup.nearDupPairs(exactKept, shingleN = 3, threshold = 0.3)
           .select(col("doc_b").as("doc_id")).distinct()
         exactKept.join(dropB, Seq("doc_id"), "left_anti")

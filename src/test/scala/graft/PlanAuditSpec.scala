@@ -32,4 +32,30 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("q44 curation pipeline scans documents once (persisted stage reused)") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = SparkEntry.queries("q44_curation_pipeline")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // Every consumer branch (near-dup shingle pass a/b sides, final
+    // anti-join) must read the persisted exact-dedup stage, not re-derive
+    // it from parquet: the optimized plan may reference documents ONLY
+    // through InMemoryRelation leaves — the single parquet scan lives
+    // inside the cached plan and runs once on cache miss. (The physical
+    // tree hides under AQE and the printed plan repeats cached subtrees,
+    // so neither supports a reliable count.)
+    val cachedReads = plan.collect { case r: InMemoryRelation => r }
+    assert(cachedReads.nonEmpty, "no cached stage in q44's plan")
+    val uncachedDocScans = plan.collect {
+      case l: LogicalRelation if (l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.mkString(",").contains("documents.parquet")
+        case _ => false
+      }) => l
+    }
+    assert(uncachedDocScans.isEmpty,
+      s"${uncachedDocScans.length} uncached documents scans — stage recomputed")
+  }
 }
