@@ -54,6 +54,11 @@ final class Catalog(spark: SparkSession, root: String) {
     load(ns, t)
   }
 
+  def exists(ref: String): Boolean = {
+    val (ns, t) = parseRef(ref)
+    exists(ns, t)
+  }
+
   /** Overwrite write with schema evolution, mirroring the reference's
     * `allowFieldAddition`/`allowFieldRelaxation` + CREATE_IF_NEEDED
     * (`scripts/transform_script:17-24`). `mergeSchema` makes readers union

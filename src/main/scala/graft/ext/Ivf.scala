@@ -80,31 +80,72 @@ object Ivf {
       vecCol: String = "embedding"): DataFrame =
     emb.withColumn("cluster", NearestCentroid(col(vecCol), centroids))
 
-  /** IVF top-k: probe only the `nProbe` cells nearest the query vector,
-    * exact-rerank by cosine inside them. Same output shape/ordering as
-    * [[Similarity.bruteForceTopK]]; recall vs that baseline is measured in
-    * ExtSpec. */
-  def ivfTopK(emb: DataFrame, centroids: Array[Array[Double]], queryId: Long,
-      k: Int, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol)).head()
-    val qv = toVec(qRow, 0)
-    def l2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (l2(qv, c), i) }.sorted.take(nProbe).map(_._2).toSeq
-    assign(emb, centroids, vecCol)
-      .filter(col("cluster").isin(probes: _*))
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** The `nProbe` cluster indices nearest `qv` (L2 to centroid, index
+    * tie-break via the tuple sort). */
+  private def nearestClusters(qv: Array[Double], centroids: Array[Array[Double]],
+      nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) => (l2(qv, c), i) }
+      .sorted.take(nProbe).map(_._2).toSeq
+
+  /** Exact-cosine rerank of `cells` against `queryId`'s vector, top-k. */
+  private def rerank(cells: DataFrame, source: DataFrame, queryId: Long, k: Int,
+      idCol: String, vecCol: String): DataFrame =
+    cells
       .crossJoin(broadcast(
-        emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))))
+        source.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
         round(Similarity.cosine(col(vecCol), col("qv")), 6).as("cosine_sim"))
       .orderBy(desc("cosine_sim"), col(idCol))
       .limit(k)
+
+  /** Empty (idCol, cosine_sim) result — the degraded shape every sibling
+    * top-k returns when the queryId is absent. */
+  private def emptyTopK(emb: DataFrame, idCol: String): DataFrame =
+    emb.select(col(idCol), lit(0.0d).as("cosine_sim")).limit(0)
+
+  /** IVF top-k: probe only the `nProbe` cells nearest the query vector,
+    * exact-rerank by cosine inside them. Same output shape/ordering as
+    * [[Similarity.bruteForceTopK]]; recall vs that baseline is measured in
+    * ExtSpec. A missing `queryId` degrades to an empty result, like every
+    * sibling top-k. */
+  def ivfTopK(emb: DataFrame, centroids: Array[Array[Double]], queryId: Long,
+      k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
+    if (qRows.isEmpty) return emptyTopK(emb, idCol)
+    val probes = nearestClusters(toVec(qRows(0), 0), centroids, nProbe)
+    rerank(
+      assign(emb, centroids, vecCol).filter(col("cluster").isin(probes: _*)),
+      emb, queryId, k, idCol, vecCol)
+  }
+
+  /** IVF top-k over a CLUSTER-PARTITIONED corpus — the 100 TB probe path.
+    *
+    * `clustered` must carry a stored `cluster` column, i.e. the corpus was
+    * written once via `Catalog.save(Ivf.assign(emb, cents), ref,
+    * partitionBy = Seq("cluster"))` and re-loaded. The probe filter then
+    * hits the PARTITION column, so the parquet scan prunes to the nProbe
+    * cell directories (`PartitionFilters` in the plan; pruning is
+    * plan-asserted in ExtSpec) instead of scanning the corpus and
+    * recomputing assignments — the classic IVF inverted-file lookup,
+    * expressed as Spark partition pruning. Results are identical to
+    * [[ivfTopK]] on the same corpus + centroids (also test-asserted). */
+  def ivfTopKPartitioned(clustered: DataFrame, centroids: Array[Array[Double]],
+      queryId: Long, k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRows = clustered.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
+    if (qRows.isEmpty) return emptyTopK(clustered, idCol)
+    val probes = nearestClusters(toVec(qRows(0), 0), centroids, nProbe)
+    rerank(
+      clustered.filter(col("cluster").isin(probes: _*)),
+      clustered, queryId, k, idCol, vecCol)
   }
 }

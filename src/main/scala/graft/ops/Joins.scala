@@ -38,14 +38,32 @@ object Joins {
     *
     * Keys are compared as strings on both build and probe sides, making the
     * helper type-agnostic. `approxExpectedKeys` sizes the filter (overshoot
-    * is cheap; undershoot only raises the fpp). */
+    * is cheap; undershoot only raises the fpp).
+    *
+    * The probe is Spark's native [[org.apache.spark.sql.catalyst.expressions.
+    * BloomFilterMightContain]] over `xxhash64(key)` with the serialized
+    * filter inlined as a binary literal — the same expression pair the
+    * runtime-filter optimizer injects, and fully codegen'd, unlike the
+    * Scala udf + driver broadcast it replaces (the repo's last udf). A null
+    * key hashes to null and might_contain(null) is null, so null-keyed
+    * arrivals are dropped exactly as the old `k != null &&` probe did. */
   def missingKeysBloom(expected: DataFrame, arrived: DataFrame, key: String,
       approxExpectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = expected.select(col(key).cast("string").as(key))
-      .stat.bloomFilter(key, approxExpectedKeys, fpp)
-    val bc = expected.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: String) => k != null && bc.value.mightContainString(k))
-    missingKeys(expected, arrived.filter(might(col(key).cast("string"))), key)
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(approxExpectedKeys, fpp)
+    val buildAgg = GraftColumnBridge.column(
+      new BloomFilterAggregate(
+        GraftColumnBridge.expression(xxhash64(col(key).cast("string"))),
+        Literal(approxExpectedKeys), Literal(numBits)).toAggregateExpression())
+    val filterBytes = expected.agg(buildAgg).head().getAs[Array[Byte]](0)
+    val probe = GraftColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(filterBytes, BinaryType),
+      GraftColumnBridge.expression(xxhash64(col(key).cast("string")))))
+    missingKeys(expected, arrived.filter(probe), key)
   }
 
   /** Today-vs-baseline keyed deviation (J1/J2 + P10): left join today's

@@ -47,7 +47,9 @@ final class MonitoringLoop(
     slaTotalRecords: Long = 100000L, slaHours: Double = 4.0,
     maxAgeMinutes: Long = 240L,
     partitionBy: Seq[String] = Nil,
-    clock: Option[Clock] = None) {
+    clock: Option[Clock] = None,
+    dedupKeys: Seq[String] = Nil,
+    reconDest: Option[String] = None) {
 
   private val runner = new MonitoringRunner(alerts)
   private val outcomeBuf = mutable.ArrayBuffer.empty[BatchOutcome]
@@ -72,6 +74,37 @@ final class MonitoringLoop(
   private def tickClock(): Clock = clock.getOrElse(
     FixedClock(maxEventTime.getOrElse(java.time.Instant.EPOCH)))
 
+  /** Fault-injection hook for the crash-replay test: when set, [[runBatch]]
+    * throws once AFTER the ingest append but BEFORE the micro-batch's
+    * offset commit — the at-least-once window a plain append double-ingests
+    * through on restart. */
+  private[graft] var crashAfterAppendOnce: Boolean = false
+
+  /** Ingest one micro-batch. With `dedupKeys` set the append is EXACTLY-
+    * once: rows are tagged with the micro-batch id, the table is
+    * additionally partitioned by that tag, and a replayed batch (crash
+    * between append and offset commit) anti-joins away whatever its crashed
+    * attempt already committed — including rows from a PARTIAL append,
+    * since the comparison is per key, not per batch. Mirrors the
+    * reference's idempotent WRITE_TRUNCATE transform semantics
+    * (scripts/transform_script:17-24) in append-only form. At scale the
+    * batch-id partition keeps the replay probe to one partition directory's
+    * worth of IO, and the one-batch prior side broadcasts. */
+  private def ingest(batch: DataFrame, batchId: Long): Unit =
+    if (dedupKeys.isEmpty) catalog.append(batch, table, partitionBy)
+    else {
+      val tagged = batch.withColumn("__batch_id", lit(batchId))
+      val fresh =
+        if (!catalog.exists(table)) tagged
+        else {
+          val prior = catalog.load(table)
+            .filter(col("__batch_id") === batchId)
+            .select(dedupKeys.map(col): _*)
+          tagged.join(broadcast(prior), dedupKeys, "left_anti")
+        }
+      catalog.append(fresh, table, partitionBy :+ "__batch_id")
+    }
+
   /** The foreachBatch body — public so batch jobs and tests can drive the
     * exact same per-tick logic without a streaming source. */
   def runBatch(batch: DataFrame, batchId: Long): MonitoringResult = {
@@ -85,8 +118,12 @@ final class MonitoringLoop(
           maxEventTime = Some(t.toInstant)
       case _ => ()
     }
-    catalog.append(batch, table, partitionBy)
+    ingest(batch, batchId)
     batch.unpersist()
+    if (crashAfterAppendOnce) {
+      crashAfterAppendOnce = false
+      throw new RuntimeException("injected crash between append and offset commit")
+    }
 
     val events = catalog.load(table)
     val feeds = EventViews.feedView(events)
@@ -104,12 +141,19 @@ final class MonitoringLoop(
         Seq((table, feeds, "arrival_time")), now)
         .checkDataFreshness(maxAgeMinutes),
       patterns = () => new PatternDetector(revenue, now).checkPatternBreaks(),
-      // self-vs-self reconciliation is REFERENCE PARITY, not an oversight:
+      // With `reconDest` set, yesterday's ingested revenue reconciles
+      // against that destination table (the real src-vs-dst check: a
+      // downstream copy that dropped rows raises a discrepancy alert).
+      // WITHOUT it, self-vs-self is REFERENCE PARITY, not an oversight:
       // the reference's complete DAG reconciles daily_revenue against
-      // itself (dag/financial_monitoring_complete.py:98). Pass a real
-      // source/destination pair via a custom runner for a non-vacuous check.
-      recon = () => new ReconciliationDetector(now)
-        .checkReconciliation(revenue, revenue, now.today.minusDays(1)),
+      // itself (dag/financial_monitoring_complete.py:98).
+      recon = () => {
+        val dst = reconDest.filter(catalog.exists)
+          .map(r => EventViews.revenueView(catalog.load(r)))
+          .getOrElse(revenue)
+        new ReconciliationDetector(now)
+          .checkReconciliation(revenue, dst, now.today.minusDays(1))
+      },
       sla = () => new SlaDetector(feeds, now).predictSlaBreach(slaTotalRecords, slaHours),
       quality = () => new QualityDetector(revenue, now).checkQualityDegradation())
 
@@ -126,11 +170,12 @@ final class MonitoringLoop(
     * keeps it running on `interval`.
     *
     * Pass `checkpoint` for restart durability: offsets commit after each
-    * batch, so a restarted job resumes at the first unprocessed batch. The
-    * ingest append is then effectively at-least-once (a batch that crashed
-    * between append and commit re-appends on restart) — at scale,
-    * deduplicate on a batch-id/event-id key downstream or write through an
-    * ACID table format; alert dedup already absorbs replays by design. */
+    * batch, so a restarted job resumes at the first unprocessed batch. A
+    * plain append is then at-least-once (a batch that crashed between
+    * append and commit re-appends on restart); construct the loop with
+    * `dedupKeys` (e.g. `Seq("event_id")`) to make ingest EXACTLY-once —
+    * [[ingest]] drops a replayed batch's already-committed rows by
+    * (batch id, key). Alert dedup absorbs replays either way. */
   def start(stream: DataFrame, queryName: String = "graft_monitoring_loop",
       continuous: Boolean = false, interval: String = "1 minute",
       checkpoint: Option[String] = None): StreamingQuery = {

@@ -252,6 +252,40 @@ class ExtSpec extends SparkSpec {
     assert(Ivf.assign(emb, cents).filter($"cluster" === assigned(3L)).count() == 20)
   }
 
+  test("Ivf: missing queryId degrades to empty; partitioned probe prunes to nProbe cells") {
+    val rnd = new scala.util.Random(5)
+    def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val emb = ((0L until 20L).map(i => (i, near(Array(1.0f, 0.0f, 0.0f, 0.0f)))) ++
+      (20L until 40L).map(i => (i, near(Array(0.0f, 1.0f, 0.0f, 0.0f)))) ++
+      (40L until 60L).map(i => (i, near(Array(0.0f, 0.0f, 1.0f, 0.0f)))))
+      .toDF("vec_id", "embedding")
+    val cents = Ivf.trainCentroids(emb, k = 3, iters = 4)
+
+    // a missing queryId degrades to an empty sibling-shaped result, no throw
+    val missing = Ivf.ivfTopK(emb, cents, queryId = 9999L, k = 5)
+    assert(missing.columns.toSeq == Seq("vec_id", "cosine_sim"))
+    assert(missing.count() == 0)
+
+    // cluster-partitioned write + reload: the probe filter hits the stored
+    // partition column and the scan reads ONLY the nProbe cell directories
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    catalog.save(Ivf.assign(emb, cents), "vectors.clustered", partitionBy = Seq("cluster"))
+    val clustered = catalog.load("vectors.clustered")
+    val pruned = Ivf.ivfTopKPartitioned(clustered, cents, queryId = 3L, k = 5, nProbe = 2)
+    val full = Ivf.ivfTopK(emb, cents, queryId = 3L, k = 5, nProbe = 2)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      full.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "no partition-filtered scan in the pruned probe plan")
+    assert(scans.exists(_.selectedPartitions.partitionCount == 2),
+      s"scan read ${scans.map(_.selectedPartitions.partitionCount)} partitions, want nProbe=2")
+    assert(Ivf.ivfTopKPartitioned(clustered, cents, 9999L, 5).count() == 0)
+  }
+
   test("Similarity.nearDupPairsLsh finds true near-dups through bucket pruning") {
     val emb = Seq(
       (0L, Array(1.0f, 0.01f, 0.0f)),

@@ -150,6 +150,97 @@ class StreamingSpec extends SparkSpec {
     assert(mem.received.nonEmpty)
   }
 
+  test("MonitoringLoop exactly-once ingest survives a crash between append and commit") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-eo").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val am = new AlertManager(FixedClock.at("2024-01-31T18:00:00Z"),
+      Seq(new InMemorySink("log")))
+    val loop = new MonitoringLoop(catalog, "monitoring.eo", am,
+      expectedFeeds = Seq("click"), dedupKeys = Seq("event_id"))
+    val checkpoint = Some(s"$root/chk")
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // batch 0 commits cleanly
+    var q = loop.start(stream, continuous = true, interval = "1 second",
+      checkpoint = checkpoint)
+    input.addData((1L, ts("2024-01-31T17:30:00Z"), 10L, "click", 5.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch 1 crashes AFTER its append lands but BEFORE the offset commit —
+    // the window in which a plain append double-ingests on restart
+    loop.crashAfterAppendOnce = true
+    q = loop.start(stream, continuous = true, interval = "1 second",
+      checkpoint = checkpoint)
+    input.addData(
+      (2L, ts("2024-01-31T17:40:00Z"), 11L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-31T17:45:00Z"), 12L, "click", 3.0, "{}"))
+    intercept[Throwable] { q.processAllAvailable(); q.awaitTermination() }
+    // the crashed attempt really did commit its rows first
+    assert(catalog.load("monitoring.eo").count() == 3)
+
+    // restart from the same checkpoint: batch 1 replays, and the
+    // (batch id, event_id) anti-join drops the already-committed rows
+    q = loop.start(stream, continuous = true, interval = "1 second",
+      checkpoint = checkpoint)
+    q.processAllAvailable()
+    q.stop()
+    val ingested = catalog.load("monitoring.eo")
+    assert(ingested.count() == 3, "replayed batch double-ingested")
+    assert(ingested.select("event_id").distinct().count() == 3)
+  }
+
+  test("MonitoringLoop reconciles against a real destination table when given one") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-recon").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val mem = new InMemorySink("slack")
+    val am = new AlertManager(FixedClock.at("2024-01-31T18:00:00Z"),
+      Seq(mem, new InMemorySink("log")))
+    val loop = new MonitoringLoop(catalog, "monitoring.recon_src", am,
+      expectedFeeds = Seq("click"), reconDest = Some("monitoring.recon_dst"))
+
+    // yesterday's events (Jan 30); the downstream copy DROPPED event 3
+    val day1 = Seq(
+      (1L, ts("2024-01-30T10:00:00Z"), 10L, "click", 5.0, "{}"),
+      (2L, ts("2024-01-30T11:00:00Z"), 11L, "click", 3.0, "{}"),
+      (3L, ts("2024-01-30T12:00:00Z"), 12L, "click", 2.0, "{}"))
+    catalog.save(day1.take(2).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props"),
+      "monitoring.recon_dst")
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = loop.start(stream, continuous = true, interval = "1 second")
+    // ingest yesterday's 3 events plus a today (Jan 31) marker so the
+    // event-time clock puts "yesterday" on the reconciled date
+    input.addData(day1 :+ (4L, ts("2024-01-31T09:00:00Z"), 13L, "click", 1.0, "{}"): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val rc = loop.outcomes.last.result.recon
+    assert(rc.isDefined, loop.outcomes.last.result.report)
+    assert(!rc.get.isReconciled)
+    assert(rc.get.sourceCount == 3 && rc.get.destCount == 2)
+    assert(rc.get.discrepancy == 1L)
+    assert(rc.get.hourlyBreakdown.exists(h => h.hour == 12L && h.diff == 1L))
+    // the discrepancy dispatched a reconciliation alert
+    assert(mem.received.exists(_._1.alertType == "reconciliation"))
+  }
+
   test("MonitoringLoop with a wall clock sees ingestion stalls the event clock hides") {
     import graft.alerts.{AlertManager, InMemorySink}
     import graft.core.FixedClock
