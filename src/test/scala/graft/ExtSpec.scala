@@ -211,6 +211,11 @@ class ExtSpec extends SparkSpec {
         Dedup.shingleHashes(lit("the quick brown fox jumps"), 3), 8))
       .head().getSeq[Long](0)
     assert(viaSql == viaCols && viaSql.size == 8)
+    // doc fingerprint in SQL agrees with the column form
+    assert(spark.sql("SELECT graft_doc_fingerprint('the quick brown fox')")
+      .head().getLong(0) ==
+      spark.range(1).select(TextStats.fingerprint(lit("the quick brown fox")))
+        .head().getLong(0))
   }
 
   test("Similarity: ANN buckets are deterministic and recall is measurable") {

@@ -129,7 +129,10 @@ class PropertiesSpec extends SparkSpec {
       transform(Dedup.shingles($"text", 3), s => xxhash64(s)).as("c_sh"),
       // LangId vs the composable vote
       TextStats.langGuess($"text").as("n_lang"),
-      TextStats.langGuessComposable($"text").as("c_lang"))
+      TextStats.langGuessComposable($"text").as("c_lang"),
+      // DocFingerprint vs the composable rolling-hash fold
+      TextStats.fingerprint($"text").as("n_fp"),
+      TextStats.fingerprintComposable($"text").as("c_fp"))
       .collect()
     compared.foreach { r =>
       val m = r.getStruct(r.fieldIndex("m"))
@@ -141,6 +144,8 @@ class PropertiesSpec extends SparkSpec {
         s"shingles@${r.getLong(0)}")
       assert(r.getString(r.fieldIndex("n_lang")) == r.getString(r.fieldIndex("c_lang")),
         s"lang@${r.getLong(0)}")
+      assert(r.getLong(r.fieldIndex("n_fp")) == r.getLong(r.fieldIndex("c_fp")),
+        s"fingerprint@${r.getLong(0)}")
     }
   }
 
