@@ -43,6 +43,11 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        // queries that persist() an internal stage leave it in the cache
+        // manager keyed by logical plan — without this, their SECOND run
+        // would read the first run's cache and min-of-2 would report a
+        // warm-cache time instead of the query
+        spark.sharedState.cacheManager.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())

@@ -108,7 +108,14 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    // Both the band table and the shingle-hash table feed TWO consumers
+    // each (the a/b sides of the candidate self-join; the doc_a/doc_b
+    // verify joins). Without materialization each side re-runs the
+    // documents scan + shingle + signature lineage — the text would be
+    // walked four times per invocation. The persisted rows are narrow
+    // (ids + longs), exactly what a 100 TB job would stage between passes.
     val bk = minhashTable(docs, textCol, idCol, shingleN, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
     val b = bk.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
@@ -117,6 +124,7 @@ object Dedup {
       .distinct()
     val sh = docs.select(col(idCol),
       shingleHashes(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

@@ -48,31 +48,38 @@ object Ivf {
   def trainCentroids(emb: DataFrame, k: Int, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
     require(k >= 1 && iters >= 1)
-    // seed: the k vectors with smallest hashed id — a deterministic
-    // pseudo-random sample, independent of row order and partitioning
-    var cents: Array[Array[Double]] = emb
-      .select(col(vecCol), xxhash64(col(idCol)).as("h"))
-      .orderBy("h").limit(k)
-      .collect().map(toVec(_, 0))
-    var it = 0
-    while (it < iters) {
-      // elementwise means per cluster: explode to (cluster, dim, value),
-      // aggregate — k·dim result rows regardless of corpus size
-      val sums = emb
-        .select(NearestCentroid(col(vecCol), cents).as("cluster"),
-          posexplode(col(vecCol)))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val byCluster = sums.groupBy(_.getInt(0))
-      cents = cents.zipWithIndex.map { case (prev, c) =>
-        byCluster.get(c)
-          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
-          .getOrElse(prev)
+    // training issues iters+1 actions over the same projection — persist
+    // for its duration (and release after: the function is fully
+    // materialized, so the cache has no live consumers once it returns)
+    val proj = emb.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed: the k vectors with smallest hashed id — a deterministic
+      // pseudo-random sample, independent of row order and partitioning
+      var cents: Array[Array[Double]] = proj
+        .select(col(vecCol), xxhash64(col(idCol)).as("h"))
+        .orderBy("h").limit(k)
+        .collect().map(toVec(_, 0))
+      var it = 0
+      while (it < iters) {
+        // elementwise means per cluster: explode to (cluster, dim, value),
+        // aggregate — k·dim result rows regardless of corpus size
+        val sums = proj
+          .select(NearestCentroid(col(vecCol), cents).as("cluster"),
+            posexplode(col(vecCol)))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .collect()
+        val byCluster = sums.groupBy(_.getInt(0))
+        cents = cents.zipWithIndex.map { case (prev, c) =>
+          byCluster.get(c)
+            .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+            .getOrElse(prev)
+        }
+        it += 1
       }
-      it += 1
-    }
-    cents
+      cents
+    } finally proj.unpersist(blocking = false)
   }
 
   /** Cluster assignment column for writing/bucketing the corpus. */

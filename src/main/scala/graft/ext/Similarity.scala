@@ -116,10 +116,13 @@ object Similarity {
     * property), not just the absence of a CartesianProduct plan node. */
   def lshCandidates(emb: DataFrame, nPlanes: Int, nTables: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the bucket table feeds both sides of the self-join — materialize so
+    // the corpus scan + nPlanes·nTables hyperplane projections run once
     val buckets = emb
       .select(col(idCol),
         posexplode(graft.functions.HyperplaneLsh(col(vecCol), nPlanes, nTables)))
       .toDF(idCol, "tbl", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
     val b = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("tbl", "bucket"))
