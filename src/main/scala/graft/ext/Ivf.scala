@@ -148,6 +148,11 @@ object Ivf {
   def ivfTopKPartitioned(clustered: DataFrame, centroids: Array[Array[Double]],
       queryId: Long, k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(clustered.columns.contains("cluster"),
+      "ivfTopKPartitioned requires a stored 'cluster' column — write the " +
+        "corpus once via Catalog.save(Ivf.assign(emb, centroids), ref, " +
+        "partitionBy = Seq(\"cluster\")) and pass the re-loaded table " +
+        "(use ivfTopK for an unpartitioned corpus)")
     val qRows = clustered.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
     if (qRows.isEmpty) return emptyTopK(clustered, idCol)
     val probes = nearestClusters(toVec(qRows(0), 0), centroids, nProbe)

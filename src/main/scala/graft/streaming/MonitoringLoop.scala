@@ -97,7 +97,15 @@ final class MonitoringLoop(
       val fresh =
         if (!catalog.exists(table)) tagged
         else {
-          val prior = catalog.load(table)
+          val existing = catalog.load(table)
+          // fail loudly rather than corrupt the layout: parquet partition
+          // discovery cannot mix this mode's __batch_id=N directories with
+          // a plain append's flat files in one table root
+          require(existing.columns.contains("__batch_id"),
+            s"exactly-once ingest into '$table' requires a table previously " +
+              "written in exactly-once mode (no __batch_id partition column " +
+              "found); start from a fresh table or drop dedupKeys")
+          val prior = existing
             .filter(col("__batch_id") === batchId)
             .select(dedupKeys.map(col): _*)
           tagged.join(broadcast(prior), dedupKeys, "left_anti")

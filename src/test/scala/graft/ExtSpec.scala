@@ -289,6 +289,13 @@ class ExtSpec extends SparkSpec {
     assert(scans.exists(_.selectedPartitions.partitionCount == 2),
       s"scan read ${scans.map(_.selectedPartitions.partitionCount)} partitions, want nProbe=2")
     assert(Ivf.ivfTopKPartitioned(clustered, cents, 9999L, 5).count() == 0)
+
+    // an unclustered corpus is rejected with a clear message, not a
+    // confusing unresolved-column analysis error
+    val e = intercept[IllegalArgumentException] {
+      Ivf.ivfTopKPartitioned(emb, cents, 3L, 5)
+    }
+    assert(e.getMessage.contains("cluster"))
   }
 
   test("Similarity.nearDupPairsLsh finds true near-dups through bucket pruning") {

@@ -196,6 +196,22 @@ class StreamingSpec extends SparkSpec {
     val ingested = catalog.load("monitoring.eo")
     assert(ingested.count() == 3, "replayed batch double-ingested")
     assert(ingested.select("event_id").distinct().count() == 3)
+
+    // switching an existing plain-append table to exactly-once mode is
+    // rejected loudly: mixing __batch_id=N partition directories with flat
+    // files would corrupt parquet partition discovery
+    catalog.save(
+      Seq((9L, ts("2024-01-31T10:00:00Z"), 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "monitoring.plain")
+    val plainLoop = new MonitoringLoop(catalog, "monitoring.plain", am,
+      expectedFeeds = Seq("click"), dedupKeys = Seq("event_id"))
+    val err = intercept[IllegalArgumentException] {
+      plainLoop.runBatch(
+        Seq((10L, ts("2024-01-31T11:00:00Z"), 2L, "click", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), 0L)
+    }
+    assert(err.getMessage.contains("__batch_id"))
   }
 
   test("MonitoringLoop reconciles against a real destination table when given one") {
