@@ -66,6 +66,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k neighbours for a BATCH of query ids in ONE corpus pass.
+    *
+    * The per-query form ([[bruteForceTopK]]) plans a global
+    * TakeOrderedAndProject — right for one query, but m queries would mean
+    * m corpus scans. Here the m query vectors broadcast, every corpus row
+    * scores against all of them in the scan stage, and the per-query top-k
+    * reduces through [[graft.functions.TopKAgg]] — a bounded typed
+    * Aggregator whose map-side partial aggregation sends at most
+    * k·partitions rows per query through the shuffle instead of the n·m
+    * scored rows a `row_number()` window would move (the difference between
+    * a working plan and an impossible one at 100 TB). The typed aggregation
+    * costs one object conversion per scored row; the comparator (score
+    * DESC, id ASC) is a total order, so results are identical on any
+    * partitioning — equality with the window form is test-pinned. */
+  def bruteForceTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("id"),
+        round(cosine(col(vecCol), col("qv")), 6).as("score"))
+    topKPerQuery(scored, k, idCol)
+  }
+
+  /** ANN variant of [[bruteForceTopKBatch]]: corpus and queries bucket
+    * under the same hyperplanes, and each query scores only its bucket's
+    * corpus rows (~n/2^nPlanes of the scan) before the same bounded top-k
+    * reduction. Recall vs the exact batch is measured in ExtSpec. */
+  def annTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int, nPlanes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+    val queries = bucketed.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+    val scored = bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("id"),
+        round(cosine(col(vecCol), col("qv")), 6).as("score"))
+    topKPerQuery(scored, k, idCol)
+  }
+
+  /** (query_id, id, score) rows → k best per query via the bounded
+    * Aggregator, flattened back to a DataFrame with deterministic order. */
+  private def topKPerQuery(scored: DataFrame, k: Int, idCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => graft.functions.Scored(id, s) }
+      .agg(graft.functions.TopK.column(k))
+      .flatMap { case (q, hits) => hits.map(h => (q, h.id, h.score)) }
+      .toDF("query_id", idCol, "cosine_sim")
+      .orderBy(col("query_id"), desc("cosine_sim"), col(idCol))
+  }
+
   /** All near-duplicate pairs above a cosine threshold (embedding-space
     * near-dup dedup). Exact form is the O(n²) self-join — acceptable for
     * oracle checks; the scale path buckets both sides with [[lshBucket]]

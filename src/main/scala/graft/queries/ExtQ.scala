@@ -428,6 +428,36 @@ object ExtQ {
         val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
         Ivf.ivfTopK(emb, cents, queryId = 0L, k = 10, nProbe = 3)
       },
+      None),
+
+    // BATCHED exact top-k: 8 query vectors, one corpus pass, per-query
+    // top-10 through the bounded TopKAgg (map-side partial top-k — the
+    // shuffle carries k rows per query per partition, never the n·m scored
+    // rows a row_number window would move). The oracle IS that window
+    // form in DuckDB, so a hash-match proves the partial-agg reduction
+    // returns exactly the window's rows, ties and all.
+    "q47_embedding_topk_batch" -> QueryDef(
+      (s, dir) => Similarity.bruteForceTopKBatch(
+        t(s, dir, "embeddings"), queryIds = (0L until 8L), k = 10),
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT q.query_id, e.vec_id,
+                round(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+              FROM e, q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+              FROM s)
+        SELECT query_id, vec_id, cosine_sim FROM r WHERE rn <= 10
+        ORDER BY query_id, cosine_sim DESC, vec_id""")),
+
+    // BATCHED ANN: same queries, but each scores only its hyperplane
+    // bucket's corpus rows before the bounded top-k reduction (engine
+    // buckets => rows-only; recall vs q47 is asserted in ExtSpec).
+    "q48_ann_topk_batch" -> QueryDef(
+      (s, dir) => Similarity.annTopKBatch(
+        t(s, dir, "embeddings"), queryIds = (0L until 8L), k = 10, nPlanes = 2),
       None)
   )
 }

@@ -257,6 +257,30 @@ class ExtSpec extends SparkSpec {
     assert(Ivf.assign(emb, cents).filter($"cluster" === assigned(3L)).count() == 20)
   }
 
+  test("batched top-k equals per-query exact results and is partitioning-invariant") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val qids = Seq(0L, 1L, 2L)
+    val batch = Similarity.bruteForceTopKBatch(emb, qids, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the single-query TakeOrdered form is the reference semantics
+    val perQuery = qids.flatMap(q =>
+      Similarity.bruteForceTopK(emb, q, 5).collect()
+        .map(r => (q, r.getLong(0), r.getDouble(1))))
+    assert(batch == perQuery)
+    // the bounded-heap partial aggregation must not depend on row layout
+    val again = Similarity.bruteForceTopKBatch(emb.repartition(13), qids, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again == batch)
+    // ANN batch trades recall for bucket pruning, measurably
+    val ann = Similarity.annTopKBatch(emb, qids, 5, nPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.nonEmpty)
+    val recall = ann.intersect(batch.map(t => (t._1, t._2)).toSet).size.toDouble / batch.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("Ivf: missing queryId degrades to empty; partitioned probe prunes to nProbe cells") {
     val rnd = new scala.util.Random(5)
     def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)

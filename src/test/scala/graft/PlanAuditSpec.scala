@@ -12,12 +12,14 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  // 1-row-broadcast probes: exact top-k / ANN / IVF against a single query
-  // vector, and scalar-CTE cross joins — BNLJ with a 1-row build side
+  // bounded-broadcast probes: exact top-k / ANN / IVF against a single
+  // query vector, scalar-CTE cross joins, and the batched top-k whose
+  // build side is the (few, explicit) query vectors — BNLJ with an O(1)-
+  // row build side is a map-side probe, not a pair blow-up
   private val oneRowBroadcastOk = Set(
     "q10_revenue_zscore", "q13_same_hour_baseline", "q20_quality_cross",
     "q31_embedding_cosine_topk", "q32_ann_lsh_topk", "q39_approx_distinct",
-    "q43_ivf_topk")
+    "q43_ivf_topk", "q47_embedding_topk_batch")
 
   test("no registry query plans a CartesianProduct; BNLJ only on 1-row probes") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
