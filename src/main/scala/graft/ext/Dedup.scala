@@ -148,8 +148,11 @@ object Dedup {
     * same-bucket docs join), verify hamming ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxHamming: Int = 12): DataFrame = {
+    // both self-join sides consume the signature table — materialize so
+    // the documents scan + simhash runs once (same staging as nearDupPairs)
     val sh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
       .withColumn("bucket", shiftright(col("sh"), 48))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.select(col("bucket"), col(idCol).as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("bucket"), col(idCol).as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("bucket"))
