@@ -29,8 +29,18 @@ final case class Scored(id: Long, score: Double)
 final class TopKAgg(k: Int) extends Aggregator[Scored, Array[Scored], Seq[Scored]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Total order matching Spark's and DuckDB's DESC sort semantics for
+    * doubles: NaN sorts as the LARGEST value (plain `>` would make NaN
+    * never-better, leaving its placement dependent on which partition it
+    * arrived from), and -0.0 equals 0.0 (`Double.compare` alone would rank
+    * them, diverging from the engines' normalized comparison right at a
+    * k-boundary tie). */
+  private def better(a: Scored, b: Scored): Boolean = {
+    val as = if (a.score == 0.0) 0.0 else a.score
+    val bs = if (b.score == 0.0) 0.0 else b.score
+    val c = java.lang.Double.compare(as, bs)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Array[Scored] = Array.empty
 

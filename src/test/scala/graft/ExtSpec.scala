@@ -257,6 +257,28 @@ class ExtSpec extends SparkSpec {
     assert(Ivf.assign(emb, cents).filter($"cluster" === assigned(3L)).count() == 20)
   }
 
+  test("TopKAgg handles NaN, signed zero, and ties like the engines' DESC sort") {
+    import graft.functions.{Scored, TopKAgg}
+    val agg = new TopKAgg(3)
+    def run(xs: Seq[Scored]): Seq[Long] =
+      agg.finish(xs.foldLeft(agg.zero)(agg.reduce)).map(_.id)
+    // NaN sorts largest (Spark/DuckDB semantics), regardless of arrival order
+    val withNaN = Seq(Scored(1, 0.5), Scored(2, Double.NaN), Scored(3, 0.9))
+    assert(run(withNaN) == Seq(2L, 3L, 1L))
+    assert(run(withNaN.reverse) == Seq(2L, 3L, 1L))
+    // -0.0 ties with 0.0 and the id breaks it, on either arrival order
+    assert(run(Seq(Scored(5, -0.0), Scored(4, 0.0))) == Seq(4L, 5L))
+    assert(run(Seq(Scored(4, 0.0), Scored(5, -0.0))) == Seq(4L, 5L))
+    // merge of partial buffers equals the single-pass reduction
+    val all = Seq(Scored(1, 0.1), Scored(2, 0.9), Scored(3, 0.9),
+      Scored(4, 0.5), Scored(5, 0.7))
+    val (l, r) = all.splitAt(2)
+    val merged = agg.finish(agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+    assert(merged.map(_.id) == run(all))
+    assert(merged.map(_.id) == Seq(2L, 3L, 5L))
+  }
+
   test("batched top-k equals per-query exact results and is partitioning-invariant") {
     val rnd = new scala.util.Random(11)
     val emb = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
