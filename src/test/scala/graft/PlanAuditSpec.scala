@@ -60,4 +60,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(uncachedDocScans.isEmpty,
       s"${uncachedDocScans.length} uncached documents scans — stage recomputed")
   }
+
+  test("q47 batched top-k reduces partially before the shuffle") {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    // the TopKAgg claim is structural: a partial ObjectHashAggregate below
+    // the exchange and a final one above it — NOT one window over all
+    // scored rows (sparkPlan is pre-AQE, so the tree is traversable)
+    val plan = SparkEntry.queries("q47_embedding_topk_batch")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val aggs = plan.collect {
+      case a if a.nodeName.contains("ObjectHashAggregate") => a
+    }
+    assert(aggs.size >= 2, s"expected partial+final aggregate pair:\n$plan")
+    assert(plan.collect { case w if w.nodeName.contains("Window") => w }.isEmpty,
+      "batched top-k fell back to a window over all scored rows")
+  }
 }
