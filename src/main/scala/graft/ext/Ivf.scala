@@ -101,15 +101,19 @@ object Ivf {
     centroids.zipWithIndex.map { case (c, i) => (l2(qv, c), i) }
       .sorted.take(nProbe).map(_._2).toSeq
 
-  /** Exact-cosine rerank of `cells` against `queryId`'s vector, top-k. */
+  /** Exact-cosine rerank of `cells` against `queryId`'s vector, top-k.
+    * The query's squared norm rides the 1-row broadcast so each probed row
+    * costs two dots, not three (values bit-identical). */
   private def rerank(cells: DataFrame, source: DataFrame, queryId: Long, k: Int,
       idCol: String, vecCol: String): DataFrame =
     cells
       .crossJoin(broadcast(
-        source.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))))
+        source.filter(col(idCol) === queryId)
+          .select(col(vecCol).as("qv"), Similarity.norm2(col(vecCol)).as("n2q"))))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
-        round(Similarity.cosine(col(vecCol), col("qv")), 6).as("cosine_sim"))
+        round(Similarity.cosinePre(col(vecCol), col("qv"), col("n2q")), 6)
+          .as("cosine_sim"))
       .orderBy(desc("cosine_sim"), col(idCol))
       .limit(k)
 

@@ -31,15 +31,29 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** [[cosine]] with one side's squared norm precomputed. Pair-scoring
+    * paths project `norm2(vec)` once per VECTOR and feed it here, so each
+    * scored pair costs one dot product instead of three — the values are
+    * bit-identical (same IEEE operations in the same order; `norm2` is the
+    * same left-to-right fold whether evaluated per pair or per row). */
+  def cosinePre(a: Column, b: Column, n2b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(n2b))
+
+  /** [[cosine]] with BOTH squared norms precomputed — one dot per pair. */
+  def cosinePre2(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    dot(a, b) / (sqrt(n2a) * sqrt(n2b))
+
   /** Exact top-k neighbours of the vector belonging to `queryId`.
     * The 1-row query side is broadcast; ordering is by rounded score with an
     * id tie-break for determinism. */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), norm2(col(vecCol)).as("n2q"))
     emb.crossJoin(broadcast(qv))
       .filter(col(idCol) =!= queryId)
-      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("cosine_sim"))
+      .select(col(idCol),
+        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("cosine_sim"))
       .orderBy(desc("cosine_sim"), col(idCol))
       .limit(k)
   }
@@ -58,10 +72,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
     val qv = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), col("bucket"))
+      .select(col(vecCol).as("qv"), norm2(col(vecCol)).as("n2q"), col("bucket"))
     bucketed.join(broadcast(qv), Seq("bucket"))
       .filter(col(idCol) =!= queryId)
-      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("cosine_sim"))
+      .select(col(idCol),
+        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("cosine_sim"))
       .orderBy(desc("cosine_sim"), col(idCol))
       .limit(k)
   }
@@ -83,11 +98,12 @@ object Similarity {
   def bruteForceTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val queries = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm2(col(vecCol)).as("n2q"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("id"),
-        round(cosine(col(vecCol), col("qv")), 6).as("score"))
+        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("score"))
     topKPerQuery(scored, k, idCol)
   }
 
@@ -99,11 +115,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
     val queries = bucketed.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm2(col(vecCol)).as("n2q"), col("bucket"))
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("id"),
-        round(cosine(col(vecCol), col("qv")), 6).as("score"))
+        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("score"))
     topKPerQuery(scored, k, idCol)
   }
 
@@ -127,12 +144,15 @@ object Similarity {
     * first (same trick as [[Dedup.nearDupPairs]]). */
   def nearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      norm2(col(vecCol)).as("n2_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      norm2(col(vecCol)).as("n2_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 6).as("cosine_sim"))
+        round(cosinePre2(col("v_a"), col("v_b"), col("n2_a"), col("n2_b")), 6)
+          .as("cosine_sim"))
       .filter(col("cosine_sim") > threshold)
       .orderBy(desc("cosine_sim"), col("id_a"), col("id_b"))
   }
@@ -218,12 +238,17 @@ object Similarity {
       if (nPlanes > 0) (nPlanes, nTables)
       else lshParams(emb.count(), threshold)
     val candidates = lshCandidates(emb, planes, tables, idCol, vecCol)
-    val v = emb.select(col(idCol), col(vecCol))
+    // squared norms ride the per-vector projection, so the rerank costs
+    // one dot per candidate pair instead of three (values bit-identical)
+    val v = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("n2"))
     candidates
-      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
-      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
+      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+        col("n2").as("n2_a")), Seq("id_a"))
+      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+        col("n2").as("n2_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 6).as("cosine_sim"))
+        round(cosinePre2(col("v_a"), col("v_b"), col("n2_a"), col("n2_b")), 6)
+          .as("cosine_sim"))
       .filter(col("cosine_sim") > threshold)
       .orderBy(desc("cosine_sim"), col("id_a"), col("id_b"))
   }
