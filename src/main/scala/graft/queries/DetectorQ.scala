@@ -93,7 +93,11 @@ object DetectorQ {
             col("current_total"), col("baseline_value").as("baseline_avg"),
             // std_dev's sum-of-squares exceeds 2^53 in decimal units, so the
             // int128/BigDecimal -> double conversion may differ by 1 ulp
-            // between engines; fixed-decimal rounding absorbs it.
+            // between engines; fixed-decimal rounding absorbs it. (The
+            // oracle squares DECIMAL(19,2), not 18: DuckDB keeps an 18x18
+            // multiply in int64 and overflows at sf>=0.1 daily totals,
+            // while width 19 forces its exact int128 path — same value.
+            // Spark's own decimal multiply widens automatically.)
             round(col("std_dev"), 4).as("std_dev"),
             col("median_value"), col("min_value"), col("max_value"),
             col("sample_size"), round(col("z_score"), 6).as("z_score"),
@@ -108,7 +112,7 @@ object DetectorQ {
           GROUP BY 1),
         m AS (
           SELECT CAST(SUM(CAST(daily_total AS DECIMAL(18,2))) AS DOUBLE) AS s,
-            CAST(SUM(CAST(daily_total AS DECIMAL(18,2)) * CAST(daily_total AS DECIMAL(18,2))) AS DOUBLE) AS q,
+            CAST(SUM(CAST(daily_total AS DECIMAL(19,2)) * CAST(daily_total AS DECIMAL(19,2))) AS DOUBLE) AS q,
             COUNT(daily_total) AS n,
             quantile_cont(daily_total, 0.5) AS median_value,
             MIN(daily_total) AS min_value, MAX(daily_total) AS max_value
@@ -429,7 +433,7 @@ object DetectorQ {
         w AS (
           SELECT d, daily_total,
             CAST(SUM(CAST(daily_total AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s,
-            CAST(SUM(CAST(daily_total AS DECIMAL(18,2)) * CAST(daily_total AS DECIMAL(18,2))) OVER win AS DOUBLE) AS q,
+            CAST(SUM(CAST(daily_total AS DECIMAL(19,2)) * CAST(daily_total AS DECIMAL(19,2))) OVER win AS DOUBLE) AS q,
             COUNT(daily_total) OVER win AS baseline_n
           FROM daily
           WINDOW win AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
@@ -514,7 +518,7 @@ object DetectorQ {
         w AS (
           SELECT category, d, daily_total,
             CAST(SUM(CAST(daily_total AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s,
-            CAST(SUM(CAST(daily_total AS DECIMAL(18,2)) * CAST(daily_total AS DECIMAL(18,2))) OVER win AS DOUBLE) AS q,
+            CAST(SUM(CAST(daily_total AS DECIMAL(19,2)) * CAST(daily_total AS DECIMAL(19,2))) OVER win AS DOUBLE) AS q,
             COUNT(daily_total) OVER win AS baseline_n
           FROM daily
           WINDOW win AS (PARTITION BY category ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
