@@ -7,13 +7,12 @@ For each query result parquet under <verify_out_dir>, runs the matching
 oracle SQL from oracle_sql.json in DuckDB (tables = <sf_dir>/*.parquet
 registered by name) and compares: schema (column names sorted), row count,
 and cell values in row order (floats compared exactly AND with tolerance so
-we can tell hash-breaking diffs from representation noise).
+we can tell hash-breaking diffs from representation noise). A query whose
+oracle SQL itself errors (e.g. an engine-specific overflow at larger SF)
+is recorded as a failure and the sweep continues.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
-
-def norm(v):
-    return v
 
 def cmp_cell(a, b):
     if a is None and b is None:
@@ -32,6 +31,39 @@ def cmp_cell(a, b):
         return False, d
     return a == b, (0.0 if a == b else float("inf"))
 
+def check_one(con, outdir, oracle, name):
+    """Returns True when the query passes (or is rows-only)."""
+    got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+    if name not in oracle:
+        print(f"  {name:32s} rows-only: {len(got.fetchall())} rows")
+        return True
+    want = con.sql(oracle[name])
+    gcols, wcols = sorted(got.columns), sorted(want.columns)
+    if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
+        print(f"! {name:32s} SCHEMA MISMATCH spark={gcols} oracle={wcols}")
+        return False
+    grows = [tuple(r[got.columns.index(c)] for c in gcols) for r in got.fetchall()]
+    wrows = [tuple(r[want.columns.index(c)] for c in wcols) for r in want.fetchall()]
+    if len(grows) != len(wrows):
+        print(f"! {name:32s} ROWCOUNT spark={len(grows)} oracle={len(wrows)}")
+        return False
+    bad = []
+    worst = 0.0
+    for i, (gr, wr) in enumerate(zip(grows, wrows)):
+        for j, (a, b) in enumerate(zip(gr, wr)):
+            ok, d = cmp_cell(a, b)
+            if not ok:
+                worst = max(worst, d if d == d else float("inf"))
+                if len(bad) < 3:
+                    bad.append((i, gcols[j], a, b, d))
+    if bad:
+        print(f"! {name:32s} {len(bad)}+ CELL DIFFS (worst rel={worst:.2e})")
+        for i, c, a, b, d in bad:
+            print(f"      row {i} col {c}: spark={a!r} oracle={b!r} rel={d:.2e}")
+        return False
+    print(f"  {name:32s} OK ({len(grows)} rows)")
+    return True
+
 def main(outdir, sfdir):
     con = duckdb.connect()
     for tbl in ["region","nation","customer","supplier","part","orders",
@@ -39,41 +71,14 @@ def main(outdir, sfdir):
         con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sfdir}/{tbl}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
-    import os
     names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
     for name in names:
-        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        if name not in oracle:
-            print(f"  {name:32s} rows-only: {len(got.fetchall())} rows")
-            continue
-        want = con.sql(oracle[name])
-        gcols, wcols = sorted(got.columns), sorted(want.columns)
-        if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
-            print(f"! {name:32s} SCHEMA MISMATCH spark={gcols} oracle={wcols}")
+        try:
+            if not check_one(con, outdir, oracle, name):
+                failures += 1
+        except Exception as e:
+            print(f"! {name:32s} ORACLE ERROR: {e}")
             failures += 1
-            continue
-        grows = [tuple(r[got.columns.index(c)] for c in gcols) for r in got.fetchall()]
-        wrows = [tuple(r[want.columns.index(c)] for c in wcols) for r in want.fetchall()]
-        if len(grows) != len(wrows):
-            print(f"! {name:32s} ROWCOUNT spark={len(grows)} oracle={len(wrows)}")
-            failures += 1
-            continue
-        bad = []
-        worst = 0.0
-        for i, (gr, wr) in enumerate(zip(grows, wrows)):
-            for j, (a, b) in enumerate(zip(gr, wr)):
-                ok, d = cmp_cell(a, b)
-                if not ok:
-                    worst = max(worst, d if d == d else float("inf"))
-                    if len(bad) < 3:
-                        bad.append((i, gcols[j], a, b, d))
-        if bad:
-            print(f"! {name:32s} {len(bad)}+ CELL DIFFS (worst rel={worst:.2e})")
-            for i, c, a, b, d in bad:
-                print(f"      row {i} col {c}: spark={a!r} oracle={b!r} rel={d:.2e}")
-            failures += 1
-        else:
-            print(f"  {name:32s} OK ({len(grows)} rows)")
     print(f"\n{'FAIL' if failures else 'ALL OK'}: {failures} failing / {len(names)} queries")
     return 1 if failures else 0
 
