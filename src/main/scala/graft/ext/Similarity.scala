@@ -230,13 +230,20 @@ object Similarity {
     * growth is asserted in ExtSpec (count-based, not plan-node-based). */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, nPlanes: Int = 0,
       nTables: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetRecall: Double = 0.98): DataFrame = {
     require(nPlanes >= 0 && nTables >= 0 && (nPlanes > 0) == (nTables > 0),
       s"pass BOTH nPlanes and nTables explicitly or NEITHER (auto-sizing); " +
         s"got nPlanes=$nPlanes, nTables=$nTables")
+    // targetRecall is the honest knob of the approximation: at the default
+    // 0.98, ~2% of pairs sitting exactly AT the threshold can drop (e.g.
+    // the sf0.1 driver corpus recovers 142/144 = 98.6% of loose-threshold
+    // pairs, matching the target; the sf0.01 oracle corpora happen to have
+    // full recall). Dial 0.999 when completeness beats cost — tables (and
+    // candidate volume) grow roughly with log(1 - recall).
     val (planes, tables) =
       if (nPlanes > 0) (nPlanes, nTables)
-      else lshParams(emb.count(), threshold)
+      else lshParams(emb.count(), threshold, targetRecall)
     val candidates = lshCandidates(emb, planes, tables, idCol, vecCol)
     // squared norms ride the per-vector projection, so the rerank costs
     // one dot per candidate pair instead of three (values bit-identical)

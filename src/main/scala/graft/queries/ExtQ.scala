@@ -302,7 +302,11 @@ object ExtQ {
     // production configuration whose candidate volume stays linear in the
     // corpus. Benched to show the sizing live at sf0.1; correctness is
     // checked against the same exhaustive-pair oracle as q35 (full recall
-    // of the auto config on the verify corpora).
+    // of the auto config on the verify corpora). Beyond them the default
+    // 0.98 recall target means threshold-GRAZING pairs can drop by design:
+    // the sf0.1 corpus (not oracle-gated) measures 142/144 = 98.6%,
+    // matching the target; callers needing completeness pass
+    // targetRecall = 0.999 (test-asserted to reach full recall there).
     "q42_embedding_neardup_auto" -> QueryDef(
       (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.45),
       Some("""

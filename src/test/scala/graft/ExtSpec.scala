@@ -423,6 +423,31 @@ class ExtSpec extends SparkSpec {
     assert(c512.toDouble / c256 < 3.2, s"growth ${c512.toDouble / c256}")
   }
 
+  test("nearDupPairsLsh targetRecall is a real knob: 0.999 recovers grazing pairs") {
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory)
+    // the sf0.1 corpus is the one place the driver's oracle never looks:
+    // 144 true pairs at threshold 0.45, two of them threshold-grazing
+    // enough to drop at the default 0.98 recall target
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.nearDupPairs(emb, 0.45))
+    val dflt = pairs(Similarity.nearDupPairsLsh(emb, 0.45))
+    val high = pairs(Similarity.nearDupPairsLsh(emb, 0.45, targetRecall = 0.999))
+    // the exact rerank means zero false positives at any recall target
+    assert(dflt.subsetOf(exact) && high.subsetOf(exact))
+    // default target holds its promise on this corpus
+    assert(dflt.size >= math.floor(exact.size * 0.98).toInt - 1,
+      s"default recall ${dflt.size}/${exact.size}")
+    // the higher target buys the missing pairs (deterministic planes)
+    assert(dflt.subsetOf(high))
+    assert(high == exact, s"0.999 target missed ${(exact -- high).size} of ${exact.size}")
+    // and it pays with more tables, as documented
+    val (_, tDflt) = Similarity.lshParams(2000, 0.45)
+    val (_, tHigh) = Similarity.lshParams(2000, 0.45, 0.999)
+    assert(tHigh > tDflt)
+  }
+
   test("q46 pinned tight config (10 planes, 64 tables) prunes AND recalls fully") {
     // Mirror of the q46 corpus shape: random base vectors plus an additive
     // near-dup twin per vector (v + c), which lands twin pairs around the
