@@ -81,6 +81,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN top-k (classic multi-probe LSH): probe the query's own
+    * bucket PLUS the buckets reached by flipping its lowest-|projection|
+    * sign bits, in margin order. A vector near a hyperplane is the one whose
+    * true neighbours sit on the other side — flipping that (cheap-to-know)
+    * bit recovers them without paying for more tables or shallower buckets.
+    * `nProbe` counts probed buckets (1 = plain [[annTopK]] semantics; capped
+    * at nPlanes+1 single-bit flips). The probe set derives DRIVER-side from
+    * [[graft.functions.HyperplaneLsh.projections]] — the same deterministic
+    * plane family the expression folds, bit-identity test-pinned — so no
+    * extra job runs; the corpus keeps one bucket column and the scan prunes
+    * to nProbe buckets (the same filter a cluster would partition-prune on).
+    * Recall-vs-probes monotonicity is measured in ExtSpec. */
+  def annTopKMultiProbe(emb: DataFrame, queryId: Long, k: Int, nPlanes: Int = 4,
+      nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
+    if (qRows.isEmpty)
+      return emb.select(col(idCol), lit(0.0d).as("cosine_sim")).limit(0)
+    val qv = qRows(0).getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
+    val projs = graft.functions.HyperplaneLsh.projections(qv, nPlanes)
+    val base = graft.functions.HyperplaneLsh.bucketOf(projs)
+    val flipOrder = projs.zipWithIndex.sortBy { case (p, _) => math.abs(p) }
+    val probes = (base +: flipOrder.map { case (_, p) =>
+      base ^ (1L << (nPlanes - 1 - p))
+    }).take(math.max(1, nProbe)).toSeq
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), norm2(col(vecCol)).as("n2q"))
+    emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+      .filter(col("bucket").isin(probes: _*))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("cosine_sim"))
+      .orderBy(desc("cosine_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Exact top-k neighbours for a BATCH of query ids in ONE corpus pass.
     *
     * The per-query form ([[bruteForceTopK]]) plans a global

@@ -45,11 +45,8 @@ case class HyperplaneLsh(child: Expression, nPlanes: Int, nTables: Int, planeOff
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  private def component(plane: Long, dim: Long): Double = {
-    val h1 = Murmur3HashFunction.hash(plane, LongType, 42L)
-    val h2 = Murmur3HashFunction.hash(dim, LongType, h1)
-    h2.toInt.toDouble / 4294967296.0
-  }
+  private def component(plane: Long, dim: Long): Double =
+    HyperplaneLsh.component(plane, dim)
 
   /** Plane components memoized per expression instance: hashing is a pure
     * function of (plane, dim), so recomputing two Murmur3 rounds per
@@ -115,4 +112,37 @@ object HyperplaneLsh {
   def apply(vec: Column, nPlanes: Int, nTables: Int, planeOffset: Int = 0): Column =
     GraftColumnBridge.column(
       HyperplaneLsh(GraftColumnBridge.expression(vec), nPlanes, nTables, planeOffset))
+
+  /** The deterministic plane family, shared verbatim by the expression and
+    * by driver-side callers (multi-probe bucket derivation needs per-plane
+    * projections of ONE query vector — no reason to launch a job for it). */
+  private[graft] def component(plane: Long, dim: Long): Double = {
+    val h1 = Murmur3HashFunction.hash(plane, LongType, 42L)
+    val h2 = Murmur3HashFunction.hash(dim, LongType, h1)
+    h2.toInt.toDouble / 4294967296.0
+  }
+
+  /** Driver-side per-plane projections of `vec` under planes
+    * `[planeOffset, planeOffset + nPlanes)` — the same values the
+    * expression folds into sign bits (first plane = most significant). */
+  def projections(vec: Array[Double], nPlanes: Int, planeOffset: Int = 0): Array[Double] = {
+    val out = new Array[Double](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < vec.length) {
+        proj += vec(i) * component((planeOffset + p).toLong, i.toLong)
+        i += 1
+      }
+      out(p) = proj
+      p += 1
+    }
+    out
+  }
+
+  /** Pack projections into the expression's bucket id (sign bits, first
+    * plane most significant). */
+  def bucketOf(projections: Array[Double]): Long =
+    projections.foldLeft(0L)((b, proj) => (b << 1) | (if (proj >= 0) 1L else 0L))
 }

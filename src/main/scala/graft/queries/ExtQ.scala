@@ -462,6 +462,14 @@ object ExtQ {
     "q48_ann_topk_batch" -> QueryDef(
       (s, dir) => Similarity.annTopKBatch(
         t(s, dir, "embeddings"), queryIds = (0L until 8L), k = 10, nPlanes = 2),
+      None),
+
+    // MULTI-PROBE ANN: probe the query's bucket plus its lowest-margin
+    // bit-flip neighbours — recall recovery without more tables (engine
+    // buckets => rows-only; recall monotonicity asserted in ExtSpec).
+    "q49_ann_multiprobe_topk" -> QueryDef(
+      (s, dir) => Similarity.annTopKMultiProbe(
+        t(s, dir, "embeddings"), queryId = 0L, k = 10, nPlanes = 4, nProbe = 4),
       None)
   )
 }

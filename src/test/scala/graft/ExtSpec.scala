@@ -303,6 +303,38 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("multi-probe ANN: driver buckets match the expression; recall grows with probes") {
+    val rnd = new scala.util.Random(3)
+    val emb = (0L until 200L).map(i => (i, Array.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // driver-side bucket derivation is bit-identical to the expression
+    val expBuckets = emb
+      .select($"vec_id", Similarity.lshBucket($"embedding", 5).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    emb.collect().foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val driverB = graft.functions.HyperplaneLsh.bucketOf(
+        graft.functions.HyperplaneLsh.projections(v, 5))
+      assert(driverB == expBuckets(r.getLong(0)), s"bucket mismatch @${r.getLong(0)}")
+    }
+    // more probes => recall monotonically approaches the exact answer
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.annTopKMultiProbe(emb, 0L, 10, nPlanes = 5, nProbe = nProbe)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r1 = recall(1); val r3 = recall(3); val r6 = recall(6)
+    assert(r1 <= r3 + 1e-9 && r3 <= r6 + 1e-9, s"recall not monotone: $r1 $r3 $r6")
+    assert(r6 > r1, s"probing more buckets bought nothing: $r1 -> $r6")
+    // nProbe = 1 is exactly the single-probe annTopK
+    val single = Similarity.annTopK(emb, 0L, 10, nPlanes = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mp1 = Similarity.annTopKMultiProbe(emb, 0L, 10, nPlanes = 5, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(single == mp1)
+  }
+
   test("Ivf: missing queryId degrades to empty; partitioned probe prunes to nProbe cells") {
     val rnd = new scala.util.Random(5)
     def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)

@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSpec {
   private val oneRowBroadcastOk = Set(
     "q10_revenue_zscore", "q13_same_hour_baseline", "q20_quality_cross",
     "q31_embedding_cosine_topk", "q32_ann_lsh_topk", "q39_approx_distinct",
-    "q43_ivf_topk", "q47_embedding_topk_batch")
+    "q43_ivf_topk", "q47_embedding_topk_batch", "q49_ann_multiprobe_topk")
 
   test("no registry query plans a CartesianProduct; BNLJ only on 1-row probes") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
