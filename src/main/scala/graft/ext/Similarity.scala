@@ -211,7 +211,21 @@ object Similarity {
     * dropped one at a time (recall beats pruning) — for LOOSE thresholds
     * over huge corpora hyperplane LSH fundamentally cannot give both high
     * recall and deep pruning, and this function makes that trade explicit
-    * instead of silently emitting Θ(n²) candidates. */
+    * instead of silently emitting Θ(n²) candidates.
+    *
+    * TIGHT thresholds (p ≥ 0.8, i.e. cosine ≳ 0.81) afford buckets DEEPER
+    * than the corpus-size floor: each extra plane halves a table's random
+    * bucket collisions but only grows the recall-solving table count by
+    * ~1/p ≤ 1.25× — a net candidate reduction of ≥ 1.6× per plane — so the
+    * depth is chosen by minimizing an explicit per-vector cost proxy
+    * `tables·(planes + 4·n/2^(planes+1))`: the first term is the projection
+    * work (one dot per plane per table), the second the expected random
+    * same-bucket candidates per table, weighted 4× because a candidate
+    * costs its rerank dot PLUS join/shuffle machinery. Below p = 0.8 the
+    * table count grows ≥ 1.56× per plane and deepening trades candidate
+    * volume for projection and bucket-table cost near 1:1 — there the
+    * bucket-rows floor (linear candidates) already is the right depth, and
+    * the sizing stays exactly as documented above. */
   def lshParams(n: Long, threshold: Double, targetRecall: Double = 0.98,
       targetBucketRows: Long = 1024L, maxTables: Int = 64): (Int, Int) = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
@@ -224,6 +238,14 @@ object Similarity {
     var planes = math.min(24, math.max(2,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
     while (planes > 2 && tablesFor(planes) > maxTables) planes -= 1
+    if (p >= 0.8) {
+      // tight regime: deepen past the floor to the cost-proxy minimizer
+      // over every recall-feasible depth (tables still capped)
+      def cost(k: Int): Double =
+        tablesFor(k).toDouble * (k + 4.0 * n / math.pow(2.0, k + 1))
+      val feasible = (planes to 24).filter(k => tablesFor(k) <= maxTables)
+      if (feasible.nonEmpty) planes = feasible.minBy(cost)
+    }
     (planes, math.max(1, math.min(maxTables, tablesFor(planes))))
   }
 

@@ -275,6 +275,12 @@ object ExtQ {
     // space (vs q35's 87%) and the per-pair miss probability at cos 0.916
     // is (1 - p^10)^64 ~ 1e-8 (p = 1 - acos(0.916)/pi = 0.869). Candidate
     // volume at the pinned config is asserted in ExtSpec (count-based).
+    //
+    // Like the q35 pin, this entry is Verify-only since round 5: the
+    // FIXED (10, 64) depth does not scale with the corpus (bucket count is
+    // constant, so candidates grow ~n²/16 at 100×) — its role is the
+    // exhaustive-oracle proof. The benched production form is q50, whose
+    // depth auto-sizes from the corpus and threshold (q35→q42 pattern).
     "q46_embedding_neardup_tight" -> QueryDef(
       (s, dir) => {
         val base = t(s, dir, "embeddings").select(
@@ -284,6 +290,42 @@ object ExtQ {
           transform(col("embedding"), x => x + lit(0.05d)).as("embedding"))
         Similarity.nearDupPairsLsh(base.unionAll(twins), threshold = 0.9,
           nPlanes = 10, nTables = 64)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        u AS (
+          SELECT vec_id, v FROM e
+          UNION ALL
+          SELECT vec_id + 1000000, list_transform(v, x -> x + 0.05) FROM e)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM u a JOIN u b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.9
+        ORDER BY cosine_sim DESC, id_a, id_b"""),
+      bench = false),
+
+    // The AUTO-SIZED tight-threshold near-dup (benched production form of
+    // q46; same derived corpus, same exhaustive-pair oracle). lshParams'
+    // tight-regime deepening picks buckets deeper than the corpus-size
+    // floor (each extra plane halves a table's random collisions for
+    // ≤1.17× more tables at p = 0.856), so the candidate volume is a
+    // fraction of the q46 pin's — asserted in ExtSpec, along with the
+    // config's full recall on the derived corpus. targetRecall = 0.9999 is
+    // the completeness knob (see q42): the exhaustive oracle demands EVERY
+    // twin pair, and at the default 0.98 the at-threshold table count
+    // would leave ~0.1 expected misses across the corpus' n twin pairs;
+    // at 0.9999 the per-pair miss probability at the twins' actual
+    // cosines (0.916+) is ≤ 2e-5 — and the planes are deterministic, so
+    // the observed zero-miss result is reproducible, not a dice roll.
+    "q50_embedding_neardup_tight_auto" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "embeddings").select(
+          col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val twins = base.select(
+          (col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.05d)).as("embedding"))
+        Similarity.nearDupPairsLsh(base.unionAll(twins), threshold = 0.9,
+          targetRecall = 0.9999)
       },
       Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

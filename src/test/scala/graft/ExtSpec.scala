@@ -508,6 +508,47 @@ class ExtSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${(exact -- lsh).size} pairs, extra ${(lsh -- exact).size}")
   }
 
+  test("tight-regime auto sizing: deeper than the floor, candidates sublinear vs the q46 pin") {
+    def corpus(nBase: Int) = {
+      val rnd = new scala.util.Random(7)
+      val base = (0L until nBase.toLong).map(i => (i, Array.fill(32)(rnd.nextGaussian())))
+      val twins = base.map { case (i, v) => (i + 1000000L, v.map(_ + 0.25)) }
+      (base ++ twins).toDF("vec_id", "embedding")
+    }
+
+    // the deepening engages: tight thresholds get buckets deeper than the
+    // corpus-size floor (which would be 2 planes at these counts), with the
+    // table count still recall-solving and capped
+    val (kS, tS) = Similarity.lshParams(800L, 0.9, targetRecall = 0.9999)
+    val (kL, tL) = Similarity.lshParams(1600L, 0.9, targetRecall = 0.9999)
+    assert(kS > 4 && tS <= 64, s"small config ($kS, $tS) did not deepen")
+    assert(kL >= kS, s"depth should not shrink with corpus growth: ($kS, $tS) -> ($kL, $tL)")
+
+    // sublinear vs the pin: doubling the corpus grows the PIN's candidate
+    // volume ~quadratically (fixed 1024 buckets/table), while the auto
+    // config re-deepens and grows sublinearly of that
+    val pinS = Similarity.lshCandidates(corpus(400), nPlanes = 10, nTables = 64).count()
+    val pinL = Similarity.lshCandidates(corpus(800), nPlanes = 10, nTables = 64).count()
+    val autoS = Similarity.lshCandidates(corpus(400), kS, tS).count()
+    val autoL = Similarity.lshCandidates(corpus(800), kL, tL).count()
+    val pinGrowth = pinL.toDouble / pinS
+    val autoGrowth = autoL.toDouble / autoS
+    assert(autoGrowth < pinGrowth,
+      s"auto candidate growth $autoGrowth (${autoS}->${autoL}) is not sublinear vs " +
+        s"the pin's $pinGrowth (${pinS}->${pinL})")
+
+    // and the auto config still recalls every tight pair on the q46-shaped
+    // corpus (deterministic planes: this is a reproducible result, not a
+    // per-run gamble)
+    val c = corpus(400)
+    val exact = Similarity.nearDupPairs(c, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Similarity.nearDupPairsLsh(c, 0.9, targetRecall = 0.9999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && auto == exact,
+      s"auto missed ${(exact -- auto).size} of ${exact.size} pairs")
+  }
+
   test("Multimodal: payload plumbing, stub decode batch shape, frame sampling") {
     val media = Multimodal.fromDocuments(
       docs.withColumn("source", lit("srcX")).withColumn("n_chars", length($"text")))
