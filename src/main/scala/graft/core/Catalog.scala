@@ -26,7 +26,7 @@ final case class TableNotFound(namespace: String, table: String)
   * (`.write.partitionBy(dateCol)`), so the retention predicate and every
   * detector's date filter prune partitions instead of scanning history.
   */
-final class Catalog(spark: SparkSession, root: String) {
+final class Catalog(val spark: SparkSession, root: String) {
 
   /** Parse a `namespace.table` reference; raise [[BadTableRef]] on the
     * reference's seeded double-dot class. */

@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Catalog
 import graft.functions.NearestCentroid
 
 /** IVF (inverted-file) approximate nearest neighbour — the k-means-coarse-
@@ -87,6 +88,32 @@ object Ivf {
       vecCol: String = "embedding"): DataFrame =
     emb.withColumn("cluster", NearestCentroid(col(vecCol), centroids))
 
+  /** Centroid matrix → (cluster, centroid) rows, the persistable form. */
+  def centroidsToDF(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster", "centroid")
+  }
+
+  /** (cluster, centroid) rows → centroid matrix, ordered by cluster id. */
+  def centroidsFromDF(df: DataFrame): Array[Array[Double]] =
+    df.select(col("cluster"), col("centroid")).collect()
+      .sortBy(_.getInt(0)).map(toVec(_, 1))
+
+  /** Persist trained centroids through the [[Catalog]] — k·dim doubles, the
+    * train-once artifact every later probe reuses. Doubles round-trip
+    * parquet exactly, so a reloaded quantizer assigns (and therefore
+    * probes) bit-identically to the in-memory one — test-pinned. At 100 TB
+    * this is the split that matters: training touches the corpus; probing
+    * a new query needs only this k·dim table plus nProbe partitions of the
+    * clustered corpus. */
+  def saveCentroids(catalog: Catalog, ref: String,
+      centroids: Array[Array[Double]]): Unit =
+    catalog.save(centroidsToDF(catalog.spark, centroids), ref)
+
+  def loadCentroids(catalog: Catalog, ref: String): Array[Array[Double]] =
+    centroidsFromDF(catalog.load(ref))
+
   private def l2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     val m = math.min(a.length, b.length)
@@ -101,21 +128,32 @@ object Ivf {
     centroids.zipWithIndex.map { case (c, i) => (l2(qv, c), i) }
       .sorted.take(nProbe).map(_._2).toSeq
 
-  /** Exact-cosine rerank of `cells` against `queryId`'s vector, top-k.
-    * The query's squared norm rides the 1-row broadcast so each probed row
-    * costs two dots, not three (values bit-identical). */
-  private def rerank(cells: DataFrame, source: DataFrame, queryId: Long, k: Int,
-      idCol: String, vecCol: String): DataFrame =
+  /** Left-to-right squared norm of a collected vector — the SAME fold order
+    * as [[Similarity.norm2]]'s expression (floats widen to double, then
+    * accumulate in element order), so driver-side and scan-side values are
+    * bit-identical. */
+  private def norm2Vec(qv: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < qv.length) { s += qv(i) * qv(i); i += 1 }
+    s
+  }
+
+  /** Exact-cosine rerank of `cells` against an already-collected query
+    * vector, top-k. The vector and its squared norm ride the plan as
+    * LITERALS — no second corpus lookup, no join: the round-4 form
+    * re-filtered the (partitioned) corpus for the query row inside the
+    * rerank, a full-partition scan that diluted the probe's pruning. */
+  private def rerankVec(cells: DataFrame, qv: Array[Double], queryId: Long,
+      k: Int, idCol: String, vecCol: String): DataFrame = {
+    val qvLit = array(qv.map(lit).toSeq: _*)
     cells
-      .crossJoin(broadcast(
-        source.filter(col(idCol) === queryId)
-          .select(col(vecCol).as("qv"), Similarity.norm2(col(vecCol)).as("n2q"))))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
-        round(Similarity.cosinePre(col(vecCol), col("qv"), col("n2q")), 6)
+        round(Similarity.cosinePre(col(vecCol), qvLit, lit(norm2Vec(qv))), 6)
           .as("cosine_sim"))
       .orderBy(desc("cosine_sim"), col(idCol))
       .limit(k)
+  }
 
   /** Empty (idCol, cosine_sim) result — the degraded shape every sibling
     * top-k returns when the queryId is absent. */
@@ -132,10 +170,11 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
     if (qRows.isEmpty) return emptyTopK(emb, idCol)
-    val probes = nearestClusters(toVec(qRows(0), 0), centroids, nProbe)
-    rerank(
+    val qv = toVec(qRows(0), 0)
+    val probes = nearestClusters(qv, centroids, nProbe)
+    rerankVec(
       assign(emb, centroids, vecCol).filter(col("cluster").isin(probes: _*)),
-      emb, queryId, k, idCol, vecCol)
+      qv, queryId, k, idCol, vecCol)
   }
 
   /** IVF top-k over a CLUSTER-PARTITIONED corpus — the 100 TB probe path.
@@ -159,9 +198,59 @@ object Ivf {
         "(use ivfTopK for an unpartitioned corpus)")
     val qRows = clustered.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
     if (qRows.isEmpty) return emptyTopK(clustered, idCol)
-    val probes = nearestClusters(toVec(qRows(0), 0), centroids, nProbe)
-    rerank(
+    val qv = toVec(qRows(0), 0)
+    val probes = nearestClusters(qv, centroids, nProbe)
+    rerankVec(
       clustered.filter(col("cluster").isin(probes: _*)),
-      clustered, queryId, k, idCol, vecCol)
+      qv, queryId, k, idCol, vecCol)
+  }
+
+  /** IVF top-k for a BATCH of query ids in ONE probe job — the IVF member
+    * of the q47/q48 batched family.
+    *
+    * The m query vectors collect once (m·dim doubles — driver-scale by
+    * construction, same as the per-query lookup); their probe sets derive
+    * driver-side from the centroid matrix, exactly like the per-query path,
+    * so probing issues NO extra Spark job. The corpus is filtered to the
+    * UNION of probed cells — on a cluster-partitioned corpus that `isin`
+    * hits the partition column and the scan prunes to the probed
+    * directories (plan-asserted in ExtSpec) — then each row joins the
+    * (broadcast) queries probing ITS cell, scores one dot per (row, query),
+    * and reduces through the bounded [[graft.functions.TopKAgg]]: the
+    * shuffle carries at most k·partitions rows per query, never the full
+    * scored set. Scores are bit-identical to the per-query [[ivfTopK]]
+    * (same literal-vector cosine), so per-query equality is test-pinned.
+    *
+    * Pass a corpus that already carries a stored `cluster` column (written
+    * once via `Catalog.save(Ivf.assign(...), ref, partitionBy =
+    * Seq("cluster"))`) to skip re-assignment entirely; an unclustered
+    * corpus is assigned on the fly. Pair with [[saveCentroids]]/
+    * [[loadCentroids]] for the train-once / probe-many split. */
+  def ivfTopKBatch(emb: DataFrame, centroids: Array[Array[Double]],
+      queryIds: Seq[Long], k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qRows = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol)).collect()
+    if (qRows.isEmpty)
+      return emb.select(col(idCol).as("query_id"), col(idCol),
+        lit(0.0d).as("cosine_sim")).limit(0)
+    val probeRows = qRows.toSeq.flatMap { r =>
+      val qv = toVec(r, 1)
+      nearestClusters(qv, centroids, nProbe)
+        .map(c => (r.getLong(0), c, qv, norm2Vec(qv)))
+    }
+    val probes = probeRows.toDF("query_id", "cluster", "qv", "n2q")
+    val corpus =
+      if (emb.columns.contains("cluster")) emb else assign(emb, centroids, vecCol)
+    val cells = corpus.filter(
+      col("cluster").isin(probeRows.map(_._2).distinct: _*))
+    val scored = cells.join(broadcast(probes), Seq("cluster"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("id"),
+        round(Similarity.cosinePre(col(vecCol), col("qv"), col("n2q")), 6)
+          .as("score"))
+    Similarity.topKPerQuery(scored, k, idCol)
   }
 }

@@ -166,8 +166,10 @@ object Similarity {
   }
 
   /** (query_id, id, score) rows → k best per query via the bounded
-    * Aggregator, flattened back to a DataFrame with deterministic order. */
-  private def topKPerQuery(scored: DataFrame, k: Int, idCol: String): DataFrame = {
+    * Aggregator, flattened back to a DataFrame with deterministic order.
+    * Shared by the batched brute-force/ANN paths here and [[Ivf]]'s batched
+    * probe — one reduction, three candidate generators. */
+  private[ext] def topKPerQuery(scored: DataFrame, k: Int, idCol: String): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.as[(Long, Long, Double)]

@@ -512,6 +512,60 @@ object ExtQ {
     "q49_ann_multiprobe_topk" -> QueryDef(
       (s, dir) => Similarity.annTopKMultiProbe(
         t(s, dir, "embeddings"), queryId = 0L, k = 10, nPlanes = 4, nProbe = 4),
-      None)
+      None),
+
+    // BATCHED IVF: one k-means training amortized over 8 queries, one probe
+    // job over the union of their cells, bounded per-query top-k reduction
+    // (q47/q48 shape). q43 pays its ~training cost PER query vector; this
+    // is the production form — train once (persistable via
+    // Ivf.saveCentroids), probe many. Engine-specific training => rows-only;
+    // per-query equality with ivfTopK, recall vs the exact q47 batch, and
+    // partition pruning on a clustered corpus are asserted in ExtSpec.
+    "q51_ivf_topk_batch" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
+        Ivf.ivfTopKBatch(emb, cents, queryIds = (0L until 8L), k = 10, nProbe = 3)
+      },
+      None),
+
+    // SKEWED grouped aggregation through Skew.saltedAggregate — the hot-key
+    // mitigation a 100 TB groupBy needs, witnessed by the bench instead of
+    // living library-only. The input deliberately amplifies one event_type
+    // ~100× (explode over a sequence — generator-style row replication, no
+    // extra scan), so one grouping key carries ~95% of the rows: exactly
+    // the shape where a single-phase groupBy funnels one shuffle partition.
+    // The salted two-phase plan spreads the hot key over 16 content-hashed
+    // salt buckets for the partial aggregate, then recombines — and MUST
+    // NOT change the answer, which is precisely what the oracle checks
+    // (plain single-phase GROUP BY over the same amplified input). Sums
+    // are decimal-routed (ops/Exact discipline), so the two-phase
+    // recombination is exact and order-independent — the property that
+    // makes salting safe to assert by hash.
+    "q52_skewed_hot_key_agg" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        val amplified = ev.unionAll(
+          ev.filter(col("event_type") === "purchase")
+            .withColumn("__rep", explode(sequence(lit(1), lit(100))))
+            .drop("__rep"))
+        Skew.saltedAggregate(amplified, Seq("event_type"), factor = 16,
+          partial = Seq(
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .as("ps"),
+            count(lit(1)).as("pc")),
+          finalAggs = Seq(
+            sum(col("pc")).as("n_events"),
+            sum(col("ps")).cast("double").as("total_value")))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH amplified AS (
+          SELECT event_type, value FROM events
+          UNION ALL
+          SELECT event_type, value FROM events, range(100) WHERE event_type = 'purchase')
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM amplified GROUP BY event_type ORDER BY event_type"""))
   )
 }
