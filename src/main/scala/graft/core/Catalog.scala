@@ -46,7 +46,14 @@ final class Catalog(val spark: SparkSession, root: String) {
 
   def load(namespace: String, table: String): DataFrame = {
     if (!exists(namespace, table)) throw TableNotFound(namespace, table)
-    spark.read.parquet(path(namespace, table))
+    // mergeSchema unions schemas across appended files, so a column ADDED
+    // by a later append (allowFieldAddition) is visible instead of the
+    // reader picking one file's schema at random. Type conflicts across
+    // files are a merge error by design — [[appendRelaxed]] migrates the
+    // stored files before they can arise. Scale note: merging reads every
+    // file footer; a 100 TB deployment caps that by compacting or by
+    // declaring the schema explicitly, not by dropping the correctness.
+    spark.read.option("mergeSchema", "true").parquet(path(namespace, table))
   }
 
   def load(ref: String): DataFrame = {
@@ -82,6 +89,38 @@ final class Catalog(val spark: SparkSession, root: String) {
       .parquet(path(ns, t))
   }
 
+  /** [[append]] with TYPE relaxation, completing the reference's
+    * `allowFieldRelaxation` semantics (`scripts/transform_script:20-23`)
+    * for the append path: an incoming column NARROWER than the stored type
+    * silently casts up (int → stored long); an incoming column WIDER
+    * migrates the stored files ONCE to the widened type (write-aside +
+    * directory swap — overwriting a path that is also the lazy read input
+    * would drop the data), then appends; nullability relaxes to the union.
+    * Added columns pass through (the mergeSchema read unions them);
+    * columns that cannot widen (string vs int) fail loudly. At 100 TB the
+    * widening migration is a real one-off table rewrite — exactly what a
+    * BigQuery relaxation does under the hood — so production schemas
+    * should widen once, not per-batch; narrower-incoming appends (the
+    * common case) touch only the new data. */
+  def appendRelaxed(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil): Unit = {
+    val (ns, t) = parseRef(ref)
+    if (!exists(ns, t)) { append(df, ref, partitionBy); return }
+    val existing = load(ns, t)
+    val target = Catalog.relaxedSchema(existing.schema, df.schema)
+    if (Catalog.needsCast(existing.schema, target)) {
+      val p = new org.apache.hadoop.fs.Path(path(ns, t))
+      val tmp = new org.apache.hadoop.fs.Path(path(ns, t) + "__relaxing")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val w = Catalog.castTo(existing, target).write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp.toString)
+      fs.delete(p, true)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"schema-relaxation swap failed for $ref")
+    }
+    append(Catalog.castTo(df, target), ref, partitionBy)
+  }
+
   /** Bucketed save via the session catalog (`bucketBy` requires
     * `saveAsTable`). Two tables bucketed the same way on the join key
     * co-locate: the join reads matching buckets directly and the plan has
@@ -103,5 +142,69 @@ final class Catalog(val spark: SparkSession, root: String) {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(tableName)
     tableName
+  }
+}
+
+object Catalog {
+  import org.apache.spark.sql.types._
+
+  /** Numeric widening lattice for relaxation: within the integer and
+    * floating families the wider type wins; across families the merged
+    * type is double (the BigQuery INT64 → FLOAT64 relaxation). */
+  private def widen(a: DataType, b: DataType): Option[DataType] = {
+    def intRank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3
+      case LongType => 4; case _ => 0
+    }
+    def floatRank(t: DataType): Int = t match {
+      case FloatType => 1; case DoubleType => 2; case _ => 0
+    }
+    if (a == b) Some(a)
+    else if (intRank(a) > 0 && intRank(b) > 0) Some(if (intRank(a) >= intRank(b)) a else b)
+    else if (floatRank(a) > 0 && floatRank(b) > 0) Some(if (floatRank(a) >= floatRank(b)) a else b)
+    else if ((intRank(a) > 0 && floatRank(b) > 0) || (floatRank(a) > 0 && intRank(b) > 0))
+      Some(DoubleType)
+    else None
+  }
+
+  /** The union schema after relaxation: common fields widen (nullable =
+    * either side), existing-only then incoming-only fields follow as-is.
+    * Unwidenable common fields throw — silently corrupting one side is
+    * the one wrong answer. */
+  private[core] def relaxedSchema(existing: StructType, incoming: StructType): StructType = {
+    val incByName = incoming.fields.map(f => f.name -> f).toMap
+    val merged = existing.fields.map { ef =>
+      incByName.get(ef.name) match {
+        case None => ef
+        case Some(inf) =>
+          val t = widen(ef.dataType, inf.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"cannot relax column '${ef.name}': ${ef.dataType.simpleString} vs " +
+                s"${inf.dataType.simpleString} (only numeric widening is supported)"))
+          StructField(ef.name, t, ef.nullable || inf.nullable)
+      }
+    }
+    val existingNames = existing.fieldNames.toSet
+    StructType(merged ++ incoming.fields.filterNot(f => existingNames.contains(f.name)))
+  }
+
+  /** Whether any of `schema`'s fields differ in TYPE from `target` (i.e. a
+    * rewrite is needed; nullability alone is metadata and costs nothing). */
+  private[core] def needsCast(schema: StructType, target: StructType): Boolean = {
+    val tByName = target.fields.map(f => f.name -> f.dataType).toMap
+    schema.fields.exists(f => tByName.get(f.name).exists(_ != f.dataType))
+  }
+
+  /** Cast `df`'s columns up to the target types, keeping its column order
+    * (parquet resolves by name on read). */
+  private[core] def castTo(df: DataFrame, target: StructType): DataFrame = {
+    val tByName = target.fields.map(f => f.name -> f.dataType).toMap
+    df.select(df.schema.fields.map { f =>
+      tByName.get(f.name) match {
+        case Some(t) if t != f.dataType =>
+          org.apache.spark.sql.functions.col(f.name).cast(t).as(f.name)
+        case _ => org.apache.spark.sql.functions.col(f.name)
+      }
+    }.toSeq: _*)
   }
 }

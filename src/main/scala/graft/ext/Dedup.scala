@@ -108,20 +108,12 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    // Both the band table and the shingle-hash table feed TWO consumers
-    // each (the a/b sides of the candidate self-join; the doc_a/doc_b
-    // verify joins). Without materialization each side re-runs the
-    // documents scan + shingle + signature lineage — the text would be
-    // walked four times per invocation. The persisted rows are narrow
-    // (ids + longs), exactly what a 100 TB job would stage between passes.
-    val bk = minhashTable(docs, textCol, idCol, shingleN, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bk.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
-    val b = bk.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    val candidates = minhashCandidates(docs, textCol, idCol, shingleN, k, bands)
+    // The shingle-hash table feeds TWO consumers (the doc_a/doc_b verify
+    // joins). Without materialization each side re-runs the documents scan
+    // + shingle lineage — the text would be walked twice more per
+    // invocation. The persisted rows are narrow (ids + longs), exactly
+    // what a 100 TB job would stage between passes.
     val sh = docs.select(col(idCol),
       shingleHashes(col(textCol), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -132,6 +124,63 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The banded-LSH candidate pairs behind [[nearDupPairs]] — exposed (like
+    * [[Similarity.lshCandidates]]) so tests can assert candidate VOLUME,
+    * the actual scale property. The band table feeds both self-join sides,
+    * so it is materialized once (narrow rows: id + two longs). */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val bk = minhashTable(docs, textCol, idCol, shingleN, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bk.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
+    val b = bk.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** (k, bands) sized to a Jaccard threshold — the MinHash twin of
+    * [[Similarity.lshParams]].
+    *
+    * With `b` bands of `r` signature rows each, a pair at Jaccard `j`
+    * shares a band bucket with probability j^r, so candidate recall is
+    * 1 − (1 − t^r)^b at the threshold. Deeper bands (larger r) suppress
+    * random collisions — a sub-threshold pair at Jaccard j leaks into the
+    * candidates with probability ≈ b·j^r, shrinking geometrically in r —
+    * at the price of more bands to hold recall (b grows ~1/t per extra
+    * row). The sizing picks the DEEPEST r whose recall-solving k = b·r
+    * stays within `maxK` signature hashes per document: signature cost is
+    * linear and scan-side, candidate cost is a shuffle join — the same
+    * "spend scan to save shuffle" trade the hyperplane sizing makes.
+    * The historical (k=32, bands=8) default of [[nearDupPairs]] is kept
+    * verbatim for the pinned q29/q44 oracle proofs. */
+  def bandingParams(threshold: Double, targetRecall: Double = 0.98,
+      maxK: Int = 128): (Int, Int) = {
+    val t = math.max(1e-6, math.min(0.999999, threshold))
+    def bandsFor(r: Int): Int = {
+      val tr = math.pow(t, r)
+      if (tr >= 1.0) 1
+      else math.ceil(math.log(1.0 - math.min(0.999999, targetRecall)) /
+        math.log(1.0 - tr)).toInt
+    }
+    val feasible = (1 to 16).filter(r => bandsFor(r).toLong * r <= maxK)
+    val r = if (feasible.isEmpty) 1 else feasible.max
+    val b = math.max(1, math.min(maxK / r, bandsFor(r)))
+    (b * r, b)
+  }
+
+  /** [[nearDupPairs]] with (k, bands) auto-sized from the threshold via
+    * [[bandingParams]] — the production form when the threshold is a
+    * caller input rather than a pinned proof configuration. */
+  def nearDupPairsAuto(docs: DataFrame, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id", shingleN: Int = 3,
+      targetRecall: Double = 0.98, maxK: Int = 128): DataFrame = {
+    val (k, bands) = bandingParams(threshold, targetRecall, maxK)
+    nearDupPairs(docs, textCol, idCol, shingleN, k, bands, threshold)
   }
 
   /** 64-bit SimHash over tokens: majority vote per bit of the token hashes.

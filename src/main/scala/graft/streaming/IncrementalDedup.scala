@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Catalog
+import graft.ext.Dedup
+
+/** Incremental MinHash-LSH near-duplicate removal — the always-on form of
+  * the q29/q44 batch sweep, closing the split [[CurationStream]] documents
+  * (stream for ingest hygiene, periodic batch for near-dups): with this
+  * loop the near-dup check IS streaming, so a re-crawled document arriving
+  * days later is dropped on arrival instead of at the next sweep.
+  *
+  * State is the accumulated (doc, band, bucket) table, persisted through
+  * the [[Catalog]] — NOT Spark streaming state: LSH pair state is
+  * corpus-global and unbounded by any watermark (the reason
+  * `dropDuplicatesWithinWatermark` cannot express it), so it lives where
+  * corpus-global state belongs, in an append-only table the probe join
+  * reads. Each micro-batch:
+  *
+  *  1. computes the arrivals' band/bucket rows and shingle hashes
+  *     (scan-side native expressions, one text walk);
+  *  2. probes the band table for (band, bucket) collisions — the candidate
+  *     join touches ONLY matching buckets, and the state side carries
+  *     (id, band, bucket) rows, never text;
+  *  3. verifies candidates by exact Jaccard, re-deriving the OLD doc's
+  *     shingles from the corpus table keyed by id (candidates are few;
+  *     state stays narrow instead of staging every shingle array);
+  *  4. drops arrivals matching an accepted doc, or a LOWER-id arrival of
+  *     the same batch (the q44 intra-batch rule);
+  *  5. appends survivors to the corpus table and their bands to the state
+  *     table.
+  *
+  * Semantics: greedy-prefix (online) dedup — every arrival is judged
+  * against ACCEPTED documents only, the standard always-on form. On
+  * chain-free data this equals the q44 batch sweep (asserted in
+  * StreamingSpec); on a chain A~B~C with A≁C the batch sweep also drops C
+  * while the online form keeps it (B was never accepted), which is the
+  * defensible choice: C duplicates nothing that exists downstream.
+  *
+  * Durability: survivors append before their band rows, so a crash between
+  * the two writes can duplicate ONE batch's docs on replay (at-least-once;
+  * the replayed rows then match their committed twins at Jaccard 1.0 only
+  * if their bands landed — otherwise layer [[MonitoringLoop]]'s batch-id
+  * pattern for exactly-once). Crash-free operation is exact.
+  */
+final class IncrementalDedup(
+    catalog: Catalog, docsTable: String, bandsTable: String,
+    textCol: String = "text", idCol: String = "doc_id",
+    shingleN: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5) {
+
+  /** Deduplicate one micro-batch against the accumulated corpus and itself;
+    * append survivors. Returns the survivor count. Public so batch
+    * backfills and tests drive the exact streaming per-tick logic. */
+  def processBatch(batch: DataFrame, batchId: Long): Long = {
+    // bands and shingles each feed two consumers (state probe + intra-batch
+    // self-join; a/b verify sides) — materialize the narrow rows once
+    val newBands = Dedup.minhashTable(batch, textCol, idCol, shingleN, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSh = batch.select(col(idCol),
+        Dedup.shingleHashes(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val jaccard =
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))
+
+      // arrivals colliding with ACCEPTED docs in any (band, bucket) cell
+      val droppedVsState: DataFrame =
+        if (!catalog.exists(bandsTable)) batch.select(col(idCol)).limit(0)
+        else {
+          val candidates = newBands
+            .join(catalog.load(bandsTable)
+                .select(col("band"), col("bucket"), col(idCol).as("old_id")),
+              Seq("band", "bucket"))
+            .select(col(idCol), col("old_id")).distinct()
+          // old shingles re-derive from the corpus keyed by candidate id
+          val oldSh = catalog.load(docsTable)
+            .join(candidates.select(col("old_id").as(idCol)).distinct(), Seq(idCol))
+            .select(col(idCol).as("old_id"),
+              Dedup.shingleHashes(col(textCol), shingleN).as("sh_b"))
+          candidates
+            .join(newSh.select(col(idCol), col("sh").as("sh_a")), Seq(idCol))
+            .join(oldSh, Seq("old_id"))
+            .filter(jaccard >= threshold)
+            .select(col(idCol))
+        }
+
+      // intra-batch: an arrival near-duplicating a lower-id arrival drops
+      // (the q44 rule applied within the batch)
+      val a = newBands.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
+      val b = newBands.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
+      val droppedIntra = a.join(b, Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .join(newSh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(newSh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .filter(jaccard >= threshold)
+        .select(col("doc_b").as(idCol))
+
+      val dropped = droppedVsState.union(droppedIntra).distinct()
+      val survivors = batch.join(dropped, Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = survivors.count()
+        if (n > 0) {
+          catalog.append(survivors, docsTable)
+          catalog.append(
+            Dedup.minhashTable(survivors, textCol, idCol, shingleN, k, bands),
+            bandsTable)
+        }
+        n
+      } finally survivors.unpersist(blocking = false)
+    } finally {
+      newBands.unpersist(blocking = false)
+      newSh.unpersist(blocking = false)
+    }
+  }
+
+  /** Attach to a document stream (same trigger conventions as
+    * [[MonitoringLoop.start]]). */
+  def start(stream: DataFrame, queryName: String = "graft_incremental_dedup",
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val w0 = stream.writeStream
+      .queryName(queryName)
+      .foreachBatch((batch: DataFrame, id: Long) => { processBatch(batch, id); () })
+    val w = checkpoint.fold(w0)(p => w0.option("checkpointLocation", p))
+    (if (continuous) w.trigger(Trigger.ProcessingTime(interval))
+     else w.trigger(Trigger.AvailableNow())).start()
+  }
+}

@@ -147,6 +147,47 @@ class ExtSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).exists(_._3 == 1.0))
   }
 
+  test("Dedup.bandingParams deepens bands with the threshold; auto candidates shrink") {
+    // recall solves at the returned params, and tighter thresholds get
+    // DEEPER bands (more signature rows per band = geometrically fewer
+    // random candidates), the MinHash twin of lshParams' depth trade
+    val (kLoose, bLoose) = Dedup.bandingParams(0.3)
+    val (kTight, bTight) = Dedup.bandingParams(0.7)
+    val rLoose = kLoose / bLoose
+    val rTight = kTight / bTight
+    assert(rTight > rLoose, s"rows/band did not deepen: $rLoose -> $rTight")
+    assert(kLoose <= 128 && kTight <= 128)
+    def recall(k: Int, b: Int, t: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(t, (k / b).toDouble), b.toDouble)
+    assert(recall(kLoose, bLoose, 0.3) >= 0.98 - 1e-9)
+    assert(recall(kTight, bTight, 0.7) >= 0.98 - 1e-9)
+
+    // candidate volume on a common mid-similarity corpus (docs built from a
+    // shared phrase pool, pairwise Jaccard mostly 0.1-0.5): the tight
+    // sizing admits a fraction of the loose sizing's candidates
+    val rnd = new scala.util.Random(13)
+    val phrases = Vector(
+      "the quick brown fox", "jumps over the lazy dog", "near the old barn",
+      "spark query engines shuffle", "data pipelines at scale",
+      "language models need tokens", "dedup keeps one copy",
+      "buckets join narrow rows", "signatures stay scan side",
+      "candidates verify exactly")
+    val corpus = (0L until 120L).map { i =>
+      (i, Seq.fill(6)(phrases(rnd.nextInt(phrases.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val cLoose = Dedup.minhashCandidates(corpus, k = kLoose, bands = bLoose).count()
+    val cTight = Dedup.minhashCandidates(corpus, k = kTight, bands = bTight).count()
+    assert(cLoose > 0, "loose config found no candidates — corpus too dissimilar")
+    assert(cTight < cLoose, s"tight candidates $cTight !< loose $cLoose")
+
+    // the auto path still finds the known dup pairs of the shared fixture
+    val auto = Dedup.nearDupPairsAuto(docs, 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.contains((0L, 3L)))
+    assert(auto.contains((0L, 1L)) || auto.contains((1L, 3L)))
+  }
+
   test("Dedup.simhash: identical texts collide, hamming ladder sane") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -93,6 +93,41 @@ class HealingSpec extends SparkSpec {
     assert(back.count() == 1)
   }
 
+  test("appendRelaxed widens int->long across appends and round-trips the data") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    // seed with NARROW types (int id, float-ish score as int)
+    val v1 = Seq((1, "a", 10)).toDF("id", "name", "score")
+    catalog.save(v1, "output.relax")
+    // a WIDER incoming id (long) migrates the stored files once; the
+    // incoming int score keeps the stored type
+    val v2 = Seq((2147483648L, "b", 20)).toDF("id", "name", "score")
+    catalog.appendRelaxed(v2, "output.relax")
+    val afterWiden = catalog.load("output.relax")
+    assert(afterWiden.schema("id").dataType == LongType)
+    assert(afterWiden.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2147483648L))
+    // a NARROWER incoming append casts up in place — no migration, and the
+    // stored values survive verbatim
+    val v3 = Seq((3, "c", 30)).toDF("id", "name", "score")
+    catalog.appendRelaxed(v3, "output.relax")
+    // int->double cross-family relaxation + an ADDED column in one append
+    val v4 = Seq((4L, "d", 40.5, true)).toDF("id", "name", "score", "flag")
+    catalog.appendRelaxed(v4, "output.relax")
+    val back = catalog.load("output.relax").orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L, 2147483648L))
+    assert(catalog.load("output.relax").schema("score").dataType == DoubleType)
+    assert(back.map(r => r.getDouble(2)).toSeq == Seq(10.0, 30.0, 40.5, 20.0))
+    // the added column reads as null for pre-addition rows (mergeSchema)
+    assert(back.map(r => Option(r.getAs[Any]("flag"))).toSeq ==
+      Seq(None, None, Some(true), None))
+    // unwidenable types fail loudly instead of corrupting a side
+    val bad = Seq(("x", "e", 1)).toDF("id", "name", "score")
+    val e = intercept[IllegalArgumentException] {
+      catalog.appendRelaxed(bad, "output.relax")
+    }
+    assert(e.getMessage.contains("relax"))
+  }
+
   test("AlertStore: monitoring_alerts shape, partitioned append, retention load") {
     import graft.alerts.{Alert, AlertStore}
     val now = java.time.Instant.parse("2024-01-31T00:00:00Z")

@@ -312,6 +312,55 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 5L))
   }
 
+  test("IncrementalDedup: near-dups arriving batches later drop on arrival; equals the sweep") {
+    import graft.ext.Dedup
+    import graft.streaming.IncrementalDedup
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val inc = new IncrementalDedup(catalog, "cur.docs", "cur.bands", threshold = 0.3)
+    val input = MemoryStream[(Long, String)]
+    val q = inc.start(input.toDF().toDF("doc_id", "text"),
+      continuous = true, interval = "1 second")
+
+    val base = "the quick brown fox jumps over the lazy dog near the old barn today"
+    val baseNear = "the quick brown fox jumps over the lazy dog near the old barn tonight"
+    val other = "completely different content about spark query engines and shuffles here"
+    val otherNear = "completely different content about spark query engines and shuffles there"
+    val fresh = "statistical machine translation systems were replaced by large transformers"
+    val freshNear = "statistical machine translation systems were replaced by huge transformers"
+
+    input.addData((1L, base), (2L, other))
+    q.processAllAvailable()
+    // intra-batch near-dup: 4 drops against the lower-id arrival 3
+    input.addData((3L, fresh), (4L, freshNear))
+    q.processAllAvailable()
+    // near-dups of batch-1 docs arriving TWO batches later: the persisted
+    // band table drops them on arrival — the always-on form of the sweep
+    input.addData((5L, baseNear), (6L, otherNear))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = catalog.load("cur.docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // state grew only with survivors (bands of dropped docs never land)
+    assert(catalog.load("cur.bands").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == kept)
+
+    // chain-free corpus: the online result equals the q44 batch sweep over
+    // all arrivals at once
+    val all = Seq((1L, base), (2L, other), (3L, fresh), (4L, freshNear),
+      (5L, baseNear), (6L, otherNear)).toDF("doc_id", "text")
+    val dropB = Dedup.nearDupPairs(all, threshold = 0.3)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val sweep = all.join(dropB, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sweep == kept)
+  }
+
   test("dedupStateful: suppresses repeats inside the window, passes after it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]
