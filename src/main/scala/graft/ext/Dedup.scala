@@ -105,6 +105,17 @@ object Dedup {
     * up to 2^-64 collisions (xxhash64 is injective in practice on any real
     * shingle universe), and the candidate shuffle moves 8 bytes per shingle
     * instead of the n-gram text.
+    *
+    * Caching contract: the returned (lazy) plan reads two stages this call
+    * `persist`s — they cannot unpersist here because the caller has not
+    * consumed them yet, so they stay in the session cache afterwards
+    * (disk blocks are never auto-evicted). Long-lived sessions should
+    * release them once the result is materialized, e.g.
+    * `spark.sharedState.cacheManager.clearCache()` — Verify and Bench do
+    * exactly this between queries. Same contract: [[minhashCandidates]],
+    * [[simhashPairs]], [[Similarity.lshCandidates]]. Fully-materialized
+    * helpers ([[graft.ext.Ivf.trainCentroids]],
+    * [[graft.streaming.IncrementalDedup]]) unpersist internally instead.
     */
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {

@@ -253,7 +253,10 @@ object Similarity {
 
   /** The (tbl, bucket) self-join candidate pairs for [[nearDupPairsLsh]] —
     * exposed so tests can assert candidate VOLUME (the actual scale
-    * property), not just the absence of a CartesianProduct plan node. */
+    * property), not just the absence of a CartesianProduct plan node.
+    * Caching contract as [[Dedup.nearDupPairs]]: the returned plan reads a
+    * stage persisted here; callers in long-lived sessions release it after
+    * materializing (`spark.sharedState.cacheManager.clearCache()`). */
   def lshCandidates(emb: DataFrame, nPlanes: Int, nTables: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // the bucket table feeds both sides of the self-join — materialize so

@@ -51,8 +51,13 @@ final class MonitoringLoop(
     dedupKeys: Seq[String] = Nil,
     reconDest: Option[String] = None) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val runner = new MonitoringRunner(alerts)
   private val outcomeBuf = mutable.ArrayBuffer.empty[BatchOutcome]
+
+  // one warning per absence streak: a typo'd reconDest would otherwise
+  // fall back to self-vs-self reconciliation silently, forever vacuous
+  private var reconDestWarned = false
 
   /** Most recent per-batch results kept for observability — bounded so an
     * always-on loop doesn't grow driver memory with its batch count. */
@@ -94,10 +99,9 @@ final class MonitoringLoop(
     if (dedupKeys.isEmpty) catalog.append(batch, table, partitionBy)
     else {
       val tagged = batch.withColumn("__batch_id", lit(batchId))
-      val fresh =
-        if (!catalog.exists(table)) tagged
-        else {
-          val existing = catalog.load(table)
+      val fresh = loadIfReadable(table) match {
+        case None => tagged
+        case Some(existing) =>
           // fail loudly rather than corrupt the layout: parquet partition
           // discovery cannot mix this mode's __batch_id=N directories with
           // a plain append's flat files in one table root
@@ -109,9 +113,26 @@ final class MonitoringLoop(
             .filter(col("__batch_id") === batchId)
             .select(dedupKeys.map(col): _*)
           tagged.join(broadcast(prior), dedupKeys, "left_anti")
-        }
+      }
       catalog.append(fresh, table, partitionBy :+ "__batch_id")
     }
+
+  /** The table, if it exists AND holds at least one committed parquet
+    * footer. A FIRST batch that crashed between job start and commit
+    * leaves the directory with only `_temporary` droppings — the directory
+    * exists but `load` cannot infer a schema, which would wedge every
+    * replay until manual cleanup. Readable-nothing counts as absent: the
+    * replay then takes the fresh-table branch, exactly as if the crashed
+    * attempt had never created the directory. (Later batches are safe
+    * either way — prior committed files carry the schema.) */
+  private def loadIfReadable(t: String): Option[DataFrame] =
+    if (!catalog.exists(t)) None
+    else
+      try Some(catalog.load(t))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+      }
 
   /** The foreachBatch body — public so batch jobs and tests can drive the
     * exact same per-tick logic without a streaming source. */
@@ -156,9 +177,20 @@ final class MonitoringLoop(
       // the reference's complete DAG reconciles daily_revenue against
       // itself (dag/financial_monitoring_complete.py:98).
       recon = () => {
-        val dst = reconDest.filter(catalog.exists)
-          .map(r => EventViews.revenueView(catalog.load(r)))
-          .getOrElse(revenue)
+        val dst = reconDest match {
+          case Some(r) if catalog.exists(r) =>
+            reconDestWarned = false
+            EventViews.revenueView(catalog.load(r))
+          case Some(r) =>
+            if (!reconDestWarned) {
+              log.warn(s"reconDest '$r' does not exist (yet?) — falling back " +
+                "to self-vs-self reconciliation, which is vacuously green. " +
+                "Check the table name if this persists.")
+              reconDestWarned = true
+            }
+            revenue
+          case None => revenue
+        }
         new ReconciliationDetector(now)
           .checkReconciliation(revenue, dst, now.today.minusDays(1))
       },

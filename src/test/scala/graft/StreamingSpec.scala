@@ -214,6 +214,29 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("__batch_id"))
   }
 
+  test("exactly-once ingest recovers a FIRST batch that crashed before any commit") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+
+    val root = java.nio.file.Files.createTempDirectory("graft-eo-first").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    // simulate the crashed very-first append: the table directory exists
+    // but holds only _temporary droppings — no committed parquet footer
+    assert(new java.io.File(s"$root/monitoring/eofirst/_temporary/0").mkdirs())
+    val am = new AlertManager(FixedClock.at("2024-01-31T18:00:00Z"),
+      Seq(new InMemorySink("log")))
+    val loop = new MonitoringLoop(catalog, "monitoring.eofirst", am,
+      expectedFeeds = Seq("click"), dedupKeys = Seq("event_id"))
+    // the replay must take the fresh-table branch instead of dying on
+    // schema inference and wedging the loop until manual cleanup
+    val r = loop.runBatch(
+      Seq((1L, ts("2024-01-31T17:30:00Z"), 10L, "click", 5.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), 0L)
+    assert(r.feeds.isDefined)
+    assert(catalog.load("monitoring.eofirst").count() == 1)
+  }
+
   test("MonitoringLoop reconciles against a real destination table when given one") {
     import graft.alerts.{AlertManager, InMemorySink}
     import graft.core.FixedClock

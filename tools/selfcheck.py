@@ -1,7 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/selfcheck.py <verify_out_dir> <sf_dir>
+Usage:
+  python3 tools/selfcheck.py <verify_out_dir> <sf_dir>
+      Check an existing graft.Verify dump against the DuckDB oracle.
+
+  python3 tools/selfcheck.py --sweep [<sf_dir>] [<cpus>]
+      One-command oracle sweep: runs `sbt runMain graft.Verify` on <sf_dir>
+      (default /root/testdata/sf0.1 — the bench-scale probe the driver's
+      own gate never covers) into a temp dir, then checks it. Larger scale
+      factors hit different engine paths (round 4 caught a DuckDB int64
+      decimal-multiply overflow this way); run once per round, in the
+      background — the exhaustive pair oracles take minutes in DuckDB.
 
 For each query result parquet under <verify_out_dir>, runs the matching
 oracle SQL from oracle_sql.json in DuckDB (tables = <sf_dir>/*.parquet
@@ -11,7 +21,7 @@ we can tell hash-breaking diffs from representation noise). A query whose
 oracle SQL itself errors (e.g. an engine-specific overflow at larger SF)
 is recorded as a failure and the sweep continues.
 """
-import json, math, os, sys
+import json, math, os, subprocess, sys, tempfile
 import duckdb
 
 def cmp_cell(a, b):
@@ -82,5 +92,21 @@ def main(outdir, sfdir):
     print(f"\n{'FAIL' if failures else 'ALL OK'}: {failures} failing / {len(names)} queries")
     return 1 if failures else 0
 
+def sweep(sfdir, cpus):
+    outdir = tempfile.mkdtemp(prefix="graft_sweep_")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    print(f"[sweep] graft.Verify {sfdir} -> {outdir} (cpus={cpus})", flush=True)
+    rc = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {sfdir} {outdir}"],
+        cwd=repo, env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)}).returncode
+    if rc != 0:
+        print(f"[sweep] Verify FAILED (exit {rc})")
+        return rc
+    return main(outdir, sfdir)
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--sweep":
+        sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+        cpus = sys.argv[3] if len(sys.argv) > 3 else "16"
+        sys.exit(sweep(sfdir, cpus))
     sys.exit(main(sys.argv[1], sys.argv[2]))
