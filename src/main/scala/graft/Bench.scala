@@ -36,7 +36,7 @@ object Bench {
         .agg(sum(col("l_quantity").cast("decimal(18,2)")), count(lit(1)))
         .write.format("noop").mode("overwrite").save()
       val r = spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
-      r.select(col("id"),
+      r.select(col("id"), col("k"),
           avg(col("id")).over(Window.partitionBy(col("k")).orderBy(col("id"))
             .rowsBetween(-3, 0)).as("ma"))
         .groupBy("k")

@@ -41,9 +41,12 @@ def cmp_cell(a, b):
         return False, d
     return a == b, (0.0 if a == b else float("inf"))
 
-def check_one(con, outdir, oracle, name):
+def check_one(con, outdir, oracle, name, skip=frozenset()):
     """Returns True when the query passes (or is rows-only)."""
     got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+    if name in skip:
+        print(f"  {name:32s} SKIPPED (oracle run elsewhere): {len(got.fetchall())} rows")
+        return True
     if name not in oracle:
         print(f"  {name:32s} rows-only: {len(got.fetchall())} rows")
         return True
@@ -74,7 +77,7 @@ def check_one(con, outdir, oracle, name):
     print(f"  {name:32s} OK ({len(grows)} rows)")
     return True
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, skip=frozenset()):
     con = duckdb.connect()
     for tbl in ["region","nation","customer","supplier","part","orders",
                 "lineitem","events","documents","embeddings"]:
@@ -84,7 +87,7 @@ def main(outdir, sfdir):
     names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
     for name in names:
         try:
-            if not check_one(con, outdir, oracle, name):
+            if not check_one(con, outdir, oracle, name, skip):
                 failures += 1
         except Exception as e:
             print(f"! {name:32s} ORACLE ERROR: {e}")
@@ -92,7 +95,7 @@ def main(outdir, sfdir):
     print(f"\n{'FAIL' if failures else 'ALL OK'}: {failures} failing / {len(names)} queries")
     return 1 if failures else 0
 
-def sweep(sfdir, cpus):
+def sweep(sfdir, cpus, skip):
     outdir = tempfile.mkdtemp(prefix="graft_sweep_")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     print(f"[sweep] graft.Verify {sfdir} -> {outdir} (cpus={cpus})", flush=True)
@@ -102,11 +105,18 @@ def sweep(sfdir, cpus):
     if rc != 0:
         print(f"[sweep] Verify FAILED (exit {rc})")
         return rc
-    return main(outdir, sfdir)
+    return main(outdir, sfdir, skip)
 
 if __name__ == "__main__":
-    if sys.argv[1] == "--sweep":
-        sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-        cpus = sys.argv[3] if len(sys.argv) > 3 else "16"
-        sys.exit(sweep(sfdir, cpus))
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # --skip q29,...: record a rows count but run no oracle for these —
+    # for oracles impractical at the swept scale (q29's exhaustive
+    # string-shingle scan is ~12.5M DuckDB list-Jaccards at sf0.1; the
+    # round-4 Spark-side exhaustive probe covers it there instead).
+    args = [a for a in sys.argv[1:] if not a.startswith("--skip")]
+    skip = frozenset(s for a in sys.argv[1:] if a.startswith("--skip=")
+                     for s in a.split("=", 1)[1].split(","))
+    if args and args[0] == "--sweep":
+        sfdir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+        cpus = args[2] if len(args) > 2 else "16"
+        sys.exit(sweep(sfdir, cpus, skip))
+    sys.exit(main(args[0], args[1], skip))
