@@ -40,16 +40,47 @@ import graft.ext.Dedup
   * while the online form keeps it (B was never accepted), which is the
   * defensible choice: C duplicates nothing that exists downstream.
   *
-  * Durability: survivors append before their band rows, so a crash between
-  * the two writes can duplicate ONE batch's docs on replay (at-least-once;
-  * the replayed rows then match their committed twins at Jaccard 1.0 only
-  * if their bands landed — otherwise layer [[MonitoringLoop]]'s batch-id
-  * pattern for exactly-once). Crash-free operation is exact.
+  * Durability: survivors append before their band rows. With the default
+  * `exactlyOnce = false`, a crash between the two writes can duplicate ONE
+  * batch's docs on replay (at-least-once; a replayed doc whose bands DID
+  * land self-matches at Jaccard 1.0 and drops). With `exactlyOnce = true`,
+  * both tables tag rows with the micro-batch id and partition by it
+  * ([[MonitoringLoop]]'s ingest pattern): a replayed batch recomputes the
+  * same survivors (the crashed attempt's docs rows have no bands, so they
+  * influence no probe) and anti-joins away whatever its crashed attempt
+  * already committed, per table — the replay probe reads one batch-id
+  * partition directory and the prior side broadcasts. Crash-replay is
+  * injected and asserted in StreamingSpec.
   */
 final class IncrementalDedup(
     catalog: Catalog, docsTable: String, bandsTable: String,
     textCol: String = "text", idCol: String = "doc_id",
-    shingleN: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5) {
+    shingleN: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+    exactlyOnce: Boolean = false) {
+
+  /** Fault-injection hook (tests): throw once AFTER the survivors append
+    * but BEFORE the bands append — the window where a plain replay would
+    * duplicate the batch's docs. */
+  private[graft] var crashBetweenAppendsOnce: Boolean = false
+
+  /** Append `rows` to `table`, tagged and batch-id-partitioned when
+    * [[exactlyOnce]], dropping rows a crashed attempt of THIS batch
+    * already committed (keyed by `keys`). */
+  private def appendOnce(rows: DataFrame, table: String, keys: Seq[String],
+      batchId: Long): Unit =
+    if (!exactlyOnce) catalog.append(rows, table)
+    else {
+      val tagged = rows.withColumn("__batch_id", lit(batchId))
+      val fresh =
+        if (!catalog.exists(table)) tagged
+        else {
+          val prior = catalog.load(table)
+            .filter(col("__batch_id") === batchId)
+            .select(keys.map(col): _*)
+          tagged.join(broadcast(prior), keys, "left_anti")
+        }
+      catalog.append(fresh, table, Seq("__batch_id"))
+    }
 
   /** Deduplicate one micro-batch against the accumulated corpus and itself;
     * append survivors. Returns the survivor count. Public so batch
@@ -106,10 +137,15 @@ final class IncrementalDedup(
       try {
         val n = survivors.count()
         if (n > 0) {
-          catalog.append(survivors, docsTable)
-          catalog.append(
+          appendOnce(survivors, docsTable, Seq(idCol), batchId)
+          if (crashBetweenAppendsOnce) {
+            crashBetweenAppendsOnce = false
+            throw new RuntimeException(
+              "injected crash between docs append and bands append")
+          }
+          appendOnce(
             Dedup.minhashTable(survivors, textCol, idCol, shingleN, k, bands),
-            bandsTable)
+            bandsTable, Seq(idCol, "band"), batchId)
         }
         n
       } finally survivors.unpersist(blocking = false)

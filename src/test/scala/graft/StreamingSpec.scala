@@ -384,6 +384,40 @@ class StreamingSpec extends SparkSpec {
     assert(sweep == kept)
   }
 
+  test("IncrementalDedup exactlyOnce: a crash between the two appends replays cleanly") {
+    import graft.streaming.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft-incdedup-eo").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val inc = new IncrementalDedup(catalog, "eo.docs", "eo.bands",
+      threshold = 0.3, exactlyOnce = true)
+
+    val base = "the quick brown fox jumps over the lazy dog near the old barn today"
+    val fresh = "statistical machine translation systems were replaced by large transformers"
+    val freshNear = "statistical machine translation systems were replaced by huge transformers"
+
+    inc.processBatch(Seq((1L, base)).toDF("doc_id", "text"), 0L)
+
+    // batch 1 crashes AFTER its docs append but BEFORE its bands append —
+    // the window where a plain replay would duplicate the docs
+    inc.crashBetweenAppendsOnce = true
+    val b1 = Seq((2L, fresh)).toDF("doc_id", "text")
+    intercept[RuntimeException] { inc.processBatch(b1, 1L) }
+    assert(catalog.load("eo.docs").filter($"doc_id" === 2L).count() == 1)
+    assert(catalog.load("eo.bands").filter($"doc_id" === 2L).count() == 0)
+
+    // the replay appends NOTHING to docs (batch-id anti-join) and lands
+    // the missing bands, restoring consistency
+    inc.processBatch(b1, 1L)
+    assert(catalog.load("eo.docs").filter($"doc_id" === 2L).count() == 1)
+    assert(catalog.load("eo.bands").filter($"doc_id" === 2L)
+      .select("band").distinct().count() == 8)
+
+    // state is whole again: a later near-dup of the replayed doc drops
+    inc.processBatch(Seq((3L, freshNear)).toDF("doc_id", "text"), 2L)
+    assert(catalog.load("eo.docs").filter($"doc_id" === 3L).count() == 0)
+    assert(catalog.load("eo.docs").count() == 2)
+  }
+
   test("dedupStateful: suppresses repeats inside the window, passes after it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]
