@@ -258,6 +258,7 @@ object ExtQ {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.45
         ORDER BY cosine_sim DESC, id_a, id_b"""),
+      doc = "exhaustive-coverage loose-threshold proof pin; benched production twin is q42",
       bench = false),
 
     // The TIGHT-threshold near-dup proof (the production regime: cos >= 0.9
@@ -302,6 +303,7 @@ object ExtQ {
         FROM u a JOIN u b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.9
         ORDER BY cosine_sim DESC, id_a, id_b"""),
+      doc = "fixed-depth tight-threshold proof pin; benched production twin is q50",
       bench = false),
 
     // The AUTO-SIZED tight-threshold near-dup (benched production form of

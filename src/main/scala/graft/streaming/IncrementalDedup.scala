@@ -65,16 +65,36 @@ final class IncrementalDedup(
 
   /** Append `rows` to `table`, tagged and batch-id-partitioned when
     * [[exactlyOnce]], dropping rows a crashed attempt of THIS batch
-    * already committed (keyed by `keys`). */
+    * already committed (keyed by `keys`).
+    *
+    * Mode-mismatch guard (both directions, mirroring [[MonitoringLoop]]'s
+    * ingest guard): parquet partition discovery cannot mix exactly-once
+    * `__batch_id=N` directories with a plain append's flat files under one
+    * table root, so switching [[exactlyOnce]] over an existing table fails
+    * loudly here instead of corrupting the layout — the at-least-once
+    * direction would otherwise degrade SILENTLY (the replay probe reads
+    * nothing and duplicates land). The probe is a schema read (footers
+    * only), not a data scan. */
   private def appendOnce(rows: DataFrame, table: String, keys: Seq[String],
       batchId: Long): Unit =
-    if (!exactlyOnce) catalog.append(rows, table)
-    else {
+    if (!exactlyOnce) {
+      if (catalog.exists(table))
+        require(!catalog.load(table).columns.contains("__batch_id"),
+          s"at-least-once append into '$table' found a __batch_id partition " +
+            "column: the table was written in exactly-once mode; keep " +
+            "exactlyOnce = true or start from a fresh table")
+      catalog.append(rows, table)
+    } else {
       val tagged = rows.withColumn("__batch_id", lit(batchId))
       val fresh =
         if (!catalog.exists(table)) tagged
         else {
-          val prior = catalog.load(table)
+          val existing = catalog.load(table)
+          require(existing.columns.contains("__batch_id"),
+            s"exactly-once append into '$table' requires a table previously " +
+              "written in exactly-once mode (no __batch_id partition column " +
+              "found); start from a fresh table or set exactlyOnce = false")
+          val prior = existing
             .filter(col("__batch_id") === batchId)
             .select(keys.map(col): _*)
           tagged.join(broadcast(prior), keys, "left_anti")

@@ -418,6 +418,37 @@ class StreamingSpec extends SparkSpec {
     assert(catalog.load("eo.docs").count() == 2)
   }
 
+  test("IncrementalDedup: switching exactlyOnce over an existing table fails loudly both ways") {
+    import graft.streaming.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft-incdedup-mode").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val doc = "the quick brown fox jumps over the lazy dog near the old barn today"
+    val doc2 = "completely different content about spark query engines and shuffles here"
+
+    // at-least-once tables, then exactlyOnce = true: the replay probe would
+    // hit a missing __batch_id column — must throw, not AnalysisException
+    new IncrementalDedup(catalog, "m.docs", "m.bands", threshold = 0.3)
+      .processBatch(Seq((1L, doc)).toDF("doc_id", "text"), 0L)
+    val toExact = new IncrementalDedup(catalog, "m.docs", "m.bands",
+      threshold = 0.3, exactlyOnce = true)
+    val e1 = intercept[IllegalArgumentException] {
+      toExact.processBatch(Seq((2L, doc2)).toDF("doc_id", "text"), 1L)
+    }
+    assert(e1.getMessage.contains("__batch_id"))
+
+    // exactly-once tables, then exactlyOnce = false: a plain append would
+    // mix flat files into the partitioned layout and the replay protection
+    // would degrade silently — must throw
+    new IncrementalDedup(catalog, "m2.docs", "m2.bands",
+      threshold = 0.3, exactlyOnce = true)
+      .processBatch(Seq((1L, doc)).toDF("doc_id", "text"), 0L)
+    val toPlain = new IncrementalDedup(catalog, "m2.docs", "m2.bands", threshold = 0.3)
+    val e2 = intercept[IllegalArgumentException] {
+      toPlain.processBatch(Seq((2L, doc2)).toDF("doc_id", "text"), 1L)
+    }
+    assert(e2.getMessage.contains("exactly-once"))
+  }
+
   test("dedupStateful: suppresses repeats inside the window, passes after it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]
