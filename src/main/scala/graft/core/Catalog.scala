@@ -27,6 +27,7 @@ final case class TableNotFound(namespace: String, table: String)
   * detector's date filter prune partitions instead of scanning history.
   */
 final class Catalog(val spark: SparkSession, root: String) {
+  import org.apache.hadoop.fs.{FileSystem, Path}
 
   /** Parse a `namespace.table` reference; raise [[BadTableRef]] on the
     * reference's seeded double-dot class. */
@@ -39,21 +40,56 @@ final class Catalog(val spark: SparkSession, root: String) {
   def path(namespace: String, table: String): String =
     s"$root/$namespace/$table"
 
+  private def fsOf(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Whether the table commits through snapshot manifests ([[Manifest]]).
+    * Tables become manifest-committed on their first [[commitAppend]] /
+    * [[commitOverwrite]] (including the adoption of an existing
+    * directory-layout table) and stay that way. */
+  def isManifest(namespace: String, table: String): Boolean = {
+    val p = new Path(path(namespace, table))
+    fsOf(p).exists(Manifest.dir(p))
+  }
+
   def exists(namespace: String, table: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(namespace, table))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val p = new Path(path(namespace, table))
+    val fs = fsOf(p)
+    if (!fs.exists(p)) false
+    // a manifest table with no committed snapshot is ABSENT: a first
+    // commit that crashed before its manifest rename published nothing,
+    // and readers must treat the staged droppings as if the crashed
+    // attempt had never created the directory
+    else if (fs.exists(Manifest.dir(p)))
+      Manifest.latest(fs, p).exists(_.files.nonEmpty)
+    else true
   }
 
   def load(namespace: String, table: String): DataFrame = {
-    if (!exists(namespace, table)) throw TableNotFound(namespace, table)
-    // mergeSchema unions schemas across appended files, so a column ADDED
-    // by a later append (allowFieldAddition) is visible instead of the
-    // reader picking one file's schema at random. Type conflicts across
-    // files are a merge error by design — [[appendRelaxed]] migrates the
-    // stored files before they can arise. Scale note: merging reads every
-    // file footer; a 100 TB deployment caps that by compacting or by
-    // declaring the schema explicitly, not by dropping the correctness.
-    spark.read.option("mergeSchema", "true").parquet(path(namespace, table))
+    val p = new Path(path(namespace, table))
+    val fs = fsOf(p)
+    if (fs.exists(Manifest.dir(p))) {
+      // snapshot read: exactly the committed file set — staged/orphaned
+      // files are invisible, and the snapshot doubles as the file listing
+      // (no recursive directory walk at planning time). basePath keeps
+      // Hive-style partition columns parsing from the file paths, so
+      // partition pruning works exactly as on a directory read.
+      val snap = Manifest.latest(fs, p).filter(_.files.nonEmpty)
+        .getOrElse(throw TableNotFound(namespace, table))
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", p.toString)
+        .parquet(snap.files.map(f => new Path(p, f).toString): _*)
+    } else if (!fs.exists(p)) throw TableNotFound(namespace, table)
+    else
+      // mergeSchema unions schemas across appended files, so a column ADDED
+      // by a later append (allowFieldAddition) is visible instead of the
+      // reader picking one file's schema at random. Type conflicts across
+      // files are a merge error by design — [[appendRelaxed]] migrates the
+      // stored files before they can arise. Scale note: merging reads every
+      // file footer; a 100 TB deployment caps that by compacting or by
+      // declaring the schema explicitly, not by dropping the correctness.
+      spark.read.option("mergeSchema", "true").parquet(path(namespace, table))
   }
 
   def load(ref: String): DataFrame = {
@@ -70,9 +106,11 @@ final class Catalog(val spark: SparkSession, root: String) {
     * `allowFieldAddition`/`allowFieldRelaxation` + CREATE_IF_NEEDED
     * (`scripts/transform_script:17-24`). `mergeSchema` makes readers union
     * schemas across files; overwrite-with-new-schema covers relaxation.
-    */
+    * On a manifest-committed table the overwrite publishes atomically
+    * through [[commitOverwrite]]. */
   def save(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil): Unit = {
     val (ns, t) = parseRef(ref)
+    if (isManifest(ns, t)) { commitOverwrite(df, ref, partitionBy); return }
     val w = df.write.mode("overwrite").option("mergeSchema", "true")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(ns, t))
@@ -81,44 +119,208 @@ final class Catalog(val spark: SparkSession, root: String) {
   /** Append-only ingest (streaming `foreachBatch` / incremental batch
     * loads). Parquet append is atomic per task file, so a failed batch
     * retry never corrupts committed data; partition by the event-date
-    * column at scale so downstream date filters prune. */
+    * column at scale so downstream date filters prune. On a
+    * manifest-committed table the append publishes atomically through
+    * [[commitAppend]] (all-or-nothing, not just per task file). */
   def append(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil): Unit = {
     val (ns, t) = parseRef(ref)
+    if (isManifest(ns, t)) { commitAppend(df, ref, partitionBy); return }
     val w = df.write.mode("append")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(ns, t))
+  }
+
+  /** The table's partition columns: from the committed snapshot on a
+    * manifest table, else discovered from the Hive-style `col=value`
+    * directory layout (outermost first). Empty for unpartitioned tables. */
+  def partitionColumnsOf(namespace: String, table: String): Seq[String] = {
+    val p = new Path(path(namespace, table))
+    val fs = fsOf(p)
+    if (fs.exists(Manifest.dir(p)))
+      Manifest.latest(fs, p).map(_.partitions).getOrElse(Nil)
+    else if (!fs.exists(p)) Nil
+    else {
+      val cols = Seq.newBuilder[String]
+      var dir = p
+      var continue = true
+      while (continue) {
+        val kv = fs.listStatus(dir)
+          .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(_.getPath)
+        val names = kv.map(_.getName.takeWhile(_ != '=')).distinct
+        if (names.length != 1) continue = false
+        else { cols += names.head; dir = kv.head }
+      }
+      cols.result()
+    }
+  }
+
+  /** Stage `df` under a dot-prefixed directory (invisible to readers),
+    * move the written data files into the table's canonical layout, and
+    * return their table-relative paths. Files are visible to manifest
+    * readers only once a snapshot referencing them publishes. */
+  private def stageFiles(df: DataFrame, tableRoot: Path,
+      partitionBy: Seq[String]): Seq[String] = {
+    val fs = fsOf(tableRoot)
+    val stage = new Path(tableRoot, s".stage-${java.util.UUID.randomUUID()}")
+    try {
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(stage.toString)
+      val staged = Seq.newBuilder[String]
+      def walk(dir: Path, rel: String): Unit =
+        fs.listStatus(dir).foreach { s =>
+          val name = s.getPath.getName
+          if (name.startsWith("_") || name.startsWith(".")) ()
+          else if (s.isDirectory) walk(s.getPath, s"$rel$name/")
+          else if (name.endsWith(".parquet")) staged += s"$rel$name"
+        }
+      walk(stage, "")
+      staged.result().map { rel =>
+        val dest = new Path(tableRoot, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(new Path(stage, rel), dest))
+          throw new java.io.IOException(s"failed to place staged file $rel")
+        rel
+      }
+    } finally fs.delete(stage, true)
+  }
+
+  /** Partition columns for a commit: explicit wins, else the table's
+    * existing layout is INHERITED — an append that omits `partitionBy` can
+    * never silently flatten a partitioned table. An explicit layout that
+    * contradicts the existing one fails loudly. */
+  private def commitParts(partitionBy: Seq[String], prior: Option[Manifest.Snapshot],
+      ns: String, t: String): Seq[String] = {
+    val inherited = prior.map(_.partitions).getOrElse(partitionColumnsOf(ns, t))
+    if (partitionBy.isEmpty) inherited
+    else {
+      require(inherited.isEmpty || inherited == partitionBy,
+        s"partition layout mismatch for $ns.$t: table is partitioned by " +
+          s"(${inherited.mkString(",")}) but the commit asked for " +
+          s"(${partitionBy.mkString(",")})")
+      partitionBy
+    }
+  }
+
+  /** Atomic append: stage the batch's files, then publish a snapshot that
+    * adds them — all-or-nothing (see [[Manifest]]). A first commit adopts
+    * an existing directory-layout table by folding its current files into
+    * the snapshot. With `batchId` set the commit is IDEMPOTENT: replaying
+    * an already-committed micro-batch (ids must be monotone, the
+    * Structured-Streaming `foreachBatch` contract) is skipped before any
+    * data is written. Returns false iff skipped. */
+  def commitAppend(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil,
+      batchId: Option[Long] = None): Boolean = {
+    val (ns, t) = parseRef(ref)
+    val tableRoot = new Path(path(ns, t))
+    val fs = fsOf(tableRoot)
+    val prior = Manifest.latest(fs, tableRoot)
+    if (batchId.isDefined && prior.exists(_.lastBatchId.exists(batchId.get <= _)))
+      return false
+    val parts = commitParts(partitionBy, prior, ns, t)
+    // adoption: fold a PRE-manifest table's current files into the snapshot.
+    // The `_manifests` marker is created BEFORE any data stages so this can
+    // never re-adopt files a crashed manifest-mode commit moved but did not
+    // publish — those are orphans ([[vacuum]]), not table content.
+    val adopted =
+      if (prior.isEmpty && !fs.exists(Manifest.dir(tableRoot)) &&
+          fs.exists(tableRoot)) listDataFiles(fs, tableRoot)
+      else prior.map(_.files).getOrElse(Nil)
+    fs.mkdirs(Manifest.dir(tableRoot))
+    val added = stageFiles(df, tableRoot, parts)
+    val all = adopted ++ added
+    if (all.nonEmpty)
+      Manifest.publish(fs, tableRoot, parts,
+        batchId.orElse(prior.flatMap(_.lastBatchId)), all)
+    true
+  }
+
+  /** Atomic overwrite: stage the replacement files, then publish a snapshot
+    * listing ONLY them. Readers switch file sets atomically — there is no
+    * window where the table is missing or mixed, unlike a delete+rename
+    * directory swap. Superseded files stay on disk until [[vacuum]]. */
+  def commitOverwrite(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil): Unit = {
+    val (ns, t) = parseRef(ref)
+    val tableRoot = new Path(path(ns, t))
+    val fs = fsOf(tableRoot)
+    val prior = Manifest.latest(fs, tableRoot)
+    val parts = commitParts(partitionBy, prior, ns, t)
+    fs.mkdirs(Manifest.dir(tableRoot))
+    val added = stageFiles(df, tableRoot, parts)
+    require(added.nonEmpty, s"refusing to overwrite $ref with an empty file set")
+    Manifest.publish(fs, tableRoot, parts, prior.flatMap(_.lastBatchId), added)
+  }
+
+  /** Delete data files no committed snapshot references (crashed-append
+    * orphans, pre-overwrite file sets) plus all but the latest manifest.
+    * Safe against the LATEST snapshot only — run it when no reader still
+    * holds an older snapshot open. Returns the number of files removed. */
+  def vacuum(ref: String): Long = {
+    val (ns, t) = parseRef(ref)
+    val tableRoot = new Path(path(ns, t))
+    val fs = fsOf(tableRoot)
+    val snap = Manifest.latest(fs, tableRoot).getOrElse(
+      throw TableNotFound(ns, t))
+    val live = snap.files.toSet
+    var removed = 0L
+    listDataFiles(fs, tableRoot).filterNot(live.contains).foreach { rel =>
+      if (fs.delete(new Path(tableRoot, rel), false)) removed += 1
+    }
+    fs.listStatus(Manifest.dir(tableRoot)).foreach { s =>
+      val n = s.getPath.getName
+      if (n != f"v${snap.version}%020d.manifest" &&
+          (n.endsWith(".manifest") || n.startsWith(".tmp-")))
+        if (fs.delete(s.getPath, false)) removed += 1
+    }
+    removed
+  }
+
+  /** All committed-layout parquet files under the table root, relative
+    * paths, skipping staging/metadata directories. */
+  private def listDataFiles(fs: FileSystem, tableRoot: Path): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def walk(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { s =>
+        val name = s.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) ()
+        else if (s.isDirectory) walk(s.getPath, s"$rel$name/")
+        else if (name.endsWith(".parquet")) out += s"$rel$name"
+      }
+    if (fs.exists(tableRoot)) walk(tableRoot, "")
+    out.result()
   }
 
   /** [[append]] with TYPE relaxation, completing the reference's
     * `allowFieldRelaxation` semantics (`scripts/transform_script:20-23`)
     * for the append path: an incoming column NARROWER than the stored type
     * silently casts up (int → stored long); an incoming column WIDER
-    * migrates the stored files ONCE to the widened type (write-aside +
-    * directory swap — overwriting a path that is also the lazy read input
-    * would drop the data), then appends; nullability relaxes to the union.
-    * Added columns pass through (the mergeSchema read unions them);
-    * columns that cannot widen (string vs int) fail loudly. At 100 TB the
-    * widening migration is a real one-off table rewrite — exactly what a
-    * BigQuery relaxation does under the hood — so production schemas
-    * should widen once, not per-batch; narrower-incoming appends (the
-    * common case) touch only the new data. */
+    * migrates the stored files ONCE to the widened type; nullability
+    * relaxes to the union. Added columns pass through (the mergeSchema
+    * read unions them); columns that cannot widen (string vs int) fail
+    * loudly. The migration rewrite publishes through [[commitOverwrite]] —
+    * an atomic snapshot swap (adopting a directory-layout table into
+    * manifest commits on the way), so concurrent readers never observe a
+    * missing or half-migrated table — and the table's existing partition
+    * layout is inherited, so a caller that omits `partitionBy` cannot
+    * flatten it. At 100 TB the widening migration is a real one-off table
+    * rewrite — exactly what a BigQuery relaxation does under the hood — so
+    * production schemas should widen once, not per-batch;
+    * narrower-incoming appends (the common case) touch only the new data. */
   def appendRelaxed(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil): Unit = {
     val (ns, t) = parseRef(ref)
     if (!exists(ns, t)) { append(df, ref, partitionBy); return }
     val existing = load(ns, t)
     val target = Catalog.relaxedSchema(existing.schema, df.schema)
-    if (Catalog.needsCast(existing.schema, target)) {
-      val p = new org.apache.hadoop.fs.Path(path(ns, t))
-      val tmp = new org.apache.hadoop.fs.Path(path(ns, t) + "__relaxing")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val w = Catalog.castTo(existing, target).write.mode("overwrite")
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(tmp.toString)
-      fs.delete(p, true)
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"schema-relaxation swap failed for $ref")
-    }
-    append(Catalog.castTo(df, target), ref, partitionBy)
+    val parts =
+      if (partitionBy.nonEmpty) partitionBy else partitionColumnsOf(ns, t)
+    if (Catalog.needsCast(existing.schema, target))
+      // the rewrite reads the pre-migration snapshot lazily while staging
+      // lands under a dot-prefixed subdirectory of the same root — input
+      // files are untouched until the snapshot swap publishes
+      commitOverwrite(Catalog.castTo(existing, target), ref, parts)
+    append(Catalog.castTo(df, target), ref, parts)
   }
 
   /** Bucketed save via the session catalog (`bucketBy` requires

@@ -40,17 +40,25 @@ import graft.ext.Dedup
   * while the online form keeps it (B was never accepted), which is the
   * defensible choice: C duplicates nothing that exists downstream.
   *
-  * Durability: survivors append before their band rows. With the default
-  * `exactlyOnce = false`, a crash between the two writes can duplicate ONE
-  * batch's docs on replay (at-least-once; a replayed doc whose bands DID
-  * land self-matches at Jaccard 1.0 and drops). With `exactlyOnce = true`,
-  * both tables tag rows with the micro-batch id and partition by it
-  * ([[MonitoringLoop]]'s ingest pattern): a replayed batch recomputes the
-  * same survivors (the crashed attempt's docs rows have no bands, so they
-  * influence no probe) and anti-joins away whatever its crashed attempt
-  * already committed, per table — the replay probe reads one batch-id
-  * partition directory and the prior side broadcasts. Crash-replay is
-  * injected and asserted in StreamingSpec.
+  * Durability: survivors append before their band rows, and both appends
+  * are exactly-once either way:
+  *
+  *  - Default: atomic manifest commits ([[Catalog.commitAppend]]) carrying
+  *    the micro-batch id. A crash between the two commits replays cleanly
+  *    with NO replay probe: the docs commit is skipped (its batch id
+  *    already landed), the recomputed survivors are identical (the crashed
+  *    attempt's docs have no band rows, so they influence no candidate),
+  *    and the bands commit lands — per-table idempotence does the work the
+  *    anti-join convention used to.
+  *  - `exactlyOnce = true` selects the pre-manifest batch-id-partition
+  *    convention ([[MonitoringLoop]]'s ingest pattern): both tables tag
+  *    rows with the micro-batch id and partition by it, and a replayed
+  *    batch anti-joins away whatever its crashed attempt already
+  *    committed, per table — kept for deployments that need a
+  *    plain-directory layout; the replay probe reads one batch-id
+  *    partition directory and the prior side broadcasts.
+  *
+  * Crash-replay is injected and asserted for both modes in StreamingSpec.
   */
 final class IncrementalDedup(
     catalog: Catalog, docsTable: String, bandsTable: String,
@@ -63,27 +71,28 @@ final class IncrementalDedup(
     * duplicate the batch's docs. */
   private[graft] var crashBetweenAppendsOnce: Boolean = false
 
-  /** Append `rows` to `table`, tagged and batch-id-partitioned when
-    * [[exactlyOnce]], dropping rows a crashed attempt of THIS batch
-    * already committed (keyed by `keys`).
+  /** Append `rows` to `table`: an idempotent manifest commit by default,
+    * or tagged and batch-id-partitioned when [[exactlyOnce]] (dropping rows
+    * a crashed attempt of THIS batch already committed, keyed by `keys`).
     *
     * Mode-mismatch guard (both directions, mirroring [[MonitoringLoop]]'s
-    * ingest guard): parquet partition discovery cannot mix exactly-once
-    * `__batch_id=N` directories with a plain append's flat files under one
-    * table root, so switching [[exactlyOnce]] over an existing table fails
-    * loudly here instead of corrupting the layout — the at-least-once
-    * direction would otherwise degrade SILENTLY (the replay probe reads
-    * nothing and duplicates land). The probe is a schema read (footers
-    * only), not a data scan. */
+    * ingest guard): a manifest commit must not silently ADOPT a
+    * `__batch_id=N`-partitioned table (its replay semantics key off the
+    * partition column this mode ignores), and the partition convention
+    * cannot probe a table without that column, so switching
+    * [[exactlyOnce]] over an existing table fails loudly instead of
+    * corrupting layout or replay semantics. The probe is a schema read
+    * (footers only), not a data scan. */
   private def appendOnce(rows: DataFrame, table: String, keys: Seq[String],
       batchId: Long): Unit =
     if (!exactlyOnce) {
       if (catalog.exists(table))
         require(!catalog.load(table).columns.contains("__batch_id"),
-          s"at-least-once append into '$table' found a __batch_id partition " +
-            "column: the table was written in exactly-once mode; keep " +
-            "exactlyOnce = true or start from a fresh table")
-      catalog.append(rows, table)
+          s"manifest-commit append into '$table' found a __batch_id " +
+            "partition column: the table was written in the exactly-once " +
+            "partition convention; keep exactlyOnce = true or start from a " +
+            "fresh table")
+      catalog.commitAppend(rows, table, batchId = Some(batchId))
     } else {
       val tagged = rows.withColumn("__batch_id", lit(batchId))
       val fresh =

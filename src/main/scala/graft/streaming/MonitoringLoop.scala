@@ -85,18 +85,28 @@ final class MonitoringLoop(
     * through on restart. */
   private[graft] var crashAfterAppendOnce: Boolean = false
 
-  /** Ingest one micro-batch. With `dedupKeys` set the append is EXACTLY-
-    * once: rows are tagged with the micro-batch id, the table is
-    * additionally partitioned by that tag, and a replayed batch (crash
-    * between append and offset commit) anti-joins away whatever its crashed
-    * attempt already committed — including rows from a PARTIAL append,
-    * since the comparison is per key, not per batch. Mirrors the
-    * reference's idempotent WRITE_TRUNCATE transform semantics
-    * (scripts/transform_script:17-24) in append-only form. At scale the
-    * batch-id partition keeps the replay probe to one partition directory's
-    * worth of IO, and the one-batch prior side broadcasts. */
+  /** Ingest one micro-batch — EXACTLY-once either way:
+    *
+    *  - Default: an atomic manifest commit ([[Catalog.commitAppend]])
+    *    carrying the micro-batch id. The commit is all-or-nothing (a torn
+    *    append publishes nothing a reader can see) and idempotent (a
+    *    replayed batch id is skipped before any data is written), so no
+    *    per-table replay probe runs at all.
+    *  - With `dedupKeys` set, the pre-manifest batch-id-partition
+    *    convention: rows are tagged with the micro-batch id, the table is
+    *    additionally partitioned by that tag, and a replayed batch (crash
+    *    between append and offset commit) anti-joins away whatever its
+    *    crashed attempt already committed — including rows from a PARTIAL
+    *    append, since the comparison is per key, not per batch. Kept for
+    *    deployments that need a plain-directory table layout; at scale the
+    *    batch-id partition keeps the replay probe to one partition
+    *    directory's worth of IO, and the one-batch prior side broadcasts.
+    *
+    * Both mirror the reference's idempotent WRITE_TRUNCATE transform
+    * semantics (scripts/transform_script:17-24) in append-only form. */
   private def ingest(batch: DataFrame, batchId: Long): Unit =
-    if (dedupKeys.isEmpty) catalog.append(batch, table, partitionBy)
+    if (dedupKeys.isEmpty)
+      catalog.commitAppend(batch, table, partitionBy, Some(batchId))
     else {
       val tagged = batch.withColumn("__batch_id", lit(batchId))
       val fresh = loadIfReadable(table) match {
@@ -210,12 +220,12 @@ final class MonitoringLoop(
     * keeps it running on `interval`.
     *
     * Pass `checkpoint` for restart durability: offsets commit after each
-    * batch, so a restarted job resumes at the first unprocessed batch. A
-    * plain append is then at-least-once (a batch that crashed between
-    * append and commit re-appends on restart); construct the loop with
-    * `dedupKeys` (e.g. `Seq("event_id")`) to make ingest EXACTLY-once —
-    * [[ingest]] drops a replayed batch's already-committed rows by
-    * (batch id, key). Alert dedup absorbs replays either way. */
+    * batch, so a restarted job resumes at the first unprocessed batch.
+    * Ingest is EXACTLY-once in both modes — the default atomic manifest
+    * commit skips a replayed batch id outright; `dedupKeys`
+    * (e.g. `Seq("event_id")`) selects the batch-id-partition convention
+    * instead, where [[ingest]] drops a replayed batch's already-committed
+    * rows by (batch id, key). Alert dedup absorbs replays either way. */
   def start(stream: DataFrame, queryName: String = "graft_monitoring_loop",
       continuous: Boolean = false, interval: String = "1 minute",
       checkpoint: Option[String] = None): StreamingQuery = {

@@ -128,6 +128,70 @@ class HealingSpec extends SparkSpec {
     assert(e.getMessage.contains("relax"))
   }
 
+  test("appendRelaxed preserves a partitioned layout through the widening migration") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    // seed a PARTITIONED table with a narrow id (non-date partition values
+    // so partition-type inference keeps the column a string)
+    val v1 = Seq((1, "d1", 10), (2, "d2", 20)).toDF("id", "day", "v")
+    catalog.save(v1, "output.prelax", partitionBy = Seq("day"))
+    assert(catalog.partitionColumnsOf("output", "prelax") == Seq("day"))
+    // widening migration WITHOUT re-passing partitionBy: the discovered
+    // layout must survive the rewrite instead of silently flattening
+    val v2 = Seq((2147483648L, "d3", 30)).toDF("id", "day", "v")
+    catalog.appendRelaxed(v2, "output.prelax")
+    assert(catalog.partitionColumnsOf("output", "prelax") == Seq("day"))
+    // the migration adopted the table into atomic manifest commits (no
+    // delete+rename window), and the migrated files live in day=... dirs
+    assert(catalog.isManifest("output", "prelax"))
+    assert(new java.io.File(s"$root/output/prelax/day=d3").exists())
+    val back = catalog.load("output.prelax")
+    assert(back.schema("id").dataType == LongType)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 2147483648L))
+    assert(back.filter(col("day") === "d2").count() == 1)
+  }
+
+  test("manifest commits: adoption, idempotent batch replay, atomic overwrite, vacuum") {
+    // adoption: a directory-layout table folds into the first snapshot
+    catalog.save(Seq((1L, "a")).toDF("id", "v"), "output.mani")
+    assert(!catalog.isManifest("output", "mani"))
+    assert(catalog.commitAppend(Seq((2L, "b")).toDF("id", "v"), "output.mani",
+      batchId = Some(0L)))
+    assert(catalog.isManifest("output", "mani"))
+    assert(catalog.load("output.mani").count() == 2)
+    // replaying a committed batch id is skipped before any data is written
+    assert(!catalog.commitAppend(Seq((2L, "dup")).toDF("id", "v"), "output.mani",
+      batchId = Some(0L)))
+    assert(catalog.load("output.mani").count() == 2)
+    // the next batch id lands, and plain append routes through the commit
+    assert(catalog.commitAppend(Seq((3L, "c")).toDF("id", "v"), "output.mani",
+      batchId = Some(1L)))
+    catalog.append(Seq((4L, "d")).toDF("id", "v"), "output.mani")
+    assert(catalog.load("output.mani").count() == 4)
+    // save on a manifest table is an atomic snapshot swap: readers see only
+    // the new file set; superseded files wait on disk for vacuum
+    catalog.save(Seq((9L, "z")).toDF("id", "v"), "output.mani")
+    assert(catalog.load("output.mani").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(catalog.vacuum("output.mani") > 0)
+    assert(catalog.load("output.mani").collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("manifest commits: partition layout is inherited, contradictions fail loudly") {
+    catalog.commitAppend(Seq((1L, "d1")).toDF("id", "day"), "output.mpart",
+      partitionBy = Seq("day"))
+    // an append omitting partitionBy inherits the layout — never flattens
+    catalog.append(Seq((2L, "d2")).toDF("id", "day"), "output.mpart")
+    assert(catalog.partitionColumnsOf("output", "mpart") == Seq("day"))
+    assert(new java.io.File(s"$root/output/mpart/day=d2").exists())
+    assert(catalog.load("output.mpart").count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      catalog.commitAppend(Seq((3L, "d3")).toDF("id", "day"), "output.mpart",
+        partitionBy = Seq("id"))
+    }
+    assert(e.getMessage.contains("partition layout mismatch"))
+  }
+
   test("AlertStore: monitoring_alerts shape, partitioned append, retention load") {
     import graft.alerts.{Alert, AlertStore}
     val now = java.time.Instant.parse("2024-01-31T00:00:00Z")

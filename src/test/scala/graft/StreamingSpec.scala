@@ -237,6 +237,115 @@ class StreamingSpec extends SparkSpec {
     assert(catalog.load("monitoring.eofirst").count() == 1)
   }
 
+  test("manifest commit: a torn append is invisible to a concurrent reader") {
+    val root = java.nio.file.Files.createTempDirectory("graft-torn").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    catalog.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "mf.events")
+    assert(catalog.load("mf.events").count() == 2)
+
+    // replicate the commit protocol's widest crash window — data files
+    // already moved into the canonical layout, manifest NOT yet published —
+    // by placing a file beside the committed ones with no snapshot
+    // referencing it: a reader must not see its rows
+    val dir = new java.io.File(s"$root/mf/events")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir, "part-torn-00000.parquet").toPath)
+    assert(catalog.load("mf.events").count() == 2)
+    // vacuum reclaims the orphan; the table is unchanged
+    assert(catalog.vacuum("mf.events") >= 1)
+    assert(catalog.load("mf.events").count() == 2)
+
+    // a FIRST commit crashed the same way (marker dir + moved file, no
+    // snapshot): the table reads as absent, and the replay commits cleanly
+    // WITHOUT re-adopting the crashed attempt's file
+    assert(new java.io.File(s"$root/mf/fresh/_manifests").mkdirs())
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$root/mf/fresh/part-torn-00000.parquet").toPath)
+    assert(!catalog.exists("mf.fresh"))
+    intercept[graft.core.TableNotFound] { catalog.load("mf.fresh") }
+    assert(catalog.commitAppend(Seq((7L, "x")).toDF("id", "v"), "mf.fresh",
+      batchId = Some(0L)))
+    assert(catalog.load("mf.fresh").collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("MonitoringLoop default ingest is exactly-once through the manifest commit") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-mfeo").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val am = new AlertManager(FixedClock.at("2024-01-31T18:00:00Z"),
+      Seq(new InMemorySink("log")))
+    // NO dedupKeys: the default manifest commit alone must absorb the replay
+    val loop = new MonitoringLoop(catalog, "monitoring.mfeo", am,
+      expectedFeeds = Seq("click"))
+    val checkpoint = Some(s"$root/chk")
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    var q = loop.start(stream, continuous = true, interval = "1 second",
+      checkpoint = checkpoint)
+    input.addData((1L, ts("2024-01-31T17:30:00Z"), 10L, "click", 5.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch 1 crashes AFTER its commit lands but BEFORE the offset commit
+    loop.crashAfterAppendOnce = true
+    q = loop.start(stream, continuous = true, interval = "1 second",
+      checkpoint = checkpoint)
+    input.addData(
+      (2L, ts("2024-01-31T17:40:00Z"), 11L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-31T17:45:00Z"), 12L, "click", 3.0, "{}"))
+    intercept[Throwable] { q.processAllAvailable(); q.awaitTermination() }
+    assert(catalog.load("monitoring.mfeo").count() == 3)
+
+    // restart: the replayed batch id is skipped before any data is written
+    q = loop.start(stream, continuous = true, interval = "1 second",
+      checkpoint = checkpoint)
+    q.processAllAvailable()
+    q.stop()
+    val ingested = catalog.load("monitoring.mfeo")
+    assert(ingested.count() == 3, "replayed batch double-ingested")
+    assert(ingested.select("event_id").distinct().count() == 3)
+  }
+
+  test("IncrementalDedup default mode: crash between the two commits replays cleanly") {
+    import graft.streaming.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft-incdedup-mf").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    // default mode: manifest commits, no __batch_id columns anywhere
+    val inc = new IncrementalDedup(catalog, "mf.docs", "mf.bands", threshold = 0.3)
+
+    val base = "the quick brown fox jumps over the lazy dog near the old barn today"
+    val fresh = "statistical machine translation systems were replaced by large transformers"
+    val freshNear = "statistical machine translation systems were replaced by huge transformers"
+
+    inc.processBatch(Seq((1L, base)).toDF("doc_id", "text"), 0L)
+
+    inc.crashBetweenAppendsOnce = true
+    val b1 = Seq((2L, fresh)).toDF("doc_id", "text")
+    intercept[RuntimeException] { inc.processBatch(b1, 1L) }
+    assert(catalog.load("mf.docs").filter($"doc_id" === 2L).count() == 1)
+    assert(catalog.load("mf.bands").filter($"doc_id" === 2L).count() == 0)
+
+    // replay: the docs commit is skipped by batch id, the bands commit lands
+    inc.processBatch(b1, 1L)
+    assert(catalog.load("mf.docs").filter($"doc_id" === 2L).count() == 1)
+    assert(catalog.load("mf.bands").filter($"doc_id" === 2L)
+      .select("band").distinct().count() == 8)
+    assert(!catalog.load("mf.docs").columns.contains("__batch_id"))
+
+    // state is whole: a later near-dup of the replayed doc drops
+    inc.processBatch(Seq((3L, freshNear)).toDF("doc_id", "text"), 2L)
+    assert(catalog.load("mf.docs").filter($"doc_id" === 3L).count() == 0)
+    assert(catalog.load("mf.docs").count() == 2)
+  }
+
   test("MonitoringLoop reconciles against a real destination table when given one") {
     import graft.alerts.{AlertManager, InMemorySink}
     import graft.core.FixedClock
