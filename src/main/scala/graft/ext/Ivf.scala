@@ -37,11 +37,7 @@ import graft.functions.NearestCentroid
 object Ivf {
 
   private def toVec(row: org.apache.spark.sql.Row, i: Int): Array[Double] =
-    row.getSeq[Any](i).map {
-      case f: Float => f.toDouble
-      case d: Double => d
-      case n: Number => n.doubleValue()
-    }.toArray
+    Similarity.toVec(row, i)
 
   /** Deterministic Lloyd k-means over an `array<float|double>` column.
     * Returns the k centroids (empty clusters keep their previous centroid,
@@ -128,26 +124,19 @@ object Ivf {
     centroids.zipWithIndex.map { case (c, i) => (l2(qv, c), i) }
       .sorted.take(nProbe).map(_._2).toSeq
 
-  /** Left-to-right squared norm of a collected vector — the SAME fold order
-    * as [[Similarity.norm2]]'s expression (floats widen to double, then
-    * accumulate in element order), so driver-side and scan-side values are
-    * bit-identical. */
-  private def norm2Vec(qv: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < qv.length) { s += qv(i) * qv(i); i += 1 }
-    s
-  }
+  /** Left-to-right squared norm, [[Similarity.norm2Vec]] — the same fold
+    * order as the scan-side expression, so values are bit-identical. */
+  private def norm2Vec(qv: Array[Double]): Double = Similarity.norm2Vec(qv)
 
   /** Exact-cosine rerank of `cells` against an already-collected query
     * vector, top-k. The vector and its squared norm ride the plan as
     * LITERALS — no second corpus lookup, no join: the round-4 form
     * re-filtered the (partitioned) corpus for the query row inside the
     * rerank, a full-partition scan that diluted the probe's pruning. */
-  private def rerankVec(cells: DataFrame, qv: Array[Double], queryId: Long,
+  private def rerankVec(cells: DataFrame, qv: Array[Double], excludeId: Option[Long],
       k: Int, idCol: String, vecCol: String): DataFrame = {
     val qvLit = array(qv.map(lit).toSeq: _*)
-    cells
-      .filter(col(idCol) =!= queryId)
+    excludeId.fold(cells)(q => cells.filter(col(idCol) =!= q))
       .select(col(idCol),
         round(Similarity.cosinePre(col(vecCol), qvLit, lit(norm2Vec(qv))), 6)
           .as("cosine_sim"))
@@ -160,21 +149,33 @@ object Ivf {
   private def emptyTopK(emb: DataFrame, idCol: String): DataFrame =
     emb.select(col(idCol), lit(0.0d).as("cosine_sim")).limit(0)
 
-  /** IVF top-k: probe only the `nProbe` cells nearest the query vector,
-    * exact-rerank by cosine inside them. Same output shape/ordering as
-    * [[Similarity.bruteForceTopK]]; recall vs that baseline is measured in
-    * ExtSpec. A missing `queryId` degrades to an empty result, like every
-    * sibling top-k. */
+  /** Vector-first IVF top-k — the production entry point: query vectors
+    * come from OUTSIDE the corpus (a user query embedded on the fly), so
+    * there is no row to look up and no scan to pay for one. Probes the
+    * `nProbe` cells nearest `qv`, exact-reranks by cosine inside them.
+    * `excludeId` drops one corpus id from the result (how the id-keyed
+    * form excludes the query's own row); external queries leave it unset. */
+  def ivfTopKVec(emb: DataFrame, centroids: Array[Array[Double]], qv: Array[Double],
+      k: Int, nProbe: Int = 2, excludeId: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = nearestClusters(qv, centroids, nProbe)
+    rerankVec(
+      assign(emb, centroids, vecCol).filter(col("cluster").isin(probes: _*)),
+      qv, excludeId, k, idCol, vecCol)
+  }
+
+  /** IVF top-k keyed by a corpus id: looks the vector up once, then
+    * delegates to [[ivfTopKVec]] (bit-identical — test-pinned). Same output
+    * shape/ordering as [[Similarity.bruteForceTopK]]; recall vs that
+    * baseline is measured in ExtSpec. A missing `queryId` degrades to an
+    * empty result, like every sibling top-k. */
   def ivfTopK(emb: DataFrame, centroids: Array[Array[Double]], queryId: Long,
       k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
     if (qRows.isEmpty) return emptyTopK(emb, idCol)
-    val qv = toVec(qRows(0), 0)
-    val probes = nearestClusters(qv, centroids, nProbe)
-    rerankVec(
-      assign(emb, centroids, vecCol).filter(col("cluster").isin(probes: _*)),
-      qv, queryId, k, idCol, vecCol)
+    ivfTopKVec(emb, centroids, toVec(qRows(0), 0), k, nProbe, Some(queryId),
+      idCol, vecCol)
   }
 
   /** IVF top-k over a CLUSTER-PARTITIONED corpus — the 100 TB probe path.
@@ -188,6 +189,26 @@ object Ivf {
     * recomputing assignments — the classic IVF inverted-file lookup,
     * expressed as Spark partition pruning. Results are identical to
     * [[ivfTopK]] on the same corpus + centroids (also test-asserted). */
+  /** Vector-first [[ivfTopKPartitioned]] — with the query vector in hand
+    * the WHOLE query touches exactly the nProbe probed cell directories:
+    * no id lookup, so no full-partition scan anywhere in the plan
+    * (single pruned FileSourceScan, plan-asserted in ExtSpec). This is the
+    * 100 TB serving shape: train once ([[saveCentroids]]), cluster-write
+    * once, then every external query reads nProbe/k of the corpus. */
+  def ivfTopKPartitionedVec(clustered: DataFrame, centroids: Array[Array[Double]],
+      qv: Array[Double], k: Int, nProbe: Int = 2, excludeId: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(clustered.columns.contains("cluster"),
+      "ivfTopKPartitionedVec requires a stored 'cluster' column — write the " +
+        "corpus once via Catalog.save(Ivf.assign(emb, centroids), ref, " +
+        "partitionBy = Seq(\"cluster\")) and pass the re-loaded table " +
+        "(use ivfTopKVec for an unpartitioned corpus)")
+    val probes = nearestClusters(qv, centroids, nProbe)
+    rerankVec(
+      clustered.filter(col("cluster").isin(probes: _*)),
+      qv, excludeId, k, idCol, vecCol)
+  }
+
   def ivfTopKPartitioned(clustered: DataFrame, centroids: Array[Array[Double]],
       queryId: Long, k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -198,11 +219,8 @@ object Ivf {
         "(use ivfTopK for an unpartitioned corpus)")
     val qRows = clustered.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
     if (qRows.isEmpty) return emptyTopK(clustered, idCol)
-    val qv = toVec(qRows(0), 0)
-    val probes = nearestClusters(qv, centroids, nProbe)
-    rerankVec(
-      clustered.filter(col("cluster").isin(probes: _*)),
-      qv, queryId, k, idCol, vecCol)
+    ivfTopKPartitionedVec(clustered, centroids, toVec(qRows(0), 0), k, nProbe,
+      Some(queryId), idCol, vecCol)
   }
 
   /** IVF top-k for a BATCH of query ids in ONE probe job — the IVF member
@@ -229,25 +247,40 @@ object Ivf {
   def ivfTopKBatch(emb: DataFrame, centroids: Array[Array[Double]],
       queryIds: Seq[Long], k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val qRows = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol), col(vecCol)).collect()
-    if (qRows.isEmpty)
+    ivfTopKBatchVec(emb, centroids,
+      qRows.toSeq.map(r => (r.getLong(0), toVec(r, 1))), k, nProbe,
+      excludeSelf = true, idCol, vecCol)
+  }
+
+  /** Vector-first [[ivfTopKBatch]]: the m (label, vector) queries arrive
+    * from outside the corpus (an embedded query batch), skipping the
+    * corpus lookup scan entirely — the serving-path twin of
+    * [[ivfTopKPartitionedVec]] for batches. `excludeSelf` drops corpus
+    * rows whose id equals the query's label (the id-keyed form's
+    * own-row exclusion); external labels leave it false. */
+  def ivfTopKBatchVec(emb: DataFrame, centroids: Array[Array[Double]],
+      queries: Seq[(Long, Array[Double])], k: Int, nProbe: Int = 2,
+      excludeSelf: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    if (queries.isEmpty)
       return emb.select(col(idCol).as("query_id"), col(idCol),
         lit(0.0d).as("cosine_sim")).limit(0)
-    val probeRows = qRows.toSeq.flatMap { r =>
-      val qv = toVec(r, 1)
+    val probeRows = queries.flatMap { case (qid, qv) =>
       nearestClusters(qv, centroids, nProbe)
-        .map(c => (r.getLong(0), c, qv, norm2Vec(qv)))
+        .map(c => (qid, c, qv, norm2Vec(qv)))
     }
     val probes = probeRows.toDF("query_id", "cluster", "qv", "n2q")
     val corpus =
       if (emb.columns.contains("cluster")) emb else assign(emb, centroids, vecCol)
     val cells = corpus.filter(
       col("cluster").isin(probeRows.map(_._2).distinct: _*))
-    val scored = cells.join(broadcast(probes), Seq("cluster"))
-      .filter(col(idCol) =!= col("query_id"))
+    val joined = cells.join(broadcast(probes), Seq("cluster"))
+    val scored = (if (excludeSelf) joined.filter(col(idCol) =!= col("query_id"))
+                  else joined)
       .select(col("query_id"), col(idCol).as("id"),
         round(Similarity.cosinePre(col(vecCol), col("qv"), col("n2q")), 6)
           .as("score"))

@@ -43,19 +43,57 @@ object Similarity {
   def cosinePre2(a: Column, b: Column, n2a: Column, n2b: Column): Column =
     dot(a, b) / (sqrt(n2a) * sqrt(n2b))
 
-  /** Exact top-k neighbours of the vector belonging to `queryId`.
-    * The 1-row query side is broadcast; ordering is by rounded score with an
-    * id tie-break for determinism. */
-  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qv = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), norm2(col(vecCol)).as("n2q"))
-    emb.crossJoin(broadcast(qv))
-      .filter(col(idCol) =!= queryId)
+  /** Collected array column row → double vector (floats widen). */
+  private[ext] def toVec(row: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    row.getSeq[Any](i).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
+
+  /** Left-to-right squared norm of a collected vector — the SAME fold order
+    * as [[norm2]]'s expression (floats widen to double, then accumulate in
+    * element order), so driver-side and scan-side values are
+    * bit-identical. */
+  private[ext] def norm2Vec(qv: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < qv.length) { s += qv(i) * qv(i); i += 1 }
+    s
+  }
+
+  /** `qv` + its norm as plan literals, scoring `rows` top-k — the shared
+    * tail of every vector-first single-query form. */
+  private def rerankVecLit(rows: DataFrame, qv: Array[Double],
+      excludeId: Option[Long], k: Int, idCol: String, vecCol: String): DataFrame = {
+    val qvLit = array(qv.map(lit).toSeq: _*)
+    excludeId.fold(rows)(q => rows.filter(col(idCol) =!= q))
       .select(col(idCol),
-        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("cosine_sim"))
+        round(cosinePre(col(vecCol), qvLit, lit(norm2Vec(qv))), 6).as("cosine_sim"))
       .orderBy(desc("cosine_sim"), col(idCol))
       .limit(k)
+  }
+
+  private def emptyTopK(emb: DataFrame, idCol: String): DataFrame =
+    emb.select(col(idCol), lit(0.0d).as("cosine_sim")).limit(0)
+
+  /** Vector-first exact top-k — the production entry point: query vectors
+    * come from OUTSIDE the corpus (embedded on the fly), so no lookup scan
+    * runs; the vector rides the plan as literals. `excludeId` drops one
+    * corpus id (how the id-keyed form excludes the query's own row). */
+  def bruteForceTopKVec(emb: DataFrame, qv: Array[Double], k: Int,
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rerankVecLit(emb, qv, excludeId, k, idCol, vecCol)
+
+  /** Exact top-k neighbours of the vector belonging to `queryId`: one
+    * 1-row lookup, then [[bruteForceTopKVec]] (bit-identical scores —
+    * same literal-vector cosine). Ordering is by rounded score with an id
+    * tie-break for determinism. */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
+    if (qRows.isEmpty) return emptyTopK(emb, idCol)
+    bruteForceTopKVec(emb, toVec(qRows(0), 0), k, Some(queryId), idCol, vecCol)
   }
 
   /** Sign-bit bucket of a vector under `nPlanes` seeded hyperplanes,
@@ -65,20 +103,24 @@ object Similarity {
   def lshBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     element_at(graft.functions.HyperplaneLsh(vec, nPlanes, 1, planeOffset), 1)
 
+  /** Vector-first ANN top-k: the query's bucket derives DRIVER-side from
+    * the same deterministic plane family the scan-side expression folds
+    * (bit-identity test-pinned), so the bucket filter is a pushable literal
+    * predicate and no lookup or bucket-join runs. */
+  def annTopKVec(emb: DataFrame, qv: Array[Double], k: Int, nPlanes: Int = 4,
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    annTopKMultiProbeVec(emb, qv, k, nPlanes, nProbe = 1, excludeId, idCol, vecCol)
+
   /** ANN top-k: probe only the corpus bucket(s) matching the query vector's
     * bucket, then exact-rerank. Trades recall for a 2^nPlanes scan reduction;
-    * recall is measured against `bruteForceTopK` in the test suite. */
+    * recall is measured against `bruteForceTopK` in the test suite. One
+    * 1-row lookup, then [[annTopKVec]] (bit-identical). */
   def annTopK(emb: DataFrame, queryId: Long, k: Int, nPlanes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
-    val qv = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), norm2(col(vecCol)).as("n2q"), col("bucket"))
-    bucketed.join(broadcast(qv), Seq("bucket"))
-      .filter(col(idCol) =!= queryId)
-      .select(col(idCol),
-        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("cosine_sim"))
-      .orderBy(desc("cosine_sim"), col(idCol))
-      .limit(k)
+    val qRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
+    if (qRows.isEmpty) return emptyTopK(emb, idCol)
+    annTopKVec(emb, toVec(qRows(0), 0), k, nPlanes, Some(queryId), idCol, vecCol)
   }
 
   /** Multi-probe ANN top-k (classic multi-probe LSH): probe the query's own
@@ -97,27 +139,29 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
-    if (qRows.isEmpty)
-      return emb.select(col(idCol), lit(0.0d).as("cosine_sim")).limit(0)
-    val qv = qRows(0).getSeq[Any](0).map {
-      case f: Float => f.toDouble
-      case d: Double => d
-      case n: Number => n.doubleValue()
-    }.toArray
+    if (qRows.isEmpty) return emptyTopK(emb, idCol)
+    annTopKMultiProbeVec(emb, toVec(qRows(0), 0), k, nPlanes, nProbe,
+      Some(queryId), idCol, vecCol)
+  }
+
+  /** Vector-first [[annTopKMultiProbe]]: probe set AND scores derive from
+    * the given vector alone — the plan is one bucket-filtered corpus scan,
+    * no lookup, no join (the vector and its norm are literals). */
+  def annTopKMultiProbeVec(emb: DataFrame, qv: Array[Double], k: Int,
+      nPlanes: Int = 4, nProbe: Int = 4, excludeId: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val projs = graft.functions.HyperplaneLsh.projections(qv, nPlanes)
     val base = graft.functions.HyperplaneLsh.bucketOf(projs)
     val flipOrder = projs.zipWithIndex.sortBy { case (p, _) => math.abs(p) }
     val probes = (base +: flipOrder.map { case (_, p) =>
       base ^ (1L << (nPlanes - 1 - p))
     }).take(math.max(1, nProbe)).toSeq
-    val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), norm2(col(vecCol)).as("n2q"))
+    val qvLit = array(qv.map(lit).toSeq: _*)
     emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
       .filter(col("bucket").isin(probes: _*))
-      .crossJoin(broadcast(q))
-      .filter(col(idCol) =!= queryId)
+      .transform(rows => excludeId.fold(rows)(q => rows.filter(col(idCol) =!= q)))
       .select(col(idCol),
-        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("cosine_sim"))
+        round(cosinePre(col(vecCol), qvLit, lit(norm2Vec(qv))), 6).as("cosine_sim"))
       .orderBy(desc("cosine_sim"), col(idCol))
       .limit(k)
   }
@@ -137,14 +181,21 @@ object Similarity {
     * DESC, id ASC) is a total order, so results are identical on any
     * partitioning — equality with the window form is test-pinned. */
   def bruteForceTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bruteForceTopKBatchVec(emb, collectQueries(emb, queryIds, idCol, vecCol),
+      k, excludeSelf = true, idCol, vecCol)
+
+  /** Vector-first [[bruteForceTopKBatch]]: m external (label, vector)
+    * queries broadcast from the driver — no corpus lookup scan. The
+    * broadcast side is built from collected doubles; scores are
+    * bit-identical to the column form (same fold order, norms precomputed
+    * by [[norm2Vec]]). `excludeSelf` drops corpus rows whose id equals the
+    * query's label; external labels leave it false. */
+  def bruteForceTopKBatchVec(emb: DataFrame, queries: Seq[(Long, Array[Double])],
+      k: Int, excludeSelf: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val queries = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        norm2(col(vecCol)).as("n2q"))
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("id"),
-        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("score"))
+    val scored = scoreAgainst(emb.crossJoin(broadcast(queriesDF(emb, queries))),
+      excludeSelf, idCol, vecCol)
     topKPerQuery(scored, k, idCol)
   }
 
@@ -153,17 +204,46 @@ object Similarity {
     * corpus rows (~n/2^nPlanes of the scan) before the same bounded top-k
     * reduction. Recall vs the exact batch is measured in ExtSpec. */
   def annTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int, nPlanes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    annTopKBatchVec(emb, collectQueries(emb, queryIds, idCol, vecCol), k,
+      nPlanes, excludeSelf = true, idCol, vecCol)
+
+  /** Vector-first [[annTopKBatch]]: each external query's bucket derives
+    * driver-side from the shared deterministic plane family, so the
+    * bucket-join probes exactly the queries' buckets with no lookup scan. */
+  def annTopKBatchVec(emb: DataFrame, queries: Seq[(Long, Array[Double])],
+      k: Int, nPlanes: Int = 4, excludeSelf: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withBucket = queriesDF(emb, queries).withColumn("bucket",
+      lshBucket(col("qv"), nPlanes))
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
-    val queries = bucketed.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        norm2(col(vecCol)).as("n2q"), col("bucket"))
-    val scored = bucketed.join(broadcast(queries), Seq("bucket"))
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("id"),
-        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("score"))
+    val scored = scoreAgainst(bucketed.join(broadcast(withBucket), Seq("bucket")),
+      excludeSelf, idCol, vecCol)
     topKPerQuery(scored, k, idCol)
   }
+
+  /** Collect the (id, vector) pairs for a batch of corpus query ids. */
+  private def collectQueries(emb: DataFrame, queryIds: Seq[Long],
+      idCol: String, vecCol: String): Seq[(Long, Array[Double])] =
+    emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol)).collect()
+      .toSeq.map(r => (r.getLong(0), toVec(r, 1)))
+
+  /** Driver-held queries → broadcastable (query_id, qv, n2q) frame; empty
+    * input still carries the right schema (via the corpus session). */
+  private def queriesDF(emb: DataFrame, queries: Seq[(Long, Array[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    queries.map { case (qid, qv) => (qid, qv, norm2Vec(qv)) }
+      .toDF("query_id", "qv", "n2q")
+  }
+
+  /** Score a (corpus ⋈ queries) frame: one dot per row pair. */
+  private def scoreAgainst(joined: DataFrame, excludeSelf: Boolean,
+      idCol: String, vecCol: String): DataFrame =
+    (if (excludeSelf) joined.filter(col(idCol) =!= col("query_id")) else joined)
+      .select(col("query_id"), col(idCol).as("id"),
+        round(cosinePre(col(vecCol), col("qv"), col("n2q")), 6).as("score"))
 
   /** (query_id, id, score) rows → k best per query via the bounded
     * Aggregator, flattened back to a DataFrame with deterministic order.

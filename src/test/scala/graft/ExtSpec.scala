@@ -417,6 +417,68 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("cluster"))
   }
 
+  test("vector-first entry points are bit-identical to id forms; serving plan is lookup-free") {
+    val rnd = new scala.util.Random(5)
+    def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val emb = ((0L until 20L).map(i => (i, near(Array(1.0f, 0.0f, 0.0f, 0.0f)))) ++
+      (20L until 40L).map(i => (i, near(Array(0.0f, 1.0f, 0.0f, 0.0f)))) ++
+      (40L until 60L).map(i => (i, near(Array(0.0f, 0.0f, 1.0f, 0.0f)))))
+      .toDF("vec_id", "embedding")
+    val cents = Ivf.trainCentroids(emb, k = 3, iters = 4)
+    // hold the query vector the way a serving caller would: as doubles
+    def vecOf(id: Long): Array[Double] = emb.filter($"vec_id" === id)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val qid = 3L
+    val qv = vecOf(qid)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // single-query forms: the id form delegates to the vec form, and the
+    // vec form with the id's exclusion returns bit-identical rows
+    assert(rows(Similarity.bruteForceTopKVec(emb, qv, 5, excludeId = Some(qid))) ==
+      rows(Similarity.bruteForceTopK(emb, qid, 5)))
+    assert(rows(Similarity.annTopKVec(emb, qv, 5, nPlanes = 4, excludeId = Some(qid))) ==
+      rows(Similarity.annTopK(emb, qid, 5, nPlanes = 4)))
+    assert(rows(Similarity.annTopKMultiProbeVec(emb, qv, 5, 4, 3, Some(qid))) ==
+      rows(Similarity.annTopKMultiProbe(emb, qid, 5, 4, 3)))
+    assert(rows(Ivf.ivfTopKVec(emb, cents, qv, 5, 2, Some(qid))) ==
+      rows(Ivf.ivfTopK(emb, cents, qid, 5, 2)))
+    // a truly external vector keeps its corpus twin: no exclusion → the
+    // twin surfaces at cosine 1.0
+    assert(rows(Similarity.bruteForceTopKVec(emb, qv, 1)).head == ((qid, 1.0)))
+
+    // batch forms
+    val qids = Seq(0L, 21L)
+    val qvs = qids.map(q => q -> vecOf(q))
+    def rows3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows3(Ivf.ivfTopKBatchVec(emb, cents, qvs, 5, 1, excludeSelf = true)) ==
+      rows3(Ivf.ivfTopKBatch(emb, cents, qids, 5, 1)))
+    assert(rows3(Similarity.bruteForceTopKBatchVec(emb, qvs, 5, excludeSelf = true)) ==
+      rows3(Similarity.bruteForceTopKBatch(emb, qids, 5)))
+    assert(rows3(Similarity.annTopKBatchVec(emb, qvs, 5, 4, excludeSelf = true)) ==
+      rows3(Similarity.annTopKBatch(emb, qids, 5, 4)))
+
+    // the 100 TB serving shape: cluster-partitioned corpus + external
+    // vector. The WHOLE plan holds exactly ONE file scan, pruned to the
+    // nProbe probed cell directories — no id lookup anywhere
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-vec").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    catalog.save(Ivf.assign(emb, cents), "vectors.clustered", partitionBy = Seq("cluster"))
+    val clustered = catalog.load("vectors.clustered")
+    val served = Ivf.ivfTopKPartitionedVec(clustered, cents, qv, 5, nProbe = 2,
+      excludeId = Some(qid))
+    assert(rows(served) ==
+      rows(Ivf.ivfTopKPartitioned(clustered, cents, qid, 5, nProbe = 2)))
+    val allScans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(allScans.length == 1,
+      s"serving plan has ${allScans.length} file scans, want exactly 1 (no lookup)")
+    assert(allScans.head.selectedPartitions.partitionCount == 2,
+      s"read ${allScans.head.selectedPartitions.partitionCount} partitions, want nProbe=2")
+  }
+
   test("Ivf batch: per-query equality, persisted centroids, pruned clustered probe") {
     val rnd = new scala.util.Random(5)
     def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
