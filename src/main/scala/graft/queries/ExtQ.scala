@@ -568,6 +568,61 @@ object ExtQ {
           SELECT event_type, value FROM events, range(100) WHERE event_type = 'purchase')
         SELECT event_type, COUNT(*) AS n_events,
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        FROM amplified GROUP BY event_type ORDER BY event_type"""))
+        FROM amplified GROUP BY event_type ORDER BY event_type""")),
+
+    // Fact-to-fact reconciliation over two SAME-BUCKETED tables — the
+    // registry witness for Catalog.saveBucketed (the q52 pattern applied to
+    // bucketing: the oracle is the UNBUCKETED form, so a hash match proves
+    // bucketing is answer-neutral). The source facts and a deterministically
+    // degraded downstream copy (every 97th row dropped, every 101st value
+    // doubled — the reference's reconciliation discrepancy classes,
+    // reconciliation_detector.py:104-128) both write through
+    // `Catalog.saveBucketed` on the join key; the row-level join then reads
+    // matching buckets directly. The merge hint pins the sort-merge path at
+    // any scale (tiny Verify inputs would otherwise broadcast), and with
+    // both sides bucketed the joined plan carries NO exchange before the
+    // join (plan-asserted in OpsSpec against THIS registry entry) — the
+    // 100 TB repeated fact-to-fact reconciliation answer: pay the shuffle
+    // once at write time, never per query.
+    "q53_bucketed_recon" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, dir)
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val degraded = ev
+          .filter(pmod(col("event_id"), lit(97)) =!= 0)
+          .select(col("event_id"),
+            when(pmod(col("event_id"), lit(101)) === 0, col("value") * 2)
+              .otherwise(col("value")).as("dst_value"))
+        val src = s.table(cat.saveBucketed(ev, "recon.src_facts", "event_id", 8))
+        val dst = s.table(cat.saveBucketed(degraded, "recon.dst_facts", "event_id", 8))
+        src.hint("merge").join(dst, Seq("event_id"), "left")
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("src_rows"),
+            count(col("dst_value")).as("dst_rows"),
+            sum(when(col("dst_value").isNull, 1L).otherwise(0L)).as("missing_rows"),
+            sum(when(col("dst_value").isNotNull && col("dst_value") =!= col("value"), 1L)
+              .otherwise(0L)).as("mismatched_rows"),
+            Exact.sum6(col("value")).as("src_value"),
+            Exact.sum6(coalesce(col("dst_value"), lit(0.0d))).as("dst_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH src AS (SELECT event_id, event_type, value FROM events),
+        dst AS (
+          SELECT event_id,
+            CASE WHEN event_id % 101 = 0 THEN value * 2 ELSE value END AS dst_value
+          FROM events WHERE event_id % 97 <> 0)
+        SELECT src.event_type,
+          COUNT(*) AS src_rows,
+          COUNT(dst.dst_value) AS dst_rows,
+          SUM(CASE WHEN dst.dst_value IS NULL THEN 1 ELSE 0 END) AS missing_rows,
+          SUM(CASE WHEN dst.dst_value IS NOT NULL AND dst.dst_value <> src.value
+              THEN 1 ELSE 0 END) AS mismatched_rows,
+          CAST(SUM(CAST(src.value AS DECIMAL(18,6))) AS DOUBLE) AS src_value,
+          CAST(SUM(CAST(COALESCE(dst.dst_value, 0) AS DECIMAL(18,6))) AS DOUBLE) AS dst_value
+        FROM src LEFT JOIN dst ON src.event_id = dst.event_id
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

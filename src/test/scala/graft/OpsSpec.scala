@@ -191,6 +191,19 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q53 bucketed reconciliation joins without an event_id shuffle") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val df = graft.SparkEntry.queries("q53_bucketed_recon")(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // the merge hint pins the sort-merge path; same-bucketed sides mean the
+    // ONLY exchange in the plan is the event_type aggregation — the join
+    // key never shuffles (that is what bucketing bought)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("hashpartitioning(event_id"),
+      s"bucketed join still shuffles on the join key:\n$plan")
+  }
+
   test("approx_count_distinct tracks exact within its error bound") {
     val df = spark.range(20000).select((col("id") % 7919).as("k"))
     val r = df.agg(
