@@ -23,6 +23,18 @@ object SystemClock extends Clock {
 /** Test / oracle clock pinned to a fixed instant. */
 final case class FixedClock(now: Instant) extends Clock
 
+/** Fixed-but-advancing clock: a wall clock whose time the TEST controls.
+  * This is how wall-clock behavior (staleness emerging from silence, deadline
+  * passage) is asserted deterministically — production passes [[SystemClock]],
+  * tests advance this one and watch the same code transition. */
+final class StepClock(start: Instant) extends Clock {
+  @volatile private var t: Instant = start
+  def now: Instant = t
+  def set(i: Instant): Unit = { t = i }
+  def advance(d: java.time.Duration): Unit = { t = t.plus(d) }
+  def advanceMinutes(m: Long): Unit = advance(java.time.Duration.ofMinutes(m))
+}
+
 object FixedClock {
   def atDate(isoDate: String): FixedClock =
     FixedClock(LocalDate.parse(isoDate).atStartOfDay(ZoneOffset.UTC).toInstant)

@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.core.{Catalog, Clock, SystemClock}
 import graft.ext.TextStats
 
 /** Streaming twin of the q44 curation pipeline — the always-on ingest form
@@ -45,4 +47,39 @@ object CurationStream {
       .withColumn("__fp", md5(col(textCol).cast("binary")))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp", "lang_guess")
+
+  /** Run [[curate]] end-to-end into a catalog table with WALL-CLOCK arrival
+    * stamping: every micro-batch's survivors carry an `arrival_ts` read from
+    * the injected clock at commit time (a driver-side literal per batch, not
+    * a plan-frozen constant), so downstream freshness and retention checks
+    * run on INGESTION time — an ingest stall is visible as a growing
+    * `now - max(arrival_ts)` gap even while event timestamps look current,
+    * exactly the failure mode an event-clock curation pipeline cannot see.
+    * Production passes the default [[SystemClock]]; tests inject a
+    * [[graft.core.StepClock]] and assert the stamps advance with it.
+    * The per-batch append is an idempotent manifest commit keyed by the
+    * micro-batch id, so a replayed batch cannot double-ingest. */
+  def curateToTable(docs: DataFrame, catalog: Catalog, table: String,
+      clock: Clock = SystemClock,
+      textCol: String = "text", tsCol: String = "ts",
+      lang: String = "en", minTokens: Long = 5L, maxTokens: Long = 5000L,
+      minQuality: Double = 0.0, watermark: String = "1 hour",
+      queryName: String = "graft_curation_stream",
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val curated =
+      curate(docs, textCol, tsCol, lang, minTokens, maxTokens, minQuality, watermark)
+    val w0 = curated.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        catalog.commitAppend(
+          batch.withColumn("arrival_ts", lit(clock.nowTs)), table,
+          batchId = Some(id))
+        ()
+      }
+    val w = checkpoint.fold(w0)(p => w0.option("checkpointLocation", p))
+    (if (continuous) w.trigger(Trigger.ProcessingTime(interval))
+     else w.trigger(Trigger.AvailableNow())).start()
+  }
 }

@@ -416,6 +416,80 @@ class StreamingSpec extends SparkSpec {
     assert(rEv.freshness.exists(!_.isStale))
   }
 
+  test("MonitoringLoop staleness transitions under a fixed-but-advancing wall clock") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.{FixedClock, StepClock}
+    import graft.streaming.MonitoringLoop
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-step").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val am = new AlertManager(FixedClock.at("2024-01-31T20:00:00Z"),
+      Seq(new InMemorySink("log")))
+    val clock = new StepClock(java.time.Instant.parse("2024-01-31T10:05:00Z"))
+    val loop = new MonitoringLoop(catalog, "monitoring.step", am,
+      expectedFeeds = Seq("click"), maxAgeMinutes = 240L, clock = Some(clock))
+    def batch(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // t=10:05, data through 10:00 → fresh
+    val r0 = loop.runBatch(batch(Seq(
+      (1L, ts("2024-01-31T10:00:00Z"), 10L, "click", 5.0, "{}"))), 0L)
+    assert(r0.freshness.exists(!_.isStale))
+
+    // the feeds go silent; the wall clock advances past maxAge with an
+    // EMPTY batch — an event clock would freeze at 10:00 and stay "fresh",
+    // the wall clock turns the silence itself into staleness
+    clock.advanceMinutes(600) // 20:05
+    val r1 = loop.runBatch(batch(Seq.empty), 1L)
+    assert(r1.freshness.exists(_.isStale), "silence did not surface as staleness")
+
+    // data resumes → fresh again (the full transition cycle)
+    clock.advanceMinutes(10) // 20:15
+    val r2 = loop.runBatch(batch(Seq(
+      (2L, ts("2024-01-31T20:10:00Z"), 11L, "click", 2.0, "{}"))), 2L)
+    assert(r2.freshness.exists(!_.isStale))
+  }
+
+  test("curateToTable stamps wall-clock arrival per batch and commits exactly-once") {
+    import graft.core.StepClock
+    import graft.streaming.CurationStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-curwall").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val clock = new StepClock(java.time.Instant.parse("2024-02-01T08:00:00Z"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = CurationStream.curateToTable(stream, catalog, "cur.wall", clock,
+      continuous = true, interval = "1 second")
+
+    val en = "the quick brown fox and the lazy dog in a field of green grass"
+    val en2 = "a second english document with many plain words and a decent length"
+    input.addData((1L, ts("2024-01-01T10:00:00Z"), en))
+    q.processAllAvailable()
+    clock.advanceMinutes(30) // 08:30 — later batch, later stamp
+    input.addData(
+      (2L, ts("2024-01-01T10:05:00Z"), en),   // exact dup → gated out
+      (3L, ts("2024-01-01T10:06:00Z"), en2))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = catalog.load("cur.wall")
+      .select("doc_id", "arrival_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant)).sortBy(_._1)
+    // gates + dedup applied; each survivor carries ITS batch's wall time,
+    // read from the injected clock (not the event ts, not a frozen literal)
+    assert(rows.map(_._1).toSeq == Seq(1L, 3L))
+    assert(rows(0)._2 == java.time.Instant.parse("2024-02-01T08:00:00Z"))
+    assert(rows(1)._2 == java.time.Instant.parse("2024-02-01T08:30:00Z"))
+    // the stall is now measurable from the table itself: ingestion-time
+    // freshness = now - max(arrival_ts), independent of event timestamps
+    clock.advanceMinutes(300)
+    val ageMin = java.time.Duration.between(rows.map(_._2).max, clock.now).toMinutes
+    assert(ageMin == 300)
+  }
+
   test("CurationStream: gates + cross-batch exact dedup within the watermark") {
     import graft.streaming.CurationStream
     implicit val sqlCtx = spark.sqlContext
