@@ -65,21 +65,24 @@ final class Catalog(val spark: SparkSession, root: String) {
     else true
   }
 
+  /** Snapshot read: exactly the committed file set — staged/orphaned
+    * files are invisible, and the snapshot doubles as the file listing
+    * (no recursive directory walk at planning time). basePath keeps
+    * Hive-style partition columns parsing from the file paths, so
+    * partition pruning works exactly as on a directory read. */
+  private def readSnapshot(tableRoot: Path, snap: Manifest.Snapshot): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", tableRoot.toString)
+      .parquet(snap.files.map(f => new Path(tableRoot, f).toString): _*)
+
   def load(namespace: String, table: String): DataFrame = {
     val p = new Path(path(namespace, table))
     val fs = fsOf(p)
     if (fs.exists(Manifest.dir(p))) {
-      // snapshot read: exactly the committed file set — staged/orphaned
-      // files are invisible, and the snapshot doubles as the file listing
-      // (no recursive directory walk at planning time). basePath keeps
-      // Hive-style partition columns parsing from the file paths, so
-      // partition pruning works exactly as on a directory read.
       val snap = Manifest.latest(fs, p).filter(_.files.nonEmpty)
         .getOrElse(throw TableNotFound(namespace, table))
-      spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", p.toString)
-        .parquet(snap.files.map(f => new Path(p, f).toString): _*)
+      readSnapshot(p, snap)
     } else if (!fs.exists(p)) throw TableNotFound(namespace, table)
     else
       // mergeSchema unions schemas across appended files, so a column ADDED
@@ -100,6 +103,28 @@ final class Catalog(val spark: SparkSession, root: String) {
   def exists(ref: String): Boolean = {
     val (ns, t) = parseRef(ref)
     exists(ns, t)
+  }
+
+  /** All committed snapshot versions of a manifest table, ascending.
+    * Empty for pre-manifest (directory-layout) tables. */
+  def snapshotVersions(ref: String): Seq[Long] = {
+    val (ns, t) = parseRef(ref)
+    val p = new Path(path(ns, t))
+    Manifest.versions(fsOf(p), p)
+  }
+
+  /** Time-travel read: the table exactly as snapshot `version` committed
+    * it. Snapshots are immutable once published, so a long analysis can
+    * pin a version while ingest continues — until [[vacuum]] reclaims
+    * files the pinned snapshot references (vacuum keeps only the latest
+    * snapshot's files; run it when no reader holds an older version). */
+  def load(ref: String, version: Long): DataFrame = {
+    val (ns, t) = parseRef(ref)
+    val p = new Path(path(ns, t))
+    val fs = fsOf(p)
+    require(Manifest.versions(fs, p).contains(version),
+      s"no snapshot v$version of $ref (have: ${Manifest.versions(fs, p).mkString(",")})")
+    readSnapshot(p, Manifest.read(fs, p, version))
   }
 
   /** Overwrite write with schema evolution, mirroring the reference's
@@ -231,7 +256,9 @@ final class Catalog(val spark: SparkSession, root: String) {
     fs.mkdirs(Manifest.dir(tableRoot))
     val added = stageFiles(df, tableRoot, parts)
     val all = adopted ++ added
-    if (all.nonEmpty)
+    // an empty batch publishes only when it must advance the batch-id
+    // bookkeeping — never a redundant identical snapshot
+    if (all.nonEmpty && (added.nonEmpty || batchId.isDefined))
       Manifest.publish(fs, tableRoot, parts,
         batchId.orElse(prior.flatMap(_.lastBatchId)), all)
     true
@@ -275,6 +302,34 @@ final class Catalog(val spark: SparkSession, root: String) {
         if (fs.delete(s.getPath, false)) removed += 1
     }
     removed
+  }
+
+  /** Rewrite the committed file set into few large files and publish
+    * atomically — the small-file compaction a streaming-ingested manifest
+    * table needs: every micro-batch commit adds a file set, and at 100 TB
+    * the planning and open() overhead of 10^6 tiny files dominates long
+    * before data volume does. Unpartitioned tables compact to
+    * ~`ceil(bytes / targetFileBytes)` files; partitioned tables
+    * repartition on their partition columns (≈ one file per partition
+    * directory). Readers are never disturbed (snapshot swap), and a
+    * pinned older version stays readable until [[vacuum]]. Returns the
+    * data-file count after compaction. */
+  def compact(ref: String, targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.spark.sql.functions.col
+    val (ns, t) = parseRef(ref)
+    val tableRoot = new Path(path(ns, t))
+    val fs = fsOf(tableRoot)
+    val snap = Manifest.latest(fs, tableRoot).getOrElse(throw TableNotFound(ns, t))
+    val df = readSnapshot(tableRoot, snap)
+    val compacted =
+      if (snap.partitions.nonEmpty) df.repartition(snap.partitions.map(col): _*)
+      else {
+        val bytes = snap.files
+          .map(f => fs.getFileStatus(new Path(tableRoot, f)).getLen).sum
+        df.repartition(math.max(1, (bytes.toDouble / targetFileBytes).ceil.toInt))
+      }
+    commitOverwrite(compacted, ref, snap.partitions)
+    Manifest.latest(fs, tableRoot).map(_.files.size).getOrElse(0)
   }
 
   /** All committed-layout parquet files under the table root, relative

@@ -58,16 +58,20 @@ private[core] object Manifest {
 
   private def fileName(version: Long) = f"v$version%020d.manifest"
 
-  /** Latest committed snapshot, if any. In-flight `.tmp-*` files are not
-    * commits and are ignored. */
-  def latest(fs: FileSystem, table: Path): Option[Snapshot] = {
+  /** All committed snapshot versions, ascending. In-flight `.tmp-*` files
+    * are not commits and are ignored. */
+  def versions(fs: FileSystem, table: Path): Seq[Long] = {
     val d = dir(table)
-    if (!fs.exists(d)) return None
-    val versions = fs.listStatus(d).map(_.getPath.getName)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
-    if (versions.isEmpty) None else Some(read(fs, table, versions.max))
+      .sorted.toSeq
   }
+
+  /** Latest committed snapshot, if any. */
+  def latest(fs: FileSystem, table: Path): Option[Snapshot] =
+    versions(fs, table).lastOption.map(read(fs, table, _))
 
   def read(fs: FileSystem, table: Path, version: Long): Snapshot = {
     val in = fs.open(new Path(dir(table), fileName(version)))

@@ -192,6 +192,37 @@ class HealingSpec extends SparkSpec {
     assert(e.getMessage.contains("partition layout mismatch"))
   }
 
+  test("manifest compaction and time travel: fewer files, same rows, pinned versions") {
+    // five micro-batch-sized commits → five snapshots, five small files
+    for (i <- 0 until 5)
+      catalog.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v"), "output.cmp",
+        batchId = Some(i.toLong))
+    val versions = catalog.snapshotVersions("output.cmp")
+    assert(versions.size == 5)
+    // time travel: the second snapshot still reads as it committed
+    assert(catalog.load("output.cmp", versions(1)).count() == 2)
+
+    // compaction rewrites to one file, preserves rows, publishes atomically
+    assert(catalog.compact("output.cmp") == 1)
+    assert(catalog.load("output.cmp").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      (0 until 5).map(i => (i.toLong, s"v$i")))
+    // pre-compaction snapshots stay pinned until vacuum reclaims them
+    assert(catalog.load("output.cmp", versions(1)).count() == 2)
+    assert(catalog.vacuum("output.cmp") > 0)
+    assert(catalog.load("output.cmp").count() == 5)
+    intercept[IllegalArgumentException] { catalog.load("output.cmp", versions(1)) }
+
+    // partitioned compaction: one file per partition directory, layout kept
+    for (i <- 0 until 3)
+      catalog.commitAppend(
+        Seq((i.toLong, "d1"), (i.toLong + 100, "d2")).toDF("id", "day"),
+        "output.cmpp", partitionBy = Seq("day"), batchId = Some(i.toLong))
+    assert(catalog.compact("output.cmpp") == 2)
+    assert(catalog.partitionColumnsOf("output", "cmpp") == Seq("day"))
+    assert(catalog.load("output.cmpp").count() == 6)
+  }
+
   test("AlertStore: monitoring_alerts shape, partitioned append, retention load") {
     import graft.alerts.{Alert, AlertStore}
     val now = java.time.Instant.parse("2024-01-31T00:00:00Z")
