@@ -192,6 +192,20 @@ class HealingSpec extends SparkSpec {
     assert(e.getMessage.contains("partition layout mismatch"))
   }
 
+  test("a reader holding a snapshot is undisturbed by a concurrent overwrite") {
+    catalog.commitAppend(Seq((1L, "old"), (2L, "old")).toDF("id", "v"), "output.rdr")
+    // the reader's plan pins snapshot v1's concrete file list at load time
+    val pinned = catalog.load("output.rdr")
+    // an overwrite swaps the committed file set atomically; the old files
+    // stay on disk (until vacuum), so the in-flight reader still collects
+    // its snapshot — the delete+rename swap this replaced would have
+    // yanked the directory out from under it
+    catalog.save(Seq((9L, "new")).toDF("id", "v"), "output.rdr")
+    assert(pinned.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((1L, "old"), (2L, "old")))
+    assert(catalog.load("output.rdr").collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("manifest compaction and time travel: fewer files, same rows, pinned versions") {
     // five micro-batch-sized commits → five snapshots, five small files
     for (i <- 0 until 5)
