@@ -73,6 +73,12 @@ private[core] object Manifest {
   def latest(fs: FileSystem, table: Path): Option[Snapshot] =
     versions(fs, table).lastOption.map(read(fs, table, _))
 
+  private def crc(files: Seq[String]): String = {
+    val c = new java.util.zip.CRC32()
+    c.update(files.mkString("\n").getBytes("UTF-8"))
+    java.lang.Long.toHexString(c.getValue)
+  }
+
   def read(fs: FileSystem, table: Path, version: Long): Snapshot = {
     val in = fs.open(new Path(dir(table), fileName(version)))
     val lines =
@@ -88,7 +94,16 @@ private[core] object Manifest {
       case "-" => None
       case s => Some(s.toLong)
     }
-    Snapshot(version, partitions, lastBatch, lines.drop(3))
+    val files = lines.drop(4)
+    // the rename publish is atomic, but storage can still rot: a snapshot
+    // whose file list no longer matches its checksum must fail the read,
+    // not silently drop table content
+    val expected = lines(3).stripPrefix("checksum=")
+    if (crc(files) != expected)
+      throw new java.io.IOException(
+        s"corrupt manifest $table v$version: file-list checksum mismatch " +
+          s"(expected $expected, computed ${crc(files)})")
+    Snapshot(version, partitions, lastBatch, files)
   }
 
   /** Write the next snapshot aside and atomically publish it via a
@@ -104,6 +119,7 @@ private[core] object Manifest {
       val body = (Header +:
         s"partitions=${partitions.mkString(",")}" +:
         s"lastBatchId=${lastBatchId.map(_.toString).getOrElse("-")}" +:
+        s"checksum=${crc(files)}" +:
         files).mkString("\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()

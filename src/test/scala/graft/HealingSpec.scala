@@ -206,6 +206,21 @@ class HealingSpec extends SparkSpec {
     assert(catalog.load("output.rdr").collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("a corrupted manifest fails the read loudly (checksum mismatch)") {
+    catalog.commitAppend(Seq((1L, "a")).toDF("id", "v"), "output.crpt")
+    val mdir = new java.io.File(s"$root/output/crpt/_manifests")
+    val mf = mdir.listFiles().filter(_.getName.endsWith(".manifest")).head
+    // simulated storage rot: mutate the committed file list. Hadoop's
+    // local-FS .crc sidecar would catch this first — delete it so the
+    // MANIFEST-level checksum (the layer that exists for stores without
+    // sidecars) is what trips
+    val content = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    java.nio.file.Files.write(mf.toPath, (content + "x").getBytes("UTF-8"))
+    mdir.listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val e = intercept[java.io.IOException] { catalog.load("output.crpt") }
+    assert(e.getMessage.contains("checksum mismatch"))
+  }
+
   test("manifest compaction and time travel: fewer files, same rows, pinned versions") {
     // five micro-batch-sized commits → five snapshots, five small files
     for (i <- 0 until 5)
