@@ -252,6 +252,44 @@ class HealingSpec extends SparkSpec {
     assert(catalog.load("output.cmpp").count() == 6)
   }
 
+  test("manifest state machine: random op sequences always read back exact contents") {
+    // seeded fuzz over the commit protocol: append / batch replay /
+    // overwrite / compact / vacuum in arbitrary order, with the reader
+    // checked after every step — the invariant IS the durability contract
+    val rnd = new scala.util.Random(42)
+    var expected = Vector.empty[Long]
+    var nextId = 0L
+    var lastBatch = -1L
+    def df(ids: Seq[Long]) = ids.map(i => (i, s"r$i")).toDF("id", "v")
+    def readIds() = catalog.load("output.fuzz").collect().map(_.getLong(0)).toVector.sorted
+    for (step <- 0 until 30) {
+      rnd.nextInt(10) match {
+        case n if n < 5 => // append a small batch with a monotone batch id
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val i = nextId; nextId += 1; i
+          }
+          catalog.commitAppend(df(rows), "output.fuzz", batchId = Some(step.toLong))
+          lastBatch = step.toLong
+          expected ++= rows
+        case 5 | 6 if lastBatch >= 0 => // replay a COMMITTED batch id: must no-op
+          assert(!catalog.commitAppend(df(Seq(999999L)), "output.fuzz",
+            batchId = Some(rnd.nextLong(lastBatch + 1))))
+        case 7 if expected.nonEmpty => // atomic overwrite
+          val rows = Seq(nextId, nextId + 1); nextId += 2
+          catalog.save(df(rows), "output.fuzz")
+          expected = rows.toVector
+        case 8 if catalog.isManifest("output", "fuzz") =>
+          catalog.compact("output.fuzz")
+        case 9 if catalog.isManifest("output", "fuzz") =>
+          catalog.vacuum("output.fuzz")
+        case _ => ()
+      }
+      if (expected.nonEmpty) assert(readIds() == expected.sorted,
+        s"divergence after step $step")
+    }
+    assert(catalog.snapshotVersions("output.fuzz").nonEmpty)
+  }
+
   test("AlertStore: monitoring_alerts shape, partitioned append, retention load") {
     import graft.alerts.{Alert, AlertStore}
     val now = java.time.Instant.parse("2024-01-31T00:00:00Z")
