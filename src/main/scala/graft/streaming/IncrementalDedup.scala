@@ -82,16 +82,23 @@ final class IncrementalDedup(
     * cannot probe a table without that column, so switching
     * [[exactlyOnce]] over an existing table fails loudly instead of
     * corrupting layout or replay semantics. The probe is a schema read
-    * (footers only), not a data scan. */
+    * (footers only), not a data scan — and it runs ONCE per table per
+    * loop: under the single-writer contract the layout cannot change
+    * mid-run, so later batches skip it. */
+  private val modeChecked = scala.collection.mutable.Set.empty[String]
+
   private def appendOnce(rows: DataFrame, table: String, keys: Seq[String],
       batchId: Long): Unit =
     if (!exactlyOnce) {
-      if (catalog.exists(table))
-        require(!catalog.load(table).columns.contains("__batch_id"),
-          s"manifest-commit append into '$table' found a __batch_id " +
-            "partition column: the table was written in the exactly-once " +
-            "partition convention; keep exactlyOnce = true or start from a " +
-            "fresh table")
+      if (!modeChecked.contains(table)) {
+        if (catalog.exists(table))
+          require(!catalog.load(table).columns.contains("__batch_id"),
+            s"manifest-commit append into '$table' found a __batch_id " +
+              "partition column: the table was written in the exactly-once " +
+              "partition convention; keep exactlyOnce = true or start from " +
+              "a fresh table")
+        modeChecked += table
+      }
       catalog.commitAppend(rows, table, batchId = Some(batchId))
     } else {
       val tagged = rows.withColumn("__batch_id", lit(batchId))
