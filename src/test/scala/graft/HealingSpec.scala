@@ -206,6 +206,26 @@ class HealingSpec extends SparkSpec {
     assert(catalog.load("output.rdr").collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("partition pruning works through a manifest snapshot read") {
+    import org.apache.spark.sql.functions.col
+    catalog.commitAppend(
+      Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("id", "day"),
+      "output.mprune", partitionBy = Seq("day"))
+    catalog.commitAppend(Seq((4L, "d2")).toDF("id", "day"), "output.mprune")
+    // the snapshot read lists concrete files with a basePath, and a filter
+    // on the partition column still prunes to that directory's files —
+    // the property the 100 TB date-partition story rests on
+    val pruned = catalog.load("output.mprune").filter(col("day") === "d2")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "no partition-filtered scan in the manifest read")
+    assert(scans.exists(_.selectedPartitions.partitionCount == 1),
+      s"read ${scans.map(_.selectedPartitions.partitionCount)} partitions, want 1")
+  }
+
   test("a corrupted manifest fails the read loudly (checksum mismatch)") {
     catalog.commitAppend(Seq((1L, "a")).toDF("id", "v"), "output.crpt")
     val mdir = new java.io.File(s"$root/output/crpt/_manifests")
