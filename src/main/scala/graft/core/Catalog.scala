@@ -193,16 +193,7 @@ final class Catalog(val spark: SparkSession, root: String) {
       val w = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(stage.toString)
-      val staged = Seq.newBuilder[String]
-      def walk(dir: Path, rel: String): Unit =
-        fs.listStatus(dir).foreach { s =>
-          val name = s.getPath.getName
-          if (name.startsWith("_") || name.startsWith(".")) ()
-          else if (s.isDirectory) walk(s.getPath, s"$rel$name/")
-          else if (name.endsWith(".parquet")) staged += s"$rel$name"
-        }
-      walk(stage, "")
-      staged.result().map { rel =>
+      listDataFiles(fs, stage).map { rel =>
         val dest = new Path(tableRoot, rel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(new Path(stage, rel), dest))
