@@ -617,9 +617,9 @@ object ExtQ {
         SELECT src.event_type,
           COUNT(*) AS src_rows,
           COUNT(dst.dst_value) AS dst_rows,
-          SUM(CASE WHEN dst.dst_value IS NULL THEN 1 ELSE 0 END) AS missing_rows,
-          SUM(CASE WHEN dst.dst_value IS NOT NULL AND dst.dst_value <> src.value
-              THEN 1 ELSE 0 END) AS mismatched_rows,
+          CAST(SUM(CASE WHEN dst.dst_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_rows,
+          CAST(SUM(CASE WHEN dst.dst_value IS NOT NULL AND dst.dst_value <> src.value
+              THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_rows,
           CAST(SUM(CAST(src.value AS DECIMAL(18,6))) AS DOUBLE) AS src_value,
           CAST(SUM(CAST(COALESCE(dst.dst_value, 0) AS DECIMAL(18,6))) AS DOUBLE) AS dst_value
         FROM src LEFT JOIN dst ON src.event_id = dst.event_id

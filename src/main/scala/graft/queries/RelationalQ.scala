@@ -240,9 +240,9 @@ object RelationalQ {
           strftime(o_orderdate, '%A') AS day_name,
           EXTRACT(HOUR FROM o_orderdate) AS order_hour,
           CAST(o_orderdate AS DATE) - 7 AS d_minus7,
-          CASE WHEN o_orderstatus = 'F' THEN 1.0
+          CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0
                WHEN o_orderstatus = 'O' THEN 2.0
-               ELSE 0.5 END AS status_score,
+               ELSE 0.5 END AS DOUBLE) AS status_score,
           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
           round(o_totalprice, 0) AS price_rounded,
           CAST(floor(o_totalprice) AS BIGINT) AS price_floor

@@ -51,6 +51,17 @@ def check_one(con, outdir, oracle, name, skip=frozenset()):
         print(f"  {name:32s} rows-only: {len(got.fetchall())} rows")
         return True
     want = con.sql(oracle[name])
+    # Oracle result-type lint: the driver's hasher canonicalizes only these
+    # DuckDB types identically to Spark's (round 6's q53 failed hash_match
+    # because SUM(CASE WHEN…1 ELSE 0 END) over integer literals is HUGEINT
+    # in DuckDB — equal values, different canonical form). Keep every
+    # registry oracle inside the safe set; CAST in the oracle SQL otherwise.
+    ALLOWED = {"BIGINT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN"}
+    badtypes = [(c, str(t)) for c, t in zip(want.columns, want.types)
+                if str(t) not in ALLOWED]
+    if badtypes:
+        print(f"! {name:32s} ORACLE TYPE LINT: {badtypes} not in {sorted(ALLOWED)}")
+        return False
     gcols, wcols = sorted(got.columns), sorted(want.columns)
     if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
         print(f"! {name:32s} SCHEMA MISMATCH spark={gcols} oracle={wcols}")
