@@ -36,11 +36,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * query planning at that size). Each commit rewrites the full list —
   * O(files) metadata per commit, the same trade the table-format systems
   * make; compact data files (or the manifest itself) when file count, not
-  * data size, dominates. Publishing assumes one writer per table (the
-  * streaming model used throughout); the version-exists check narrows the
-  * multi-writer race but local-filesystem rename cannot exclude it — a
-  * production deployment backs this with a rename-atomic store (HDFS) or a
-  * conditional-put object store.
+  * data size, dominates. Concurrent publishers of the same version are
+  * serialized by an atomic create-if-absent `.lock` marker (see
+  * [[publish]]): exactly one wins, the loser reliably throws, and a lock
+  * orphaned by a crashed writer is broken after [[LockStaleMs]]. The
+  * intended deployment model is still one LIVE writer per table (the
+  * streaming model used throughout) — the lock turns a violated assumption
+  * into a loud error instead of a silent lost commit; on object stores,
+  * back the exclusive create with a conditional put.
   */
 private[core] object Manifest {
 
@@ -106,29 +109,74 @@ private[core] object Manifest {
     Snapshot(version, partitions, lastBatch, files)
   }
 
+  /** A lock older than this with no published manifest belongs to a writer
+    * that died between acquire and publish; the next writer may break it.
+    * Generous on purpose — a live writer holds the lock only for one small
+    * file write + rename, never minutes. */
+  private[core] val LockStaleMs: Long = 10 * 60 * 1000L
+
+  private def lockName(version: Long) = f"v$version%020d.lock"
+
+  /** Atomic create-if-absent. Local paths go through NIO `createFile`
+    * (O_CREAT|O_EXCL — truly atomic); other stores use the Hadoop
+    * `createNewFile` contract (atomic on HDFS; object stores should back
+    * this with a conditional put). */
+  private def tryExclusiveCreate(fs: FileSystem, p: Path): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      try { java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try fs.createNewFile(p)
+      catch { case _: java.io.IOException => false }
+    }
+
   /** Write the next snapshot aside and atomically publish it via a
-    * single-file rename — the commit point. Returns the published snapshot. */
+    * single-file rename — the commit point. Returns the published snapshot.
+    *
+    * Multi-writer safety: the version's `.lock` marker is acquired with an
+    * atomic create-if-absent BEFORE the rename, so of two concurrent
+    * publishers targeting the same next version exactly one proceeds and
+    * the loser reliably throws (it either fails the lock acquire, or wins a
+    * recycled lock and finds the manifest already published). A lock left
+    * by a crashed writer (no manifest behind it) is broken after
+    * [[LockStaleMs]]; a live writer holds it only for a single small write
+    * + rename. */
   def publish(fs: FileSystem, table: Path, partitions: Seq[String],
       lastBatchId: Option[Long], files: Seq[String]): Snapshot = {
     val d = dir(table)
     fs.mkdirs(d)
     val version = latest(fs, table).map(_.version + 1).getOrElse(1L)
-    val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try {
-      val body = (Header +:
-        s"partitions=${partitions.mkString(",")}" +:
-        s"lastBatchId=${lastBatchId.map(_.toString).getOrElse("-")}" +:
-        s"checksum=${crc(files)}" +:
-        files).mkString("\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
     val dest = new Path(d, fileName(version))
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"manifest publish lost a race for $dest — one writer per table")
+    val lock = new Path(d, lockName(version))
+    def lost(why: String) = throw new java.io.IOException(
+      s"manifest publish lost a race for $dest ($why) — one writer per table")
+    if (!tryExclusiveCreate(fs, lock)) {
+      if (fs.exists(dest)) lost("version already published")
+      val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      if (age < LockStaleMs) lost("another writer holds the version lock")
+      // crashed writer: acquired the lock, died before the rename
+      fs.delete(lock, false)
+      if (!tryExclusiveCreate(fs, lock)) lost("version lock re-acquired while breaking stale lock")
     }
+    try {
+      // the lock serializes publishers of THIS version; a publisher that
+      // computed the same version before we landed finds the manifest here
+      if (fs.exists(dest)) lost("version already published")
+      val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try {
+        val body = (Header +:
+          s"partitions=${partitions.mkString(",")}" +:
+          s"lastBatchId=${lastBatchId.map(_.toString).getOrElse("-")}" +:
+          s"checksum=${crc(files)}" +:
+          files).mkString("\n")
+        out.write(body.getBytes("UTF-8"))
+      } finally out.close()
+      if (!fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        lost("rename refused")
+      }
+    } finally fs.delete(lock, false)
     Snapshot(version, partitions, lastBatchId, files)
   }
 }

@@ -1,0 +1,82 @@
+package graft.core
+
+import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multi-writer publish protocol, tested at the Manifest level (no
+  * Spark session): concurrent publishers of the same next version must
+  * produce exactly one committed snapshot, with every loser throwing —
+  * never a silent lost commit. */
+class ManifestSpec extends AnyFunSuite {
+
+  private def freshTable(): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val root = new Path(
+      java.nio.file.Files.createTempDirectory("graft-manifest").toString, "tbl")
+    val fs = root.getFileSystem(new Configuration())
+    fs.mkdirs(root)
+    (fs, root)
+  }
+
+  test("concurrent publish: exactly one winner, every loser throws") {
+    val (fs, table) = freshTable()
+    // plant a live-looking lock at v2 so a thread that observes the winner's
+    // v1 commit before computing its own version also loses (to the planted
+    // lock) instead of legitimately committing v2 — making "exactly one
+    // winner" deterministic rather than timing-dependent
+    fs.mkdirs(Manifest.dir(table))
+    fs.create(new Path(Manifest.dir(table), f"v${2L}%020d.lock"), true).close()
+    val writers = 8
+    val barrier = new CyclicBarrier(writers)
+    val pool = Executors.newFixedThreadPool(writers)
+    try {
+      val results = pool.invokeAll(
+        java.util.Arrays.asList(
+          (0 until writers).map { i =>
+            new Callable[Either[Throwable, Manifest.Snapshot]] {
+              def call() = {
+                barrier.await(30, TimeUnit.SECONDS)
+                try Right(Manifest.publish(fs, table, Nil, None, Seq(s"w$i.parquet")))
+                catch { case t: Throwable => Left(t) }
+              }
+            }
+          }: _*))
+      val outcomes = (0 until writers).map(results.get(_).get())
+      val winners = outcomes.collect { case Right(s) => s }
+      val losers = outcomes.collect { case Left(t) => t }
+      assert(winners.size == 1, s"expected exactly one winner, got ${winners.size}")
+      assert(losers.size == writers - 1)
+      losers.foreach(t => assert(t.isInstanceOf[java.io.IOException], t.toString))
+      // exactly one v1 on disk, listing exactly the winner's file
+      assert(Manifest.versions(fs, table) == Seq(1L))
+      assert(Manifest.read(fs, table, 1L).files == winners.head.files)
+      // the winner's lock is released: with the planted v2 lock removed,
+      // the next (sequential) publish proceeds
+      fs.delete(new Path(Manifest.dir(table), f"v${2L}%020d.lock"), false)
+      val s2 = Manifest.publish(fs, table, Nil, None, Seq("next.parquet"))
+      assert(s2.version == 2L)
+    } finally pool.shutdownNow()
+  }
+
+  test("a fresh orphan lock blocks publish; a stale one is broken") {
+    val (fs, table) = freshTable()
+    Manifest.publish(fs, table, Nil, None, Seq("a.parquet"))
+    val lock = new Path(Manifest.dir(table), f"v${2L}%020d.lock")
+    fs.create(lock, true).close()
+    // lock looks live (mtime = now): the publisher must assume a concurrent
+    // writer holds it and throw rather than risk a double commit
+    val e = intercept[java.io.IOException] {
+      Manifest.publish(fs, table, Nil, None, Seq("b.parquet"))
+    }
+    assert(e.getMessage.contains("lost a race"))
+    // backdate it past the staleness window: a crashed writer's leftover —
+    // the next publisher breaks it and commits
+    fs.setTimes(lock, System.currentTimeMillis() - Manifest.LockStaleMs - 1000L, -1L)
+    val s = Manifest.publish(fs, table, Nil, None, Seq("b.parquet"))
+    assert(s.version == 2L)
+    assert(!fs.exists(lock))
+    assert(Manifest.versions(fs, table) == Seq(1L, 2L))
+  }
+}
