@@ -116,8 +116,9 @@ final class Catalog(val spark: SparkSession, root: String) {
   /** Time-travel read: the table exactly as snapshot `version` committed
     * it. Snapshots are immutable once published, so a long analysis can
     * pin a version while ingest continues — until [[vacuum]] reclaims
-    * files the pinned snapshot references (vacuum keeps only the latest
-    * snapshot's files; run it when no reader holds an older version). */
+    * files the pinned snapshot references (the default grace window keeps
+    * the previous snapshot alive; full reclaim with `retainLast = 1` is
+    * for when no reader holds an older version). */
   def load(ref: String, version: Long): DataFrame = {
     val (ns, t) = parseRef(ref)
     val p = new Path(path(ns, t))
@@ -271,25 +272,31 @@ final class Catalog(val spark: SparkSession, root: String) {
     Manifest.publish(fs, tableRoot, parts, prior.flatMap(_.lastBatchId), added)
   }
 
-  /** Delete data files no committed snapshot references (crashed-append
-    * orphans, pre-overwrite file sets) plus all but the latest manifest.
-    * Safe against the LATEST snapshot only — run it when no reader still
-    * holds an older snapshot open. Returns the number of files removed. */
-  def vacuum(ref: String): Long = {
+  /** Delete data files no retained snapshot references (crashed-append
+    * orphans, superseded pre-overwrite/pre-compaction file sets) plus the
+    * manifests older than the retained window. The default `retainLast = 2`
+    * is a grace-of-one: an in-flight reader pinned to the snapshot the
+    * latest commit superseded (the common compact-then-vacuum shape) keeps
+    * resolving its files through the vacuum. Pass `retainLast = 1` for a
+    * full reclaim ONCE no reader holds an older snapshot — same contract
+    * as [[saveBucketed]]'s version retirement. Returns files removed. */
+  def vacuum(ref: String, retainLast: Int = 2): Long = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val (ns, t) = parseRef(ref)
     val tableRoot = new Path(path(ns, t))
     val fs = fsOf(tableRoot)
-    val snap = Manifest.latest(fs, tableRoot).getOrElse(
-      throw TableNotFound(ns, t))
-    val live = snap.files.toSet
+    val versions = Manifest.versions(fs, tableRoot)
+    if (versions.isEmpty) throw TableNotFound(ns, t)
+    val retained = versions.takeRight(retainLast)
+    val live = retained.flatMap(v => Manifest.read(fs, tableRoot, v).files).toSet
     var removed = 0L
     listDataFiles(fs, tableRoot).filterNot(live.contains).foreach { rel =>
       if (fs.delete(new Path(tableRoot, rel), false)) removed += 1
     }
+    val keep = retained.map(v => f"v$v%020d.manifest").toSet
     fs.listStatus(Manifest.dir(tableRoot)).foreach { s =>
       val n = s.getPath.getName
-      if (n != f"v${snap.version}%020d.manifest" &&
-          (n.endsWith(".manifest") || n.startsWith(".tmp-")))
+      if (!keep.contains(n) && (n.endsWith(".manifest") || n.startsWith(".tmp-")))
         if (fs.delete(s.getPath, false)) removed += 1
     }
     removed
@@ -375,21 +382,60 @@ final class Catalog(val spark: SparkSession, root: String) {
     * NO shuffle on either side — the 100 TB answer for repeated large-to-
     * large equi-joins (e.g. fact-to-fact reconciliation), where neither
     * side broadcasts and a per-query sort-merge shuffle would dominate.
-    * Table name is `ns_table` in the session catalog. */
+    *
+    * Stage-and-publish, mirroring the manifest protocol: each save lands
+    * under a NEW versioned table name `ns_table__vN`. `saveAsTable` writes
+    * the data files first and registers the catalog entry last, so the
+    * registration is the commit point — [[bucketedTable]] never resolves a
+    * half-written layout, and a crash before registration leaves only an
+    * unregistered directory that the next save clears. The immediately
+    * previous version is kept alive through the publish (an in-flight
+    * reader that resolved vN keeps reading vN while vN+1 lands); versions
+    * older than that are retired — the same grace-of-one vacuum contract
+    * the manifest snapshots carry. Returns the published table name. */
   def saveBucketed(df: DataFrame, ref: String, bucketCol: String, buckets: Int): String = {
     val (ns, t) = parseRef(ref)
-    val tableName = s"${ns}_$t"
-    // overwrite must be idempotent across sessions: a previous session's
-    // managed-table location can survive after its catalog entry is gone
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val warehouse = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), tableName)
-    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(warehouse)) fs.delete(warehouse, true)
-    df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .format("parquet").saveAsTable(tableName)
-    tableName
+    val base = s"${ns}_$t"
+    val committed = bucketedVersions(base)
+    val next = committed.lastOption.getOrElse(0L) + 1
+    val stage = s"${base}__v$next"
+    // a previous session (or a crash before registration) can leave a
+    // managed-table location with no catalog entry — clear it so the
+    // staged write starts clean
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), stage)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(stage)
+    // retire everything older than the version readers may still hold
+    committed.dropRight(1).foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${base}__v$v"))
+    stage
+  }
+
+  /** Latest committed bucketed table for `ref` (the name [[saveBucketed]]
+    * last returned), for readers that did not perform the save themselves.
+    * Falls back to the pre-versioning plain name if one is registered. */
+  def bucketedTable(ref: String): String = {
+    val (ns, t) = parseRef(ref)
+    val base = s"${ns}_$t"
+    bucketedVersions(base).lastOption.map(v => s"${base}__v$v").getOrElse {
+      if (spark.catalog.tableExists(base)) base
+      else throw new NoSuchElementException(s"no bucketed table published for $ref")
+    }
+  }
+
+  /** Registered bucketed versions of `base`, ascending. Catalog-only (no
+    * filesystem listing): an unregistered staging directory is not a
+    * version. */
+  private def bucketedVersions(base: String): Seq[Long] = {
+    val prefix = s"${base}__v"
+    spark.sessionState.catalog
+      .listTables(spark.catalog.currentDatabase, s"$prefix*")
+      .map(_.table)
+      .collect { case n if n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) =>
+        n.drop(prefix.length).toLong }
+      .sorted
   }
 }
 

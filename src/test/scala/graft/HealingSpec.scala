@@ -272,6 +272,26 @@ class HealingSpec extends SparkSpec {
     assert(catalog.load("output.cmpp").count() == 6)
   }
 
+  test("a pinned time-travel reader survives compact + vacuum (grace window)") {
+    for (i <- 0 until 3)
+      catalog.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v"), "output.pin",
+        batchId = Some(i.toLong))
+    val preCompact = catalog.snapshotVersions("output.pin").last
+    // a long analysis pins version N while maintenance continues underneath
+    val pinned = catalog.load("output.pin", preCompact)
+    assert(catalog.compact("output.pin") == 1) // publishes N+1 with rewritten files
+    // default vacuum keeps the grace window: N's files must survive even
+    // though the latest snapshot references none of them
+    catalog.vacuum("output.pin")
+    assert(pinned.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(catalog.load("output.pin").count() == 3)
+    // once no reader holds N, retainLast = 1 reclaims it fully
+    catalog.vacuum("output.pin", retainLast = 1)
+    assert(catalog.snapshotVersions("output.pin") == Seq(preCompact + 1))
+    assert(catalog.load("output.pin").count() == 3)
+    intercept[IllegalArgumentException] { catalog.load("output.pin", preCompact) }
+  }
+
   test("manifest state machine: random op sequences always read back exact contents") {
     // seeded fuzz over the commit protocol: append / batch replay /
     // overwrite / compact / vacuum in arbitrary order, with the reader

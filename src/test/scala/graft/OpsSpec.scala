@@ -191,6 +191,37 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("re-bucketing publishes stage-and-swap: in-flight reader survives, no torn window") {
+    val cat = new graft.core.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-rebkt").toString)
+    def facts(n: Int) = spark.range(n).select($"id".as("k"), ($"id" * 2).as("x"))
+    val v1 = cat.saveBucketed(facts(1000), "wh.facts_r", "k", 4)
+    assert(cat.bucketedTable("wh.facts_r") == v1)
+    // a reader resolves v1, then a re-bucketing publishes v2 underneath it:
+    // the reader's snapshot stays whole (grace-of-one keeps v1 alive) and
+    // at no point does resolution come up empty — registration of the
+    // fully-written v2 is the only visible transition
+    val inFlight = spark.table(v1)
+    val v2 = cat.saveBucketed(facts(500), "wh.facts_r", "k", 4)
+    assert(v2 != v1)
+    assert(inFlight.count() == 1000)
+    assert(cat.bucketedTable("wh.facts_r") == v2)
+    assert(spark.table(v2).count() == 500)
+    // the publish after that retires v1 (vacuum with a one-version grace)
+    val v3 = cat.saveBucketed(facts(250), "wh.facts_r", "k", 4)
+    assert(!spark.catalog.tableExists(v1))
+    assert(spark.catalog.tableExists(v2) && spark.catalog.tableExists(v3))
+    assert(cat.bucketedTable("wh.facts_r") == v3)
+    // a crash BEFORE registration leaves only an unregistered staging dir:
+    // simulate one and confirm the next publish claims that version cleanly
+    val orphan = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "wh_facts_r__v4")
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphan)
+    val v4 = cat.saveBucketed(facts(100), "wh.facts_r", "k", 4)
+    assert(v4 == "wh_facts_r__v4" && spark.table(v4).count() == 100)
+  }
+
   test("q53 bucketed reconciliation joins without an event_id shuffle") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     val df = graft.SparkEntry.queries("q53_bucketed_recon")(spark, "/root/testdata/sf0.001")
