@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -586,29 +587,67 @@ object ExtQ {
     // once at write time, never per query.
     "q53_bucketed_recon" -> QueryDef(
       (s, dir) => {
-        val cat = new graft.core.Catalog(s, dir)
-        val ev = t(s, dir, "events")
-          .select(col("event_id"), col("event_type"), col("value"))
-        val degraded = ev
-          .filter(pmod(col("event_id"), lit(97)) =!= 0)
-          .select(col("event_id"),
-            when(pmod(col("event_id"), lit(101)) === 0, col("value") * 2)
-              .otherwise(col("value")).as("dst_value"))
-        val src = s.table(cat.saveBucketed(ev, "recon.src_facts", "event_id", 8))
-        val dst = s.table(cat.saveBucketed(degraded, "recon.dst_facts", "event_id", 8))
-        src.hint("merge").join(dst, Seq("event_id"), "left")
-          .groupBy(col("event_type"))
-          .agg(
-            count(lit(1)).as("src_rows"),
-            count(col("dst_value")).as("dst_rows"),
-            sum(when(col("dst_value").isNull, 1L).otherwise(0L)).as("missing_rows"),
-            sum(when(col("dst_value").isNotNull && col("dst_value") =!= col("value"), 1L)
-              .otherwise(0L)).as("mismatched_rows"),
-            Exact.sum6(col("value")).as("src_value"),
-            Exact.sum6(coalesce(col("dst_value"), lit(0.0d))).as("dst_value"))
-          .orderBy("event_type")
+        val (src, dst) = publishReconTables(s, dir)
+        reconAggregate(s.table(src), s.table(dst))
       },
-      Some("""
+      Some(reconOracle)),
+
+    // The READ side of the q53 witness: q53 pays the double bucketed write
+    // every run — the cost bucketing exists to amortize — so its bench
+    // number hides the per-query win. This entry resolves the LATEST
+    // published recon tables (publishing them only if absent, e.g. a fresh
+    // session) and runs ONLY the exchange-free join + aggregation: the
+    // steady-state shape a 100 TB deployment pays per reconciliation after
+    // bucketing once at ingest. Same oracle as q53 — bucketing and the
+    // stage-and-swap republish are both answer-neutral.
+    "q54_bucketed_recon_read" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, dir)
+        val (src, dst) =
+          try (cat.bucketedTable("recon.src_facts"), cat.bucketedTable("recon.dst_facts"))
+          catch { case _: NoSuchElementException => publishReconTables(s, dir) }
+        reconAggregate(s.table(src), s.table(dst))
+      },
+      Some(reconOracle))
+  )
+
+  /** Source facts and the deterministically degraded downstream copy
+    * (every 97th row dropped, every 101st value doubled — the reference's
+    * reconciliation discrepancy classes, reconciliation_detector.py:104-128),
+    * both published through [[graft.core.Catalog.saveBucketed]] on the join
+    * key. Returns the two published table names. */
+  private def publishReconTables(s: SparkSession, dir: String): (String, String) = {
+    val cat = new graft.core.Catalog(s, dir)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val degraded = ev
+      .filter(pmod(col("event_id"), lit(97)) =!= 0)
+      .select(col("event_id"),
+        when(pmod(col("event_id"), lit(101)) === 0, col("value") * 2)
+          .otherwise(col("value")).as("dst_value"))
+    (cat.saveBucketed(ev, "recon.src_facts", "event_id", 8),
+      cat.saveBucketed(degraded, "recon.dst_facts", "event_id", 8))
+  }
+
+  /** Row-level reconciliation over two same-bucketed fact tables. The merge
+    * hint pins the sort-merge path at any scale (tiny Verify inputs would
+    * otherwise broadcast); with both sides bucketed on the join key the
+    * plan carries NO exchange before the join (plan-asserted in OpsSpec). */
+  private def reconAggregate(src: DataFrame, dst: DataFrame): DataFrame =
+    src.hint("merge").join(dst, Seq("event_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("src_rows"),
+        count(col("dst_value")).as("dst_rows"),
+        sum(when(col("dst_value").isNull, 1L).otherwise(0L)).as("missing_rows"),
+        sum(when(col("dst_value").isNotNull && col("dst_value") =!= col("value"), 1L)
+          .otherwise(0L)).as("mismatched_rows"),
+        Exact.sum6(col("value")).as("src_value"),
+        Exact.sum6(coalesce(col("dst_value"), lit(0.0d))).as("dst_value"))
+      .orderBy("event_type")
+
+  // def, not val: `defs` above initializes first and would capture a null val
+  private def reconOracle = """
         WITH src AS (SELECT event_id, event_type, value FROM events),
         dst AS (
           SELECT event_id,
@@ -623,6 +662,5 @@ object ExtQ {
           CAST(SUM(CAST(src.value AS DECIMAL(18,6))) AS DOUBLE) AS src_value,
           CAST(SUM(CAST(COALESCE(dst.dst_value, 0) AS DECIMAL(18,6))) AS DOUBLE) AS dst_value
         FROM src LEFT JOIN dst ON src.event_id = dst.event_id
-        GROUP BY 1 ORDER BY 1"""))
-  )
+        GROUP BY 1 ORDER BY 1"""
 }

@@ -233,6 +233,21 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("hashpartitioning(event_id"),
       s"bucketed join still shuffles on the join key:\n$plan")
+    // the read-side twin resolves the tables q53 just published (no
+    // rewrite) and its join is equally exchange-free — the steady-state
+    // per-query plan the write-time shuffle bought
+    val cat = new graft.core.Catalog(spark, "/root/testdata/sf0.001")
+    val published = (cat.bucketedTable("recon.src_facts"),
+      cat.bucketedTable("recon.dst_facts"))
+    val rd = graft.SparkEntry.queries("q54_bucketed_recon_read")(spark, "/root/testdata/sf0.001")
+    val rplan = rd.queryExecution.executedPlan.toString
+    assert(rplan.contains("SortMergeJoin"), rplan)
+    assert(!rplan.contains("hashpartitioning(event_id"),
+      s"read-side bucketed join still shuffles on the join key:\n$rplan")
+    assert((cat.bucketedTable("recon.src_facts"),
+      cat.bucketedTable("recon.dst_facts")) == published,
+      "q54 must read the published tables, not republish them")
+    assert(rd.count() > 0)
   }
 
   test("approx_count_distinct tracks exact within its error bound") {
