@@ -249,18 +249,32 @@ final class Catalog(val spark: SparkSession, root: String) {
     val added = stageFiles(df, tableRoot, parts)
     val all = adopted ++ added
     // an empty batch publishes only when it must advance the batch-id
-    // bookkeeping — never a redundant identical snapshot
+    // bookkeeping — never a redundant identical snapshot. The publish is
+    // optimistic-CAS on the snapshot this file list was derived from: a
+    // concurrent commit that advanced the table meanwhile makes THIS one
+    // throw instead of silently dropping the other's files (re-read and
+    // retry to serialize behind it).
     if (all.nonEmpty && (added.nonEmpty || batchId.isDefined))
       Manifest.publish(fs, tableRoot, parts,
-        batchId.orElse(prior.flatMap(_.lastBatchId)), all)
+        batchId.orElse(prior.flatMap(_.lastBatchId)), all,
+        expectedVersion = prior.map(_.version).getOrElse(0L))
     true
   }
 
   /** Atomic overwrite: stage the replacement files, then publish a snapshot
     * listing ONLY them. Readers switch file sets atomically — there is no
     * window where the table is missing or mixed, unlike a delete+rename
-    * directory swap. Superseded files stay on disk until [[vacuum]]. */
-  def commitOverwrite(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil): Unit = {
+    * directory swap. Superseded files stay on disk until [[vacuum]].
+    *
+    * A plain overwrite is blind last-writer-wins (WRITE_TRUNCATE
+    * semantics — the new content does not depend on the old, so ordering
+    * against concurrent commits is immaterial). A caller whose
+    * replacement content DERIVES from a snapshot it read ([[compact]],
+    * the [[appendRelaxed]] migration) passes that snapshot's version as
+    * `expectedVersion`: the publish then fails if the table advanced
+    * meanwhile, instead of silently erasing the interleaved commit. */
+  def commitOverwrite(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil,
+      expectedVersion: Long = -1L): Unit = {
     val (ns, t) = parseRef(ref)
     val tableRoot = new Path(path(ns, t))
     val fs = fsOf(tableRoot)
@@ -269,7 +283,8 @@ final class Catalog(val spark: SparkSession, root: String) {
     fs.mkdirs(Manifest.dir(tableRoot))
     val added = stageFiles(df, tableRoot, parts)
     require(added.nonEmpty, s"refusing to overwrite $ref with an empty file set")
-    Manifest.publish(fs, tableRoot, parts, prior.flatMap(_.lastBatchId), added)
+    Manifest.publish(fs, tableRoot, parts, prior.flatMap(_.lastBatchId), added,
+      expectedVersion)
   }
 
   /** Delete data files no retained snapshot references (crashed-append
@@ -326,7 +341,9 @@ final class Catalog(val spark: SparkSession, root: String) {
           .map(f => fs.getFileStatus(new Path(tableRoot, f)).getLen).sum
         df.repartition(math.max(1, (bytes.toDouble / targetFileBytes).ceil.toInt))
       }
-    commitOverwrite(compacted, ref, snap.partitions)
+    // CAS on the snapshot being rewritten: a micro-batch that lands while
+    // the compaction rewrites would otherwise be erased by the overwrite
+    commitOverwrite(compacted, ref, snap.partitions, expectedVersion = snap.version)
     Manifest.latest(fs, tableRoot).map(_.files.size).getOrElse(0)
   }
 
@@ -371,8 +388,11 @@ final class Catalog(val spark: SparkSession, root: String) {
     if (Catalog.needsCast(existing.schema, target))
       // the rewrite reads the pre-migration snapshot lazily while staging
       // lands under a dot-prefixed subdirectory of the same root — input
-      // files are untouched until the snapshot swap publishes
-      commitOverwrite(Catalog.castTo(existing, target), ref, parts)
+      // files are untouched until the snapshot swap publishes. CAS on the
+      // version the rewrite derives from: a commit landing mid-migration
+      // fails this publish loudly instead of being erased by it
+      commitOverwrite(Catalog.castTo(existing, target), ref, parts,
+        expectedVersion = snapshotVersions(ref).lastOption.getOrElse(0L))
     append(Catalog.castTo(df, target), ref, parts)
   }
 

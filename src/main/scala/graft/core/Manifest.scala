@@ -133,19 +133,36 @@ private[core] object Manifest {
   /** Write the next snapshot aside and atomically publish it via a
     * single-file rename — the commit point. Returns the published snapshot.
     *
-    * Multi-writer safety: the version's `.lock` marker is acquired with an
-    * atomic create-if-absent BEFORE the rename, so of two concurrent
-    * publishers targeting the same next version exactly one proceeds and
-    * the loser reliably throws (it either fails the lock acquire, or wins a
-    * recycled lock and finds the manifest already published). A lock left
-    * by a crashed writer (no manifest behind it) is broken after
-    * [[LockStaleMs]]; a live writer holds it only for a single small write
-    * + rename. */
+    * Multi-writer safety is two checks:
+    *
+    *  - the version's `.lock` marker is acquired with an atomic
+    *    create-if-absent BEFORE the rename, so of two concurrent
+    *    publishers targeting the same next version exactly one proceeds
+    *    and the loser reliably throws (it either fails the lock acquire,
+    *    or wins a recycled lock and finds the manifest already published);
+    *  - `expectedVersion` makes a READ-MODIFY-WRITE commit optimistic-CAS:
+    *    a publisher whose file list was derived from snapshot vE passes
+    *    `expectedVersion = E` (0 for "no snapshot existed") and fails if
+    *    the table advanced past vE meanwhile — without this, a slower
+    *    appender that computes its version AFTER a faster one published
+    *    would commit a file list missing the faster one's files, a SILENT
+    *    lost update the same-version lock cannot see. Pass the default -1
+    *    only for blind last-writer-wins overwrites, whose file list does
+    *    not depend on the prior snapshot.
+    *
+    * A lock left by a crashed writer (no manifest behind it) is broken
+    * after [[LockStaleMs]]; a live writer holds it only for a single small
+    * write + rename. */
   def publish(fs: FileSystem, table: Path, partitions: Seq[String],
-      lastBatchId: Option[Long], files: Seq[String]): Snapshot = {
+      lastBatchId: Option[Long], files: Seq[String],
+      expectedVersion: Long = -1L): Snapshot = {
     val d = dir(table)
     fs.mkdirs(d)
     val version = latest(fs, table).map(_.version + 1).getOrElse(1L)
+    if (expectedVersion >= 0 && version != expectedVersion + 1)
+      throw new java.io.IOException(
+        s"manifest publish lost a race for $table: derived from v$expectedVersion " +
+          s"but the table advanced to v${version - 1} — re-read and retry")
     val dest = new Path(d, fileName(version))
     val lock = new Path(d, lockName(version))
     def lost(why: String) = throw new java.io.IOException(

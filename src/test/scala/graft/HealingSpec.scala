@@ -272,6 +272,46 @@ class HealingSpec extends SparkSpec {
     assert(catalog.load("output.cmpp").count() == 6)
   }
 
+  test("concurrent commitAppend: no lost update; a loser's rows stay invisible until its retry") {
+    catalog.commitAppend(Seq((0L, "seed")).toDF("id", "v"), "output.race")
+    // both writers race the same prior snapshot; depending on interleaving
+    // either both serialize cleanly or the second loses the version lock —
+    // the invariant is that the table ALWAYS equals exactly the union of
+    // the commits that reported success (no lost update, no torn rows)
+    val batches = Map("a" -> (100L until 105L), "b" -> (200L until 205L))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes =
+      try batches.toSeq.map { case (tag, ids) =>
+        tag -> pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          def call() = {
+            barrier.await()
+            try { catalog.commitAppend(ids.map(i => (i, tag)).toDF("id", "v"),
+              "output.race"); None }
+            catch { case t: Throwable => Some(t) }
+          }
+        })
+      }.map { case (tag, f) => tag -> f.get() }.toMap
+      finally pool.shutdownNow()
+    outcomes.values.flatten.foreach(t =>
+      assert(t.isInstanceOf[java.io.IOException], s"loser must throw the publish race: $t"))
+    def tableIds() = catalog.load("output.race").collect().map(_.getLong(0)).toSet
+    val committed = batches.collect { case (tag, ids) if outcomes(tag).isEmpty => ids }
+      .flatten.toSet + 0L
+    assert(tableIds() == committed, s"outcomes=$outcomes")
+    // a loser's staged-and-moved files are orphans: invisible to readers,
+    // reclaimed by a full vacuum, and its RETRY lands cleanly afterwards
+    val losers = batches.keySet.filter(outcomes(_).nonEmpty)
+    if (losers.nonEmpty) {
+      assert(catalog.vacuum("output.race", retainLast = 1) > 0)
+      assert(tableIds() == committed)
+      losers.foreach { tag =>
+        catalog.commitAppend(batches(tag).map(i => (i, tag)).toDF("id", "v"), "output.race")
+      }
+      assert(tableIds() == batches.values.flatten.toSet + 0L)
+    }
+  }
+
   test("a pinned time-travel reader survives compact + vacuum (grace window)") {
     for (i <- 0 until 3)
       catalog.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v"), "output.pin",

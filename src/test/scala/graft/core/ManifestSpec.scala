@@ -60,6 +60,24 @@ class ManifestSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("expectedVersion CAS: a publish derived from a superseded snapshot throws") {
+    val (fs, table) = freshTable()
+    val s1 = Manifest.publish(fs, table, Nil, None, Seq("a.parquet"), expectedVersion = 0L)
+    assert(s1.version == 1L)
+    // someone else advances the table past what this writer read
+    Manifest.publish(fs, table, Nil, None, Seq("a.parquet", "b.parquet"),
+      expectedVersion = 1L)
+    val e = intercept[java.io.IOException] {
+      Manifest.publish(fs, table, Nil, None, Seq("a.parquet", "c.parquet"),
+        expectedVersion = 1L)
+    }
+    assert(e.getMessage.contains("advanced"))
+    // blind (last-writer-wins) publish still lands, and a re-read retry does too
+    assert(Manifest.publish(fs, table, Nil, None, Seq("z.parquet")).version == 3L)
+    assert(Manifest.publish(fs, table, Nil, None, Seq("z.parquet", "c.parquet"),
+      expectedVersion = 3L).version == 4L)
+  }
+
   test("a fresh orphan lock blocks publish; a stale one is broken") {
     val (fs, table) = freshTable()
     Manifest.publish(fs, table, Nil, None, Seq("a.parquet"))
