@@ -257,7 +257,11 @@ final class Catalog(val spark: SparkSession, root: String) {
     if (all.nonEmpty && (added.nonEmpty || batchId.isDefined))
       Manifest.publish(fs, tableRoot, parts,
         batchId.orElse(prior.flatMap(_.lastBatchId)), all,
-        expectedVersion = prior.map(_.version).getOrElse(0L))
+        expectedVersion = prior.map(_.version).getOrElse(0L),
+        // append commits extend the prior file set, so the manifest can be
+        // a delta: O(batch files) metadata instead of rewriting the full
+        // table listing every micro-batch (see Manifest scale notes)
+        preferDelta = true)
     true
   }
 
@@ -304,6 +308,15 @@ final class Catalog(val spark: SparkSession, root: String) {
     if (versions.isEmpty) throw TableNotFound(ns, t)
     val retained = versions.takeRight(retainLast)
     val live = retained.flatMap(v => Manifest.read(fs, tableRoot, v).files).toSet
+    // a retained DELTA snapshot resolves through its base chain; any chain
+    // link older than the retention window is about to be reclaimed, so
+    // fold such snapshots into full manifests first (atomic in-place
+    // rewrite, identical resolved content)
+    val retainedSet = retained.toSet
+    retained.foreach { v =>
+      if (Manifest.read(fs, tableRoot, v).base.exists(b => !retainedSet.contains(b)))
+        Manifest.checkpoint(fs, tableRoot, v)
+    }
     var removed = 0L
     listDataFiles(fs, tableRoot).filterNot(live.contains).foreach { rel =>
       if (fs.delete(new Path(tableRoot, rel), false)) removed += 1

@@ -44,18 +44,40 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * streaming model used throughout) — the lock turns a violated assumption
   * into a loud error instead of a silent lost commit; on object stores,
   * back the exclusive create with a conditional put.
+  *
+  * Append commits write DELTA snapshots: the manifest file lists only the
+  * batch's added files plus a `base=` pointer to the prior version, so a
+  * streaming micro-batch pays O(batch files) metadata instead of
+  * rewriting the full table listing — at 100 TB / 10^5-10^6 files that
+  * full rewrite per minute-cadence commit is the dominating metadata
+  * cost. Readers resolve the chain (base file set ++ added files); every
+  * [[CheckpointEvery]]-th commit folds the chain back into a full
+  * snapshot so resolution stays O(1) small-file reads. Overwrites are
+  * always full (their content does not derive from the prior files), and
+  * [[Catalog.vacuum]] re-checkpoints any retained delta whose base falls
+  * out of the retention window before reclaiming old manifests.
   */
 private[core] object Manifest {
 
-  /** One committed table version: the file set is exact and exhaustive. */
+  /** One committed table version. `files` is always the FULLY RESOLVED
+    * file set (delta chains are resolved at read time); `base`/`depth`
+    * record how the snapshot is stored — `depth` hops of delta manifests
+    * above the nearest full snapshot. */
   final case class Snapshot(version: Long, partitions: Seq[String],
-      lastBatchId: Option[Long], files: Seq[String])
+      lastBatchId: Option[Long], files: Seq[String],
+      base: Option[Long] = None, depth: Int = 0)
 
   /** Marker directory; underscore-prefixed so Spark's own directory
     * listings ignore it. Its presence is what makes a table
     * manifest-committed. */
   val DirName = "_manifests"
   private val Header = "graft-manifest-v1"
+  private val DeltaHeader = "graft-manifest-v2"
+
+  /** A delta chain is folded into a full snapshot once it reaches this
+    * depth, bounding read-side resolution to at most this many small
+    * manifest reads while keeping the common append commit O(batch). */
+  private[core] val CheckpointEvery = 16
 
   def dir(table: Path): Path = new Path(table, DirName)
 
@@ -87,7 +109,8 @@ private[core] object Manifest {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
-    require(lines.headOption.contains(Header),
+    val isDelta = lines.headOption.contains(DeltaHeader)
+    require(isDelta || lines.headOption.contains(Header),
       s"unrecognized manifest header in $table v$version")
     val partitions = lines(1).stripPrefix("partitions=") match {
       case "" => Nil
@@ -97,16 +120,23 @@ private[core] object Manifest {
       case "-" => None
       case s => Some(s.toLong)
     }
-    val files = lines.drop(4)
+    val bodyAt = if (isDelta) 5 else 4
+    val files = lines.drop(bodyAt)
     // the rename publish is atomic, but storage can still rot: a snapshot
     // whose file list no longer matches its checksum must fail the read,
-    // not silently drop table content
-    val expected = lines(3).stripPrefix("checksum=")
+    // not silently drop table content. A delta's checksum covers only its
+    // own added lines; the base chain is protected by its own checksums.
+    val expected = lines(bodyAt - 1).stripPrefix("checksum=")
     if (crc(files) != expected)
       throw new java.io.IOException(
         s"corrupt manifest $table v$version: file-list checksum mismatch " +
           s"(expected $expected, computed ${crc(files)})")
-    Snapshot(version, partitions, lastBatch, files)
+    if (isDelta) {
+      val baseVersion = lines(3).stripPrefix("base=").toLong
+      val baseSnap = read(fs, table, baseVersion)
+      Snapshot(version, partitions, lastBatch, baseSnap.files ++ files,
+        Some(baseVersion), baseSnap.depth + 1)
+    } else Snapshot(version, partitions, lastBatch, files)
   }
 
   /** A lock older than this with no published manifest belongs to a writer
@@ -152,17 +182,33 @@ private[core] object Manifest {
     *
     * A lock left by a crashed writer (no manifest behind it) is broken
     * after [[LockStaleMs]]; a live writer holds it only for a single small
-    * write + rename. */
+    * write + rename.
+    *
+    * With `preferDelta = true` (the append path), when `files` extends the
+    * prior snapshot's file set (prefix-equal) and the chain is shallower
+    * than [[CheckpointEvery]], the manifest stores only the added suffix
+    * plus a base pointer — O(batch files) metadata per commit; otherwise a
+    * full snapshot is written (first commit, overwrites, or the periodic
+    * checkpoint). The returned [[Snapshot]] always carries the fully
+    * resolved file set either way. */
   def publish(fs: FileSystem, table: Path, partitions: Seq[String],
       lastBatchId: Option[Long], files: Seq[String],
-      expectedVersion: Long = -1L): Snapshot = {
+      expectedVersion: Long = -1L, preferDelta: Boolean = false): Snapshot = {
     val d = dir(table)
     fs.mkdirs(d)
-    val version = latest(fs, table).map(_.version + 1).getOrElse(1L)
+    val prior = latest(fs, table)
+    val version = prior.map(_.version + 1).getOrElse(1L)
     if (expectedVersion >= 0 && version != expectedVersion + 1)
       throw new java.io.IOException(
         s"manifest publish lost a race for $table: derived from v$expectedVersion " +
           s"but the table advanced to v${version - 1} — re-read and retry")
+    // a delta is only safe when the new file set literally extends the
+    // snapshot it chains to; anything else (reordered, removed, adopted
+    // files) falls back to a full snapshot
+    val delta = prior.filter { p =>
+      preferDelta && p.depth + 1 < CheckpointEvery &&
+        files.size >= p.files.size && files.take(p.files.size) == p.files
+    }
     val dest = new Path(d, fileName(version))
     val lock = new Path(d, lockName(version))
     def lost(why: String) = throw new java.io.IOException(
@@ -182,18 +228,66 @@ private[core] object Manifest {
       val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try {
-        val body = (Header +:
-          s"partitions=${partitions.mkString(",")}" +:
-          s"lastBatchId=${lastBatchId.map(_.toString).getOrElse("-")}" +:
-          s"checksum=${crc(files)}" +:
-          files).mkString("\n")
-        out.write(body.getBytes("UTF-8"))
+        out.write(body(partitions, lastBatchId,
+          delta.map(p => (p.version, files.drop(p.files.size))).toLeft(files))
+          .getBytes("UTF-8"))
       } finally out.close()
       if (!fs.rename(tmp, dest)) {
         fs.delete(tmp, false)
         lost("rename refused")
       }
     } finally fs.delete(lock, false)
-    Snapshot(version, partitions, lastBatchId, files)
+    Snapshot(version, partitions, lastBatchId, files,
+      delta.map(_.version), delta.map(_.depth + 1).getOrElse(0))
+  }
+
+  /** Manifest file content: `Left((base, added))` is a delta body,
+    * `Right(files)` a full one. */
+  private def body(partitions: Seq[String], lastBatchId: Option[Long],
+      form: Either[(Long, Seq[String]), Seq[String]]): String = {
+    val head = Seq(
+      form.fold(_ => DeltaHeader, _ => Header),
+      s"partitions=${partitions.mkString(",")}",
+      s"lastBatchId=${lastBatchId.map(_.toString).getOrElse("-")}")
+    val rest = form match {
+      case Left((base, added)) => s"base=$base" +: s"checksum=${crc(added)}" +: added
+      case Right(files) => s"checksum=${crc(files)}" +: files
+    }
+    (head ++ rest).mkString("\n")
+  }
+
+  /** Rewrite snapshot `version` in place as a FULL manifest (same resolved
+    * content, no base pointer) — [[Catalog.vacuum]]'s tool for cutting a
+    * retained delta loose from a base that is about to be reclaimed. The
+    * replace is a single atomic move on local paths (POSIX rename
+    * semantics); the snapshot's resolved content is identical before and
+    * after, so any concurrent reader sees one of two equivalent encodings. */
+  def checkpoint(fs: FileSystem, table: Path, version: Long): Snapshot = {
+    val snap = read(fs, table, version)
+    if (snap.base.isEmpty) return snap
+    val d = dir(table)
+    val dest = new Path(d, fileName(version))
+    val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(body(snap.partitions, snap.lastBatchId, Right(snap.files))
+      .getBytes("UTF-8"))
+    finally out.close()
+    if (fs.getUri.getScheme == "file") {
+      import java.nio.file.{Files, Paths, StandardCopyOption => O}
+      Files.move(Paths.get(tmp.toUri.getPath), Paths.get(dest.toUri.getPath),
+        O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+      // Hadoop's local FS keeps a .crc sidecar computed at create time;
+      // the atomic NIO move bypasses it, so drop the stale sidecar
+      fs.delete(new Path(d, s".${fileName(version)}.crc"), false)
+      fs.delete(new Path(d, s".${tmp.getName}.crc"), false)
+    } else {
+      // non-local stores: delete+rename (HDFS rename won't overwrite).
+      // The window is a crash risk only for stores without atomic
+      // replace; vacuum is maintenance and can be re-run.
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"checkpoint rename refused for $dest")
+    }
+    snap.copy(base = None, depth = 0)
   }
 }

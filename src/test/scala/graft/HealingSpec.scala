@@ -272,6 +272,29 @@ class HealingSpec extends SparkSpec {
     assert(catalog.load("output.cmpp").count() == 6)
   }
 
+  test("micro-batch appends publish delta manifests; vacuum folds the retention boundary") {
+    def header(v: Long): String = {
+      val f = new java.io.File(s"$root/output/delta/_manifests/v${"%020d".format(v)}.manifest")
+      scala.io.Source.fromFile(f, "UTF-8").getLines().next()
+    }
+    for (i <- 0 until 4)
+      catalog.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v"), "output.delta",
+        batchId = Some(i.toLong))
+    // first commit is a full snapshot; every later append stores only its
+    // own files behind a base pointer — O(batch) metadata per micro-batch
+    assert(header(1L) == "graft-manifest-v1")
+    (2L to 4L).foreach(v => assert(header(v) == "graft-manifest-v2"))
+    assert(catalog.load("output.delta").count() == 4)
+    // vacuum reclaims v1/v2; v3 resolved through them, so it is folded into
+    // a full manifest in place — both retained versions stay readable
+    catalog.vacuum("output.delta")
+    assert(catalog.snapshotVersions("output.delta") == Seq(3L, 4L))
+    assert(header(3L) == "graft-manifest-v1")
+    assert(header(4L) == "graft-manifest-v2")
+    assert(catalog.load("output.delta", 3L).count() == 3)
+    assert(catalog.load("output.delta").count() == 4)
+  }
+
   test("concurrent commitAppend: no lost update; a loser's rows stay invisible until its retry") {
     catalog.commitAppend(Seq((0L, "seed")).toDF("id", "v"), "output.race")
     // both writers race the same prior snapshot; depending on interleaving

@@ -78,6 +78,85 @@ class ManifestSpec extends AnyFunSuite {
       expectedVersion = 3L).version == 4L)
   }
 
+  private def rawLines(fs: org.apache.hadoop.fs.FileSystem, table: Path,
+      version: Long): Vector[String] = {
+    val in = fs.open(new Path(Manifest.dir(table), f"v$version%020d.manifest"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  test("append deltas: O(batch) manifest bodies, exact resolution, periodic checkpoint") {
+    val (fs, table) = freshTable()
+    // a "large" table: the full listing is 500 lines
+    val seed = (0 until 500).map(i => f"part-$i%05d.parquet")
+    val s1 = Manifest.publish(fs, table, Nil, None, seed)
+    assert(s1.base.isEmpty && s1.depth == 0)
+    // micro-batch appends: each manifest stores ONLY the added file, not
+    // the 500-line table listing
+    var files = seed
+    var expectFull = Vector(1L) // versions stored as full snapshots
+    for (v <- 2L to (Manifest.CheckpointEvery + 3L)) {
+      files = files :+ s"batch-$v.parquet"
+      val s = Manifest.publish(fs, table, Nil, Some(v), files, preferDelta = true)
+      assert(s.version == v && s.files == files)
+      val raw = rawLines(fs, table, v)
+      if (raw.head == "graft-manifest-v2") {
+        assert(raw.length == 6, s"delta v$v body should be one added file: $raw")
+        assert(raw(3) == s"base=${v - 1}")
+      } else expectFull :+= v
+    }
+    // exactly one checkpoint in the run: the commit that would have made
+    // the chain CheckpointEvery deep folds back to a full snapshot
+    assert(expectFull == Vector(1L, Manifest.CheckpointEvery + 1L))
+    assert(rawLines(fs, table, Manifest.CheckpointEvery + 1L).length == 4 + files.size - 2)
+    // resolution is exact through the chain, and depth is bounded
+    val latest = Manifest.latest(fs, table).get
+    assert(latest.files == files)
+    assert(latest.depth == 2 && latest.base.contains(Manifest.CheckpointEvery + 2L))
+    // a non-extending file set (an overwrite shape) refuses the delta form
+    val over = Manifest.publish(fs, table, Nil, None, Seq("rewritten.parquet"),
+      preferDelta = true)
+    assert(over.base.isEmpty && rawLines(fs, table, over.version).head == "graft-manifest-v1")
+  }
+
+  test("checkpoint folds a delta in place; content identical, chain cut") {
+    val (fs, table) = freshTable()
+    Manifest.publish(fs, table, Seq("day"), None, Seq("day=d1/a.parquet"))
+    Manifest.publish(fs, table, Seq("day"), Some(7L),
+      Seq("day=d1/a.parquet", "day=d2/b.parquet"), preferDelta = true)
+    Manifest.publish(fs, table, Seq("day"), Some(8L),
+      Seq("day=d1/a.parquet", "day=d2/b.parquet", "day=d3/c.parquet"),
+      preferDelta = true)
+    val before = Manifest.read(fs, table, 2L)
+    assert(before.base.contains(1L))
+    val after = Manifest.checkpoint(fs, table, 2L)
+    assert(after.base.isEmpty && after.depth == 0)
+    assert(rawLines(fs, table, 2L).head == "graft-manifest-v1")
+    val reread = Manifest.read(fs, table, 2L)
+    assert(reread.files == before.files && reread.partitions == Seq("day") &&
+      reread.lastBatchId.contains(7L))
+    // v3 still resolves through the rewritten v2
+    assert(Manifest.read(fs, table, 3L).files.size == 3)
+    // idempotent on an already-full snapshot
+    assert(Manifest.checkpoint(fs, table, 2L).files == before.files)
+  }
+
+  test("a corrupted delta body fails the read loudly") {
+    val (fs, table) = freshTable()
+    Manifest.publish(fs, table, Nil, None, Seq("a.parquet"))
+    Manifest.publish(fs, table, Nil, None, Seq("a.parquet", "b.parquet"),
+      preferDelta = true)
+    val mf = new java.io.File(new Path(Manifest.dir(table),
+      f"v${2L}%020d.manifest").toUri.getPath)
+    val content = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    assert(content.startsWith("graft-manifest-v2"))
+    java.nio.file.Files.write(mf.toPath, (content + "\nrogue.parquet").getBytes("UTF-8"))
+    new java.io.File(mf.getParent).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val e = intercept[java.io.IOException] { Manifest.read(fs, table, 2L) }
+    assert(e.getMessage.contains("checksum mismatch"))
+  }
+
   test("a fresh orphan lock blocks publish; a stale one is broken") {
     val (fs, table) = freshTable()
     Manifest.publish(fs, table, Nil, None, Seq("a.parquet"))
