@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-splitting and per-group sampling operators for LLM training-data
+  * curation: deterministic train/val/test assignment, per-group quality
+  * strata, and per-group contribution caps (the "no domain dominates the
+  * corpus" rule).
+  *
+  * Scale notes. [[hashSplit]] is a pure map-side expression — zero shuffle,
+  * stable under reruns, backfills, repartitioning and cluster resizes,
+  * which is the property `rand()`-based splits lack (a backfilled document
+  * must land in the same split it was assigned on first ingest, or the
+  * eval set leaks into training). [[strata]] and [[capPerGroup]] shuffle
+  * once on the group key (hash-partitioned window, never a global sort);
+  * their per-group sort is the cost, so the group key must be something
+  * with enough cardinality to spread (source/domain/shard), not a
+  * near-constant.
+  */
+object Sampling {
+
+  /** Deterministic split assignment (`train`/`val`/`test`) by content hash.
+    *
+    * The first four hex digits of `md5(key)` place the row in a 65536-cell
+    * space; the split boundaries are fixed hex thresholds, so assignment
+    * depends ONLY on the key — embarrassingly parallel, reproducible
+    * everywhere (any engine with md5 agrees, which is what makes the
+    * DuckDB oracle for q55 possible), and documents added later never
+    * move rows across splits.
+    *
+    * Key choice is the caller's contract: a stable id (or the content
+    * digest itself) — NOT a row number or anything assignment-dependent. */
+  def hashSplit(key: Column, trainPct: Double = 0.90, valPct: Double = 0.05): Column = {
+    val (trainHex, valHex) = splitThresholds(trainPct, valPct)
+    val bucket = substring(md5(key.cast("string").cast("binary")), 1, 4)
+    when(bucket < lit(trainHex), "train")
+      .when(bucket < lit(valHex), "val")
+      .otherwise("test")
+  }
+
+  /** The two 4-hex-digit bucket boundaries for [[hashSplit]] — exposed so
+    * oracle SQL (and any other engine) can use literally the same
+    * thresholds. A boundary at exactly 1.0 is the sentinel `"g"`, which
+    * sorts after every hex string (comparisons are lexicographic; the
+    * 5-char `"10000"` would sort BEFORE `"2???"` and break the split). */
+  def splitThresholds(trainPct: Double, valPct: Double): (String, String) = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 1.0,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    def hex(pct: Double) = {
+      val v = (65536 * pct).toInt
+      if (v >= 65536) "g" else f"$v%04x"
+    }
+    (hex(trainPct), hex(trainPct + valPct))
+  }
+
+  /** Per-group quantile strata: `n` buckets of ascending `score` within
+    * each `group` partition (NTILE semantics — earlier buckets take the
+    * remainder row). `tieBreak` must complete a TOTAL order (a unique id)
+    * or bucket membership is nondeterministic at equal scores.
+    *
+    * The window is partitioned, so the plan hash-partitions on `group` and
+    * sorts within partitions — no single-partition global sort. Quality
+    * stratification over quartiles is the usual shape for curriculum
+    * schedules and quality-mix reporting. */
+  def strata(group: Column, score: Column, tieBreak: Column, n: Int = 4): Column =
+    ntile(n).over(Window.partitionBy(group).orderBy(score, tieBreak)).cast("long")
+
+  /** Cap each group's contribution to its `k` best rows by `score`
+    * (descending, ties broken by `tieBreak` ascending): the per-domain /
+    * per-source cap every pretraining mix applies so one crawl domain
+    * cannot dominate the corpus. Adds nothing but the rows — callers
+    * aggregate or write the result as-is.
+    *
+    * One hash exchange on `group`; the per-group top-k is a partitioned
+    * window sort. For extreme single-group skew route through
+    * [[graft.ops.Skew]]-style pre-aggregation instead — row_number cannot
+    * salt (rank is global per group by definition). */
+  def capPerGroup(df: DataFrame, group: Column, score: Column, tieBreak: Column,
+      k: Int): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(group).orderBy(score.desc, tieBreak)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+}

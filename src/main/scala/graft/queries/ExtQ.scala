@@ -608,7 +608,120 @@ object ExtQ {
           catch { case _: NoSuchElementException => publishReconTables(s, dir) }
         reconAggregate(s.table(src), s.table(dst))
       },
-      Some(reconOracle))
+      Some(reconOracle)),
+
+    // Deterministic train/val/test split by content hash (Sampling
+    // .hashSplit): pure map-side — zero shuffle until the summary agg —
+    // and stable under reruns/backfills, the property rand() splits lack.
+    // The md5-prefix thresholds are plain hex-string compares, so DuckDB
+    // computes literally the same assignment.
+    "q55_hash_split" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("split", Sampling.hashSplit(col("doc_id")))
+          .groupBy("split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("split"),
+      Some(s"""
+        SELECT
+          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${Sampling.splitThresholds(0.90, 0.05)._1}' THEN 'train'
+               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${Sampling.splitThresholds(0.90, 0.05)._2}' THEN 'val'
+               ELSE 'test' END AS split,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // Per-language quality quartiles (Sampling.strata): NTILE over a
+    // window PARTITIONED on lang — hash-partitioned, never a global
+    // single-partition sort. The quality score reuses q26's exact
+    // arithmetic shape, so the doubles are IEEE-identical in DuckDB.
+    "q56_quality_strata" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), TextStats.metrics(col("text")).as("m"))
+          .select(col("doc_id"), col("lang"),
+            (col("m.stops") / col("m.n_tokens") -
+              col("m.punct") / col("m.n_chars")).as("quality_score"))
+          .withColumn("quartile",
+            Sampling.strata(col("lang"), col("quality_score"), col("doc_id")))
+          .groupBy("lang", "quartile")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min("quality_score").as("min_score"),
+            max("quality_score").as("max_score"))
+          .orderBy("lang", "quartile"),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, text,
+            regexp_split_to_array(trim(text), '\s+') AS toks,
+            CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stops,
+            punct, CAST(length(text) AS BIGINT) AS n_chars
+          FROM d),
+        sc AS (
+          SELECT doc_id, lang, stops / n_words - punct / n_chars AS quality_score
+          FROM r),
+        q AS (
+          SELECT lang, quality_score,
+            NTILE(4) OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS quartile
+          FROM sc)
+        SELECT lang, quartile, COUNT(*) AS n_docs,
+          MIN(quality_score) AS min_score, MAX(quality_score) AS max_score
+        FROM q GROUP BY lang, quartile ORDER BY lang, quartile""")),
+
+    // Per-source contribution cap (Sampling.capPerGroup): keep each
+    // source's k best documents by quality — the "no domain dominates"
+    // pretraining-mix rule. One hash exchange on source; row_number is a
+    // partitioned window, and the summary reports how much the cap bites.
+    "q57_source_cap" -> QueryDef(
+      (s, dir) => {
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), TextStats.metrics(col("text")).as("m"))
+          .select(col("doc_id"), col("source"),
+            (col("m.stops") / col("m.n_tokens") -
+              col("m.punct") / col("m.n_chars")).as("quality_score"))
+          .withColumn("n_total",
+            count(lit(1)).over(Window.partitionBy(col("source"))))
+        Sampling.capPerGroup(scored, col("source"), col("quality_score"),
+            col("doc_id"), k = 5)
+          .groupBy("source")
+          .agg(
+            max("n_total").as("n_total"),
+            count(lit(1)).as("n_kept"),
+            min("quality_score").as("min_kept_score"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, text,
+            regexp_split_to_array(trim(text), '\s+') AS toks,
+            CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct
+          FROM documents),
+        r AS (
+          SELECT doc_id, source,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS stops,
+            punct, CAST(length(text) AS BIGINT) AS n_chars
+          FROM d),
+        sc AS (
+          SELECT doc_id, source, stops / n_words - punct / n_chars AS quality_score
+          FROM r),
+        q AS (
+          SELECT source, quality_score,
+            COUNT(*) OVER (PARTITION BY source) AS n_total,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rn
+          FROM sc)
+        SELECT source, MAX(n_total) AS n_total, COUNT(*) AS n_kept,
+          MIN(quality_score) AS min_kept_score
+        FROM q WHERE rn <= 5 GROUP BY source ORDER BY source"""))
   )
 
   /** Source facts and the deterministically degraded downstream copy

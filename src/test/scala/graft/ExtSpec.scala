@@ -744,4 +744,53 @@ class ExtSpec extends SparkSpec {
     assert(frames.filter($"media_id" === 0L).count() ==
       math.ceil(docs.filter($"doc_id" === 0L).head().getString(1).length / 16.0).toLong)
   }
+
+  test("Sampling.hashSplit: deterministic, key-only, roughly proportioned") {
+    val ids = spark.range(2000).toDF("id")
+    val split = ids.withColumn("s", Sampling.hashSplit($"id"))
+    // key-only: the assignment of a given id never depends on the rest of
+    // the dataset, its order, or its partitioning
+    val whole = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subset = ids.filter($"id" % 7 === 0).repartition(13)
+      .withColumn("s", Sampling.hashSplit($"id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(whole(id) == s, s"id $id moved splits") }
+    // proportions near 90/5/5 (hash uniformity, not exactness)
+    val n = whole.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(n.keySet == Set("train", "val", "test"))
+    assert(n("train") > 1700 && n("train") < 1900, n.toString)
+    assert(n("val") > 50 && n("val") < 150, n.toString)
+    assert(n("test") > 50 && n("test") < 150, n.toString)
+    // threshold hex strings: full range degenerates to the "g" sentinel
+    // (lexicographically after every 4-hex bucket), not the 5-char "10000"
+    // that would sort BEFORE most buckets
+    assert(Sampling.splitThresholds(1.0, 0.0) == ("g", "g"))
+    assert(Sampling.splitThresholds(0.90, 0.05) == ("e666", "f333"))
+    assert(ids.withColumn("s", Sampling.hashSplit($"id", 1.0, 0.0))
+      .filter($"s" =!= "train").count() == 0)
+    intercept[IllegalArgumentException] { Sampling.splitThresholds(0.9, 0.2) }
+  }
+
+  test("Sampling.strata and capPerGroup: exact per-group semantics") {
+    val rows = (0L until 40L).map(i => (i, s"g${i % 2}", (i * 37 % 11).toDouble))
+      .toDF("id", "g", "score")
+    // strata: 4 buckets per group, balanced sizes, monotone in score
+    val st = rows.withColumn("q", Sampling.strata($"g", $"score", $"id"))
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(0), r.getLong(3)))
+    st.groupBy(_._1).foreach { case (_, grp) =>
+      assert(grp.groupBy(_._4).view.mapValues(_.size).toMap.values.toSet == Set(5))
+      val ordered = grp.sortBy(x => (x._2, x._3)).map(_._4).toSeq
+      assert(ordered == ordered.sorted, s"ntile not monotone: $ordered")
+    }
+    // capPerGroup: k rows per group, and exactly the top-k by (score desc, id)
+    val kept = Sampling.capPerGroup(rows, $"g", $"score", $"id", k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val expect = rows.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2).toSeq.flatMap { case (g, grp) =>
+        grp.sortBy(x => (-x._3, x._1)).take(3).map(x => (g, x._1))
+      }.toSet
+    assert(kept == expect)
+    assert(!Sampling.capPerGroup(rows, $"g", $"score", $"id", k = 3)
+      .columns.contains("__rn"))
+  }
 }

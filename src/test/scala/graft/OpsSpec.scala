@@ -250,6 +250,27 @@ class OpsSpec extends SparkSpec {
     assert(rd.count() > 0)
   }
 
+  test("q55-q57 curation plans: no single-partition window, keyed exchanges only") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val dir = "/root/testdata/sf0.001"
+    // q55: the split is a pure projection — no window, no join; the only
+    // exchanges feed the 3-row summary aggregation
+    val p55 = graft.SparkEntry.queries("q55_hash_split")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p55.contains("Window"), p55)
+    assert(!p55.contains("SinglePartition"), p55)
+    // q56/q57: NTILE / row_number windows are PARTITIONED (lang / source) —
+    // hash exchange, parallel per-group sort, never the single-partition
+    // global sort an unkeyed window degrades to
+    for ((name, key) <- Seq("q56_quality_strata" -> "lang", "q57_source_cap" -> "source")) {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), s"$name: $plan")
+      assert(!plan.contains("SinglePartition"), s"$name window collapsed:\n$plan")
+      assert(plan.contains(s"hashpartitioning($key"), s"$name: $plan")
+    }
+  }
+
   test("approx_count_distinct tracks exact within its error bound") {
     val df = spark.range(20000).select((col("id") % 7919).as("k"))
     val r = df.agg(
