@@ -67,6 +67,30 @@ object Sampling {
   def strata(group: Column, score: Column, tieBreak: Column, n: Int = 4): Column =
     ntile(n).over(Window.partitionBy(group).orderBy(score, tieBreak)).cast("long")
 
+  /** Token-budget shard assignment — the deterministic first step of
+    * sequence packing: walk each group in `order` (a stable unique key),
+    * accumulate `tokens`, and open a new shard every time the running
+    * total crosses `budget`. `shard = floor(exclusive_cumsum / budget)`,
+    * so a document lands in the shard that was open when it arrived and
+    * every shard holds ~`budget` tokens (the last document may overhang —
+    * greedy packing's usual tolerance).
+    *
+    * Deterministic (same inputs → same shards on any cluster layout, the
+    * property a training run needs to resume or re-materialize batches)
+    * and partitioned: the cumulative sum is a window over `group`, one
+    * hash exchange + per-group sort, never a global single-partition
+    * scan. Group by something with spread (lang/source/date-bucket); the
+    * division stays IEEE-exact while group token totals are < 2^53. */
+  def tokenShards(group: Column, tokens: Column, order: Column,
+      budget: Long): Column = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val before = coalesce(
+      sum(tokens).over(Window.partitionBy(group).orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    floor(before / lit(budget.toDouble)).cast("long")
+  }
+
   /** Cap each group's contribution to its `k` best rows by `score`
     * (descending, ties broken by `tieBreak` ascending): the per-domain /
     * per-source cap every pretraining mix applies so one crawl domain

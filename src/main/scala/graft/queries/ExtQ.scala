@@ -721,7 +721,40 @@ object ExtQ {
           FROM sc)
         SELECT source, MAX(n_total) AS n_total, COUNT(*) AS n_kept,
           MIN(quality_score) AS min_kept_score
-        FROM q WHERE rn <= 5 GROUP BY source ORDER BY source"""))
+        FROM q WHERE rn <= 5 GROUP BY source ORDER BY source""")),
+
+    // Token-budget shard assignment (Sampling.tokenShards): greedy
+    // sequence-packing shards from a PARTITIONED exclusive cumulative sum —
+    // deterministic batch materialization for a training run. One hash
+    // exchange on lang + per-group sort; shard totals ~512 tokens each.
+    "q58_token_shards" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextStats.tokenCount(col("text")).as("n_tokens"))
+        docs
+          .withColumn("shard",
+            Sampling.tokenShards(col("lang"), col("n_tokens"), col("doc_id"),
+              budget = 512L))
+          .groupBy("lang", "shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"))
+          .orderBy("lang", "shard")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM d)
+        SELECT lang, CAST(FLOOR(before / 512.0) AS BIGINT) AS shard,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM c GROUP BY lang, shard ORDER BY lang, shard"""))
   )
 
   /** Source facts and the deterministically degraded downstream copy

@@ -793,4 +793,24 @@ class ExtSpec extends SparkSpec {
     assert(!Sampling.capPerGroup(rows, $"g", $"score", $"id", k = 3)
       .columns.contains("__rn"))
   }
+
+  test("Sampling.tokenShards: greedy deterministic packing per group") {
+    val rows = Seq(
+      (0L, "g0", 100L), (1L, "g0", 300L), (2L, "g0", 200L), (3L, "g0", 50L),
+      (4L, "g1", 600L), (5L, "g1", 10L))
+      .toDF("id", "g", "tok")
+    val got = rows.withColumn("shard", Sampling.tokenShards($"g", $"tok", $"id", 512L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // g0 exclusive cumsums 0,100,400,600 → shards 0,0,0,1: doc 2 lands in
+    // shard 0 (open when it arrived, overhang tolerated), doc 3 opens 1
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+    // assignment is key-order-only: shuffling the input never moves a doc
+    val reshuffled = rows.repartition(7)
+      .withColumn("shard", Sampling.tokenShards($"g", $"tok", $"id", 512L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(reshuffled == got)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenShards($"g", $"tok", $"id", 0L)
+    }
+  }
 }

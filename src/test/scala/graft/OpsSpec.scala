@@ -259,10 +259,12 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p55.contains("Window"), p55)
     assert(!p55.contains("SinglePartition"), p55)
-    // q56/q57: NTILE / row_number windows are PARTITIONED (lang / source) —
-    // hash exchange, parallel per-group sort, never the single-partition
-    // global sort an unkeyed window degrades to
-    for ((name, key) <- Seq("q56_quality_strata" -> "lang", "q57_source_cap" -> "source")) {
+    // q56/q57/q58: NTILE / row_number / cumulative-sum windows are
+    // PARTITIONED (lang / source) — hash exchange, parallel per-group
+    // sort, never the single-partition global sort an unkeyed window
+    // degrades to
+    for ((name, key) <- Seq("q56_quality_strata" -> "lang",
+        "q57_source_cap" -> "source", "q58_token_shards" -> "lang")) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("Window"), s"$name: $plan")
