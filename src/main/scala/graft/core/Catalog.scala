@@ -233,37 +233,70 @@ final class Catalog(val spark: SparkSession, root: String) {
     val (ns, t) = parseRef(ref)
     val tableRoot = new Path(path(ns, t))
     val fs = fsOf(tableRoot)
-    val prior = Manifest.latest(fs, tableRoot)
+    var prior = Manifest.latest(fs, tableRoot)
     if (batchId.isDefined && prior.exists(_.lastBatchId.exists(batchId.get <= _)))
       return false
     val parts = commitParts(partitionBy, prior, ns, t)
     // adoption: fold a PRE-manifest table's current files into the snapshot.
     // The `_manifests` marker is created BEFORE any data stages so this can
     // never re-adopt files a crashed manifest-mode commit moved but did not
-    // publish — those are orphans ([[vacuum]]), not table content.
-    val adopted =
+    // publish — those are orphans ([[vacuum]]), not table content. Captured
+    // once (before the marker lands) so a publish retry can still see it.
+    val dirAdopted =
       if (prior.isEmpty && !fs.exists(Manifest.dir(tableRoot)) &&
           fs.exists(tableRoot)) listDataFiles(fs, tableRoot)
-      else prior.map(_.files).getOrElse(Nil)
+      else Nil
     fs.mkdirs(Manifest.dir(tableRoot))
     val added = stageFiles(df, tableRoot, parts)
-    val all = adopted ++ added
     // an empty batch publishes only when it must advance the batch-id
     // bookkeeping — never a redundant identical snapshot. The publish is
     // optimistic-CAS on the snapshot this file list was derived from: a
     // concurrent commit that advanced the table meanwhile makes THIS one
-    // throw instead of silently dropping the other's files (re-read and
-    // retry to serialize behind it).
-    if (all.nonEmpty && (added.nonEmpty || batchId.isDefined))
-      Manifest.publish(fs, tableRoot, parts,
-        batchId.orElse(prior.flatMap(_.lastBatchId)), all,
-        expectedVersion = prior.map(_.version).getOrElse(0L),
-        // append commits extend the prior file set, so the manifest can be
-        // a delta: O(batch files) metadata instead of rewriting the full
-        // table listing every micro-batch (see Manifest scale notes)
-        preferDelta = true)
-    true
+    // lose the race — an append's content does not depend on the prior
+    // snapshot, so the loser serializes BEHIND the interleaved commit by
+    // re-reading and republishing (bounded retries; the staged files are
+    // already on disk and are simply re-listed on a new base).
+    var attempt = 0
+    while (true) {
+      val all = prior.map(_.files).getOrElse(dirAdopted) ++ added
+      if (!(all.nonEmpty && (added.nonEmpty || batchId.isDefined))) return true
+      try {
+        Manifest.publish(fs, tableRoot, parts,
+          batchId.orElse(prior.flatMap(_.lastBatchId)), all,
+          expectedVersion = prior.map(_.version).getOrElse(0L),
+          // append commits extend the prior file set, so the manifest can
+          // be a delta: O(batch files) metadata instead of rewriting the
+          // full table listing every micro-batch (see Manifest scale notes)
+          preferDelta = true)
+        return true
+      } catch {
+        case e: Manifest.PublishRaceException =>
+          attempt += 1
+          if (attempt > MaxPublishRetries) throw e
+          Thread.sleep(20L * attempt)
+          prior = Manifest.latest(fs, tableRoot)
+          // the interleaved commit may have carried this very batch id
+          if (batchId.isDefined &&
+              prior.exists(_.lastBatchId.exists(batchId.get <= _))) return false
+          // and must not have changed the partition layout our staged
+          // files were written under
+          val newParts = commitParts(partitionBy, prior, ns, t)
+          if (newParts != parts) throw new IllegalStateException(
+            s"concurrent commit changed $ref partition layout from " +
+              s"(${parts.mkString(",")}) to (${newParts.mkString(",")}) " +
+              "while this append was staged", e)
+      }
+    }
+    sys.error("unreachable")
   }
+
+  /** Bounded publish retries for [[commitAppend]]'s optimistic CAS — a
+    * loser re-reads and serializes behind the interleaved commit; past
+    * this many attempts the contention is a misconfiguration (many live
+    * writers on one table) and the race surfaces loudly. Lock contention
+    * and CAS losses both consume attempts, so the bound is generous
+    * relative to the intended writer count (one, occasionally two). */
+  private val MaxPublishRetries = 8
 
   /** Atomic overwrite: stage the replacement files, then publish a snapshot
     * listing ONLY them. Readers switch file sets atomically — there is no
@@ -324,6 +357,13 @@ final class Catalog(val spark: SparkSession, root: String) {
     val keep = retained.map(v => f"v$v%020d.manifest").toSet
     fs.listStatus(Manifest.dir(tableRoot)).foreach { s =>
       val n = s.getPath.getName
+      // a lock this old belongs to a writer that died between acquire and
+      // publish; publishers break such locks on contact, and maintenance
+      // sweeps them too so an idle table does not keep one forever
+      if (n.endsWith(".lock") &&
+          System.currentTimeMillis() - s.getModificationTime > Manifest.LockStaleMs) {
+        if (fs.delete(s.getPath, false)) removed += 1
+      } else
       if (!keep.contains(n) && (n.endsWith(".manifest") || n.startsWith(".tmp-")))
         if (fs.delete(s.getPath, false)) removed += 1
     }

@@ -59,6 +59,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[core] object Manifest {
 
+  /** A publish lost a concurrency race — the same-version lock/manifest
+    * check or the `expectedVersion` CAS. Retryable: re-read the latest
+    * snapshot, re-derive the file list, publish again (what
+    * [[Catalog.commitAppend]] does with bounded retries; an overwrite
+    * whose CONTENT derives from the superseded snapshot must recompute
+    * instead, so [[Catalog.compact]] deliberately does not retry). */
+  final class PublishRaceException(msg: String)
+    extends java.io.IOException(msg)
+
   /** One committed table version. `files` is always the FULLY RESOLVED
     * file set (delta chains are resolved at read time); `base`/`depth`
     * record how the snapshot is stored — `depth` hops of delta manifests
@@ -199,7 +208,7 @@ private[core] object Manifest {
     val prior = latest(fs, table)
     val version = prior.map(_.version + 1).getOrElse(1L)
     if (expectedVersion >= 0 && version != expectedVersion + 1)
-      throw new java.io.IOException(
+      throw new PublishRaceException(
         s"manifest publish lost a race for $table: derived from v$expectedVersion " +
           s"but the table advanced to v${version - 1} — re-read and retry")
     // a delta is only safe when the new file set literally extends the
@@ -211,7 +220,7 @@ private[core] object Manifest {
     }
     val dest = new Path(d, fileName(version))
     val lock = new Path(d, lockName(version))
-    def lost(why: String) = throw new java.io.IOException(
+    def lost(why: String) = throw new PublishRaceException(
       s"manifest publish lost a race for $dest ($why) — one writer per table")
     if (!tryExclusiveCreate(fs, lock)) {
       if (fs.exists(dest)) lost("version already published")

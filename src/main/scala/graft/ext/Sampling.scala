@@ -107,4 +107,15 @@ object Sampling {
         row_number().over(Window.partitionBy(group).orderBy(score.desc, tieBreak)))
       .filter(col("__rn") <= k)
       .drop("__rn")
+
+  /** Deterministic uniform sample of `k` rows per group: rank rows inside
+    * each group by the md5 of their `key` and keep the first `k` — a
+    * hash-ordered [[capPerGroup]]. Uniform because the hash is
+    * uncorrelated with any data attribute; deterministic for the same
+    * reason [[hashSplit]] is (same keys → same sample, on any engine or
+    * layout — the balanced per-source eval set stays fixed across reruns,
+    * where `TABLESAMPLE`/`rand()` would redraw it). Same single hash
+    * exchange + per-group sort shape as [[capPerGroup]]. */
+  def samplePerGroup(df: DataFrame, group: Column, key: Column, k: Int): DataFrame =
+    capPerGroup(df, group, md5(key.cast("string").cast("binary")), key, k)
 }

@@ -754,7 +754,30 @@ object ExtQ {
           FROM d)
         SELECT lang, CAST(FLOOR(before / 512.0) AS BIGINT) AS shard,
           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-        FROM c GROUP BY lang, shard ORDER BY lang, shard"""))
+        FROM c GROUP BY lang, shard ORDER BY lang, shard""")),
+
+    // Deterministic uniform per-group sample (Sampling.samplePerGroup):
+    // hash-ordered top-k per source — the balanced eval set that stays
+    // FIXED across reruns (TABLESAMPLE/rand() redraws). sum_doc_ids makes
+    // the oracle sensitive to the sampled SET, not just its size.
+    "q59_group_sample" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        Sampling.samplePerGroup(docs, col("source"), col("doc_id"), k = 3)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            sum(col("doc_id")).as("sum_doc_ids"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH q AS (
+          SELECT source, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id) AS rn
+          FROM documents)
+        SELECT source, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+        FROM q WHERE rn <= 3 GROUP BY source ORDER BY source"""))
   )
 
   /** Source facts and the deterministically degraded downstream copy

@@ -792,6 +792,14 @@ class ExtSpec extends SparkSpec {
     assert(kept == expect)
     assert(!Sampling.capPerGroup(rows, $"g", $"score", $"id", k = 3)
       .columns.contains("__rn"))
+    // samplePerGroup: k per group, uniform-by-hash, and FIXED across
+    // reruns/layouts (the property rand() sampling lacks)
+    val s1 = Sampling.samplePerGroup(rows, $"g", $"id", k = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val s2 = Sampling.samplePerGroup(rows.repartition(9), $"g", $"id", k = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(s1 == s2)
+    assert(s1.groupBy(_._1).forall(_._2.size == 4))
   }
 
   test("Sampling.tokenShards: greedy deterministic packing per group") {

@@ -293,6 +293,16 @@ class HealingSpec extends SparkSpec {
     assert(header(4L) == "graft-manifest-v2")
     assert(catalog.load("output.delta", 3L).count() == 3)
     assert(catalog.load("output.delta").count() == 4)
+    // vacuum also sweeps stale writer locks (a live-looking one survives)
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/output/delta/_manifests")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(mdir, f"v${9L}%020d.lock")
+    val fresh = new org.apache.hadoop.fs.Path(mdir, f"v${8L}%020d.lock")
+    fs.create(stale, true).close(); fs.create(fresh, true).close()
+    fs.setTimes(stale, System.currentTimeMillis() - 11 * 60 * 1000L, -1L)
+    catalog.vacuum("output.delta")
+    assert(!fs.exists(stale) && fs.exists(fresh))
+    fs.delete(fresh, false)
   }
 
   test("concurrent commitAppend: no lost update; a loser's rows stay invisible until its retry") {
@@ -333,6 +343,30 @@ class HealingSpec extends SparkSpec {
       }
       assert(tableIds() == batches.values.flatten.toSet + 0L)
     }
+  }
+
+  test("commitAppend CAS retry: concurrent appenders all serialize and land") {
+    catalog.commitAppend(Seq((0L, "seed")).toDF("id", "v"), "output.cas")
+    val writers = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val results =
+      try (0 until writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call() = {
+            barrier.await()
+            catalog.commitAppend(Seq((100L + i, s"w$i")).toDF("id", "v"), "output.cas")
+          }
+        })
+      }.map(_.get())
+      finally pool.shutdownNow()
+    // the bounded CAS retry serializes every loser behind the interleaved
+    // commit: all four succeed, none throws, nothing is lost
+    assert(results.forall(identity))
+    val ids = catalog.load("output.cas").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 100L, 101L, 102L, 103L))
+    // five snapshots: the seed plus one per append
+    assert(catalog.snapshotVersions("output.cas").size == 5)
   }
 
   test("a pinned time-travel reader survives compact + vacuum (grace window)") {

@@ -264,7 +264,8 @@ class OpsSpec extends SparkSpec {
     // sort, never the single-partition global sort an unkeyed window
     // degrades to
     for ((name, key) <- Seq("q56_quality_strata" -> "lang",
-        "q57_source_cap" -> "source", "q58_token_shards" -> "lang")) {
+        "q57_source_cap" -> "source", "q58_token_shards" -> "lang",
+        "q59_group_sample" -> "source")) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("Window"), s"$name: $plan")
