@@ -331,8 +331,18 @@ final class Catalog(val spark: SparkSession, root: String) {
     * latest commit superseded (the common compact-then-vacuum shape) keeps
     * resolving its files through the vacuum. Pass `retainLast = 1` for a
     * full reclaim ONCE no reader holds an older snapshot — same contract
-    * as [[saveBucketed]]'s version retirement. Returns files removed. */
-  def vacuum(ref: String, retainLast: Int = 2): Long = {
+    * as [[saveBucketed]]'s version retirement.
+    *
+    * Files referenced by NO snapshot at all are ambiguous: a crashed
+    * append's leftovers, or an IN-FLIGHT append that has staged its files
+    * but not yet published. `orphanGraceMs` disambiguates by age — a live
+    * append stages and publishes within seconds, so never-committed files
+    * younger than the grace are left alone (maintenance running beside a
+    * live writer must not eat its commit) and a crashed attempt's files
+    * fall due once the grace passes. Pass 0 to reclaim them immediately
+    * when provably no writer is active. Returns files removed. */
+  def vacuum(ref: String, retainLast: Int = 2,
+      orphanGraceMs: Long = Manifest.LockStaleMs): Long = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val (ns, t) = parseRef(ref)
     val tableRoot = new Path(path(ns, t))
@@ -341,6 +351,10 @@ final class Catalog(val spark: SparkSession, root: String) {
     if (versions.isEmpty) throw TableNotFound(ns, t)
     val retained = versions.takeRight(retainLast)
     val live = retained.flatMap(v => Manifest.read(fs, tableRoot, v).files).toSet
+    // committed-then-superseded files (referenced by SOME snapshot) are
+    // governed by the retention window alone; never-referenced files get
+    // the orphan age grace
+    val referenced = versions.flatMap(v => Manifest.read(fs, tableRoot, v).files).toSet
     // a retained DELTA snapshot resolves through its base chain; any chain
     // link older than the retention window is about to be reclaimed, so
     // fold such snapshots into full manifests first (atomic in-place
@@ -351,8 +365,13 @@ final class Catalog(val spark: SparkSession, root: String) {
         Manifest.checkpoint(fs, tableRoot, v)
     }
     var removed = 0L
+    val now = System.currentTimeMillis()
     listDataFiles(fs, tableRoot).filterNot(live.contains).foreach { rel =>
-      if (fs.delete(new Path(tableRoot, rel), false)) removed += 1
+      val p = new Path(tableRoot, rel)
+      if (referenced.contains(rel) ||
+          now - fs.getFileStatus(p).getModificationTime > orphanGraceMs) {
+        if (fs.delete(p, false)) removed += 1
+      }
     }
     val keep = retained.map(v => f"v$v%020d.manifest").toSet
     fs.listStatus(Manifest.dir(tableRoot)).foreach { s =>

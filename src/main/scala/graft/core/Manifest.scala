@@ -113,7 +113,11 @@ private[core] object Manifest {
     java.lang.Long.toHexString(c.getValue)
   }
 
-  def read(fs: FileSystem, table: Path, version: Long): Snapshot = {
+  def read(fs: FileSystem, table: Path, version: Long): Snapshot =
+    read(fs, table, version, retried = false)
+
+  private def read(fs: FileSystem, table: Path, version: Long,
+      retried: Boolean): Snapshot = {
     val in = fs.open(new Path(dir(table), fileName(version)))
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
@@ -142,7 +146,19 @@ private[core] object Manifest {
           s"(expected $expected, computed ${crc(files)})")
     if (isDelta) {
       val baseVersion = lines(3).stripPrefix("base=").toLong
-      val baseSnap = read(fs, table, baseVersion)
+      val baseSnap =
+        try read(fs, table, baseVersion, retried = false)
+        catch {
+          // a concurrent vacuum may have folded THIS version into a full
+          // manifest (its boundary checkpoint) and then reclaimed the base
+          // between our two opens — re-read this version once; its
+          // checkpointed form resolves without the base. A still-missing
+          // base after the retry propagates as FileNotFound (and a deeper
+          // chain's miss propagates up so each ancestor retries its own
+          // possibly-checkpointed form once).
+          case _: java.io.FileNotFoundException if !retried =>
+            return read(fs, table, version, retried = true)
+        }
       Snapshot(version, partitions, lastBatch, baseSnap.files ++ files,
         Some(baseVersion), baseSnap.depth + 1)
     } else Snapshot(version, partitions, lastBatch, files)

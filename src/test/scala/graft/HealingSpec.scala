@@ -336,7 +336,7 @@ class HealingSpec extends SparkSpec {
     // reclaimed by a full vacuum, and its RETRY lands cleanly afterwards
     val losers = batches.keySet.filter(outcomes(_).nonEmpty)
     if (losers.nonEmpty) {
-      assert(catalog.vacuum("output.race", retainLast = 1) > 0)
+      assert(catalog.vacuum("output.race", retainLast = 1, orphanGraceMs = 0L) > 0)
       assert(tableIds() == committed)
       losers.foreach { tag =>
         catalog.commitAppend(batches(tag).map(i => (i, tag)).toDF("id", "v"), "output.race")
@@ -367,6 +367,37 @@ class HealingSpec extends SparkSpec {
     assert(ids == Set(0L, 100L, 101L, 102L, 103L))
     // five snapshots: the seed plus one per append
     assert(catalog.snapshotVersions("output.cas").size == 5)
+  }
+
+  test("maintenance during live ingest: compact + vacuum never eat an in-flight append") {
+    catalog.commitAppend(Seq((-1L, "seed")).toDF("id", "v"), "output.maint")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // maintenance loop beside the writer: compact may lose its CAS to an
+    // interleaved append (expected — it recomputes next round); vacuum's
+    // default orphan grace is what keeps it from eating the appender's
+    // staged-but-unpublished files
+    val maint = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          catalog.compact("output.maint")
+          catalog.vacuum("output.maint")
+        } catch {
+          case _: java.io.IOException => () // publish race lost to an append
+          case t: Throwable => maintErr.set(t); stop.set(true)
+        }
+        Thread.sleep(25)
+      }
+    })
+    maint.start()
+    try
+      for (b <- 0 until 10)
+        catalog.commitAppend(Seq((b.toLong, s"b$b")).toDF("id", "v"),
+          "output.maint", batchId = Some(b.toLong))
+    finally { stop.set(true); maint.join(60000) }
+    assert(maintErr.get() == null, s"maintenance died: ${maintErr.get()}")
+    assert(catalog.load("output.maint").collect().map(_.getLong(0)).toVector.sorted ==
+      (-1L until 10L).toVector)
   }
 
   test("a pinned time-travel reader survives compact + vacuum (grace window)") {

@@ -252,8 +252,11 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(part.toPath,
       new java.io.File(dir, "part-torn-00000.parquet").toPath)
     assert(catalog.load("mf.events").count() == 2)
-    // vacuum reclaims the orphan; the table is unchanged
-    assert(catalog.vacuum("mf.events") >= 1)
+    // vacuum reclaims the orphan (grace 0: no writer is live here, so the
+    // fresh never-committed file is reclaimable NOW — the default grace
+    // would leave it alone, since a live appender's staged-but-unpublished
+    // files look identical); the table is unchanged
+    assert(catalog.vacuum("mf.events", orphanGraceMs = 0L) >= 1)
     assert(catalog.load("mf.events").count() == 2)
 
     // a FIRST commit crashed the same way (marker dir + moved file, no
