@@ -63,9 +63,36 @@ object Sampling {
     * The window is partitioned, so the plan hash-partitions on `group` and
     * sorts within partitions — no single-partition global sort. Quality
     * stratification over quartiles is the usual shape for curriculum
-    * schedules and quality-mix reporting. */
+    * schedules and quality-mix reporting. Exactness costs one sort PER
+    * GROUP on a single task, so parallelism is capped at the group count:
+    * for a handful of huge groups (languages over 100 TB), take
+    * [[strataApprox]] — sketch thresholds + broadcast join, no cap. */
   def strata(group: Column, score: Column, tieBreak: Column, n: Int = 4): Column =
     ntile(n).over(Window.partitionBy(group).orderBy(score, tieBreak)).cast("long")
+
+  /** The scale path for [[strata]]: per-group APPROXIMATE quantile buckets
+    * from `approx_percentile` thresholds — one aggregation plus a broadcast
+    * join of a groups×(n-1) threshold table, fully parallel, NO per-group
+    * sort. [[strata]]'s windowed NTILE is exact but sorts each group on a
+    * single task, so a low-cardinality group column (a handful of
+    * languages over 100 TB) caps its parallelism at the group count; this
+    * form has no such cap. Buckets are 1-based like NTILE; sizes are
+    * balanced within the sketch's rank error rather than exactly, and ties
+    * at a threshold all land in the lower bucket. `accuracy` is the
+    * `approx_percentile` knob (higher = tighter, more memory).
+    *
+    * Returns `df` plus a `bucket` column. */
+  def strataApprox(df: DataFrame, group: Column, score: Column, n: Int = 4,
+      accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, s"need at least 2 buckets, got $n")
+    val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val th = df.groupBy(group.as("__g"))
+      .agg(percentile_approx(score, probs, lit(accuracy)).as("__th"))
+    df.join(broadcast(th), group === col("__g"))
+      .withColumn("bucket",
+        (size(filter(col("__th"), t => score > t)) + 1).cast("long"))
+      .drop("__g", "__th")
+  }
 
   /** Token-budget shard assignment — the deterministic first step of
     * sequence packing: walk each group in `order` (a stable unique key),

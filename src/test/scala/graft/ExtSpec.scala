@@ -802,6 +802,28 @@ class ExtSpec extends SparkSpec {
     assert(s1.groupBy(_._1).forall(_._2.size == 4))
   }
 
+  test("Sampling.strataApprox tracks exact strata without a window sort") {
+    val rows = (0L until 4000L).map(i => (i, s"g${i % 2}", ((i * 2654435761L) % 9973).toDouble))
+      .toDF("id", "g", "score")
+    val approx = Sampling.strataApprox(rows, $"g", $"score")
+    // no window, no single partition: the whole point of the scale path
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val got = approx.collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+    // buckets are 1..4 and near-balanced (sketch rank error, not exact)
+    got.groupBy(_._1).foreach { case (g, grp) =>
+      val sizes = grp.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L), s"$g: $sizes")
+      sizes.values.foreach(s => assert(math.abs(s - 500) <= 50, s"$g: $sizes"))
+      // monotone: a higher score never lands in a lower bucket
+      val ordered = grp.sortBy(_._2).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("Sampling.tokenShards: greedy deterministic packing per group") {
     val rows = Seq(
       (0L, "g0", 100L), (1L, "g0", 300L), (2L, "g0", 200L), (3L, "g0", 50L),
