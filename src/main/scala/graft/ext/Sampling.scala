@@ -145,4 +145,93 @@ object Sampling {
     * exchange + per-group sort shape as [[capPerGroup]]. */
   def samplePerGroup(df: DataFrame, group: Column, key: Column, k: Int): DataFrame =
     capPerGroup(df, group, md5(key.cast("string").cast("binary")), key, k)
+
+  /** The 8-hex-digit bucket boundary for a sampling `rate` in [0, 1] —
+    * [[splitThresholds]]' idea at mixture precision (2^32 cells, so a rate
+    * is honored to ±2^-32). Exposed so oracle SQL can use literally the
+    * same threshold; 1.0 is the same `"g"` sentinel (sorts after every
+    * hex string). */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val v = (4294967296L * rate).toLong
+    if (v >= 4294967296L) "g" else f"$v%08x"
+  }
+
+  /** Per-group mixture downsampling: keep a row iff the salted content
+    * hash of its `key` falls under its group's rate threshold — the
+    * "sample web at 35%, wiki at 100%" training-mixture rule. Rates are
+    * in [0, 1] ([[mixtureWeight]] handles upsampling); groups absent from
+    * `rates` use `defaultRate`.
+    *
+    * Pure map-side filter — zero shuffle, no state — and deterministic:
+    * the decision depends only on (salt, key), so reruns, backfills and
+    * re-mixes with the SAME rates keep exactly the same rows, and raising
+    * a group's rate strictly grows its kept set (thresholds are nested) —
+    * the property that lets a mixture be re-weighted incrementally
+    * instead of re-drawn. The salt namespaces this decision away from
+    * [[hashSplit]]'s (both hash the same key; unsalted they would
+    * correlate: every `test`-split row would sample in or out together). */
+  def mixtureSample(df: DataFrame, group: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val th = rates.toSeq.sortBy(_._1).foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (g, r)) => when(group === lit(g), lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.filter(mixtureBucket(key) < th)
+  }
+
+  /** Generalized mixture weights: each row yields `floor(rate)` copies
+    * plus one more iff its hash falls under the fractional remainder —
+    * so a group at rate 2.5 is upsampled to exactly ~2.5× (epoch
+    * weighting for small high-quality sources), a group at 0.35 is
+    * [[mixtureSample]]d, and rate 0 drops the group. Adds a 1-based
+    * `copy` index column (downstream shuffling/packing must treat copies
+    * as distinct rows or they collapse to dedup fodder).
+    *
+    * Map-side like [[mixtureSample]] (`explode` multiplies rows inside
+    * the scan task, no shuffle); deterministic per (salt, key), and the
+    * fractional decision uses the SAME salted hash as [[mixtureSample]],
+    * so `rates.mapValues(min(_, 1.0))` through either path keeps
+    * identical rows. */
+  def mixtureWeight(df: DataFrame, group: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0, s"mixture rates must be non-negative, got $r"))
+    def chain(f: Double => Column) =
+      rates.toSeq.sortBy(_._1).foldLeft(f(defaultRate)) {
+        case (acc, (g, r)) => when(group === lit(g), f(r)).otherwise(acc)
+      }
+    val whole = chain(r => lit(math.floor(r).toLong))
+    val fracTh = chain(r => lit(rateThreshold(r - math.floor(r))))
+    val copies = whole + when(mixtureBucket(key) < fracTh, 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
+  /** The salted 8-hex-digit sampling bucket shared by [[mixtureSample]]
+    * and [[mixtureWeight]]'s fractional part. */
+  private def mixtureBucket(key: Column): Column =
+    substring(md5(concat(lit("mix:"), key.cast("string")).cast("binary")), 1, 8)
+
+  /** Deterministic corpus shuffle for training order: a seed-salted
+    * content-hash sort key plus a fixed hash-bucket `shard` in
+    * `[0, shards)`. The materialization idiom is
+    * `df.repartition(shards, col("shard")).sortWithinPartitions("shard", "shuffle_key")`
+    * written `partitionBy("shard")` — global training order is
+    * (shard asc, shuffle_key asc) with NO single-partition global sort,
+    * and unlike `repartitionByRange` (whose boundaries come from a
+    * nondeterministic sample) or `orderBy(rand())`, the order is a pure
+    * function of (seed, key): any engine, layout or rerun reproduces it,
+    * which is what lets a crashed training run re-materialize the exact
+    * batch stream. A new `seed` is a fresh epoch-order. Returns `df` plus
+    * `shard` and `shuffle_key`. */
+  def shuffleOrder(df: DataFrame, key: Column, seed: Long, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val sk = md5(concat(lit(s"shuffle:$seed:"), key.cast("string")).cast("binary"))
+    df.withColumn("shuffle_key", sk)
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long"),
+          lit(shards.toLong)))
+  }
 }

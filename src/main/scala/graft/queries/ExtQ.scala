@@ -777,7 +777,104 @@ object ExtQ {
               ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id) AS rn
           FROM documents)
         SELECT source, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
-        FROM q WHERE rn <= 3 GROUP BY source ORDER BY source"""))
+        FROM q WHERE rn <= 3 GROUP BY source ORDER BY source""")),
+
+    // Per-language mixture downsampling (Sampling.mixtureSample): keep each
+    // language at its mixture rate via a salted hash threshold — pure
+    // map-side filter, zero shuffle, deterministic across reruns (a re-mix
+    // at the same rates keeps the same rows; a raised rate strictly grows
+    // the kept set). sum_doc_ids makes the oracle SET-sensitive. es=1.0
+    // exercises the "g" sentinel threshold.
+    "q60_mixture_sample" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        Sampling.mixtureSample(docs, col("lang"), col("doc_id"),
+            Map("en" -> 0.35, "es" -> 1.0, "de" -> 0.7), defaultRate = 0.5)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("sum_doc_ids"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+        FROM documents
+        WHERE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'en' THEN '${Sampling.rateThreshold(0.35)}'
+                    WHEN 'es' THEN '${Sampling.rateThreshold(1.0)}'
+                    WHEN 'de' THEN '${Sampling.rateThreshold(0.7)}'
+                    ELSE '${Sampling.rateThreshold(0.5)}' END
+        GROUP BY lang ORDER BY lang""")),
+
+    // Generalized mixture weights (Sampling.mixtureWeight): floor(rate)
+    // copies + hash-thresholded fractional copy — zh upsampled 2.5x (epoch
+    // weighting), en downsampled 0.35x, es exactly 1.0 (integer path),
+    // de dropped at 0. The copy-weighted checksum sum(doc_id * copy) =
+    // doc_id * copies(copies+1)/2 makes the oracle sensitive to the copy
+    // INDEXES, not just the multiplied row count.
+    "q61_mixture_weight" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        Sampling.mixtureWeight(docs, col("lang"), col("doc_id"),
+            Map("en" -> 0.35, "zh" -> 2.5, "es" -> 1.0, "de" -> 0.0),
+            defaultRate = 1.25)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("doc_id") * col("copy")).as("copy_checksum"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, lang,
+            CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2
+                      WHEN 'es' THEN 1 WHEN 'de' THEN 0 ELSE 1 END
+            + CASE WHEN substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                CASE lang WHEN 'en' THEN '${Sampling.rateThreshold(0.35)}'
+                          WHEN 'zh' THEN '${Sampling.rateThreshold(0.5)}'
+                          WHEN 'es' THEN '${Sampling.rateThreshold(0.0)}'
+                          WHEN 'de' THEN '${Sampling.rateThreshold(0.0)}'
+                          ELSE '${Sampling.rateThreshold(0.25)}' END
+              THEN 1 ELSE 0 END AS copies
+          FROM documents)
+        SELECT lang,
+          CAST(SUM(copies) AS BIGINT) AS n_rows,
+          COUNT(*) AS n_docs,
+          CAST(SUM(doc_id * (copies * (copies + 1) // 2)) AS BIGINT) AS copy_checksum
+        FROM c WHERE copies >= 1
+        GROUP BY lang ORDER BY lang""")),
+
+    // Deterministic corpus shuffle (Sampling.shuffleOrder): seed-salted
+    // hash sort key + fixed hash-bucket shards — training order is
+    // (shard, shuffle_key) with no single-partition global sort and no
+    // sample-dependent range boundaries; any rerun re-materializes the
+    // exact batch stream. min_by(first doc per shard) makes the oracle
+    // sensitive to the within-shard ORDER, not just membership.
+    "q62_shuffle_order" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        Sampling.shuffleOrder(docs, col("doc_id"), seed = 7L, shards = 12)
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_doc_ids"),
+            min(col("shuffle_key")).as("first_key"),
+            min_by(col("doc_id"), col("shuffle_key")).as("first_doc"))
+          .orderBy("shard")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+            md5('shuffle:7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+          FROM documents),
+        h AS (
+          SELECT doc_id, shuffle_key,
+            ('0x' || substring(shuffle_key, 1, 8))::BIGINT % 12 AS shard
+          FROM s)
+        SELECT shard, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+          MIN(shuffle_key) AS first_key, min_by(doc_id, shuffle_key) AS first_doc
+        FROM h GROUP BY shard ORDER BY shard"""))
   )
 
   /** Source facts and the deterministically degraded downstream copy

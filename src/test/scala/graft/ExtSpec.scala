@@ -843,4 +843,103 @@ class ExtSpec extends SparkSpec {
       Sampling.tokenShards($"g", $"tok", $"id", 0L)
     }
   }
+
+  test("Sampling.mixtureSample: deterministic, nested, salted, map-side") {
+    val docs = spark.range(4000).toDF("id")
+      .withColumn("g", concat(lit("g"), $"id" % 2))
+    def kept(rates: Map[String, Double]) =
+      Sampling.mixtureSample(docs, $"g", $"id", rates)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // layout-independent: repartitioning never changes the kept set
+    val k1 = kept(Map("g0" -> 0.3, "g1" -> 0.8))
+    val k2 = Sampling.mixtureSample(docs.repartition(11), $"g", $"id",
+        Map("g0" -> 0.3, "g1" -> 0.8))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(k1 == k2)
+    // nested thresholds: raising a group's rate only ADDS rows — the
+    // property that lets a mixture re-weight without a fresh draw
+    val up = kept(Map("g0" -> 0.6, "g1" -> 0.8))
+    assert(k1.subsetOf(up))
+    assert(up.filter(_._2 == "g1") == k1.filter(_._2 == "g1"))
+    // boundary rates: 1.0 (the "g" sentinel) keeps all, 0.0 keeps none
+    assert(kept(Map("g0" -> 1.0, "g1" -> 0.0)) ==
+      (0L until 4000L by 2).map(i => (i, "g0")).toSet)
+    // rates roughly honored (hash uniformity)
+    val n0 = k1.count(_._2 == "g0")
+    assert(n0 > 480 && n0 < 720, s"g0 kept $n0 of 2000 at rate 0.3")
+    // the mixture decision is salted away from hashSplit's: within the
+    // ~5% test split, rate 0.3 still keeps ~30% (unsalted they correlate)
+    val testSplit = docs.filter(Sampling.hashSplit($"id") === "test")
+    val testIds = testSplit.collect().map(_.getLong(0)).toSet
+    val testKept = testIds.count(i => k1.contains((i, s"g${i % 2}")))
+    val expectRate = testIds.count(_ % 2 == 0) * 0.3 + testIds.count(_ % 2 == 1) * 0.8
+    assert(math.abs(testKept - expectRate) < 0.35 * expectRate,
+      s"test-split kept $testKept, expected ~$expectRate — mixture correlates with split")
+    // zero shuffle: the whole op is a scan-side filter
+    val plan = Sampling.mixtureSample(docs, $"g", $"id", Map("g0" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("Sampling.mixtureWeight: copies honor whole+fractional rates") {
+    val docs = spark.range(4000).toDF("id")
+      .withColumn("g", concat(lit("g"), $"id" % 4))
+    val rates = Map("g0" -> 2.5, "g1" -> 1.0, "g2" -> 0.0, "g3" -> 0.4)
+    val out = Sampling.mixtureWeight(docs, $"g", $"id", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    // copy indexes are exactly 1..copies per surviving doc
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.size).toSeq, s"doc $id")
+    }
+    val byGroup = out.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    // g1 at exactly 1.0: every doc once, no fractional draw
+    assert(byGroup("g1") == 1000 && out.count(_._2 == "g1") == 1000)
+    // g2 at 0: gone entirely
+    assert(!byGroup.contains("g2"))
+    // g0 at 2.5: every doc 2 or 3 times, mean ~2.5
+    val g0Counts = byDoc.collect { case (id, rows) if id % 4 == 0 => rows.size }
+    assert(g0Counts.forall(c => c == 2 || c == 3))
+    val g0Rows = out.count(_._2 == "g0")
+    assert(g0Rows > 2300 && g0Rows < 2700, s"g0 rows $g0Rows at rate 2.5")
+    // rates <= 1 through mixtureWeight keep the SAME docs as mixtureSample
+    // (shared salted hash), just with an explicit copy=1
+    val viaWeight = out.filter(_._2 == "g3").map(_._1).toSet
+    val viaSample = Sampling.mixtureSample(docs.filter($"g" === "g3"), $"g", $"id",
+        Map("g3" -> 0.4)).collect().map(_.getLong(0)).toSet
+    assert(viaWeight == viaSample)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeight(docs, $"g", $"id", Map("g0" -> -0.1))
+    }
+  }
+
+  test("Sampling.shuffleOrder: reproducible epoch order, no global sort") {
+    val docs = spark.range(3000).toDF("id")
+    val o1 = Sampling.shuffleOrder(docs, $"id", seed = 7L, shards = 12)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // pure function of (seed, key): any layout reproduces the exact order
+    val o2 = Sampling.shuffleOrder(docs.repartition(17), $"id", seed = 7L, shards = 12)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(o1.sortBy(_._1).toSeq == o2.sortBy(_._1).toSeq)
+    // a new seed is a genuinely different epoch order
+    val o3 = Sampling.shuffleOrder(docs, $"id", seed = 8L, shards = 12)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(o1.sortBy(_._2).map(_._1).toSeq != o3.sortBy(_._2).map(_._1).toSeq)
+    // shards in range and roughly balanced
+    val sizes = o1.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet.forall(s => s >= 0 && s < 12))
+    sizes.values.foreach(s => assert(math.abs(s - 250) < 100, sizes.toString))
+    // the materialization plan hash-partitions on shard — never a
+    // single-partition global sort, never sample-based range boundaries
+    val mat = Sampling.shuffleOrder(docs, $"id", seed = 7L, shards = 12)
+      .repartition(12, col("shard"))
+      .sortWithinPartitions("shard", "shuffle_key")
+    val plan = mat.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleOrder(docs, $"id", seed = 7L, shards = 0)
+    }
+  }
 }
