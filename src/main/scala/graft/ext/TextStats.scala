@@ -117,4 +117,40 @@ object TextStats {
       tokens(text),
       lit(0L),
       (acc, t) => (acc * 1000003L + pmod(crc32(encode(t, "UTF-8")), lit(1000000007L))) % 2147483647L)
+
+  /** Gopher-style repetition counters (duplicate-line and top-word
+    * repetition) as ONE single-pass native struct
+    * ([[graft.functions.RepetitionMetrics]]): `n_lines, dup_lines,
+    * dup_line_chars, line_chars, n_words, top_word_count, top_word_chars`.
+    * Exact longs, so the public thresholds ("duplicate lines hold >30% of
+    * the characters", "top word is >20% of the tokens") are integer
+    * cross-multiplications — no divide-by-zero guard, no float drift.
+    * Bit-identical to [[repetitionComposable]] (ExtSpec equivalence). */
+  def repetition(text: Column): Column = graft.functions.RepetitionMetrics(text)
+
+  /** The composable reference-semantics twin of [[repetition]] — HOF
+    * pipelines over line/token arrays (the word scan is O(distinct·n);
+    * the native form exists because of it). */
+  def repetitionComposable(text: Column): Column = {
+    val lines = filter(split(text, "\n", -1), l => length(l) > lit(0))
+    val uniqLines = array_distinct(lines)
+    val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l).cast("long"))
+    val distinctChars =
+      aggregate(uniqLines, lit(0L), (acc, l) => acc + length(l).cast("long"))
+    val toks = tokens(text)
+    // array_min over struct(-count, token): highest count first, ties to
+    // the byte-order smallest token — RepetitionMetrics' tie-break
+    val best = array_min(transform(array_distinct(toks), t =>
+      struct((-size(filter(toks, x => x === t))).cast("long").as("negc"),
+        t.as("tok"))))
+    val topCount = -best.getField("negc")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(uniqLines)).cast("long").as("dup_lines"),
+      (lineChars - distinctChars).as("dup_line_chars"),
+      lineChars.as("line_chars"),
+      size(toks).cast("long").as("n_words"),
+      topCount.as("top_word_count"),
+      (topCount * length(best.getField("tok"))).as("top_word_chars"))
+  }
 }

@@ -874,7 +874,80 @@ object ExtQ {
           FROM s)
         SELECT shard, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
           MIN(shuffle_key) AS first_key, min_by(doc_id, shuffle_key) AS first_doc
-        FROM h GROUP BY shard ORDER BY shard"""))
+        FROM h GROUP BY shard ORDER BY shard""")),
+
+    // Gopher-style repetition quality signals (TextStats.repetition):
+    // duplicate-line and top-word counters in one native pass, thresholds
+    // as exact integer cross-multiplications (dup-line chars >30%, top
+    // word >20% — the published filter shape). The corpus text is
+    // single-line, so line structure is synthesized by splitting on
+    // common-word separators — deterministic and identical in both
+    // engines, keeping the line half of the oracle non-degenerate.
+    "q63_repetition_metrics" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " (the|a) ", "\n").as("t2"))
+          .select(col("doc_id"), TextStats.repetition(col("t2")).as("m"))
+          .select(col("doc_id"),
+            col("m.n_lines").as("n_lines"),
+            col("m.dup_lines").as("dup_lines"),
+            col("m.dup_line_chars").as("dup_line_chars"),
+            col("m.line_chars").as("line_chars"),
+            col("m.n_words").as("n_words"),
+            col("m.top_word_count").as("top_word_count"),
+            col("m.top_word_chars").as("top_word_chars"))
+          .withColumn("repetitive_lines",
+            col("dup_line_chars") * 10 > col("line_chars") * 3)
+          .withColumn("repetitive_words",
+            col("top_word_count") * 5 > col("n_words"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(text, ' (the|a) ', chr(10), 'g') AS t2
+          FROM documents),
+        l AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(t2, chr(10)), x -> len(x) > 0)) AS line
+          FROM d),
+        lc AS (
+          SELECT doc_id, line, COUNT(*) AS c, length(line) AS chars
+          FROM l GROUP BY doc_id, line),
+        la AS (
+          SELECT doc_id,
+            CAST(SUM(c) AS BIGINT) AS n_lines,
+            CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_lines,
+            CAST(SUM((c - 1) * chars) AS BIGINT) AS dup_line_chars,
+            CAST(SUM(c * chars) AS BIGINT) AS line_chars
+          FROM lc GROUP BY doc_id),
+        w AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(t2), '\s+')) AS tok
+          FROM d),
+        wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok),
+        wa AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+            CAST(MAX(c) AS BIGINT) AS top_count
+          FROM wc GROUP BY doc_id),
+        tw AS (
+          SELECT wc.doc_id, MIN(wc.tok) AS top_tok
+          FROM wc JOIN wa ON wc.doc_id = wa.doc_id AND wc.c = wa.top_count
+          GROUP BY wc.doc_id)
+        SELECT d.doc_id,
+          COALESCE(la.n_lines, 0) AS n_lines,
+          COALESCE(la.dup_lines, 0) AS dup_lines,
+          COALESCE(la.dup_line_chars, 0) AS dup_line_chars,
+          COALESCE(la.line_chars, 0) AS line_chars,
+          wa.n_words,
+          wa.top_count AS top_word_count,
+          CAST(wa.top_count * length(tw.top_tok) AS BIGINT) AS top_word_chars,
+          COALESCE(la.dup_line_chars, 0) * 10 > COALESCE(la.line_chars, 0) * 3
+            AS repetitive_lines,
+          wa.top_count * 5 > wa.n_words AS repetitive_words
+        FROM d
+        JOIN wa ON d.doc_id = wa.doc_id
+        JOIN tw ON d.doc_id = tw.doc_id
+        LEFT JOIN la ON d.doc_id = la.doc_id
+        ORDER BY d.doc_id"""))
   )
 
   /** Source facts and the deterministically degraded downstream copy

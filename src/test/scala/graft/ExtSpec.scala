@@ -106,6 +106,39 @@ class ExtSpec extends SparkSpec {
     assert(native.toSeq == composable.toSeq)
   }
 
+  test("RepetitionMetrics is bit-identical to the composable HOF pipeline") {
+    // line dups, word-count ties (byte-order break), unicode codepoints,
+    // whitespace edges — plus the shared edgeDocs corpus
+    val tricky = Seq(
+      (200L, "abc\nabc\nxyz\n\nabc"), (201L, "b a b a"),
+      (202L, "héé wörld héé\nhéé"),
+      (203L, "𝄞 𝄞 x"), (204L, "one\none\n"),
+      (205L, " x\ty "), (206L, "same same same same different"))
+      .toDF("doc_id", "text")
+    for (df <- Seq(tricky, edgeDocs)) {
+      val fields = Seq("n_lines", "dup_lines", "dup_line_chars", "line_chars",
+        "n_words", "top_word_count", "top_word_chars")
+      def dump(c: org.apache.spark.sql.Column) =
+        df.select($"doc_id", c.as("m"))
+          .select($"doc_id" +: fields.map(f => col(s"m.$f")): _*)
+          .orderBy("doc_id").collect()
+          .map(r => (1 to 7).map(i => if (r.isNullAt(i)) null else r.getLong(i)))
+      assert(dump(TextStats.repetition($"text")).toSeq ==
+        dump(TextStats.repetitionComposable($"text")).toSeq)
+    }
+    // spot-check the semantics on the richest doc: 4 non-empty lines, 'abc'
+    // 3x (2 dups, 6 dup chars); \s+ collapses the blank line, so 4 tokens
+    // with 'abc' the top word (3 of them, 9 chars)
+    val m = tricky.filter($"doc_id" === 200L)
+      .select(TextStats.repetition($"text").as("m")).select($"m.*").head()
+    assert(m.toSeq == Seq(4L, 2L, 6L, 12L, 4L, 3L, 9L))
+    // tie at two counts each: top word is the byte-order smallest ('a')
+    val tie = tricky.filter($"doc_id" === 201L)
+      .select(TextStats.repetition($"text").as("m"))
+      .select($"m.top_word_count", $"m.top_word_chars").head()
+    assert(tie.toSeq == Seq(2L, 2L))
+  }
+
   test("ShingleHashes is bit-identical to the composable transform pipeline") {
     val composable = edgeDocs.select($"doc_id",
       transform(Dedup.shingles($"text", 3), s => xxhash64(s)).as("sh"))
