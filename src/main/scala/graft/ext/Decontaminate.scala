@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination: drop (or flag) training documents that share
+  * any word n-gram with an evaluation set — the published train/test
+  * contamination rule (GPT-3 appendix C's 13-gram overlap; Lee et al. 2021
+  * dedup/decontamination), a DIFFERENT relation than near-dup similarity:
+  * one shared n-gram contaminates, however dissimilar the rest of the
+  * document is.
+  *
+  * Scale posture: eval sets are small by construction (thousands of
+  * documents → millions of n-grams), so the reference set broadcasts and
+  * the train side streams scan-stage: `explode` of the n-gram array feeds
+  * a broadcast left-semi join, no train-side shuffle — only the matched
+  * doc ids (tiny) pass through a distinct. When the reference set outgrows
+  * a broadcast (many eval suites × languages), [[contaminatedIdsBloom]]
+  * prunes the exploded n-grams with a Bloom filter AT SCAN TIME first —
+  * no false negatives, and false positives only admit candidates the
+  * exact join then rejects, so the result is bit-identical (ExtSpec pins
+  * the equivalence) while the shuffle sees only near-hits.
+  */
+object Decontaminate {
+
+  /** Whitespace word n-grams of `text` as space-joined strings (1-based
+    * slices of [[TextStats.tokens]]); documents shorter than `n` tokens
+    * yield an empty array. The `size >= n` guard matters: Spark's
+    * `sequence(1, 0)` is DESCENDING `[1, 0]`, not empty. */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive, got $n")
+    val toks = TextStats.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The distinct n-gram reference set of the eval corpus — one `ngram`
+    * column, built once and reused across every training shard. */
+  def evalNgrams(eval: DataFrame, text: Column, n: Int): DataFrame =
+    eval.select(explode(ngrams(text, n)).as("ngram")).distinct()
+
+  /** Ids of training documents sharing at least one n-gram with the
+    * reference set (`evalNg` must be [[evalNgrams]]-shaped). Exact:
+    * exploded train n-grams → broadcast left-semi → distinct ids. */
+  def contaminatedIds(train: DataFrame, id: Column, text: Column,
+      evalNg: DataFrame, n: Int): DataFrame =
+    train.select(id.as("__cid"), explode(ngrams(text, n)).as("ngram"))
+      .join(broadcast(evalNg), Seq("ngram"), "left_semi")
+      .select(col("__cid")).distinct()
+
+  /** [[contaminatedIds]] for an un-broadcastable reference set: a Bloom
+    * filter over the eval n-grams prunes the exploded train side at scan
+    * time (same native BloomFilterAggregate/MightContain pair as
+    * [[graft.ops.Joins.missingKeysBloom]], via xxhash64), then the exact
+    * semi-join — left unhinted, its left side is already near-hits only —
+    * settles false positives. Bit-identical to the exact form. */
+  def contaminatedIdsBloom(train: DataFrame, id: Column, text: Column,
+      evalNg: DataFrame, n: Int,
+      approxNgrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(approxNgrams, fpp)
+    val buildAgg = GraftColumnBridge.column(
+      new BloomFilterAggregate(
+        GraftColumnBridge.expression(xxhash64(col("ngram"))),
+        Literal(approxNgrams), Literal(numBits)).toAggregateExpression())
+    val filterBytes = evalNg.agg(buildAgg).head().getAs[Array[Byte]](0)
+    val probe = GraftColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(filterBytes, BinaryType),
+      GraftColumnBridge.expression(xxhash64(col("ngram")))))
+    train.select(id.as("__cid"), explode(ngrams(text, n)).as("ngram"))
+      .filter(probe)
+      .join(evalNg, Seq("ngram"), "left_semi")
+      .select(col("__cid")).distinct()
+  }
+
+  /** `train` plus a `contaminated` flag (reporting form — how much each
+    * slice would lose). The matched-id set is tiny, so it broadcasts back. */
+  def flagContaminated(train: DataFrame, id: Column, text: Column,
+      evalNg: DataFrame, n: Int): DataFrame =
+    train.join(broadcast(contaminatedIds(train, id, text, evalNg, n)),
+        id === col("__cid"), "left")
+      .withColumn("contaminated", col("__cid").isNotNull)
+      .drop("__cid")
+
+  /** The filtering form: `train` without contaminated documents. */
+  def decontaminate(train: DataFrame, id: Column, text: Column,
+      evalNg: DataFrame, n: Int): DataFrame =
+    train.join(broadcast(contaminatedIds(train, id, text, evalNg, n)),
+      id === col("__cid"), "left_anti")
+}

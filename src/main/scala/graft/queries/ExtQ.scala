@@ -947,7 +947,55 @@ object ExtQ {
         JOIN wa ON d.doc_id = wa.doc_id
         JOIN tw ON d.doc_id = tw.doc_id
         LEFT JOIN la ON d.doc_id = la.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // Eval-set decontamination (Decontaminate.flagContaminated): training
+    // docs sharing ANY word 4-gram with the eval slice are flagged — the
+    // published train/test contamination rule, a different relation than
+    // near-dup (one shared n-gram contaminates regardless of overall
+    // similarity; the corpus's planted duplicates make the witness
+    // non-degenerate). Exploded n-grams → broadcast semi-join, train side
+    // never shuffles. contaminated_id_sum is sensitive to WHICH docs flag.
+    "q64_decontamination" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val eval = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        val ng = Decontaminate.evalNgrams(eval, col("text"), n = 4)
+        Decontaminate.flagContaminated(train, col("doc_id"), col("text"), ng, n = 4)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_train"),
+            sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+            sum(when(col("contaminated"), col("doc_id")).otherwise(0L))
+              .as("contaminated_id_sum"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, lang,
+            CASE WHEN len(toks) >= 4
+              THEN list_transform(range(1, len(toks) - 2),
+                i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+              ELSE [] END AS ngs
+          FROM d),
+        e AS (SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id, lang, ngs FROM g WHERE doc_id % 50 != 0),
+        hit AS (
+          SELECT DISTINCT t.doc_id
+          FROM (SELECT doc_id, unnest(ngs) AS ng FROM tr) t
+          JOIN e ON t.ng = e.ng)
+        SELECT tr.lang, COUNT(*) AS n_train,
+          CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_contaminated,
+          CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN tr.doc_id ELSE 0 END) AS BIGINT)
+            AS contaminated_id_sum
+        FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
+        GROUP BY tr.lang ORDER BY tr.lang"""))
   )
 
   /** Source facts and the deterministically degraded downstream copy

@@ -975,4 +975,49 @@ class ExtSpec extends SparkSpec {
       Sampling.shuffleOrder(docs, $"id", seed = 7L, shards = 0)
     }
   }
+
+  test("Decontaminate: ngram semantics, exact flags, bloom bit-identity") {
+    // ngrams: sliding word windows; short docs yield none (NOT sequence's
+    // descending [1,0] trap); n=1 degenerates to the tokens
+    val g = Seq((0L, "a b c d e"), (1L, "a b"), (2L, ""), (3L, "x y z"))
+      .toDF("id", "text")
+      .select($"id", Decontaminate.ngrams($"text", 3).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g(0L) == Seq("a b c", "b c d", "c d e"))
+    assert(g(1L) == Seq() && g(2L) == Seq())
+    assert(g(3L) == Seq("x y z"))
+    // a planted shared 4-gram contaminates doc 10 ONLY; doc 11 shares 3
+    // consecutive words (below n), doc 12 nothing
+    val eval = Seq((100L, "the quick brown fox jumps over")).toDF("id", "text")
+    val train = Seq(
+      (10L, "totally unrelated quick brown fox jumps apart"),
+      (11L, "other words brown fox jumps elsewhere entirely"),
+      (12L, "nothing in common at all here")).toDF("id", "text")
+    val ng = Decontaminate.evalNgrams(eval, $"text", 4)
+    val flagged = Decontaminate.flagContaminated(train, $"id", $"text", ng, 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flagged == Map(10L -> true, 11L -> false, 12L -> false))
+    assert(Decontaminate.decontaminate(train, $"id", $"text", ng, 4)
+      .collect().map(_.getLong(0)).toSet == Set(11L, 12L))
+    // bloom prefilter path returns the bit-identical id set on real data
+    // (false positives settled by the exact join; no false negatives)
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text")
+    val evalDocs = docs.filter($"doc_id" % 50 === 0)
+    val trainDocs = docs.filter($"doc_id" % 50 =!= 0)
+    val refNg = Decontaminate.evalNgrams(evalDocs, $"text", 4)
+    val exact = Decontaminate.contaminatedIds(trainDocs, $"doc_id", $"text", refNg, 4)
+      .collect().map(_.getLong(0)).toSet
+    val viaBloom = Decontaminate
+      .contaminatedIdsBloom(trainDocs, $"doc_id", $"text", refNg, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == viaBloom)
+    assert(exact.nonEmpty, "witness degenerate: no contamination in corpus")
+    // the exact path broadcasts the reference set — no train-side shuffle
+    // before the semi-join
+    val plan = Decontaminate.contaminatedIds(trainDocs, $"doc_id", $"text", refNg, 4)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
