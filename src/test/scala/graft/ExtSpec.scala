@@ -986,6 +986,16 @@ class ExtSpec extends SparkSpec {
     assert(g(0L) == Seq("a b c", "b c d", "c d e"))
     assert(g(1L) == Seq() && g(2L) == Seq())
     assert(g(3L) == Seq("x y z"))
+    // native WordNgrams is bit-identical to the composable HOF form on the
+    // whitespace-edge corpus (null text: native null, composable empty —
+    // both dropped by explode, asserted via the exploded sets)
+    for (n <- Seq(1, 2, 4)) {
+      def dump(c: org.apache.spark.sql.Column) =
+        edgeDocs.select($"doc_id", explode(c).as("ng"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(dump(Decontaminate.ngrams($"text", n)) ==
+        dump(Decontaminate.ngramsComposable($"text", n)), s"n=$n")
+    }
     // a planted shared 4-gram contaminates doc 10 ONLY; doc 11 shares 3
     // consecutive words (below n), doc 12 nothing
     val eval = Seq((100L, "the quick brown fox jumps over")).toDF("id", "text")
