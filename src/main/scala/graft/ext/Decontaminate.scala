@@ -102,4 +102,17 @@ object Decontaminate {
       evalNg: DataFrame, n: Int): DataFrame =
     train.join(broadcast(contaminatedIds(train, id, text, evalNg, n)),
       id === col("__cid"), "left_anti")
+
+  /** Per-row contamination predicate — the STREAMING / serving form. The
+    * join paths need a distinct over matched ids (a stateful aggregation
+    * an append-mode stream can't run); this collects the reference set
+    * once and tests each document's own n-grams through the native
+    * [[graft.functions.AnyInSet]] hash-set probe, so it is a stateless
+    * scan-stage filter that attaches to any plan, batch or streaming
+    * (StreamingSpec pins the stream twin against the batch flags).
+    * Same broadcast-sized-reference contract as the semi-join form;
+    * un-broadcastable sets stay on [[contaminatedIdsBloom]]. */
+  def contaminationPredicate(evalNg: DataFrame, text: Column, n: Int): Column =
+    graft.functions.AnyInSet(ngrams(text, n),
+      evalNg.collect().map(_.getString(0)).toIndexedSeq)
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** True iff ANY element of a string array is in a fixed reference set —
+  * the per-row form of a semi-join against a driver-known set, O(array)
+  * per row via a memoized hash set (the [[HyperplaneLsh]] pattern: build
+  * once per expression instance, not per row).
+  *
+  * This is the STREAMING/serving shape of decontamination
+  * ([[graft.ext.Decontaminate.contaminationPredicate]]): the join form
+  * needs a distinct over matched ids — a stateful aggregation a streaming
+  * query can't run in append mode — while this predicate is stateless and
+  * attaches to any plan, batch or stream. The set ships in the serialized
+  * expression (once per task, like a broadcast); it is the caller's
+  * contract that the set is broadcast-sized — the same assumption the
+  * broadcast semi-join form makes.
+  */
+case class AnyInSet(child: Expression, values: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"any_in_set requires array<string>, got $t")
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(16, values.size * 2))
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i)))
+        return java.lang.Boolean.TRUE
+      i += 1
+    }
+    java.lang.Boolean.FALSE
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnyInSet =
+    copy(child = newChild)
+}
+
+object AnyInSet {
+  def apply(arr: Column, values: Seq[String]): Column =
+    GraftColumnBridge.column(AnyInSet(GraftColumnBridge.expression(arr), values))
+}

@@ -1029,5 +1029,15 @@ class ExtSpec extends SparkSpec {
     val plan = Decontaminate.contaminatedIds(trainDocs, $"doc_id", $"text", refNg, 4)
       .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // the per-row predicate (streaming/serving form) flags the same docs
+    // as the join form, and its plan is a pure filter — no join at all
+    val viaPredicate = trainDocs
+      .filter(Decontaminate.contaminationPredicate(refNg, $"text", 4))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaPredicate == exact)
+    val predPlan = trainDocs
+      .filter(Decontaminate.contaminationPredicate(refNg, $"text", 4))
+      .queryExecution.sparkPlan.toString
+    assert(!predPlan.contains("Join"), predPlan)
   }
 }

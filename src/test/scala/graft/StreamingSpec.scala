@@ -521,6 +521,49 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 5L))
   }
 
+  test("mixture sampling + decontamination attach to a stream statelessly") {
+    import graft.ext.{Decontaminate, Sampling}
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // static eval reference; doc 20 below shares its 4-gram run
+    val eval = Seq((100L, "the quick brown fox jumps over everything")).toDF("id", "text")
+    val refNg = Decontaminate.evalNgrams(eval, col("text"), 4)
+    val input = MemoryStream[(Long, String, String)]
+    // both ops are scan-stage (a filter and a filter): no watermark, no
+    // state, append mode just works — the property the join form lacks
+    val curated = input.toDF().toDF("doc_id", "g", "text")
+      .filter(!Decontaminate.contaminationPredicate(refNg, col("text"), 4))
+      .transform(df => Sampling.mixtureSample(df, col("g"), col("doc_id"),
+        Map("keep" -> 1.0, "drop" -> 0.0)))
+    val q = curated.writeStream.format("memory").queryName("mixstream")
+      .outputMode("append").start()
+    input.addData(
+      (10L, "keep", "nothing shared with the reference text here at all"),
+      (20L, "keep", "prefix words then the quick brown fox jumps over it"),
+      (30L, "drop", "rate zero group content never sampled in any draw"))
+    q.processAllAvailable()
+    // a later batch: same decisions, purely per-row (no cross-batch state)
+    input.addData((40L, "keep", "more unshared content arriving in batch two"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("mixstream").collect().map(_.getLong(0)).toSet
+    // 20 contaminated (shared 4-gram), 30 mixture rate 0; 10/40 survive
+    assert(kept == Set(10L, 40L))
+    // the stream's decisions equal the batch forms' on identical input
+    val batch = Seq(
+      (10L, "keep", "nothing shared with the reference text here at all"),
+      (20L, "keep", "prefix words then the quick brown fox jumps over it"),
+      (30L, "drop", "rate zero group content never sampled in any draw"),
+      (40L, "keep", "more unshared content arriving in batch two"))
+      .toDF("doc_id", "g", "text")
+    val batchKept = Sampling.mixtureSample(
+        Decontaminate.decontaminate(batch, col("doc_id"), col("text"), refNg, 4),
+        col("g"), col("doc_id"), Map("keep" -> 1.0, "drop" -> 0.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept)
+  }
+
   test("IncrementalDedup: near-dups arriving batches later drop on arrival; equals the sweep") {
     import graft.ext.Dedup
     import graft.streaming.IncrementalDedup
