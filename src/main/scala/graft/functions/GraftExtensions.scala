@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleHashesFunction)
     ext.injectFunction(GraftExtensions.minhashFunction)
     ext.injectFunction(GraftExtensions.docFingerprintFunction)
+    ext.injectFunction(GraftExtensions.textMetricsFunction)
+    ext.injectFunction(GraftExtensions.repetitionMetricsFunction)
+    ext.injectFunction(GraftExtensions.wordNgramsFunction)
   }
 }
 
@@ -53,6 +56,26 @@ object GraftExtensions {
   private def docFingerprintBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(a) => DocFingerprint(a)
     case _ => throw new IllegalArgumentException("graft_doc_fingerprint expects exactly 1 argument")
+  }
+
+  /** graft_text_metrics(text) → struct<n_tokens, stops, punct, n_chars>
+    * (the default English stopword set — the library call takes custom
+    * sets). */
+  private def textMetricsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => TextMetrics(a, graft.ext.TextStats.EnglishStopwords)
+    case _ => throw new IllegalArgumentException("graft_text_metrics expects exactly 1 argument")
+  }
+
+  private def repetitionMetricsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => RepetitionMetrics(a)
+    case _ => throw new IllegalArgumentException(
+      "graft_repetition_metrics expects exactly 1 argument")
+  }
+
+  /** graft_word_ngrams(text, n) → array<string> of space-joined word n-grams. */
+  private def wordNgramsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(t, n) => WordNgrams(t, intLit(n, "graft_word_ngrams"))
+    case _ => throw new IllegalArgumentException("graft_word_ngrams expects (text, n)")
   }
 
   private def intLit(e: Expression, fn: String): Int =
@@ -107,6 +130,21 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DocFingerprint].getName, "graft_doc_fingerprint"),
     docFingerprintBuilder _)
 
+  val textMetricsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_text_metrics"),
+    new ExpressionInfo(classOf[TextMetrics].getName, "graft_text_metrics"),
+    textMetricsBuilder _)
+
+  val repetitionMetricsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_repetition_metrics"),
+    new ExpressionInfo(classOf[RepetitionMetrics].getName, "graft_repetition_metrics"),
+    repetitionMetricsBuilder _)
+
+  val wordNgramsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_word_ngrams"),
+    new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+    wordNgramsBuilder _)
+
   /** Idempotent per-session registration for SQL-string use. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -117,5 +155,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_shingle_hashes", shingleBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_doc_fingerprint", docFingerprintBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_text_metrics", textMetricsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_repetition_metrics", repetitionMetricsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_word_ngrams", wordNgramsBuilder, "built-in")
   }
 }

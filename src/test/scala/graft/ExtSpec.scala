@@ -290,6 +290,22 @@ class ExtSpec extends SparkSpec {
       .head().getLong(0) ==
       spark.range(1).select(TextStats.fingerprint(lit("the quick brown fox")))
         .head().getLong(0))
+    // text metrics / repetition metrics / word ngrams in SQL agree with the
+    // column forms
+    assert(spark.sql(
+        "SELECT m.* FROM (SELECT graft_text_metrics('the quick brown fox') AS m)")
+      .head().toSeq ==
+      spark.range(1).select(TextStats.metrics(lit("the quick brown fox")).as("m"))
+        .select($"m.*").head().toSeq)
+    assert(spark.sql("SELECT m.* FROM (SELECT graft_repetition_metrics('a b a') AS m)")
+      .head().toSeq ==
+      spark.range(1).select(TextStats.repetition(lit("a b a")).as("m"))
+        .select($"m.*").head().toSeq)
+    assert(spark.sql("SELECT graft_word_ngrams('a b c d', 2)").head().getSeq[String](0) ==
+      Seq("a b", "b c", "c d"))
+    intercept[Exception] {
+      spark.sql("SELECT graft_word_ngrams('a b c', CAST(rand()*2 AS INT))").collect()
+    }
   }
 
   test("Similarity: ANN buckets are deterministic and recall is measurable") {
