@@ -149,6 +149,71 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("WordNgrams and RepetitionMetrics match driver references on fuzzed docs") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Decontaminate, TextStats}
+    // random docs: ASCII words joined by random whitespace runs (tabs and
+    // newlines are \s separators AND newlines delimit lines), with
+    // optional leading/trailing space the SPACE-only trim must strip
+    val word = Gen.oneOf("alpha", "beta", "gamma", "x", "yz", "a.b", "q,")
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", "\n\n", " \n ")
+    val doc = for {
+      n <- Gen.chooseNum(0, 14)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+      lead <- Gen.oneOf("", " ", "  ")
+      tail <- Gen.oneOf("", " ")
+    } yield lead + (ws, ss :+ "").zipped.map(_ + _).mkString + tail
+    val cases = scala.collection.mutable.ArrayBuffer.empty[String]
+    forAllN(doc, 120)(cases += _)
+    def spaceTrim(s: String) = s.replaceAll("^ +", "").replaceAll(" +$", "")
+    def toks(s: String) = spaceTrim(s).split("\\s+", -1)
+    val rows = cases.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", $"text",
+        Decontaminate.ngrams($"text", 3).as("ng"),
+        TextStats.repetition($"text").as("m"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(1)
+      val ts = toks(text)
+      // ngrams: exactly the sliding windows of the tokenization
+      val expect = if (ts.length < 3) Seq()
+        else ts.sliding(3).map(_.mkString(" ")).toSeq
+      assert(r.getSeq[String](2) == expect, s"ngrams of ${text.inspect}")
+      // repetition: counters vs a direct reference
+      val m = r.getStruct(3)
+      val lines = text.split("\n", -1).filter(_.nonEmpty)
+      assert(m.getLong(0) == lines.length, s"n_lines of ${text.inspect}")
+      assert(m.getLong(1) == lines.length - lines.distinct.length)
+      assert(m.getLong(3) == lines.map(_.length).sum)
+      assert(m.getLong(2) == m.getLong(3) - lines.distinct.map(_.length).sum)
+      assert(m.getLong(4) == ts.length)
+      val counts = ts.groupBy(identity).view.mapValues(_.length).toMap
+      val topCount = counts.values.max
+      val topWord = counts.filter(_._2 == topCount).keys.min // ASCII: byte order
+      assert(m.getLong(5) == topCount, s"top count of ${text.inspect}")
+      assert(m.getLong(6) == topCount.toLong * topWord.length)
+    }
+  }
+
+  test("mixture rate thresholds are monotone, so kept sets nest") {
+    import graft.ext.Sampling
+    forAllN(Gen.zip(Gen.chooseNum(0, 1000000), Gen.chooseNum(0, 1000000)), 200) {
+      case (a, b) =>
+        val (lo, hi) = (math.min(a, b) / 1e6, math.max(a, b) / 1e6)
+        // lexicographic threshold order follows rate order — the property
+        // mixtureSample's incremental re-weighting contract rests on
+        // (every bucket under threshold(lo) is under threshold(hi))
+        assert(Sampling.rateThreshold(lo) <= Sampling.rateThreshold(hi))
+    }
+    assert(Sampling.rateThreshold(1.0) == "g" && Sampling.rateThreshold(0.0) == "00000000")
+  }
+
+  private implicit class Inspect(private val s: String) {
+    def inspect: String = s.replace("\n", "\\n").replace("\t", "\\t")
+  }
+
   test("double-dot healing is idempotent and dot-run-collapsing") {
     val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     forAllN(Gen.zip(token, token, Gen.chooseNum(2, 5)), 100) { case (a, b, dots) =>
