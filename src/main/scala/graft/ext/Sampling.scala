@@ -214,6 +214,31 @@ object Sampling {
   private def mixtureBucket(key: Column): Column =
     substring(md5(concat(lit("mix:"), key.cast("string")).cast("binary")), 1, 8)
 
+  /** Packed-sequence assembly — the materialization step after
+    * [[tokenShards]]: concatenate each (group, shard)'s documents in
+    * `order` with `sep` between them, producing one training sequence of
+    * ~budget tokens per shard. Output columns: the group/shard keys,
+    * `sequence` (the packed text), `n_docs`, `sum_tokens`.
+    *
+    * One hash exchange on (group, shard); per-shard state is bounded by
+    * the token budget [[tokenShards]] enforced, NOT by group size — the
+    * property that makes a collect_list-per-shard safe at 100 TB where a
+    * collect-per-group would not be. Deterministic: the in-sequence order
+    * is `array_sort` over (order, text) structs, so any layout assembles
+    * byte-identical sequences (and DuckDB's `string_agg(... ORDER BY)`
+    * can oracle them exactly). */
+  def packSequences(df: DataFrame, group: Column, shard: Column, order: Column,
+      text: Column, tokens: Column, sep: String = "\n\n"): DataFrame =
+    df.groupBy(group.as("g"), shard.as("shard"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(order.as("o"), text.as("t")))),
+            s => s.getField("t")),
+          sep).as("sequence"),
+        count(lit(1)).as("n_docs"),
+        sum(tokens).as("sum_tokens"))
+
   /** Deterministic corpus shuffle for training order: a seed-salted
     * content-hash sort key plus a fixed hash-bucket `shard` in
     * `[0, shards)`. The materialization idiom is

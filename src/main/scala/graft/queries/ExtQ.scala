@@ -995,7 +995,50 @@ object ExtQ {
           CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN tr.doc_id ELSE 0 END) AS BIGINT)
             AS contaminated_id_sum
         FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
-        GROUP BY tr.lang ORDER BY tr.lang"""))
+        GROUP BY tr.lang ORDER BY tr.lang""")),
+
+    // Packed-sequence assembly (Sampling.packSequences): q58's shard
+    // assignment materialized into actual training sequences — per
+    // (lang, shard) the docs concatenate in doc_id order with a blank-line
+    // separator. Per-shard state is budget-bounded (never group-bounded),
+    // and the sequence md5 pins the assembled BYTES, oracle-exact via
+    // DuckDB's ordered string_agg.
+    "q65_packed_sequences" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextStats.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("shard",
+            Sampling.tokenShards(col("lang"), col("n_tokens"), col("doc_id"),
+              budget = 512L))
+        Sampling.packSequences(docs, col("lang"), col("shard"), col("doc_id"),
+            col("text"), col("n_tokens"))
+          .select(col("g").as("lang"), col("shard"),
+            md5(col("sequence").cast("binary")).as("seq_md5"),
+            length(col("sequence")).cast("long").as("seq_chars"),
+            col("n_docs"), col("sum_tokens"))
+          .orderBy("lang", "shard")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, text,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, text, n_tokens,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM d),
+        s AS (
+          SELECT doc_id, lang, text, n_tokens,
+            CAST(FLOOR(before / 512.0) AS BIGINT) AS shard
+          FROM c)
+        SELECT lang, shard,
+          md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5,
+          CAST(length(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS BIGINT)
+            AS seq_chars,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM s GROUP BY lang, shard ORDER BY lang, shard"""))
   )
 
   /** Source facts and the deterministically degraded downstream copy

@@ -893,6 +893,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Sampling.packSequences assembles deterministic budget-bounded sequences") {
+    val rows = Seq(
+      (0L, "g0", "docA", 100L), (1L, "g0", "docB", 300L), (2L, "g0", "docC", 200L),
+      (3L, "g0", "docD", 50L), (4L, "g1", "docE", 600L))
+      .toDF("id", "g", "text", "tok")
+      .withColumn("shard", Sampling.tokenShards($"g", $"tok", $"id", 512L))
+    val packed = Sampling.packSequences(rows, $"g", $"shard", $"id", $"text", $"tok",
+        sep = "|")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // g0 shards: docs 0,1,2 in shard 0 (cumsum 0,100,400), doc 3 in shard 1
+    assert(packed(("g0", 0L)) == (("docA|docB|docC", 3L, 600L)))
+    assert(packed(("g0", 1L)) == (("docD", 1L, 50L)))
+    assert(packed(("g1", 0L)) == (("docE", 1L, 600L)))
+    // layout-independent: repartitioned input assembles identical bytes
+    val packed2 = Sampling.packSequences(
+        rows.repartition(7), $"g", $"shard", $"id", $"text", $"tok", sep = "|")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(packed2 == packed.view.mapValues(_._1).toMap)
+  }
+
   test("Sampling.mixtureSample: deterministic, nested, salted, map-side") {
     val docs = spark.range(4000).toDF("id")
       .withColumn("g", concat(lit("g"), $"id" % 2))
