@@ -272,6 +272,19 @@ class OpsSpec extends SparkSpec {
       assert(!plan.contains("SinglePartition"), s"$name window collapsed:\n$plan")
       assert(plan.contains(s"hashpartitioning($key"), s"$name: $plan")
     }
+    // q60/q62: pure scan-stage assignments — partial agg before any
+    // exchange, never a single partition. q65: assembly aggregates on the
+    // composite (lang, shard) key — the shard fan-out IS the parallelism
+    for (name <- Seq("q60_mixture_sample", "q62_shuffle_order",
+        "q65_packed_sequences")) {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), s"$name collapsed:\n$plan")
+      assert(plan.contains("hashpartitioning"), s"$name: $plan")
+    }
+    assert(graft.SparkEntry.queries("q65_packed_sequences")(spark, dir)
+      .queryExecution.executedPlan.toString.contains("hashpartitioning(lang"),
+      "q65 must key the assembly exchange on (lang, shard)")
   }
 
   test("approx_count_distinct tracks exact within its error bound") {
