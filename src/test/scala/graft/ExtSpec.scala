@@ -1013,6 +1013,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("shuffleOrder materializes through the Catalog with shard pruning") {
+    // the documented idiom: shard-partitioned write, within-shard sort —
+    // then a training reader resolves ONE shard directory per task and
+    // re-materialization reproduces the exact order
+    val root = java.nio.file.Files.createTempDirectory("graft-shuffle").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val docs = spark.range(2000).toDF("id")
+    val ordered = Sampling.shuffleOrder(docs, $"id", seed = 3L, shards = 8)
+    catalog.save(
+      ordered.repartition(8, col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key"),
+      "train.shuffled", partitionBy = Seq("shard"))
+    // a single-shard read prunes to one directory of eight
+    val oneShard = catalog.load("train.shuffled").filter($"shard" === 3L)
+    val scans = oneShard.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "shard filter did not reach the scan")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"read ${scans.head.selectedPartitions.partitionCount} shard dirs, want 1")
+    // the persisted order equals the recomputed order, shard by shard
+    val persisted = catalog.load("train.shuffled")
+      .orderBy("shard", "shuffle_key").collect().map(_.getAs[Long]("id")).toSeq
+    val recomputed = Sampling.shuffleOrder(docs.repartition(5), $"id", seed = 3L, shards = 8)
+      .orderBy("shard", "shuffle_key").collect().map(_.getAs[Long]("id")).toSeq
+    assert(persisted == recomputed)
+  }
+
   test("Decontaminate: ngram semantics, exact flags, bloom bit-identity") {
     // ngrams: sliding word windows; short docs yield none (NOT sequence's
     // descending [1,0] trap); n=1 degenerates to the tokens
