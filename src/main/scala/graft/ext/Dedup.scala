@@ -204,6 +204,46 @@ object Dedup {
   /** Hamming distance between two simhashes (bit_count of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Cross-document PARAGRAPH dedup (C4-style span removal): every
+    * repeated paragraph keeps only its FIRST occurrence — ordered by
+    * (doc id, position) — and each document reassembles from its
+    * surviving paragraphs in original order. A different relation than
+    * whole-document dedup: two documents sharing boilerplate lose the
+    * boilerplate from the later one while both survive.
+    *
+    * Returns (id, `text_dedup`, `n_pars`, `kept_pars`); documents whose
+    * every paragraph appeared earlier elsewhere drop entirely (their
+    * reassembly is empty).
+    *
+    * Scale shape: two keyed shuffles over paragraph rows — first-occurrence
+    * ranking is a window PARTITIONED BY the paragraph digest (never the
+    * text itself; 32-char keys through the exchange), reassembly groups on
+    * the doc id with per-doc state bounded by document size. Deterministic
+    * on any layout (the rank orders on (id, pos)). */
+  def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pars = docs
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("pos", "par")))
+      .filter(length(col("par")) > 0)
+    val firsts = pars
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(md5(col("par").cast("binary")))
+          .orderBy(col(idCol), col("pos"))))
+      .filter(col("__rk") === 1)
+    firsts
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos").as("p"), col("par").as("t")))),
+            s => s.getField("t")),
+          sep).as("text_dedup"),
+        count(lit(1)).as("kept_pars"))
+      .join(pars.groupBy(col(idCol)).agg(count(lit(1)).as("n_pars")), Seq(idCol))
+      .select(col(idCol), col("text_dedup"), col("n_pars"), col("kept_pars"))
+  }
+
   /** SimHash near-dup pairs: bucket on the top 16 bits (scale path — only
     * same-bucket docs join), verify hamming ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",

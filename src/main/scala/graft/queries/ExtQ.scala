@@ -1038,7 +1038,49 @@ object ExtQ {
           CAST(length(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS BIGINT)
             AS seq_chars,
           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-        FROM s GROUP BY lang, shard ORDER BY lang, shard"""))
+        FROM s GROUP BY lang, shard ORDER BY lang, shard""")),
+
+    // Cross-document paragraph dedup (Dedup.dedupParagraphs): C4-style
+    // span removal — a repeated paragraph survives only at its first
+    // (doc_id, pos) occurrence; docs reassemble from survivors in order.
+    // Different relation than whole-doc dedup: boilerplate vanishes from
+    // later docs while the docs survive. Paragraph structure synthesized
+    // as in q63; the reassembled-text md5 pins exact byte-level removal.
+    "q66_paragraph_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " (the|a) ", "\n").as("t2"))
+        Dedup.dedupParagraphs(docs, idCol = "doc_id", textCol = "t2")
+          .select(col("doc_id"),
+            md5(col("text_dedup").cast("binary")).as("dedup_md5"),
+            col("n_pars"), col("kept_pars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(text, ' (the|a) ', chr(10), 'g') AS t2
+          FROM documents),
+        sp AS (SELECT doc_id, string_split(t2, chr(10)) AS pars FROM d),
+        p0 AS (
+          SELECT doc_id, unnest(pars) AS par,
+            unnest(range(1, len(pars) + 1)) AS pos
+          FROM sp),
+        p AS (SELECT doc_id, par, pos FROM p0 WHERE len(par) > 0),
+        f AS (
+          SELECT doc_id, par, pos,
+            ROW_NUMBER() OVER (PARTITION BY par ORDER BY doc_id, pos) AS rk
+          FROM p),
+        k AS (
+          SELECT doc_id,
+            string_agg(par, chr(10) ORDER BY pos) AS text_dedup,
+            COUNT(*) AS kept_pars
+          FROM f WHERE rk = 1 GROUP BY doc_id),
+        n AS (SELECT doc_id, COUNT(*) AS n_pars FROM p GROUP BY doc_id)
+        SELECT k.doc_id, md5(k.text_dedup) AS dedup_md5,
+          n.n_pars, CAST(k.kept_pars AS BIGINT) AS kept_pars
+        FROM k JOIN n ON k.doc_id = n.doc_id
+        ORDER BY k.doc_id"""))
   )
 
   /** Source facts and the deterministically degraded downstream copy

@@ -1013,6 +1013,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Dedup.dedupParagraphs keeps first occurrences and reassembles in order") {
+    val docs = Seq(
+      (0L, "intro\nboiler\nbody zero"),
+      (1L, "boiler\nbody one\nintro"),   // loses boiler AND intro (doc 0 has both)
+      (2L, "boiler"),                    // loses everything -> dropped
+      (3L, "body three\n\nboiler\nbody three"))  // empty par ignored; self-dup kept once
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) == (("intro\nboiler\nbody zero", 3L, 3L)))
+    assert(out(1L) == (("body one", 3L, 1L)))
+    assert(!out.contains(2L))
+    assert(out(3L) == (("body three", 3L, 1L)))
+    // layout independence: repartitioned input produces identical bytes
+    val out2 = Dedup.dedupParagraphs(docs.repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == out.view.mapValues(_._1).toMap)
+    // the ranking window partitions on the paragraph digest — never a
+    // single partition
+    val plan = Dedup.dedupParagraphs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("shuffleOrder materializes through the Catalog with shard pruning") {
     // the documented idiom: shard-partitioned write, within-shard sort —
     // then a training reader resolves ONE shard directory per task and
