@@ -949,6 +949,11 @@ class ExtSpec extends SparkSpec {
     val plan = Sampling.mixtureSample(docs, $"g", $"id", Map("g0" -> 0.5))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // upsampling rates belong to mixtureWeight — here they fail loudly at
+    // plan build, not silently clamp
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, $"g", $"id", Map("g0" -> 2.5))
+    }
   }
 
   test("Sampling.mixtureWeight: copies honor whole+fractional rates") {
@@ -1076,6 +1081,7 @@ class ExtSpec extends SparkSpec {
     assert(g(0L) == Seq("a b c", "b c d", "c d e"))
     assert(g(1L) == Seq() && g(2L) == Seq())
     assert(g(3L) == Seq("x y z"))
+    intercept[IllegalArgumentException] { Decontaminate.ngrams(lit("x"), 0) }
     // native WordNgrams is bit-identical to the composable HOF form on the
     // whitespace-edge corpus (null text: native null, composable empty —
     // both dropped by explode, asserted via the exploded sets)
