@@ -1080,7 +1080,25 @@ object ExtQ {
         SELECT k.doc_id, md5(k.text_dedup) AS dedup_md5,
           n.n_pars, CAST(k.kept_pars AS BIGINT) AS kept_pars
         FROM k JOIN n ON k.doc_id = n.doc_id
-        ORDER BY k.doc_id"""))
+        ORDER BY k.doc_id""")),
+
+    // Product-quantized ANN with exact rerank (ext/Pq): 64-dim floats →
+    // 8 codes (32x), per-query ADC lookup table scores the whole corpus
+    // in 8 adds/row, a 100-candidate shortlist reranks with exact dot
+    // products — the memory-bound serving shape (rows-only: k-means
+    // codes have no DuckDB twin; ExtSpec pins determinism and ≥0.9
+    // rerank recall vs the exact oracle path).
+    "q67_pq_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
+        val query = emb.filter(col("vec_id") === 0L).head()
+          .getSeq[Float](1).map(_.toDouble).toArray
+        Pq.pqTopKRerankVec(
+          Pq.encode(emb.filter(col("vec_id") =!= 0L), cb),
+          query, cb, topK = 10, shortlist = 10)
+      },
+      None)
   )
 
   /** Source facts and the deterministically degraded downstream copy

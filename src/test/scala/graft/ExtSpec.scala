@@ -1018,6 +1018,60 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Pq: deterministic codes, codebook round-trip, rerank recall") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
+    assert(cb.m == 8 && cb.k == 64 && cb.subDim == 8)
+    // codes: m small ints per row (32x smaller than 64 floats), in range,
+    // and BIT-IDENTICAL across layouts (float corpus ⇒ exact means)
+    val enc = Pq.encode(emb, cb).persist()
+    val codes = enc.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("codes")))
+    assert(codes.forall { case (_, cs) => cs.size == 8 && cs.forall(c => c >= 0 && c < 64) })
+    val codes2 = Pq.encode(emb.repartition(7), cb).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("codes")))
+    assert(codes.toSeq == codes2.toSeq)
+    // codebooks round-trip the Catalog bit-identically (doubles in parquet)
+    val root = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    Pq.saveCodebooks(catalog, "ann.codebooks", cb)
+    val cb2 = Pq.loadCodebooks(catalog, "ann.codebooks")
+    assert(cb2.subDim == cb.subDim &&
+      cb2.books.flatten.flatten.toSeq == cb.books.flatten.flatten.toSeq)
+    // ADC score equals the driver-side table sum for a spot row
+    val q0 = emb.filter($"vec_id" === 0L).head().getSeq[Float](1).map(_.toDouble).toArray
+    val tab = Pq.adcTable(q0, cb)
+    val spot = Pq.pqTopKVec(enc, q0, cb, 1).head()
+    val spotCodes = codes.toMap.apply(spot.getLong(0))
+    val expect = spotCodes.zipWithIndex.map { case (c, j) => tab(j * cb.k + c) }
+      .foldLeft(0.0)(_ + _)
+    assert(spot.getDouble(1) == expect)
+    // recall vs exact cosine top-10 (unit vectors: L2 order = cosine
+    // order): ADC alone is the 32x-compressed shortlist; shortlist+exact
+    // rerank recovers ≥0.9 — deterministic training makes these stable
+    var adcHits = 0; var rrHits = 0
+    val queries = emb.filter($"vec_id" < 10L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    for ((qid, qv) <- queries) {
+      val rest = enc.filter($"vec_id" =!= qid)
+      val approx = Pq.pqTopKVec(rest, qv, cb, 10).collect().map(_.getLong(0)).toSet
+      val rr = Pq.pqTopKRerankVec(rest, qv, cb, 10, shortlist = 10)
+        .collect().map(_.getLong(0)).toSet
+      val qlit = typedLit(qv.toSeq)
+      val exact = emb.filter($"vec_id" =!= qid)
+        .withColumn("s", graft.functions.VectorFunctions
+          .dot($"embedding".cast("array<double>"), qlit))
+        .orderBy(desc("s"), $"vec_id").limit(10)
+        .collect().map(_.getLong(0)).toSet
+      adcHits += (approx & exact).size; rrHits += (rr & exact).size
+    }
+    assert(adcHits >= 30, s"ADC recall@10 too low: $adcHits/100")
+    assert(rrHits >= 90, s"rerank recall@10 too low: $rrHits/100")
+    enc.unpersist()
+    intercept[IllegalArgumentException] { Pq.trainCodebooks(emb, m = 7) }
+  }
+
   test("Dedup.dedupParagraphs keeps first occurrences and reassembles in order") {
     val docs = Seq(
       (0L, "intro\nboiler\nbody zero"),
