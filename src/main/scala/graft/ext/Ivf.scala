@@ -119,7 +119,7 @@ object Ivf {
 
   /** The `nProbe` cluster indices nearest `qv` (L2 to centroid, index
     * tie-break via the tuple sort). */
-  private def nearestClusters(qv: Array[Double], centroids: Array[Array[Double]],
+  private[ext] def nearestClusters(qv: Array[Double], centroids: Array[Array[Double]],
       nProbe: Int): Seq[Int] =
     centroids.zipWithIndex.map { case (c, i) => (l2(qv, c), i) }
       .sorted.take(nProbe).map(_._2).toSeq

@@ -157,6 +157,26 @@ object Pq {
       .select(col(idCol), col("score"))
   }
 
+  /** IVF-PQ — the standard pairing: restrict ADC search to the `nProbe`
+    * coarse cells nearest the query, then shortlist + exact rerank inside
+    * them. `clusteredEncoded` carries both a `cluster` column
+    * ([[Ivf.assign]]; write it as a partition column and the probe filter
+    * prunes to nProbe directories, [[Ivf.ivfTopKPartitionedVec]]'s story)
+    * and `codes` ([[encode]]) — at 100 TB the scan reads nProbe/k of the
+    * corpus AND each row it reads is m bytes, the two reductions composed. */
+  def ivfPqTopKVec(clusteredEncoded: DataFrame, centroids: Array[Array[Double]],
+      cb: Codebooks, query: Array[Double], topK: Int, nProbe: Int = 2,
+      shortlist: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(clusteredEncoded.columns.contains("cluster") &&
+      clusteredEncoded.columns.contains("codes"),
+      "ivfPqTopKVec needs 'cluster' (Ivf.assign) and 'codes' (Pq.encode) columns")
+    val probes = Ivf.nearestClusters(query, centroids, nProbe)
+    pqTopKRerankVec(
+      clusteredEncoded.filter(col("cluster").isin(probes: _*)),
+      query, cb, topK, shortlist, idCol, vecCol)
+  }
+
   /** Persist codebooks through the [[Catalog]] — (sub, code, centroid)
     * rows, m·k·subDim doubles; the train-once artifact (doubles round-trip
     * parquet exactly, like [[Ivf.saveCentroids]]). */

@@ -1070,6 +1070,35 @@ class ExtSpec extends SparkSpec {
     assert(rrHits >= 90, s"rerank recall@10 too low: $rrHits/100")
     enc.unpersist()
     intercept[IllegalArgumentException] { Pq.trainCodebooks(emb, m = 7) }
+    // IVF-PQ: the coarse probe composes with ADC — equal to running the
+    // PQ rerank over exactly the probed cells, and pruning still reaches
+    // the scan when the cluster column is a stored partition column
+    val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
+    val clusteredEnc = Pq.encode(Ivf.assign(emb, cents), cb)
+    val q1 = queries.head._2
+    val viaIvfPq = Pq.ivfPqTopKVec(clusteredEnc, cents, cb, q1, 10, nProbe = 3,
+        shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // driver-side replica of the probe-cell derivation (nearest by L2)
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      i -> c.zip(q1).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sortBy { case (i, d) => (d, i) }.take(3).map(_._1).toSeq
+    val direct = Pq.pqTopKRerankVec(
+        clusteredEnc.filter($"cluster".isin(probes: _*)), q1, cb, 10,
+        shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIvfPq == direct)
+    val root2 = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val cat2 = new graft.core.Catalog(spark, root2)
+    cat2.save(clusteredEnc, "ann.pq_corpus", partitionBy = Seq("cluster"))
+    val pruned = Pq.ivfPqTopKVec(cat2.load("ann.pq_corpus"), cents, cb, q1, 10,
+      nProbe = 3, shortlist = 10)
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.selectedPartitions.partitionCount <= 3),
+      s"IVF-PQ scan read ${scans.map(_.selectedPartitions.partitionCount)} cells, want <=3")
   }
 
   test("Dedup.dedupParagraphs keeps first occurrences and reassembles in order") {
