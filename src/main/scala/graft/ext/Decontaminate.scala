@@ -113,6 +113,11 @@ object Decontaminate {
     * Same broadcast-sized-reference contract as the semi-join form;
     * un-broadcastable sets stay on [[contaminatedIdsBloom]]. */
   def contaminationPredicate(evalNg: DataFrame, text: Column, n: Int): Column =
-    graft.functions.AnyInSet(ngrams(text, n),
-      evalNg.collect().map(_.getString(0)).toIndexedSeq)
+    // coalesce: null text has no n-grams, so it is NOT contaminated —
+    // without it the native null propagates and `filter(!pred)` silently
+    // drops null-text rows the join forms keep (stream/batch divergence)
+    coalesce(
+      graft.functions.AnyInSet(ngrams(text, n),
+        evalNg.collect().map(_.getString(0)).toIndexedSeq),
+      lit(false))
 }

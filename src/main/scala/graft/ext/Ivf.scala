@@ -60,13 +60,22 @@ object Ivf {
       var it = 0
       while (it < iters) {
         // elementwise means per cluster: explode to (cluster, dim, value),
-        // aggregate — k·dim result rows regardless of corpus size
-        val sums = proj
-          .select(NearestCentroid(col(vecCol), cents).as("cluster"),
-            posexplode(col(vecCol)))
-          .groupBy(col("cluster"), col("pos"))
-          .agg(avg(col("col")).as("m"))
-          .collect()
+        // aggregate — k·dim result rows regardless of corpus size.
+        // The assignment persists BEFORE the explode: selected beside
+        // posexplode, whole-stage codegen inlines the argmin into the
+        // generate loop and re-evaluates it per EXPLODED row — a dim×
+        // blowup of the k·dim distance scan (the Pq.trainCodebooks
+        // lesson; a cache barrier costs no network, unlike a shuffle)
+        val assigned = proj
+          .select(NearestCentroid(col(vecCol), cents).as("cluster"), col(vecCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sums = try {
+          assigned
+            .select(col("cluster"), posexplode(col(vecCol)))
+            .groupBy(col("cluster"), col("pos"))
+            .agg(avg(col("col")).as("m"))
+            .collect()
+        } finally assigned.unpersist(blocking = false)
         val byCluster = sums.groupBy(_.getInt(0))
         cents = cents.zipWithIndex.map { case (prev, c) =>
           byCluster.get(c)

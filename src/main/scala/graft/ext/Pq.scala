@@ -73,18 +73,23 @@ object Pq {
         val assigns = array(books.indices.map(j =>
           NearestCentroid(slice(col(vecCol), j * subDim + 1, subDim), books(j))): _*)
         val sub = (col("pos") / subDim).cast("int")
-        val sums = proj
-          .select(col(vecCol), assigns.as("cl"))
-          // the exchange MATERIALIZES cl once per row: without a codegen
-          // boundary here, the generate loop below inlines the m-argmin
-          // array expression and re-evaluates it per EXPLODED row — a
-          // dim× blowup of the assignment cost (measured 25× at dim 64)
-          .repartition(col("cl"))
-          .select(col("cl"), posexplode(col(vecCol)))
-          .select(sub.as("sub"), element_at(col("cl"), sub + 1).as("cluster"),
-            pmod(col("pos"), lit(subDim)).as("d"), col("col"))
-          .groupBy("sub", "cluster", "d").agg(avg("col").as("mavg"))
-          .collect()
+        // the persist MATERIALIZES cl once per row: without a barrier
+        // here, the generate loop below inlines the m-argmin array
+        // expression and re-evaluates it per EXPLODED row — a dim×
+        // blowup of the assignment cost (measured 25× at dim 64). A
+        // cache (storage-local) beats a repartition barrier (iters ×
+        // corpus bytes over the network) — training shuffle volume
+        // stays m·k·subDim, the Ivf contract.
+        val assigned = proj.select(col(vecCol), assigns.as("cl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sums = try {
+          assigned
+            .select(col("cl"), posexplode(col(vecCol)))
+            .select(sub.as("sub"), element_at(col("cl"), sub + 1).as("cluster"),
+              pmod(col("pos"), lit(subDim)).as("d"), col("col"))
+            .groupBy("sub", "cluster", "d").agg(avg("col").as("mavg"))
+            .collect()
+        } finally assigned.unpersist(blocking = false)
         val bySub = sums.groupBy(_.getInt(0))
         books = Array.tabulate(m) { j =>
           val byCluster = bySub.getOrElse(j, Array.empty).groupBy(_.getInt(1))
@@ -102,11 +107,21 @@ object Pq {
 
   /** Corpus + `codes` column (`array<int>`, length m): each subvector's
     * nearest codeword. Scan-stage — m [[NearestCentroid]] argmins over
-    * sliced views, no shuffle; write the result once and serve from it. */
-  def encode(emb: DataFrame, cb: Codebooks, vecCol: String = "embedding"): DataFrame =
+    * sliced views, no shuffle; write the result once and serve from it.
+    * Rows whose vector dimension does not match the codebook geometry
+    * fail loudly — a silently truncated slice would argmin over nothing
+    * and emit code 0 (corrupt codes with no error). */
+  def encode(emb: DataFrame, cb: Codebooks, vecCol: String = "embedding"): DataFrame = {
+    val expectDim = cb.m * cb.subDim
     emb.withColumn("codes",
-      array(cb.books.indices.map(j =>
-        NearestCentroid(slice(col(vecCol), j * cb.subDim + 1, cb.subDim), cb.books(j))): _*))
+      when(size(col(vecCol)) =!= expectDim,
+        raise_error(concat(lit(s"pq encode: vector dim "),
+          size(col(vecCol)).cast("string"),
+          lit(s" != codebook geometry $expectDim"))))
+        .otherwise(array(cb.books.indices.map(j =>
+          NearestCentroid(slice(col(vecCol), j * cb.subDim + 1, cb.subDim),
+            cb.books(j))): _*)))
+  }
 
   /** The per-query ADC lookup table: `table(j·k + c) = ‖q_j − books(j)(c)‖²`
     * flattened in subvector-major order (what [[PqAdc]] expects). */

@@ -210,9 +210,17 @@ object Sampling {
   }
 
   /** The salted 8-hex-digit sampling bucket shared by [[mixtureSample]]
-    * and [[mixtureWeight]]'s fractional part. */
+    * and [[mixtureWeight]]'s fractional part. A null key has no
+    * well-defined deterministic draw — it would otherwise hash to null
+    * and silently drop (even at rate 1.0) in the sample form while
+    * keeping floor(rate) copies in the weight form — so it fails loudly
+    * instead: sampling keys are the caller's contract, like
+    * [[hashSplit]]'s. */
   private def mixtureBucket(key: Column): Column =
-    substring(md5(concat(lit("mix:"), key.cast("string")).cast("binary")), 1, 8)
+    when(key.isNull,
+      raise_error(lit("mixture sampling key is null — supply a non-null stable key")))
+      .otherwise(
+        substring(md5(concat(lit("mix:"), key.cast("string")).cast("binary")), 1, 8))
 
   /** Packed-sequence assembly — the materialization step after
     * [[tokenShards]]: concatenate each (group, shard)'s documents in
@@ -226,10 +234,13 @@ object Sampling {
     * collect-per-group would not be. Deterministic: the in-sequence order
     * is `array_sort` over (order, text) structs, so any layout assembles
     * byte-identical sequences (and DuckDB's `string_agg(... ORDER BY)`
-    * can oracle them exactly). */
+    * can oracle them exactly).
+    *
+    * `group`/`shard` keep their own column names in the output — pass
+    * named columns (alias computed expressions before calling). */
   def packSequences(df: DataFrame, group: Column, shard: Column, order: Column,
       text: Column, tokens: Column, sep: String = "\n\n"): DataFrame =
-    df.groupBy(group.as("g"), shard.as("shard"))
+    df.groupBy(group, shard)
       .agg(
         array_join(
           transform(

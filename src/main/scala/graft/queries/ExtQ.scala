@@ -1013,7 +1013,7 @@ object ExtQ {
               budget = 512L))
         Sampling.packSequences(docs, col("lang"), col("shard"), col("doc_id"),
             col("text"), col("n_tokens"))
-          .select(col("g").as("lang"), col("shard"),
+          .select(col("lang"), col("shard"),
             md5(col("sequence").cast("binary")).as("seq_md5"),
             length(col("sequence")).cast("long").as("seq_chars"),
             col("n_docs"), col("sum_tokens"))

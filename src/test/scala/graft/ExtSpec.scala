@@ -954,6 +954,14 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.mixtureSample(docs, $"g", $"id", Map("g0" -> 2.5))
     }
+    // a null sampling key fails loudly — it has no deterministic draw and
+    // would otherwise silently drop (even at rate 1.0)
+    val withNullKey = Seq((Some(1L), "g0"), (None, "g0"))
+      .toDF("id", "g")
+    val nullKeyErr = intercept[RuntimeException] {
+      Sampling.mixtureSample(withNullKey, $"g", $"id", Map("g0" -> 1.0)).collect()
+    }
+    assert(nullKeyErr.getMessage.contains("sampling key is null"))
   }
 
   test("Sampling.mixtureWeight: copies honor whole+fractional rates") {
@@ -1070,6 +1078,15 @@ class ExtSpec extends SparkSpec {
     assert(rrHits >= 90, s"rerank recall@10 too low: $rrHits/100")
     enc.unpersist()
     intercept[IllegalArgumentException] { Pq.trainCodebooks(emb, m = 7) }
+    // encoding vectors whose dim mismatches the codebook geometry fails
+    // loudly — a truncated slice would argmin over nothing and emit
+    // code 0 (silent corrupt codes)
+    val dimErr = intercept[RuntimeException] {
+      Pq.encode(emb.select($"vec_id",
+          slice($"embedding", 1, 32).as("embedding")), cb)
+        .collect()
+    }
+    assert(dimErr.getMessage.contains("codebook geometry"))
     // IVF-PQ: the coarse probe composes with ADC — equal to running the
     // PQ rerank over exactly the probed cells, and pruning still reaches
     // the scan when the cluster column is a stored partition column
@@ -1218,5 +1235,14 @@ class ExtSpec extends SparkSpec {
       .filter(Decontaminate.contaminationPredicate(refNg, $"text", 4))
       .queryExecution.sparkPlan.toString
     assert(!predPlan.contains("Join"), predPlan)
+    // null text is NOT contaminated: filter(!pred) keeps it, exactly as
+    // the join forms do (no n-grams ⇒ nothing to match) — unguarded, the
+    // native null would propagate and silently drop the row
+    val withNull = Seq((50L, "clean words only"), (51L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    assert(withNull.filter(!Decontaminate.contaminationPredicate(refNg, $"text", 4))
+      .collect().map(_.getLong(0)).toSet == Set(50L, 51L))
+    assert(Decontaminate.decontaminate(withNull, $"id", $"text", refNg, 4)
+      .collect().map(_.getLong(0)).toSet == Set(50L, 51L))
   }
 }
