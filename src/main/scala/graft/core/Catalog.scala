@@ -368,23 +368,42 @@ final class Catalog(val spark: SparkSession, root: String) {
     val now = System.currentTimeMillis()
     listDataFiles(fs, tableRoot).filterNot(live.contains).foreach { rel =>
       val p = new Path(tableRoot, rel)
-      if (referenced.contains(rel) ||
-          now - fs.getFileStatus(p).getModificationTime > orphanGraceMs) {
-        if (fs.delete(p, false)) removed += 1
-      }
+      // a concurrent maintenance pass may reclaim the file between our
+      // listing and the status call — that file is already gone, which is
+      // this sweep's goal; skip it rather than aborting the whole vacuum
+      try {
+        if (referenced.contains(rel) ||
+            now - fs.getFileStatus(p).getModificationTime > orphanGraceMs) {
+          if (fs.delete(p, false)) removed += 1
+        }
+      } catch { case _: java.io.FileNotFoundException => () }
     }
-    val keep = retained.map(v => f"v$v%020d.manifest").toSet
+    // Manifest sweep: only versions STRICTLY OLDER than the oldest retained
+    // one are reclaimable. `not in retained` would also match a version a
+    // concurrent commitAppend published AFTER our entry listing — deleting
+    // that is a silently lost commit (its data files then age into orphans).
+    // Any version published after the listing is > retained.last, so the
+    // strict lower bound can never touch it. In-flight `.tmp-` files carry
+    // no version; age-gate them like stale locks (a live publish holds a
+    // tmp file only for one small write + rename, never minutes).
+    val oldestRetained = retained.head
     fs.listStatus(Manifest.dir(tableRoot)).foreach { s =>
       val n = s.getPath.getName
       // a lock this old belongs to a writer that died between acquire and
       // publish; publishers break such locks on contact, and maintenance
       // sweeps them too so an idle table does not keep one forever
-      if (n.endsWith(".lock") &&
-          System.currentTimeMillis() - s.getModificationTime > Manifest.LockStaleMs) {
+      val stale =
+        System.currentTimeMillis() - s.getModificationTime > Manifest.LockStaleMs
+      val manifestVersion =
+        if (n.startsWith("v") && n.endsWith(".manifest")) {
+          val digits = n.stripPrefix("v").stripSuffix(".manifest")
+          if (digits.nonEmpty && digits.forall(_.isDigit)) Some(digits.toLong) else None
+        } else None
+      if ((n.endsWith(".lock") && stale) ||
+          manifestVersion.exists(_ < oldestRetained) ||
+          (n.startsWith(".tmp-") && stale)) {
         if (fs.delete(s.getPath, false)) removed += 1
-      } else
-      if (!keep.contains(n) && (n.endsWith(".manifest") || n.startsWith(".tmp-")))
-        if (fs.delete(s.getPath, false)) removed += 1
+      }
     }
     removed
   }

@@ -118,7 +118,18 @@ private[core] object Manifest {
 
   private def read(fs: FileSystem, table: Path, version: Long,
       retried: Boolean): Snapshot = {
-    val in = fs.open(new Path(dir(table), fileName(version)))
+    // On stores without an atomic replace, [[checkpoint]]'s delete+rename
+    // leaves a momentary window where a RETAINED, committed manifest does
+    // not exist. One short-backoff retry covers it (the window is a single
+    // small-file rename); a manifest still missing after the retry is
+    // genuinely gone and the error propagates.
+    val in =
+      try fs.open(new Path(dir(table), fileName(version)))
+      catch {
+        case _: java.io.FileNotFoundException if !retried =>
+          Thread.sleep(50)
+          return read(fs, table, version, retried = true)
+      }
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
@@ -137,13 +148,17 @@ private[core] object Manifest {
     val files = lines.drop(bodyAt)
     // the rename publish is atomic, but storage can still rot: a snapshot
     // whose file list no longer matches its checksum must fail the read,
-    // not silently drop table content. A delta's checksum covers only its
-    // own added lines; the base chain is protected by its own checksums.
+    // not silently drop table content. A delta's checksum covers its
+    // `base=` line AND its added lines — a flipped digit in the base
+    // pointer would otherwise resolve through the wrong (checksum-valid)
+    // chain and silently yield an incorrect file set; the base chain's
+    // CONTENT is protected by its own checksums.
+    val checked = if (isDelta) lines(3) +: files else files
     val expected = lines(bodyAt - 1).stripPrefix("checksum=")
-    if (crc(files) != expected)
+    if (crc(checked) != expected)
       throw new java.io.IOException(
-        s"corrupt manifest $table v$version: file-list checksum mismatch " +
-          s"(expected $expected, computed ${crc(files)})")
+        s"corrupt manifest $table v$version: checksum mismatch " +
+          s"(expected $expected, computed ${crc(checked)})")
     if (isDelta) {
       val baseVersion = lines(3).stripPrefix("base=").toLong
       val baseSnap =
@@ -275,7 +290,9 @@ private[core] object Manifest {
       s"partitions=${partitions.mkString(",")}",
       s"lastBatchId=${lastBatchId.map(_.toString).getOrElse("-")}")
     val rest = form match {
-      case Left((base, added)) => s"base=$base" +: s"checksum=${crc(added)}" +: added
+      case Left((base, added)) =>
+        val baseLine = s"base=$base"
+        baseLine +: s"checksum=${crc(baseLine +: added)}" +: added
       case Right(files) => s"checksum=${crc(files)}" +: files
     }
     (head ++ rest).mkString("\n")

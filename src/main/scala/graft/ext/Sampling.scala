@@ -81,6 +81,11 @@ object Sampling {
     * at a threshold all land in the lower bucket. `accuracy` is the
     * `approx_percentile` knob (higher = tighter, more memory).
     *
+    * Null groups follow [[strata]]'s convention — a window's partitionBy
+    * treats null as its own partition, so the threshold join here is
+    * NULL-SAFE (`<=>`): swapping exact for approx at scale buckets the
+    * null-group rows instead of silently dropping them.
+    *
     * Returns `df` plus a `bucket` column. */
   def strataApprox(df: DataFrame, group: Column, score: Column, n: Int = 4,
       accuracy: Int = 10000): DataFrame = {
@@ -88,7 +93,7 @@ object Sampling {
     val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
     val th = df.groupBy(group.as("__g"))
       .agg(percentile_approx(score, probs, lit(accuracy)).as("__th"))
-    df.join(broadcast(th), group === col("__g"))
+    df.join(broadcast(th), group <=> col("__g"))
       .withColumn("bucket",
         (size(filter(col("__th"), t => score > t)) + 1).cast("long"))
       .drop("__g", "__th")

@@ -873,6 +873,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Sampling.strataApprox buckets null groups like strata (null-safe join)") {
+    // a window's partitionBy treats null as its own partition; the approx
+    // form's threshold join must be null-safe or swapping exact→approx at
+    // scale silently drops the null-group rows
+    val rows = (0L until 40L)
+      .map(i => (i, if (i % 4 == 0) null else s"g${i % 2}", (i * 37 % 11).toDouble))
+      .toDF("id", "g", "score")
+    val approx = Sampling.strataApprox(rows, $"g", $"score")
+    assert(approx.count() == 40L, "approx path dropped rows")
+    val nullRows = approx.filter($"g".isNull)
+      .collect().map(r => (r.getDouble(2), r.getLong(0), r.getLong(3)))
+    assert(nullRows.length == 10)
+    // same convention as exact strata: null group is its own stratum, with
+    // buckets monotone in score (bucket VALUES may differ within the
+    // sketch's rank error; membership must not)
+    assert(nullRows.map(_._3).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    val ordered = nullRows.sortBy(x => (x._1, x._2)).map(_._3).toSeq
+    assert(ordered == ordered.sorted, s"null-group buckets not monotone: $ordered")
+  }
+
   test("Sampling.tokenShards: greedy deterministic packing per group") {
     val rows = Seq(
       (0L, "g0", 100L), (1L, "g0", 300L), (2L, "g0", 200L), (3L, "g0", 50L),

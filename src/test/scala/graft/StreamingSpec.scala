@@ -317,6 +317,100 @@ class StreamingSpec extends SparkSpec {
     assert(ingested.select("event_id").distinct().count() == 3)
   }
 
+  test("delta-chain ingest: 24 micro-batches with racing compact+vacuum, " +
+      "crash-restart mid-run, final table is the exact union") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val am = new AlertManager(FixedClock.at("2024-01-31T18:00:00Z"),
+      Seq(new InMemorySink("log")))
+    val loop = new MonitoringLoop(catalog, "monitoring.chain", am,
+      expectedFeeds = Seq("click"))
+    val checkpoint = Some(s"$root/chk")
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // maintenance races the live writer for the WHOLE run. compact losing
+    // its CAS to an interleaved append is expected (it recomputes next
+    // round); vacuum must never throw and never eat a commit published
+    // while it sweeps — the exact race the version-guarded manifest sweep
+    // exists for.
+    @volatile var stopMaint = false
+    val maintErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val vacuumed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maint = new Thread(() => {
+      var i = 0
+      while (!stopMaint) {
+        try {
+          if (catalog.isManifest("monitoring", "chain") &&
+              catalog.exists("monitoring.chain")) {
+            if (i % 3 == 0)
+              try catalog.compact("monitoring.chain")
+              catch { case _: java.io.IOException => () } // CAS loss to a live append
+            // retainLast = 3: this thread publishes far more often than any
+            // production maintenance cadence, so give in-flight readers one
+            // extra snapshot of grace — the property under test is commit
+            // LOSS, not pinned-reader staleness (HealingSpec pins that)
+            catalog.vacuum("monitoring.chain", retainLast = 3)
+            vacuumed.incrementAndGet()
+          }
+        } catch { case t: Throwable => maintErrors.add(t) }
+        i += 1
+        Thread.sleep(20)
+      }
+    })
+    maint.start()
+
+    def feed(q: org.apache.spark.sql.streaming.StreamingQuery, b: Long): Unit = {
+      input.addData(
+        (2 * b, ts(f"2024-01-31T10:$b%02d:00Z"), b, "click", 1.0, "{}"),
+        (2 * b + 1, ts(f"2024-01-31T11:$b%02d:30Z"), b, "click", 2.0, "{}"))
+      q.processAllAvailable()
+    }
+
+    try {
+      var q = loop.start(stream, continuous = true, interval = "1 second",
+        checkpoint = checkpoint)
+      (0L until 10L).foreach(feed(q, _))
+      q.stop()
+
+      // a batch that commits, then crashes before its offset commit — the
+      // restart must replay it as a no-op through the manifest batch ids,
+      // with the maintenance thread still racing
+      loop.crashAfterAppendOnce = true
+      q = loop.start(stream, continuous = true, interval = "1 second",
+        checkpoint = checkpoint)
+      input.addData((20L, ts("2024-01-31T10:10:00Z"), 10L, "click", 1.0, "{}"),
+        (21L, ts("2024-01-31T11:10:30Z"), 10L, "click", 2.0, "{}"))
+      intercept[Throwable] { q.processAllAvailable(); q.awaitTermination() }
+
+      q = loop.start(stream, continuous = true, interval = "1 second",
+        checkpoint = checkpoint)
+      q.processAllAvailable() // replays the crashed batch: skipped, no dupes
+      (11L until 24L).foreach(feed(q, _))
+      q.stop()
+    } finally {
+      stopMaint = true
+      maint.join()
+    }
+    assert(maintErrors.isEmpty,
+      s"maintenance beside live ingest broke: ${maintErrors.peek()}")
+    assert(vacuumed.get() > 0, "vacuum never actually raced the writer")
+
+    // the table is the EXACT union of the 24 batches — no batch lost to a
+    // racing vacuum, none double-ingested by the crash replay
+    val ids = catalog.load("monitoring.chain")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 48L).toSeq,
+      s"expected ids 0..47, got ${ids.size} rows " +
+        s"(missing: ${(0L until 48L).toSet -- ids.toSet})")
+  }
+
   test("IncrementalDedup default mode: crash between the two commits replays cleanly") {
     import graft.streaming.IncrementalDedup
     val root = java.nio.file.Files.createTempDirectory("graft-incdedup-mf").toString

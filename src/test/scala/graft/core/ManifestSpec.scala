@@ -157,6 +157,28 @@ class ManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checksum mismatch"))
   }
 
+  test("a flipped base pointer fails the read loudly (checksum covers base=)") {
+    val (fs, table) = freshTable()
+    Manifest.publish(fs, table, Nil, None, Seq("a.parquet"))
+    Manifest.publish(fs, table, Nil, None, Seq("a.parquet", "b.parquet"),
+      preferDelta = true)
+    Manifest.publish(fs, table, Nil, None,
+      Seq("a.parquet", "b.parquet", "c.parquet"), preferDelta = true)
+    val mf = new java.io.File(new Path(Manifest.dir(table),
+      f"v${3L}%020d.manifest").toUri.getPath)
+    val content = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    assert(content.contains("base=2"))
+    // storage rot flips a digit in the base pointer: v3 would resolve
+    // through v1's chain — a checksum-valid but WRONG file set unless the
+    // checksum covers the base line itself
+    java.nio.file.Files.write(mf.toPath,
+      content.replace("base=2", "base=1").getBytes("UTF-8"))
+    new java.io.File(mf.getParent).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val e = intercept[java.io.IOException] { Manifest.read(fs, table, 3L) }
+    assert(e.getMessage.contains("checksum mismatch"))
+  }
+
   test("a fresh orphan lock blocks publish; a stale one is broken") {
     val (fs, table) = freshTable()
     Manifest.publish(fs, table, Nil, None, Seq("a.parquet"))
