@@ -145,11 +145,16 @@ object Pq {
   /** Approximate top-k by ADC over an [[encode]]d corpus — vector-first
     * (the serving shape: external queries never scan the corpus for a
     * lookup). Plan: scan-stage [[PqAdc]] score + `TakeOrderedAndProject`;
-    * ties break on id for determinism. */
+    * ties break on id for determinism. Scores round to 6 decimals BEFORE
+    * the cut — the [[Similarity]] rounded-cosine convention — so the
+    * top-k boundary is a function of values any engine reproduces (what
+    * lets a DuckDB oracle replay the search over persisted codes), not of
+    * last-ulp summation order. */
   def pqTopKVec(encoded: DataFrame, query: Array[Double], cb: Codebooks,
       topK: Int, idCol: String = "vec_id"): DataFrame =
     encoded
-      .withColumn("adc", PqAdc(col("codes"), adcTable(query, cb).toSeq, cb.k))
+      .withColumn("adc",
+        round(PqAdc(col("codes"), adcTable(query, cb).toSeq, cb.k), 6))
       .orderBy(col("adc"), col(idCol))
       .limit(topK)
       .select(col(idCol), col("adc"))
@@ -166,7 +171,8 @@ object Pq {
     pqTopKVec(encoded, query, cb, topK * shortlist, idCol)
       .join(encoded.select(col(idCol), col(vecCol)), Seq(idCol))
       .withColumn("score",
-        graft.functions.VectorFunctions.dot(col(vecCol).cast("array<double>"), qCol))
+        round(graft.functions.VectorFunctions.dot(
+          col(vecCol).cast("array<double>"), qCol), 6))
       .orderBy(desc("score"), col(idCol))
       .limit(topK)
       .select(col(idCol), col("score"))

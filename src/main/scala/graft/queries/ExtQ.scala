@@ -1098,8 +1098,156 @@ object ExtQ {
           Pq.encode(emb.filter(col("vec_id") =!= 0L), cb),
           query, cb, topK = 10, shortlist = 10)
       },
-      None)
+      None),
+
+    // ───── Persisted-artifact ANN search oracles (q68-q70) ─────
+    // q43/q51/q67 are rows-only because k-means has no DuckDB twin — but
+    // the SEARCH stage given trained artifacts is pure arithmetic. These
+    // three persist the artifacts (centroids / codebooks / encoded +
+    // clustered corpus) through the Catalog, reload them, and search —
+    // and the oracle replays probe assignment (argmin over the centroids
+    // table), ADC scoring (lookup-table sums over the stored codes), and
+    // the top-k cut from the SAME parquet, so the probe/score/rerank math
+    // is hash-checked end-to-end. Training keeps its existing
+    // bit-identity + recall invariants in ExtSpec.
+
+    // IVF search over a cluster-partitioned corpus + persisted centroids:
+    // the 100 TB serving shape (train once, probe nProbe/k of the files).
+    "q68_ivf_search_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        val emb = t(s, dir, "embeddings")
+        val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
+        Ivf.saveCentroids(cat, "ann.q68_centroids", cents)
+        cat.save(Ivf.assign(emb, cents), "ann.q68_corpus",
+          partitionBy = Seq("cluster"))
+        Ivf.ivfTopKPartitioned(cat.load("ann.q68_corpus"),
+          Ivf.loadCentroids(cat, "ann.q68_centroids"),
+          queryId = 0L, k = 10, nProbe = 3)
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT CAST(cluster AS BIGINT) AS cluster, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('$AnnOracleRoot/ann/q68_centroids/*.parquet')),
+        corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(cluster AS BIGINT) AS cluster
+          FROM read_parquet('$AnnOracleRoot/ann/q68_corpus/*/*.parquet', hive_partitioning=true)),
+        q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
+        probes AS (
+          SELECT cluster FROM cents, q
+          ORDER BY list_distance(c, qv), cluster LIMIT 3)
+        SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim
+        FROM corpus c, q
+        WHERE c.cluster IN (SELECT cluster FROM probes) AND c.vec_id <> 0
+        ORDER BY cosine_sim DESC, c.vec_id
+        LIMIT 10""")),
+
+    // PQ/ADC search over persisted codebooks + encoded corpus: the oracle
+    // rebuilds each code's subvector distance from the codebook rows and
+    // sums them — the asymmetric-distance computation replayed in SQL.
+    "q69_pq_search_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        val emb = t(s, dir, "embeddings")
+        val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
+        Pq.saveCodebooks(cat, "ann.q69_codebooks", cb)
+        cat.save(Pq.encode(emb, cb), "ann.q69_corpus")
+        val enc = cat.load("ann.q69_corpus")
+        val qv = enc.filter(col("vec_id") === 0L).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+        Pq.pqTopKVec(enc.filter(col("vec_id") =!= 0L), qv,
+          Pq.loadCodebooks(cat, "ann.q69_codebooks"), topK = 10)
+      },
+      Some(s"""
+        WITH cb AS (
+          SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('$AnnOracleRoot/ann/q69_codebooks/*.parquet')),
+        corpus AS (
+          SELECT vec_id, codes, CAST(embedding AS DOUBLE[]) AS v
+          FROM read_parquet('$AnnOracleRoot/ann/q69_corpus/*.parquet')),
+        q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
+        parts AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(range(1, 9), d ->
+              (q.qv[(j.j - 1) * 8 + d] - cb.c[d]) * (q.qv[(j.j - 1) * 8 + d] - cb.c[d]))) AS dd
+          FROM corpus e
+          CROSS JOIN range(1, 9) AS j(j)
+          JOIN cb ON cb.sub = j.j - 1 AND cb.code = e.codes[j.j]
+          CROSS JOIN q
+          WHERE e.vec_id <> 0)
+        SELECT vec_id, round(SUM(dd), 6) AS adc
+        FROM parts GROUP BY vec_id
+        ORDER BY adc, vec_id
+        LIMIT 10""")),
+
+    // IVF-PQ search over one persisted corpus carrying BOTH reductions
+    // (cluster partitions + m-byte codes): probe -> ADC shortlist ->
+    // exact-dot rerank, each stage replayed by the oracle.
+    "q70_ivfpq_search_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        val emb = t(s, dir, "embeddings")
+        val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
+        val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
+        Ivf.saveCentroids(cat, "ann.q70_centroids", cents)
+        Pq.saveCodebooks(cat, "ann.q70_codebooks", cb)
+        cat.save(Pq.encode(Ivf.assign(emb, cents), cb), "ann.q70_corpus",
+          partitionBy = Seq("cluster"))
+        val corpus = cat.load("ann.q70_corpus")
+        val qv = corpus.filter(col("vec_id") === 0L).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+        Pq.ivfPqTopKVec(corpus.filter(col("vec_id") =!= 0L),
+          Ivf.loadCentroids(cat, "ann.q70_centroids"),
+          Pq.loadCodebooks(cat, "ann.q70_codebooks"),
+          qv, topK = 10, nProbe = 3, shortlist = 10)
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT CAST(cluster AS BIGINT) AS cluster, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('$AnnOracleRoot/ann/q70_centroids/*.parquet')),
+        cb AS (
+          SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('$AnnOracleRoot/ann/q70_codebooks/*.parquet')),
+        corpus AS (
+          SELECT vec_id, codes, CAST(embedding AS DOUBLE[]) AS v, CAST(cluster AS BIGINT) AS cluster
+          FROM read_parquet('$AnnOracleRoot/ann/q70_corpus/*/*.parquet', hive_partitioning=true)),
+        q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
+        probes AS (
+          SELECT cluster FROM cents, q
+          ORDER BY list_distance(c, qv), cluster LIMIT 3),
+        cells AS (
+          SELECT * FROM corpus
+          WHERE cluster IN (SELECT cluster FROM probes) AND vec_id <> 0),
+        parts AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(range(1, 9), d ->
+              (q.qv[(j.j - 1) * 8 + d] - cb.c[d]) * (q.qv[(j.j - 1) * 8 + d] - cb.c[d]))) AS dd
+          FROM cells e
+          CROSS JOIN range(1, 9) AS j(j)
+          JOIN cb ON cb.sub = j.j - 1 AND cb.code = e.codes[j.j]
+          CROSS JOIN q),
+        adc AS (
+          SELECT vec_id, round(SUM(dd), 6) AS adc
+          FROM parts GROUP BY vec_id),
+        short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 100)
+        SELECT c.vec_id, round(list_inner_product(c.v, q.qv), 6) AS score
+        FROM cells c JOIN short s ON c.vec_id = s.vec_id, q
+        ORDER BY score DESC, c.vec_id
+        LIMIT 10"""))
   )
+
+  /** Root for the persisted ANN search artifacts (q68-q70), keyed by the
+    * scale-factor directory leaf so verify/bench runs at different SFs
+    * never clobber each other's artifacts. Lives under /tmp because the
+    * oracle's DuckDB process reads the same files by absolute path. */
+  private def annRoot(dir: String): String =
+    s"/tmp/graft_ann/${new java.io.File(dir).getName}"
+
+  /** The artifact root the ORACLE SQL reads — the driver's correctness
+    * gate always runs at sf0.01, so the literal is fixed there;
+    * tools/selfcheck.py rewrites the leaf when sweeping other SFs.
+    * (def, not val: `defs` above initializes first — NOTES round-7.) */
+  private def AnnOracleRoot = "/tmp/graft_ann/sf0.01"
 
   /** Source facts and the deterministically degraded downstream copy
     * (every 97th row dropped, every 101st value doubled — the reference's

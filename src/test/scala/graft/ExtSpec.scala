@@ -1067,14 +1067,17 @@ class ExtSpec extends SparkSpec {
     val cb2 = Pq.loadCodebooks(catalog, "ann.codebooks")
     assert(cb2.subDim == cb.subDim &&
       cb2.books.flatten.flatten.toSeq == cb.books.flatten.flatten.toSeq)
-    // ADC score equals the driver-side table sum for a spot row
+    // ADC score equals the driver-side table sum for a spot row (the
+    // column rounds to 6 like every search-score surface, so round the
+    // replica the same way — Spark round is HALF_UP)
     val q0 = emb.filter($"vec_id" === 0L).head().getSeq[Float](1).map(_.toDouble).toArray
     val tab = Pq.adcTable(q0, cb)
     val spot = Pq.pqTopKVec(enc, q0, cb, 1).head()
     val spotCodes = codes.toMap.apply(spot.getLong(0))
     val expect = spotCodes.zipWithIndex.map { case (c, j) => tab(j * cb.k + c) }
       .foldLeft(0.0)(_ + _)
-    assert(spot.getDouble(1) == expect)
+    assert(spot.getDouble(1) ==
+      BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     // recall vs exact cosine top-10 (unit vectors: L2 order = cosine
     // order): ADC alone is the 32x-compressed shortlist; shortlist+exact
     // rerank recovers ≥0.9 — deterministic training makes these stable
