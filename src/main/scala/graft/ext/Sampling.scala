@@ -214,6 +214,12 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** The keep-predicate of [[mixtureSample]] for a single rate — the unit
+    * the SQL surface exposes as `graft_mixture_keep(key, rate)`. Same
+    * salted bucket, same nested-threshold determinism contract. */
+  def mixtureKeep(key: Column, rate: Double): Column =
+    mixtureBucket(key) < lit(rateThreshold(rate))
+
   /** The salted 8-hex-digit sampling bucket shared by [[mixtureSample]]
     * and [[mixtureWeight]]'s fractional part. A null key has no
     * well-defined deterministic draw — it would otherwise hash to null

@@ -58,3 +58,49 @@ object AnyInSet {
   def apply(arr: Column, values: Seq[String]): Column =
     GraftColumnBridge.column(AnyInSet(GraftColumnBridge.expression(arr), values))
 }
+
+/** [[AnyInSet]] with the reference set behind a BROADCAST variable instead
+  * of a plan literal. The plan-literal form serializes the whole set into
+  * every task binary (measured ~linear: ~87 MB of task bytes per 10^6
+  * 13-gram strings, re-shipped per task); this form ships a small handle
+  * and the torrent broadcast moves the set once per EXECUTOR — the right
+  * encoding once the set stops being trivially small. Same probe
+  * semantics, same memoized per-instance hash set. */
+case class AnyInSetBc(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"any_in_set requires array<string>, got $t")
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val values = bc.value
+    val s = new java.util.HashSet[UTF8String](math.max(16, values.length * 2))
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i)))
+        return java.lang.Boolean.TRUE
+      i += 1
+    }
+    java.lang.Boolean.FALSE
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnyInSetBc =
+    copy(child = newChild)
+}
+
+object AnyInSetBc {
+  def apply(arr: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[String]]): Column =
+    GraftColumnBridge.column(AnyInSetBc(GraftColumnBridge.expression(arr), bc))
+}

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.textMetricsFunction)
     ext.injectFunction(GraftExtensions.repetitionMetricsFunction)
     ext.injectFunction(GraftExtensions.wordNgramsFunction)
+    ext.injectFunction(GraftExtensions.hashSplitFunction)
+    ext.injectFunction(GraftExtensions.mixtureKeepFunction)
   }
 }
 
@@ -81,6 +83,46 @@ object GraftExtensions {
   private def intLit(e: Expression, fn: String): Int =
     if (e.foldable) e.eval().asInstanceOf[Number].intValue()
     else throw new IllegalArgumentException(s"$fn: parameter must be a literal integer")
+
+  private def doubleLit(e: Expression, fn: String): Double =
+    if (e.foldable) e.eval() match {
+      // SQL fraction literals fold to Catalyst Decimal, not j.l.Number
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter must be a literal number, got $other")
+    }
+    else throw new IllegalArgumentException(s"$fn: parameter must be a literal number")
+
+  /** graft_hash_split(key[, trainPct, valPct]) → 'train'|'val'|'test' —
+    * the SQL surface of [[graft.ext.Sampling.hashSplit]] (composite
+    * expression, same fixed hex thresholds, defaults 0.90/0.05). */
+  private def hashSplitBuilder(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.GraftColumnBridge
+    args match {
+      case Seq(k) => GraftColumnBridge.tree(
+        graft.ext.Sampling.hashSplit(GraftColumnBridge.column(k)))
+      case Seq(k, tr, va) => GraftColumnBridge.tree(
+        graft.ext.Sampling.hashSplit(GraftColumnBridge.column(k),
+          doubleLit(tr, "graft_hash_split"), doubleLit(va, "graft_hash_split")))
+      case _ => throw new IllegalArgumentException(
+        "graft_hash_split expects (key[, trainPct, valPct])")
+    }
+  }
+
+  /** graft_mixture_keep(key, rate) → boolean — the SQL surface of
+    * [[graft.ext.Sampling.mixtureKeep]] (salted deterministic sampling
+    * predicate; nested thresholds, null keys raise). */
+  private def mixtureKeepBuilder(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.GraftColumnBridge
+    args match {
+      case Seq(k, r) => GraftColumnBridge.tree(
+        graft.ext.Sampling.mixtureKeep(GraftColumnBridge.column(k),
+          doubleLit(r, "graft_mixture_keep")))
+      case _ => throw new IllegalArgumentException(
+        "graft_mixture_keep expects (key, rate)")
+    }
+  }
 
   /** graft_hyperplane_lsh(vec, nPlanes[, nTables[, planeOffset]]) →
     * array<long> of sign-bit buckets (see [[HyperplaneLsh]]). */
@@ -145,6 +187,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
     wordNgramsBuilder _)
 
+  val hashSplitFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hash_split"),
+    new ExpressionInfo(graft.ext.Sampling.getClass.getName, "graft_hash_split"),
+    hashSplitBuilder _)
+
+  val mixtureKeepFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_mixture_keep"),
+    new ExpressionInfo(graft.ext.Sampling.getClass.getName, "graft_mixture_keep"),
+    mixtureKeepBuilder _)
+
   /** Idempotent per-session registration for SQL-string use. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -158,5 +210,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_text_metrics", textMetricsBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_repetition_metrics", repetitionMetricsBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_word_ngrams", wordNgramsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_hash_split", hashSplitBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_mixture_keep", mixtureKeepBuilder, "built-in")
   }
 }

@@ -347,13 +347,16 @@ object ExtQ {
     // production configuration whose candidate volume stays linear in the
     // corpus. Benched to show the sizing live at sf0.1; correctness is
     // checked against the same exhaustive-pair oracle as q35 (full recall
-    // of the auto config on the verify corpora). Beyond them the default
-    // 0.98 recall target means threshold-GRAZING pairs can drop by design:
-    // the sf0.1 corpus (not oracle-gated) measures 142/144 = 98.6%,
-    // matching the target; callers needing completeness pass
-    // targetRecall = 0.999 (test-asserted to reach full recall there).
+    // of the auto config on the verify corpora). The registry entry pins
+    // targetRecall = 0.999 — the completeness setting a DEDUP use actually
+    // wants (a missed near-dup pair is a kept duplicate): the sf0.1 sweep
+    // recovers 144/144 pairs there (test-asserted), where the library
+    // default 0.98 left the designed ~2% of threshold-GRAZING pairs
+    // (142/144 measured, three rounds running). The stricter target costs
+    // more tables at the same depth — bench delta recorded in NOTES r8.
     "q42_embedding_neardup_auto" -> QueryDef(
-      (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.45),
+      (s, dir) => Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.45,
+        targetRecall = 0.999),
       Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

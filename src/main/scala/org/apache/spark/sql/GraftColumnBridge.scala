@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column → full expression TREE, for SQL-function builders that compose
+    * `functions._` columns ([[graft.functions.GraftExtensions]]'s
+    * graft_hash_split / graft_mixture_keep): unlike [[expression]] — which
+    * wraps a composed column as one opaque, unevaluable
+    * ColumnNodeExpression leaf — this converts the column node graph into
+    * an ordinary analyzable tree whose UnresolvedFunction nodes the
+    * analyzer resolves like any parsed SQL. */
+  def tree(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

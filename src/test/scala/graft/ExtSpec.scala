@@ -308,6 +308,43 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface exposes the sampling family (graft_hash_split, graft_mixture_keep)") {
+    graft.functions.GraftExtensions.register(spark)
+    val ids = spark.range(2000).select($"id")
+    ids.createOrReplaceTempView("sampling_ids")
+    // hash_split: SQL and column forms assign every row identically, at
+    // the defaults and at explicit percentages
+    val viaSql = spark.sql(
+      "SELECT id, graft_hash_split(id) AS s, graft_hash_split(id, 0.5, 0.25) AS s2 " +
+        "FROM sampling_ids").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val viaCols = ids.select($"id", Sampling.hashSplit($"id").as("s"),
+        Sampling.hashSplit($"id", 0.5, 0.25).as("s2")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(viaSql.toSeq == viaCols.toSeq)
+    assert(viaSql.map(_._2).toSet == Set("train", "val", "test"))
+    // mixture_keep: same kept set as the column predicate, and nested
+    // (raising the rate only grows the kept set)
+    val keptSql = spark.sql(
+      "SELECT id FROM sampling_ids WHERE graft_mixture_keep(id, 0.35)")
+      .collect().map(_.getLong(0)).toSet
+    val keptCols = ids.filter(Sampling.mixtureKeep($"id", 0.35))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptSql == keptCols && keptSql.nonEmpty)
+    val keptMore = spark.sql(
+      "SELECT id FROM sampling_ids WHERE graft_mixture_keep(id, 0.7)")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptSql.subsetOf(keptMore))
+    // invalid literals fail loudly through the same validation as the
+    // column forms; non-literal rates are rejected
+    intercept[Exception] {
+      spark.sql("SELECT graft_hash_split(id, 0.9, 0.2) FROM sampling_ids").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_mixture_keep(id, rand()) FROM sampling_ids").collect()
+    }
+  }
+
   test("Similarity: ANN buckets are deterministic and recall is measurable") {
     val emb = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))).toDF("vec_id", "embedding")
@@ -1267,5 +1304,36 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(50L, 51L))
     assert(Decontaminate.decontaminate(withNull, $"id", $"text", refNg, 4)
       .collect().map(_.getLong(0)).toSet == Set(50L, 51L))
+  }
+
+  test("contaminationPredicate routes big sets to the broadcast encoding " +
+      "and fails loudly past the collectable ceiling") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text")
+    val evalDocs = docs.filter($"doc_id" % 50 === 0)
+    val trainDocs = docs.filter($"doc_id" % 50 =!= 0)
+    val refNg = Decontaminate.evalNgrams(evalDocs, $"text", 4)
+    val exact = Decontaminate.contaminatedIds(trainDocs, $"doc_id", $"text", refNg, 4)
+      .collect().map(_.getLong(0)).toSet
+    // pad the reference set past the plan-literal cutover with n-grams
+    // that can match nothing: the predicate must switch to the
+    // broadcast-backed probe and still flag exactly the join form's ids
+    val pad = spark.range(12000)
+      .select(concat(lit("zz"), $"id", lit(" qq xx yy")).as("ngram"))
+    val bigNg = refNg.unionAll(pad)
+    val probed = trainDocs
+      .filter(Decontaminate.contaminationPredicate(bigNg, $"text", 4))
+    assert(probed.queryExecution.sparkPlan.toString.contains("anyinsetbc"),
+      "big reference set did not take the broadcast encoding")
+    assert(probed.collect().map(_.getLong(0)).toSet == exact)
+    // past the ceiling: a loud, immediate failure pointing at the Bloom
+    // form — BEFORE any driver-side collect of the set (a count, not an
+    // OOM; 10^7+1 synthetic rows here never materialize on the driver)
+    val tooBig = spark.range(10000001L).select($"id".cast("string").as("ngram"))
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.contaminationPredicate(tooBig, $"text", 4)
+    }
+    assert(e.getMessage.contains("contaminatedIdsBloom"))
   }
 }
