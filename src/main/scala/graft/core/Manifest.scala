@@ -324,8 +324,9 @@ private[core] object Manifest {
       fs.delete(new Path(d, s".${tmp.getName}.crc"), false)
     } else {
       // non-local stores: delete+rename (HDFS rename won't overwrite).
-      // The window is a crash risk only for stores without atomic
-      // replace; vacuum is maintenance and can be re-run.
+      // A concurrent reader that opens `version` inside the window is
+      // covered by read()'s one-shot FileNotFound retry; a crash inside
+      // it is recoverable maintenance (vacuum re-runs the checkpoint).
       fs.delete(dest, false)
       if (!fs.rename(tmp, dest))
         throw new java.io.IOException(s"checkpoint rename refused for $dest")

@@ -250,6 +250,25 @@ class OpsSpec extends SparkSpec {
     assert(rd.count() > 0)
   }
 
+  test("q68/q70 persisted ANN search plans prune to the probed cluster partitions") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // the registry queries persist the clustered corpus themselves, so the
+    // probe filter must reach the parquet scan as a PARTITION filter and
+    // read at most nProbe = 3 cell directories — the inverted-file lookup
+    // expressed as partition pruning, pinned on the actual registry plans
+    for (name <- Seq("q68_ivf_search_persisted", "q70_ivfpq_search_persisted")) {
+      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }
+      assert(scans.nonEmpty, s"$name: no partition-pruned scan in the plan")
+      assert(scans.forall(_.selectedPartitions.partitionCount <= 3),
+        s"$name read ${scans.map(_.selectedPartitions.partitionCount)} cells, want <= 3")
+      assert(df.count() > 0)
+    }
+  }
+
   test("q55-q57 curation plans: no single-partition window, keyed exchanges only") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     val dir = "/root/testdata/sf0.001"
