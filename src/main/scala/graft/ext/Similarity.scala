@@ -295,19 +295,26 @@ object Similarity {
     * recall and deep pruning, and this function makes that trade explicit
     * instead of silently emitting Θ(n²) candidates.
     *
-    * TIGHT thresholds (p ≥ 0.8, i.e. cosine ≳ 0.81) afford buckets DEEPER
-    * than the corpus-size floor: each extra plane halves a table's random
-    * bucket collisions but only grows the recall-solving table count by
-    * ~1/p ≤ 1.25× — a net candidate reduction of ≥ 1.6× per plane — so the
-    * depth is chosen by minimizing an explicit per-vector cost proxy
-    * `tables·(planes + 4·n/2^(planes+1))`: the first term is the projection
-    * work (one dot per plane per table), the second the expected random
-    * same-bucket candidates per table, weighted 4× because a candidate
-    * costs its rerank dot PLUS join/shuffle machinery. Below p = 0.8 the
-    * table count grows ≥ 1.56× per plane and deepening trades candidate
-    * volume for projection and bucket-table cost near 1:1 — there the
-    * bucket-rows floor (linear candidates) already is the right depth, and
-    * the sizing stays exactly as documented above. */
+    * The depth may then DEEPEN past the corpus-size floor: each extra
+    * plane halves a table's random bucket collisions while growing the
+    * recall-solving table count by only ~1/p per plane, so the final depth
+    * is the minimizer of an explicit per-vector cost proxy
+    * `tables·(planes + 4·n/2^(planes+1))` over every recall-feasible depth
+    * at or past the floor (tables still capped): the first term is the
+    * projection work (one dot per plane per table), the second the
+    * expected random same-bucket candidates per table, weighted 4× because
+    * a candidate costs its rerank dot PLUS join/shuffle machinery. In the
+    * TIGHT regime (p ≥ 0.8, cosine ≳ 0.81) deepening wins ≥ 1.6× per
+    * plane; in the LOOSE regime the table count grows faster (≥ 1.56× per
+    * plane) yet the minimizer still finds real wins wherever the table cap
+    * is not already binding — measured at sf0.1 (n = 2000, threshold
+    * 0.45, recall 0.999): the floor config (2 planes, 13 tables) runs the
+    * q42 sweep in 3.5 s where the minimizer's (5, 57) takes 2.4 s with
+    * identical pairs, because the raw bucket-join volume (Σ|bucket|² per
+    * table) nearly halves even while the distinct candidate set barely
+    * moves on a near-saturated small corpus. For huge corpora at loose
+    * thresholds the cap binds and the minimizer degenerates to the
+    * cap-dropped floor — the explicit recall-beats-pruning trade above. */
   def lshParams(n: Long, threshold: Double, targetRecall: Double = 0.98,
       targetBucketRows: Long = 1024L, maxTables: Int = 64): (Int, Int) = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
@@ -320,14 +327,14 @@ object Similarity {
     var planes = math.min(24, math.max(2,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
     while (planes > 2 && tablesFor(planes) > maxTables) planes -= 1
-    if (p >= 0.8) {
-      // tight regime: deepen past the floor to the cost-proxy minimizer
-      // over every recall-feasible depth (tables still capped)
-      def cost(k: Int): Double =
-        tablesFor(k).toDouble * (k + 4.0 * n / math.pow(2.0, k + 1))
-      val feasible = (planes to 24).filter(k => tablesFor(k) <= maxTables)
-      if (feasible.nonEmpty) planes = feasible.minBy(cost)
-    }
+    // deepen past the floor to the cost-proxy minimizer over every
+    // recall-feasible depth (tables still capped) — all regimes; where the
+    // cap already binds the floor is the only feasible depth and nothing
+    // changes
+    def cost(k: Int): Double =
+      tablesFor(k).toDouble * (k + 4.0 * n / math.pow(2.0, k + 1))
+    val feasible = (planes to 24).filter(k => tablesFor(k) <= maxTables)
+    if (feasible.nonEmpty) planes = feasible.minBy(cost)
     (planes, math.max(1, math.min(maxTables, tablesFor(planes))))
   }
 

@@ -702,6 +702,19 @@ class ExtSpec extends SparkSpec {
     assert(1.0 - math.pow(1.0 - math.pow(p, pBig), tBig) >= 0.98 - 1e-9)
   }
 
+  test("lshParams deepens past the corpus floor in the loose regime when the cap allows") {
+    // n=2000 at threshold 0.45 (the q42 shape at sf0.1): the bucket-rows
+    // floor is 2 planes, but the cost proxy buys deeper buckets with more
+    // tables — the raw bucket-join volume (Σ|bucket|² per table) nearly
+    // halves, measured 3.5 s → 2.4 s on the sf0.1 sweep (round 8)
+    val (k, t) = Similarity.lshParams(2000L, 0.45, targetRecall = 0.999)
+    assert(k > 2, s"expected deeper than the 2-plane floor, got $k")
+    assert(t <= 64)
+    // recall is still solved at the deeper depth
+    val p45 = 1.0 - math.acos(0.45) / math.Pi
+    assert(1.0 - math.pow(1.0 - math.pow(p45, k), t) >= 0.999 - 1e-9)
+  }
+
   test("LSH candidate volume grows linearly, not quadratically, under auto sizing") {
     def corpus(n: Int) = {
       val rnd = new scala.util.Random(42)
