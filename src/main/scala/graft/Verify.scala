@@ -44,8 +44,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The ANN-artifact oracles (q68-q70) carry a placeholder for the
+    // persisted-artifact directory; resolve it against THIS run's sf dir
+    // so the dumped SQL always reads where the engine actually wrote.
+    val annDir = graft.queries.ExtQ.annRoot(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.queries.ExtQ.AnnOracleRoot, annDir))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -353,8 +353,19 @@ final class Catalog(val spark: SparkSession, root: String) {
     val live = retained.flatMap(v => Manifest.read(fs, tableRoot, v).files).toSet
     // committed-then-superseded files (referenced by SOME snapshot) are
     // governed by the retention window alone; never-referenced files get
-    // the orphan age grace
-    val referenced = versions.flatMap(v => Manifest.read(fs, tableRoot, v).files).toSet
+    // the orphan age grace. A NON-retained version may vanish mid-loop
+    // when a concurrent vacuum reclaims it (its guard only deletes
+    // versions older than its own retention window) — skip it: its files
+    // are either referenced by newer snapshots or age into orphans, which
+    // is the outcome the other vacuum was driving at anyway. A RETAINED
+    // version stays load-bearing (the `live` set must be complete), so
+    // those reads keep failing loudly.
+    val referenced = versions.flatMap { v =>
+      try Manifest.read(fs, tableRoot, v).files
+      catch {
+        case _: java.io.FileNotFoundException if !retained.contains(v) => Nil
+      }
+    }.toSet
     // a retained DELTA snapshot resolves through its base chain; any chain
     // link older than the retention window is about to be reclaimed, so
     // fold such snapshots into full manifests first (atomic in-place
@@ -394,15 +405,27 @@ final class Catalog(val spark: SparkSession, root: String) {
       // sweeps them too so an idle table does not keep one forever
       val stale =
         System.currentTimeMillis() - s.getModificationTime > Manifest.LockStaleMs
-      val manifestVersion =
-        if (n.startsWith("v") && n.endsWith(".manifest")) {
-          val digits = n.stripPrefix("v").stripSuffix(".manifest")
-          if (digits.nonEmpty && digits.forall(_.isDigit)) Some(digits.toLong) else None
-        } else None
+      val manifestVersion = Manifest.parseVersion(n)
       if ((n.endsWith(".lock") && stale) ||
           manifestVersion.exists(_ < oldestRetained) ||
           (n.startsWith(".tmp-") && stale)) {
         if (fs.delete(s.getPath, false)) removed += 1
+      } else if (n.endsWith(".manifest.ckpt")) {
+        // checkpoint sidecar (non-atomic-store replace protection): gone
+        // with its version when reclaimable; for a retained version, a
+        // STALE sidecar is either a crashed replace's durable copy (the
+        // canonical file is missing — repair it back into place) or a
+        // leftover from a completed one (canonical exists — drop it). A
+        // fresh sidecar may be a LIVE checkpoint mid-replace; leave it.
+        Manifest.parseVersion(n.stripSuffix(".ckpt")).foreach { v =>
+          val main = new Path(s.getPath.getParent, n.stripSuffix(".ckpt"))
+          if (v < oldestRetained) {
+            if (fs.delete(s.getPath, false)) removed += 1
+          } else if (stale) {
+            if (!fs.exists(main)) fs.rename(s.getPath, main)
+            else if (fs.delete(s.getPath, false)) removed += 1
+          }
+        }
       }
     }
     removed

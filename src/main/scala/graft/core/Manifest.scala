@@ -81,7 +81,12 @@ private[core] object Manifest {
     * manifest-committed. */
   val DirName = "_manifests"
   private val Header = "graft-manifest-v1"
-  private val DeltaHeader = "graft-manifest-v2"
+  /** Delta header written before the checksum covered the `base=` line —
+    * still READ (its checksum verifies over the added lines only) so
+    * tables committed by earlier releases stay readable; never written. */
+  private val DeltaHeaderV2 = "graft-manifest-v2"
+  /** Delta header written now: the checksum covers `base=` + added lines. */
+  private val DeltaHeader = "graft-manifest-v3"
 
   /** A delta chain is folded into a full snapshot once it reaches this
     * depth, bounding read-side resolution to at most this many small
@@ -92,15 +97,35 @@ private[core] object Manifest {
 
   private def fileName(version: Long) = f"v$version%020d.manifest"
 
+  /** The single authority for the `v<digits>.manifest` naming convention:
+    * the parsed version, or None for any other file (locks, `.tmp-*`
+    * in-flight writes, foreign droppings). Both [[versions]] and the
+    * Catalog's vacuum sweep route through this, so a malformed name is
+    * consistently IGNORED everywhere rather than tolerated by one reader
+    * and crashing another. */
+  def parseVersion(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".manifest")) {
+      val digits = name.stripPrefix("v").stripSuffix(".manifest")
+      // canonical names are zero-padded to 20 digits; leading zeros are
+      // fine for toLong, and a digit string too large for Long is foreign
+      if (digits.nonEmpty && digits.forall(_.isDigit))
+        scala.util.Try(digits.toLong).toOption
+      else None
+    } else None
+
   /** All committed snapshot versions, ascending. In-flight `.tmp-*` files
-    * are not commits and are ignored. */
+    * are not commits and are ignored. A version is also visible through
+    * its `.ckpt` sidecar alone — on non-atomic stores [[checkpoint]]
+    * publishes the sidecar before replacing the manifest, so a version
+    * mid-replace (or whose replace crashed) never vanishes from listings
+    * (a concurrent vacuum that missed it would mis-classify its unique
+    * files as orphans). */
   def versions(fs: FileSystem, table: Path): Seq[Long] = {
     val d = dir(table)
     if (!fs.exists(d)) return Nil
     fs.listStatus(d).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
-      .sorted.toSeq
+      .flatMap(n => parseVersion(n.stripSuffix(".ckpt")))
+      .distinct.sorted.toSeq
   }
 
   /** Latest committed snapshot, if any. */
@@ -119,12 +144,21 @@ private[core] object Manifest {
   private def read(fs: FileSystem, table: Path, version: Long,
       retried: Boolean): Snapshot = {
     // On stores without an atomic replace, [[checkpoint]]'s delete+rename
-    // leaves a momentary window where a RETAINED, committed manifest does
-    // not exist. One short-backoff retry covers it (the window is a single
-    // small-file rename); a manifest still missing after the retry is
-    // genuinely gone and the error propagates.
-    val in =
+    // leaves a momentary window where the canonical manifest file does not
+    // exist — but the `.ckpt` sidecar (published before the delete) does,
+    // and carries the identical resolved content; fall back to it. The
+    // short-backoff retry then covers the sliver between the two opens;
+    // a version missing in BOTH forms after the retry is genuinely gone
+    // and the error propagates.
+    def openEither(): org.apache.hadoop.fs.FSDataInputStream =
       try fs.open(new Path(dir(table), fileName(version)))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          try fs.open(new Path(dir(table), fileName(version) + ".ckpt"))
+          catch { case _: java.io.FileNotFoundException => throw e }
+      }
+    val in =
+      try openEither()
       catch {
         case _: java.io.FileNotFoundException if !retried =>
           Thread.sleep(50)
@@ -133,7 +167,8 @@ private[core] object Manifest {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
-    val isDelta = lines.headOption.contains(DeltaHeader)
+    val isDeltaV3 = lines.headOption.contains(DeltaHeader)
+    val isDelta = isDeltaV3 || lines.headOption.contains(DeltaHeaderV2)
     require(isDelta || lines.headOption.contains(Header),
       s"unrecognized manifest header in $table v$version")
     val partitions = lines(1).stripPrefix("partitions=") match {
@@ -148,12 +183,14 @@ private[core] object Manifest {
     val files = lines.drop(bodyAt)
     // the rename publish is atomic, but storage can still rot: a snapshot
     // whose file list no longer matches its checksum must fail the read,
-    // not silently drop table content. A delta's checksum covers its
+    // not silently drop table content. A v3 delta's checksum covers its
     // `base=` line AND its added lines — a flipped digit in the base
     // pointer would otherwise resolve through the wrong (checksum-valid)
     // chain and silently yield an incorrect file set; the base chain's
-    // CONTENT is protected by its own checksums.
-    val checked = if (isDelta) lines(3) +: files else files
+    // CONTENT is protected by its own checksums. v2 deltas (earlier
+    // releases) checksummed the added lines only — verified as written,
+    // so existing tables stay readable.
+    val checked = if (isDeltaV3) lines(3) +: files else files
     val expected = lines(bodyAt - 1).stripPrefix("checksum=")
     if (crc(checked) != expected)
       throw new java.io.IOException(
@@ -309,10 +346,11 @@ private[core] object Manifest {
     if (snap.base.isEmpty) return snap
     val d = dir(table)
     val dest = new Path(d, fileName(version))
+    val content = body(snap.partitions, snap.lastBatchId, Right(snap.files))
+      .getBytes("UTF-8")
     val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(body(snap.partitions, snap.lastBatchId, Right(snap.files))
-      .getBytes("UTF-8"))
+    try out.write(content)
     finally out.close()
     if (fs.getUri.getScheme == "file") {
       import java.nio.file.{Files, Paths, StandardCopyOption => O}
@@ -323,13 +361,26 @@ private[core] object Manifest {
       fs.delete(new Path(d, s".${fileName(version)}.crc"), false)
       fs.delete(new Path(d, s".${tmp.getName}.crc"), false)
     } else {
-      // non-local stores: delete+rename (HDFS rename won't overwrite).
-      // A concurrent reader that opens `version` inside the window is
-      // covered by read()'s one-shot FileNotFound retry; a crash inside
-      // it is recoverable maintenance (vacuum re-runs the checkpoint).
+      // Non-local stores: HDFS rename won't overwrite, so the replace is
+      // delete+rename — which alone would leave a window where this
+      // RETAINED, committed version has no file at all. A reader's open
+      // is covered by read()'s retry, but a concurrent LISTING
+      // (versions()/latest(), another vacuum's entry scan) would silently
+      // miss the version: stale latest() at best, a concurrent vacuum
+      // mis-classifying the version's unique data files as orphans at
+      // worst. So the full body is FIRST published to a `.ckpt` sidecar:
+      // at every instant at least one of {manifest, sidecar} exists, and
+      // versions()/read() consult both. A crash inside the window leaves
+      // the sidecar as the durable copy — read() serves from it, and
+      // vacuum repairs it back to the canonical name once it is stale.
+      val ckpt = new Path(d, fileName(version) + ".ckpt")
+      val out2 = fs.create(ckpt, true)
+      try out2.write(content)
+      finally out2.close()
       fs.delete(dest, false)
       if (!fs.rename(tmp, dest))
         throw new java.io.IOException(s"checkpoint rename refused for $dest")
+      fs.delete(ckpt, false)
     }
     snap.copy(base = None, depth = 0)
   }

@@ -124,13 +124,20 @@ object Decontaminate {
     * [[contaminatedIdsBloom]] — the form whose train side never holds
     * the reference set in one heap. */
   def contaminationPredicate(evalNg: DataFrame, text: Column, n: Int): Column = {
-    val total = evalNg.count()
-    require(total <= PredicateMaxNgrams,
-      s"contaminationPredicate: $total eval n-grams exceeds the " +
-        s"driver-collectable ceiling of $PredicateMaxNgrams — use " +
-        "contaminatedIdsBloom (scan-time Bloom prune + exact semi-join) " +
-        "for reference sets this large")
-    val items = evalNg.collect().map(_.getString(0))
+    // the ceiling guard (count) and the collect both execute the eval
+    // pipeline — typically an explode + distinct shuffle; persist so the
+    // plan materializes once, not twice per predicate construction
+    val cached = evalNg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items =
+      try {
+        val total = cached.count()
+        require(total <= PredicateMaxNgrams,
+          s"contaminationPredicate: $total eval n-grams exceeds the " +
+            s"driver-collectable ceiling of $PredicateMaxNgrams — use " +
+            "contaminatedIdsBloom (scan-time Bloom prune + exact semi-join) " +
+            "for reference sets this large")
+        cached.collect().map(_.getString(0))
+      } finally cached.unpersist()
     val probe =
       if (items.length <= PredicateLiteralMax)
         graft.functions.AnyInSet(ngrams(text, n), items.toIndexedSeq)

@@ -1241,16 +1241,28 @@ object ExtQ {
 
   /** Root for the persisted ANN search artifacts (q68-q70), keyed by the
     * scale-factor directory leaf so verify/bench runs at different SFs
-    * never clobber each other's artifacts. Lives under /tmp because the
-    * oracle's DuckDB process reads the same files by absolute path. */
-  private def annRoot(dir: String): String =
-    s"/tmp/graft_ann/${new java.io.File(dir).getName}"
+    * never clobber each other's artifacts. Defaults under /tmp because
+    * the oracle's DuckDB process reads the same files by absolute path;
+    * override the base with the `graft.ann.root` system property or the
+    * `SPARK_GRAFT_ANN_ROOT` env var (e.g. to isolate concurrent runs at
+    * the SAME scale factor, which would otherwise overwrite each other's
+    * artifacts mid-query). This is the ONE path authority: the oracle SQL
+    * carries [[AnnOracleRoot]] as a placeholder and `graft.Verify`
+    * substitutes this resolved value at dump time. */
+  private[graft] def annRoot(dir: String): String = {
+    val base = sys.props.get("graft.ann.root")
+      .orElse(sys.env.get("SPARK_GRAFT_ANN_ROOT"))
+      .getOrElse("/tmp/graft_ann")
+    s"$base/${new java.io.File(dir).getName}"
+  }
 
-  /** The artifact root the ORACLE SQL reads — the driver's correctness
-    * gate always runs at sf0.01, so the literal is fixed there;
-    * tools/selfcheck.py rewrites the leaf when sweeping other SFs.
-    * (def, not val: `defs` above initializes first — NOTES round-7.) */
-  private def AnnOracleRoot = "/tmp/graft_ann/sf0.01"
+  /** Placeholder the ORACLE SQL carries for the artifact root; `Verify`
+    * replaces it with [[annRoot]] of the actual sf dir when dumping
+    * oracle_sql.json, so the dumped SQL always points where the engine
+    * actually wrote — no baked-in scale-factor leaf, no downstream
+    * rewrites. (def, not val: `defs` above initializes first — NOTES
+    * round-7.) */
+  private[graft] def AnnOracleRoot = "__GRAFT_ANN_DIR__"
 
   /** Source facts and the deterministically degraded downstream copy
     * (every 97th row dropped, every 101st value doubled — the reference's

@@ -283,14 +283,14 @@ class HealingSpec extends SparkSpec {
     // first commit is a full snapshot; every later append stores only its
     // own files behind a base pointer — O(batch) metadata per micro-batch
     assert(header(1L) == "graft-manifest-v1")
-    (2L to 4L).foreach(v => assert(header(v) == "graft-manifest-v2"))
+    (2L to 4L).foreach(v => assert(header(v) == "graft-manifest-v3"))
     assert(catalog.load("output.delta").count() == 4)
     // vacuum reclaims v1/v2; v3 resolved through them, so it is folded into
     // a full manifest in place — both retained versions stay readable
     catalog.vacuum("output.delta")
     assert(catalog.snapshotVersions("output.delta") == Seq(3L, 4L))
     assert(header(3L) == "graft-manifest-v1")
-    assert(header(4L) == "graft-manifest-v2")
+    assert(header(4L) == "graft-manifest-v3")
     assert(catalog.load("output.delta", 3L).count() == 3)
     assert(catalog.load("output.delta").count() == 4)
     // vacuum also sweeps stale writer locks (a live-looking one survives)
@@ -303,6 +303,38 @@ class HealingSpec extends SparkSpec {
     catalog.vacuum("output.delta")
     assert(!fs.exists(stale) && fs.exists(fresh))
     fs.delete(fresh, false)
+  }
+
+  test("a checkpoint sidecar keeps the version visible; vacuum repairs a crashed replace") {
+    for (i <- 0 until 3)
+      catalog.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v"), "output.ckpt",
+        batchId = Some(i.toLong))
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/output/ckpt/_manifests")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new org.apache.hadoop.fs.Path(mdir, f"v${3L}%020d.manifest")
+    val ckpt = new org.apache.hadoop.fs.Path(mdir, f"v${3L}%020d.manifest.ckpt")
+    // simulate a non-atomic store's replace crashing between delete and
+    // rename: the sidecar (published first) is the only copy of v3
+    assert(fs.rename(main, ckpt))
+    // the version never vanishes from listings, and reads serve from the
+    // sidecar — a concurrent vacuum cannot mis-classify v3's files as
+    // orphans, and latest() cannot silently fall back to v2
+    assert(catalog.snapshotVersions("output.ckpt") == Seq(1L, 2L, 3L))
+    assert(catalog.load("output.ckpt").count() == 3)
+    // a FRESH sidecar may be a live checkpoint mid-replace: left alone
+    catalog.vacuum("output.ckpt", retainLast = 3)
+    assert(fs.exists(ckpt) && !fs.exists(main))
+    // once stale it is a crashed replace's durable copy: repaired in place
+    fs.setTimes(ckpt, System.currentTimeMillis() - 11 * 60 * 1000L, -1L)
+    catalog.vacuum("output.ckpt", retainLast = 3)
+    assert(fs.exists(main) && !fs.exists(ckpt))
+    assert(catalog.load("output.ckpt").count() == 3)
+    // a stale leftover sidecar BESIDE its manifest (completed replace that
+    // crashed before the cleanup delete) is swept, not repaired
+    val out = fs.create(ckpt, true); out.close()
+    fs.setTimes(ckpt, System.currentTimeMillis() - 11 * 60 * 1000L, -1L)
+    catalog.vacuum("output.ckpt", retainLast = 3)
+    assert(fs.exists(main) && !fs.exists(ckpt))
   }
 
   test("concurrent commitAppend: no lost update; a loser's rows stay invisible until its retry") {

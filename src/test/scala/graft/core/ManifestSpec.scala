@@ -100,7 +100,7 @@ class ManifestSpec extends AnyFunSuite {
       val s = Manifest.publish(fs, table, Nil, Some(v), files, preferDelta = true)
       assert(s.version == v && s.files == files)
       val raw = rawLines(fs, table, v)
-      if (raw.head == "graft-manifest-v2") {
+      if (raw.head == "graft-manifest-v3") {
         assert(raw.length == 6, s"delta v$v body should be one added file: $raw")
         assert(raw(3) == s"base=${v - 1}")
       } else expectFull :+= v
@@ -149,7 +149,7 @@ class ManifestSpec extends AnyFunSuite {
     val mf = new java.io.File(new Path(Manifest.dir(table),
       f"v${2L}%020d.manifest").toUri.getPath)
     val content = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
-    assert(content.startsWith("graft-manifest-v2"))
+    assert(content.startsWith("graft-manifest-v3"))
     java.nio.file.Files.write(mf.toPath, (content + "\nrogue.parquet").getBytes("UTF-8"))
     new java.io.File(mf.getParent).listFiles()
       .filter(_.getName.endsWith(".crc")).foreach(_.delete())
@@ -177,6 +177,25 @@ class ManifestSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".crc")).foreach(_.delete())
     val e = intercept[java.io.IOException] { Manifest.read(fs, table, 3L) }
     assert(e.getMessage.contains("checksum mismatch"))
+  }
+
+  test("a v2 delta from an earlier release still reads (checksum over added lines only)") {
+    val (fs, table) = freshTable()
+    Manifest.publish(fs, table, Nil, None, Seq("a.parquet"))
+    // hand-write the delta exactly as the pre-v3 release did: v2 header,
+    // checksum over the added file lines only, base= line uncovered
+    val added = Seq("b.parquet")
+    val crc = new java.util.zip.CRC32()
+    crc.update(added.mkString("\n").getBytes("UTF-8"))
+    val body = (Seq("graft-manifest-v2", "partitions=", "lastBatchId=7",
+      "base=1", s"checksum=${java.lang.Long.toHexString(crc.getValue)}") ++ added)
+      .mkString("\n")
+    val mf = new java.io.File(new Path(Manifest.dir(table),
+      f"v${2L}%020d.manifest").toUri.getPath)
+    java.nio.file.Files.write(mf.toPath, body.getBytes("UTF-8"))
+    val s = Manifest.read(fs, table, 2L)
+    assert(s.files == Seq("a.parquet", "b.parquet"))
+    assert(s.base.contains(1L) && s.lastBatchId.contains(7L))
   }
 
   test("a fresh orphan lock blocks publish; a stale one is broken") {

@@ -94,13 +94,9 @@ def main(outdir, sfdir, skip=frozenset()):
                 "lineitem","events","documents","embeddings"]:
         con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sfdir}/{tbl}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    # The q68-q70 persisted-ANN oracles read Spark-written artifacts under
-    # /tmp/graft_ann/<sf-leaf>; the SQL hardcodes the driver gate's sf0.01
-    # leaf, so rewrite it when checking a different scale factor.
-    leaf = os.path.basename(os.path.normpath(sfdir))
-    if leaf != "sf0.01":
-        oracle = {k: v.replace("/tmp/graft_ann/sf0.01", f"/tmp/graft_ann/{leaf}")
-                  for k, v in oracle.items()}
+    # The q68-q70 persisted-ANN oracles read Spark-written artifacts;
+    # graft.Verify substitutes the resolved artifact directory into the
+    # dumped SQL at dump time (one path authority), so no rewrite here.
     failures = 0
     names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
     for name in names:
