@@ -350,29 +350,34 @@ final class Catalog(val spark: SparkSession, root: String) {
     val versions = Manifest.versions(fs, tableRoot)
     if (versions.isEmpty) throw TableNotFound(ns, t)
     val retained = versions.takeRight(retainLast)
-    val live = retained.flatMap(v => Manifest.read(fs, tableRoot, v).files).toSet
+    // one resolving read per version feeds the live set, the referenced
+    // set, and the fold check below (each read walks its delta chain of
+    // small-file opens — on an object store, reading the same snapshots
+    // three times tripled the metadata GETs per vacuum). A NON-retained
+    // version may vanish mid-scan when a concurrent vacuum reclaims it
+    // (its guard only deletes versions older than its own retention
+    // window) — skip it: its files are either referenced by newer
+    // snapshots or age into orphans, which is the outcome the other
+    // vacuum was driving at anyway. A RETAINED version stays load-bearing
+    // (the `live` set must be complete), so those reads fail loudly.
+    val snaps: Map[Long, Manifest.Snapshot] = versions.flatMap { v =>
+      try Some(v -> Manifest.read(fs, tableRoot, v))
+      catch {
+        case _: java.io.FileNotFoundException if !retained.contains(v) => None
+      }
+    }.toMap
+    val live = retained.flatMap(v => snaps(v).files).toSet
     // committed-then-superseded files (referenced by SOME snapshot) are
     // governed by the retention window alone; never-referenced files get
-    // the orphan age grace. A NON-retained version may vanish mid-loop
-    // when a concurrent vacuum reclaims it (its guard only deletes
-    // versions older than its own retention window) — skip it: its files
-    // are either referenced by newer snapshots or age into orphans, which
-    // is the outcome the other vacuum was driving at anyway. A RETAINED
-    // version stays load-bearing (the `live` set must be complete), so
-    // those reads keep failing loudly.
-    val referenced = versions.flatMap { v =>
-      try Manifest.read(fs, tableRoot, v).files
-      catch {
-        case _: java.io.FileNotFoundException if !retained.contains(v) => Nil
-      }
-    }.toSet
+    // the orphan age grace
+    val referenced = snaps.valuesIterator.flatMap(_.files).toSet
     // a retained DELTA snapshot resolves through its base chain; any chain
     // link older than the retention window is about to be reclaimed, so
     // fold such snapshots into full manifests first (atomic in-place
     // rewrite, identical resolved content)
     val retainedSet = retained.toSet
     retained.foreach { v =>
-      if (Manifest.read(fs, tableRoot, v).base.exists(b => !retainedSet.contains(b)))
+      if (snaps(v).base.exists(b => !retainedSet.contains(b)))
         Manifest.checkpoint(fs, tableRoot, v)
     }
     var removed = 0L
@@ -411,21 +416,9 @@ final class Catalog(val spark: SparkSession, root: String) {
           (n.startsWith(".tmp-") && stale)) {
         if (fs.delete(s.getPath, false)) removed += 1
       } else if (n.endsWith(".manifest.ckpt")) {
-        // checkpoint sidecar (non-atomic-store replace protection): gone
-        // with its version when reclaimable; for a retained version, a
-        // STALE sidecar is either a crashed replace's durable copy (the
-        // canonical file is missing — repair it back into place) or a
-        // leftover from a completed one (canonical exists — drop it). A
-        // fresh sidecar may be a LIVE checkpoint mid-replace; leave it.
-        Manifest.parseVersion(n.stripSuffix(".ckpt")).foreach { v =>
-          val main = new Path(s.getPath.getParent, n.stripSuffix(".ckpt"))
-          if (v < oldestRetained) {
-            if (fs.delete(s.getPath, false)) removed += 1
-          } else if (stale) {
-            if (!fs.exists(main)) fs.rename(s.getPath, main)
-            else if (fs.delete(s.getPath, false)) removed += 1
-          }
-        }
+        // checkpoint sidecar (non-atomic-store replace protection) —
+        // reclaim/repair/drop semantics live with the protocol's owner
+        removed += Manifest.sweepSidecar(fs, s, oldestRetained, stale)
       }
     }
     removed

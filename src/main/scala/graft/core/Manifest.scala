@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** Atomic snapshot manifests — the commit protocol behind
   * [[Catalog.commitAppend]] / [[Catalog.commitOverwrite]].
@@ -187,15 +187,18 @@ private[core] object Manifest {
     // `base=` line AND its added lines — a flipped digit in the base
     // pointer would otherwise resolve through the wrong (checksum-valid)
     // chain and silently yield an incorrect file set; the base chain's
-    // CONTENT is protected by its own checksums. v2 deltas (earlier
-    // releases) checksummed the added lines only — verified as written,
-    // so existing tables stay readable.
-    val checked = if (isDeltaV3) lines(3) +: files else files
+    // CONTENT is protected by its own checksums. The v2 header spans TWO
+    // historical checksum scopes (added lines only at first; one interim
+    // release covered base= without bumping the header), so v2 accepts
+    // either form — both populations of existing tables stay readable.
     val expected = lines(bodyAt - 1).stripPrefix("checksum=")
-    if (crc(checked) != expected)
+    val canonical = if (isDeltaV3) lines(3) +: files else files
+    val valid = crc(canonical) == expected ||
+      (isDelta && !isDeltaV3 && crc(lines(3) +: files) == expected)
+    if (!valid)
       throw new java.io.IOException(
         s"corrupt manifest $table v$version: checksum mismatch " +
-          s"(expected $expected, computed ${crc(checked)})")
+          s"(expected $expected, computed ${crc(canonical)})")
     if (isDelta) {
       val baseVersion = lines(3).stripPrefix("base=").toLong
       val baseSnap =
@@ -373,15 +376,68 @@ private[core] object Manifest {
       // versions()/read() consult both. A crash inside the window leaves
       // the sidecar as the durable copy — read() serves from it, and
       // vacuum repairs it back to the canonical name once it is stale.
-      val ckpt = new Path(d, fileName(version) + ".ckpt")
-      val out2 = fs.create(ckpt, true)
-      try out2.write(content)
-      finally out2.close()
-      fs.delete(dest, false)
-      if (!fs.rename(tmp, dest))
-        throw new java.io.IOException(s"checkpoint rename refused for $dest")
-      fs.delete(ckpt, false)
+      //
+      // Two concurrent folds of the SAME version could still interleave so
+      // one's trailing sidecar delete lands inside the other's replace
+      // window (A renames, B re-creates the sidecar, A deletes it, B
+      // deletes the manifest → nothing visible until B's rename) — so
+      // folds serialize on an exclusive-create lock. The content is
+      // identical either way; the lock only orders the file juggling.
+      val lock = new Path(d, fileName(version) + ".ckptlock")
+      val deadline = System.currentTimeMillis() + LockStaleMs
+      while (!tryExclusiveCreate(fs, lock)) {
+        val age =
+          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        if (age > LockStaleMs) fs.delete(lock, false)
+        else if (System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(s"checkpoint lock busy for $dest")
+        else Thread.sleep(100)
+      }
+      try {
+        // the concurrent fold we waited for may have finished the job
+        val cur = read(fs, table, version)
+        if (cur.base.isEmpty) { fs.delete(tmp, false); return cur }
+        val ckpt = new Path(d, fileName(version) + ".ckpt")
+        val out2 = fs.create(ckpt, true)
+        try out2.write(content)
+        finally out2.close()
+        fs.delete(dest, false)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"checkpoint rename refused for $dest")
+        fs.delete(ckpt, false)
+      } finally fs.delete(lock, false)
     }
     snap.copy(base = None, depth = 0)
+  }
+
+  /** Maintenance for one `.ckpt` sidecar listing entry during a vacuum
+    * sweep — kept here because Manifest owns the sidecar protocol
+    * ([[checkpoint]] writes them, [[versions]]/[[read]] consult them).
+    * An old-version sidecar is reclaimed with its version; for a retained
+    * version, a STALE sidecar is either a crashed replace's durable copy
+    * (canonical file missing — repaired back into place) or a leftover
+    * from a completed replace (canonical exists — dropped). A fresh
+    * sidecar may be a LIVE fold mid-replace and is left alone. Returns
+    * files removed (0 or 1). */
+  def sweepSidecar(fs: FileSystem, entry: FileStatus,
+      oldestRetained: Long, stale: Boolean): Long = {
+    val n = entry.getPath.getName
+    parseVersion(n.stripSuffix(".ckpt")) match {
+      case Some(v) if v < oldestRetained =>
+        if (fs.delete(entry.getPath, false)) 1L else 0L
+      case Some(_) if stale =>
+        val main = new Path(entry.getPath.getParent, n.stripSuffix(".ckpt"))
+        if (!fs.exists(main)) {
+          // a refused repair must be LOUD unless a racing vacuum already
+          // healed the table — silently leaving the version served from
+          // its sidecar forever hides a store problem from the operator
+          if (!fs.rename(entry.getPath, main) && !fs.exists(main))
+            throw new java.io.IOException(
+              s"sidecar repair rename refused for $main")
+          0L
+        } else if (fs.delete(entry.getPath, false)) 1L else 0L
+      case _ => 0L
+    }
   }
 }

@@ -198,6 +198,28 @@ class ManifestSpec extends AnyFunSuite {
     assert(s.base.contains(1L) && s.lastBatchId.contains(7L))
   }
 
+  test("a v2 delta with the interim base-covered checksum also reads") {
+    // one release wrote base-covered checksums under the v2 header before
+    // the v3 bump existed; both v2 populations must stay readable
+    val (fs, table) = freshTable()
+    Manifest.publish(fs, table, Nil, None, Seq("a.parquet"))
+    val added = Seq("b.parquet")
+    val crc = new java.util.zip.CRC32()
+    crc.update(("base=1" +: added).mkString("\n").getBytes("UTF-8"))
+    val body = (Seq("graft-manifest-v2", "partitions=", "lastBatchId=-",
+      "base=1", s"checksum=${java.lang.Long.toHexString(crc.getValue)}") ++ added)
+      .mkString("\n")
+    val mf = new java.io.File(new Path(Manifest.dir(table),
+      f"v${2L}%020d.manifest").toUri.getPath)
+    java.nio.file.Files.write(mf.toPath, body.getBytes("UTF-8"))
+    assert(Manifest.read(fs, table, 2L).files == Seq("a.parquet", "b.parquet"))
+    // and a v2 body matching NEITHER scope still fails loudly
+    java.nio.file.Files.write(mf.toPath,
+      body.replace("checksum=", "checksum=f").getBytes("UTF-8"))
+    val e = intercept[java.io.IOException] { Manifest.read(fs, table, 2L) }
+    assert(e.getMessage.contains("checksum mismatch"))
+  }
+
   test("a fresh orphan lock blocks publish; a stale one is broken") {
     val (fs, table) = freshTable()
     Manifest.publish(fs, table, Nil, None, Seq("a.parquet"))
