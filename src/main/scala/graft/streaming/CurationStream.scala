@@ -69,17 +69,12 @@ object CurationStream {
       checkpoint: Option[String] = None): StreamingQuery = {
     val curated =
       curate(docs, textCol, tsCol, lang, minTokens, maxTokens, minQuality, watermark)
-    val w0 = curated.writeStream
-      .queryName(queryName)
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        catalog.commitAppend(
-          batch.withColumn("arrival_ts", lit(clock.nowTs)), table,
-          batchId = Some(id))
-        ()
-      }
-    val w = checkpoint.fold(w0)(p => w0.option("checkpointLocation", p))
-    (if (continuous) w.trigger(Trigger.ProcessingTime(interval))
-     else w.trigger(Trigger.AvailableNow())).start()
+    StreamingAppend.startForeachBatch(curated, queryName, continuous,
+      interval, checkpoint) { (batch, id) =>
+      catalog.commitAppend(
+        batch.withColumn("arrival_ts", lit(clock.nowTs)), table,
+        batchId = Some(id))
+      ()
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.Catalog
 import graft.ext.Dedup
@@ -56,7 +56,11 @@ import graft.ext.Dedup
   *    batch anti-joins away whatever its crashed attempt already
   *    committed, per table — kept for deployments that need a
   *    plain-directory layout; the replay probe reads one batch-id
-  *    partition directory and the prior side broadcasts.
+  *    partition directory and the prior side broadcasts. A crash PARTWAY
+  *    through the bands append also replays clean: the probe excludes
+  *    this batch's own partially-committed band rows (they are not
+  *    accepted state — counting them would drop the batch's docs as
+  *    duplicates of themselves and permanently lose their missing bands).
   *
   * Crash-replay is injected and asserted for both modes in StreamingSpec.
   */
@@ -74,49 +78,16 @@ final class IncrementalDedup(
   /** Append `rows` to `table`: an idempotent manifest commit by default,
     * or tagged and batch-id-partitioned when [[exactlyOnce]] (dropping rows
     * a crashed attempt of THIS batch already committed, keyed by `keys`).
-    *
-    * Mode-mismatch guard (both directions, mirroring [[MonitoringLoop]]'s
-    * ingest guard): a manifest commit must not silently ADOPT a
-    * `__batch_id=N`-partitioned table (its replay semantics key off the
-    * partition column this mode ignores), and the partition convention
-    * cannot probe a table without that column, so switching
-    * [[exactlyOnce]] over an existing table fails loudly instead of
-    * corrupting layout or replay semantics. The probe is a schema read
-    * (footers only), not a data scan — and it runs ONCE per table per
-    * loop: under the single-writer contract the layout cannot change
-    * mid-run, so later batches skip it. */
+    * Both conventions, the two-direction mode guards, and the null-safe
+    * replay anti-join are [[StreamingAppend.appendOnce]], shared with
+    * [[MonitoringLoop]]'s ingest. */
   private val modeChecked = scala.collection.mutable.Set.empty[String]
 
   private def appendOnce(rows: DataFrame, table: String, keys: Seq[String],
       batchId: Long): Unit =
-    if (!exactlyOnce) {
-      if (!modeChecked.contains(table)) {
-        if (catalog.exists(table))
-          require(!catalog.load(table).columns.contains("__batch_id"),
-            s"manifest-commit append into '$table' found a __batch_id " +
-              "partition column: the table was written in the exactly-once " +
-              "partition convention; keep exactlyOnce = true or start from " +
-              "a fresh table")
-        modeChecked += table
-      }
-      catalog.commitAppend(rows, table, batchId = Some(batchId))
-    } else {
-      val tagged = rows.withColumn("__batch_id", lit(batchId))
-      val fresh =
-        if (!catalog.exists(table)) tagged
-        else {
-          val existing = catalog.load(table)
-          require(existing.columns.contains("__batch_id"),
-            s"exactly-once append into '$table' requires a table previously " +
-              "written in exactly-once mode (no __batch_id partition column " +
-              "found); start from a fresh table or set exactlyOnce = false")
-          val prior = existing
-            .filter(col("__batch_id") === batchId)
-            .select(keys.map(col): _*)
-          tagged.join(broadcast(prior), keys, "left_anti")
-        }
-      catalog.append(fresh, table, Seq("__batch_id"))
-    }
+    StreamingAppend.appendOnce(catalog, table, rows, batchId,
+      keys = keys, partitionBy = Nil, partitionMode = exactlyOnce,
+      modeChecked = modeChecked)
 
   /** Deduplicate one micro-batch against the accumulated corpus and itself;
     * append survivors. Returns the survivor count. Public so batch
@@ -138,8 +109,29 @@ final class IncrementalDedup(
       val droppedVsState: DataFrame =
         if (!catalog.exists(bandsTable)) batch.select(col(idCol)).limit(0)
         else {
+          // In exactlyOnce mode, a crash PARTWAY through the bands append
+          // leaves a subset of this batch's band rows committed (plain
+          // parquet appends are atomic per task file, not per job). On
+          // replay those rows must not count as accepted state: the
+          // batch's docs would collide with THEMSELVES (jaccard 1.0),
+          // vanish from survivors, and their missing band rows would
+          // never be written — permanent recall loss. The partition
+          // convention carries the batch tag, so THIS batch's rows are
+          // excluded from the probe; the appendOnce anti-join then fills
+          // in exactly the missing rows. (The manifest mode needs no
+          // filter: its commits are all-or-nothing, and a replayed batch
+          // id is skipped outright.) A same-id re-arrival in a LATER
+          // batch still self-collides and drops, as before.
+          val state = {
+            val loaded = catalog.load(bandsTable)
+            // (the column-presence check keeps the mode-mismatch case on
+            // appendOnce's loud guard instead of an unresolved-column error)
+            if (exactlyOnce && loaded.columns.contains("__batch_id"))
+              loaded.filter(col("__batch_id") =!= batchId)
+            else loaded
+          }
           val candidates = newBands
-            .join(catalog.load(bandsTable)
+            .join(state
                 .select(col("band"), col("bucket"), col(idCol).as("old_id")),
               Seq("band", "bucket"))
             .select(col(idCol), col("old_id")).distinct()
@@ -179,8 +171,11 @@ final class IncrementalDedup(
             throw new RuntimeException(
               "injected crash between docs append and bands append")
           }
+          // survivors' band rows are a pure function of their text and
+          // newBands is still cached here — the semi-join reuses it
+          // instead of re-running shingling + k minhashes per survivor
           appendOnce(
-            Dedup.minhashTable(survivors, textCol, idCol, shingleN, k, bands),
+            newBands.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
             bandsTable, Seq(idCol, "band"), batchId)
         }
         n
@@ -195,12 +190,7 @@ final class IncrementalDedup(
     * [[MonitoringLoop.start]]). */
   def start(stream: DataFrame, queryName: String = "graft_incremental_dedup",
       continuous: Boolean = false, interval: String = "1 minute",
-      checkpoint: Option[String] = None): StreamingQuery = {
-    val w0 = stream.writeStream
-      .queryName(queryName)
-      .foreachBatch((batch: DataFrame, id: Long) => { processBatch(batch, id); () })
-    val w = checkpoint.fold(w0)(p => w0.option("checkpointLocation", p))
-    (if (continuous) w.trigger(Trigger.ProcessingTime(interval))
-     else w.trigger(Trigger.AvailableNow())).start()
-  }
+      checkpoint: Option[String] = None): StreamingQuery =
+    StreamingAppend.startForeachBatch(stream, queryName, continuous,
+      interval, checkpoint) { (batch, id) => processBatch(batch, id); () }
 }

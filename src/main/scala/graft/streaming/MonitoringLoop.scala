@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.alerts.AlertManager
 import graft.core.{Catalog, Clock, EventViews, FixedClock}
@@ -71,8 +71,34 @@ final class MonitoringLoop(
   // running event-time high-water mark: the accumulated table is
   // append-only, so its max(ts) is the max over per-batch maxima —
   // maintained at O(batch) per tick instead of re-scanning the whole
-  // (unboundedly growing) table every micro-batch
+  // (unboundedly growing) table every micro-batch. Driver memory alone is
+  // NOT durable: a restarted process would regress "now" to EPOCH (or the
+  // first replayed batch's max) while the table holds days of data,
+  // turning every detector's time window spurious — so the mark is seeded
+  // ONCE from the existing table's max(ts) before the first post-restart
+  // batch merges in (skipped entirely when a wall clock is configured).
   private var maxEventTime: Option[java.time.Instant] = None
+  private var eventTimeSeeded = false
+
+  private def seedEventTime(): Unit = if (!eventTimeSeeded) {
+    if (clock.isEmpty)
+      loadIfReadable(table).foreach { existing =>
+        existing.agg(max(col("ts").cast("timestamp"))).head().get(0) match {
+          case t: java.sql.Timestamp =>
+            if (maxEventTime.forall(_.isBefore(t.toInstant)))
+              maxEventTime = Some(t.toInstant)
+          case _ => ()
+        }
+      }
+    eventTimeSeeded = true
+  }
+
+  /** The event-time high-water mark the loop's clock would use, seeding
+    * from the table first if needed — exposed for tests and operators. */
+  private[graft] def currentEventTime: Option[java.time.Instant] = {
+    seedEventTime()
+    maxEventTime
+  }
 
   /** The loop's "now" for this tick: the configured wall clock if one was
     * given, else the event-time high-water mark (epoch before any data). */
@@ -103,62 +129,42 @@ final class MonitoringLoop(
     *    directory's worth of IO, and the one-batch prior side broadcasts.
     *
     * Both mirror the reference's idempotent WRITE_TRUNCATE transform
-    * semantics (scripts/transform_script:17-24) in append-only form. */
-  private def ingest(batch: DataFrame, batchId: Long): Unit =
-    if (dedupKeys.isEmpty)
-      catalog.commitAppend(batch, table, partitionBy, Some(batchId))
-    else {
-      val tagged = batch.withColumn("__batch_id", lit(batchId))
-      val fresh = loadIfReadable(table) match {
-        case None => tagged
-        case Some(existing) =>
-          // fail loudly rather than corrupt the layout: parquet partition
-          // discovery cannot mix this mode's __batch_id=N directories with
-          // a plain append's flat files in one table root
-          require(existing.columns.contains("__batch_id"),
-            s"exactly-once ingest into '$table' requires a table previously " +
-              "written in exactly-once mode (no __batch_id partition column " +
-              "found); start from a fresh table or drop dedupKeys")
-          val prior = existing
-            .filter(col("__batch_id") === batchId)
-            .select(dedupKeys.map(col): _*)
-          tagged.join(broadcast(prior), dedupKeys, "left_anti")
-      }
-      catalog.append(fresh, table, partitionBy :+ "__batch_id")
-    }
+    * semantics (scripts/transform_script:17-24) in append-only form. Both
+    * conventions, their mode guards (each direction fails loudly instead
+    * of corrupting the other's layout), and the null-safe replay anti-join
+    * live in [[StreamingAppend.appendOnce]], shared with
+    * [[IncrementalDedup]]. */
+  private val modeChecked = mutable.Set.empty[String]
 
-  /** The table, if it exists AND holds at least one committed parquet
-    * footer. A FIRST batch that crashed between job start and commit
-    * leaves the directory with only `_temporary` droppings — the directory
-    * exists but `load` cannot infer a schema, which would wedge every
-    * replay until manual cleanup. Readable-nothing counts as absent: the
-    * replay then takes the fresh-table branch, exactly as if the crashed
-    * attempt had never created the directory. (Later batches are safe
-    * either way — prior committed files carry the schema.) */
+  private def ingest(batch: DataFrame, batchId: Long): Unit =
+    StreamingAppend.appendOnce(catalog, table, batch, batchId,
+      keys = dedupKeys, partitionBy = partitionBy,
+      partitionMode = dedupKeys.nonEmpty, modeChecked = modeChecked)
+
   private def loadIfReadable(t: String): Option[DataFrame] =
-    if (!catalog.exists(t)) None
-    else
-      try Some(catalog.load(t))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
-      }
+    StreamingAppend.loadIfReadable(catalog, t)
 
   /** The foreachBatch body — public so batch jobs and tests can drive the
     * exact same per-tick logic without a streaming source. */
   def runBatch(batch: DataFrame, batchId: Long): MonitoringResult = {
+    // restart rehydration of the event clock (no-op after the first tick)
+    seedEventTime()
     // persist so the count, the max-ts probe, and the append execute the
-    // micro-batch source once, not three times
+    // micro-batch source once, not three times; finally-guarded so a
+    // failed ingest can't leak one cached micro-batch per restart attempt
     batch.persist()
-    val rows = batch.count()
-    batch.agg(max(col("ts").cast("timestamp"))).head().get(0) match {
-      case t: java.sql.Timestamp =>
-        if (maxEventTime.forall(_.isBefore(t.toInstant)))
-          maxEventTime = Some(t.toInstant)
-      case _ => ()
-    }
-    ingest(batch, batchId)
-    batch.unpersist()
+    val rows =
+      try {
+        val n = batch.count()
+        batch.agg(max(col("ts").cast("timestamp"))).head().get(0) match {
+          case t: java.sql.Timestamp =>
+            if (maxEventTime.forall(_.isBefore(t.toInstant)))
+              maxEventTime = Some(t.toInstant)
+          case _ => ()
+        }
+        ingest(batch, batchId)
+        n
+      } finally batch.unpersist()
     if (crashAfterAppendOnce) {
       crashAfterAppendOnce = false
       throw new RuntimeException("injected crash between append and offset commit")
@@ -228,12 +234,7 @@ final class MonitoringLoop(
     * rows by (batch id, key). Alert dedup absorbs replays either way. */
   def start(stream: DataFrame, queryName: String = "graft_monitoring_loop",
       continuous: Boolean = false, interval: String = "1 minute",
-      checkpoint: Option[String] = None): StreamingQuery = {
-    val w0 = stream.writeStream
-      .queryName(queryName)
-      .foreachBatch((batch: DataFrame, id: Long) => { runBatch(batch, id); () })
-    val w = checkpoint.fold(w0)(p => w0.option("checkpointLocation", p))
-    (if (continuous) w.trigger(Trigger.ProcessingTime(interval))
-     else w.trigger(Trigger.AvailableNow())).start()
-  }
+      checkpoint: Option[String] = None): StreamingQuery =
+    StreamingAppend.startForeachBatch(stream, queryName, continuous,
+      interval, checkpoint) { (batch, id) => runBatch(batch, id); () }
 }

@@ -58,13 +58,21 @@ object StreamingMonitor {
       .join(broadcast(baseline), Seq("hod"), "left")
       .withColumn("z_score",
         graft.ops.ZScore.z(col("n"), col("baseline_avg"), col("baseline_std")))
+      // a window whose hour-of-day has NO baseline row is traffic where
+      // history never saw any — arguably the most anomalous input there
+      // is. The bare left join would null the z-score, null is_anomaly,
+      // and label it NONE: never-before-seen traffic silently classified
+      // normal. Flag it instead, with its own severity so downstream
+      // routing can tell "statistically deviant" from "no history".
       .withColumn("is_anomaly",
-        graft.ops.ZScore.isAnomaly(col("z_score"), zThreshold))
+        when(col("baseline_avg").isNull, lit(true))
+          .otherwise(graft.ops.ZScore.isAnomaly(col("z_score"), zThreshold)))
       .withColumn("severity",
-        when(col("is_anomaly"),
-          graft.ops.Thresholds.TxnDeviation.severityCol(
-            abs(graft.ops.ZScore.deviationPct(col("n"), col("baseline_avg")))))
-          .otherwise("NONE"))
+        when(col("baseline_avg").isNull, "NO_BASELINE")
+          .otherwise(when(col("is_anomaly"),
+            graft.ops.Thresholds.TxnDeviation.severityCol(
+              abs(graft.ops.ZScore.deviationPct(col("n"), col("baseline_avg")))))
+            .otherwise("NONE")))
       .select("window_start", "n", "baseline_avg", "baseline_std",
         "z_score", "is_anomaly", "severity")
   }

@@ -54,10 +54,20 @@ object StreamingOps {
     * State is bounded via EVENT-time timeout against the watermark (a
     * processing-time timeout would keep the micro-batch engine scheduling
     * wall-clock batches; event-time expiry advances with the data, which is
-    * both deterministic and the right behavior during backfill at scale). */
+    * both deterministic and the right behavior during backfill at scale).
+    *
+    * `lateness` is the watermark delay, and it bounds a DIVERGENCE from
+    * the batch-side [[graft.alerts.AlertManager]] twin: an alert arriving
+    * more than `lateness` behind the max alert event time already seen is
+    * dropped by the engine as late data BEFORE the dedup function runs —
+    * even a first occurrence the batch twin would have dispatched. Alerts
+    * from independent detectors skew across micro-batches, so the default
+    * matches the suppression window itself (state cost is per distinct
+    * (type, title), unchanged); shrink it only when alert event times are
+    * known to be near-monotonic. */
   def dedupStateful(
       alerts: Dataset[AlertEvent], windowMillis: Long = 3600 * 1000L,
-      lateness: String = "1 second"): Dataset[AlertEvent] = {
+      lateness: String = "1 hour"): Dataset[AlertEvent] = {
     import alerts.sparkSession.implicits._
     alerts
       .withColumn("ts", timestamp_millis(col("tsMillis")))

@@ -89,6 +89,12 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-25T10:00:00Z", 5L, false, "NONE")))
     val surge = rows.find(_._1 == "2024-01-25T11:00:00Z").get
     assert(surge._2 == 40L && surge._3 && surge._4 == "CRITICAL")
+    // a window whose hour-of-day history never saw any traffic (the 18:00
+    // watermark-advance event) is flagged, not silently labelled normal
+    val noBase = spark.table("vol_anomalies")
+      .filter($"baseline_avg".isNull).collect()
+    assert(noBase.nonEmpty)
+    assert(noBase.forall(r => r.getBoolean(5) && r.getString(6) == "NO_BASELINE"))
   }
 
   test("MonitoringLoop: per-batch 8-detector run with alert dedup across batches") {
@@ -770,6 +776,129 @@ class StreamingSpec extends SparkSpec {
       toPlain.processBatch(Seq((2L, doc2)).toDF("doc_id", "text"), 1L)
     }
     assert(e2.getMessage.contains("exactly-once"))
+  }
+
+  test("MonitoringLoop restart: event clock reseeds from the table; manifest mode guards the eo layout") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+
+    val root = java.nio.file.Files.createTempDirectory("graft-reseed").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val am = new AlertManager(FixedClock.at("2024-01-31T18:00:00Z"),
+      Seq(new InMemorySink("log")))
+    def row(id: Long, t: String) =
+      Seq((id, ts(t), 10L, "click", 5.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val loop = new MonitoringLoop(catalog, "monitoring.reseed", am,
+      expectedFeeds = Seq("click"))
+    loop.runBatch(row(1L, "2024-01-31T17:30:00Z"), 0L)
+
+    // a NEW loop instance (process restart): the event clock must reseed
+    // from the table's max(ts) instead of regressing to EPOCH or the next
+    // batch's max — a regressed "now" turns every detector window spurious
+    val restarted = new MonitoringLoop(catalog, "monitoring.reseed", am,
+      expectedFeeds = Seq("click"))
+    val hiWater = java.time.Instant.parse("2024-01-31T17:30:00Z")
+    assert(restarted.currentEventTime.contains(hiWater))
+    // and a LATE first post-restart batch cannot drag "now" backwards
+    restarted.runBatch(row(2L, "2024-01-31T12:00:00Z"), 1L)
+    assert(restarted.currentEventTime.contains(hiWater))
+
+    // reverse mode guard: a manifest-mode loop pointed at a table written
+    // in the exactly-once partition convention must fail loudly — adopting
+    // it would publish a snapshot that orphans the table's history
+    val eoLoop = new MonitoringLoop(catalog, "monitoring.reseedeo", am,
+      expectedFeeds = Seq("click"), dedupKeys = Seq("event_id"))
+    eoLoop.runBatch(row(3L, "2024-01-31T17:00:00Z"), 0L)
+    val plain = new MonitoringLoop(catalog, "monitoring.reseedeo", am,
+      expectedFeeds = Seq("click"))
+    val err = intercept[IllegalArgumentException] {
+      plain.runBatch(row(4L, "2024-01-31T17:10:00Z"), 1L)
+    }
+    assert(err.getMessage.contains("__batch_id"))
+  }
+
+  test("exactly-once replay dedups null-keyed rows too") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+
+    val root = java.nio.file.Files.createTempDirectory("graft-nullkey").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val am = new AlertManager(FixedClock.at("2024-01-31T18:00:00Z"),
+      Seq(new InMemorySink("log")))
+    val loop = new MonitoringLoop(catalog, "monitoring.nullkey", am,
+      expectedFeeds = Seq("click"), dedupKeys = Seq("event_id"))
+    // one well-formed row, one with a NULL key — exactly the malformed
+    // shape a plain equi-anti-join can never match on replay
+    val batch = Seq(
+      (Some(1L), ts("2024-01-31T17:30:00Z"), 10L, "click", 5.0, "{}"),
+      (Option.empty[Long], ts("2024-01-31T17:31:00Z"), 11L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    loop.runBatch(batch, 0L)
+    assert(catalog.load("monitoring.nullkey").count() == 2)
+    // same batch id again = the crash-between-append-and-offset replay:
+    // the null-safe anti-join must drop BOTH committed rows
+    loop.runBatch(batch, 0L)
+    assert(catalog.load("monitoring.nullkey").count() == 2,
+      "replay double-ingested a null-keyed row")
+  }
+
+  test("IncrementalDedup exactlyOnce: a crash PARTWAY through the bands append replays clean") {
+    import graft.ext.Dedup
+    import graft.streaming.IncrementalDedup
+    import org.apache.spark.sql.functions.{col, lit}
+
+    val root = java.nio.file.Files.createTempDirectory("graft-partband").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val dedup = new IncrementalDedup(catalog, "cur.pdocs", "cur.pbands",
+      threshold = 0.5, exactlyOnce = true)
+    val doc1 = "the quick brown fox jumps over the lazy dog again and again"
+    val doc2 = "an entirely different document about spark manifests and streams"
+    assert(dedup.processBatch(Seq((1L, doc1)).toDF("doc_id", "text"), 0L) == 1L)
+
+    // batch 1 crashes between the docs append and the bands append...
+    val batch2 = Seq((2L, doc2)).toDF("doc_id", "text")
+    dedup.crashBetweenAppendsOnce = true
+    intercept[RuntimeException] { dedup.processBatch(batch2, 1L) }
+    // ...and worse: a SUBSET of its band rows did land before the crash
+    // (plain parquet appends are atomic per task file, not per job)
+    val partial = Dedup.minhashTable(batch2, "text", "doc_id", 3, 32, 8)
+      .limit(3).withColumn("__batch_id", lit(1L))
+    catalog.append(partial, "cur.pbands", Seq("__batch_id"))
+
+    // replay: the batch's docs must NOT collide with their own partial
+    // band rows (jaccard 1.0 against itself) — they stay survivors, and
+    // the bands append fills in exactly the missing rows
+    assert(dedup.processBatch(batch2, 1L) == 1L,
+      "replayed batch dropped its own docs as self-duplicates")
+    assert(catalog.load("cur.pdocs").filter(col("doc_id") === 2L).count() == 1)
+    val bandRows = catalog.load("cur.pbands").filter(col("doc_id") === 2L)
+    assert(bandRows.count() == 8, "partial band set never completed")
+    assert(bandRows.select("band").distinct().count() == 8)
+  }
+
+  test("dedupStateful: default lateness admits first occurrences that skew across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AlertEvent]
+    val base = 1706659200000L
+    val q = StreamingOps.dedupStateful(input.toDS()) // default 1h lateness
+      .writeStream.format("memory").queryName("dedup_late")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    input.addData(AlertEvent("revenue", "anomaly", base + 2 * 3600 * 1000))
+    q.processAllAvailable()
+    // a FIRST occurrence 30 min behind the max event time already seen —
+    // detectors skew across micro-batches; the batch-side AlertManager
+    // twin would dispatch it, so the stream must not drop it as late
+    input.addData(AlertEvent("feeds", "missing", base + 90 * 60 * 1000))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_late").collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("feeds", "revenue"))
   }
 
   test("dedupStateful: suppresses repeats inside the window, passes after it") {
