@@ -122,7 +122,14 @@ object Decontaminate {
     * regardless of encoding, and the call fails loudly BEFORE collecting
     * anything (a cheap count, not a driver OOM), pointing at
     * [[contaminatedIdsBloom]] — the form whose train side never holds
-    * the reference set in one heap. */
+    * the reference set in one heap.
+    *
+    * Broadcast lifetime: the broadcast variable backing the large-set form
+    * is released by Spark's ContextCleaner once the returned Column (and
+    * any plan holding it) becomes unreachable — same lifecycle as a
+    * broadcast join's. A long-lived session that rebuilds the predicate
+    * per eval-suite refresh should drop references to the old Column so
+    * the tens-of-MB payload can be reclaimed. */
   def contaminationPredicate(evalNg: DataFrame, text: Column, n: Int): Column = {
     // the ceiling guard (count) and the collect both execute the eval
     // pipeline — typically an explode + distinct shuffle; persist so the

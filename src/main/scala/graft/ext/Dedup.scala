@@ -25,9 +25,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
       .filter(col("n_docs") > 1)
 
-  /** Keep one doc per exact-content group (the minimum id). */
-  def dropExactDuplicates(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.dropDuplicates(textCol)
+  /** Keep one doc per exact-content group — deterministically the MINIMUM
+    * id, matching [[exactClusters]]' `keeper_id`. `dropDuplicates(textCol)`
+    * would keep whichever row the partition-local aggregate happens to see
+    * first, so the surviving corpus would differ run-to-run with the
+    * partitioning — breaking the determinism contract every curation op in
+    * this library pins. One digest-keyed shuffle (a 32-char key, never
+    * text), same cost shape as the groupBy it replaces. */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    docs
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
 
   /** Word n-gram shingles as a distinct array; falls back to the whole
     * text as one shingle when the doc is shorter than n (guard keeps ANSI
@@ -83,6 +97,13 @@ object Dedup {
     * signature slice; bands explode from an in-row array (no extra shuffle). */
   def minhashTable(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    // a non-dividing bands count would silently waste signature hashes
+    // (k=32, bands=5 -> width 6, two hashes unused: recall differs from the
+    // bandingParams math), and bands > k would give width 0 — every band
+    // bucket a constant, every pair a candidate: the quadratic explosion
+    // this table exists to avoid
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands)")
     val width = k / bands
     val sigs = minhashSignatures(docs, textCol, idCol, shingleN, k)
     val bandStructs = (0 until bands).map { b =>
@@ -244,19 +265,49 @@ object Dedup {
       .select(col(idCol), col("text_dedup"), col("n_pars"), col("kept_pars"))
   }
 
-  /** SimHash near-dup pairs: bucket on the top 16 bits (scale path — only
-    * same-bucket docs join), verify hamming ≤ maxHamming. */
+  /** SimHash near-dup pairs with MULTI-BLOCK candidate generation (Manku
+    * et al., WWW'07): the 64-bit fingerprint splits into `maxHamming + 1`
+    * contiguous bit blocks, and by pigeonhole any pair within `maxHamming`
+    * differing bits shares at least one block VERBATIM — so the blocked
+    * self-join has zero false negatives by construction. (The single
+    * top-16-bit blocking this replaces silently missed every pair whose
+    * differing bits touched the top block — ~59% of hamming-3 pairs, ~98%
+    * at hamming 12 — an inconsistency with its own verify threshold.)
+    * Candidates verify with the exact popcount filter; `maxHamming` is
+    * capped at 15 so blocks keep ≥ 4 bits and buckets stay selective —
+    * the default 3 is the standard 64-bit near-dup radius, giving 4
+    * blocks of 16 bits, the same per-block selectivity as before with the
+    * recall guarantee the old code lacked. */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      maxHamming: Int = 12): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (blocks need >= 4 bits to prune), got $maxHamming")
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
     // both self-join sides consume the signature table — materialize so
     // the documents scan + simhash runs once (same staging as nearDupPairs)
     val sh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
-      .withColumn("bucket", shiftright(col("sh"), 48))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sh.select(col("bucket"), col(idCol).as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("bucket"), col(idCol).as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("bucket"))
+    val blockStructs = (0 until blocks).map { i =>
+      val start = i * width
+      val len = if (i == blocks - 1) 64 - start else width // last absorbs the remainder
+      val bits =
+        if (len == 64) col("sh")
+        else shiftrightunsigned(col("sh"), start).bitwiseAND(lit((1L << len) - 1L))
+      struct(lit(i).as("blk"), bits.as("bits"))
+    }
+    val buckets = sh
+      .select(col(idCol), col("sh"), explode(array(blockStructs: _*)).as("bb"))
+      .select(col(idCol), col("sh"), col("bb.blk").as("blk"), col("bb.bits").as("bits"))
+    val a = buckets.select(col("blk"), col("bits"),
+      col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val b = buckets.select(col("blk"), col("bits"),
+      col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk", "bits"))
       .filter(col("doc_a") < col("doc_b"))
+      // a close pair shares several blocks — collapse before the verify
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
       .filter(hamming(col("sh_a"), col("sh_b")) <= maxHamming)
       .select(col("doc_a"), col("doc_b"),
         hamming(col("sh_a"), col("sh_b")).cast("int").as("hamming"))

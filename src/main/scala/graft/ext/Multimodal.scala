@@ -81,6 +81,11 @@ object Multimodal {
     * row-explode shape a real video frame sampler has (one row per frame,
     * payload never shuffled whole). */
   def frameSample(media: DataFrame, every: Int, frameLen: Int): DataFrame = {
+    // every = 0 would divide to Infinity, saturate the int cast at
+    // Int.MaxValue, and blow up inside sequence() far from the bad
+    // argument — guard the knobs at the call site like the sampling ops do
+    require(every >= 1, s"every must be >= 1, got $every")
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
     val nFrames = greatest(
       ceil(length(col("payload")) / lit(every.toDouble)).cast("int"), lit(1))
     media

@@ -114,10 +114,16 @@ object Pq {
   def encode(emb: DataFrame, cb: Codebooks, vecCol: String = "embedding"): DataFrame = {
     val expectDim = cb.m * cb.subDim
     emb.withColumn("codes",
-      when(size(col(vecCol)) =!= expectDim,
-        raise_error(concat(lit(s"pq encode: vector dim "),
-          size(col(vecCol)).cast("string"),
-          lit(s" != codebook geometry $expectDim"))))
+      // null must fail as loudly as a wrong dim: size(null) is null, so the
+      // =!= guard alone would fall through and emit all-null codes, which
+      // PqAdc's primitive getInt reads as codeword 0 — the row would score
+      // with a FABRICATED distance and could silently enter a top-k
+      when(col(vecCol).isNull,
+        raise_error(lit(s"pq encode: null $vecCol (expected $expectDim floats)")))
+        .when(size(col(vecCol)) =!= expectDim,
+          raise_error(concat(lit(s"pq encode: vector dim "),
+            size(col(vecCol)).cast("string"),
+            lit(s" != codebook geometry $expectDim"))))
         .otherwise(array(cb.books.indices.map(j =>
           NearestCentroid(slice(col(vecCol), j * cb.subDim + 1, cb.subDim),
             cb.books(j))): _*)))

@@ -31,11 +31,17 @@ object Sampling {
     * move rows across splits.
     *
     * Key choice is the caller's contract: a stable id (or the content
-    * digest itself) — NOT a row number or anything assignment-dependent. */
+    * digest itself) — NOT a row number or anything assignment-dependent.
+    * A null key fails loudly (same contract as [[mixtureSample]]'s
+    * `mixtureBucket`): md5(null) is null, both threshold comparisons
+    * would be null, and every null-key row would silently fall through to
+    * the `test` split — polluting exactly the split that must stay clean. */
   def hashSplit(key: Column, trainPct: Double = 0.90, valPct: Double = 0.05): Column = {
     val (trainHex, valHex) = splitThresholds(trainPct, valPct)
     val bucket = substring(md5(key.cast("string").cast("binary")), 1, 4)
-    when(bucket < lit(trainHex), "train")
+    when(key.isNull,
+      raise_error(lit("hashSplit key is null — supply a non-null stable key")))
+      .when(bucket < lit(trainHex), "train")
       .when(bucket < lit(valHex), "val")
       .otherwise("test")
   }

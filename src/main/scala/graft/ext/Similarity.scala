@@ -43,13 +43,20 @@ object Similarity {
   def cosinePre2(a: Column, b: Column, n2a: Column, n2b: Column): Column =
     dot(a, b) / (sqrt(n2a) * sqrt(n2b))
 
-  /** Collected array column row → double vector (floats widen). */
-  private[ext] def toVec(row: org.apache.spark.sql.Row, i: Int): Array[Double] =
-    row.getSeq[Any](i).map {
+  /** Collected array column row → double vector (floats widen). A null
+    * vector or null element fails with a usable message instead of an
+    * opaque driver NPE/MatchError deep inside a lookup. */
+  private[ext] def toVec(row: org.apache.spark.sql.Row, i: Int): Array[Double] = {
+    val seq = row.getSeq[Any](i)
+    require(seq != null, "embedding vector is null for the requested id")
+    seq.map {
       case f: Float => f.toDouble
       case d: Double => d
       case n: Number => n.doubleValue()
+      case null => throw new IllegalArgumentException(
+        "embedding vector contains a null element")
     }.toArray
+  }
 
   /** Left-to-right squared norm of a collected vector — the SAME fold order
     * as [[norm2]]'s expression (floats widen to double, then accumulate in
@@ -401,8 +408,12 @@ object Similarity {
       else lshParams(emb.count(), threshold, targetRecall)
     val candidates = lshCandidates(emb, planes, tables, idCol, vecCol)
     // squared norms ride the per-vector projection, so the rerank costs
-    // one dot per candidate pair instead of three (values bit-identical)
+    // one dot per candidate pair instead of three (values bit-identical).
+    // Materialized because BOTH join-backs consume it — unpersisted, each
+    // side re-runs the corpus scan + norm2. Caching contract as
+    // [[lshCandidates]]: callers release after materializing.
     val v = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(v.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
         col("n2").as("n2_a")), Seq("id_a"))

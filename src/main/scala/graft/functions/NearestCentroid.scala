@@ -44,9 +44,15 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
+      // a geometry mismatch (stale centroids of another dim, wrong slice)
+      // must fail loudly — a min(n, len) loop would argmin over truncated
+      // distances and emit plausible-but-wrong assignments with no error
+      if (cent.length != n)
+        throw new IllegalArgumentException(
+          s"nearest_centroid: vector dim $n != centroid dim ${cent.length} (centroid $c)")
       var dist = 0.0
       var i = 0
-      val m = math.min(n, cent.length)
+      val m = n
       while (i < m) {
         val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
         val d = v - cent(i)

@@ -37,10 +37,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  // A length mismatch fails LOUDLY: silently dotting min(n) components (a
+  // 32-dim query against a 64-dim corpus, stale centroids of another
+  // geometry) yields scaled-down but plausible scores and a wrong top-k
+  // with no error — the same contract Pq.encode pins for codes.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: vector dims differ ($n vs ${y.numElements()})")
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
@@ -64,7 +71,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |int $n = $a.numElements();
+        |if ($b.numElements() != $n) {
+        |  throw new IllegalArgumentException(
+        |    "graft_dot: vector dims differ (" + $n + " vs " + $b.numElements() + ")");
+        |}
         |double $s = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
         |  $s += ${getter(a, elemType(left), i)} * ${getter(b, elemType(right), i)};

@@ -75,7 +75,15 @@ class ExtSpec extends SparkSpec {
     val clusters = Dedup.exactClusters(docs).collect()
     assert(clusters.length == 1 && clusters.head.getAs[Long]("n_docs") == 2)
     assert(clusters.head.getAs[Long]("keeper_id") == 0L)
-    assert(Dedup.dropExactDuplicates(docs).count() == 5)
+    val kept = Dedup.dropExactDuplicates(docs)
+    assert(kept.count() == 5)
+    // the survivor is DETERMINISTICALLY the minimum id (= exactClusters'
+    // keeper_id), not whichever row the partitioning happened to order
+    // first — and it stays the keeper under a different layout
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet.contains(0L))
+    val reparted = Dedup.dropExactDuplicates(docs.repartition(7))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reparted == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
   // whitespace edges: leading tab (split yields a leading empty token after
@@ -226,9 +234,26 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(3L))
     assert(java.lang.Long.bitCount(sh(0L) ^ sh(1L)) < java.lang.Long.bitCount(sh(0L) ^ sh(2L)))
-    val pairs = Dedup.simhashPairs(docs, maxHamming = 16).collect()
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 15).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 3L)))
+  }
+
+  test("Dedup.simhashPairs multi-block candidates have ZERO false negatives (pigeonhole)") {
+    // every pair within maxHamming bits must surface — compare the blocked
+    // join against the exhaustive O(n²) scan at several radii
+    val sigs = edgeDocs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().filterNot(_.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1))
+    for (h <- Seq(0, 3, 7, 15)) {
+      val exact = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= h
+      } yield (ia, ib)).toSet
+      val blocked = Dedup.simhashPairs(edgeDocs, maxHamming = h).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == exact, s"maxHamming=$h: blocked=$blocked exact=$exact")
+      spark.sharedState.cacheManager.clearCache()
+    }
   }
 
   test("Similarity: codegen dot matches manual math; topk ordering deterministic") {
