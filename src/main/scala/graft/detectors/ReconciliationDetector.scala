@@ -39,8 +39,14 @@ final class ReconciliationDetector(clock: Clock) {
     val srcCount = hourly.map(_.sourceCount).sum
     val dstCount = hourly.map(_.destCount).sum
     val discrepancy = srcCount - dstCount
+    // src empty + dst populated is a TOTAL mismatch (a dead upstream with
+    // a live downstream copy), not a 0% one — pct 0.0 there would grade
+    // NONE and silently suppress the alert for the worst possible state;
+    // both-empty genuinely reconciles at 0%
     val discrepancyPct =
-      if (srcCount > 0) math.abs(discrepancy).toDouble * 100 / srcCount else 0.0
+      if (srcCount > 0) math.abs(discrepancy).toDouble * 100 / srcCount
+      else if (dstCount > 0) 100.0
+      else 0.0
     ReconStatus(srcCount, dstCount, discrepancy, discrepancyPct,
       isReconciled = discrepancy == 0L,
       hourlyBreakdown = hourly.filter(_.diff != 0),

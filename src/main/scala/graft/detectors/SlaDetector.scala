@@ -28,7 +28,16 @@ final class SlaDetector(
       stream.filter(TimeFilters.trailing(col(tsCol), clock.now, hours = windowHours)),
       tsCol).head()
     val recordCount = r.getLong(0)
-    val rph = if (r.isNullAt(4)) 0.0 else r.getDouble(4)
+    // records_per_hour is null in two OPPOSITE situations: no records at
+    // all (a stalled feed — rate 0 and a projected breach is the right
+    // read), and a burst whose first-to-last span is under one minute
+    // (the FASTEST possible processing — rate 0 would page on-call at
+    // peak throughput). For the burst, fall back to the whole-window
+    // lower bound: the records demonstrably arrived within windowHours.
+    val rph =
+      if (!r.isNullAt(4)) r.getDouble(4)
+      else if (recordCount > 0) recordCount.toDouble / windowHours
+      else 0.0
     val (projected, breach) = Velocity.projectBreach(recordCount, totalRecords, rph, slaHours)
     val margin = projected - slaHours
     // margin > 0 whenever breach, so the ladder yields at least MEDIUM

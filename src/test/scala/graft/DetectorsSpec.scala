@@ -177,6 +177,32 @@ class DetectorsSpec extends SparkSpec {
     assert(st.willBreachSla && st.projectedHours > 4 && st.severity == "CRITICAL")
   }
 
+  test("SlaDetector: sub-minute burst is peak throughput, not a breach") {
+    // 1000 records land within 45 s => minutes_elapsed = 0 => SQL rate is
+    // NULL; the detector must fall back to the whole-window lower bound
+    // (1000/h here), not rate 0.0 — which would project Infinity and page
+    // CRITICAL at the fastest possible processing
+    val burst = (0 until 1000).map(i =>
+      Timestamp.from(Instant.parse("2024-01-31T11:59:00Z").plusMillis(i * 45L)))
+      .toDF("arrival_time")
+    val st = new SlaDetector(burst, clock).predictSlaBreach(2000L, 4.0)
+    assert(st.recordCount == 1000L)
+    assert(st.recordsPerHour == 1000.0) // recordCount / windowHours(=1)
+    assert(!st.willBreachSla && st.severity == "NONE")
+    assert(st.projectedHours == 1.0) // 1000 remaining at 1000/h
+  }
+
+  test("ReconciliationDetector: dead source with live destination is a 100% CRITICAL mismatch") {
+    val det = new ReconciliationDetector(clock)
+    val date = today.minusDays(5)
+    val emptySrc = revenueFixture.filter($"transaction_id" === "no-such-id")
+    val st = det.checkReconciliation(emptySrc, revenueFixture, date)
+    assert(st.sourceCount == 0L && st.destCount == 3L)
+    assert(!st.isReconciled)
+    assert(st.discrepancyPct == 100.0) // NOT 0.0: a dead upstream must page
+    assert(st.severity == "CRITICAL")
+  }
+
   test("QualityDetector: null-rate jump and duplicate ids flagged") {
     val base = (1 to 30).flatMap { d =>
       (1 to 10).map(i => (s"id$d-$i", ts(today.minusDays(d.toLong)), s"c$i", "EU"))
