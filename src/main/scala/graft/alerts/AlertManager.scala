@@ -157,7 +157,8 @@ final class AlertManager(
   private def formatValue(key: String, v: String): String = {
     val lower = key.toLowerCase
     def asDouble = try Some(v.toDouble) catch { case _: NumberFormatException => None }
-    if (lower.contains("revenue") || lower.contains("amount"))
+    if (lower.contains("revenue") || lower.contains("amount") ||
+        lower.contains("dollar") || lower.contains("impact"))
       asDouble.map(d => f"$$$d%,.2f").getOrElse(v)
     else if (lower.contains("pct") || lower.contains("percent"))
       asDouble.map(d => f"$d%.1f%%").getOrElse(v)

@@ -43,9 +43,20 @@ object AlertStore {
       .partitionBy("alert_date").parquet(catalog.path(ns, table))
   }
 
-  /** Load history with the 180-day retention predicate applied at scan. */
+  /** Load history with the 180-day retention predicate applied at scan.
+    *
+    * The predicate runs on BOTH columns: `created_at` is the exact cutoff,
+    * and the equivalent bound on `alert_date` (= `to_date(created_at)`, the
+    * partition key) is what lets Spark prune ~all expired day directories at
+    * planning time — the created_at filter alone reaches only row-group
+    * stats inside files it already listed. */
   def load(catalog: Catalog, asOf: java.time.Instant,
-      ref: String = "financial_monitoring.monitoring_alerts"): DataFrame =
+      ref: String = "financial_monitoring.monitoring_alerts"): DataFrame = {
+    val cutoff = asOf.minusSeconds(RetentionDays.toLong * 86400)
+    val cutoffDate = java.sql.Date.valueOf(
+      cutoff.atZone(java.time.ZoneOffset.UTC).toLocalDate)
     catalog.load(ref).filter(
-      graft.ops.TimeFilters.retention(col("created_at"), asOf, RetentionDays))
+      col("alert_date") >= lit(cutoffDate) &&
+        graft.ops.TimeFilters.retention(col("created_at"), asOf, RetentionDays))
+  }
 }

@@ -27,9 +27,21 @@ final class FreshnessDetector(
 
   def checkDataFreshness(maxAgeMinutes: Long): FreshnessStatus = {
     val nowMicros = clock.now.toEpochMilli * 1000L
-    val perSource = sources.map { case (name, df, tsCol) =>
-      val r = df.agg(max(col(tsCol).cast("timestamp")).as("last_arrival")).head()
-      val last = Option(r.getTimestamp(0))
+    // ONE action over a union of the per-source max-aggregates, not one
+    // blocking .head() per source: the N scans are independent, and a
+    // serial driver loop would make total latency the SUM of N jobs; the
+    // union's branches schedule concurrently inside a single job
+    val lastByIdx: Map[Int, java.sql.Timestamp] =
+      if (sources.isEmpty) Map.empty
+      else sources.zipWithIndex.map { case ((_, df, tsCol), i) =>
+        df.agg(max(col(tsCol).cast("timestamp")).as("last_arrival"))
+          .select(lit(i).as("i"), col("last_arrival"))
+      }.reduce(_.unionAll(_))
+        .collect()
+        .flatMap(r => Option(r.getTimestamp(1)).map(r.getInt(0) -> _))
+        .toMap
+    val perSource = sources.zipWithIndex.map { case ((name, _, _), i) =>
+      val last = lastByIdx.get(i)
       val minutes = last match {
         case Some(ts) => (nowMicros - ts.getTime * 1000L) / 60000000L
         case None => Long.MaxValue

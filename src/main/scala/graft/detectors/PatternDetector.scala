@@ -47,8 +47,15 @@ final class PatternDetector(
         .groupBy("key")
         .agg(avg(col("cnt")).as("baseline_avg"))
         .filter(col("baseline_avg") > minDailyCount)
-      // reference shape (pattern_detector.py:98): today LEFT JOIN baseline
-      val present = todayCounts.join(broadcast(baseline), Seq("key"), "left")
+      // reference shape (pattern_detector.py:98): today LEFT JOIN baseline.
+      // Both joins are null-safe (<=>): a null dimension value forms a real
+      // group in both aggregates, and plain equality would (a) never pair it
+      // in the left join — today's null-key volume could never be flagged —
+      // and (b) report the baseline's null group as vanished on EVERY run
+      // even with null rows present today, a permanent false positive that
+      // inflates breaks.size into the severity ladder
+      val b = baseline.withColumnRenamed("key", "bkey")
+      val present = todayCounts.join(broadcast(b), col("key") <=> col("bkey"), "left")
         .withColumn("deviation_pct",
           when(col("baseline_avg") > 0,
             (col("today_value") - col("baseline_avg")) / col("baseline_avg") * 100))
@@ -56,9 +63,9 @@ final class PatternDetector(
       // beyond the reference: a key present all baseline days but absent
       // today is invisible to the today-side left join; a disappearance is
       // always a break (deviation -100%), regardless of the pct threshold
-      val vanished = baseline
-        .join(broadcast(todayCounts.select("key")), Seq("key"), "left_anti")
-        .select(col("key"), lit(0.0).as("today_value"),
+      val vanished = b
+        .join(broadcast(todayCounts.select("key")), col("bkey") <=> col("key"), "left_anti")
+        .select(col("bkey").as("key"), lit(0.0).as("today_value"),
           col("baseline_avg"), lit(-100.0).as("deviation_pct"))
       present.select("key", "today_value", "baseline_avg", "deviation_pct")
         .union(vanished)

@@ -88,7 +88,16 @@ final class RevenueDetector(
     if (rows.getLong(1) == 0) None else Some(rows.getDouble(0))
   }
 
-  /** 7-day moving-average forecast (revenue_detector.py:284-311). */
+  /** 7-day moving-average forecast (revenue_detector.py:284-311).
+    *
+    * The window is anchor-INCLUSIVE — deliberately asymmetric with
+    * [[checkRevenueAnomaly]]/[[weekdayContext]], which end at
+    * `minusDays(1)`: the reference's forecast query has no upper bound
+    * (`WHERE DATE(transaction_date) >= DATE_SUB(CURRENT_DATE(), INTERVAL
+    * 30 DAY)`, revenue_detector.py:291), so its newest MA sample is the
+    * current (possibly partial) day. Kept for parity; pass
+    * `asOf = Some(lastCompleteDay)` to forecast from closed days only.
+    * The q12 oracle pins this window shape on both engines. */
   def forecastRevenue(daysAhead: Int, asOf: Option[LocalDate] = None): Option[Double] = {
     val anchor = asOf.getOrElse(clock.today)
     val daily = BaselineStats.dailyTotals(

@@ -38,7 +38,8 @@ final class TransactionDetector(
       .agg(count(lit(1)).as("cnt"))
     val m = perDay.agg(
         sum(col("cnt")).cast("double"), sum(col("cnt") * col("cnt")).cast("double"),
-        count(lit(1)), min(col("cnt")).cast("double"), max(col("cnt")).cast("double"))
+        count(lit(1)), min(col("cnt")).cast("double"), max(col("cnt")).cast("double"),
+        expr("percentile(cnt, 0.5)"))
       .head()
     val n = m.getLong(2)
 
@@ -54,8 +55,10 @@ final class TransactionDetector(
       val isAnomaly = math.abs(z) > zThreshold
       val severity =
         if (isAnomaly) Thresholds.TxnDeviation.severity(math.abs(deviationPct)) else "NONE"
+      // real percentile(0.5) in the median slot — filling it with the avg
+      // would hand consumers a fabricated statistic on skewed distributions
       VolumeStatus(currentHour, currentCount,
-        Some(Baseline(avg, std, avg, m.getDouble(3), m.getDouble(4), n)),
+        Some(Baseline(avg, std, m.getDouble(5), m.getDouble(3), m.getDouble(4), n)),
         z, isAnomaly, deviationPct, severity)
     }
   }

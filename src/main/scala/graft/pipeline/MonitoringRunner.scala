@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
+import scala.concurrent.duration.{Duration, DurationInt}
 
 import graft.alerts.AlertManager
 import graft.detectors._
@@ -22,7 +22,8 @@ final case class MonitoringResult(
     sla: Option[SlaStatus], quality: Option[QualityStatus],
     alertsSent: Int, report: String)
 
-final class MonitoringRunner(alerts: AlertManager) {
+final class MonitoringRunner(alerts: AlertManager,
+    checkTimeout: Duration = 10.minutes) {
 
   def run(
       feeds: () => FeedStatus, revenue: () => RevenueStatus,
@@ -34,14 +35,22 @@ final class MonitoringRunner(alerts: AlertManager) {
     def opt[T](f: () => T): Future[Option[T]] =
       Future(Some(f()): Option[T]).recover { case _ => None }
 
+    // bounded barrier: a fatal throwable in a check body (StackOverflowError,
+    // InterruptedException — both outside NonFatal, so neither Future.apply
+    // nor the recover sees them) leaves its future permanently incomplete;
+    // an unbounded Await would then hang the WHOLE run, suppressing the
+    // healthy detectors' alerts and the daily report. Timing out degrades
+    // the one check to the same CHECK FAILED row a thrown check produces.
+    def await[T](f: Future[Option[T]]): Option[T] =
+      try Await.result(f, checkTimeout)
+      catch { case _: java.util.concurrent.TimeoutException => None }
+
     // fan-out (8 parallel checks) + barrier
     val fs = (opt(feeds), opt(revenue), opt(volume), opt(freshness),
       opt(patterns), opt(recon), opt(sla), opt(quality))
     val (f, r, v, fr, p, rc, s, q) = (
-      Await.result(fs._1, Duration.Inf), Await.result(fs._2, Duration.Inf),
-      Await.result(fs._3, Duration.Inf), Await.result(fs._4, Duration.Inf),
-      Await.result(fs._5, Duration.Inf), Await.result(fs._6, Duration.Inf),
-      Await.result(fs._7, Duration.Inf), Await.result(fs._8, Duration.Inf))
+      await(fs._1), await(fs._2), await(fs._3), await(fs._4),
+      await(fs._5), await(fs._6), await(fs._7), await(fs._8))
 
     // guarded dispatch — same predicates as financial_monitoring_complete.py:117-168
     var sent = 0

@@ -22,17 +22,18 @@ object ErrorClassifier {
     * `selfhealing..output_table` (`scripts/transform_script:13`).
     *
     * The reference's bare `contains("..")` also matches free-text ellipses —
-    * including any whitespace-isolated ` ... ` and the `[snip]` separator
+    * including any whitespace-isolated ` ... `, unspaced `wait...done`,
+    * quoted `'...'`, and the `[snip]` separator
     * [[AutoHealer.extractErrorContext]] inserts into long logs — misrouting
-    * every long unknown error here. We exclude ONLY those known free-text
-    * shapes: a dot run counts as ref-shaped when both neighbors are
+    * every such error here (and the double-dot branch runs FIRST, so an OOM
+    * whose message merely contains an ellipsis would be classified
+    * table_reference). A ref-shaped run is EXACTLY two dots: both neighbors
     * non-space and non-dot (covers plain `a..b` AND backtick-quoted
-    * `` `project`..`dataset` ``; a dot neighbor would let a 3-dot ellipsis
-    * like `docs...` self-match via backtracking), or when exactly two dots
-    * end the input after a word/backtick char (a truncated ref at end of
-    * message; a 3+-dot trailing run is conventionally an ellipsis, e.g.
-    * `Retrying...`, and stays unmatched). */
-  private val doubleDotRef: Regex = """[^\s.]\.\.+[^\s.]|[\w`]\.\.(?!\.)$""".r
+    * `` `project`..`dataset` ``), or two dots ending the input after a
+    * word/backtick char (a truncated ref at end of message). Any 3+-dot run
+    * is conventionally an ellipsis — `docs...`, `a...b`, `'...'`,
+    * `Retrying...` — and never matches. */
+  private val doubleDotRef: Regex = """[^\s.]\.\.(?!\.)[^\s.]|[\w`]\.\.(?!\.)$""".r
 
   def classify(errorText: String): ErrorClassification = {
     val t = errorText

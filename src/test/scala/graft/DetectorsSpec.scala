@@ -158,6 +158,43 @@ class DetectorsSpec extends SparkSpec {
     assert(st.severity != "NONE")
   }
 
+  test("PatternDetector: null dimension keys are real groups, not permanent vanished breaks") {
+    // null region present in baseline AND today at stable volume: plain
+    // equality joins would never pair it (null = null is null), so the
+    // baseline's null group would surface as a vanished -100% break on
+    // every single run; the null-safe joins keep it quiet
+    val stable: Seq[(String, String, Timestamp)] = (1 to 31).flatMap { d =>
+      val day = today.minusDays(d.toLong)
+      Seq((null, "Electronics", ts(day)), ("EUROPE", "Food", ts(day)))
+    } ++ Seq((null, "Electronics", ts(today)), ("EUROPE", "Food", ts(today)))
+    val quiet = new PatternDetector(stable.toDF("region", "product_category",
+      "transaction_date"), clock, baselineDays = 30).checkPatternBreaks()
+    assert(!quiet.hasBreaks, quiet.breaks.mkString(","))
+
+    // and a null group that GENUINELY disappears is still a vanished break
+    val gone: Seq[(String, String, Timestamp)] = (1 to 31).flatMap { d =>
+      val day = today.minusDays(d.toLong)
+      Seq((null, "Electronics", ts(day)), ("EUROPE", "Food", ts(day)))
+    } ++ Seq(("EUROPE", "Food", ts(today)), ("EUROPE", "Electronics", ts(today)))
+    val st = new PatternDetector(gone.toDF("region", "product_category",
+      "transaction_date"), clock, baselineDays = 30).checkPatternBreaks()
+    assert(st.breaks.exists(b =>
+      b.dimension == "region" && b.key == null && b.deviationPct == -100.0))
+  }
+
+  test("TransactionDetector: baseline median is the real percentile, not the mean") {
+    // same-hour daily counts 15,1,1,1,1,1,1: mean 3, median 1 — a consumer
+    // reading baseline.median must not silently get the mean
+    val rows = (1 to 7).flatMap { d =>
+      val n = if (d == 1) 15 else 1
+      (0 until n).map(i => Timestamp.from(
+        Instant.parse(f"2024-01-${31 - d}%02dT12:00:00Z").plusSeconds(i.toLong)))
+    }.toDF("transaction_date")
+    val st = new TransactionDetector(rows, clock).checkTransactionVolume(hours = 1)
+    val b = st.baseline.get
+    assert(b.n == 7 && b.avg == 3.0 && b.median == 1.0 && b.max == 15.0)
+  }
+
   test("ReconciliationDetector: self-vs-self reconciles; dropped slice does not") {
     val det = new ReconciliationDetector(clock)
     val same = det.checkReconciliation(revenueFixture, revenueFixture, today.minusDays(5))
@@ -268,6 +305,8 @@ class DetectorsSpec extends SparkSpec {
     assert(ra.details("Dollar Impact") == "-20000.0")
     assert(ra.recommendations == Seq("Do X")) // analyzer actions win
     assert(rRendered.contains("$80,000.00")) // currency format on Current Revenue
+    // Dollar Impact renders as currency too, not raw Double.toString noise
+    assert(rRendered.contains("Dollar Impact: $-20,000.00"))
     // spike direction flips the title
     assert(am.createRevenueAlert(rs.copy(deviationPct = 12.3,
       currentTotal = 112300.0, severity = "MEDIUM")))
@@ -301,5 +340,26 @@ class DetectorsSpec extends SparkSpec {
     assert(result.alertsSent >= 2)           // missing feeds + revenue anomaly
     assert(result.report.contains("CHECK FAILED"))
     assert(result.report.contains("3 missing"))
+  }
+
+  test("MonitoringRunner: hung check times out to CHECK FAILED; run still completes") {
+    // a fatal throwable in a check body (StackOverflowError, interrupt)
+    // escapes both Future.apply and the recover, so its future never
+    // completes — the barrier must time out rather than hang the whole run
+    import scala.concurrent.duration.DurationInt
+    val am = new AlertManager(clock, Seq(new InMemorySink("log")))
+    val result = new MonitoringRunner(am, checkTimeout = 2.seconds).run(
+      feeds = () => { Thread.sleep(120000); null },
+      revenue = () => RevenueStatus(today, 0.0, None, 0.0, isAnomaly = false,
+        0.0, "NONE", Nil, None),
+      volume = () => VolumeStatus(12, 0L, None, 0.0, isAnomaly = false, 0.0, "NONE"),
+      freshness = () => FreshnessStatus(Nil, isStale = false, 0.0, "NONE"),
+      patterns = () => PatternStatus(Nil, hasBreaks = false, "NONE"),
+      recon = () => ReconStatus(0L, 0L, 0L, 0.0, isReconciled = true, Nil, "NONE"),
+      sla = () => SlaStatus(0L, 0.0, 0.0, willBreachSla = false, "NONE"),
+      quality = () => QualityStatus(Map.empty, 0.0, Nil, hasDegradation = false, "NONE"))
+    assert(result.feeds.isEmpty)             // timed out => failed, not hung
+    assert(result.revenue.isDefined && result.quality.isDefined)
+    assert(result.report.contains("CHECK FAILED"))
   }
 }

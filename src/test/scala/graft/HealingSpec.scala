@@ -68,6 +68,14 @@ class HealingSpec extends SparkSpec {
     // trailing 3+-dot ellipsis stays free text
     assert(ErrorClassifier.classify("Retrying...").errorType == "unknown")
     assert(ErrorClassifier.classify("Loading, please wait ...").errorType == "unknown")
+    // UNSPACED mid-text ellipses are free text too — only an exactly-two-dot
+    // run is ref-shaped; these previously misrouted to table_reference,
+    // shadowing the real error class checked later in the ladder
+    assert(ErrorClassifier.classify(
+      "java.lang.OutOfMemoryError: GC overhead limit exceeded...retrying")
+      .errorType == "oom")
+    assert(ErrorClassifier.classify("step one...step two failed").errorType == "unknown")
+    assert(ErrorClassifier.classify("option '...' is deprecated").errorType == "unknown")
   }
 
   test("applyFix leaves ellipses in unrelated artifacts untouched") {
@@ -507,6 +515,12 @@ class HealingSpec extends SparkSpec {
     assert(row.getAs[String]("alert_id").length == 32)
     val retained = AlertStore.load(catalog, now)
     assert(retained.count() == 1)
+    // retention must prune expired alert_date=... directories at planning
+    // time (partition filter), not just row-filter created_at inside files
+    val scan = retained.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "alert_date")))
   }
 
   test("DataQualityCheck: schema-driven null profile + assessment") {
