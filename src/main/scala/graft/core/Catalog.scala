@@ -56,12 +56,15 @@ final class Catalog(val spark: SparkSession, root: String) {
     val p = new Path(path(namespace, table))
     val fs = fsOf(p)
     if (!fs.exists(p)) false
-    // a manifest table with no committed snapshot is ABSENT: a first
+    // a manifest table with no committed snapshot is ABSENT — a first
     // commit that crashed before its manifest rename published nothing,
     // and readers must treat the staged droppings as if the crashed
-    // attempt had never created the directory
+    // attempt had never created the directory — UNLESS the adoption
+    // sidecar says the directory held pre-manifest content: that content
+    // stays visible through the transition window
     else if (fs.exists(Manifest.dir(p)))
-      Manifest.latest(fs, p).exists(_.files.nonEmpty)
+      Manifest.latest(fs, p).exists(_.files.nonEmpty) ||
+        Manifest.readAdoption(fs, p).exists(_.nonEmpty)
     else true
   }
 
@@ -80,9 +83,24 @@ final class Catalog(val spark: SparkSession, root: String) {
     val p = new Path(path(namespace, table))
     val fs = fsOf(p)
     if (fs.exists(Manifest.dir(p))) {
-      val snap = Manifest.latest(fs, p).filter(_.files.nonEmpty)
-        .getOrElse(throw TableNotFound(namespace, table))
-      readSnapshot(p, snap)
+      Manifest.latest(fs, p).filter(_.files.nonEmpty) match {
+        case Some(snap) => readSnapshot(p, snap)
+        case None =>
+          // marker with no committed snapshot: a first manifest-mode
+          // commit is in flight or crashed. The adoption sidecar
+          // (captured before anything staged) preserves the pre-manifest
+          // content through the window; its best-effort deletion happens
+          // only AFTER the first snapshot publishes, so when it is absent
+          // a re-check of the snapshot listing closes the race
+          Manifest.readAdoption(fs, p).filter(_.nonEmpty) match {
+            case Some(files) =>
+              readSnapshot(p, Manifest.Snapshot(0L, Nil, None, files))
+            case None =>
+              Manifest.latest(fs, p).filter(_.files.nonEmpty)
+                .map(readSnapshot(p, _))
+                .getOrElse(throw TableNotFound(namespace, table))
+          }
+      }
     } else if (!fs.exists(p)) throw TableNotFound(namespace, table)
     else
       // mergeSchema unions schemas across appended files, so a column ADDED
@@ -151,8 +169,22 @@ final class Catalog(val spark: SparkSession, root: String) {
   def append(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil): Unit = {
     val (ns, t) = parseRef(ref)
     if (isManifest(ns, t)) { commitAppend(df, ref, partitionBy); return }
+    // the same layout contract the manifest path gets from commitParts:
+    // omitting partitionBy INHERITS the existing Hive layout (an append
+    // can never silently flatten a partitioned directory into mixed-depth
+    // files), and a contradicting explicit layout fails loudly
+    val inherited = partitionColumnsOf(ns, t)
+    val parts =
+      if (partitionBy.isEmpty) inherited
+      else {
+        require(inherited.isEmpty || inherited == partitionBy,
+          s"partition layout mismatch for $ns.$t: table is partitioned by " +
+            s"(${inherited.mkString(",")}) but the append asked for " +
+            s"(${partitionBy.mkString(",")})")
+        partitionBy
+      }
     val w = df.write.mode("append")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(path(ns, t))
   }
 
@@ -238,14 +270,19 @@ final class Catalog(val spark: SparkSession, root: String) {
       return false
     val parts = commitParts(partitionBy, prior, ns, t)
     // adoption: fold a PRE-manifest table's current files into the snapshot.
-    // The `_manifests` marker is created BEFORE any data stages so this can
-    // never re-adopt files a crashed manifest-mode commit moved but did not
-    // publish — those are orphans ([[vacuum]]), not table content. Captured
-    // once (before the marker lands) so a publish retry can still see it.
+    // The list is captured DURABLY (an atomic sidecar in the table root,
+    // [[Manifest.captureAdoption]]) before the marker or any staging lands:
+    // a commit that crashes — or loses the first-publish race — can never
+    // lose it, and it is never re-derived once staging has begun, so files
+    // a crashed manifest-mode commit moved but did not publish stay
+    // orphans ([[vacuum]]), not table content.
     val dirAdopted =
-      if (prior.isEmpty && !fs.exists(Manifest.dir(tableRoot)) &&
-          fs.exists(tableRoot)) listDataFiles(fs, tableRoot)
-      else Nil
+      if (prior.nonEmpty) Nil
+      else Manifest.readAdoption(fs, tableRoot).getOrElse {
+        if (!fs.exists(Manifest.dir(tableRoot)) && fs.exists(tableRoot))
+          Manifest.captureAdoption(fs, tableRoot, listDataFiles(fs, tableRoot))
+        else Nil
+      }
     fs.mkdirs(Manifest.dir(tableRoot))
     val added = stageFiles(df, tableRoot, parts)
     // an empty batch publishes only when it must advance the batch-id
@@ -259,7 +296,14 @@ final class Catalog(val spark: SparkSession, root: String) {
     var attempt = 0
     while (true) {
       val all = prior.map(_.files).getOrElse(dirAdopted) ++ added
-      if (!(all.nonEmpty && (added.nonEmpty || batchId.isDefined))) return true
+      // an empty batch still publishes when it must advance the batch-id
+      // bookkeeping OR when it is the table's FIRST commit adopting
+      // directory content — leaving adoption to "the next non-empty
+      // batch" would leave the table in the marker-no-snapshot transition
+      // state (readable only through the sidecar) indefinitely
+      if (!(all.nonEmpty &&
+          (added.nonEmpty || batchId.isDefined ||
+            (prior.isEmpty && dirAdopted.nonEmpty)))) return true
       try {
         Manifest.publish(fs, tableRoot, parts,
           batchId.orElse(prior.flatMap(_.lastBatchId)), all,
@@ -268,6 +312,10 @@ final class Catalog(val spark: SparkSession, root: String) {
           // be a delta: O(batch files) metadata instead of rewriting the
           // full table listing every micro-batch (see Manifest scale notes)
           preferDelta = true)
+        // the committed snapshot now carries the adopted files; the
+        // sidecar is inert (readers re-check the snapshot before
+        // trusting its absence)
+        if (dirAdopted.nonEmpty) Manifest.dropAdoption(fs, tableRoot)
         return true
       } catch {
         case e: Manifest.PublishRaceException =>
@@ -317,11 +365,18 @@ final class Catalog(val spark: SparkSession, root: String) {
     val fs = fsOf(tableRoot)
     val prior = Manifest.latest(fs, tableRoot)
     val parts = commitParts(partitionBy, prior, ns, t)
+    // a pre-manifest table's content must survive a crash of THIS
+    // overwrite: the sidecar keeps readers resolving the directory
+    // content through the marker-no-snapshot window; the publish below
+    // then deliberately supersedes it (overwrite semantics)
+    if (prior.isEmpty && !fs.exists(Manifest.dir(tableRoot)) && fs.exists(tableRoot))
+      Manifest.captureAdoption(fs, tableRoot, listDataFiles(fs, tableRoot))
     fs.mkdirs(Manifest.dir(tableRoot))
     val added = stageFiles(df, tableRoot, parts)
     require(added.nonEmpty, s"refusing to overwrite $ref with an empty file set")
     Manifest.publish(fs, tableRoot, parts, prior.flatMap(_.lastBatchId), added,
       expectedVersion)
+    Manifest.dropAdoption(fs, tableRoot)
   }
 
   /** Delete data files no retained snapshot references (crashed-append
@@ -348,7 +403,14 @@ final class Catalog(val spark: SparkSession, root: String) {
     val tableRoot = new Path(path(ns, t))
     val fs = fsOf(tableRoot)
     val versions = Manifest.versions(fs, tableRoot)
-    if (versions.isEmpty) throw TableNotFound(ns, t)
+    if (versions.isEmpty) {
+      // an existing directory-layout table simply has nothing to vacuum —
+      // no manifest means no orphan tracking; raising TableNotFound here
+      // would abort a maintenance sweep over the whole catalog and tell
+      // the operator a live table is gone
+      if (fs.exists(tableRoot)) return 0L
+      throw TableNotFound(ns, t)
+    }
     val retained = versions.takeRight(retainLast)
     // one resolving read per version feeds the live set, the referenced
     // set, and the fold check below (each read walks its delta chain of
@@ -444,8 +506,17 @@ final class Catalog(val spark: SparkSession, root: String) {
     val compacted =
       if (snap.partitions.nonEmpty) df.repartition(snap.partitions.map(col): _*)
       else {
-        val bytes = snap.files
-          .map(f => fs.getFileStatus(new Path(tableRoot, f)).getLen).sum
+        // size the table with ONE listStatus per parent directory, not one
+        // getFileStatus RPC per file: compact's motivating input is 10^5+
+        // tiny micro-batch files, where per-file driver-side metadata
+        // calls would cost minutes before the rewrite job even starts
+        val bytes = snap.files.groupBy(f => new Path(tableRoot, f).getParent)
+          .iterator.map { case (parent, inDir) =>
+            val want = inDir.map(f => new Path(tableRoot, f).getName).toSet
+            fs.listStatus(parent).iterator
+              .filter(s => want.contains(s.getPath.getName))
+              .map(_.getLen).sum
+          }.sum
         df.repartition(math.max(1, (bytes.toDouble / targetFileBytes).ceil.toInt))
       }
     // CAS on the snapshot being rewritten: a micro-batch that lands while
@@ -488,7 +559,15 @@ final class Catalog(val spark: SparkSession, root: String) {
   def appendRelaxed(df: DataFrame, ref: String, partitionBy: Seq[String] = Nil): Unit = {
     val (ns, t) = parseRef(ref)
     if (!exists(ns, t)) { append(df, ref, partitionBy); return }
-    val existing = load(ns, t)
+    // pin the snapshot AND its version in ONE read: deriving the CAS
+    // version from a second read would let a commit landing in between
+    // pass the migration's CAS while the rewrite content derives from the
+    // older snapshot — exactly the lost-commit case the CAS exists to
+    // prevent
+    val tableRoot = new Path(path(ns, t))
+    val pinned = Manifest.latest(fsOf(tableRoot), tableRoot)
+    val existing = pinned.filter(_.files.nonEmpty)
+      .map(readSnapshot(tableRoot, _)).getOrElse(load(ns, t))
     val target = Catalog.relaxedSchema(existing.schema, df.schema)
     val parts =
       if (partitionBy.nonEmpty) partitionBy else partitionColumnsOf(ns, t)
@@ -499,7 +578,7 @@ final class Catalog(val spark: SparkSession, root: String) {
       // version the rewrite derives from: a commit landing mid-migration
       // fails this publish loudly instead of being erased by it
       commitOverwrite(Catalog.castTo(existing, target), ref, parts,
-        expectedVersion = snapshotVersions(ref).lastOption.getOrElse(0L))
+        expectedVersion = pinned.map(_.version).getOrElse(0L))
     append(Catalog.castTo(df, target), ref, parts)
   }
 

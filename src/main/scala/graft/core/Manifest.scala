@@ -138,6 +138,71 @@ private[core] object Manifest {
     java.lang.Long.toHexString(c.getValue)
   }
 
+  /** Adoption sidecar `<table>/.adopted-files`: the pre-manifest directory
+    * table's file list, captured ATOMICALLY (tmp + rename in the table
+    * root) before the first manifest-mode commit creates the marker or
+    * stages anything. It is the durable answer to "which files were table
+    * content before manifest mode?" — a question that cannot be re-derived
+    * later, because a crashed first commit's staged part files are
+    * indistinguishable from pre-manifest ones by listing. While the marker
+    * exists with no committed snapshot, [[Catalog.load]]/[[Catalog.exists]]
+    * fall back to this list; once a snapshot publishes (folding the list
+    * in, or an overwrite deliberately superseding it) the sidecar is inert
+    * and dropped best-effort. Dot-prefixed: invisible to Spark directory
+    * listings and to the Catalog's data-file walk. */
+  private val AdoptionName = ".adopted-files"
+  private val AdoptionHeader = "graft-adoption-v1"
+
+  def adoptionPath(table: Path): Path = new Path(table, AdoptionName)
+
+  /** The captured pre-manifest file list, or None if never captured.
+    * A sidecar that fails its checksum is corrupt storage — loud, the
+    * same contract manifest reads pin. */
+  def readAdoption(fs: FileSystem, table: Path): Option[Seq[String]] = {
+    val p = adoptionPath(table)
+    val text =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } catch { case _: java.io.FileNotFoundException => return None }
+    val lines = text.split("\n", -1).toIndexedSeq
+    require(lines.size >= 2 && lines(0) == AdoptionHeader &&
+      lines(1) == s"checksum=${crc(lines.drop(2))}",
+      s"corrupt adoption sidecar $p")
+    Some(lines.drop(2))
+  }
+
+  /** Capture the adoption list if not already captured — the first
+    * writer's listing wins the rename race and everyone reads back the
+    * winning list. Call ONLY while no snapshot exists and nothing has
+    * been staged (marker absent): the listing is unreproducible once
+    * staging begins. Returns the durable list ([[readAdoption]]'s view). */
+  def captureAdoption(fs: FileSystem, table: Path, list: => Seq[String]): Seq[String] =
+    readAdoption(fs, table).getOrElse {
+      val files = list
+      if (files.isEmpty) Nil
+      else {
+        val tmp = new Path(table, s".tmp-adopt-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write((AdoptionHeader +: s"checksum=${crc(files)}" +: files)
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        if (fs.rename(tmp, adoptionPath(table))) files
+        else {
+          // a concurrent first commit renamed its (identical-content)
+          // capture first — read the winner
+          fs.delete(tmp, false)
+          readAdoption(fs, table).getOrElse(files)
+        }
+      }
+    }
+
+  /** Best-effort removal once a committed snapshot supersedes the sidecar
+    * (readers re-check the snapshot listing before trusting its absence). */
+  def dropAdoption(fs: FileSystem, table: Path): Unit =
+    try fs.delete(adoptionPath(table), false)
+    catch { case _: java.io.IOException => () }
+
   def read(fs: FileSystem, table: Path, version: Long): Snapshot =
     read(fs, table, version, retried = false)
 

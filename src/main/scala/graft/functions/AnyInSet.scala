@@ -9,34 +9,29 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** True iff ANY element of a string array is in a fixed reference set —
-  * the per-row form of a semi-join against a driver-known set, O(array)
-  * per row via a memoized hash set (the [[HyperplaneLsh]] pattern: build
-  * once per expression instance, not per row).
-  *
-  * This is the STREAMING/serving shape of decontamination
-  * ([[graft.ext.Decontaminate.contaminationPredicate]]): the join form
-  * needs a distinct over matched ids — a stateful aggregation a streaming
-  * query can't run in append mode — while this predicate is stateless and
-  * attaches to any plan, batch or stream. The set ships in the serialized
-  * expression (once per task, like a broadcast); it is the caller's
-  * contract that the set is broadcast-sized — the same assumption the
-  * broadcast semi-join form makes.
-  */
-case class AnyInSet(child: Expression, values: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+/** Shared probe for the two [[AnyInSet]] encodings: type check + null-safe
+  * any-membership scan over a memoized per-instance hash set. The literal
+  * and broadcast forms differ ONLY in how the set ships to executors —
+  * keeping the probe here means a semantics fix can never silently apply
+  * to one form and not the other. */
+sealed trait AnyInSetProbe extends UnaryExpression with CodegenFallback {
+
+  /** The memoized reference set (implementations build it lazily once per
+    * expression instance, the [[HyperplaneLsh]] pattern). */
+  protected def set: java.util.HashSet[UTF8String]
+
+  protected final def buildSet(values: Iterable[String], n: Int)
+      : java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(16, n * 2))
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
 
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"any_in_set requires array<string>, got $t")
-  }
-
-  @transient private lazy val set: java.util.HashSet[UTF8String] = {
-    val s = new java.util.HashSet[UTF8String](math.max(16, values.size * 2))
-    values.foreach(v => s.add(UTF8String.fromString(v)))
-    s
   }
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -49,6 +44,26 @@ case class AnyInSet(child: Expression, values: Seq[String])
     }
     java.lang.Boolean.FALSE
   }
+}
+
+/** True iff ANY element of a string array is in a fixed reference set —
+  * the per-row form of a semi-join against a driver-known set, O(array)
+  * per row via a memoized hash set.
+  *
+  * This is the STREAMING/serving shape of decontamination
+  * ([[graft.ext.Decontaminate.contaminationPredicate]]): the join form
+  * needs a distinct over matched ids — a stateful aggregation a streaming
+  * query can't run in append mode — while this predicate is stateless and
+  * attaches to any plan, batch or stream. The set ships in the serialized
+  * expression (once per task, like a broadcast); it is the caller's
+  * contract that the set is broadcast-sized — the same assumption the
+  * broadcast semi-join form makes.
+  */
+case class AnyInSet(child: Expression, values: Seq[String])
+    extends AnyInSetProbe {
+
+  @transient protected lazy val set: java.util.HashSet[UTF8String] =
+    buildSet(values, values.size)
 
   override protected def withNewChildInternal(newChild: Expression): AnyInSet =
     copy(child = newChild)
@@ -68,32 +83,10 @@ object AnyInSet {
   * semantics, same memoized per-instance hash set. */
 case class AnyInSetBc(child: Expression,
     bc: org.apache.spark.broadcast.Broadcast[Array[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends AnyInSetProbe {
 
-  override def dataType: DataType = BooleanType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"any_in_set requires array<string>, got $t")
-  }
-
-  @transient private lazy val set: java.util.HashSet[UTF8String] = {
-    val values = bc.value
-    val s = new java.util.HashSet[UTF8String](math.max(16, values.length * 2))
-    values.foreach(v => s.add(UTF8String.fromString(v)))
-    s
-  }
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i)))
-        return java.lang.Boolean.TRUE
-      i += 1
-    }
-    java.lang.Boolean.FALSE
-  }
+  @transient protected lazy val set: java.util.HashSet[UTF8String] =
+    buildSet(bc.value, bc.value.length)
 
   override protected def withNewChildInternal(newChild: Expression): AnyInSetBc =
     copy(child = newChild)

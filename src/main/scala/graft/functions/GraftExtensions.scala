@@ -81,7 +81,13 @@ object GraftExtensions {
   }
 
   private def intLit(e: Expression, fn: String): Int =
-    if (e.foldable) e.eval().asInstanceOf[Number].intValue()
+    if (e.foldable) e.eval() match {
+      case n: Number => n.intValue()
+      // a foldable NULL (e.g. CAST(NULL AS INT)) must get the clear
+      // message, not a bare NPE out of the analyzer
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter must be a literal integer, got $other")
+    }
     else throw new IllegalArgumentException(s"$fn: parameter must be a literal integer")
 
   private def doubleLit(e: Expression, fn: String): Double =

@@ -34,13 +34,28 @@ case class PqAdc(child: Expression, table: Seq[Double], k: Int)
   }
 
   @transient private lazy val tab: Array[Double] = table.toArray
+  @transient private lazy val m: Int = table.size / k
 
   override protected def nullSafeEval(input: Any): Any = {
     val codes = input.asInstanceOf[ArrayData]
+    // geometry guards — the same loud-mismatch contract Pq.encode and
+    // NearestCentroid pin: codes persisted under a DIFFERENT codebook
+    // (wrong m, or code values from a larger k) would otherwise read
+    // entries belonging to other subvectors and return plausible-but-wrong
+    // distances with no error
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc: got ${codes.numElements()} codes for an m=$m, k=$k lookup " +
+          "table — codes and codebook geometry must match")
     var s = 0.0
     var i = 0
     while (i < codes.numElements()) {
-      s += tab(i * k + codes.getInt(i))
+      val c = codes.getInt(i)
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $c at subvector $i is outside [0,$k) — codes were " +
+            "encoded under a different codebook")
+      s += tab(i * k + c)
       i += 1
     }
     s

@@ -331,6 +331,36 @@ class ExtSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_word_ngrams('a b c', CAST(rand()*2 AS INT))").collect()
     }
+    // a foldable NULL parameter gets the clear literal-integer message,
+    // not a bare NPE out of the analyzer
+    val nullLit = intercept[Exception] {
+      spark.sql("SELECT graft_word_ngrams('a b c', CAST(NULL AS INT))").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(nullLit).exists(t =>
+      Option(t.getMessage).exists(_.contains("literal integer"))), nullLit.toString)
+  }
+
+  test("PqAdc: geometry mismatches fail loudly, never mis-score") {
+    import graft.functions.PqAdc
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    def msgHas(t: Throwable, s: String): Boolean =
+      chain(t).exists(x => Option(x.getMessage).exists(_.contains(s)))
+    val tab = (0 until 8).map(_.toDouble) // m=2 subvectors, k=4 entries each
+    assert(Seq(Seq(1, 3)).toDF("codes").select(PqAdc($"codes", tab, 4))
+      .head().getDouble(0) == 1.0 + 7.0)
+    // codes from a different m (3 codes vs the m=2 table): loud, not a
+    // partial sum over someone else's subvector entries
+    val badM = intercept[Exception](
+      Seq(Seq(1, 2, 3)).toDF("codes").select(PqAdc($"codes", tab, 4)).collect())
+    assert(msgHas(badM, "pq_adc"), badM.toString)
+    // a code value from a larger codebook (5 >= k=4): loud, not a read
+    // into the next subvector's table block
+    val badK = intercept[Exception](
+      Seq(Seq(1, 5)).toDF("codes").select(PqAdc($"codes", tab, 4)).collect())
+    assert(msgHas(badK, "pq_adc"), badK.toString)
   }
 
   test("SQL surface exposes the sampling family (graft_hash_split, graft_mixture_keep)") {

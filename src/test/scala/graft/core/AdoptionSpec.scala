@@ -1,0 +1,126 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+
+/** The adoption sidecar protocol: a directory-layout table entering
+  * manifest mode must never lose its pre-manifest content — not to a
+  * crash between the marker landing and the first publish, not to an
+  * empty first batch, not to a concurrent first commit. The sidecar
+  * (captured atomically before anything stages) is the durable record of
+  * what the directory held; these cases pin every transition state. */
+class AdoptionSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): (Catalog, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-adopt").toString
+    (new Catalog(spark, root), root)
+  }
+
+  private def fsRoot(catalog: Catalog, ref: String): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val (ns, t) = catalog.parseRef(ref)
+    val p = new Path(catalog.path(ns, t))
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  test("sidecar primitives: capture wins once, reads back, drops") {
+    val (fs, table) = {
+      val root = new Path(
+        java.nio.file.Files.createTempDirectory("graft-sidecar").toString, "tbl")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      (fs, root)
+    }
+    assert(Manifest.readAdoption(fs, table).isEmpty)
+    val won = Manifest.captureAdoption(fs, table, Seq("a.parquet", "b.parquet"))
+    assert(won == Seq("a.parquet", "b.parquet"))
+    // a later capture (the raced second writer) reads back the winner's
+    // list, never its own fresh listing
+    val second = Manifest.captureAdoption(fs, table,
+      sys.error("second capture must not re-list"))
+    assert(second == Seq("a.parquet", "b.parquet"))
+    assert(Manifest.readAdoption(fs, table).contains(Seq("a.parquet", "b.parquet")))
+    // corruption is loud, not a silent empty adoption
+    val out = fs.create(Manifest.adoptionPath(table), true)
+    out.write("graft-adoption-v1\nchecksum=0\nc.parquet".getBytes("UTF-8"))
+    out.close()
+    assertThrows[IllegalArgumentException](Manifest.readAdoption(fs, table))
+    Manifest.dropAdoption(fs, table)
+    assert(Manifest.readAdoption(fs, table).isEmpty)
+  }
+
+  test("crashed first commit: directory content stays readable through the sidecar") {
+    val (catalog, _) = freshCatalog()
+    val ref = "adopt.crashed"
+    catalog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), ref)
+    val (fs, tableRoot) = fsRoot(catalog, ref)
+    // reproduce the exact crash state a first commitAppend leaves when it
+    // dies after capturing the sidecar and creating the marker but before
+    // publishing: sidecar + marker + a staged-but-unpublished dropping
+    Manifest.captureAdoption(fs, tableRoot, {
+      val files = fs.listStatus(tableRoot).map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).toSeq
+      files
+    })
+    fs.mkdirs(Manifest.dir(tableRoot))
+    Seq((99L, "orphan")).toDF("id", "v").write
+      .parquet(new Path(tableRoot, ".stage-fake").toString)
+    val dropping = fs.listStatus(new Path(tableRoot, ".stage-fake"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(dropping, new Path(tableRoot, "part-crashed-orphan.parquet"))
+    // the table is still present and reads EXACTLY the pre-manifest rows —
+    // the crashed commit's dropping is an orphan, not content
+    assert(catalog.exists(ref))
+    assert(catalog.load(ref).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the NEXT commit adopts the sidecar list (not a re-listing that would
+    // swallow the orphan), folds it into v1, and retires the sidecar
+    catalog.commitAppend(Seq((3L, "c")).toDF("id", "v"), ref)
+    assert(catalog.snapshotVersions(ref) == Seq(1L))
+    assert(catalog.load(ref).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(Manifest.readAdoption(fs, tableRoot).isEmpty)
+  }
+
+  test("empty first append adopts: the transition cannot strand a directory table") {
+    val (catalog, _) = freshCatalog()
+    val ref = "adopt.emptyfirst"
+    catalog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), ref)
+    // an EMPTY first commitAppend used to create the marker, publish
+    // nothing, and leave the table invisible; it must publish the
+    // adoption snapshot instead
+    catalog.commitAppend(Seq.empty[(Long, String)].toDF("id", "v"), ref)
+    assert(catalog.snapshotVersions(ref) == Seq(1L))
+    assert(catalog.exists(ref))
+    assert(catalog.load(ref).count() == 2L)
+    val (fs, tableRoot) = fsRoot(catalog, ref)
+    assert(Manifest.readAdoption(fs, tableRoot).isEmpty) // retired after publish
+  }
+
+  test("vacuum on a directory-layout table is a no-op, not TableNotFound") {
+    val (catalog, _) = freshCatalog()
+    val ref = "adopt.dirvac"
+    catalog.append(Seq((1L, "a")).toDF("id", "v"), ref)
+    assert(catalog.vacuum(ref) == 0L)
+    assert(catalog.load(ref).count() == 1L)
+    // a table that truly does not exist still raises
+    assertThrows[TableNotFound](catalog.vacuum("adopt.nope"))
+  }
+
+  test("directory append inherits the Hive layout; a contradiction fails loudly") {
+    val (catalog, _) = freshCatalog()
+    val ref = "adopt.layout"
+    catalog.append(Seq((1L, "x", "2024-01-01")).toDF("id", "v", "day"),
+      ref, partitionBy = Seq("day"))
+    // omitting partitionBy inherits day= partitioning instead of writing
+    // flat files into the partitioned root
+    catalog.append(Seq((2L, "y", "2024-01-02")).toDF("id", "v", "day"), ref)
+    val (fs, tableRoot) = fsRoot(catalog, ref)
+    val dayDirs = fs.listStatus(tableRoot).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("day=")).sorted.toSeq
+    assert(dayDirs == Seq("day=2024-01-01", "day=2024-01-02"))
+    assert(catalog.load(ref).count() == 2L)
+    // an explicit contradicting layout is refused
+    assertThrows[IllegalArgumentException](
+      catalog.append(Seq((3L, "z", "2024-01-03")).toDF("id", "v", "day"),
+        ref, partitionBy = Seq("v")))
+  }
+}
