@@ -56,10 +56,14 @@ object Bench {
     // nothing is cached between samples beyond the OS page cache, which a
     // warm re-read shares with every other query here anyway.
     val benched = SparkEntry.benchQueries.toSeq.sortBy(_._1)
-    def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+    // A failed sample returns None: its time-to-failure must not compete
+    // in min-of-N (a 0.3s crash beside a 25s success would report an ~80x
+    // phantom speedup in the one JSON line the driver consumes).
+    def once(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       // capture BEFORE the cache teardown so the measured time is the
       // query alone, not the unpersist housekeeping
       val elapsed = (System.nanoTime() - t0) / 1e9
@@ -68,29 +72,35 @@ object Bench {
       // would read an earlier sample's cache and min-of-N would report a
       // warm-cache time instead of the query
       spark.sharedState.cacheManager.clearCache()
-      elapsed
+      if (ok) Some(elapsed) else None
     }
     val pass1 = benched.map { case (name, fn) => name -> once(name, fn) }.toMap
     val pass2 = benched.map { case (name, fn) => name -> once(name, fn) }.toMap
     val results = benched.map { case (name, fn) =>
-      val (a, b) = (pass1(name), pass2(name))
-      val samples =
-        if (math.max(a, b) > 1.3 * math.min(a, b) || math.min(a, b) > 1.0)
-          Seq(a, b, once(name, fn))
-        else Seq(a, b)
-      name -> samples.min
+      val first = Seq(pass1(name), pass2(name)).flatten
+      val needThird = first.size < 2 ||
+        first.max > 1.3 * first.min || first.min > 1.0
+      val samples = if (needThird) first ++ once(name, fn) else first
+      name -> samples.minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    // a query with NO successful sample is reported by name, never as a
+    // fake timing row
+    val failed = results.collect { case (k, None) => k }
+    val qs = ok.map { case (k, v) => SparkEntry.jsonString(k) + ":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.sorted.map(SparkEntry.jsonString).mkString("[", ",", "]")
     // Registry entries excluded from the bench on purpose (proof-only
     // configurations whose production-shaped twin IS benched) — named here
     // so the bench-vs-registry set difference needs no reverse-engineering.
     val skipped = SparkEntry.all.toSeq.collect {
       case (k, d) if !d.bench =>
-        "\"" + k + "\":\"verify-only: " + d.doc.replace("\"", "'") + "\""
+        SparkEntry.jsonString(k) + ":" + SparkEntry.jsonString("verify-only: " + d.doc)
     }.sorted.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$skipped,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skipped,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries failed every sample: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

@@ -32,18 +32,7 @@ object Verify {
       // keep query runs independent: drop stages persist()ed inside queries
       spark.sharedState.cacheManager.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = SparkEntry.jsonString(s)
     // The ANN-artifact oracles (q68-q70) carry a placeholder for the
     // persisted-artifact directory; resolve it against THIS run's sf dir
     // so the dumped SQL always reads where the engine actually wrote.

@@ -31,10 +31,9 @@ object DetectorQ {
       .agg(Exact.sum2(col("o_totalprice")).as("rev"))
     val base = daily.groupBy("category")
       .agg(Exact.avg2(col("rev")).as("avg_daily_rev"), count(lit(1)).as("n_days"))
-    today.join(broadcast(base), Seq("category"), "left")
-      .withColumn("deviation_pct",
-        when(col("avg_daily_rev") > 0,
-          (col("today_rev") - col("avg_daily_rev")) / col("avg_daily_rev") * 100))
+    // the shared J1/J2 helper IS this query's join+deviation shape — one
+    // definition of the >0-guarded pct formula across the detector queries
+    Joins.keyedDeviation(today, base, "category", "today_rev", "avg_daily_rev")
       .withColumn("severity",
         Thresholds.RevenueDeviation.severityCol(abs(col("deviation_pct"))))
   }
@@ -263,11 +262,8 @@ object DetectorQ {
           .agg(count(lit(1)).as("cnt"))
         val base = daily.groupBy("status")
           .agg(avg(col("cnt")).as("avg_daily_count"), count(lit(1)).as("n_days"))
-        today.join(broadcast(base), Seq("status"), "left")
+        Joins.keyedDeviation(today, base, "status", "today_count", "avg_daily_count")
           .filter(col("avg_daily_count").isNotNull)
-          .withColumn("deviation_pct",
-            when(col("avg_daily_count") > 0,
-              (col("today_count") - col("avg_daily_count")) / col("avg_daily_count") * 100))
           .withColumn("severity",
             Thresholds.RevenueDeviation.severityCol(abs(col("deviation_pct"))))
           .orderBy("status")

@@ -132,7 +132,10 @@ object ExtQ {
     // MinHash-LSH candidate pairs verified by exact shingle Jaccard. The
     // oracle scans ALL pairs exhaustively — a hash-match therefore proves
     // the banded-LSH candidate generation had no false negatives at these
-    // parameters (k=32, 8 bands over 3-gram shingles, threshold 0.3).
+    // parameters (k=32, 8 bands over 3-gram shingles, threshold 0.3). The
+    // CASE mirrors Dedup.shingles' short-doc fallback: a <3-token doc is
+    // ONE whole-text shingle on both engines, not an empty set whose
+    // 0/0 jaccard would silently drop the pair only on the oracle side.
     "q29_lsh_neardup_pairs" -> QueryDef(
       (s, dir) =>
         Dedup.nearDupPairs(t(s, dir, "documents"), shingleN = 3, threshold = 0.3)
@@ -142,8 +145,10 @@ object ExtQ {
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         s AS (
           SELECT doc_id,
-            list_distinct(list_transform(range(1, len(toks) - 1),
-              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            CASE WHEN len(toks) >= 3 THEN
+              list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            ELSE [array_to_string(toks, ' ')] END AS sh
           FROM d),
         p AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -190,7 +195,7 @@ object ExtQ {
       Some("""
         SELECT doc_id AS media_id,
           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          CAST(length(text) AS BIGINT) AS n_bytes,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           sha256(text) AS sha256,
           substring(upper(hex(encode(text))), 1, 8) AS magic
         FROM documents ORDER BY media_id""")),
@@ -284,15 +289,9 @@ object ExtQ {
     // exhaustive-oracle proof. The benched production form is q50, whose
     // depth auto-sizes from the corpus and threshold (q35→q42 pattern).
     "q46_embedding_neardup_tight" -> QueryDef(
-      (s, dir) => {
-        val base = t(s, dir, "embeddings").select(
-          col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-        val twins = base.select(
-          (col("vec_id") + lit(1000000L)).as("vec_id"),
-          transform(col("embedding"), x => x + lit(0.05d)).as("embedding"))
-        Similarity.nearDupPairsLsh(base.unionAll(twins), threshold = 0.9,
-          nPlanes = 10, nTables = 64)
-      },
+      (s, dir) =>
+        Similarity.nearDupPairsLsh(twinCorpus(s, dir), threshold = 0.9,
+          nPlanes = 10, nTables = 64),
       Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         u AS (
@@ -321,15 +320,9 @@ object ExtQ {
     // cosines (0.916+) is ≤ 2e-5 — and the planes are deterministic, so
     // the observed zero-miss result is reproducible, not a dice roll.
     "q50_embedding_neardup_tight_auto" -> QueryDef(
-      (s, dir) => {
-        val base = t(s, dir, "embeddings").select(
-          col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-        val twins = base.select(
-          (col("vec_id") + lit(1000000L)).as("vec_id"),
-          transform(col("embedding"), x => x + lit(0.05d)).as("embedding"))
-        Similarity.nearDupPairsLsh(base.unionAll(twins), threshold = 0.9,
-          targetRecall = 0.9999)
-      },
+      (s, dir) =>
+        Similarity.nearDupPairsLsh(twinCorpus(s, dir), threshold = 0.9,
+          targetRecall = 0.9999),
       Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         u AS (
@@ -458,8 +451,10 @@ object ExtQ {
             ON s.fp = k.fp AND s.doc_id = k.doc_id),
         sh AS (
           SELECT doc_id,
-            list_distinct(list_transform(range(1, len(toks) - 1),
-              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            CASE WHEN len(toks) >= 3 THEN
+              list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            ELSE [array_to_string(toks, ' ')] END AS sh
           FROM kept),
         dropb AS (
           SELECT DISTINCT b.doc_id
@@ -1269,6 +1264,19 @@ object ExtQ {
     * reconciliation discrepancy classes, reconciliation_detector.py:104-128),
     * both published through [[graft.core.Catalog.saveBucketed]] on the join
     * key. Returns the two published table names. */
+  /** The q46/q50 derived corpus — the embeddings plus a +0.05 elementwise
+    * twin of every vector under vec_id+1000000. ONE definition: the offset
+    * and perturbation are the proof's contract with BOTH entries' oracles
+    * ("same derived corpus"), so they must not be spelled twice. */
+  private def twinCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twins = base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.05d)).as("embedding"))
+    base.unionAll(twins)
+  }
+
   private def publishReconTables(s: SparkSession, dir: String): (String, String) = {
     val cat = new graft.core.Catalog(s, dir)
     val ev = t(s, dir, "events")

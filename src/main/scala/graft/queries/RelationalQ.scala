@@ -188,7 +188,7 @@ object RelationalQ {
           SELECT DISTINCT event_type AS feed_id FROM events
           WHERE ts >= TIMESTAMP '2024-01-30 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00')
         SELECT feed_id FROM expected
-        WHERE feed_id NOT IN (SELECT feed_id FROM arrived)
+        WHERE feed_id NOT IN (SELECT feed_id FROM arrived WHERE feed_id IS NOT NULL)
         ORDER BY feed_id""")),
 
     // O1: top-k by aggregate (revenue breakdown, revenue_detector.py:141-155).
