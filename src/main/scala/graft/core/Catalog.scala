@@ -64,7 +64,11 @@ final class Catalog(val spark: SparkSession, root: String) {
     // stays visible through the transition window
     else if (fs.exists(Manifest.dir(p)))
       Manifest.latest(fs, p).exists(_.files.nonEmpty) ||
-        Manifest.readAdoption(fs, p).exists(_.nonEmpty)
+        Manifest.readAdoption(fs, p).exists(_.nonEmpty) ||
+        // the sidecar is dropped only AFTER the first publish, so a reader
+        // whose two probes straddled publish+drop finds the snapshot on a
+        // re-check (same race close as load())
+        Manifest.latest(fs, p).exists(_.files.nonEmpty)
     else true
   }
 
@@ -194,23 +198,31 @@ final class Catalog(val spark: SparkSession, root: String) {
   def partitionColumnsOf(namespace: String, table: String): Seq[String] = {
     val p = new Path(path(namespace, table))
     val fs = fsOf(p)
-    if (fs.exists(Manifest.dir(p)))
-      Manifest.latest(fs, p).map(_.partitions).getOrElse(Nil)
-    else if (!fs.exists(p)) Nil
-    else {
-      val cols = Seq.newBuilder[String]
-      var dir = p
-      var continue = true
-      while (continue) {
-        val kv = fs.listStatus(dir)
-          .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
-            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-          .map(_.getPath)
-        val names = kv.map(_.getName.takeWhile(_ != '=')).distinct
-        if (names.length != 1) continue = false
-        else { cols += names.head; dir = kv.head }
+    val fromSnapshot =
+      if (fs.exists(Manifest.dir(p))) Manifest.latest(fs, p).map(_.partitions)
+      else None
+    // marker-no-snapshot (the adoption window, or a crashed first commit)
+    // falls THROUGH to directory discovery: answering Nil there would let
+    // a recovery commit stage its batch unpartitioned beside the adopted
+    // day=X/ files and publish a flattened mixed-depth snapshot — the
+    // exact loss the append() layout guard exists to prevent
+    fromSnapshot.getOrElse {
+      if (!fs.exists(p)) Nil
+      else {
+        val cols = Seq.newBuilder[String]
+        var dir = p
+        var continue = true
+        while (continue) {
+          val kv = fs.listStatus(dir)
+            .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+              !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+            .map(_.getPath)
+          val names = kv.map(_.getName.takeWhile(_ != '=')).distinct
+          if (names.length != 1) continue = false
+          else { cols += names.head; dir = kv.head }
+        }
+        cols.result()
       }
-      cols.result()
     }
   }
 
@@ -281,7 +293,13 @@ final class Catalog(val spark: SparkSession, root: String) {
       else Manifest.readAdoption(fs, tableRoot).getOrElse {
         if (!fs.exists(Manifest.dir(tableRoot)) && fs.exists(tableRoot))
           Manifest.captureAdoption(fs, tableRoot, listDataFiles(fs, tableRoot))
-        else Nil
+        else
+          // the first read and the marker check can straddle a racing
+          // first committer's rename+mkdirs; every committer renames its
+          // sidecar BEFORE creating the marker, so marker-observed means
+          // the winning sidecar (if the directory had content) is durable
+          // by now — re-read rather than concluding "nothing to adopt"
+          Manifest.readAdoption(fs, tableRoot).getOrElse(Nil)
       }
     fs.mkdirs(Manifest.dir(tableRoot))
     val added = stageFiles(df, tableRoot, parts)

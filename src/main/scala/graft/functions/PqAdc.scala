@@ -50,6 +50,11 @@ case class PqAdc(child: Expression, table: Seq[Double], k: Int)
     var s = 0.0
     var i = 0
     while (i < codes.numElements()) {
+      // getInt on a null slot reads 0 — a valid-looking code that would
+      // silently score the wrong centroid; null codes are corrupt input
+      if (codes.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"pq_adc: null code at subvector $i — codes must be non-null ints in [0,$k)")
       val c = codes.getInt(i)
       if (c < 0 || c >= k)
         throw new IllegalArgumentException(

@@ -1259,11 +1259,6 @@ object ExtQ {
     * round-7.) */
   private[graft] def AnnOracleRoot = "__GRAFT_ANN_DIR__"
 
-  /** Source facts and the deterministically degraded downstream copy
-    * (every 97th row dropped, every 101st value doubled — the reference's
-    * reconciliation discrepancy classes, reconciliation_detector.py:104-128),
-    * both published through [[graft.core.Catalog.saveBucketed]] on the join
-    * key. Returns the two published table names. */
   /** The q46/q50 derived corpus — the embeddings plus a +0.05 elementwise
     * twin of every vector under vec_id+1000000. ONE definition: the offset
     * and perturbation are the proof's contract with BOTH entries' oracles
@@ -1277,6 +1272,11 @@ object ExtQ {
     base.unionAll(twins)
   }
 
+  /** Source facts and the deterministically degraded downstream copy
+    * (every 97th row dropped, every 101st value doubled — the reference's
+    * reconciliation discrepancy classes, reconciliation_detector.py:104-128),
+    * both published through [[graft.core.Catalog.saveBucketed]] on the join
+    * key. Returns the two published table names. */
   private def publishReconTables(s: SparkSession, dir: String): (String, String) = {
     val cat = new graft.core.Catalog(s, dir)
     val ev = t(s, dir, "events")

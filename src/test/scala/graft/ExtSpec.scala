@@ -361,6 +361,11 @@ class ExtSpec extends SparkSpec {
     val badK = intercept[Exception](
       Seq(Seq(1, 5)).toDF("codes").select(PqAdc($"codes", tab, 4)).collect())
     assert(msgHas(badK, "pq_adc"), badK.toString)
+    // a null element: getInt would read 0 — a valid-looking wrong code
+    val badNull = intercept[Exception](
+      Seq(Seq[Integer](1, null)).toDF("codes")
+        .select(PqAdc($"codes", tab, 4)).collect())
+    assert(msgHas(badNull, "pq_adc"), badNull.toString)
   }
 
   test("SQL surface exposes the sampling family (graft_hash_split, graft_mixture_keep)") {

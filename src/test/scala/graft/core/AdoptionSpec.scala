@@ -95,6 +95,43 @@ class AdoptionSpec extends graft.SparkSpec {
     assert(Manifest.readAdoption(fs, tableRoot).isEmpty) // retired after publish
   }
 
+  test("concurrent first commits on a directory table: adoption survives the race") {
+    // the historical loss mode: writer B starts between A's marker and
+    // A's publish, skips adoption, publishes v1 with only its own files;
+    // A's retry then drops the adopted list because prior is now Some.
+    // With the sidecar, every first committer reads the SAME durable
+    // list, so whichever interleaving wins, the union of pre-manifest
+    // rows and every batch must land.
+    val (catalog, _) = freshCatalog()
+    val ref = "adopt.race"
+    catalog.append(Seq((1L, "pre"), (2L, "pre")).toDF("id", "v"), ref)
+    val writers = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val results = pool.invokeAll(
+        java.util.Arrays.asList(
+          (0 until writers).map { i =>
+            new java.util.concurrent.Callable[Either[Throwable, Boolean]] {
+              def call() = {
+                barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+                try Right(catalog.commitAppend(
+                  Seq((100L + i, s"w$i")).toDF("id", "v"), ref))
+                catch { case t: Throwable => Left(t) }
+              }
+            }
+          }: _*))
+      val outcomes = (0 until writers).map(results.get(_).get())
+      // commitAppend retries CAS losses itself — every writer lands
+      assert(outcomes.forall(_.isRight), outcomes.collect { case Left(t) => t }.mkString)
+    } finally pool.shutdownNow()
+    val ids = catalog.load(ref).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (Seq(1L, 2L) ++ (0 until writers).map(100L + _)),
+      s"lost rows: $ids")
+    val (fs, tableRoot) = fsRoot(catalog, ref)
+    assert(Manifest.readAdoption(fs, tableRoot).isEmpty) // retired after adoption
+  }
+
   test("vacuum on a directory-layout table is a no-op, not TableNotFound") {
     val (catalog, _) = freshCatalog()
     val ref = "adopt.dirvac"
@@ -103,6 +140,31 @@ class AdoptionSpec extends graft.SparkSpec {
     assert(catalog.load(ref).count() == 1L)
     // a table that truly does not exist still raises
     assertThrows[TableNotFound](catalog.vacuum("adopt.nope"))
+  }
+
+  test("a partitioned table keeps its layout through the adoption window") {
+    // marker-no-snapshot with a day=X/ directory layout: the recovery
+    // commit must discover the Hive layout (partitionColumnsOf falls
+    // through to directory discovery), stage partitioned, and publish
+    // partitions=day — NOT flatten the table into a mixed-depth snapshot
+    val (catalog, _) = freshCatalog()
+    val ref = "adopt.partwin"
+    catalog.append(Seq((1L, "x", "2024-01-01")).toDF("id", "v", "day"),
+      ref, partitionBy = Seq("day"))
+    val (fs, tableRoot) = fsRoot(catalog, ref)
+    Manifest.captureAdoption(fs, tableRoot, Seq("day=2024-01-01")
+      .flatMap(d => fs.listStatus(new Path(tableRoot, d))
+        .map(s => s"$d/${s.getPath.getName}")
+        .filter(_.endsWith(".parquet"))))
+    fs.mkdirs(Manifest.dir(tableRoot))
+    val (ns, t) = catalog.parseRef(ref)
+    assert(catalog.partitionColumnsOf(ns, t) == Seq("day"))
+    catalog.commitAppend(Seq((2L, "y", "2024-01-02")).toDF("id", "v", "day"), ref)
+    assert(catalog.snapshotVersions(ref) == Seq(1L))
+    val snapFiles = Manifest.latest(fs, tableRoot).get
+    assert(snapFiles.partitions == Seq("day"))
+    assert(snapFiles.files.forall(_.startsWith("day=")), snapFiles.files.mkString(","))
+    assert(catalog.load(ref).select("day").distinct().count() == 2L)
   }
 
   test("directory append inherits the Hive layout; a contradiction fails loudly") {
