@@ -282,25 +282,17 @@ final class Catalog(val spark: SparkSession, root: String) {
       return false
     val parts = commitParts(partitionBy, prior, ns, t)
     // adoption: fold a PRE-manifest table's current files into the snapshot.
-    // The list is captured DURABLY (an atomic sidecar in the table root,
-    // [[Manifest.captureAdoption]]) before the marker or any staging lands:
-    // a commit that crashes — or loses the first-publish race — can never
-    // lose it, and it is never re-derived once staging has begun, so files
-    // a crashed manifest-mode commit moved but did not publish stay
-    // orphans ([[vacuum]]), not table content.
+    // The list is captured DURABLY (an atomic sidecar in the table root)
+    // under the exclusive adoption lock, which also creates the marker —
+    // see [[Manifest.adoptionTransition]]: a commit that crashes or loses
+    // the first-publish race can never lose the list, a sidecar staled by
+    // a crashed pre-marker attempt is refreshed (never trusted), and the
+    // list is never re-derived once staging has begun, so files a crashed
+    // manifest-mode commit moved but did not publish stay orphans
+    // ([[vacuum]]), not table content.
     val dirAdopted =
-      if (prior.nonEmpty) Nil
-      else Manifest.readAdoption(fs, tableRoot).getOrElse {
-        if (!fs.exists(Manifest.dir(tableRoot)) && fs.exists(tableRoot))
-          Manifest.captureAdoption(fs, tableRoot, listDataFiles(fs, tableRoot))
-        else
-          // the first read and the marker check can straddle a racing
-          // first committer's rename+mkdirs; every committer renames its
-          // sidecar BEFORE creating the marker, so marker-observed means
-          // the winning sidecar (if the directory had content) is durable
-          // by now — re-read rather than concluding "nothing to adopt"
-          Manifest.readAdoption(fs, tableRoot).getOrElse(Nil)
-      }
+      if (prior.nonEmpty || !fs.exists(tableRoot)) Nil
+      else Manifest.adoptionTransition(fs, tableRoot, listDataFiles(fs, tableRoot))
     fs.mkdirs(Manifest.dir(tableRoot))
     val added = stageFiles(df, tableRoot, parts)
     // an empty batch publishes only when it must advance the batch-id
@@ -387,8 +379,8 @@ final class Catalog(val spark: SparkSession, root: String) {
     // overwrite: the sidecar keeps readers resolving the directory
     // content through the marker-no-snapshot window; the publish below
     // then deliberately supersedes it (overwrite semantics)
-    if (prior.isEmpty && !fs.exists(Manifest.dir(tableRoot)) && fs.exists(tableRoot))
-      Manifest.captureAdoption(fs, tableRoot, listDataFiles(fs, tableRoot))
+    if (prior.isEmpty && fs.exists(tableRoot))
+      Manifest.adoptionTransition(fs, tableRoot, listDataFiles(fs, tableRoot))
     fs.mkdirs(Manifest.dir(tableRoot))
     val added = stageFiles(df, tableRoot, parts)
     require(added.nonEmpty, s"refusing to overwrite $ref with an empty file set")

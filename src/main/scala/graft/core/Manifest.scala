@@ -172,30 +172,62 @@ private[core] object Manifest {
     Some(lines.drop(2))
   }
 
-  /** Capture the adoption list if not already captured — the first
-    * writer's listing wins the rename race and everyone reads back the
-    * winning list. Call ONLY while no snapshot exists and nothing has
-    * been staged (marker absent): the listing is unreproducible once
-    * staging begins. Returns the durable list ([[readAdoption]]'s view). */
-  def captureAdoption(fs: FileSystem, table: Path, list: => Seq[String]): Seq[String] =
-    readAdoption(fs, table).getOrElse {
-      val files = list
-      if (files.isEmpty) Nil
+  private def writeAdoption(fs: FileSystem, table: Path, files: Seq[String]): Unit = {
+    val tmp = new Path(table, s".tmp-adopt-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write((AdoptionHeader +: s"checksum=${crc(files)}" +: files)
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(adoptionPath(table), false)
+    if (!fs.rename(tmp, adoptionPath(table))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"failed to place adoption sidecar for $table")
+    }
+  }
+
+  /** The marker-creation side of entering manifest mode, serialized by an
+    * exclusive `.adopt-lock` in the table root (same create-if-absent +
+    * stale-break protocol as the publish lock). Inside the lock, marker
+    * absence PROVES nothing is staged — staging happens only after the
+    * marker, and the marker is only ever created here — so the fresh
+    * listing is authoritative; any sidecar left by a crashed pre-marker
+    * attempt is refreshed rather than trusted (it goes stale the moment a
+    * plain directory append lands after the crash). Once the marker
+    * exists the sidecar is immutable until [[dropAdoption]] and everyone
+    * reads it. Returns the durable adoption list. */
+  def adoptionTransition(fs: FileSystem, table: Path, list: => Seq[String]): Seq[String] = {
+    // fast path: the transition already happened — its creator wrote the
+    // sidecar (or had no content to record) before creating the marker
+    if (fs.exists(dir(table))) return readAdoption(fs, table).getOrElse(Nil)
+    val lock = new Path(table, AdoptLockName)
+    var spins = 0
+    while (!tryExclusiveCreate(fs, lock)) {
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => -1L } // released — retry
+      if (age >= LockStaleMs) fs.delete(lock, false) // crashed holder
       else {
-        val tmp = new Path(table, s".tmp-adopt-${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, true)
-        try out.write((AdoptionHeader +: s"checksum=${crc(files)}" +: files)
-          .mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        if (fs.rename(tmp, adoptionPath(table))) files
-        else {
-          // a concurrent first commit renamed its (identical-content)
-          // capture first — read the winner
-          fs.delete(tmp, false)
-          readAdoption(fs, table).getOrElse(files)
-        }
+        // the live holder's critical section is a listing + one small
+        // write + mkdirs — wait briefly rather than failing a first
+        // commit that merely raced another
+        spins += 1
+        require(spins <= 200, s"adoption lock for $table held too long")
+        Thread.sleep(50L)
       }
     }
+    try {
+      if (fs.exists(dir(table))) readAdoption(fs, table).getOrElse(Nil)
+      else {
+        val files = list
+        if (files.nonEmpty) writeAdoption(fs, table, files)
+        else fs.delete(adoptionPath(table), false) // stale pre-crash capture
+        fs.mkdirs(dir(table))
+        files
+      }
+    } finally fs.delete(lock, false)
+  }
+
+  private val AdoptLockName = ".adopt-lock"
 
   /** Best-effort removal once a committed snapshot supersedes the sidecar
     * (readers re-check the snapshot listing before trusting its absence). */
