@@ -158,22 +158,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** The banded-LSH candidate pairs behind [[nearDupPairs]] — exposed (like
-    * [[Similarity.lshCandidates]]) so tests can assert candidate VOLUME,
-    * the actual scale property. The band table feeds both self-join sides,
-    * so it is materialized once (narrow rows: id + two longs). */
-  def minhashCandidates(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id",
-      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
-    val bk = minhashTable(docs, textCol, idCol, shingleN, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Candidate pairs from an ALREADY-BUILT (id, band, bucket) table —
+    * the serving form when the band table is a persisted artifact (a 100 TB
+    * corpus computes signatures once and re-joins many times; see
+    * q71_lsh_candidates_persisted). Returns one row per colliding pair with
+    * `shared_bands` = the number of bands that agree — the LSH collision
+    * count, a monotone estimator of signature agreement (a pair sharing
+    * b' of b bands has estimated Jaccard ≥ the banding curve at b'/b).
+    * Same materialization contract as [[minhashCandidates]]: the input
+    * feeds both self-join sides, so it persists here and stays in the
+    * session cache for the caller. */
+  def bandCandidates(bandTable: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val bk = bandTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
     val b = bk.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+      // one row per (doc, band) in the input => count(*) = bands agreeing
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_bands"))
   }
+
+  /** The banded-LSH candidate pairs behind [[nearDupPairs]] — exposed (like
+    * [[Similarity.lshCandidates]]) so tests can assert candidate VOLUME,
+    * the actual scale property. Delegates to [[bandCandidates]] over the
+    * freshly-built band table (narrow rows: id + two longs, materialized
+    * once there). */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
+    bandCandidates(minhashTable(docs, textCol, idCol, shingleN, k, bands), idCol)
+      .select("doc_a", "doc_b")
 
   /** (k, bands) sized to a Jaccard threshold — the MinHash twin of
     * [[Similarity.lshParams]].
@@ -279,14 +294,25 @@ object Dedup {
     * blocks of 16 bits, the same per-block selectivity as before with the
     * recall guarantee the old code lacked. */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(
+      docs.select(col(idCol), simhash(col(textCol)).as("simhash")),
+      idCol, "simhash", maxHamming)
+
+  /** [[simhashPairs]] over an ALREADY-COMPUTED (id, signature) table — the
+    * serving form when signatures are a persisted artifact (computed once
+    * per corpus, re-blocked at whatever radius a job needs; see
+    * q72_simhash_pairs_persisted). Identical Manku blocking, identical
+    * zero-false-negative guarantee. Same materialization contract:
+    * the signature table feeds both self-join sides, so it persists here
+    * and stays in the session cache for the caller. */
+  def simhashPairsFromSigs(sigs: DataFrame, idCol: String = "doc_id",
+      sigCol: String = "simhash", maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (blocks need >= 4 bits to prune), got $maxHamming")
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    // both self-join sides consume the signature table — materialize so
-    // the documents scan + simhash runs once (same staging as nearDupPairs)
-    val sh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val sh = sigs.select(col(idCol), col(sigCol).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockStructs = (0 until blocks).map { i =>
       val start = i * width

@@ -1231,7 +1231,66 @@ object ExtQ {
         SELECT c.vec_id, round(list_inner_product(c.v, q.qv), 6) AS score
         FROM cells c JOIN short s ON c.vec_id = s.vec_id, q
         ORDER BY score DESC, c.vec_id
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    // ───── Persisted-signature dedup oracles (q71-q72) ─────
+    // q28/q30's signature VALUES are engine-only (xxhash64 / token-vote
+    // simhash have no DuckDB twin) — but everything DOWNSTREAM of the
+    // signatures is pure relational arithmetic. Same move as q68-q70:
+    // persist the engine-computed artifact through the Catalog, then both
+    // engines replay the search/candidate stage from the SAME parquet.
+
+    // Banded-LSH candidate generation from a persisted band table: the
+    // oracle replays the (band, bucket) self-join AND the per-pair
+    // shared-band count — the full collision relation, not just the pair
+    // set — so a hash match proves the candidate join stage exactly.
+    // Serving shape at 100 TB: signatures/bands computed once per corpus
+    // snapshot, candidates re-derived per dedup run from the artifact.
+    "q71_lsh_candidates_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(Dedup.minhashTable(t(s, dir, "documents"), "text", "doc_id"),
+          "ann.q71_bands")
+        Dedup.bandCandidates(cat.load("ann.q71_bands"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, band, bucket
+          FROM read_parquet('$AnnOracleRoot/ann/q71_bands/*.parquet'))
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS shared_bands
+        FROM b a JOIN b c
+          ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // Manku-blocked SimHash pairing from persisted signatures vs the
+    // oracle's EXHAUSTIVE xor/popcount scan over every pair: a hash match
+    // is a cross-engine zero-false-negative proof of the pigeonhole
+    // blocking on real data (the ExtSpec fixture assertion, upgraded to a
+    // driver-gate row). The engine never builds the quadratic relation —
+    // the oracle (n^2/2 pairs at sf0.01, trivial for DuckDB) exists
+    // precisely to certify that the blocked join loses nothing.
+    "q72_simhash_pairs_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          t(s, dir, "documents")
+            .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
+          "ann.q72_sigs")
+        Dedup.simhashPairsFromSigs(cat.load("ann.q72_sigs"), maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH s AS (
+          SELECT doc_id, simhash
+          FROM read_parquet('$AnnOracleRoot/ann/q72_sigs/*.parquet'))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY 1, 2"""))
   )
 
   /** Root for the persisted ANN search artifacts (q68-q70), keyed by the

@@ -256,6 +256,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Dedup.bandCandidates counts shared bands; minhashCandidates delegates") {
+    // hand-built band table: docs 1/2 collide in bands 0 AND 1, docs 1/3
+    // only in band 0, docs 2/3 nowhere (different buckets in every band)
+    val bt = Seq(
+      (1L, 0, 100L), (1L, 1, 200L),
+      (2L, 0, 100L), (2L, 1, 200L),
+      (3L, 0, 100L), (3L, 1, 999L)).toDF("doc_id", "band", "bucket")
+    val got = Dedup.bandCandidates(bt).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    spark.sharedState.cacheManager.clearCache()
+
+    // the delegating minhashCandidates pair set over a real corpus equals
+    // bandCandidates' keys over the same freshly-built band table
+    val viaBands = Dedup.bandCandidates(
+        Dedup.minhashTable(docs, "text", "doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct == viaBands)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("Dedup.simhashPairsFromSigs equals the inline simhashPairs form") {
+    val sigs = edgeDocs.select($"doc_id", Dedup.simhash($"text").as("simhash"))
+    for (h <- Seq(0, 3, 7)) {
+      val fromSigs = Dedup.simhashPairsFromSigs(sigs, maxHamming = h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val inline = Dedup.simhashPairs(edgeDocs, maxHamming = h).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(fromSigs == inline, s"maxHamming=$h")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("Similarity: codegen dot matches manual math; topk ordering deterministic") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
