@@ -156,21 +156,69 @@ object Similarity {
     * no lookup, no join (the vector and its norm are literals). */
   def annTopKMultiProbeVec(emb: DataFrame, qv: Array[Double], k: Int,
       nPlanes: Int = 4, nProbe: Int = 4, excludeId: Option[Long] = None,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    annTopKPersistedVec(
+      emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes)),
+      qv, k, probeSet(qv, nPlanes, nProbe), excludeId, idCol, vecCol)
+
+  /** The multi-probe bucket sequence for a query vector: its own bucket,
+    * then the buckets reached by flipping its lowest-|projection| sign bits
+    * in margin order, truncated to `nProbe`. Derived driver-side from the
+    * same deterministic plane family the scan-side expression folds
+    * (bit-identity test-pinned), so callers can persist or push it as a
+    * literal IN-filter with no extra job. */
+  def probeSet(qv: Array[Double], nPlanes: Int, nProbe: Int): Seq[Long] = {
     val projs = graft.functions.HyperplaneLsh.projections(qv, nPlanes)
     val base = graft.functions.HyperplaneLsh.bucketOf(projs)
     val flipOrder = projs.zipWithIndex.sortBy { case (p, _) => math.abs(p) }
-    val probes = (base +: flipOrder.map { case (_, p) =>
+    (base +: flipOrder.map { case (_, p) =>
       base ^ (1L << (nPlanes - 1 - p))
     }).take(math.max(1, nProbe)).toSeq
+  }
+
+  /** ANN top-k over a corpus whose LSH bucket is PERSISTED — computed once
+    * at ingest (`lshBucket`) and stored, optionally as the partition column,
+    * so the probe filter partition-prunes exactly like an IVF cell scan
+    * instead of re-hashing every vector per query. The serving shape at
+    * 100 TB: bucket assignment is write-path work, a query touches
+    * nProbe/2^nPlanes of the files. Scoring and the top-k cut are
+    * bit-identical to [[annTopKMultiProbeVec]] (same fold, same rounded-6dp
+    * ordering); pass `probeSet(qv, …)` for classic multi-probe semantics. */
+  def annTopKPersistedVec(corpus: DataFrame, qv: Array[Double], k: Int,
+      probes: Seq[Long], excludeId: Option[Long] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCol: String = "bucket"): DataFrame = {
     val qvLit = array(qv.map(lit).toSeq: _*)
-    emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
-      .filter(col("bucket").isin(probes: _*))
+    corpus.filter(col(bucketCol).isin(probes: _*))
       .transform(rows => excludeId.fold(rows)(q => rows.filter(col(idCol) =!= q)))
       .select(col(idCol),
         round(cosinePre(col(vecCol), qvLit, lit(norm2Vec(qv))), 6).as("cosine_sim"))
       .orderBy(desc("cosine_sim"), col(idCol))
       .limit(k)
+  }
+
+  /** Batched ANN over a persisted-bucket corpus: the m query rows (vector
+    * AND stored bucket) collect driver-side, broadcast, and join the corpus
+    * on the bucket column — no per-query re-hash of the corpus, same
+    * bounded [[graft.functions.TopKAgg]] reduction as [[annTopKBatch]].
+    * Queries must be corpus members (self-excluded); external vectors take
+    * [[annTopKPersistedVec]] per query or [[annTopKBatchVec]]. */
+  def annTopKBatchPersisted(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCol: String = "bucket"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol), col(bucketCol)).collect()
+    val queries = qRows.toSeq.map { r =>
+      val qv = toVec(r, 1)
+      // partition-column buckets read back as Int; stored columns as Long
+      (r.getLong(0), qv, norm2Vec(qv), r.getAs[Number](2).longValue)
+    }.toDF("query_id", "qv", "n2q", bucketCol)
+    val scored = scoreAgainst(
+      corpus.join(broadcast(queries), Seq(bucketCol)),
+      excludeSelf = true, idCol, vecCol)
+    topKPerQuery(scored, k, idCol)
   }
 
   /** Exact top-k neighbours for a BATCH of query ids in ONE corpus pass.

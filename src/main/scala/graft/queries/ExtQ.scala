@@ -1290,7 +1290,82 @@ object ExtQ {
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ───── Persisted-bucket hyperplane ANN oracles (q73-q74) ─────
+    // q32/q48/q49's bucket VALUES are engine-only (the deterministic
+    // hyperplane family has no DuckDB twin) — but the search DOWNSTREAM of
+    // the buckets is pure relational arithmetic. Same move as q68-q72:
+    // persist the bucket assignment once (the write-path cost at 100 TB),
+    // and both engines replay probe-filter → rounded-cosine → top-k from
+    // the SAME parquet. Probe derivation (margin-ordered bit flips) keeps
+    // its driver-vs-expression bit-identity proof in ExtSpec; the probe
+    // SET persists as a 4-row artifact so the oracle shares it.
+
+    // Multi-probe search over a bucket-PARTITIONED corpus: the probe
+    // IN-filter partition-prunes like an IVF cell scan (plan-asserted in
+    // ExtSpec) — a query touches nProbe/2^nPlanes of the files, and no
+    // per-query re-hash of the corpus runs. Closes q49's (and, at
+    // nProbe=1, q32's) rows-only search stage.
+    "q73_ann_multiprobe_persisted" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        val emb = t(s, dir, "embeddings")
+        cat.save(emb.withColumn("bucket",
+            Similarity.lshBucket(col("embedding"), nPlanes = 4)),
+          "ann.q73_corpus", partitionBy = Seq("bucket"))
+        val corpus = cat.load("ann.q73_corpus")
+        val qv = corpus.filter(col("vec_id") === 0L).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+        val probes = Similarity.probeSet(qv, nPlanes = 4, nProbe = 4)
+        cat.save(probes.toDF("bucket"), "ann.q73_probes")
+        Similarity.annTopKPersistedVec(corpus, qv, k = 10,
+          probes = probes, excludeId = Some(0L))
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(bucket AS BIGINT) AS bucket
+          FROM read_parquet('$AnnOracleRoot/ann/q73_corpus/*/*.parquet', hive_partitioning=true)),
+        q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
+        probes AS (
+          SELECT bucket FROM read_parquet('$AnnOracleRoot/ann/q73_probes/*.parquet'))
+        SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim
+        FROM corpus c, q
+        WHERE c.bucket IN (SELECT bucket FROM probes) AND c.vec_id <> 0
+        ORDER BY cosine_sim DESC, c.vec_id
+        LIMIT 10""")),
+
+    // Batched search over a stored-bucket corpus: the 8 query rows (vector
+    // AND stored bucket) broadcast and join the bucket column — the
+    // bounded TopKAgg reduction cross-checked against the oracle's
+    // row_number() window in the bucketed shape (the q47 proof pattern
+    // applied to q48's rows-only gap).
+    "q74_ann_batch_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(t(s, dir, "embeddings").withColumn("bucket",
+            Similarity.lshBucket(col("embedding"), nPlanes = 2)),
+          "ann.q74_corpus")
+        Similarity.annTopKBatchPersisted(cat.load("ann.q74_corpus"),
+          queryIds = (0L until 8L), k = 10)
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, bucket
+          FROM read_parquet('$AnnOracleRoot/ann/q74_corpus/*.parquet')),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket
+              FROM corpus WHERE vec_id BETWEEN 0 AND 7),
+        s AS (
+          SELECT q.query_id, c.vec_id,
+            round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim
+          FROM corpus c JOIN q ON c.bucket = q.bucket
+          WHERE c.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+              FROM s)
+        SELECT query_id, vec_id, cosine_sim FROM r WHERE rn <= 10
+        ORDER BY query_id, cosine_sim DESC, vec_id"""))
   )
 
   /** Root for the persisted ANN search artifacts (q68-q70), keyed by the

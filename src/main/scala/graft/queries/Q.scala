@@ -17,19 +17,24 @@ final case class QueryDef(
 object Q {
   /** Load one of the driver test tables (TESTDATA.md).
     *
-    * The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; with `spark.sql.legacy.parquet.nanosAsLong`
-    * (set by Sessions/Verify/Bench) it surfaces as a LongType of nanoseconds
-    * and is converted here to a proper TimestampType (micros — the values
-    * carry no sub-microsecond precision). */
+    * The events table's `ts` encoding has varied across driver testdata
+    * generations — TIMESTAMP(NANOS) (surfacing as a LongType of nanoseconds
+    * under `spark.sql.legacy.parquet.nanosAsLong`, set by
+    * Sessions/Verify/Bench) and TIMESTAMP(MICROS) without UTC adjustment
+    * (surfacing as TIMESTAMP_NTZ). Both normalize here to a proper
+    * TimestampType so every downstream `unix_micros`/window/watermark sees
+    * one type; all sessions run in UTC, so the NTZ cast reinterprets the
+    * same wall-clock instant with zero shift. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType ==
-        org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts",
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) => df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 

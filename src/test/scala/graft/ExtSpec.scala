@@ -557,6 +557,47 @@ class ExtSpec extends SparkSpec {
     assert(single == mp1)
   }
 
+  test("persisted-bucket ANN: bit-identical to the inline forms; probe prunes partitions") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 200L).map(i => (i, Array.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val qv = emb.filter($"vec_id" === 0L).head().getSeq[Float](1).map(_.toDouble).toArray
+
+    // bucket-PARTITIONED corpus: search equals the inline multi-probe form
+    // bit-for-bit, and the probe IN-filter prunes to exactly nProbe cells
+    val root = java.nio.file.Files.createTempDirectory("graft-annp").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    catalog.save(emb.withColumn("bucket", Similarity.lshBucket($"embedding", 3)),
+      "vectors.bucketed", partitionBy = Seq("bucket"))
+    val corpus = catalog.load("vectors.bucketed")
+    val probes = Similarity.probeSet(qv, nPlanes = 3, nProbe = 2)
+    assert(probes.size == 2 && probes.distinct.size == 2)
+    val persisted = Similarity.annTopKPersistedVec(corpus, qv, k = 10,
+      probes = probes, excludeId = Some(0L))
+    val inline = Similarity.annTopKMultiProbeVec(emb, qv, k = 10,
+      nPlanes = 3, nProbe = 2, excludeId = Some(0L))
+    assert(persisted.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      inline.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    val scans = persisted.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "no partition-filtered scan in the persisted probe plan")
+    assert(scans.exists(_.selectedPartitions.partitionCount == 2),
+      s"scan read ${scans.map(_.selectedPartitions.partitionCount)} partitions, want nProbe=2")
+
+    // stored-column corpus: the batched join on the persisted bucket equals
+    // the inline re-hash form (same TopKAgg reduction, same ordering)
+    catalog.save(emb.withColumn("bucket", Similarity.lshBucket($"embedding", 2)),
+      "vectors.stored")
+    val batchP = Similarity.annTopKBatchPersisted(
+      catalog.load("vectors.stored"), queryIds = 0L until 8L, k = 10)
+    val batchI = Similarity.annTopKBatch(emb, queryIds = 0L until 8L, k = 10,
+      nPlanes = 2)
+    assert(batchP.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      batchI.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("Ivf: missing queryId degrades to empty; partitioned probe prunes to nProbe cells") {
     val rnd = new scala.util.Random(5)
     def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
