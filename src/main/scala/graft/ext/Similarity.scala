@@ -206,17 +206,14 @@ object Similarity {
   def annTopKBatchPersisted(corpus: DataFrame, queryIds: Seq[Long], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bucketCol: String = "bucket"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val qRows = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol), col(vecCol), col(bucketCol)).collect()
-    val queries = qRows.toSeq.map { r =>
-      val qv = toVec(r, 1)
-      // partition-column buckets read back as Int; stored columns as Long
-      (r.getLong(0), qv, norm2Vec(qv), r.getAs[Number](2).longValue)
-    }.toDF("query_id", "qv", "n2q", bucketCol)
+    val queries = qRows.toSeq.map(r => (r.getLong(0), toVec(r, 1)))
+    // partition-column buckets read back as Int; stored columns as Long
+    val buckets = qRows.toSeq.map(_.getAs[Number](2).longValue)
     val scored = scoreAgainst(
-      corpus.join(broadcast(queries), Seq(bucketCol)),
+      corpus.join(broadcast(queriesDF(corpus, queries, Some(bucketCol -> buckets))),
+        Seq(bucketCol)),
       excludeSelf = true, idCol, vecCol)
     topKPerQuery(scored, k, idCol)
   }
@@ -285,12 +282,22 @@ object Similarity {
       .toSeq.map(r => (r.getLong(0), toVec(r, 1)))
 
   /** Driver-held queries → broadcastable (query_id, qv, n2q) frame; empty
-    * input still carries the right schema (via the corpus session). */
-  private def queriesDF(emb: DataFrame, queries: Seq[(Long, Array[Double])]): DataFrame = {
+    * input still carries the right schema (via the corpus session). The
+    * norm precomputation lives HERE only — every batched path (inline,
+    * persisted-bucket, IVF) shares the same fold contract. `withBuckets`
+    * appends a per-query stored-bucket column for the persisted-bucket
+    * join ([[annTopKBatchPersisted]]), zipped in query order. */
+  private def queriesDF(emb: DataFrame, queries: Seq[(Long, Array[Double])],
+      withBuckets: Option[(String, Seq[Long])] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    queries.map { case (qid, qv) => (qid, qv, norm2Vec(qv)) }
-      .toDF("query_id", "qv", "n2q")
+    val base = queries.map { case (qid, qv) => (qid, qv, norm2Vec(qv)) }
+    withBuckets match {
+      case None => base.toDF("query_id", "qv", "n2q")
+      case Some((name, buckets)) =>
+        base.zip(buckets).map { case ((q, v, n), b) => (q, v, n, b) }
+          .toDF("query_id", "qv", "n2q", name)
+    }
   }
 
   /** Score a (corpus ⋈ queries) frame: one dot per row pair. */

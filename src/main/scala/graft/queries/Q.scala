@@ -23,8 +23,16 @@ object Q {
     * Sessions/Verify/Bench) and TIMESTAMP(MICROS) without UTC adjustment
     * (surfacing as TIMESTAMP_NTZ). Both normalize here to a proper
     * TimestampType so every downstream `unix_micros`/window/watermark sees
-    * one type; all sessions run in UTC, so the NTZ cast reinterprets the
-    * same wall-clock instant with zero shift. */
+    * one type.
+    *
+    * The NTZ branch must be SESSION-TIMEZONE-INDEPENDENT like the nanos
+    * branch beside it: a bare `cast("timestamp")` reinterprets the wall
+    * clock in the session zone, silently shifting every instant for any
+    * caller that didn't pin UTC. `from_utc_timestamp(cast, sessionTz)`
+    * cancels that shift — the stored wall clock becomes the same UTC
+    * instant under every session zone (exact for fixed-offset zones; a
+    * zone's DST transition window can differ by the transition delta,
+    * which UTC — every in-repo session — never has). */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
@@ -32,8 +40,9 @@ object Q {
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        df.withColumn("ts", org.apache.spark.sql.functions.from_utc_timestamp(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"),
+          s.conf.get("spark.sql.session.timeZone")))
       case _ => df
     }
   }

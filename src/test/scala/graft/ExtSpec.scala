@@ -257,8 +257,8 @@ class ExtSpec extends SparkSpec {
   }
 
   test("Dedup.bandCandidates counts shared bands; minhashCandidates delegates") {
-    // hand-built band table: docs 1/2 collide in bands 0 AND 1, docs 1/3
-    // only in band 0, docs 2/3 nowhere (different buckets in every band)
+    // hand-built band table: docs 1/2 collide in bands 0 AND 1; docs 1/3
+    // and 2/3 only in band 0 (doc 3's band-1 bucket differs)
     val bt = Seq(
       (1L, 0, 100L), (1L, 1, 200L),
       (2L, 0, 100L), (2L, 1, 200L),
