@@ -165,15 +165,37 @@ object Dedup {
     * `shared_bands` = the number of bands that agree — the LSH collision
     * count, a monotone estimator of signature agreement (a pair sharing
     * b' of b bands has estimated Jaccard ≥ the banding curve at b'/b).
-    * Same materialization contract as [[minhashCandidates]]: the input
-    * feeds both self-join sides, so it persists here and stays in the
-    * session cache for the caller. */
-  def bandCandidates(bandTable: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val bk = bandTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bk.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
-    val b = bk.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    * Same materialization contract as [[minhashCandidates]] by default: the
+    * input feeds both self-join sides, so it persists here and stays in the
+    * session cache for the caller. Pass `cache = false` when the band table
+    * is already storage-local — in particular a
+    * [[graft.core.Catalog.saveBucketed]]-published table bucketed on
+    * `bucket`: the bucketed scan's co-location satisfies the (band, bucket)
+    * join's clustering requirement, so candidate re-derivation runs with NO
+    * exchange on the collision key at any corpus size (plan-pinned in
+    * OpsSpec) — the same write-once/join-many trade the q53/q54 recon path
+    * banks, applied to dedup's hottest recurring join. */
+  def bandCandidates(bandTable: DataFrame, idCol: String = "doc_id",
+      cache: Boolean = true): DataFrame = {
+    val bk = if (!cache) bandTable
+      else bandTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bk.select(col("band").as("band_a"), col("bucket"),
+      col(idCol).as("doc_a"))
+    val b = bk.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
+      col(idCol).as("doc_b"))
+    // `bucket` is the ONLY equi-key on purpose: band equality is enforced
+    // as a residual predicate in a form Catalyst cannot extract into the
+    // join keys (EqualTo between one-side columns would be). With the key
+    // set exactly {bucket}, a band table PUBLISHED bucketed on `bucket`
+    // joins with no exchange at all (requireAllClusterKeysForCoPartition
+    // demands the bucketing cover every equi-key — (band, bucket) keys
+    // would re-shuffle a bucket-bucketed table). For [[minhashTable]]
+    // output the residual never rejects a bucket match (the band index is
+    // hashed into the bucket), but it keeps exact semantics for any
+    // caller-built band table where cross-band bucket values can collide.
+    a.join(b, col("bucket") === col("bucket_b") &&
+        (col("band_a") - col("band_b")) === lit(0) &&
+        col("doc_a") < col("doc_b"))
       // one row per (doc, band) in the input => count(*) = bands agreeing
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_bands"))

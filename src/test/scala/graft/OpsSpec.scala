@@ -191,6 +191,44 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("banded-LSH candidates from a bucketed band table join without a bucket shuffle") {
+    // a corpus with deliberate near-dups so the candidate relation is
+    // non-empty (shared shingles => shared band buckets)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "a completely different document about spark bucketing"),
+      (4L, "a completely different document about spark bucketing too"),
+      (5L, "unrelated text with no twin anywhere in this corpus")
+    ).toDF("doc_id", "text")
+    val bands = graft.ext.Dedup.minhashTable(docs, "text", "doc_id")
+    val cat = new graft.core.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-lshb").toString)
+    val tb = cat.saveBucketed(bands, "ann.bands", "bucket", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // `bucket` is bandCandidates' only equi-key (band equality rides as
+      // a residual predicate), so the bucket-bucketed scans satisfy the
+      // join's clustering requirement outright: the self-join plans NO
+      // exchange on the collision key — only the pair aggregation shuffles
+      val cand = graft.ext.Dedup.bandCandidates(spark.table(tb), cache = false)
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("hashpartitioning(band"),
+        s"bucketed band self-join still shuffles on the collision key:\n$plan")
+      assert(!plan.contains("hashpartitioning(bucket"),
+        s"bucketed band self-join still shuffles on the collision key:\n$plan")
+      // and the result is exactly the inline form's
+      val got = cand.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = graft.ext.Dedup.bandCandidates(bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want && got.nonEmpty, s"got=$got want=$want")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("re-bucketing publishes stage-and-swap: in-flight reader survives, no torn window") {
     val cat = new graft.core.Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft-rebkt").toString)
