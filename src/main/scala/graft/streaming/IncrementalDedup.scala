@@ -23,8 +23,9 @@ import graft.ext.Dedup
   *  1. computes the arrivals' band/bucket rows and shingle hashes
   *     (scan-side native expressions, one text walk);
   *  2. probes the band table for (band, bucket) collisions — the candidate
-  *     join touches ONLY matching buckets, and the state side carries
-  *     (id, band, bucket) rows, never text;
+  *     join touches ONLY matching buckets, the state side carries
+  *     (id, band, bucket) rows, never text, and the micro-batch side
+  *     BROADCASTS so the accumulated state is scanned, never shuffled;
   *  3. verifies candidates by exact Jaccard, re-deriving the OLD doc's
   *     shingles from the corpus table keyed by id (candidates are few;
   *     state stays narrow instead of staging every shingle array);
@@ -130,14 +131,13 @@ final class IncrementalDedup(
               loaded.filter(col("__batch_id") =!= batchId)
             else loaded
           }
-          val candidates = newBands
-            .join(state
-                .select(col("band"), col("bucket"), col(idCol).as("old_id")),
-              Seq("band", "bucket"))
-            .select(col(idCol), col("old_id")).distinct()
-          // old shingles re-derive from the corpus keyed by candidate id
+          val candidates = IncrementalDedup.stateCandidates(state, newBands, idCol)
+          // old shingles re-derive from the corpus keyed by candidate id —
+          // candidates are collision-bounded, so they broadcast and the
+          // corpus table is likewise scan-only
           val oldSh = catalog.load(docsTable)
-            .join(candidates.select(col("old_id").as(idCol)).distinct(), Seq(idCol))
+            .join(broadcast(candidates.select(col("old_id").as(idCol)).distinct()),
+              Seq(idCol))
             .select(col(idCol).as("old_id"),
               Dedup.shingleHashes(col(textCol), shingleN).as("sh_b"))
           candidates
@@ -160,7 +160,8 @@ final class IncrementalDedup(
         .select(col("doc_b").as(idCol))
 
       val dropped = droppedVsState.union(droppedIntra).distinct()
-      val survivors = batch.join(dropped, Seq(idCol), "left_anti")
+      // dropped ids are a subset of this batch's ids — broadcast the anti side
+      val survivors = batch.join(broadcast(dropped), Seq(idCol), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = survivors.count()
@@ -193,4 +194,20 @@ final class IncrementalDedup(
       checkpoint: Option[String] = None): StreamingQuery =
     StreamingAppend.startForeachBatch(stream, queryName, continuous,
       interval, checkpoint) { (batch, id) => processBatch(batch, id); () }
+}
+
+object IncrementalDedup {
+  /** (arrival_id, old_id) collision candidates: the corpus-global band
+    * table probed by a micro-batch's band rows. The ARRIVALS side
+    * broadcasts (micro-batch-bounded by construction) so the accumulated
+    * state is scanned, never shuffled — without the hint the planner
+    * cannot see that the derived band frame is small and sort-merges BOTH
+    * sides, re-shuffling the whole state table every micro-batch (the
+    * per-batch cost that turns a streaming dedup loop quadratic over a
+    * day of commits). Plan shape is pinned in StreamingSpec. */
+  private[graft] def stateCandidates(state: DataFrame, newBands: DataFrame,
+      idCol: String): DataFrame =
+    state.select(col("band"), col("bucket"), col(idCol).as("old_id"))
+      .join(broadcast(newBands), Seq("band", "bucket"))
+      .select(col(idCol), col("old_id")).distinct()
 }

@@ -880,6 +880,29 @@ class StreamingSpec extends SparkSpec {
     assert(bandRows.select("band").distinct().count() == 8)
   }
 
+  test("IncrementalDedup state probe broadcasts the micro-batch, never shuffles the state") {
+    // the state table reads from storage (corpus-global, grows without
+    // bound); the batch-derived band frame broadcasts — the probe must
+    // plan a broadcast join with the state side scan-only, or every
+    // micro-batch re-shuffles the whole accumulated table
+    val root = java.nio.file.Files.createTempDirectory("graft-idbc").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val docs = (1L to 200L).map(i => (i, s"document number $i with shared words"))
+      .toDF("doc_id", "text")
+    catalog.save(graft.ext.Dedup.minhashTable(docs, "text", "doc_id"), "st.bands")
+    val arrivals = Seq((999L, "document number 7 with shared words"))
+      .toDF("doc_id", "text")
+    val newBands = graft.ext.Dedup.minhashTable(arrivals, "text", "doc_id")
+    val cand = graft.streaming.IncrementalDedup.stateCandidates(
+      catalog.load("st.bands"), newBands, "doc_id")
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"state probe sort-merges (state side re-shuffles every batch):\n$plan")
+    // and the probe finds the planted near-dup collision
+    assert(cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains((999L, 7L)))
+  }
+
   test("dedupStateful: default lateness admits first occurrences that skew across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]
