@@ -33,7 +33,7 @@ object BaselineStats {
         count(v).as("sample_size"),
         min(v).as("min_value"),
         max(v).as("max_value"),
-        expr(s"percentile($valueCol, 0.5)").as("median_value"))
+        percentile(v, lit(0.5)).as("median_value"))
       .select(
         (col("s") / col("sample_size")).as("baseline_value"),
         Exact.stddevFrom(col("s"), col("q"), col("sample_size")).as("std_dev"),

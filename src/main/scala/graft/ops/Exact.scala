@@ -51,7 +51,14 @@ object Exact {
     * for (near-)constant series the two big terms cancel and double rounding
     * can leave an epsilon-negative value whose sqrt would be NaN.
     * Matches BigQuery `STDDEV` and python `statistics.stdev` (sample form,
-    * reference `monitoring/detectors/revenue_detector.py:131`). */
+    * reference `monitoring/detectors/revenue_detector.py:131`).
+    *
+    * n = 1 yields 0/0 = NaN on BOTH engines identically (double division is
+    * IEEE even under ANSI mode — the divide-by-zero error applies to
+    * integral/decimal only — and `greatest` ranks NaN above any double in
+    * Spark and DuckDB alike), so the single-sample case is oracle-parity by
+    * the same identical-expression-tree argument as the rest. Callers that
+    * want a defined baseline gate on sample size (q22/q40's n >= 7). */
   def varianceFrom(s: Column, q: Column, n: Column): Column =
     greatest((q - s * s / n) / (n - lit(1)), lit(0.0))
 

@@ -86,7 +86,6 @@ object Skew {
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
     phase1.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
-      .drop("__salt")
   }
 
   /** Whether `hash()` accepts this type: maps are rejected anywhere in the

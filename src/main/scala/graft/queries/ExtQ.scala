@@ -142,7 +142,11 @@ object ExtQ {
           .orderBy(desc("jaccard"), col("doc_a"), col("doc_b")),
       Some("""
         WITH d AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          -- coalesce mirrors the engine's shingleHashes null tolerance
+          -- (null text shingles like an empty doc instead of NULL-
+          -- propagating out of the pair scan)
+          SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+          FROM documents),
         s AS (
           SELECT doc_id,
             CASE WHEN len(toks) >= 3 THEN
@@ -601,8 +605,9 @@ object ExtQ {
     "q54_bucketed_recon_read" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, dir)
+        val (srcRef, dstRef) = reconRefs(dir)
         val (src, dst) =
-          try (cat.bucketedTable("recon.src_facts"), cat.bucketedTable("recon.dst_facts"))
+          try (cat.bucketedTable(srcRef), cat.bucketedTable(dstRef))
           catch { case _: NoSuchElementException => publishReconTables(s, dir) }
         reconAggregate(s.table(src), s.table(dst))
       },
@@ -1108,6 +1113,12 @@ object ExtQ {
     // the top-k cut from the SAME parquet, so the probe/score/rerank math
     // is hash-checked end-to-end. Training keeps its existing
     // bit-identity + recall invariants in ExtSpec.
+    //
+    // Benched DELIBERATELY including the train+persist+reload round-trip:
+    // these entries witness the whole artifact lifecycle (the q53 shape,
+    // where the write IS part of what the row proves); the amortized
+    // probe-only cost is what q43/q51's probe stages and the OpsSpec
+    // pruning pins measure, so a read-only twin would duplicate coverage.
 
     // IVF search over a cluster-partitioned corpus + persisted centroids:
     // the 100 TB serving shape (train once, probe nProbe/k of the files).
@@ -1420,8 +1431,20 @@ object ExtQ {
       .select(col("event_id"),
         when(pmod(col("event_id"), lit(101)) === 0, col("value") * 2)
           .otherwise(col("value")).as("dst_value"))
-    (cat.saveBucketed(ev, "recon.src_facts", "event_id", 8),
-      cat.saveBucketed(degraded, "recon.dst_facts", "event_id", 8))
+    val (srcRef, dstRef) = reconRefs(dir)
+    (cat.saveBucketed(ev, srcRef, "event_id", 8),
+      cat.saveBucketed(degraded, dstRef, "event_id", 8))
+  }
+
+  /** The recon tables' catalog refs, keyed by the scale-factor directory
+    * leaf — the same reason [[annRoot]] is sf-keyed: the session catalog
+    * outlives a single query, so an unkeyed name published from one scale
+    * factor would satisfy q54's resolve-latest lookup at ANOTHER scale
+    * factor and silently serve the wrong corpus (dots in the leaf are not
+    * ref separators, so they sanitize to underscores). */
+  private[graft] def reconRefs(dir: String): (String, String) = {
+    val leaf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    (s"recon.src_facts_$leaf", s"recon.dst_facts_$leaf")
   }
 
   /** Row-level reconciliation over two same-bucketed fact tables. The merge

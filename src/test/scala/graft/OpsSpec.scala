@@ -275,15 +275,15 @@ class OpsSpec extends SparkSpec {
     // rewrite) and its join is equally exchange-free — the steady-state
     // per-query plan the write-time shuffle bought
     val cat = new graft.core.Catalog(spark, "/root/testdata/sf0.001")
-    val published = (cat.bucketedTable("recon.src_facts"),
-      cat.bucketedTable("recon.dst_facts"))
+    // refs are sf-keyed so one session can hold several scale factors
+    val (srcRef, dstRef) = graft.queries.ExtQ.reconRefs("/root/testdata/sf0.001")
+    val published = (cat.bucketedTable(srcRef), cat.bucketedTable(dstRef))
     val rd = graft.SparkEntry.queries("q54_bucketed_recon_read")(spark, "/root/testdata/sf0.001")
     val rplan = rd.queryExecution.executedPlan.toString
     assert(rplan.contains("SortMergeJoin"), rplan)
     assert(!rplan.contains("hashpartitioning(event_id"),
       s"read-side bucketed join still shuffles on the join key:\n$rplan")
-    assert((cat.bucketedTable("recon.src_facts"),
-      cat.bucketedTable("recon.dst_facts")) == published,
+    assert((cat.bucketedTable(srcRef), cat.bucketedTable(dstRef)) == published,
       "q54 must read the published tables, not republish them")
     assert(rd.count() > 0)
   }
