@@ -214,6 +214,29 @@ class PropertiesSpec extends SparkSpec {
     def inspect: String = s.replace("\n", "\\n").replace("\t", "\\t")
   }
 
+  test("probeSet: base bucket first, distinct probes, nested in margin order") {
+    import graft.ext.Similarity
+    val vec = Gen.zip(
+      Gen.chooseNum(2, 8),
+      Gen.listOfN(12, Gen.chooseNum(-3.0, 3.0)).map(_.toArray))
+    forAllN(vec, 150) { case (nPlanes, qv) =>
+      val full = Similarity.probeSet(qv, nPlanes, nPlanes + 1)
+      // head is always the vector's own bucket
+      assert(full.head == graft.functions.HyperplaneLsh.bucketOf(
+        graft.functions.HyperplaneLsh.projections(qv, nPlanes)))
+      // all probes distinct, in range, and each flip differs in exactly
+      // one bit from the base
+      assert(full.distinct.size == full.size)
+      assert(full.forall(b => b >= 0 && b < (1L << nPlanes)))
+      assert(full.tail.forall(b => java.lang.Long.bitCount(b ^ full.head) == 1))
+      // smaller nProbe is a strict prefix: growing the probe budget never
+      // reorders or replaces earlier probes (monotone recall guarantee)
+      (1 to nPlanes).foreach { p =>
+        assert(Similarity.probeSet(qv, nPlanes, p) == full.take(p))
+      }
+    }
+  }
+
   test("double-dot healing is idempotent and dot-run-collapsing") {
     val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     forAllN(Gen.zip(token, token, Gen.chooseNum(2, 5)), 100) { case (a, b, dots) =>
