@@ -194,7 +194,7 @@ object Dedup {
     // hashed into the bucket), but it keeps exact semantics for any
     // caller-built band table where cross-band bucket values can collide.
     a.join(b, col("bucket") === col("bucket_b") &&
-        (col("band_a") - col("band_b")) === lit(0) &&
+        col("band_a").bitwiseXOR(col("band_b")) === lit(0) &&
         col("doc_a") < col("doc_b"))
       // one row per (doc, band) in the input => count(*) = bands agreeing
       .groupBy("doc_a", "doc_b")
@@ -329,13 +329,28 @@ object Dedup {
     * the signature table feeds both self-join sides, so it persists here
     * and stays in the session cache for the caller. */
   def simhashPairsFromSigs(sigs: DataFrame, idCol: String = "doc_id",
+      sigCol: String = "simhash", maxHamming: Int = 3): DataFrame =
+    simhashPairsFromBlocks(
+      simhashBlockTable(sigs, idCol, sigCol, maxHamming), idCol, cache = true)
+
+  /** The exploded Manku block table — the persistable form of the simhash
+    * pairing's collision relation, for deployments that fix a radius and
+    * re-pair many times (the [[minhashTable]]/[[bandCandidates]] split
+    * applied to simhash). One row per (doc, block) carrying: a SINGLE
+    * collision key `bkey = xxhash64(blk, bits)` (the block index hashed
+    * in, so cross-block bit patterns never collide on the key), the raw
+    * `blk`/`bits` for the residual exactness check, the signature for the
+    * verify tail, and `max_hamming` — the radius the blocking encodes,
+    * stamped into the table so a pairing run can never silently apply the
+    * wrong one. Publish with `Catalog.saveBucketed(…, "bkey", n)` and
+    * [[simhashPairsFromBlocks]] re-derives pairs with NO collision-key
+    * exchange (plan-pinned in ExtSpec). */
+  def simhashBlockTable(sigs: DataFrame, idCol: String = "doc_id",
       sigCol: String = "simhash", maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (blocks need >= 4 bits to prune), got $maxHamming")
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val sh = sigs.select(col(idCol), col(sigCol).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockStructs = (0 until blocks).map { i =>
       val start = i * width
       val len = if (i == blocks - 1) 64 - start else width // last absorbs the remainder
@@ -344,19 +359,44 @@ object Dedup {
         else shiftrightunsigned(col("sh"), start).bitwiseAND(lit((1L << len) - 1L))
       struct(lit(i).as("blk"), bits.as("bits"))
     }
-    val buckets = sh
+    sigs.select(col(idCol), col(sigCol).as("sh"))
       .select(col(idCol), col("sh"), explode(array(blockStructs: _*)).as("bb"))
-      .select(col(idCol), col("sh"), col("bb.blk").as("blk"), col("bb.bits").as("bits"))
-    val a = buckets.select(col("blk"), col("bits"),
-      col(idCol).as("doc_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("blk"), col("bits"),
-      col(idCol).as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk", "bits"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col(idCol), col("sh"),
+        xxhash64(col("bb.blk"), col("bb.bits")).as("bkey"),
+        col("bb.blk").as("blk"), col("bb.bits").as("bits"),
+        lit(maxHamming).as("max_hamming"))
+  }
+
+  /** Pairing over an (id, sh, bkey, blk, bits, max_hamming) block table
+    * ([[simhashBlockTable]]-shaped). `bkey` is the ONLY equi-key — the
+    * same planner contract as [[bandCandidates]]: block/bit equality rides
+    * as residual predicates Catalyst cannot lift into the join keys, so a
+    * table published bucketed on `bkey` self-joins with no exchange on the
+    * collision key (for a freshly-built table the key join is equivalent,
+    * one 8-byte column through the shuffle instead of two). The verify
+    * radius comes from the table's own `max_hamming` stamp. `cache` as in
+    * [[bandCandidates]]: true materializes the input for the two join
+    * sides; false for storage-local persisted tables. */
+  def simhashPairsFromBlocks(blockTable: DataFrame, idCol: String = "doc_id",
+      cache: Boolean = false): DataFrame = {
+    val bk = if (!cache) blockTable
+      else blockTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bk.select(col("bkey"), col("blk").as("blk_a"), col("bits").as("bits_a"),
+      col(idCol).as("doc_a"), col("sh").as("sh_a"), col("max_hamming"))
+    val b = bk.select(col("bkey").as("bkey_b"), col("blk").as("blk_b"),
+      col("bits").as("bits_b"), col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    // XOR-form residuals: EqualTo over a both-sides expression, so never
+    // lifted into the join keys — and unlike subtraction, immune to ANSI
+    // long-overflow on full-width bit patterns (maxHamming = 0 puts the
+    // whole signature in `bits`)
+    a.join(b, col("bkey") === col("bkey_b") &&
+        col("blk_a").bitwiseXOR(col("blk_b")) === lit(0) &&
+        col("bits_a").bitwiseXOR(col("bits_b")) === lit(0L) &&
+        col("doc_a") < col("doc_b"))
       // a close pair shares several blocks — collapse before the verify
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"), col("max_hamming"))
       .distinct()
-      .filter(hamming(col("sh_a"), col("sh_b")) <= maxHamming)
+      .filter(hamming(col("sh_a"), col("sh_b")) <= col("max_hamming"))
       .select(col("doc_a"), col("doc_b"),
         hamming(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
   }

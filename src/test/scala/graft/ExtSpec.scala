@@ -291,6 +291,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("simhash block table: bucketed self-join is exchange-free; radius self-stamped") {
+    val sigs = edgeDocs.select($"doc_id", Dedup.simhash($"text").as("simhash"))
+    val cat = new graft.core.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-shblk").toString)
+    val tb = cat.saveBucketed(
+      Dedup.simhashBlockTable(sigs, maxHamming = 3), "sh.blocks", "bkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // bkey is the only equi-key (blk/bits ride as XOR residuals), so the
+      // bkey-bucketed scans co-locate and the self-join plans no exchange
+      // on the collision key; the radius comes from the table's own stamp
+      val pairs = Dedup.simhashPairsFromBlocks(spark.table(tb))
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("hashpartitioning(bkey"),
+        s"bucketed block self-join still shuffles on the collision key:\n$plan")
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = Dedup.simhashPairs(edgeDocs, maxHamming = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want && got.nonEmpty, s"got=$got want=$want")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("Similarity: codegen dot matches manual math; topk ordering deterministic") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
