@@ -407,18 +407,52 @@ object Similarity {
     * stage persisted here; callers in long-lived sessions release it after
     * materializing (`spark.sharedState.cacheManager.clearCache()`). */
   def lshCandidates(emb: DataFrame, nPlanes: Int, nTables: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     // the bucket table feeds both sides of the self-join — materialize so
     // the corpus scan + nPlanes·nTables hyperplane projections run once
-    val buckets = emb
-      .select(col(idCol),
+    lshCandidatesFromTable(lshTable(emb, nPlanes, nTables, idCol, vecCol),
+      idCol, cache = true)
+
+  /** The persistable multi-table LSH bucket relation — the
+    * [[graft.ext.Dedup.minhashTable]]/[[graft.ext.Dedup.bandCandidates]]
+    * split applied to embedding near-dup mining: a deployment fixing its
+    * (nPlanes, nTables) config computes buckets once at ingest and
+    * re-mines pairs per run from the artifact. One row per (id, table)
+    * carrying a SINGLE collision key `ckey = xxhash64(tbl, bucket)` (the
+    * table index hashed in — raw hyperplane buckets RECUR across tables,
+    * so joining on the bucket value alone would inflate matches ~tables×)
+    * plus the raw `tbl`/`bucket` for the residual exactness check. Publish
+    * with `Catalog.saveBucketed(…, "ckey", n)` and
+    * [[lshCandidatesFromTable]] re-derives candidates with NO
+    * collision-key exchange (plan-pinned in ExtSpec). */
+  def lshTable(emb: DataFrame, nPlanes: Int, nTables: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol),
         posexplode(graft.functions.HyperplaneLsh(col(vecCol), nPlanes, nTables)))
       .toDF(idCol, "tbl", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
-    val b = buckets.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col(idCol), xxhash64(col("tbl"), col("bucket")).as("ckey"),
+        col("tbl"), col("bucket"))
+
+  /** Candidate pairs over an (id, ckey, tbl, bucket) [[lshTable]]-shaped
+    * relation. `ckey` is the ONLY equi-key — the same planner contract as
+    * [[graft.ext.Dedup.bandCandidates]]: table/bucket equality rides as
+    * XOR-form residual predicates Catalyst cannot lift into the join keys,
+    * so a table published bucketed on `ckey` self-joins with no exchange
+    * on the collision key. `cache = true` materializes the input for the
+    * two join sides (the inline path); false for storage-local persisted
+    * tables. */
+  def lshCandidatesFromTable(bucketTable: DataFrame, idCol: String = "vec_id",
+      cache: Boolean = false): DataFrame = {
+    val bk = if (!cache) bucketTable
+      else bucketTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bk.select(col("ckey"), col("tbl").as("tbl_a"),
+      col("bucket").as("bucket_a"), col(idCol).as("id_a"))
+    val b = bk.select(col("ckey").as("ckey_b"), col("tbl").as("tbl_b"),
+      col("bucket").as("bucket_b"), col(idCol).as("id_b"))
+    a.join(b, col("ckey") === col("ckey_b") &&
+        col("tbl_a").bitwiseXOR(col("tbl_b")) === lit(0) &&
+        col("bucket_a").bitwiseXOR(col("bucket_b")) === lit(0L) &&
+        col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
   }

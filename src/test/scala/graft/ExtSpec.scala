@@ -849,6 +849,36 @@ class ExtSpec extends SparkSpec {
     assert(lsh == exact) // deterministic full recall at these parameters
   }
 
+  test("embedding LSH bucket table: bucketed self-join exchange-free, equals inline") {
+    val rnd = new scala.util.Random(13)
+    def near(base: Array[Float]) = base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val anchor = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val emb = ((0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat))) ++
+      Seq((100L, near(anchor)), (101L, near(anchor))))
+      .toDF("vec_id", "embedding")
+    val cat = new graft.core.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-lshtbl").toString)
+    val tb = cat.saveBucketed(
+      Similarity.lshTable(emb, nPlanes = 3, nTables = 4), "lsh.buckets", "ckey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // ckey is the only equi-key (tbl/bucket ride as XOR residuals), so
+      // the ckey-bucketed scans co-locate: no collision-key exchange
+      val cand = Similarity.lshCandidatesFromTable(spark.table(tb))
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("hashpartitioning(ckey"),
+        s"bucketed LSH self-join still shuffles on the collision key:\n$plan")
+      val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Similarity.lshCandidates(emb, nPlanes = 3, nTables = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"got=$got want=$want")
+      assert(got.contains((100L, 101L)), "planted near-dup pair missing from candidates")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("lshParams scales planes with corpus size and respects the table cap") {
     // bigger corpus => more planes (deeper pruning), tables re-solved for recall
     val (pSmall, _) = Similarity.lshParams(1000L, 0.9)
