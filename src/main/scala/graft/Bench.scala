@@ -12,15 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // one session factory for every main: the bench must time the same
+    // join-threshold/AQE posture production sessions run, not a drifted
+    // hand-rolled config (and Q.t's timestamp normalization rides on it)
+    val spark = graft.core.Sessions.local(cpus)
     // Warm up parquet reader + codegen + shuffle machinery once so the first
     // measured query doesn't absorb JVM startup. The decimal-routed sum
     // exercises the unsafe decimal aggregation codegen path every revenue
@@ -98,7 +94,7 @@ object Bench {
         SparkEntry.jsonString(k) + ":" + SparkEntry.jsonString("verify-only: " + d.doc)
     }.sorted.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skipped,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skipped,"sf":${SparkEntry.jsonString(sfDir)}}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed every sample: ${failed.mkString(", ")}")
     spark.stop()

@@ -377,15 +377,23 @@ object Similarity {
     * moves on a near-saturated small corpus. For huge corpora at loose
     * thresholds the cap binds and the minimizer degenerates to the
     * cap-dropped floor — the explicit recall-beats-pruning trade above. */
+  /** Recall-solving OR-amplification table count at depth `nPlanes` for a
+    * cosine `threshold`: the fewest independent tables making a
+    * threshold-cosine pair's all-tables miss probability ≤ 1 − recall.
+    * THE formula behind [[lshParams]] — exposed so external validators
+    * (e.g. `tools.LshProbe`) probe exactly the configs the engine would
+    * produce instead of replicating the math and silently drifting. */
+  def lshTablesFor(nPlanes: Int, threshold: Double, targetRecall: Double): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val pk = math.pow(p, nPlanes)
+    if (pk >= 1.0 || pk <= 0.0) 1
+    else math.ceil(math.log(1.0 - math.min(0.999999, targetRecall)) /
+      math.log(1.0 - pk)).toInt
+  }
+
   def lshParams(n: Long, threshold: Double, targetRecall: Double = 0.98,
       targetBucketRows: Long = 1024L, maxTables: Int = 64): (Int, Int) = {
-    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    def tablesFor(k: Int): Int = {
-      val pk = math.pow(p, k)
-      if (pk >= 1.0 || pk <= 0.0) 1
-      else math.ceil(math.log(1.0 - math.min(0.999999, targetRecall)) /
-        math.log(1.0 - pk)).toInt
-    }
+    def tablesFor(k: Int): Int = lshTablesFor(k, threshold, targetRecall)
     var planes = math.min(24, math.max(2,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
     while (planes > 2 && tablesFor(planes) > maxTables) planes -= 1

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Plan-audit helper: prints the formatted physical plan of selected
   * registry queries so scan pushdown, broadcast choices, and whole-stage
@@ -9,13 +8,10 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // shared session factory: the printed plans must be the plans the
+    // production confs (join threshold, AQE) actually produce
+    val spark = graft.core.Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val wanted = if (args.isEmpty) Seq("q10_revenue_zscore") else args.toSeq
     graft.SparkEntry.all.toSeq.sortBy(_._1).foreach { case (name, d) =>

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import graft.ext.Similarity
 
 /** Scratch probe: measures nearDupPairsLsh candidate volume + wall time
@@ -11,15 +10,8 @@ import graft.ext.Similarity
 object LshProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val spark = graft.core.Sessions.local(cpus)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
     println(s"corpus n=$n")
@@ -37,11 +29,9 @@ object LshProbe {
     }
     println(f"auto-path fullTime=${autoTimes.min}%6.2f (samples ${autoTimes.map(x => f"$x%.2f").mkString(",")})")
     val configs = Seq((autoP, autoT)) ++ Seq(4, 5, 6, 7).map { k =>
-      // recall-solving table count at depth k (replicates lshParams math)
-      val p = 1.0 - math.acos(0.45) / math.Pi
-      val pk = math.pow(p, k)
-      val t = math.ceil(math.log(1.0 - 0.999) / math.log(1.0 - pk)).toInt
-      (k, t)
+      // recall-solving table count at depth k — the engine's own formula,
+      // so the probe measures configs lshParams would actually produce
+      (k, Similarity.lshTablesFor(k, 0.45, targetRecall = 0.999))
     }
     for ((k, t) <- configs.distinct if t <= 64) {
       // candidate volume (after cross-table distinct)

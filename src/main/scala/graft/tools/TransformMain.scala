@@ -14,8 +14,14 @@ import graft.pipeline.TransformJob
   */
 object TransformMain {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    // strict flag/value pairing: a bare token or valueless flag fails
+    // loudly instead of shifting alignment and silently consuming the
+    // next flag name as a value
+    val opts = args.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.drop(2) -> v
+      case other => sys.error(s"malformed arguments near '${other.mkString(" ")}' — " +
+        "usage: --data_root <dir> --input_table <ns.table> --output_table <ns.table>")
     }.toMap
     val root = opts.getOrElse("data_root", sys.error("--data_root required"))
     val input = opts.getOrElse("input_table", sys.error("--input_table required"))
@@ -30,7 +36,8 @@ object TransformMain {
           s"[heal] attempt ${a.attempt}: ${a.classification.errorType} -> " +
             s"${a.classification.suggestedFix} (healed=${a.healed})")
       }
-      println(s"""{"input":"$input","output":"$output","rows":$rows,"healing_attempts":${attempts.size}}""")
+      val j = (s: String) => graft.SparkEntry.jsonString(s)
+      println(s"""{"input":${j(input)},"output":${j(output)},"rows":$rows,"healing_attempts":${attempts.size}}""")
     } finally spark.stop()
   }
 }
