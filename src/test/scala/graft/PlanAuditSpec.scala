@@ -21,15 +21,38 @@ class PlanAuditSpec extends SparkSpec {
     "q31_embedding_cosine_topk", "q32_ann_lsh_topk", "q39_approx_distinct",
     "q43_ivf_topk", "q47_embedding_topk_batch", "q49_ann_multiprobe_topk")
 
-  test("no registry query plans a CartesianProduct; BNLJ only on 1-row probes") {
+  // Queries whose SinglePartition exchange is DELIBERATE: global scalar
+  // aggregates, unkeyed day-series windows over O(days) rows, global
+  // top-k/sort finals over already-reduced results. A new registry entry
+  // that single-partitions corpus-sized data must either fix its plan or
+  // consciously join this list with a justification.
+  private val singlePartitionOk: Set[String] = Set(
+    // global scalar aggregates: the one-row final stage IS the result
+    "q02_global_totals", "q03_null_profile", "q04_count_distinct",
+    "q05_dup_stats", "q24_dedup_exact", "q36_retention_scan",
+    "q39_approx_distinct",
+    // scalar-CTE combines over already-reduced 1-row frames
+    "q10_revenue_zscore", "q13_same_hour_baseline", "q19_velocity_sla",
+    "q20_quality_cross",
+    // union/rollup of O(sources) per-source scalar rows
+    "q18_freshness_union",
+    // unkeyed day-series windows over O(days) rows — the keyed q40/q41
+    // twins carry the hashpartitioning scale form (OpsSpec-pinned)
+    "q22_trailing_window_zscore", "q23_ma7_window")
+
+  test("no registry query plans a CartesianProduct; BNLJ only on 1-row probes; " +
+      "SinglePartition only where a global reduction is the point") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
         !oneRowBroadcastOk.contains(name)
-      if (cartesian || bnlj)
-        Some(s"$name: cartesian=$cartesian unexpectedBnlj=$bnlj")
+      val singlePart = plan.contains("Exchange SinglePartition") &&
+        !singlePartitionOk.contains(name)
+      if (cartesian || bnlj || singlePart)
+        Some(s"$name: cartesian=$cartesian unexpectedBnlj=$bnlj " +
+          s"unexpectedSinglePartition=$singlePart")
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
