@@ -177,6 +177,11 @@ object Dedup {
     * banks, applied to dedup's hottest recurring join. */
   def bandCandidates(bandTable: DataFrame, idCol: String = "doc_id",
       cache: Boolean = true): DataFrame = {
+    val needed = Seq("band", "bucket", idCol)
+    require(needed.forall(bandTable.columns.contains),
+      s"bandCandidates requires a minhashTable-shaped input " +
+        s"(${needed.mkString(", ")}); got ${bandTable.columns.mkString(", ")} — " +
+        "build it with Dedup.minhashTable(docs, textCol, idCol)")
     val bk = if (!cache) bandTable
       else bandTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col("band").as("band_a"), col("bucket"),
@@ -379,6 +384,12 @@ object Dedup {
     * sides; false for storage-local persisted tables. */
   def simhashPairsFromBlocks(blockTable: DataFrame, idCol: String = "doc_id",
       cache: Boolean = false): DataFrame = {
+    val needed = Seq("bkey", "blk", "bits", "sh", "max_hamming", idCol)
+    require(needed.forall(blockTable.columns.contains),
+      s"simhashPairsFromBlocks requires a simhashBlockTable-shaped input " +
+        s"(${needed.mkString(", ")}); got ${blockTable.columns.mkString(", ")} — " +
+        "build it with Dedup.simhashBlockTable(sigs, …) (pairing straight " +
+        "from signatures is simhashPairsFromSigs)")
     val bk = if (!cache) blockTable
       else blockTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col("bkey"), col("blk").as("blk_a"), col("bits").as("bits_a"),

@@ -451,6 +451,11 @@ object Similarity {
     * tables. */
   def lshCandidatesFromTable(bucketTable: DataFrame, idCol: String = "vec_id",
       cache: Boolean = false): DataFrame = {
+    val needed = Seq("ckey", "tbl", "bucket", idCol)
+    require(needed.forall(bucketTable.columns.contains),
+      s"lshCandidatesFromTable requires an lshTable-shaped input " +
+        s"(${needed.mkString(", ")}); got ${bucketTable.columns.mkString(", ")} — " +
+        "build it with Similarity.lshTable(emb, nPlanes, nTables)")
     val bk = if (!cache) bucketTable
       else bucketTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col("ckey"), col("tbl").as("tbl_a"),

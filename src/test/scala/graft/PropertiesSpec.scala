@@ -237,6 +237,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("simhashBlockTable blocks partition the signature exactly at every radius") {
+    import graft.ext.Dedup
+    val sigGen = Gen.listOfN(24, Gen.long)
+    forAllN(Gen.zip(sigGen, Gen.oneOf(0, 1, 3, 7, 15)), 8) { case (sigVals, h) =>
+      val sigs = sigVals.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "simhash")
+      val rows = Dedup.simhashBlockTable(sigs, maxHamming = h).collect()
+        .map(r => (r.getLong(0), r.getInt(3), r.getLong(4), r.getInt(5)))
+      val byDoc = rows.groupBy(_._1)
+      val origSig = sigVals.zipWithIndex.map { case (s, i) => i.toLong -> s }.toMap
+      byDoc.foreach { case (doc, blocks) =>
+        // exactly maxHamming+1 blocks, radius self-stamped on every row
+        assert(blocks.length == h + 1 && blocks.forall(_._4 == h))
+        // shifting each block's bits back to its offset reassembles the
+        // signature bit-for-bit: the blocking loses nothing (the pigeonhole
+        // guarantee rests on the blocks being a PARTITION of the 64 bits)
+        val width = 64 / (h + 1)
+        val rebuilt = blocks.map { case (_, blk, bits, _) =>
+          bits << (blk * width)
+        }.reduce(_ | _)
+        assert(rebuilt == origSig(doc),
+          f"doc $doc: rebuilt $rebuilt%016x != ${origSig(doc)}%016x at h=$h")
+      }
+    }
+  }
+
   test("double-dot healing is idempotent and dot-run-collapsing") {
     val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     forAllN(Gen.zip(token, token, Gen.chooseNum(2, 5)), 100) { case (a, b, dots) =>
