@@ -188,6 +188,11 @@ object Similarity {
       probes: Seq[Long], excludeId: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bucketCol: String = "bucket"): DataFrame = {
+    require(corpus.columns.contains(bucketCol),
+      s"annTopKPersistedVec requires a stored '$bucketCol' column — write " +
+        "the corpus once with lshBucket(vec, nPlanes) (optionally " +
+        s"partitionBy(\"$bucketCol\") for pruning); an unbucketed corpus " +
+        "takes annTopKMultiProbeVec")
     val qvLit = array(qv.map(lit).toSeq: _*)
     corpus.filter(col(bucketCol).isin(probes: _*))
       .transform(rows => excludeId.fold(rows)(q => rows.filter(col(idCol) =!= q)))
@@ -206,6 +211,10 @@ object Similarity {
   def annTopKBatchPersisted(corpus: DataFrame, queryIds: Seq[Long], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bucketCol: String = "bucket"): DataFrame = {
+    require(corpus.columns.contains(bucketCol),
+      s"annTopKBatchPersisted requires a stored '$bucketCol' column — " +
+        "write the corpus once with lshBucket(vec, nPlanes); an unbucketed " +
+        "corpus takes annTopKBatch")
     val qRows = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol), col(vecCol), col(bucketCol)).collect()
     val queries = qRows.toSeq.map(r => (r.getLong(0), toVec(r, 1)))
