@@ -177,11 +177,8 @@ object Dedup {
     * banks, applied to dedup's hottest recurring join. */
   def bandCandidates(bandTable: DataFrame, idCol: String = "doc_id",
       cache: Boolean = true): DataFrame = {
-    val needed = Seq("band", "bucket", idCol)
-    require(needed.forall(bandTable.columns.contains),
-      s"bandCandidates requires a minhashTable-shaped input " +
-        s"(${needed.mkString(", ")}); got ${bandTable.columns.mkString(", ")} — " +
-        "build it with Dedup.minhashTable(docs, textCol, idCol)")
+    TableShapes.requireColumns(bandTable, Seq("band", "bucket", idCol),
+      "bandCandidates", "build it with Dedup.minhashTable(docs, textCol, idCol)")
     val bk = if (!cache) bandTable
       else bandTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col("band").as("band_a"), col("bucket"),
@@ -334,9 +331,15 @@ object Dedup {
     * the signature table feeds both self-join sides, so it persists here
     * and stays in the session cache for the caller. */
   def simhashPairsFromSigs(sigs: DataFrame, idCol: String = "doc_id",
-      sigCol: String = "simhash", maxHamming: Int = 3): DataFrame =
+      sigCol: String = "simhash", maxHamming: Int = 3): DataFrame = {
+    // cache the NARROW signature table, not the (maxHamming+1)x exploded
+    // block relation — each join side re-derives its blocks from the cache
+    // (cheap scan-stage shifts), which is what the pre-split form did too
+    val sh = sigs.select(col(idCol), col(sigCol).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     simhashPairsFromBlocks(
-      simhashBlockTable(sigs, idCol, sigCol, maxHamming), idCol, cache = true)
+      simhashBlockTable(sh, idCol, "sh", maxHamming), idCol, cache = false)
+  }
 
   /** The exploded Manku block table — the persistable form of the simhash
     * pairing's collision relation, for deployments that fix a radius and
@@ -384,11 +387,10 @@ object Dedup {
     * sides; false for storage-local persisted tables. */
   def simhashPairsFromBlocks(blockTable: DataFrame, idCol: String = "doc_id",
       cache: Boolean = false): DataFrame = {
-    val needed = Seq("bkey", "blk", "bits", "sh", "max_hamming", idCol)
-    require(needed.forall(blockTable.columns.contains),
-      s"simhashPairsFromBlocks requires a simhashBlockTable-shaped input " +
-        s"(${needed.mkString(", ")}); got ${blockTable.columns.mkString(", ")} — " +
-        "build it with Dedup.simhashBlockTable(sigs, …) (pairing straight " +
+    TableShapes.requireColumns(blockTable,
+      Seq("bkey", "blk", "bits", "sh", "max_hamming", idCol),
+      "simhashPairsFromBlocks",
+      "build it with Dedup.simhashBlockTable(sigs, …) (pairing straight " +
         "from signatures is simhashPairsFromSigs)")
     val bk = if (!cache) blockTable
       else blockTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -188,9 +188,8 @@ object Similarity {
       probes: Seq[Long], excludeId: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bucketCol: String = "bucket"): DataFrame = {
-    require(corpus.columns.contains(bucketCol),
-      s"annTopKPersistedVec requires a stored '$bucketCol' column — write " +
-        "the corpus once with lshBucket(vec, nPlanes) (optionally " +
+    TableShapes.requireColumns(corpus, Seq(bucketCol), "annTopKPersistedVec",
+      "write the corpus once with lshBucket(vec, nPlanes) (optionally " +
         s"partitionBy(\"$bucketCol\") for pruning); an unbucketed corpus " +
         "takes annTopKMultiProbeVec")
     val qvLit = array(qv.map(lit).toSeq: _*)
@@ -211,15 +210,14 @@ object Similarity {
   def annTopKBatchPersisted(corpus: DataFrame, queryIds: Seq[Long], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bucketCol: String = "bucket"): DataFrame = {
-    require(corpus.columns.contains(bucketCol),
-      s"annTopKBatchPersisted requires a stored '$bucketCol' column — " +
-        "write the corpus once with lshBucket(vec, nPlanes); an unbucketed " +
+    TableShapes.requireColumns(corpus, Seq(bucketCol), "annTopKBatchPersisted",
+      "write the corpus once with lshBucket(vec, nPlanes); an unbucketed " +
         "corpus takes annTopKBatch")
     val qRows = corpus.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol), col(vecCol), col(bucketCol)).collect()
-    val queries = qRows.toSeq.map(r => (r.getLong(0), toVec(r, 1)))
+      .select(col(idCol), col(vecCol), col(bucketCol)).collect().toSeq
+    val queries = qRows.map(r => (r.getLong(0), toVec(r, 1)))
     // partition-column buckets read back as Int; stored columns as Long
-    val buckets = qRows.toSeq.map(_.getAs[Number](2).longValue)
+    val buckets = qRows.map(_.getAs[Number](2).longValue)
     val scored = scoreAgainst(
       corpus.join(broadcast(queriesDF(corpus, queries, Some(bucketCol -> buckets))),
         Seq(bucketCol)),
@@ -460,11 +458,9 @@ object Similarity {
     * tables. */
   def lshCandidatesFromTable(bucketTable: DataFrame, idCol: String = "vec_id",
       cache: Boolean = false): DataFrame = {
-    val needed = Seq("ckey", "tbl", "bucket", idCol)
-    require(needed.forall(bucketTable.columns.contains),
-      s"lshCandidatesFromTable requires an lshTable-shaped input " +
-        s"(${needed.mkString(", ")}); got ${bucketTable.columns.mkString(", ")} — " +
-        "build it with Similarity.lshTable(emb, nPlanes, nTables)")
+    TableShapes.requireColumns(bucketTable, Seq("ckey", "tbl", "bucket", idCol),
+      "lshCandidatesFromTable",
+      "build it with Similarity.lshTable(emb, nPlanes, nTables)")
     val bk = if (!cache) bucketTable
       else bucketTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col("ckey"), col("tbl").as("tbl_a"),
