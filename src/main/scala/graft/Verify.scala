@@ -16,7 +16,12 @@ object Verify {
     // driver never sets this — its gate always dumps the full registry.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    // Name order, not Map hash order: the ANN lifecycle witnesses
+    // (q68-q70) must re-publish their artifacts from THIS run's testdata
+    // before the serving twins (q75-q77) read them — hash order could
+    // serve artifacts left by a previous data generation and then let the
+    // witness overwrite them before the oracle reads. Bench already sorts.
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

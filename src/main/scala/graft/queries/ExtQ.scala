@@ -1116,40 +1116,19 @@ object ExtQ {
     //
     // Benched DELIBERATELY including the train+persist+reload round-trip:
     // these entries witness the whole artifact lifecycle (the q53 shape,
-    // where the write IS part of what the row proves); the amortized
-    // probe-only cost is what q43/q51's probe stages and the OpsSpec
-    // pruning pins measure, so a read-only twin would duplicate coverage.
+    // where the write IS part of what the row proves). The amortized
+    // SERVING cost — what a capacity plan needs — is measured separately
+    // by the q75-q77 read-only twins below (the q54-vs-q53 split).
 
     // IVF search over a cluster-partitioned corpus + persisted centroids:
     // the 100 TB serving shape (train once, probe nProbe/k of the files).
     "q68_ivf_search_persisted" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, annRoot(dir))
-        val emb = t(s, dir, "embeddings")
-        val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
-        Ivf.saveCentroids(cat, "ann.q68_centroids", cents)
-        cat.save(Ivf.assign(emb, cents), "ann.q68_corpus",
-          partitionBy = Seq("cluster"))
-        Ivf.ivfTopKPartitioned(cat.load("ann.q68_corpus"),
-          Ivf.loadCentroids(cat, "ann.q68_centroids"),
-          queryId = 0L, k = 10, nProbe = 3)
+        buildIvfArtifacts(s, dir, cat)
+        serveIvf(cat)
       },
-      Some(s"""
-        WITH cents AS (
-          SELECT CAST(cluster AS BIGINT) AS cluster, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('$AnnOracleRoot/ann/q68_centroids/*.parquet')),
-        corpus AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(cluster AS BIGINT) AS cluster
-          FROM read_parquet('$AnnOracleRoot/ann/q68_corpus/*/*.parquet', hive_partitioning=true)),
-        q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
-        probes AS (
-          SELECT cluster FROM cents, q
-          ORDER BY list_distance(c, qv), cluster LIMIT 3)
-        SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim
-        FROM corpus c, q
-        WHERE c.cluster IN (SELECT cluster FROM probes) AND c.vec_id <> 0
-        ORDER BY cosine_sim DESC, c.vec_id
-        LIMIT 10""")),
+      Some(ivfSearchOracle)),
 
     // PQ/ADC search over persisted codebooks + encoded corpus: the oracle
     // rebuilds each code's subvector distance from the codebook rows and
@@ -1157,37 +1136,10 @@ object ExtQ {
     "q69_pq_search_persisted" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, annRoot(dir))
-        val emb = t(s, dir, "embeddings")
-        val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
-        Pq.saveCodebooks(cat, "ann.q69_codebooks", cb)
-        cat.save(Pq.encode(emb, cb), "ann.q69_corpus")
-        val enc = cat.load("ann.q69_corpus")
-        val qv = enc.filter(col("vec_id") === 0L).select(col("embedding"))
-          .head().getSeq[Float](0).map(_.toDouble).toArray
-        Pq.pqTopKVec(enc.filter(col("vec_id") =!= 0L), qv,
-          Pq.loadCodebooks(cat, "ann.q69_codebooks"), topK = 10)
+        buildPqArtifacts(s, dir, cat)
+        servePq(cat)
       },
-      Some(s"""
-        WITH cb AS (
-          SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('$AnnOracleRoot/ann/q69_codebooks/*.parquet')),
-        corpus AS (
-          SELECT vec_id, codes, CAST(embedding AS DOUBLE[]) AS v
-          FROM read_parquet('$AnnOracleRoot/ann/q69_corpus/*.parquet')),
-        q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
-        parts AS (
-          SELECT e.vec_id,
-            list_sum(list_transform(range(1, 9), d ->
-              (q.qv[(j.j - 1) * 8 + d] - cb.c[d]) * (q.qv[(j.j - 1) * 8 + d] - cb.c[d]))) AS dd
-          FROM corpus e
-          CROSS JOIN range(1, 9) AS j(j)
-          JOIN cb ON cb.sub = j.j - 1 AND cb.code = e.codes[j.j]
-          CROSS JOIN q
-          WHERE e.vec_id <> 0)
-        SELECT vec_id, round(SUM(dd), 6) AS adc
-        FROM parts GROUP BY vec_id
-        ORDER BY adc, vec_id
-        LIMIT 10""")),
+      Some(pqSearchOracle)),
 
     // IVF-PQ search over one persisted corpus carrying BOTH reductions
     // (cluster partitions + m-byte codes): probe -> ADC shortlist ->
@@ -1195,54 +1147,53 @@ object ExtQ {
     "q70_ivfpq_search_persisted" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, annRoot(dir))
-        val emb = t(s, dir, "embeddings")
-        val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
-        val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
-        Ivf.saveCentroids(cat, "ann.q70_centroids", cents)
-        Pq.saveCodebooks(cat, "ann.q70_codebooks", cb)
-        cat.save(Pq.encode(Ivf.assign(emb, cents), cb), "ann.q70_corpus",
-          partitionBy = Seq("cluster"))
-        val corpus = cat.load("ann.q70_corpus")
-        val qv = corpus.filter(col("vec_id") === 0L).select(col("embedding"))
-          .head().getSeq[Float](0).map(_.toDouble).toArray
-        Pq.ivfPqTopKVec(corpus.filter(col("vec_id") =!= 0L),
-          Ivf.loadCentroids(cat, "ann.q70_centroids"),
-          Pq.loadCodebooks(cat, "ann.q70_codebooks"),
-          qv, topK = 10, nProbe = 3, shortlist = 10)
+        buildIvfPqArtifacts(s, dir, cat)
+        serveIvfPq(cat)
       },
-      Some(s"""
-        WITH cents AS (
-          SELECT CAST(cluster AS BIGINT) AS cluster, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('$AnnOracleRoot/ann/q70_centroids/*.parquet')),
-        cb AS (
-          SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('$AnnOracleRoot/ann/q70_codebooks/*.parquet')),
-        corpus AS (
-          SELECT vec_id, codes, CAST(embedding AS DOUBLE[]) AS v, CAST(cluster AS BIGINT) AS cluster
-          FROM read_parquet('$AnnOracleRoot/ann/q70_corpus/*/*.parquet', hive_partitioning=true)),
-        q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
-        probes AS (
-          SELECT cluster FROM cents, q
-          ORDER BY list_distance(c, qv), cluster LIMIT 3),
-        cells AS (
-          SELECT * FROM corpus
-          WHERE cluster IN (SELECT cluster FROM probes) AND vec_id <> 0),
-        parts AS (
-          SELECT e.vec_id,
-            list_sum(list_transform(range(1, 9), d ->
-              (q.qv[(j.j - 1) * 8 + d] - cb.c[d]) * (q.qv[(j.j - 1) * 8 + d] - cb.c[d]))) AS dd
-          FROM cells e
-          CROSS JOIN range(1, 9) AS j(j)
-          JOIN cb ON cb.sub = j.j - 1 AND cb.code = e.codes[j.j]
-          CROSS JOIN q),
-        adc AS (
-          SELECT vec_id, round(SUM(dd), 6) AS adc
-          FROM parts GROUP BY vec_id),
-        short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 100)
-        SELECT c.vec_id, round(list_inner_product(c.v, q.qv), 6) AS score
-        FROM cells c JOIN short s ON c.vec_id = s.vec_id, q
-        ORDER BY score DESC, c.vec_id
-        LIMIT 10""")),
+      Some(ivfPqSearchOracle)),
+
+    // ───── ANN serving steady state (q75-q77) ─────
+    // The read side of the q68-q70 witnesses, the way q54 measures q53's
+    // read side: resolve the ALREADY-persisted artifacts and run ONLY the
+    // search — the amortized per-query cost a capacity plan needs, with
+    // none of the train/persist round-trip in the measurement. Cold start
+    // (artifacts absent) rebuilds them with q68-q70's exact parameters;
+    // training is deterministic (hashed-id seeding, lowest-index argmin
+    // ties), so a later witness rebuild reproduces the artifacts
+    // bit-for-bit and both entries stay consistent with the one on-disk
+    // oracle corpus. Verify/Bench run the registry in name order, so the
+    // witness has always re-published from the CURRENT testdata before
+    // these serve (stale-artifact poisoning after a driver data regen is
+    // structurally impossible in a gate run). Oracles are the SAME SQL as
+    // the witnesses — the oracle already reads the persisted parquet, so
+    // it transfers unchanged.
+    "q75_ivf_search_serving" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        if (!cat.exists("ann.q68_centroids") || !cat.exists("ann.q68_corpus"))
+          buildIvfArtifacts(s, dir, cat)
+        serveIvf(cat)
+      },
+      Some(ivfSearchOracle)),
+
+    "q76_pq_search_serving" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        if (!cat.exists("ann.q69_codebooks") || !cat.exists("ann.q69_corpus"))
+          buildPqArtifacts(s, dir, cat)
+        servePq(cat)
+      },
+      Some(pqSearchOracle)),
+
+    "q77_ivfpq_search_serving" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        if (!cat.exists("ann.q70_centroids") || !cat.exists("ann.q70_codebooks") ||
+            !cat.exists("ann.q70_corpus"))
+          buildIvfPqArtifacts(s, dir, cat)
+        serveIvfPq(cat)
+      },
+      Some(ivfPqSearchOracle)),
 
     // ───── Persisted-signature dedup oracles (q71-q72) ─────
     // q28/q30's signature VALUES are engine-only (xxhash64 / token-vote
@@ -1403,6 +1354,138 @@ object ExtQ {
     * rewrites. (def, not val: `defs` above initializes first — NOTES
     * round-7.) */
   private[graft] def AnnOracleRoot = "__GRAFT_ANN_DIR__"
+
+  // ───── q68-q70 / q75-q77 shared build + serve halves ─────
+  // ONE definition of each ANN family's artifact parameters, search call,
+  // and oracle SQL: the lifecycle witness (always build, then serve) and
+  // the serving twin (serve; build only on cold start) must exercise
+  // byte-identical artifacts and the same plan, and both hash against the
+  // same replayed-arithmetic oracle.
+
+  private def buildIvfArtifacts(s: SparkSession, dir: String,
+      cat: graft.core.Catalog): Unit = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
+    Ivf.saveCentroids(cat, "ann.q68_centroids", cents)
+    cat.save(Ivf.assign(emb, cents), "ann.q68_corpus",
+      partitionBy = Seq("cluster"))
+  }
+
+  private def serveIvf(cat: graft.core.Catalog): DataFrame =
+    Ivf.ivfTopKPartitioned(cat.load("ann.q68_corpus"),
+      Ivf.loadCentroids(cat, "ann.q68_centroids"),
+      queryId = 0L, k = 10, nProbe = 3)
+
+  // def, not val: `defs` above initializes first (NOTES round-7)
+  private def ivfSearchOracle = s"""
+        WITH cents AS (
+          SELECT CAST(cluster AS BIGINT) AS cluster, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('$AnnOracleRoot/ann/q68_centroids/*.parquet')),
+        corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(cluster AS BIGINT) AS cluster
+          FROM read_parquet('$AnnOracleRoot/ann/q68_corpus/*/*.parquet', hive_partitioning=true)),
+        q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
+        probes AS (
+          SELECT cluster FROM cents, q
+          ORDER BY list_distance(c, qv), cluster LIMIT 3)
+        SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim
+        FROM corpus c, q
+        WHERE c.cluster IN (SELECT cluster FROM probes) AND c.vec_id <> 0
+        ORDER BY cosine_sim DESC, c.vec_id
+        LIMIT 10"""
+
+  private def buildPqArtifacts(s: SparkSession, dir: String,
+      cat: graft.core.Catalog): Unit = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
+    Pq.saveCodebooks(cat, "ann.q69_codebooks", cb)
+    cat.save(Pq.encode(emb, cb), "ann.q69_corpus")
+  }
+
+  private def servePq(cat: graft.core.Catalog): DataFrame = {
+    val enc = cat.load("ann.q69_corpus")
+    val qv = enc.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    Pq.pqTopKVec(enc.filter(col("vec_id") =!= 0L), qv,
+      Pq.loadCodebooks(cat, "ann.q69_codebooks"), topK = 10)
+  }
+
+  private def pqSearchOracle = s"""
+        WITH cb AS (
+          SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('$AnnOracleRoot/ann/q69_codebooks/*.parquet')),
+        corpus AS (
+          SELECT vec_id, codes, CAST(embedding AS DOUBLE[]) AS v
+          FROM read_parquet('$AnnOracleRoot/ann/q69_corpus/*.parquet')),
+        q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
+        parts AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(range(1, 9), d ->
+              (q.qv[(j.j - 1) * 8 + d] - cb.c[d]) * (q.qv[(j.j - 1) * 8 + d] - cb.c[d]))) AS dd
+          FROM corpus e
+          CROSS JOIN range(1, 9) AS j(j)
+          JOIN cb ON cb.sub = j.j - 1 AND cb.code = e.codes[j.j]
+          CROSS JOIN q
+          WHERE e.vec_id <> 0)
+        SELECT vec_id, round(SUM(dd), 6) AS adc
+        FROM parts GROUP BY vec_id
+        ORDER BY adc, vec_id
+        LIMIT 10"""
+
+  private def buildIvfPqArtifacts(s: SparkSession, dir: String,
+      cat: graft.core.Catalog): Unit = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
+    val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
+    Ivf.saveCentroids(cat, "ann.q70_centroids", cents)
+    Pq.saveCodebooks(cat, "ann.q70_codebooks", cb)
+    cat.save(Pq.encode(Ivf.assign(emb, cents), cb), "ann.q70_corpus",
+      partitionBy = Seq("cluster"))
+  }
+
+  private def serveIvfPq(cat: graft.core.Catalog): DataFrame = {
+    val corpus = cat.load("ann.q70_corpus")
+    val qv = corpus.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    Pq.ivfPqTopKVec(corpus.filter(col("vec_id") =!= 0L),
+      Ivf.loadCentroids(cat, "ann.q70_centroids"),
+      Pq.loadCodebooks(cat, "ann.q70_codebooks"),
+      qv, topK = 10, nProbe = 3, shortlist = 10)
+  }
+
+  private def ivfPqSearchOracle = s"""
+        WITH cents AS (
+          SELECT CAST(cluster AS BIGINT) AS cluster, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('$AnnOracleRoot/ann/q70_centroids/*.parquet')),
+        cb AS (
+          SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('$AnnOracleRoot/ann/q70_codebooks/*.parquet')),
+        corpus AS (
+          SELECT vec_id, codes, CAST(embedding AS DOUBLE[]) AS v, CAST(cluster AS BIGINT) AS cluster
+          FROM read_parquet('$AnnOracleRoot/ann/q70_corpus/*/*.parquet', hive_partitioning=true)),
+        q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
+        probes AS (
+          SELECT cluster FROM cents, q
+          ORDER BY list_distance(c, qv), cluster LIMIT 3),
+        cells AS (
+          SELECT * FROM corpus
+          WHERE cluster IN (SELECT cluster FROM probes) AND vec_id <> 0),
+        parts AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(range(1, 9), d ->
+              (q.qv[(j.j - 1) * 8 + d] - cb.c[d]) * (q.qv[(j.j - 1) * 8 + d] - cb.c[d]))) AS dd
+          FROM cells e
+          CROSS JOIN range(1, 9) AS j(j)
+          JOIN cb ON cb.sub = j.j - 1 AND cb.code = e.codes[j.j]
+          CROSS JOIN q),
+        adc AS (
+          SELECT vec_id, round(SUM(dd), 6) AS adc
+          FROM parts GROUP BY vec_id),
+        short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 100)
+        SELECT c.vec_id, round(list_inner_product(c.v, q.qv), 6) AS score
+        FROM cells c JOIN short s ON c.vec_id = s.vec_id, q
+        ORDER BY score DESC, c.vec_id
+        LIMIT 10"""
 
   /** The q46/q50 derived corpus — the embeddings plus a +0.05 elementwise
     * twin of every vector under vec_id+1000000. ONE definition: the offset
