@@ -1,20 +1,23 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (BASELINE.json extension surface): media
-  * payloads are opaque `binary` columns with typed metadata, processed by
-  * per-partition batch functions. The actual image/audio decoding libraries
-  * are not present in this environment, so the decode step is a clearly
-  * marked DETERMINISTIC STUB — the Spark-side contract (schema, batching,
-  * partitioning, feature shape) is real and tested.
+  * payloads are opaque `binary` columns with typed metadata, and the
+  * header decode is REAL — [[graft.functions.MediaHeader]] parses PNG
+  * IHDR / JPEG SOF / WAV fmt headers from the actual payload bytes at
+  * fixed cost per row (q78's DuckDB oracle replays the same parse from
+  * the persisted payloads). Full pixel/sample decoding libraries are not
+  * in this environment; the one remaining fabricated step is the
+  * byte-histogram feature vector ([[byteHistogram]]), which is an honest
+  * byte-level feature, not a pretend image decode.
   *
-  * Scale design: payloads never enter a shuffle — all feature extraction is
-  * scan-side `mapPartitions`; only the small feature/metadata columns flow
-  * downstream. For very large blobs the pattern extends to pointer columns
-  * (URI + range) with partition-local fetch.
+  * Scale design: payloads never enter a shuffle — header parsing and
+  * feature extraction are scan-stage work; only the small feature/metadata
+  * columns flow downstream. For very large blobs the pattern extends to
+  * pointer columns (URI + range) with partition-local fetch.
   */
 object Multimodal {
 
@@ -43,22 +46,116 @@ object Multimodal {
       sha2(col("payload"), 256).as("sha256"),
       substring(hex(col("payload")), 1, 8).as("magic"))
 
-  /** Output schema of the stubbed decoder. */
+  // ───── Format-valid synthetic corpus + real header decode ─────
+
+  /** Big-endian n-byte binary of a non-negative int column (`hex` of an
+    * int never carries a sign here; `lpad` restores leading zero bytes). */
+  private def be(x: Column, nBytes: Int): Column =
+    unhex(lpad(hex(x), nBytes * 2, "0"))
+
+  /** Little-endian n-byte binary: the big-endian hex with byte pairs
+    * reversed. */
+  private def le(x: Column, nBytes: Int): Column = {
+    val h = lpad(hex(x), nBytes * 2, "0")
+    unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
+  }
+
+  private def bin(hexStr: String): Column = {
+    require(hexStr.length % 2 == 0)
+    lit(hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+  }
+
+  private def asc(s: String): Column = lit(s.getBytes("US-ASCII"))
+
+  /** Fabricate a media corpus whose payloads carry REAL container headers
+    * (PNG / JPEG+JFIF / canonical WAV — public byte formats), with the
+    * document text as the opaque body and dimensions derived
+    * deterministically from `doc_id`. Every 4th document is deliberately
+    * malformed — a half cut PNG header or a leading NUL byte that matches
+    * no signature — so the decoder's loud-per-row error contract is
+    * exercised by the corpus itself, not only by tests. Pure codegen'd
+    * expressions (concat/hex/lpad/unhex): fabrication is scan-stage work.
+    */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val cls = pmod(id, lit(4))
+    val body = encode(col("text"), "UTF-8")
+    val pngW = (pmod(id, lit(1920)) + 1).cast("int")
+    val pngH = (pmod(id * 7, lit(1080)) + 1).cast("int")
+    val png = concat(
+      bin("89504E470D0A1A0A"),                     // signature
+      bin("0000000D"), asc("IHDR"),                // IHDR length + type
+      be(pngW, 4), be(pngH, 4),                    // width, height
+      bin("08"), bin("06"), bin("000000"),         // depth, color, c/f/i
+      bin("00000000"),                             // CRC (unchecked)
+      body)
+    val jpgW = (pmod(id, lit(4000)) + 1).cast("int")
+    val jpgH = (pmod(id * 3, lit(3000)) + 1).cast("int")
+    val jpeg = concat(
+      bin("FFD8"),                                 // SOI
+      bin("FFE00010"), asc("JFIF"), bin("00"),     // APP0, len 16
+      bin("0102"), bin("00"), bin("00010001"), bin("0000"),
+      bin("FFC00011"), bin("08"),                  // SOF0, len 17, precision
+      be(jpgH, 2), be(jpgW, 2),                    // height, width
+      bin("03"), bin("011100"), bin("021101"), bin("031101"),
+      bin("FFDA"), body)                           // SOS + opaque body
+    // derive from id/4 and id%5: the wav class is id === 2 (mod 4), so any
+    // mod-2/mod-4 of the raw id is CONSTANT within the class and would
+    // exercise exactly one rate/channel combination
+    val wavCh = (pmod(id.divide(lit(4)).cast("long"), lit(2)) + 1).cast("int")
+    val wavRate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+      (pmod(id, lit(5)) + 1).cast("int"))
+    val wav = concat(
+      asc("RIFF"), le(length(col("text")) + 36, 4), asc("WAVE"),
+      asc("fmt "), le(lit(16), 4), le(lit(1), 2),  // fmt chunk, PCM
+      le(wavCh, 2), le(wavRate, 4),
+      le(wavRate * wavCh * 2, 4),                  // byte rate
+      le(wavCh * 2, 2), le(lit(16), 2),            // block align, bits
+      asc("data"), le(length(col("text")), 4), body)
+    val corrupt = when(pmod(id, lit(8)) === 3,
+        // PNG signature then a cut mid-IHDR: 15 bytes, under the 26 the
+        // header needs -> png_truncated
+        concat(bin("89504E470D0A1A0A"), bin("0000000D"), asc("IHD")))
+      .otherwise(
+        // a leading NUL matches no signature BY CONSTRUCTION (prose text
+        // could in principle start with "RIFF") -> unknown_format
+        concat(bin("00"), body))
+    docs.select(
+      id.as("media_id"),
+      element_at(array(lit("image"), lit("image"), lit("audio"), lit("unknown")),
+        (cls + 1).cast("int")).as("kind"),
+      when(cls === 0, png).when(cls === 1, jpeg).when(cls === 2, wav)
+        .otherwise(corrupt).as("payload"),
+      to_json(struct(col("source"), col("n_chars"))).as("meta"))
+  }
+
+  /** Real header decode: one [[graft.functions.MediaHeader]] parse per row
+    * (fixed-offset reads + a bounded JPEG marker walk — O(markers), not
+    * O(bytes)), flattened to columns. Malformed payloads land in `error`
+    * with null dimensions; nothing throws. */
+  def decodeHeaders(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), col("kind"),
+        graft.functions.MediaHeader(col("payload")).as("m"))
+      .select(col("media_id"), col("kind"),
+        col("m.format"), col("m.width"), col("m.height"), col("m.bit_depth"),
+        col("m.sample_rate"), col("m.channels"), col("m.error"))
+
+  /** Output schema of the byte-histogram featurizer. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
-  /** ===== STUB DECODE =====
-    * Stands in for image/audio decode + feature extraction (the libs are not
-    * in this container). Produces a deterministic 8-dim "feature" from byte
-    * statistics so downstream plumbing (ANN over features, joins, etc.) is
-    * exercisable end-to-end. Replace the body with a real decoder (JavaCPP /
-    * ffmpeg / ImageIO) in production; the batch shape — one partition
-    * iterator in, one iterator out, nothing collected — is the real contract.
-    */
-  def decodeStub(media: DataFrame): DataFrame = {
+  /** Byte-histogram feature vector — an honest byte-level feature (bucketed
+    * byte histogram, L1-normalized), NOT a pretend pixel/sample decode:
+    * header decoding is [[decodeHeaders]]; full media decoding libraries
+    * (JavaCPP / ffmpeg / ImageIO) are not in this environment, and a real
+    * deployment would swap this body while keeping the batch shape — one
+    * partition iterator in, one iterator out, nothing collected. */
+  def byteHistogram(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "kind", "payload").rdd.mapPartitions { it =>
       it.map { r =>

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded media-container header parse of an opaque `binary` payload —
+  * `struct<format, width, height, bit_depth, sample_rate, channels, error>`.
+  *
+  * Replaces the former byte-histogram decode stub with a REAL parse of the
+  * three public fixed-layout container headers a training-data pipeline
+  * most often meets (reference treats media as opaque GCS blobs with
+  * metadata rows — utils/gcs_handler.py:41-77 — so the header fields ARE
+  * its metadata surface, derived here from the bytes instead of trusted):
+  *
+  *  - PNG  (public spec, RFC 2083 §3.1/§4.1.1): 8-byte signature
+  *    `89 50 4E 47 0D 0A 1A 0A`, then the IHDR chunk — width/height as
+  *    big-endian u32 at byte offsets 16/20, bit depth at 24.
+  *  - JPEG (ITU T.81 §B.2): `FF D8` SOI, then a marker walk — each segment
+  *    is `FF xx` + big-endian u16 length (length includes itself) — until a
+  *    start-of-frame marker (C0-CF minus the non-frame C4/C8/CC), whose
+  *    payload is precision u8, height u16, width u16.
+  *  - WAV  (RIFF, public MS/IBM spec): `RIFF....WAVE`, then the `fmt `
+  *    chunk — channels as little-endian u16 at 22, sample rate as
+  *    little-endian u32 at 24, bits per sample at 34 (the canonical layout
+  *    with `fmt ` first; anything else reports `wav_no_fmt`).
+  *
+  * Total work is O(markers) with fixed-offset reads — NOT O(payload) — so
+  * the expression is safe in a 100 TB scan stage; the payload bytes never
+  * leave the scan. Malformed input NEVER throws: every failure mode lands
+  * in the `error` field (`unknown_format`, `png_truncated`, `png_no_ihdr`,
+  * `jpeg_truncated`, `jpeg_bad_segment`, `jpeg_no_sof`, `wav_truncated`,
+  * `wav_no_fmt`) with null dimensions, so one corrupt blob in a billion
+  * poisons its row, not the job. Dimension fields not meaningful for a
+  * format (width/height for WAV, sample_rate/channels for images) are null;
+  * `bit_depth` carries PNG bit depth, JPEG sample precision, and WAV bits
+  * per sample. Fuzz + real-fixture parity with a driver-side reference
+  * parser is pinned in ExtSpec; DuckDB replays the parse from persisted
+  * payloads in q78's oracle.
+  */
+case class MediaHeader(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = MediaHeader.Schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"media_header requires binary, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaHeader.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): MediaHeader =
+    copy(child = newChild)
+}
+
+object MediaHeader {
+  val Schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("bit_depth", LongType, nullable = true),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean = {
+    var j = 0
+    while (j < s.length) { if (b(i + j) != s.charAt(j).toByte) return false; j += 1 }
+    true
+  }
+
+  private def row(format: String, width: Any = null, height: Any = null,
+      bitDepth: Any = null, sampleRate: Any = null, channels: Any = null,
+      error: String = null): InternalRow =
+    InternalRow(UTF8String.fromString(format), width, height, bitDepth,
+      sampleRate, channels, if (error == null) null else UTF8String.fromString(error))
+
+  /** The one shared parse (expression + the test's reference both call it
+    * through [[MediaHeader.apply]]'s eval path; ExtSpec ALSO re-implements
+    * it independently for parity). PNG u32 dimensions above Int.MaxValue
+    * cannot occur (the spec caps at 2^31-1), but a hostile header could
+    * carry them — they surface as the spec-violation error, not a silent
+    * negative. */
+  private[functions] def parse(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    // ─ PNG ─
+    if (n >= 8 && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(b, 0, 8), PngSig)) {
+      if (n < 26) return row("png", error = "png_truncated")
+      if (!ascii(b, 12, "IHDR")) return row("png", error = "png_no_ihdr")
+      val w = be32(b, 16); val h = be32(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+        return row("png", error = "png_bad_dims")
+      return row("png", w, h, u8(b, 24).toLong)
+    }
+    // ─ JPEG ─
+    if (n >= 2 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {
+      var i = 2
+      while (i + 1 < n) {
+        if (u8(b, i) != 0xFF) return row("jpeg", error = "jpeg_bad_segment")
+        val m = u8(b, i + 1)
+        val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+        if (isSof) {
+          if (i + 9 > n) return row("jpeg", error = "jpeg_truncated")
+          // segment: FF Cx LL LL precision HH HH WW WW ...
+          return row("jpeg", be16(b, i + 7).toLong, be16(b, i + 5).toLong,
+            u8(b, i + 4).toLong)
+        } else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7) || m == 0xFF) {
+          // standalone markers (and fill bytes) carry no length field
+          i += (if (m == 0xFF) 1 else 2)
+        } else if (m == 0xD9) {
+          return row("jpeg", error = "jpeg_no_sof") // EOI before any frame
+        } else {
+          if (i + 3 >= n) return row("jpeg", error = "jpeg_truncated")
+          val len = be16(b, i + 2)
+          if (len < 2) return row("jpeg", error = "jpeg_bad_segment")
+          i += 2 + len
+        }
+      }
+      return row("jpeg", error = "jpeg_no_sof")
+    }
+    // ─ WAV ─
+    if (n >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
+      if (n < 36) return row("wav", error = "wav_truncated")
+      if (!ascii(b, 12, "fmt ")) return row("wav", error = "wav_no_fmt")
+      val rate = le32(b, 24)
+      if (rate <= 0 || rate > Int.MaxValue) return row("wav", error = "wav_bad_rate")
+      return row("wav", bitDepth = le16(b, 34).toLong, sampleRate = rate,
+        channels = le16(b, 22).toLong)
+    }
+    row("unknown", error = "unknown_format")
+  }
+
+  def apply(payload: Column): Column =
+    GraftColumnBridge.column(MediaHeader(GraftColumnBridge.expression(payload)))
+}

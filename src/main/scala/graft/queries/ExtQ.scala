@@ -1195,6 +1195,69 @@ object ExtQ {
       },
       Some(ivfPqSearchOracle)),
 
+    // ───── Real media-header decode over persisted payloads (q78) ─────
+    // q33 oracles the cheap no-decode features; this one proves the REAL
+    // decode: payloads carrying actual PNG/JPEG/WAV container headers
+    // (format-valid bytes fabricated scan-side, dims derived from doc_id,
+    // every 4th row deliberately malformed) are persisted through the
+    // Catalog, and DuckDB replays the byte-level parse — signature
+    // detection, big-endian PNG IHDR dims, the JPEG SOF0 frame fields,
+    // little-endian WAV fmt fields, and the per-row error taxonomy — from
+    // the SAME parquet via hex-string arithmetic. A hash match proves the
+    // engine's MediaHeader expression reads the same bytes to the same
+    // numbers. The oracle asserts this corpus's fixed JPEG layout (APP0
+    // then SOF0) rather than replaying the general marker walk; the walk
+    // itself is fuzz-pinned against an independent reference parser in
+    // ExtSpec.
+    "q78_media_decode_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(Multimodal.syntheticMedia(t(s, dir, "documents")),
+          "media.q78_corpus")
+        Multimodal.decodeHeaders(cat.load("media.q78_corpus"))
+          .orderBy("media_id")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT media_id, kind, upper(hex(payload)) AS h, octet_length(payload) AS n
+          FROM read_parquet('$AnnOracleRoot/media/q78_corpus/*.parquet')),
+        c AS (
+          SELECT *,
+            CASE WHEN substring(h,1,16)='89504E470D0A1A0A' THEN 'png'
+                 WHEN substring(h,1,4)='FFD8' THEN 'jpeg'
+                 WHEN substring(h,1,8)='52494646' AND substring(h,17,8)='57415645' THEN 'wav'
+                 ELSE 'unknown' END AS format,
+            CASE WHEN substring(h,1,16)='89504E470D0A1A0A' THEN
+                   CASE WHEN n<26 THEN 'png_truncated'
+                        WHEN substring(h,25,8)<>'49484452' THEN 'png_no_ihdr' END
+                 WHEN substring(h,1,4)='FFD8' THEN
+                   CASE WHEN substring(h,41,4)<>'FFC0' THEN 'jpeg_no_sof' END
+                 WHEN substring(h,1,8)='52494646' AND substring(h,17,8)='57415645' THEN
+                   CASE WHEN n<36 THEN 'wav_truncated'
+                        WHEN substring(h,25,8)<>'666D7420' THEN 'wav_no_fmt' END
+                 ELSE 'unknown_format' END AS error
+          FROM m)
+        SELECT media_id, kind, format,
+          CASE WHEN error IS NULL AND format='png' THEN CAST('0x'||substring(h,33,8) AS BIGINT)
+               WHEN error IS NULL AND format='jpeg' THEN CAST('0x'||substring(h,55,4) AS BIGINT)
+               END AS width,
+          CASE WHEN error IS NULL AND format='png' THEN CAST('0x'||substring(h,41,8) AS BIGINT)
+               WHEN error IS NULL AND format='jpeg' THEN CAST('0x'||substring(h,51,4) AS BIGINT)
+               END AS height,
+          CASE WHEN error IS NULL AND format IN ('png','jpeg')
+                 THEN CAST('0x'||substring(h,49,2) AS BIGINT)
+               WHEN error IS NULL AND format='wav'
+                 THEN CAST('0x'||substring(h,71,2)||substring(h,69,2) AS BIGINT)
+               END AS bit_depth,
+          CASE WHEN error IS NULL AND format='wav'
+                 THEN CAST('0x'||substring(h,55,2)||substring(h,53,2)||substring(h,51,2)||substring(h,49,2) AS BIGINT)
+               END AS sample_rate,
+          CASE WHEN error IS NULL AND format='wav'
+                 THEN CAST('0x'||substring(h,47,2)||substring(h,45,2) AS BIGINT)
+               END AS channels,
+          error
+        FROM c ORDER BY media_id""")),
+
     // ───── Persisted-signature dedup oracles (q71-q72) ─────
     // q28/q30's signature VALUES are engine-only (xxhash64 / token-vote
     // simhash have no DuckDB twin) — but everything DOWNSTREAM of the

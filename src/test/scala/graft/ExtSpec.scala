@@ -1025,7 +1025,7 @@ class ExtSpec extends SparkSpec {
     assert(media.columns.toSeq == Seq("media_id", "kind", "payload", "meta"))
     val feats = Multimodal.payloadFeatures(media).collect()
     assert(feats.forall(_.getAs[String]("sha256").length == 64))
-    val decoded = Multimodal.decodeStub(media)
+    val decoded = Multimodal.byteHistogram(media)
     assert(decoded.schema == Multimodal.decodedSchema)
     val f = decoded.orderBy("media_id").collect()
     assert(f.forall(_.getAs[Seq[Float]]("feature").size == 8))
@@ -1034,6 +1034,168 @@ class ExtSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
     assert(frames.filter($"media_id" === 0L).count() ==
       math.ceil(docs.filter($"doc_id" === 0L).head().getString(1).length / 16.0).toLong)
+  }
+
+  test("MediaHeader: real-fixture dims, marker walk, fuzz parity with a reference parser") {
+    import graft.functions.MediaHeader
+
+    def hexBytes(h: String): Array[Byte] =
+      h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+    // Independent reference parser (deliberately a re-implementation with
+    // java.nio, NOT a call into MediaHeader.parse): (format, width, height,
+    // bit_depth, sample_rate, channels, error).
+    type Hdr = (String, Option[Long], Option[Long], Option[Long], Option[Long],
+      Option[Long], Option[String])
+    def ref(b: Array[Byte]): Hdr = {
+      def err(f: String, e: String): Hdr = (f, None, None, None, None, None, Some(e))
+      val bb = java.nio.ByteBuffer.wrap(b)
+      def u8(i: Int): Int = bb.get(i) & 0xff
+      def beS(i: Int): Int = ((u8(i) << 8) | u8(i + 1))
+      def beL(i: Int): Long = (beS(i).toLong << 16) | beS(i + 2)
+      def str(i: Int, k: Int): String = new String(b, i, k, "US-ASCII")
+      val n = b.length
+      if (n >= 8 && str(1, 3) == "PNG" && u8(0) == 0x89 && u8(4) == 0x0D &&
+          u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A) {
+        if (n < 26) err("png", "png_truncated")
+        else if (str(12, 4) != "IHDR") err("png", "png_no_ihdr")
+        else {
+          val w = beL(16); val h = beL(20)
+          if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+            err("png", "png_bad_dims")
+          else ("png", Some(w), Some(h), Some(u8(24).toLong), None, None, None)
+        }
+      } else if (n >= 2 && u8(0) == 0xFF && u8(1) == 0xD8) {
+        var i = 2
+        var out: Option[Hdr] = None
+        while (out.isEmpty && i + 1 < n) {
+          if (u8(i) != 0xFF) out = Some(err("jpeg", "jpeg_bad_segment"))
+          else u8(i + 1) match {
+            case m if Set(0xC4, 0xC8, 0xCC).forall(_ != m) && m >= 0xC0 && m <= 0xCF =>
+              out = Some(
+                if (i + 9 > n) err("jpeg", "jpeg_truncated")
+                else ("jpeg", Some(beS(i + 7).toLong), Some(beS(i + 5).toLong),
+                  Some(u8(i + 4).toLong), None, None, None))
+            case 0xFF => i += 1
+            case m if m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7) => i += 2
+            case 0xD9 => out = Some(err("jpeg", "jpeg_no_sof"))
+            case _ =>
+              if (i + 3 >= n) out = Some(err("jpeg", "jpeg_truncated"))
+              else if (beS(i + 2) < 2) out = Some(err("jpeg", "jpeg_bad_segment"))
+              else i += 2 + beS(i + 2)
+          }
+        }
+        out.getOrElse(err("jpeg", "jpeg_no_sof"))
+      } else if (n >= 12 && str(0, 4) == "RIFF" && str(8, 4) == "WAVE") {
+        if (n < 36) err("wav", "wav_truncated")
+        else if (str(12, 4) != "fmt ") err("wav", "wav_no_fmt")
+        else {
+          val le = bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val rate = le.getInt(24).toLong & 0xFFFFFFFFL
+          if (rate <= 0 || rate > Int.MaxValue) err("wav", "wav_bad_rate")
+          else ("wav", None, None, Some((le.getShort(34) & 0xFFFF).toLong),
+            Some(rate), Some((le.getShort(22) & 0xFFFF).toLong), None)
+        }
+      } else err("unknown", "unknown_format")
+    }
+
+    def parseAll(payloads: Seq[Array[Byte]]): Seq[Hdr] =
+      payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "payload")
+        .select($"id", MediaHeader($"payload").as("m")).orderBy("id")
+        .collect().map { r =>
+          val m = r.getStruct(1)
+          def o(i: Int): Option[Long] = if (m.isNullAt(i)) None else Some(m.getLong(i))
+          def s(i: Int): Option[String] =
+            if (m.isNullAt(i)) None else Some(m.getString(i))
+          (m.getString(0), o(1), o(2), o(3), o(4), o(5), s(6))
+        }.toSeq
+
+    // ─ real-world fixtures ─
+    // the canonical 67-byte 1x1 RGBA PNG (public bytes)
+    val png1x1 = hexBytes(
+      "89504E470D0A1A0A0000000D4948445200000001000000010806000000" +
+        "1F15C4890000000A49444154789C63000100000500010D0A2DB4" +
+        "0000000049454E44AE426082")
+    // JPEG whose SOF0 sits AFTER a DQT segment (exercises the marker walk),
+    // plus fill-byte and restart-marker variants of the same frame
+    val sof = "FFC00011" + "08" + "0010" + "0020" + "03011100021101031101"
+    val jpegDqt = hexBytes("FFD8" + "FFDB0005010203" + sof)
+    val jpegFill = hexBytes("FFD8" + "FF" + sof)
+    val jpegRst = hexBytes("FFD8" + "FFD0" + sof)
+    // canonical 44-byte WAV header: rate 12345, 2 channels, 24-bit
+    val wav = hexBytes("52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "39300000" + "D5B10100" + "0600" + "1800" +
+      "64617461" + "00000000")
+    val fixtures = Seq(
+      png1x1 -> ("png", Some(1L), Some(1L), Some(8L), None, None, None),
+      jpegDqt -> ("jpeg", Some(32L), Some(16L), Some(8L), None, None, None),
+      jpegFill -> ("jpeg", Some(32L), Some(16L), Some(8L), None, None, None),
+      jpegRst -> ("jpeg", Some(32L), Some(16L), Some(8L), None, None, None),
+      wav -> ("wav", None, None, Some(24L), Some(12345L), Some(2L), None),
+      hexBytes("89504E470D0A1A0A00") ->
+        ("png", None, None, None, None, None, Some("png_truncated")),
+      hexBytes("FFD8FFD9") ->
+        ("jpeg", None, None, None, None, None, Some("jpeg_no_sof")),
+      hexBytes("FFD80000") ->
+        ("jpeg", None, None, None, None, None, Some("jpeg_bad_segment")),
+      // a lone truncated marker pair never enters the walk: no SOF seen
+      hexBytes("FFD800") ->
+        ("jpeg", None, None, None, None, None, Some("jpeg_no_sof")),
+      hexBytes("FFD8FFC0001108") ->
+        ("jpeg", None, None, None, None, None, Some("jpeg_truncated")),
+      hexBytes("524946460000000057415645") ->
+        ("wav", None, None, None, None, None, Some("wav_truncated")),
+      Array.emptyByteArray ->
+        ("unknown", None, None, None, None, None, Some("unknown_format")))
+    val got = parseAll(fixtures.map(_._1))
+    fixtures.zip(got).foreach { case ((_, want), g) =>
+      assert(g == want, s"fixture mismatch: got $g want $want")
+    }
+
+    // ─ fuzz parity: random and signature-prefixed random payloads ─
+    val rnd = new scala.util.Random(42)
+    def randBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); rnd.nextBytes(a); a
+    }
+    val prefixes = Seq(Array.emptyByteArray, hexBytes("89504E470D0A1A0A"),
+      hexBytes("FFD8"), hexBytes("52494646AABBCCDD57415645"))
+    val fuzz = (1 to 300).map(_ => randBytes(rnd.nextInt(64))) ++
+      (1 to 200).map { _ =>
+        prefixes(rnd.nextInt(prefixes.length)) ++ randBytes(rnd.nextInt(48))
+      }
+    parseAll(fuzz).zip(fuzz).foreach { case (g, p) =>
+      val want = ref(p)
+      assert(g == want,
+        s"fuzz mismatch on ${p.map("%02X".format(_)).mkString}: got $g want $want")
+    }
+
+    // ─ synthetic corpus end-to-end: planted dims come back out ─
+    val media = Multimodal.syntheticMedia(
+      docs.withColumn("source", lit("srcX")).withColumn("n_chars", length($"text")))
+    val dec = Multimodal.decodeHeaders(media).orderBy("media_id").collect()
+    dec.foreach { r =>
+      val id = r.getLong(0)
+      (id % 4) match {
+        case 0 =>
+          assert(r.getString(2) == "png" && r.isNullAt(8))
+          assert(r.getLong(3) == id % 1920 + 1 && r.getLong(4) == id * 7 % 1080 + 1)
+        case 1 =>
+          assert(r.getString(2) == "jpeg" && r.isNullAt(8))
+          assert(r.getLong(3) == id % 4000 + 1 && r.getLong(4) == id * 3 % 3000 + 1)
+        case 2 =>
+          assert(r.getString(2) == "wav" && r.isNullAt(8))
+          assert(r.getLong(6) == Seq(8000L, 16000L, 22050L, 44100L, 48000L)(
+            (id % 5).toInt))
+          assert(r.getLong(7) == id / 4 % 2 + 1)
+        case _ =>
+          assert(!r.isNullAt(8), s"corrupt row $id has no error")
+      }
+    }
+    // null payload -> null fields, no crash
+    val nullRow = Seq((99L, "x")).toDF("media_id", "kind")
+      .select($"media_id", $"kind", lit(null).cast("binary").as("payload"))
+    assert(Multimodal.decodeHeaders(nullRow).head().isNullAt(2))
   }
 
   test("Sampling.hashSplit: deterministic, key-only, roughly proportioned") {
