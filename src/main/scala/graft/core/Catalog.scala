@@ -641,6 +641,33 @@ final class Catalog(val spark: SparkSession, root: String) {
     }
   }
 
+  /** Retire a bucketed ref completely: drop every registered version, the
+    * pre-versioning plain name if one exists, and any stray staged
+    * warehouse directories a crash left behind without a catalog entry.
+    * For migrations that rename a ref (e.g. the unkeyed → sf-keyed recon
+    * refs): without this, the abandoned name's tables and parquet stay
+    * resident forever. Idempotent; returns the number of tables dropped. */
+  def dropBucketed(ref: String): Int = {
+    val (ns, t) = parseRef(ref)
+    val base = s"${ns}_$t"
+    val versioned = bucketedVersions(base).map(v => s"${base}__v$v")
+    val plain = if (spark.catalog.tableExists(base)) Seq(base) else Nil
+    (versioned ++ plain).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    // stray staging dirs (written but never registered) share the version
+    // prefix — sweep them so the warehouse doesn't accrete orphans
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) {
+      fs.listStatus(wh).foreach { st =>
+        val n = st.getPath.getName
+        if (n == base || (n.startsWith(s"${base}__v") &&
+            n.drop(base.length + 3).forall(_.isDigit)))
+          fs.delete(st.getPath, true)
+      }
+    }
+    versioned.size + plain.size
+  }
+
   /** Registered bucketed versions of `base`, ascending. Catalog-only (no
     * filesystem listing): an unregistered staging directory is not a
     * version. */

@@ -165,18 +165,21 @@ object Dedup {
     * `shared_bands` = the number of bands that agree — the LSH collision
     * count, a monotone estimator of signature agreement (a pair sharing
     * b' of b bands has estimated Jaccard ≥ the banding curve at b'/b).
-    * Same materialization contract as [[minhashCandidates]] by default: the
-    * input feeds both self-join sides, so it persists here and stays in the
-    * session cache for the caller. Pass `cache = false` when the band table
-    * is already storage-local — in particular a
+    * `cache` defaults to false like EVERY persisted-relation consumer
+    * ([[simhashPairsFromBlocks]], [[Similarity.lshCandidatesFromTable]]):
+    * the expected input is storage-local, and re-persisting it would only
+    * double the memory. Pass `cache = true` when feeding an inline-BUILT
+    * band table to both self-join sides (as [[minhashCandidates]] does) —
+    * without it the exploded relation and the signature scan recompute
+    * once per side. The no-exchange published-table path: for a
     * [[graft.core.Catalog.saveBucketed]]-published table bucketed on
-    * `bucket`: the bucketed scan's co-location satisfies the (band, bucket)
+    * `bucket`, the bucketed scan's co-location satisfies the (band, bucket)
     * join's clustering requirement, so candidate re-derivation runs with NO
     * exchange on the collision key at any corpus size (plan-pinned in
     * OpsSpec) — the same write-once/join-many trade the q53/q54 recon path
     * banks, applied to dedup's hottest recurring join. */
   def bandCandidates(bandTable: DataFrame, idCol: String = "doc_id",
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = false): DataFrame = {
     TableShapes.requireColumns(bandTable, Seq("band", "bucket", idCol),
       "bandCandidates", "build it with Dedup.minhashTable(docs, textCol, idCol)")
     val bk = if (!cache) bandTable
@@ -187,7 +190,11 @@ object Dedup {
       col(idCol).as("doc_b"))
     // `bucket` is the ONLY equi-key on purpose: band equality is enforced
     // as a residual predicate in a form Catalyst cannot extract into the
-    // join keys (EqualTo between one-side columns would be). With the key
+    // join keys (EqualTo between one-side columns would be). Semantics vs
+    // a plain (band, bucket) equi-join are fuzz-pinned in PropertiesSpec
+    // on adversarial tables (cross-band bucket collisions, null buckets,
+    // duplicate rows), so a Spark upgrade that changes how the residual
+    // EVALUATES breaks loudly, independent of the plan pins. With the key
     // set exactly {bucket}, a band table PUBLISHED bucketed on `bucket`
     // joins with no exchange at all (requireAllClusterKeysForCoPartition
     // demands the bucketing cover every equi-key — (band, bucket) keys
@@ -211,7 +218,8 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id",
       shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
-    bandCandidates(minhashTable(docs, textCol, idCol, shingleN, k, bands), idCol)
+    bandCandidates(minhashTable(docs, textCol, idCol, shingleN, k, bands), idCol,
+        cache = true)
       .select("doc_a", "doc_b")
 
   /** (k, bands) sized to a Jaccard threshold — the MinHash twin of
@@ -401,7 +409,9 @@ object Dedup {
     // XOR-form residuals: EqualTo over a both-sides expression, so never
     // lifted into the join keys — and unlike subtraction, immune to ANSI
     // long-overflow on full-width bit patterns (maxHamming = 0 puts the
-    // whole signature in `bits`)
+    // whole signature in `bits`). The bandCandidates/lshCandidatesFromTable
+    // residual semantics are fuzz-pinned against plain equi-joins in
+    // PropertiesSpec; this join shares their XOR contract.
     a.join(b, col("bkey") === col("bkey_b") &&
         col("blk_a").bitwiseXOR(col("blk_b")) === lit(0) &&
         col("bits_a").bitwiseXOR(col("bits_b")) === lit(0L) &&

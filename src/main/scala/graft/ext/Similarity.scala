@@ -453,7 +453,9 @@ object Similarity {
     * [[graft.ext.Dedup.bandCandidates]]: table/bucket equality rides as
     * XOR-form residual predicates Catalyst cannot lift into the join keys,
     * so a table published bucketed on `ckey` self-joins with no exchange
-    * on the collision key. `cache = true` materializes the input for the
+    * on the collision key. Semantics vs a plain three-key equi-join are
+    * fuzz-pinned in PropertiesSpec on tables whose ckey deliberately
+    * collides across (tbl, bucket) values. `cache = true` materializes the input for the
     * two join sides (the inline path); false for storage-local persisted
     * tables. */
   def lshCandidatesFromTable(bucketTable: DataFrame, idCol: String = "vec_id",

@@ -1578,6 +1578,11 @@ object ExtQ {
         when(pmod(col("event_id"), lit(101)) === 0, col("value") * 2)
           .otherwise(col("value")).as("dst_value"))
     val (srcRef, dstRef) = reconRefs(dir)
+    // one-time migration sweep: pre-sf-keying runs published these under
+    // unkeyed names; without the drop their tables and warehouse parquet
+    // stay resident forever on any environment that ran the old q53/q54
+    cat.dropBucketed("recon.src_facts")
+    cat.dropBucketed("recon.dst_facts")
     (cat.saveBucketed(ev, srcRef, "event_id", 8),
       cat.saveBucketed(degraded, dstRef, "event_id", 8))
   }

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.Catalog
+import graft.ext.Similarity
+
+/** Incremental embedding near-duplicate removal — [[IncrementalDedup]]'s
+  * contract applied to the hyperplane-LSH collision relation
+  * ([[Similarity.lshTable]]): with this loop a re-embedded or re-crawled
+  * vector arriving days later drops on arrival, instead of waiting for the
+  * next batch rebuild of the persisted bucket table (the gap the batch
+  * artifact left: new embeddings previously required a full re-mine).
+  *
+  * State is the accumulated (id, ckey, tbl, bucket) bucket relation plus
+  * the accepted-vector corpus, both persisted through the [[Catalog]] —
+  * corpus-global, unbounded by any watermark, so it lives in tables, not
+  * Spark streaming state. Each micro-batch:
+  *
+  *  1. computes the arrivals' bucket rows (scan-side [[graft.functions
+  *     .HyperplaneLsh]], one pass per vector);
+  *  2. probes the bucket table for collisions — `ckey` equi-key with the
+  *     XOR-residual table/bucket equality (the [[Similarity
+  *     .lshCandidatesFromTable]] planner contract), and the micro-batch
+  *     side BROADCASTS so the accumulated state is scanned, never
+  *     shuffled (the [[IncrementalDedup.stateCandidates]] lesson,
+  *     plan-pinned in StreamingSpec);
+  *  3. verifies candidates by exact cosine, fetching the OLD vectors from
+  *     the corpus keyed by the (collision-bounded, broadcast) candidate
+  *     ids;
+  *  4. drops arrivals scoring above `threshold` against an accepted
+  *     vector, or against a LOWER-id arrival of the same batch;
+  *  5. appends survivors to the corpus and their bucket rows to the state
+  *     table, exactly-once via [[StreamingAppend.appendOnce]] (manifest
+  *     commits by default; the `exactlyOnce` batch-id-partition
+  *     convention for plain-directory layouts, with the same
+  *     partial-append replay protection as [[IncrementalDedup]]).
+  *
+  * Semantics: greedy-prefix (online) dedup against ACCEPTED vectors only;
+  * on chain-free data this equals the batch [[Similarity.nearDupPairsLsh]]
+  * sweep at the same explicit (nPlanes, nTables) — asserted in
+  * StreamingSpec. The config is EXPLICIT by design: auto-sizing re-derives
+  * knobs from the corpus size, but a streaming deployment's bucket table
+  * is write-once — its plane set is fixed the moment the first batch
+  * lands, exactly like the persisted batch artifact. */
+final class IncrementalLshDedup(
+    catalog: Catalog, vecsTable: String, bucketsTable: String,
+    nPlanes: Int, nTables: Int, threshold: Double,
+    idCol: String = "vec_id", vecCol: String = "embedding",
+    exactlyOnce: Boolean = false) {
+  require(nPlanes >= 1 && nTables >= 1,
+    s"explicit LSH config required, got ($nPlanes, $nTables)")
+
+  /** Fault-injection hook (tests): throw once AFTER the survivors append
+    * but BEFORE the buckets append. */
+  private[graft] var crashBetweenAppendsOnce: Boolean = false
+
+  private val modeChecked = scala.collection.mutable.Set.empty[String]
+
+  private def appendOnce(rows: DataFrame, table: String, keys: Seq[String],
+      batchId: Long): Unit =
+    StreamingAppend.appendOnce(catalog, table, rows, batchId,
+      keys = keys, partitionBy = Nil, partitionMode = exactlyOnce,
+      modeChecked = modeChecked)
+
+  /** The exact-cosine accept predicate — `round(cosine, 6) > threshold`,
+    * the same scoring row [[Similarity.nearDupPairsLsh]] emits, so the
+    * online loop and the batch sweep agree pair by pair. */
+  private def aboveThreshold(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(Similarity.cosine(a, b), 6) > threshold
+
+  /** Deduplicate one micro-batch against the accumulated corpus and itself;
+    * append survivors. Returns the survivor count. */
+  def processBatch(batch: DataFrame, batchId: Long): Long = {
+    val newBuckets = Similarity.lshTable(batch, nPlanes, nTables, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newVecs = batch.select(col(idCol), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val droppedVsState: DataFrame =
+        if (!catalog.exists(bucketsTable)) batch.select(col(idCol)).limit(0)
+        else {
+          // exactlyOnce: a crash partway through the buckets append leaves
+          // a subset of THIS batch's rows committed; they are not accepted
+          // state (counting them would self-collide the batch's vectors) —
+          // the partition tag excludes them, as in IncrementalDedup
+          val state = {
+            val loaded = catalog.load(bucketsTable)
+            if (exactlyOnce && loaded.columns.contains("__batch_id"))
+              loaded.filter(col("__batch_id") =!= batchId)
+            else loaded
+          }
+          val candidates =
+            IncrementalLshDedup.stateCandidates(state, newBuckets, idCol)
+          val oldVecs = catalog.load(vecsTable)
+            .join(broadcast(candidates.select(col("old_id").as(idCol)).distinct()),
+              Seq(idCol))
+            .select(col(idCol).as("old_id"), col(vecCol).as("v_b"))
+          candidates
+            .join(newVecs.select(col(idCol), col("v").as("v_a")), Seq(idCol))
+            .join(oldVecs, Seq("old_id"))
+            .filter(aboveThreshold(col("v_a"), col("v_b")))
+            .select(col(idCol))
+        }
+
+      // intra-batch: an arrival near-duplicating a lower-id arrival drops.
+      // Inline relation, multi-key equi-join is fine here (nothing is
+      // bucketed); semantics equal the residual form (fuzz-pinned in
+      // PropertiesSpec).
+      val a = newBuckets.select(col("ckey"), col("tbl"), col("bucket"),
+        col(idCol).as("id_a"))
+      val b = newBuckets.select(col("ckey"), col("tbl"), col("bucket"),
+        col(idCol).as("id_b"))
+      val droppedIntra = a.join(b, Seq("ckey", "tbl", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .join(newVecs.select(col(idCol).as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(newVecs.select(col(idCol).as("id_b"), col("v").as("v_b")), Seq("id_b"))
+        .filter(aboveThreshold(col("v_a"), col("v_b")))
+        .select(col("id_b").as(idCol))
+
+      val dropped = droppedVsState.union(droppedIntra).distinct()
+      val survivors = batch.join(broadcast(dropped), Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = survivors.count()
+        if (n > 0) {
+          appendOnce(survivors, vecsTable, Seq(idCol), batchId)
+          if (crashBetweenAppendsOnce) {
+            crashBetweenAppendsOnce = false
+            throw new RuntimeException(
+              "injected crash between vectors append and buckets append")
+          }
+          appendOnce(
+            newBuckets.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
+            bucketsTable, Seq(idCol, "tbl"), batchId)
+        }
+        n
+      } finally survivors.unpersist(blocking = false)
+    } finally {
+      newBuckets.unpersist(blocking = false)
+      newVecs.unpersist(blocking = false)
+    }
+  }
+
+  /** Attach to an embedding stream (same trigger conventions as
+    * [[MonitoringLoop.start]]). */
+  def start(stream: DataFrame, queryName: String = "graft_incremental_lsh",
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None): StreamingQuery =
+    StreamingAppend.startForeachBatch(stream, queryName, continuous,
+      interval, checkpoint) { (batch, id) => processBatch(batch, id); () }
+}
+
+object IncrementalLshDedup {
+  /** (arrival_id, old_id) collision candidates: the corpus-global bucket
+    * table probed by a micro-batch's bucket rows — `ckey` equi-key, XOR
+    * residuals, and the ARRIVALS side broadcast so the accumulated state
+    * is scanned, never shuffled (without the hint the planner sort-merges
+    * BOTH sides and re-shuffles the whole state table every micro-batch).
+    * Plan shape is pinned in StreamingSpec. */
+  private[graft] def stateCandidates(state: DataFrame, newBuckets: DataFrame,
+      idCol: String): DataFrame = {
+    val olds = state.select(col("ckey"), col("tbl").as("tbl_b"),
+      col("bucket").as("bucket_b"), col(idCol).as("old_id"))
+    val news = newBuckets.select(col("ckey").as("ckey_a"), col("tbl"),
+      col("bucket"), col(idCol))
+    olds.join(broadcast(news), col("ckey") === col("ckey_a") &&
+        col("tbl").bitwiseXOR(col("tbl_b")) === lit(0) &&
+        col("bucket").bitwiseXOR(col("bucket_b")) === lit(0L))
+      .select(col(idCol), col("old_id")).distinct()
+  }
+}

@@ -338,6 +338,84 @@ class ExtSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
   }
 
+  // Distinct pre-verify candidate pairs of a blocked corpus — the volume
+  // the bkey self-join actually feeds the hamming verify, computed
+  // driver-side from the (small) exploded relation.
+  private def simhashCandidateVolume(corpus: org.apache.spark.sql.DataFrame,
+      maxHamming: Int): Long = {
+    val rows = Dedup.simhashBlockTable(
+        corpus.select($"doc_id", Dedup.simhash($"text").as("simhash")),
+        maxHamming = maxHamming)
+      .select($"bkey", $"blk", $"bits", $"doc_id").collect()
+    rows.groupBy(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .valuesIterator.flatMap { g =>
+        val ids = g.map(_.getLong(3)).sorted
+        for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet.size.toLong
+  }
+
+  private def simhashVolumeCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+    // spread background (20 tokens from a 5000-word vocab: block collisions
+    // rare) + a linear stream of duplicate twins (every 5th doc repeats its
+    // predecessor exactly — hamming 0, collision certain) — the shape where
+    // candidate growth SHOULD be ~linear in corpus size. Near-dups with a
+    // token swapped are NOT used here: 20-token vote margins are small, so
+    // a swap can flip arbitrary bits and the collision count turns into a
+    // coin flip; recall at radius is pinned by the pigeonhole test above.
+    val rnd = new scala.util.Random(7)
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until n).foreach { i =>
+      if (i % 5 == 4 && texts.nonEmpty) texts += texts.last
+      else texts += Seq.fill(20)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    }
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq
+      .toDF("doc_id", "text")
+  }
+
+  test("simhash block candidates grow ~linearly when the corpus doubles at fixed radius") {
+    val small = simhashCandidateVolume(simhashVolumeCorpus(150), maxHamming = 3)
+    val large = simhashCandidateVolume(simhashVolumeCorpus(300), maxHamming = 3)
+    assert(small > 0, "no candidates at all — twins failed to collide")
+    val growth = large.toDouble / small
+    // linear would be ~2x, quadratic ~4x; the 16-bit blocks at radius 3
+    // keep background collisions near zero, so the twin stream dominates
+    assert(growth < 3.0, s"candidate growth $growth ($small -> $large) is " +
+      "superlinear — block pruning has collapsed")
+  }
+
+  test("simhash radius knob degrades gracefully: volume monotone, collapsing only at the cap") {
+    val corpus = simhashVolumeCorpus(200)
+    val allPairs = 200L * 199L / 2L
+    val vols = Seq(0, 3, 7, 15).map(h => h -> simhashCandidateVolume(corpus, h))
+    vols.sliding(2).foreach { case Seq((hA, vA), (hB, vB)) =>
+      assert(vA <= vB, s"volume not monotone in radius: h=$hA:$vA > h=$hB:$vB")
+    }
+    val byH = vols.toMap
+    // production radius 3 (16-bit blocks) prunes hard...
+    assert(byH(3) < allPairs / 20,
+      s"radius-3 volume ${byH(3)} is not a strong prune of $allPairs pairs")
+    // ...and the documented degradation at the cap (4-bit blocks barely
+    // prune) is real but still strictly below all-pairs
+    assert(byH(15) > byH(7), "cap volume did not continue the curve")
+    assert(byH(15) < allPairs,
+      s"radius-15 volume ${byH(15)} reached all-pairs $allPairs — blocking is inert")
+  }
+
+  test("collision-relation shape guards resolve columns like the analyzer (case-insensitive)") {
+    // a caller-built table with off-case names must pass the guard exactly
+    // when the downstream query would resolve it (spark.sql.caseSensitive
+    // defaults to false)
+    val offCase = Seq((1L, 0, 7L), (2L, 0, 7L))
+      .toDF("DOC_ID", "Band", "BUCKET")
+    val pairs = Dedup.bandCandidates(offCase).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L)
+    // and a genuinely missing column still fails with the builder hint
+    val err = intercept[IllegalArgumentException](
+      Dedup.bandCandidates(offCase.drop("Band")))
+    assert(err.getMessage.contains("minhashTable"))
+  }
+
   test("SQL surface exposes lang_id, simhash and hyperplane_lsh natively") {
     graft.functions.GraftExtensions.register(spark)
     assert(spark.sql("SELECT graft_lang_id('le chat est dans la maison')")
@@ -1567,6 +1645,36 @@ class ExtSpec extends SparkSpec {
     // single partition
     val plan = Dedup.dedupParagraphs(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("dedupParagraphs window volume: rows linear in corpus, groups bounded by dup factor") {
+    // n-doubling check for the ranking window's shuffled relation: the
+    // digest-keyed row count must grow linearly with the corpus, and the
+    // per-digest group size (what one window partition holds in memory)
+    // must stay at the duplication factor — NOT grow with corpus size.
+    // Every doc carries 3 unique paragraphs plus one shared boilerplate
+    // line, so dup multiplicity of the hottest digest == n.
+    def corpus(n: Int) = (0L until n.toLong).map { i =>
+      (i, s"unique a$i\nshared boilerplate\nunique b$i\nunique c$i")
+    }.toDF("doc_id", "text")
+    def parRows(n: Int) = corpus(n)
+      .select(posexplode(split($"text", "\n")).as(Seq("pos", "par")))
+      .groupBy(md5($"par".cast("binary"))).count()
+      .agg(sum($"count").as("rows"), max($"count").as("hottest"))
+      .head()
+    val small = parRows(100)
+    val large = parRows(200)
+    assert(large.getLong(0) == 2 * small.getLong(0),
+      s"paragraph rows not linear: ${small.getLong(0)} -> ${large.getLong(0)}")
+    // hottest digest group == the boilerplate's multiplicity (one per doc):
+    // the window's memory is bounded by real duplication, nothing else
+    assert(small.getLong(1) == 100L && large.getLong(1) == 200L)
+    // and all OTHER groups stay singletons regardless of corpus size
+    val spread = corpus(200)
+      .select(posexplode(split($"text", "\n")).as(Seq("pos", "par")))
+      .groupBy(md5($"par".cast("binary"))).count()
+      .filter($"count" > 1).count()
+    assert(spread == 1L, s"expected exactly the boilerplate group hot, got $spread")
   }
 
   test("shuffleOrder materializes through the Catalog with shard pruning") {

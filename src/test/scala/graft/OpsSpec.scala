@@ -229,6 +229,30 @@ class OpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("dropBucketed retires every version, the plain name, and stray staging dirs") {
+    val cat = new graft.core.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-dropb").toString)
+    val df = spark.range(10).select($"id".as("k"), ($"id" * 3).as("x"))
+    cat.saveBucketed(df, "mig.legacy_facts", "k", 2)
+    val latest = cat.saveBucketed(df, "mig.legacy_facts", "k", 2)
+    assert(cat.bucketedTable("mig.legacy_facts") == latest)
+    // a stray staged dir with no catalog entry (the crash shape)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "mig_legacy_facts__v9")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(wh)
+    val dropped = cat.dropBucketed("mig.legacy_facts")
+    assert(dropped >= 1)
+    intercept[NoSuchElementException](cat.bucketedTable("mig.legacy_facts"))
+    assert(!fs.exists(wh), "stray staging dir survived the sweep")
+    // idempotent on an already-clean ref, and blind to OTHER refs sharing
+    // a name prefix
+    cat.saveBucketed(df, "mig.legacy_facts_other", "k", 2)
+    assert(cat.dropBucketed("mig.legacy_facts") == 0)
+    assert(spark.catalog.tableExists(cat.bucketedTable("mig.legacy_facts_other")))
+    cat.dropBucketed("mig.legacy_facts_other")
+  }
+
   test("re-bucketing publishes stage-and-swap: in-flight reader survives, no torn window") {
     val cat = new graft.core.Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft-rebkt").toString)

@@ -263,6 +263,58 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("XOR-residual collision joins equal plain equi-joins on adversarial tables") {
+    // The exchange-free collision relations (Dedup.bandCandidates /
+    // Similarity.lshCandidatesFromTable) join on ONE key and enforce the
+    // remaining equalities as `a XOR b === 0` residuals Catalyst does not
+    // lift into the equi-key set. The plan shape is pinned elsewhere at
+    // fixed data; THIS case pins the SEMANTICS on randomized tables — tiny
+    // key spaces force cross-band/cross-table key collisions (the rows the
+    // residual exists to reject), null sub-keys, and duplicate rows — so a
+    // Spark upgrade that changes how the residual evaluates (not merely
+    // where it runs) breaks loudly against a plain multi-key equi-join
+    // reference, independent of any plan string.
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Dedup, Similarity}
+    val rowGen = Gen.zip(
+      Gen.chooseNum(0L, 11L),                       // id
+      Gen.chooseNum(0, 2),                          // band / tbl
+      Gen.option(Gen.chooseNum(0L, 4L)))            // bucket (sometimes null)
+    val tblGen = Gen.chooseNum(8, 28).flatMap(n => Gen.listOfN(n, rowGen))
+    forAllN(tblGen, 12) { rows =>
+      // ─ bandCandidates vs (band, bucket) equi-join ─
+      val band = rows.map { case (id, b, bk) =>
+        (id, b, bk.map(java.lang.Long.valueOf).orNull)
+      }.toDF("doc_id", "band", "bucket")
+      val got = Dedup.bandCandidates(band, cache = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val a = band.select($"band", $"bucket", $"doc_id".as("doc_a"))
+      val b = band.select($"band", $"bucket", $"doc_id".as("doc_b"))
+      val want = a.join(b, Seq("band", "bucket"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_bands"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"bandCandidates diverged from the equi-join: " +
+        s"extra=${got -- want} missing=${want -- got}")
+
+      // ─ lshCandidatesFromTable vs (ckey, tbl, bucket) equi-join ─
+      // ckey deliberately COARSER than xxhash64(tbl, bucket): same ckey
+      // with different (tbl, bucket) occurs, so the residual must reject
+      val lsh = rows.collect { case (id, t, Some(bk)) =>
+        (id, (t + bk) % 3, t, bk)                   // colliding hand-made ckey
+      }.toDF("vec_id", "ckey", "tbl", "bucket")
+      val got2 = Similarity.lshCandidatesFromTable(lsh)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val la = lsh.select($"ckey", $"tbl", $"bucket", $"vec_id".as("id_a"))
+      val lb = lsh.select($"ckey", $"tbl", $"bucket", $"vec_id".as("id_b"))
+      val want2 = la.join(lb, Seq("ckey", "tbl", "bucket"))
+        .filter($"id_a" < $"id_b").select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == want2, s"lshCandidatesFromTable diverged from the " +
+        s"equi-join: extra=${got2 -- want2} missing=${want2 -- got2}")
+    }
+  }
+
   test("double-dot healing is idempotent and dot-run-collapsing") {
     val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     forAllN(Gen.zip(token, token, Gen.chooseNum(2, 5)), 100) { case (a, b, dots) =>

@@ -903,6 +903,101 @@ class StreamingSpec extends SparkSpec {
     assert(cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains((999L, 7L)))
   }
 
+  test("IncrementalLshDedup: embedding near-dups arriving later drop on arrival; equals the sweep") {
+    import graft.ext.Similarity
+    import graft.streaming.IncrementalLshDedup
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-inclsh").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val inc = new IncrementalLshDedup(catalog, "cur.vecs", "cur.vbuckets",
+      nPlanes = 4, nTables = 8, threshold = 0.9)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = inc.start(input.toDF().toDF("vec_id", "embedding"),
+      continuous = true, interval = "1 second")
+
+    def unit(d: Int): Seq[Float] = Seq.tabulate(8)(i => if (i == d) 1f else 0f)
+    def near(d: Int): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == d) 0.995f else if (i == (d + 1) % 8) 0.1f else 0f)
+
+    input.addData((1L, unit(0)), (2L, unit(2)))
+    q.processAllAvailable()
+    // intra-batch near-dup: 4 drops against the lower-id arrival 3
+    input.addData((3L, unit(4)), (4L, near(4)))
+    q.processAllAvailable()
+    // near-dups of batch-1 vectors arriving TWO batches later: the
+    // persisted bucket table drops them on arrival
+    input.addData((5L, near(0)), (6L, near(2)))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = catalog.load("cur.vecs").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // state grew only with survivors (buckets of dropped vectors never land)
+    assert(catalog.load("cur.vbuckets").select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet == kept)
+
+    // chain-free corpus: the online result equals the batch LSH sweep over
+    // all arrivals at once, at the SAME explicit (nPlanes, nTables)
+    val all = Seq((1L, unit(0)), (2L, unit(2)), (3L, unit(4)), (4L, near(4)),
+      (5L, near(0)), (6L, near(2))).toDF("vec_id", "embedding")
+    val dropB = Similarity.nearDupPairsLsh(all, threshold = 0.9,
+        nPlanes = 4, nTables = 8)
+      .select(col("id_b").as("vec_id")).distinct()
+    val sweep = all.join(dropB, Seq("vec_id"), "left_anti")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sweep == kept)
+  }
+
+  test("IncrementalLshDedup state probe broadcasts the micro-batch, never shuffles the state") {
+    import graft.ext.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft-ilbc").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val vecs = (1L to 200L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 8.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    catalog.save(Similarity.lshTable(vecs, nPlanes = 4, nTables = 8), "st.vbuckets")
+    // an arrival identical to vector 7 shares EVERY table's bucket
+    val arrivals = Seq((999L, Seq.tabulate(8)(d => math.sin(7 * 8.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val newBuckets = Similarity.lshTable(arrivals, nPlanes = 4, nTables = 8)
+    val cand = graft.streaming.IncrementalLshDedup.stateCandidates(
+      catalog.load("st.vbuckets"), newBuckets, "vec_id")
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"state probe sort-merges (state side re-shuffles every batch):\n$plan")
+    assert(cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((999L, 7L)))
+  }
+
+  test("IncrementalLshDedup: crash between the two appends replays cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ilcr").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val inc = new graft.streaming.IncrementalLshDedup(catalog, "cr.vecs",
+      "cr.vbuckets", nPlanes = 4, nTables = 8, threshold = 0.9)
+    def unit(d: Int): Seq[Float] = Seq.tabulate(8)(i => if (i == d) 1f else 0f)
+    val b0 = Seq((1L, unit(0)), (2L, unit(2))).toDF("vec_id", "embedding")
+    inc.processBatch(b0, 0L)
+    // crash between the vectors append and the buckets append, then replay
+    val b1 = Seq((3L, unit(4))).toDF("vec_id", "embedding")
+    inc.crashBetweenAppendsOnce = true
+    intercept[RuntimeException](inc.processBatch(b1, 1L))
+    inc.processBatch(b1, 1L)
+    assert(catalog.load("cr.vecs").select("vec_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // bucket rows landed exactly once per (vec_id, tbl)
+    val dup = catalog.load("cr.vbuckets").groupBy("vec_id", "tbl")
+      .count().filter($"count" > 1).count()
+    assert(dup == 0L, "duplicate bucket rows after replay")
+    assert(catalog.load("cr.vbuckets").select("vec_id").distinct().count() == 3L)
+    // and a near-dup of the replayed vector still drops against its state
+    val b2 = Seq((9L, unit(4))).toDF("vec_id", "embedding")
+    assert(inc.processBatch(b2, 2L) == 0L)
+  }
+
   test("dedupStateful: default lateness admits first occurrences that skew across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]
