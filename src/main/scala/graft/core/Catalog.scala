@@ -641,6 +641,16 @@ final class Catalog(val spark: SparkSession, root: String) {
     }
   }
 
+  /** Whether any committed bucketed version (or the pre-versioning plain
+    * name) is registered for `ref` — the cheap catalog-only probe that
+    * keeps one-time migration sweeps ([[dropBucketed]]) out of hot paths:
+    * no filesystem listing, just the session metastore. */
+  def hasBucketed(ref: String): Boolean = {
+    val (ns, t) = parseRef(ref)
+    val base = s"${ns}_$t"
+    bucketedVersions(base).nonEmpty || spark.catalog.tableExists(base)
+  }
+
   /** Retire a bucketed ref completely: drop every registered version, the
     * pre-versioning plain name if one exists, and any stray staged
     * warehouse directories a crash left behind without a catalog entry.
@@ -660,8 +670,9 @@ final class Catalog(val spark: SparkSession, root: String) {
     if (fs.exists(wh)) {
       fs.listStatus(wh).foreach { st =>
         val n = st.getPath.getName
+        val suffix = n.drop(base.length + 3)
         if (n == base || (n.startsWith(s"${base}__v") &&
-            n.drop(base.length + 3).forall(_.isDigit)))
+            suffix.nonEmpty && suffix.forall(_.isDigit)))
           fs.delete(st.getPath, true)
       }
     }

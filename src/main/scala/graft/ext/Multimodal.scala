@@ -106,13 +106,16 @@ object Multimodal {
     val wavRate = element_at(
       array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
       (pmod(id, lit(5)) + 1).cast("int"))
+    // chunk sizes count BYTES of the UTF-8 body (length of the binary),
+    // not characters of the text — they differ on any non-ASCII doc
+    val bodyBytes = length(body)
     val wav = concat(
-      asc("RIFF"), le(length(col("text")) + 36, 4), asc("WAVE"),
+      asc("RIFF"), le(bodyBytes + 36, 4), asc("WAVE"),
       asc("fmt "), le(lit(16), 4), le(lit(1), 2),  // fmt chunk, PCM
       le(wavCh, 2), le(wavRate, 4),
       le(wavRate * wavCh * 2, 4),                  // byte rate
       le(wavCh * 2, 2), le(lit(16), 2),            // block align, bits
-      asc("data"), le(length(col("text")), 4), body)
+      asc("data"), le(bodyBytes, 4), body)
     val corrupt = when(pmod(id, lit(8)) === 3,
         // PNG signature then a cut mid-IHDR: 15 bytes, under the 26 the
         // header needs -> png_truncated

@@ -87,6 +87,13 @@ object MediaHeader {
     true
   }
 
+  // indexed compare, no per-row copyOfRange allocation in the scan stage
+  private def hasPngSig(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return false; i += 1 }
+    true
+  }
+
   private def row(format: String, width: Any = null, height: Any = null,
       bitDepth: Any = null, sampleRate: Any = null, channels: Any = null,
       error: String = null): InternalRow =
@@ -102,8 +109,7 @@ object MediaHeader {
   private[functions] def parse(b: Array[Byte]): InternalRow = {
     val n = b.length
     // ─ PNG ─
-    if (n >= 8 && java.util.Arrays.equals(
-        java.util.Arrays.copyOfRange(b, 0, 8), PngSig)) {
+    if (n >= 8 && hasPngSig(b)) {
       if (n < 26) return row("png", error = "png_truncated")
       if (!ascii(b, 12, "IHDR")) return row("png", error = "png_no_ihdr")
       val w = be32(b, 16); val h = be32(b, 20)

@@ -1170,7 +1170,7 @@ object ExtQ {
     "q75_ivf_search_serving" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, annRoot(dir))
-        if (!cat.exists("ann.q68_centroids") || !cat.exists("ann.q68_corpus"))
+        if (!servable(cat, "ann.q68_centroids", "ann.q68_corpus"))
           buildIvfArtifacts(s, dir, cat)
         serveIvf(cat)
       },
@@ -1179,7 +1179,7 @@ object ExtQ {
     "q76_pq_search_serving" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, annRoot(dir))
-        if (!cat.exists("ann.q69_codebooks") || !cat.exists("ann.q69_corpus"))
+        if (!servable(cat, "ann.q69_codebooks", "ann.q69_corpus"))
           buildPqArtifacts(s, dir, cat)
         servePq(cat)
       },
@@ -1188,8 +1188,8 @@ object ExtQ {
     "q77_ivfpq_search_serving" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, annRoot(dir))
-        if (!cat.exists("ann.q70_centroids") || !cat.exists("ann.q70_codebooks") ||
-            !cat.exists("ann.q70_corpus"))
+        if (!servable(cat, "ann.q70_centroids", "ann.q70_codebooks",
+            "ann.q70_corpus"))
           buildIvfPqArtifacts(s, dir, cat)
         serveIvfPq(cat)
       },
@@ -1425,6 +1425,23 @@ object ExtQ {
   // byte-identical artifacts and the same plan, and both hash against the
   // same replayed-arithmetic oracle.
 
+  /** Cold-start probe for the serving twins: every artifact must exist AND
+    * carry its job-commit `_SUCCESS` marker. `Catalog.exists` alone is not
+    * enough — these artifacts are plain directory overwrites (deliberately,
+    * so the DuckDB oracle can glob the same files), and a witness killed
+    * mid-job leaves a readable-looking directory of partial part files
+    * that a serving run must rebuild, not trust. Overwrite deletes the old
+    * marker before writing, so a torn rewrite also reads as unservable. */
+  private[graft] def servable(cat: graft.core.Catalog, refs: String*): Boolean =
+    refs.forall { ref =>
+      if (!cat.exists(ref)) false
+      else {
+        val (ns, t) = cat.parseRef(ref)
+        val m = new org.apache.hadoop.fs.Path(cat.path(ns, t), "_SUCCESS")
+        m.getFileSystem(cat.spark.sparkContext.hadoopConfiguration).exists(m)
+      }
+    }
+
   private def buildIvfArtifacts(s: SparkSession, dir: String,
       cat: graft.core.Catalog): Unit = {
     val emb = t(s, dir, "embeddings")
@@ -1580,9 +1597,11 @@ object ExtQ {
     val (srcRef, dstRef) = reconRefs(dir)
     // one-time migration sweep: pre-sf-keying runs published these under
     // unkeyed names; without the drop their tables and warehouse parquet
-    // stay resident forever on any environment that ran the old q53/q54
-    cat.dropBucketed("recon.src_facts")
-    cat.dropBucketed("recon.dst_facts")
+    // stay resident forever on any environment that ran the old q53/q54.
+    // Guarded by the catalog-only probe so the steady state (and q53's
+    // benched seconds) never pays the filesystem sweep
+    Seq("recon.src_facts", "recon.dst_facts")
+      .filter(cat.hasBucketed).foreach(cat.dropBucketed(_))
     (cat.saveBucketed(ev, srcRef, "event_id", 8),
       cat.saveBucketed(degraded, dstRef, "event_id", 8))
   }

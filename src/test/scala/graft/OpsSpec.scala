@@ -229,6 +229,21 @@ class OpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("servable requires the job-commit marker: a torn artifact write forces a rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft-srv").toString
+    val cat = new graft.core.Catalog(spark, root)
+    cat.save(spark.range(5).toDF("x"), "ann.t_centroids")
+    assert(graft.queries.ExtQ.servable(cat, "ann.t_centroids"))
+    // absent ref: unservable (and no exception)
+    assert(!graft.queries.ExtQ.servable(cat, "ann.t_centroids", "ann.t_missing"))
+    // a killed job leaves part files without _SUCCESS — Catalog.exists says
+    // present, servable must say rebuild
+    val m = new org.apache.hadoop.fs.Path(s"$root/ann/t_centroids/_SUCCESS")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(m, false)
+    assert(cat.exists("ann.t_centroids"))
+    assert(!graft.queries.ExtQ.servable(cat, "ann.t_centroids"))
+  }
+
   test("dropBucketed retires every version, the plain name, and stray staging dirs") {
     val cat = new graft.core.Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft-dropb").toString)
