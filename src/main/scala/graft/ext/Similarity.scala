@@ -455,9 +455,9 @@ object Similarity {
     * so a table published bucketed on `ckey` self-joins with no exchange
     * on the collision key. Semantics vs a plain three-key equi-join are
     * fuzz-pinned in PropertiesSpec on tables whose ckey deliberately
-    * collides across (tbl, bucket) values. `cache = true` materializes the input for the
-    * two join sides (the inline path); false for storage-local persisted
-    * tables. */
+    * collides across (tbl, bucket) values. `cache = true` materializes
+    * the input for the two join sides (the inline path); false for
+    * storage-local persisted tables. */
   def lshCandidatesFromTable(bucketTable: DataFrame, idCol: String = "vec_id",
       cache: Boolean = false): DataFrame = {
     TableShapes.requireColumns(bucketTable, Seq("ckey", "tbl", "bucket", idCol),

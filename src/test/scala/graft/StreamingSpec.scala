@@ -903,6 +903,13 @@ class StreamingSpec extends SparkSpec {
     assert(cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains((999L, 7L)))
   }
 
+  // 8-dim basis vector / its ~0.995-cosine perturbation, shared by the
+  // IncrementalLshDedup cases
+  private def unitVec(d: Int): Seq[Float] =
+    Seq.tabulate(8)(i => if (i == d) 1f else 0f)
+  private def nearVec(d: Int): Seq[Float] =
+    Seq.tabulate(8)(i => if (i == d) 0.995f else if (i == (d + 1) % 8) 0.1f else 0f)
+
   test("IncrementalLshDedup: embedding near-dups arriving later drop on arrival; equals the sweep") {
     import graft.ext.Similarity
     import graft.streaming.IncrementalLshDedup
@@ -917,18 +924,14 @@ class StreamingSpec extends SparkSpec {
     val q = inc.start(input.toDF().toDF("vec_id", "embedding"),
       continuous = true, interval = "1 second")
 
-    def unit(d: Int): Seq[Float] = Seq.tabulate(8)(i => if (i == d) 1f else 0f)
-    def near(d: Int): Seq[Float] =
-      Seq.tabulate(8)(i => if (i == d) 0.995f else if (i == (d + 1) % 8) 0.1f else 0f)
-
-    input.addData((1L, unit(0)), (2L, unit(2)))
+    input.addData((1L, unitVec(0)), (2L, unitVec(2)))
     q.processAllAvailable()
     // intra-batch near-dup: 4 drops against the lower-id arrival 3
-    input.addData((3L, unit(4)), (4L, near(4)))
+    input.addData((3L, unitVec(4)), (4L, nearVec(4)))
     q.processAllAvailable()
     // near-dups of batch-1 vectors arriving TWO batches later: the
     // persisted bucket table drops them on arrival
-    input.addData((5L, near(0)), (6L, near(2)))
+    input.addData((5L, nearVec(0)), (6L, nearVec(2)))
     q.processAllAvailable()
     q.stop()
 
@@ -941,8 +944,8 @@ class StreamingSpec extends SparkSpec {
 
     // chain-free corpus: the online result equals the batch LSH sweep over
     // all arrivals at once, at the SAME explicit (nPlanes, nTables)
-    val all = Seq((1L, unit(0)), (2L, unit(2)), (3L, unit(4)), (4L, near(4)),
-      (5L, near(0)), (6L, near(2))).toDF("vec_id", "embedding")
+    val all = Seq((1L, unitVec(0)), (2L, unitVec(2)), (3L, unitVec(4)), (4L, nearVec(4)),
+      (5L, nearVec(0)), (6L, nearVec(2))).toDF("vec_id", "embedding")
     val dropB = Similarity.nearDupPairsLsh(all, threshold = 0.9,
         nPlanes = 4, nTables = 8)
       .select(col("id_b").as("vec_id")).distinct()
@@ -978,11 +981,10 @@ class StreamingSpec extends SparkSpec {
     val catalog = new graft.core.Catalog(spark, root)
     val inc = new graft.streaming.IncrementalLshDedup(catalog, "cr.vecs",
       "cr.vbuckets", nPlanes = 4, nTables = 8, threshold = 0.9)
-    def unit(d: Int): Seq[Float] = Seq.tabulate(8)(i => if (i == d) 1f else 0f)
-    val b0 = Seq((1L, unit(0)), (2L, unit(2))).toDF("vec_id", "embedding")
+    val b0 = Seq((1L, unitVec(0)), (2L, unitVec(2))).toDF("vec_id", "embedding")
     inc.processBatch(b0, 0L)
     // crash between the vectors append and the buckets append, then replay
-    val b1 = Seq((3L, unit(4))).toDF("vec_id", "embedding")
+    val b1 = Seq((3L, unitVec(4))).toDF("vec_id", "embedding")
     inc.crashBetweenAppendsOnce = true
     intercept[RuntimeException](inc.processBatch(b1, 1L))
     inc.processBatch(b1, 1L)
@@ -994,7 +996,7 @@ class StreamingSpec extends SparkSpec {
     assert(dup == 0L, "duplicate bucket rows after replay")
     assert(catalog.load("cr.vbuckets").select("vec_id").distinct().count() == 3L)
     // and a near-dup of the replayed vector still drops against its state
-    val b2 = Seq((9L, unit(4))).toDF("vec_id", "embedding")
+    val b2 = Seq((9L, unitVec(4))).toDF("vec_id", "embedding")
     assert(inc.processBatch(b2, 2L) == 0L)
   }
 
