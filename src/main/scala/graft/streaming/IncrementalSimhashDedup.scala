@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.Catalog
+import graft.ext.Dedup
+
+/** Incremental SimHash near-duplicate removal — the third streaming dedup
+  * twin, completing the family matrix ([[IncrementalDedup]] covers minhash
+  * bands, [[IncrementalLshDedup]] embedding buckets): a re-crawled
+  * document arriving days later drops on arrival by Manku-blocked hamming
+  * distance, instead of waiting for a batch re-mine of the persisted block
+  * relation.
+  *
+  * State is the accumulated (id, sh, bkey, blk, bits, max_hamming) block
+  * table ([[Dedup.simhashBlockTable]] shape) plus the accepted-document
+  * corpus, both Catalog-persisted. SimHash makes the streaming form
+  * SIMPLER than minhash: the 64-bit signature rides IN the block relation,
+  * so candidate verification is a `bit_count(xor)` on columns already in
+  * the join — no corpus join-back to re-derive shingles. Each micro-batch:
+  *
+  *  1. computes arrival signatures (one native [[graft.functions
+  *     .SimHash64]] pass) and their pigeonhole blocks;
+  *  2. probes the block table — `bkey` equi-key, XOR-residual blk/bits
+  *     equality, micro-batch side BROADCAST (state scanned, never
+  *     shuffled; plan-pinned in StreamingSpec);
+  *  3. verifies candidates by exact hamming ≤ radius — zero false
+  *     negatives by the pigeonhole guarantee, same as the batch form;
+  *  4. drops arrivals matching an accepted doc or a LOWER-id arrival of
+  *     the same batch;
+  *  5. appends survivors to the corpus and their block rows to the state
+  *     table, exactly-once via [[StreamingAppend.appendOnce]].
+  *
+  * The radius is FROZEN by the first batch: blocks encode `maxHamming+1`
+  * pigeonhole slots, so probing a table blocked at a different radius
+  * silently loses the recall guarantee — the table's self-stamped
+  * `max_hamming` is checked against this loop's on first probe and a
+  * mismatch fails loudly (the [[StreamingAppend]] mode-guard convention,
+  * applied to the blocking geometry). Greedy-prefix semantics as the other
+  * twins; equality with the batch [[Dedup.simhashPairs]] sweep on
+  * chain-free data is asserted in StreamingSpec. */
+final class IncrementalSimhashDedup(
+    catalog: Catalog, docsTable: String, blocksTable: String,
+    maxHamming: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+    exactlyOnce: Boolean = false) {
+  require(maxHamming >= 0 && maxHamming <= 15,
+    s"maxHamming must be in [0, 15], got $maxHamming")
+
+  /** Fault-injection hook (tests): throw once AFTER the survivors append
+    * but BEFORE the blocks append. */
+  private[graft] var crashBetweenAppendsOnce: Boolean = false
+
+  private val modeChecked = scala.collection.mutable.Set.empty[String]
+  // radius stamp verified once per loop instance (single-writer contract:
+  // the table's blocking geometry cannot change mid-run)
+  private var radiusChecked = false
+
+  private def appendOnce(rows: DataFrame, table: String, keys: Seq[String],
+      batchId: Long): Unit =
+    StreamingAppend.appendOnce(catalog, table, rows, batchId,
+      keys = keys, partitionBy = Nil, partitionMode = exactlyOnce,
+      modeChecked = modeChecked)
+
+  /** Deduplicate one micro-batch against the accumulated corpus and itself;
+    * append survivors. Returns the survivor count. */
+  def processBatch(batch: DataFrame, batchId: Long): Long = {
+    val newSigs = batch
+      .select(col(idCol), Dedup.simhash(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // blocks re-derive from the narrow cached signatures per consumer —
+    // cheap scan-stage shifts (the r8 simhash-cache lesson: never cache
+    // the (maxHamming+1)x exploded relation)
+    def newBlocks = Dedup.simhashBlockTable(newSigs, idCol, "sh", maxHamming)
+    try {
+      val droppedVsState: DataFrame =
+        if (!catalog.exists(blocksTable)) batch.select(col(idCol)).limit(0)
+        else {
+          val loaded = catalog.load(blocksTable)
+          if (!radiusChecked) {
+            val stamped = loaded.select("max_hamming").head().getInt(0)
+            require(stamped == maxHamming,
+              s"block table '$blocksTable' is blocked at radius $stamped " +
+                s"but this loop probes at $maxHamming: the pigeonhole " +
+                "guarantee does not transfer across radii — rebuild the " +
+                "table or match the radius")
+            radiusChecked = true
+          }
+          val state =
+            if (exactlyOnce && loaded.columns.contains("__batch_id"))
+              loaded.filter(col("__batch_id") =!= batchId)
+            else loaded
+          IncrementalSimhashDedup.stateCandidates(state, newBlocks, idCol)
+            .filter(Dedup.hamming(col("sh_a"), col("sh_b")) <= maxHamming)
+            .select(col(idCol))
+        }
+
+      // intra-batch: lower-id arrival wins (plain multi-key equi-join on
+      // the inline relation; residual-form equivalence is fuzz-pinned)
+      val a = newBlocks.select(col("bkey"), col("blk"), col("bits"),
+        col(idCol).as("id_a"), col("sh").as("sh_a"))
+      val b = newBlocks.select(col("bkey"), col("blk"), col("bits"),
+        col(idCol).as("id_b"), col("sh").as("sh_b"))
+      val droppedIntra = a.join(b, Seq("bkey", "blk", "bits"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+        .filter(Dedup.hamming(col("sh_a"), col("sh_b")) <= maxHamming)
+        .select(col("id_b").as(idCol))
+
+      val dropped = droppedVsState.union(droppedIntra).distinct()
+      val survivors = batch.join(broadcast(dropped), Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = survivors.count()
+        if (n > 0) {
+          appendOnce(survivors, docsTable, Seq(idCol), batchId)
+          if (crashBetweenAppendsOnce) {
+            crashBetweenAppendsOnce = false
+            throw new RuntimeException(
+              "injected crash between docs append and blocks append")
+          }
+          appendOnce(
+            newBlocks.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
+            blocksTable, Seq(idCol, "blk"), batchId)
+        }
+        n
+      } finally survivors.unpersist(blocking = false)
+    } finally newSigs.unpersist(blocking = false)
+  }
+
+  /** Attach to a document stream (same trigger conventions as
+    * [[MonitoringLoop.start]]). */
+  def start(stream: DataFrame, queryName: String = "graft_incremental_simhash",
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None): StreamingQuery =
+    StreamingAppend.startForeachBatch(stream, queryName, continuous,
+      interval, checkpoint) { (batch, id) => processBatch(batch, id); () }
+}
+
+object IncrementalSimhashDedup {
+  /** (arrival_id, old_id, sh_a, sh_b) collision candidates: the
+    * corpus-global block table probed by a micro-batch's blocks — `bkey`
+    * equi-key, XOR residuals, arrivals broadcast so the accumulated state
+    * is scanned, never shuffled. Carries both signatures out so the
+    * hamming verify needs no join-back. Plan shape pinned in
+    * StreamingSpec. */
+  private[graft] def stateCandidates(state: DataFrame, newBlocks: DataFrame,
+      idCol: String): DataFrame = {
+    val olds = state.select(col("bkey"), col("blk").as("blk_b"),
+      col("bits").as("bits_b"), col(idCol).as("old_id"), col("sh").as("sh_b"))
+    val news = newBlocks.select(col("bkey").as("bkey_a"), col("blk"),
+      col("bits"), col(idCol), col("sh").as("sh_a"))
+    olds.join(broadcast(news), col("bkey") === col("bkey_a") &&
+        col("blk").bitwiseXOR(col("blk_b")) === lit(0) &&
+        col("bits").bitwiseXOR(col("bits_b")) === lit(0L))
+      .select(col(idCol), col("old_id"), col("sh_a"), col("sh_b")).distinct()
+  }
+}

@@ -1000,6 +1000,110 @@ class StreamingSpec extends SparkSpec {
     assert(inc.processBatch(b2, 2L) == 0L)
   }
 
+  test("IncrementalSimhashDedup: hamming near-dups arriving later drop on arrival; equals the sweep") {
+    import graft.ext.Dedup
+    import graft.streaming.IncrementalSimhashDedup
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-incsim").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val inc = new IncrementalSimhashDedup(catalog, "cur.sdocs", "cur.sblocks",
+      maxHamming = 3)
+    val input = MemoryStream[(Long, String)]
+    val q = inc.start(input.toDF().toDF("doc_id", "text"),
+      continuous = true, interval = "1 second")
+
+    // measured signatures: base~baseCat hamming 1, other~otherThere
+    // hamming 3 (the radius boundary), base~other hamming 30
+    val base = "the quick brown fox jumps over the lazy dog near the old barn today"
+    val baseCat = "the quick brown fox jumps over the lazy cat near the old barn today"
+    val other = "completely different content about spark query engines and shuffles here"
+    val otherThere = "completely different content about spark query engines and shuffles there"
+    val fresh = "statistical machine translation systems were replaced by large transformers"
+
+    input.addData((1L, base), (2L, other))
+    q.processAllAvailable()
+    // intra-batch: the exact re-arrival drops against the lower id
+    input.addData((3L, fresh), (4L, fresh))
+    q.processAllAvailable()
+    // hamming-1 and hamming-3 (boundary) near-dups of batch-1 docs, TWO
+    // batches later: the persisted block table drops them on arrival
+    input.addData((5L, baseCat), (6L, otherThere))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = catalog.load("cur.sdocs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+    assert(catalog.load("cur.sblocks").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == kept)
+
+    // chain-free corpus: online equals the batch simhashPairs sweep
+    val all = Seq((1L, base), (2L, other), (3L, fresh), (4L, fresh),
+      (5L, baseCat), (6L, otherThere)).toDF("doc_id", "text")
+    val dropB = Dedup.simhashPairs(all, maxHamming = 3)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val sweep = all.join(dropB, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sweep == kept)
+
+    // probing the table at a DIFFERENT radius fails loudly: the pigeonhole
+    // blocking does not transfer across radii
+    val wrongRadius = new IncrementalSimhashDedup(catalog, "cur.sdocs",
+      "cur.sblocks", maxHamming = 7)
+    val err = intercept[IllegalArgumentException](
+      wrongRadius.processBatch(Seq((9L, base)).toDF("doc_id", "text"), 9L))
+    assert(err.getMessage.contains("radius 3"))
+  }
+
+  test("IncrementalSimhashDedup state probe broadcasts the micro-batch, never shuffles the state") {
+    import graft.ext.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-isbc").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val docs = (1L to 200L).map(i => (i, s"document number $i with shared words"))
+      .toDF("doc_id", "text")
+    catalog.save(Dedup.simhashBlockTable(
+      docs.select($"doc_id", Dedup.simhash($"text").as("sh")), "doc_id", "sh", 3),
+      "st.sblocks")
+    val arrivals = Seq((999L, "document number 7 with shared words"))
+      .toDF("doc_id", "text")
+    val newBlocks = Dedup.simhashBlockTable(
+      arrivals.select($"doc_id", Dedup.simhash($"text").as("sh")), "doc_id", "sh", 3)
+    val cand = graft.streaming.IncrementalSimhashDedup.stateCandidates(
+      catalog.load("st.sblocks"), newBlocks, "doc_id")
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"state probe sort-merges (state side re-shuffles every batch):\n$plan")
+    // the identical text collides on every block, signatures ride along
+    val hit = cand.collect().find(r => r.getLong(0) == 999L && r.getLong(1) == 7L)
+    assert(hit.isDefined)
+    assert(hit.get.getLong(2) == hit.get.getLong(3), "signatures should match")
+  }
+
+  test("IncrementalSimhashDedup: crash between the two appends replays cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-iscr").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val inc = new graft.streaming.IncrementalSimhashDedup(catalog, "cr.sdocs",
+      "cr.sblocks", maxHamming = 3)
+    val t1 = "the quick brown fox jumps over the lazy dog near the old barn today"
+    val t2 = "completely different content about spark query engines and shuffles here"
+    inc.processBatch(Seq((1L, t1)).toDF("doc_id", "text"), 0L)
+    inc.crashBetweenAppendsOnce = true
+    intercept[RuntimeException](
+      inc.processBatch(Seq((2L, t2)).toDF("doc_id", "text"), 1L))
+    inc.processBatch(Seq((2L, t2)).toDF("doc_id", "text"), 1L)
+    assert(catalog.load("cr.sdocs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    val dup = catalog.load("cr.sblocks").groupBy("doc_id", "blk")
+      .count().filter($"count" > 1).count()
+    assert(dup == 0L, "duplicate block rows after replay")
+    // a hamming-1 near-dup of the replayed doc still drops against its state
+    val near = "the quick brown fox jumps over the lazy cat near the old barn today"
+    assert(inc.processBatch(Seq((9L, near)).toDF("doc_id", "text"), 2L) == 0L)
+  }
+
   test("dedupStateful: default lateness admits first occurrences that skew across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]
