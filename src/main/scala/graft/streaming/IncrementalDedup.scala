@@ -122,15 +122,10 @@ final class IncrementalDedup(
           // in exactly the missing rows. (The manifest mode needs no
           // filter: its commits are all-or-nothing, and a replayed batch
           // id is skipped outright.) A same-id re-arrival in a LATER
-          // batch still self-collides and drops, as before.
-          val state = {
-            val loaded = catalog.load(bandsTable)
-            // (the column-presence check keeps the mode-mismatch case on
-            // appendOnce's loud guard instead of an unresolved-column error)
-            if (exactlyOnce && loaded.columns.contains("__batch_id"))
-              loaded.filter(col("__batch_id") =!= batchId)
-            else loaded
-          }
+          // batch still self-collides and drops, as before. ONE copy of
+          // the filter, shared with the LSH/simhash twins:
+          val state = StreamingAppend.acceptedState(
+            catalog.load(bandsTable), batchId, exactlyOnce)
           val candidates = IncrementalDedup.stateCandidates(state, newBands, idCol)
           // old shingles re-derive from the corpus keyed by candidate id —
           // candidates are collision-bounded, so they broadcast and the

@@ -83,16 +83,11 @@ final class IncrementalLshDedup(
       val droppedVsState: DataFrame =
         if (!catalog.exists(bucketsTable)) batch.select(col(idCol)).limit(0)
         else {
-          // exactlyOnce: a crash partway through the buckets append leaves
-          // a subset of THIS batch's rows committed; they are not accepted
-          // state (counting them would self-collide the batch's vectors) —
-          // the partition tag excludes them, as in IncrementalDedup
-          val state = {
-            val loaded = catalog.load(bucketsTable)
-            if (exactlyOnce && loaded.columns.contains("__batch_id"))
-              loaded.filter(col("__batch_id") =!= batchId)
-            else loaded
-          }
+          // partial-append replay protection: StreamingAppend.acceptedState
+          // excludes this batch's own partially-committed rows in
+          // exactlyOnce mode (the shared convention — see its scaladoc)
+          val state = StreamingAppend.acceptedState(
+            catalog.load(bucketsTable), batchId, exactlyOnce)
           val candidates =
             IncrementalLshDedup.stateCandidates(state, newBuckets, idCol)
           val oldVecs = catalog.load(vecsTable)

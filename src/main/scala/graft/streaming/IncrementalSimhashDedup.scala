@@ -87,10 +87,11 @@ final class IncrementalSimhashDedup(
                 "table or match the radius")
             radiusChecked = true
           }
-          val state =
-            if (exactlyOnce && loaded.columns.contains("__batch_id"))
-              loaded.filter(col("__batch_id") =!= batchId)
-            else loaded
+          // partial-append replay protection: the shared acceptedState
+          // convention over the SAME `loaded` frame the radius check read
+          // (the check deliberately reads UNFILTERED rows — a partial
+          // crashed-attempt row still carries the geometry stamp)
+          val state = StreamingAppend.acceptedState(loaded, batchId, exactlyOnce)
           IncrementalSimhashDedup.stateCandidates(state, newBlocks, idCol)
             .filter(Dedup.hamming(col("sh_a"), col("sh_b")) <= maxHamming)
             .select(col(idCol))

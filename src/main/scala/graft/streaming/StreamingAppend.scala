@@ -91,6 +91,24 @@ private[streaming] object StreamingAppend {
       catalog.append(fresh, table, partitionBy :+ "__batch_id")
     }
 
+  /** The accepted-state view of a dedup loop's state `table` while
+    * processing batch `batchId` — the replay-correctness convention all
+    * three incremental dedup twins share (ONE copy, like the mode guards
+    * above): in the batch-id-partition mode, a crashed attempt of THIS
+    * batch can have partially committed its own state rows, and counting
+    * them as accepted state would self-collide the batch's rows (jaccard
+    * 1.0 / cosine 1.0 / hamming 0 against themselves), drop them from
+    * survivors, and permanently lose their missing state rows — so the
+    * batch's own tag is excluded. Manifest commits are all-or-nothing and
+    * a replayed batch id is skipped outright, so no filter is needed (the
+    * column-presence check keeps a mode mismatch on [[appendOnce]]'s loud
+    * guard instead of an unresolved-column error here). */
+  def acceptedState(loaded: DataFrame, batchId: Long,
+      partitionMode: Boolean): DataFrame =
+    if (partitionMode && loaded.columns.contains("__batch_id"))
+      loaded.filter(col("__batch_id") =!= batchId)
+    else loaded
+
   /** The shared foreachBatch writer wiring (query name, optional
     * checkpoint for restart durability, polled `AvailableNow` vs
     * continuous `ProcessingTime` trigger) that every streaming loop
