@@ -1104,6 +1104,94 @@ class StreamingSpec extends SparkSpec {
     assert(inc.processBatch(Seq((9L, near)).toDF("doc_id", "text"), 2L) == 0L)
   }
 
+  test("dedup twins crash fuzz: a crashed+replayed run equals a clean run, all families, both modes") {
+    // Seeded state-machine fuzz over the three incremental dedup loops:
+    // drive the same randomized batch stream through a CRASHY instance
+    // (between-appends crash injected on ~1/3 of batches, each followed by
+    // the replay the streaming runtime would issue) and a CLEAN instance
+    // on separate tables, then require identical survivor sets and state
+    // row counts. Dups are exact re-arrivals of earlier content under new
+    // ids (jaccard 1 / hamming 0 / cosine 1 — certain drops in every
+    // family), so the expected outcome is content-determined, not
+    // threshold-borderline.
+    import graft.streaming.{IncrementalDedup, IncrementalLshDedup, IncrementalSimhashDedup}
+    final case class Harness(process: (org.apache.spark.sql.DataFrame, Long) => Long,
+      armCrash: () => Unit, disarm: () => Unit)
+    def text(k: Int) =
+      s"document about topic ${k % 7} with number $k plus words w${k * 13 % 101} w${k * 29 % 97} w${k * 31 % 89}"
+    def vec(k: Int): Seq[Float] =
+      Seq.tabulate(8)(d => math.sin(k * 8.0 + d).toFloat)
+
+    // arrivals are (globally-unique id, content key) pairs — dup CONTENT
+    // always re-arrives under a fresh id, so survivor sets are
+    // content-determined
+    val families = Seq[(String, (graft.core.Catalog, String, String, Boolean) => Harness, Seq[(Long, Int)] => org.apache.spark.sql.DataFrame)](
+      ("minhash", (c, d, s, eo) => {
+        val l = new IncrementalDedup(c, d, s, threshold = 0.3, exactlyOnce = eo)
+        Harness(l.processBatch, () => l.crashBetweenAppendsOnce = true,
+          () => l.crashBetweenAppendsOnce = false)
+      }, rows => rows.map { case (id, k) => (id, text(k)) }.toDF("doc_id", "text")),
+      ("simhash", (c, d, s, eo) => {
+        val l = new IncrementalSimhashDedup(c, d, s, maxHamming = 3, exactlyOnce = eo)
+        Harness(l.processBatch, () => l.crashBetweenAppendsOnce = true,
+          () => l.crashBetweenAppendsOnce = false)
+      }, rows => rows.map { case (id, k) => (id, text(k)) }.toDF("doc_id", "text")),
+      ("lsh", (c, d, s, eo) => {
+        val l = new IncrementalLshDedup(c, d, s, nPlanes = 4, nTables = 8,
+          threshold = 0.999, exactlyOnce = eo)
+        Harness(l.processBatch, () => l.crashBetweenAppendsOnce = true,
+          () => l.crashBetweenAppendsOnce = false)
+      }, rows => rows.map { case (id, k) => (id, vec(k)) }.toDF("vec_id", "embedding")))
+
+    for ((fam, mkLoop, mkBatch) <- families; eo <- Seq(false, true)) {
+      val rnd = new scala.util.Random(fam.hashCode ^ (if (eo) 77 else 13))
+      // the batch stream: content keys, ~40% re-arrivals of earlier keys
+      val seen = scala.collection.mutable.ArrayBuffer[Int]()
+      var nextId = 0L
+      val batches = (0 until 6).map { _ =>
+        (0 until (2 + rnd.nextInt(3))).map { _ =>
+          val k =
+            if (seen.nonEmpty && rnd.nextDouble() < 0.4) seen(rnd.nextInt(seen.size))
+            else { val f = rnd.nextInt(10000); seen += f; f }
+          nextId += 1
+          (nextId, k)
+        }
+      }
+      val root = java.nio.file.Files.createTempDirectory(s"graft-fz-$fam-$eo").toString
+      val cat = new graft.core.Catalog(spark, root)
+      val crashy = mkLoop(cat, s"fz.${fam}_docs", s"fz.${fam}_state", eo)
+      val clean = mkLoop(cat, s"fz.${fam}_docs2", s"fz.${fam}_state2", eo)
+      batches.zipWithIndex.foreach { case (keys, b) =>
+        val df = mkBatch(keys)
+        if (rnd.nextDouble() < 0.35) {
+          // the crash window only exists when the batch has survivors (an
+          // all-dup batch performs no appends) — disarm when it didn't fire
+          crashy.armCrash()
+          try { crashy.process(df, b.toLong); crashy.disarm() }
+          catch { case _: RuntimeException =>
+            crashy.process(df, b.toLong) // the runtime's replay
+          }
+        } else crashy.process(df, b.toLong)
+        clean.process(df, b.toLong)
+      }
+      val idCol = if (fam == "lsh") "vec_id" else "doc_id"
+      def ids(t: String) = cat.load(t).select(idCol).collect()
+        .map(_.getLong(0)).toSet
+      assert(ids(s"fz.${fam}_docs") == ids(s"fz.${fam}_docs2"),
+        s"$fam eo=$eo: crashed+replayed survivors differ from clean run")
+      assert(cat.load(s"fz.${fam}_state").count() ==
+        cat.load(s"fz.${fam}_state2").count(),
+        s"$fam eo=$eo: state row counts diverged")
+      // and re-arrivals of every surviving content key still drop: state
+      // is complete after the crashes
+      val replay = seen.distinct.take(4).zipWithIndex
+        .map { case (k, i) => (900000L + i, k) }
+      val n = crashy.process(mkBatch(replay.toSeq), 99L)
+      assert(n == 0L, s"$fam eo=$eo: $n re-arrivals survived against healed state")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("dedupStateful: default lateness admits first occurrences that skew across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]
