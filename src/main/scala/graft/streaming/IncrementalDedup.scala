@@ -106,10 +106,15 @@ final class IncrementalDedup(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))
 
-      // arrivals colliding with ACCEPTED docs in any (band, bucket) cell
+      // arrivals colliding with ACCEPTED docs in any (band, bucket) cell.
+      // loadIfReadable, not exists+load: a FIRST-batch crash during the
+      // bands append (partition mode) leaves only _temporary droppings —
+      // readable-nothing takes the fresh-table branch instead of wedging
+      // every replay on UNABLE_TO_INFER_SCHEMA
       val droppedVsState: DataFrame =
-        if (!catalog.exists(bandsTable)) batch.select(col(idCol)).limit(0)
-        else {
+        StreamingAppend.loadIfReadable(catalog, bandsTable) match {
+          case None => batch.select(col(idCol)).limit(0)
+          case Some(loadedBands) =>
           // In exactlyOnce mode, a crash PARTWAY through the bands append
           // leaves a subset of this batch's band rows committed (plain
           // parquet appends are atomic per task file, not per job). On
@@ -125,7 +130,7 @@ final class IncrementalDedup(
           // batch still self-collides and drops, as before. ONE copy of
           // the filter, shared with the LSH/simhash twins:
           val state = StreamingAppend.acceptedState(
-            catalog.load(bandsTable), batchId, exactlyOnce)
+            loadedBands, batchId, exactlyOnce)
           val candidates = IncrementalDedup.stateCandidates(state, newBands, idCol)
           // old shingles re-derive from the corpus keyed by candidate id —
           // candidates are collision-bounded, so they broadcast and the

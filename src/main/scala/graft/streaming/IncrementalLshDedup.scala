@@ -80,14 +80,18 @@ final class IncrementalLshDedup(
     val newVecs = batch.select(col(idCol), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // loadIfReadable, not exists+load: a FIRST-batch crash during the
+      // buckets append (partition mode) leaves only _temporary droppings —
+      // readable-nothing takes the fresh-table branch instead of wedging
+      // every replay on UNABLE_TO_INFER_SCHEMA
       val droppedVsState: DataFrame =
-        if (!catalog.exists(bucketsTable)) batch.select(col(idCol)).limit(0)
-        else {
+        StreamingAppend.loadIfReadable(catalog, bucketsTable) match {
+          case None => batch.select(col(idCol)).limit(0)
+          case Some(loaded) =>
           // partial-append replay protection: StreamingAppend.acceptedState
           // excludes this batch's own partially-committed rows in
           // exactlyOnce mode (the shared convention — see its scaladoc)
-          val state = StreamingAppend.acceptedState(
-            catalog.load(bucketsTable), batchId, exactlyOnce)
+          val state = StreamingAppend.acceptedState(loaded, batchId, exactlyOnce)
           val candidates =
             IncrementalLshDedup.stateCandidates(state, newBuckets, idCol)
           val oldVecs = catalog.load(vecsTable)

@@ -74,10 +74,14 @@ final class IncrementalSimhashDedup(
     // the (maxHamming+1)x exploded relation)
     def newBlocks = Dedup.simhashBlockTable(newSigs, idCol, "sh", maxHamming)
     try {
+      // loadIfReadable, not exists+load: a FIRST-batch crash during the
+      // blocks append (partition mode) leaves the directory with only
+      // _temporary droppings — readable-nothing must take the fresh-table
+      // branch or every replay wedges on UNABLE_TO_INFER_SCHEMA
       val droppedVsState: DataFrame =
-        if (!catalog.exists(blocksTable)) batch.select(col(idCol)).limit(0)
-        else {
-          val loaded = catalog.load(blocksTable)
+        StreamingAppend.loadIfReadable(catalog, blocksTable) match {
+          case None => batch.select(col(idCol)).limit(0)
+          case Some(loaded) =>
           if (!radiusChecked) {
             val stamped = loaded.select("max_hamming").head().getInt(0)
             require(stamped == maxHamming,
@@ -97,17 +101,11 @@ final class IncrementalSimhashDedup(
             .select(col(idCol))
         }
 
-      // intra-batch: lower-id arrival wins (plain multi-key equi-join on
-      // the inline relation; residual-form equivalence is fuzz-pinned)
-      val a = newBlocks.select(col("bkey"), col("blk"), col("bits"),
-        col(idCol).as("id_a"), col("sh").as("sh_a"))
-      val b = newBlocks.select(col("bkey"), col("blk"), col("bits"),
-        col(idCol).as("id_b"), col("sh").as("sh_b"))
-      val droppedIntra = a.join(b, Seq("bkey", "blk", "bits"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-        .filter(Dedup.hamming(col("sh_a"), col("sh_b")) <= maxHamming)
-        .select(col("id_b").as(idCol))
+      // intra-batch: lower-id arrival wins — ONE pairing contract with the
+      // batch form (the sweep the tests assert equality against), not a
+      // hand-rolled copy; the table self-stamps this loop's radius
+      val droppedIntra = Dedup.simhashPairsFromBlocks(newBlocks, idCol)
+        .select(col("doc_b").as(idCol))
 
       val dropped = droppedVsState.union(droppedIntra).distinct()
       val survivors = batch.join(broadcast(dropped), Seq(idCol), "left_anti")

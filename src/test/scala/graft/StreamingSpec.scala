@@ -1168,8 +1168,12 @@ class StreamingSpec extends SparkSpec {
           // all-dup batch performs no appends) — disarm when it didn't fire
           crashy.armCrash()
           try { crashy.process(df, b.toLong); crashy.disarm() }
-          catch { case _: RuntimeException =>
-            crashy.process(df, b.toLong) // the runtime's replay
+          catch {
+            // ONLY the injected crash is expected here — a broad catch
+            // would silently replay-and-mask a genuine first-attempt bug
+            case e: RuntimeException if e.getMessage != null &&
+                e.getMessage.startsWith("injected crash") =>
+              crashy.process(df, b.toLong) // the runtime's replay
           }
         } else crashy.process(df, b.toLong)
         clean.process(df, b.toLong)
@@ -1190,6 +1194,42 @@ class StreamingSpec extends SparkSpec {
       assert(n == 0L, s"$fam eo=$eo: $n re-arrivals survived against healed state")
       spark.sharedState.cacheManager.clearCache()
     }
+  }
+
+  test("dedup twins: a first-batch crash that left only _temporary droppings does not wedge replays") {
+    // A FIRST state-table append that crashed between job start and the
+    // first task-file commit leaves the directory existing but with no
+    // readable parquet — exists() says present, load() throws
+    // UNABLE_TO_INFER_SCHEMA. The probes must treat readable-nothing as a
+    // fresh table (the loadIfReadable contract) or every replay wedges
+    // until manual cleanup.
+    import graft.streaming.{IncrementalDedup, IncrementalLshDedup, IncrementalSimhashDedup}
+    val root = java.nio.file.Files.createTempDirectory("graft-wedge").toString
+    val cat = new graft.core.Catalog(spark, root)
+    def plantDroppings(ns: String, t: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$ns/$t/_temporary/0")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    }
+    val text = "the quick brown fox jumps over the lazy dog near the old barn today"
+
+    plantDroppings("w", "bands")
+    val mh = new IncrementalDedup(cat, "w.docs", "w.bands", threshold = 0.3,
+      exactlyOnce = true)
+    assert(mh.processBatch(Seq((1L, text)).toDF("doc_id", "text"), 0L) == 1L)
+    assert(cat.load("w.bands").select("doc_id").distinct().count() == 1L)
+
+    plantDroppings("w", "sblocks")
+    val sh = new IncrementalSimhashDedup(cat, "w.sdocs", "w.sblocks",
+      maxHamming = 3, exactlyOnce = true)
+    assert(sh.processBatch(Seq((1L, text)).toDF("doc_id", "text"), 0L) == 1L)
+    assert(cat.load("w.sblocks").select("doc_id").distinct().count() == 1L)
+
+    plantDroppings("w", "vbuckets")
+    val lsh = new IncrementalLshDedup(cat, "w.vecs", "w.vbuckets",
+      nPlanes = 4, nTables = 8, threshold = 0.9, exactlyOnce = true)
+    val vec = Seq.tabulate(8)(i => if (i == 0) 1f else 0f)
+    assert(lsh.processBatch(Seq((1L, vec)).toDF("vec_id", "embedding"), 0L) == 1L)
+    assert(cat.load("w.vbuckets").select("vec_id").distinct().count() == 1L)
   }
 
   test("dedupStateful: default lateness admits first occurrences that skew across batches") {
