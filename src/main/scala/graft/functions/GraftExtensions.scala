@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordNgramsFunction)
     ext.injectFunction(GraftExtensions.hashSplitFunction)
     ext.injectFunction(GraftExtensions.mixtureKeepFunction)
+    ext.injectFunction(GraftExtensions.mediaHeaderFunction)
   }
 }
 
@@ -66,6 +67,14 @@ object GraftExtensions {
   private def textMetricsBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(a) => TextMetrics(a, graft.ext.TextStats.EnglishStopwords)
     case _ => throw new IllegalArgumentException("graft_text_metrics expects exactly 1 argument")
+  }
+
+  /** graft_media_header(payload) → struct<format, width, height,
+    * bit_depth, sample_rate, channels, error> (see [[MediaHeader]]). */
+  private def mediaHeaderBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => MediaHeader(a)
+    case _ => throw new IllegalArgumentException(
+      "graft_media_header expects exactly 1 argument")
   }
 
   private def repetitionMetricsBuilder(args: Seq[Expression]): Expression = args match {
@@ -173,6 +182,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashK].getName, "graft_minhash"),
     minhashBuilder _)
 
+  val mediaHeaderFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_media_header"),
+    new ExpressionInfo(classOf[MediaHeader].getName, "graft_media_header"),
+    mediaHeaderBuilder _)
+
   val docFingerprintFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_doc_fingerprint"),
     new ExpressionInfo(classOf[DocFingerprint].getName, "graft_doc_fingerprint"),
@@ -218,5 +232,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_word_ngrams", wordNgramsBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_hash_split", hashSplitBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_mixture_keep", mixtureKeepBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_media_header", mediaHeaderBuilder, "built-in")
   }
 }

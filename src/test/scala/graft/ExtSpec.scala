@@ -470,6 +470,19 @@ class ExtSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_word_ngrams('a b c', CAST(rand()*2 AS INT))").collect()
     }
+    // media header in SQL agrees with the column form (a real 1x1 PNG,
+    // hex-encoded inline)
+    val pngHex = "89504E470D0A1A0A0000000D4948445200000001000000010806000000" +
+      "1F15C4890000000A49444154789C63000100000500010D0A2DB4" +
+      "0000000049454E44AE426082"
+    assert(spark.sql(
+        s"SELECT m.* FROM (SELECT graft_media_header(unhex('$pngHex')) AS m)")
+      .head().toSeq ==
+      spark.range(1)
+        .select(graft.functions.MediaHeader(unhex(lit(pngHex))).as("m"))
+        .select($"m.*").head().toSeq)
+    assert(spark.sql("SELECT graft_media_header(CAST('junk' AS BINARY)).error")
+      .head().getString(0) == "unknown_format")
     // a foldable NULL parameter gets the clear literal-integer message,
     // not a bare NPE out of the analyzer
     val nullLit = intercept[Exception] {
