@@ -57,7 +57,7 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * [[Catalog.vacuum]] re-checkpoints any retained delta whose base falls
   * out of the retention window before reclaiming old manifests.
   */
-private[core] object Manifest {
+private[graft] object Manifest {
 
   /** A publish lost a concurrency race — the same-version lock/manifest
     * check or the `expectedVersion` CAS. Retryable: re-read the latest
@@ -320,7 +320,7 @@ private[core] object Manifest {
     * that died between acquire and publish; the next writer may break it.
     * Generous on purpose — a live writer holds the lock only for one small
     * file write + rename, never minutes. */
-  private[core] val LockStaleMs: Long = 10 * 60 * 1000L
+  private[graft] val LockStaleMs: Long = 10 * 60 * 1000L
 
   private def lockName(version: Long) = f"v$version%020d.lock"
 

@@ -206,12 +206,26 @@ class DetectorsSpec extends SparkSpec {
   }
 
   test("SlaDetector: healthy rate passes, slow rate projects a breach") {
-    // 100 records in the trailing hour => ~6000/h  => 100k needs ~16h > 4h SLA
+    // Slow: 100 records spanning 99*36s = 59.4 min => floor 59 minutes
+    // => rate 100/59*60 ~ 101.7/h => 99 900 remaining needs ~982h > 4h SLA
     val slow = (0 until 100).map(i =>
       Timestamp.from(Instant.parse("2024-01-31T11:00:00Z").plusSeconds(i * 36L)))
       .toDF("arrival_time")
     val st = new SlaDetector(slow, clock).predictSlaBreach(100000L, 4.0)
     assert(st.willBreachSla && st.projectedHours > 4 && st.severity == "CRITICAL")
+    // Healthy, through the NORMAL minutes_elapsed >= 1 rate path (the
+    // burst test below only covers the null-rate fallback): 30 records at
+    // 32s spacing span 29*32 = 928s => floor 15 minutes => rate
+    // 30/15*60 = 120.0/h, binary-exact — the fallback would read 30.0
+    // (count/windowHours), so the 120.0 assertion proves which branch
+    // computed it. 120 remaining at 120/h projects exactly 1h <= 4h SLA:
+    // no breach, nothing pages.
+    val healthy = (0 until 30).map(i =>
+      Timestamp.from(Instant.parse("2024-01-31T11:10:00Z").plusSeconds(i * 32L)))
+      .toDF("arrival_time")
+    val ok = new SlaDetector(healthy, clock).predictSlaBreach(150L, 4.0)
+    assert(ok.recordCount == 30L && ok.recordsPerHour == 120.0)
+    assert(!ok.willBreachSla && ok.projectedHours == 1.0 && ok.severity == "NONE")
   }
 
   test("SlaDetector: sub-minute burst is peak throughput, not a breach") {

@@ -7,6 +7,34 @@ import graft.ext._
 class ExtSpec extends SparkSpec {
   import spark.implicits._
 
+  // the canonical 67-byte 1x1 RGBA PNG (public bytes) — ONE copy, shared
+  // by the SQL-surface parity test and the MediaHeader fixture walk so the
+  // two can never drift onto different fixture bytes
+  private val Png1x1Hex: String =
+    "89504E470D0A1A0A0000000D4948445200000001000000010806000000" +
+      "1F15C4890000000A49444154789C63000100000500010D0A2DB4" +
+      "0000000049454E44AE426082"
+
+  // walk a throwable's cause chain (Spark wraps expression failures in
+  // several layers; which layer carries the message differs by code path)
+  private def causeChain(t: Throwable): Seq[Throwable] =
+    if (t == null) Nil else t +: causeChain(t.getCause)
+
+  // three tight 20-vector clusters around orthogonal 4-dim anchors, and
+  // their k=3 trained centroids — ONE construction shared by the Ivf
+  // probe-pruning / vec-form / batch tests, so the three provably compare
+  // shapes over the SAME corpus geometry instead of three copies that can
+  // drift independently
+  private lazy val threeClusterEmb = {
+    val rnd = new scala.util.Random(5)
+    def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    ((0L until 20L).map(i => (i, near(Array(1.0f, 0.0f, 0.0f, 0.0f)))) ++
+      (20L until 40L).map(i => (i, near(Array(0.0f, 1.0f, 0.0f, 0.0f)))) ++
+      (40L until 60L).map(i => (i, near(Array(0.0f, 0.0f, 1.0f, 0.0f)))))
+      .toDF("vec_id", "embedding")
+  }
+  private lazy val threeClusterCents = Ivf.trainCentroids(threeClusterEmb, k = 3, iters = 4)
+
   private lazy val docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog near the old barn today", "en"),
     (1L, "the quick brown fox jumps over the lazy dog near the old barn tonight", "en"), // near-dup of 0
@@ -470,11 +498,9 @@ class ExtSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_word_ngrams('a b c', CAST(rand()*2 AS INT))").collect()
     }
-    // media header in SQL agrees with the column form (a real 1x1 PNG,
-    // hex-encoded inline)
-    val pngHex = "89504E470D0A1A0A0000000D4948445200000001000000010806000000" +
-      "1F15C4890000000A49444154789C63000100000500010D0A2DB4" +
-      "0000000049454E44AE426082"
+    // media header in SQL agrees with the column form (the shared
+    // canonical 1x1 PNG, hex-encoded inline)
+    val pngHex = Png1x1Hex
     assert(spark.sql(
         s"SELECT m.* FROM (SELECT graft_media_header(unhex('$pngHex')) AS m)")
       .head().toSeq ==
@@ -488,18 +514,14 @@ class ExtSpec extends SparkSpec {
     val nullLit = intercept[Exception] {
       spark.sql("SELECT graft_word_ngrams('a b c', CAST(NULL AS INT))").collect()
     }
-    def chain(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: chain(t.getCause)
-    assert(chain(nullLit).exists(t =>
+    assert(causeChain(nullLit).exists(t =>
       Option(t.getMessage).exists(_.contains("literal integer"))), nullLit.toString)
   }
 
   test("PqAdc: geometry mismatches fail loudly, never mis-score") {
     import graft.functions.PqAdc
-    def chain(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: chain(t.getCause)
     def msgHas(t: Throwable, s: String): Boolean =
-      chain(t).exists(x => Option(x.getMessage).exists(_.contains(s)))
+      causeChain(t).exists(x => Option(x.getMessage).exists(_.contains(s)))
     val tab = (0 until 8).map(_.toDouble) // m=2 subvectors, k=4 entries each
     assert(Seq(Seq(1, 3)).toDF("codes").select(PqAdc($"codes", tab, 4))
       .head().getDouble(0) == 1.0 + 7.0)
@@ -605,9 +627,14 @@ class ExtSpec extends SparkSpec {
     val withNaN = Seq(Scored(1, 0.5), Scored(2, Double.NaN), Scored(3, 0.9))
     assert(run(withNaN) == Seq(2L, 3L, 1L))
     assert(run(withNaN.reverse) == Seq(2L, 3L, 1L))
-    // -0.0 ties with 0.0 and the id breaks it, on either arrival order
-    assert(run(Seq(Scored(5, -0.0), Scored(4, 0.0))) == Seq(4L, 5L))
-    assert(run(Seq(Scored(4, 0.0), Scored(5, -0.0))) == Seq(4L, 5L))
+    // -0.0 ties with 0.0 and the id breaks it, on either arrival order.
+    // The -0.0 row carries the SMALLER id on purpose: a raw
+    // Double.compare (which ranks 0.0 above -0.0) would emit (5,4) here,
+    // while the normalized tie-break emits (4,5) — with the ids swapped
+    // both implementations would produce the same output and the
+    // regression TopK.scala warns about would be invisible.
+    assert(run(Seq(Scored(4, -0.0), Scored(5, 0.0))) == Seq(4L, 5L))
+    assert(run(Seq(Scored(5, 0.0), Scored(4, -0.0))) == Seq(4L, 5L))
     // merge of partial buffers equals the single-pass reduction
     val all = Seq(Scored(1, 0.1), Scored(2, 0.9), Scored(3, 0.9),
       Scored(4, 0.5), Scored(5, 0.7))
@@ -716,13 +743,8 @@ class ExtSpec extends SparkSpec {
   }
 
   test("Ivf: missing queryId degrades to empty; partitioned probe prunes to nProbe cells") {
-    val rnd = new scala.util.Random(5)
-    def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
-    val emb = ((0L until 20L).map(i => (i, near(Array(1.0f, 0.0f, 0.0f, 0.0f)))) ++
-      (20L until 40L).map(i => (i, near(Array(0.0f, 1.0f, 0.0f, 0.0f)))) ++
-      (40L until 60L).map(i => (i, near(Array(0.0f, 0.0f, 1.0f, 0.0f)))))
-      .toDF("vec_id", "embedding")
-    val cents = Ivf.trainCentroids(emb, k = 3, iters = 4)
+    val emb = threeClusterEmb
+    val cents = threeClusterCents
 
     // a missing queryId degrades to an empty sibling-shaped result, no throw
     val missing = Ivf.ivfTopK(emb, cents, queryId = 9999L, k = 5)
@@ -757,13 +779,8 @@ class ExtSpec extends SparkSpec {
   }
 
   test("vector-first entry points are bit-identical to id forms; serving plan is lookup-free") {
-    val rnd = new scala.util.Random(5)
-    def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
-    val emb = ((0L until 20L).map(i => (i, near(Array(1.0f, 0.0f, 0.0f, 0.0f)))) ++
-      (20L until 40L).map(i => (i, near(Array(0.0f, 1.0f, 0.0f, 0.0f)))) ++
-      (40L until 60L).map(i => (i, near(Array(0.0f, 0.0f, 1.0f, 0.0f)))))
-      .toDF("vec_id", "embedding")
-    val cents = Ivf.trainCentroids(emb, k = 3, iters = 4)
+    val emb = threeClusterEmb
+    val cents = threeClusterCents
     // hold the query vector the way a serving caller would: as doubles
     def vecOf(id: Long): Array[Double] = emb.filter($"vec_id" === id)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
@@ -819,13 +836,8 @@ class ExtSpec extends SparkSpec {
   }
 
   test("Ivf batch: per-query equality, persisted centroids, pruned clustered probe") {
-    val rnd = new scala.util.Random(5)
-    def near(base: Array[Float]) = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
-    val emb = ((0L until 20L).map(i => (i, near(Array(1.0f, 0.0f, 0.0f, 0.0f)))) ++
-      (20L until 40L).map(i => (i, near(Array(0.0f, 1.0f, 0.0f, 0.0f)))) ++
-      (40L until 60L).map(i => (i, near(Array(0.0f, 0.0f, 1.0f, 0.0f)))))
-      .toDF("vec_id", "embedding")
-    val cents = Ivf.trainCentroids(emb, k = 3, iters = 4)
+    val emb = threeClusterEmb
+    val cents = threeClusterCents
     val qids = Seq(0L, 21L)
 
     // the batch reduction returns exactly the per-query results, scores and all
@@ -1203,11 +1215,7 @@ class ExtSpec extends SparkSpec {
         }.toSeq
 
     // ─ real-world fixtures ─
-    // the canonical 67-byte 1x1 RGBA PNG (public bytes)
-    val png1x1 = hexBytes(
-      "89504E470D0A1A0A0000000D4948445200000001000000010806000000" +
-        "1F15C4890000000A49444154789C63000100000500010D0A2DB4" +
-        "0000000049454E44AE426082")
+    val png1x1 = hexBytes(Png1x1Hex)
     // JPEG whose SOF0 sits AFTER a DQT segment (exercises the marker walk),
     // plus fill-byte and restart-marker variants of the same frame
     val sof = "FFC00011" + "08" + "0010" + "0020" + "03011100021101031101"

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.core.{BadTableRef, Catalog, TableNotFound}
+import graft.core.{BadTableRef, Catalog, Manifest, TableNotFound}
 import graft.pipeline.TransformJob
 import graft.quality.DataQualityCheck
 
@@ -16,6 +16,9 @@ class HealingSpec extends SparkSpec {
 
   private lazy val root = java.nio.file.Files.createTempDirectory("graft-cat").toString
   private lazy val catalog = new Catalog(spark, root)
+  // one minute past the sweep threshold — derived, so raising LockStaleMs
+  // can't silently turn these planted artifacts fresh (ManifestSpec pattern)
+  private val staleAge = Manifest.LockStaleMs + 60 * 1000L
 
   test("Catalog raises typed errors for bad refs and missing tables") {
     assertThrows[BadTableRef](catalog.parseRef("selfhealing..employee_data"))
@@ -307,7 +310,7 @@ class HealingSpec extends SparkSpec {
     val stale = new org.apache.hadoop.fs.Path(mdir, f"v${9L}%020d.lock")
     val fresh = new org.apache.hadoop.fs.Path(mdir, f"v${8L}%020d.lock")
     fs.create(stale, true).close(); fs.create(fresh, true).close()
-    fs.setTimes(stale, System.currentTimeMillis() - 11 * 60 * 1000L, -1L)
+    fs.setTimes(stale, System.currentTimeMillis() - staleAge, -1L)
     catalog.vacuum("output.delta")
     assert(!fs.exists(stale) && fs.exists(fresh))
     fs.delete(fresh, false)
@@ -333,14 +336,14 @@ class HealingSpec extends SparkSpec {
     catalog.vacuum("output.ckpt", retainLast = 3)
     assert(fs.exists(ckpt) && !fs.exists(main))
     // once stale it is a crashed replace's durable copy: repaired in place
-    fs.setTimes(ckpt, System.currentTimeMillis() - 11 * 60 * 1000L, -1L)
+    fs.setTimes(ckpt, System.currentTimeMillis() - staleAge, -1L)
     catalog.vacuum("output.ckpt", retainLast = 3)
     assert(fs.exists(main) && !fs.exists(ckpt))
     assert(catalog.load("output.ckpt").count() == 3)
     // a stale leftover sidecar BESIDE its manifest (completed replace that
     // crashed before the cleanup delete) is swept, not repaired
     val out = fs.create(ckpt, true); out.close()
-    fs.setTimes(ckpt, System.currentTimeMillis() - 11 * 60 * 1000L, -1L)
+    fs.setTimes(ckpt, System.currentTimeMillis() - staleAge, -1L)
     catalog.vacuum("output.ckpt", retainLast = 3)
     assert(fs.exists(main) && !fs.exists(ckpt))
   }

@@ -2,8 +2,13 @@ package graft
 
 /** Structural audit of every registry query's physical plan at sf0.001 —
   * the guard that keeps "no accidental quadratic plans" true as the
-  * registry grows. Builds each plan (no job execution; the parquet scan is
-  * only analyzed) and rejects CartesianProduct everywhere, allowing
+  * registry grows. Only the RETURNED DataFrame's plan is inspected (never
+  * executed), but building it runs each registry function, and the
+  * artifact-backed entries execute real jobs on the way to their plan:
+  * q53/q54 publish bucketed recon tables into the session warehouse and
+  * q68-q70/q75-q78 train/persist ANN + media artifacts under
+  * `/tmp/graft_ann/sf0.001` (the sf-keyed leaf, so a concurrent bench at
+  * another SF is never clobbered). Rejects CartesianProduct everywhere, allowing
   * BroadcastNestedLoopJoin only for the queries that intentionally
   * broadcast a ONE-ROW side (single-query-vector similarity scans, scalar
   * CTE combines) — a 1-row BNLJ is a map-side probe, not a pair blow-up.

@@ -240,7 +240,11 @@ class PropertiesSpec extends SparkSpec {
   test("simhashBlockTable blocks partition the signature exactly at every radius") {
     import graft.ext.Dedup
     val sigGen = Gen.listOfN(24, Gen.long)
-    forAllN(Gen.zip(sigGen, Gen.oneOf(0, 1, 3, 7, 15)), 8) { case (sigVals, h) =>
+    // Radii where 64 % (h+1) != 0 (2, 4, 5, 9, 12) exercise the
+    // remainder-absorbing last block (len = 64 - start), which the
+    // dividing radii (0, 1, 3, 7, 15) never reach — both families here.
+    forAllN(Gen.zip(sigGen,
+      Gen.oneOf(0, 1, 2, 3, 4, 5, 7, 9, 12, 15)), 10) { case (sigVals, h) =>
       val sigs = sigVals.zipWithIndex.map { case (s, i) => (i.toLong, s) }
         .toDF("doc_id", "simhash")
       val rows = Dedup.simhashBlockTable(sigs, maxHamming = h).collect()

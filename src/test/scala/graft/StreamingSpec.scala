@@ -80,7 +80,12 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingMonitor.start(
       StreamingMonitor.volumeAnomalies(input.toDF().toDF("ts"), baseline, "ts"),
       "vol_anomalies")
-    q.awaitTermination(120000)
+    // On a timed-out drain, stop the query BEFORE failing: otherwise the
+    // assert below reads a partially-drained sink (a misleading
+    // NoSuchElementException) and the live query leaks into later tests.
+    val drained = q.awaitTermination(120000)
+    if (!drained) q.stop()
+    assert(drained, "volumeAnomalies AvailableNow drain timed out")
     val rows = spark.table("vol_anomalies")
       .filter($"baseline_avg".isNotNull)
       .orderBy("window_start").collect()
