@@ -58,8 +58,13 @@ object TextStats {
     * times in one expression. */
   def qualityScore(text: Column): Column = {
     val m = metrics(text)
-    m.getField("stops") / m.getField("n_tokens") -
-      m.getField("punct") / m.getField("n_chars")
+    // ratios guarded to NULL on token-less/empty docs: Spark 4.1 ANSI
+    // raises DIVIDE_BY_ZERO for DOUBLE division too, so the unguarded
+    // form ABORTS the job on the first empty document
+    when(m.getField("n_tokens") > 0,
+      m.getField("stops") / m.getField("n_tokens")) -
+      when(m.getField("n_chars") > 0,
+        m.getField("punct") / m.getField("n_chars"))
   }
 
   /** Per-language stopword/marker sets for the n-gram-free language-ID

@@ -44,8 +44,11 @@ object Exact {
     sum(d * d).cast("double")
   }
 
-  /** Mean from an exact sum: identical to `CAST(SUM(DECIMAL) AS DOUBLE)/COUNT`. */
-  def avg2(c: Column): Column = sum2(c) / count(c)
+  /** Mean from an exact sum: identical to `CAST(SUM(DECIMAL) AS DOUBLE)/COUNT`
+    * wherever any value exists; NULL (not an ANSI DIVIDE_BY_ZERO abort) on an
+    * all-null/empty input — see [[varianceFrom]] for why the guard exists. */
+  def avg2(c: Column): Column =
+    when(count(c) > 0, sum2(c) / count(c))
 
   /** Sample variance from exact moments: (q - s*s/n) / (n-1), clamped at 0 —
     * for (near-)constant series the two big terms cancel and double rounding
@@ -53,14 +56,20 @@ object Exact {
     * Matches BigQuery `STDDEV` and python `statistics.stdev` (sample form,
     * reference `monitoring/detectors/revenue_detector.py:131`).
     *
-    * n = 1 yields 0/0 = NaN on BOTH engines identically (double division is
-    * IEEE even under ANSI mode — the divide-by-zero error applies to
-    * integral/decimal only — and `greatest` ranks NaN above any double in
-    * Spark and DuckDB alike), so the single-sample case is oracle-parity by
-    * the same identical-expression-tree argument as the rest. Callers that
-    * want a defined baseline gate on sample size (q22/q40's n >= 7). */
+    * n <= 1 yields NULL by an explicit branch. It MUST: Spark 4.1's ANSI
+    * mode raises DIVIDE_BY_ZERO for DOUBLE division too (verified: both
+    * `0.0d / 0L` and `0.0d / 0.0d` throw SparkArithmeticException — an
+    * earlier note here claiming the error was integral/decimal-only was
+    * wrong for this Spark version), so the unguarded n=1 case didn't
+    * produce NaN, it ABORTED the whole job the first time a baseline had a
+    * single sample. CaseWhen evaluates only the matched branch, so the
+    * divide never executes when n <= 1. For n >= 2 the expression tree and
+    * values are unchanged (oracle parity intact — no green oracle row can
+    * have n <= 1, since that case previously crashed the engine side).
+    * Callers that want a stronger defined-baseline contract still gate on
+    * sample size (q22/q40's n >= 7). */
   def varianceFrom(s: Column, q: Column, n: Column): Column =
-    greatest((q - s * s / n) / (n - lit(1)), lit(0.0))
+    when(n > lit(1), greatest((q - s * s / n) / (n - lit(1)), lit(0.0)))
 
   def stddevFrom(s: Column, q: Column, n: Column): Column =
     sqrt(varianceFrom(s, q, n))

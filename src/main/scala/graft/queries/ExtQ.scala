@@ -63,10 +63,17 @@ object ExtQ {
           .select(
             col("doc_id"),
             col("m.n_tokens").as("n_words"),
-            (col("m.stops") / col("m.n_tokens")).as("stop_ratio"),
-            (col("m.punct") / col("m.n_chars")).as("punct_ratio"),
-            (col("m.stops") / col("m.n_tokens") -
-              col("m.punct") / col("m.n_chars")).as("quality_score"))
+            // ratios guarded to NULL on token-less/empty docs: Spark 4.1
+            // ANSI raises DIVIDE_BY_ZERO even for DOUBLE division, so an
+            // unguarded ratio would ABORT the job on the first empty doc
+            // a corpus generation slips in (oracle mirrors the CASE)
+            when(col("m.n_tokens") > 0,
+              col("m.stops") / col("m.n_tokens")).as("stop_ratio"),
+            when(col("m.n_chars") > 0,
+              col("m.punct") / col("m.n_chars")).as("punct_ratio"),
+            (when(col("m.n_tokens") > 0, col("m.stops") / col("m.n_tokens")) -
+              when(col("m.n_chars") > 0, col("m.punct") / col("m.n_chars")))
+              .as("quality_score"))
           .orderBy("doc_id"),
       Some("""
         WITH d AS (
@@ -81,9 +88,10 @@ object ExtQ {
             punct, CAST(length(text) AS BIGINT) AS n_chars
           FROM d)
         SELECT doc_id, n_words,
-          stops / n_words AS stop_ratio,
-          punct / n_chars AS punct_ratio,
-          stops / n_words - punct / n_chars AS quality_score
+          CASE WHEN n_words > 0 THEN stops / n_words END AS stop_ratio,
+          CASE WHEN n_chars > 0 THEN punct / n_chars END AS punct_ratio,
+          CASE WHEN n_words > 0 THEN stops / n_words END
+            - CASE WHEN n_chars > 0 THEN punct / n_chars END AS quality_score
         FROM r ORDER BY doc_id""")),
 
     // Language ID heuristic (marker-token votes + CJK override). Tie-break =
@@ -392,8 +400,12 @@ object ExtQ {
           .select(
             col("doc_id"), col("text"), col("lang_guess"),
             col("m.n_tokens").as("n_tokens"),
-            (col("m.stops") / col("m.n_tokens") -
-              col("m.punct") / col("m.n_chars")).as("quality_score"))
+            // guarded like q26: ANSI double division aborts on a
+            // token-less doc, and the n_tokens filter below is not
+            // guaranteed to be pushed beneath this projection
+            (when(col("m.n_tokens") > 0, col("m.stops") / col("m.n_tokens")) -
+              when(col("m.n_chars") > 0, col("m.punct") / col("m.n_chars")))
+              .as("quality_score"))
           .filter(col("lang_guess") === "en")
           .filter(col("n_tokens").between(5, 5000))
           .filter(col("quality_score") > 0.0)
@@ -438,7 +450,8 @@ object ExtQ {
           FROM d),
         scored AS (
           SELECT doc_id, text, toks, n_tokens,
-            stops / n_tokens - punct / n_chars AS quality_score,
+            CASE WHEN n_tokens > 0 THEN stops / n_tokens END
+              - CASE WHEN n_chars > 0 THEN punct / n_chars END AS quality_score,
             md5(text) AS fp
           FROM v
           WHERE (CASE WHEN cjk > 0 THEN 'zh'
@@ -448,7 +461,8 @@ object ExtQ {
                  WHEN v_en = greatest(v_de, v_en, v_es, v_fr) THEN 'en'
                  ELSE 'de' END) = 'en'
             AND n_tokens BETWEEN 5 AND 5000
-            AND stops / n_tokens - punct / n_chars > 0.0),
+            AND CASE WHEN n_tokens > 0 THEN stops / n_tokens END
+              - CASE WHEN n_chars > 0 THEN punct / n_chars END > 0.0),
         kept AS (
           SELECT s.* FROM scored s
           JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM scored GROUP BY fp) k
@@ -647,8 +661,9 @@ object ExtQ {
         t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), TextStats.metrics(col("text")).as("m"))
           .select(col("doc_id"), col("lang"),
-            (col("m.stops") / col("m.n_tokens") -
-              col("m.punct") / col("m.n_chars")).as("quality_score"))
+            (when(col("m.n_tokens") > 0, col("m.stops") / col("m.n_tokens")) -
+              when(col("m.n_chars") > 0, col("m.punct") / col("m.n_chars")))
+              .as("quality_score"))
           .withColumn("quartile",
             Sampling.strata(col("lang"), col("quality_score"), col("doc_id")))
           .groupBy("lang", "quartile")
@@ -670,7 +685,8 @@ object ExtQ {
             punct, CAST(length(text) AS BIGINT) AS n_chars
           FROM d),
         sc AS (
-          SELECT doc_id, lang, stops / n_words - punct / n_chars AS quality_score
+          SELECT doc_id, lang, CASE WHEN n_words > 0 THEN stops / n_words END
+              - CASE WHEN n_chars > 0 THEN punct / n_chars END AS quality_score
           FROM r),
         q AS (
           SELECT lang, quality_score,
@@ -689,8 +705,9 @@ object ExtQ {
         val scored = t(s, dir, "documents")
           .select(col("doc_id"), col("source"), TextStats.metrics(col("text")).as("m"))
           .select(col("doc_id"), col("source"),
-            (col("m.stops") / col("m.n_tokens") -
-              col("m.punct") / col("m.n_chars")).as("quality_score"))
+            (when(col("m.n_tokens") > 0, col("m.stops") / col("m.n_tokens")) -
+              when(col("m.n_chars") > 0, col("m.punct") / col("m.n_chars")))
+              .as("quality_score"))
           .withColumn("n_total",
             count(lit(1)).over(Window.partitionBy(col("source"))))
         Sampling.capPerGroup(scored, col("source"), col("quality_score"),
@@ -715,7 +732,8 @@ object ExtQ {
             punct, CAST(length(text) AS BIGINT) AS n_chars
           FROM d),
         sc AS (
-          SELECT doc_id, source, stops / n_words - punct / n_chars AS quality_score
+          SELECT doc_id, source, CASE WHEN n_words > 0 THEN stops / n_words END
+              - CASE WHEN n_chars > 0 THEN punct / n_chars END AS quality_score
           FROM r),
         q AS (
           SELECT source, quality_score,

@@ -38,8 +38,12 @@ object CurationStream {
       .withColumn("__m", TextStats.metrics(col(textCol)))
       .withColumn("n_tokens", col("__m.n_tokens"))
       .withColumn("quality_score",
-        col("__m.stops") / col("__m.n_tokens") -
-          col("__m.punct") / col("__m.n_chars"))
+        // guarded like TextStats.qualityScore: ANSI double division
+        // aborts on a token-less doc, and a stream must survive any row
+        when(col("__m.n_tokens") > 0,
+          col("__m.stops") / col("__m.n_tokens")) -
+          when(col("__m.n_chars") > 0,
+            col("__m.punct") / col("__m.n_chars")))
       .drop("__m")
       .filter(col("lang_guess") === lang)
       .filter(col("n_tokens").between(minTokens, maxTokens))

@@ -93,7 +93,10 @@ final class IncrementalDedup(
   /** Deduplicate one micro-batch against the accumulated corpus and itself;
     * append survivors. Returns the survivor count. Public so batch
     * backfills and tests drive the exact streaming per-tick logic. */
-  def processBatch(batch: DataFrame, batchId: Long): Long = {
+  def processBatch(batchRaw: DataFrame, batchId: Long): Long = {
+    // same-id copies within ONE batch never meet the strictly-ordered
+    // intra-batch pairing — collapse them first (StreamingAppend scaladoc)
+    val batch = StreamingAppend.collapseSameId(batchRaw, idCol)
     // bands and shingles each feed two consumers (state probe + intra-batch
     // self-join; a/b verify sides) — materialize the narrow rows once
     val newBands = Dedup.minhashTable(batch, textCol, idCol, shingleN, k, bands)

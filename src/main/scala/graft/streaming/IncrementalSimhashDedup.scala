@@ -65,7 +65,10 @@ final class IncrementalSimhashDedup(
 
   /** Deduplicate one micro-batch against the accumulated corpus and itself;
     * append survivors. Returns the survivor count. */
-  def processBatch(batch: DataFrame, batchId: Long): Long = {
+  def processBatch(batchRaw: DataFrame, batchId: Long): Long = {
+    // same-id copies within ONE batch never meet the strictly-ordered
+    // intra-batch pairing — collapse them first (StreamingAppend scaladoc)
+    val batch = StreamingAppend.collapseSameId(batchRaw, idCol)
     val newSigs = batch
       .select(col(idCol), Dedup.simhash(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -156,12 +156,16 @@ final class MonitoringLoop(
     val rows =
       try {
         val n = batch.count()
-        batch.agg(max(col("ts").cast("timestamp"))).head().get(0) match {
-          case t: java.sql.Timestamp =>
-            if (maxEventTime.forall(_.isBefore(t.toInstant)))
-              maxEventTime = Some(t.toInstant)
-          case _ => ()
-        }
+        // the event-time high-water mark only feeds tickClock's fallback;
+        // with a wall clock configured it is never consulted, so skip the
+        // per-batch aggregation job (the seedEventTime gate, applied here)
+        if (clock.isEmpty)
+          batch.agg(max(col("ts").cast("timestamp"))).head().get(0) match {
+            case t: java.sql.Timestamp =>
+              if (maxEventTime.forall(_.isBefore(t.toInstant)))
+                maxEventTime = Some(t.toInstant)
+            case _ => ()
+          }
         ingest(batch, batchId)
         n
       } finally batch.unpersist()
@@ -170,7 +174,18 @@ final class MonitoringLoop(
       throw new RuntimeException("injected crash between append and offset commit")
     }
 
-    val events = catalog.load(table)
+    // loadIfReadable, not load: when the FIRST-ever micro-batch is empty
+    // under a partitioned layout (dedupKeys mode writes only _SUCCESS;
+    // a partitionBy stage has no files to publish), the table directory
+    // is absent or footer-less and a plain load would throw here —
+    // OUTSIDE the detectors' recover wrappers — killing the always-on
+    // query on every restart until data arrives. No readable table means
+    // no ingested history: monitor the empty frame (batch 1 on an empty
+    // table is the documented detectors-run-on-empty-history case).
+    val events = loadIfReadable(table).getOrElse(
+      batch.sparkSession.createDataFrame(
+        batch.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        batch.schema))
     val feeds = EventViews.feedView(events)
     val revenue = EventViews.revenueView(events)
     val now = tickClock()
@@ -193,18 +208,26 @@ final class MonitoringLoop(
       // the reference's complete DAG reconciles daily_revenue against
       // itself (dag/financial_monitoring_complete.py:98).
       recon = () => {
+        // loadIfReadable, not exists+load: a destination whose first
+        // append crashed mid-write EXISTS but has no readable footer —
+        // exists+load would throw inside the detector thunk, be swallowed
+        // by the runner's recover, and leave recon silently CHECK FAILED
+        // every batch with neither the warn nor the fallback firing.
         val dst = reconDest match {
-          case Some(r) if catalog.exists(r) =>
-            reconDestWarned = false
-            EventViews.revenueView(catalog.load(r))
           case Some(r) =>
-            if (!reconDestWarned) {
-              log.warn(s"reconDest '$r' does not exist (yet?) — falling back " +
-                "to self-vs-self reconciliation, which is vacuously green. " +
-                "Check the table name if this persists.")
-              reconDestWarned = true
+            loadIfReadable(r) match {
+              case Some(df) =>
+                reconDestWarned = false
+                EventViews.revenueView(df)
+              case None =>
+                if (!reconDestWarned) {
+                  log.warn(s"reconDest '$r' is absent or unreadable (yet?) — " +
+                    "falling back to self-vs-self reconciliation, which is " +
+                    "vacuously green. Check the table name if this persists.")
+                  reconDestWarned = true
+                }
+                revenue
             }
-            revenue
           case None => revenue
         }
         new ReconciliationDetector(now)

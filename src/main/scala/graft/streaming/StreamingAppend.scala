@@ -109,6 +109,24 @@ private[streaming] object StreamingAppend {
       loaded.filter(col("__batch_id") =!= batchId)
     else loaded
 
+  /** One row per id WITHIN a micro-batch. An at-least-once upstream can
+    * redeliver the same id twice inside one batch (producer retry), and
+    * the dedup twins' intra-batch pairing is strictly ordered
+    * (`doc_a < doc_b`), so same-id copies never pair — both would survive
+    * the anti-join and both append, permanently double-counting the
+    * document in the corpus and bloating its state rows (the keyed replay
+    * anti-join only protects across ATTEMPTS of a batch, not within one).
+    * Keeps the copy with the smallest xxhash64 over all columns — a
+    * deterministic choice under any partitioning, so a crashed-and-
+    * replayed batch collapses to the same row a clean run keeps. The
+    * window shuffle is micro-batch-bounded, never state-sized. */
+  def collapseSameId(batch: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(xxhash64(batch.columns.map(col).toSeq: _*))
+    batch.withColumn("__sameid_rn", row_number().over(w))
+      .filter(col("__sameid_rn") === 1).drop("__sameid_rn")
+  }
+
   /** The shared foreachBatch writer wiring (query name, optional
     * checkpoint for restart durability, polled `AvailableNow` vs
     * continuous `ProcessingTime` trigger) that every streaming loop

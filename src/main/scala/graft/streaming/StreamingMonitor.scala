@@ -35,7 +35,11 @@ object StreamingMonitor {
     perDayHour.groupBy("hod")
       .agg(
         sum(col("cnt")).cast("double").as("s"),
-        sum(col("cnt") * col("cnt")).cast("double").as("q"),
+        // square in DOUBLE: cnt*cnt on longs overflows past ~3.04e9 events
+        // in one (day, hour) cell — an ANSI ARITHMETIC_OVERFLOW abort at
+        // the scale this package documents. The variance is consumed as
+        // double anyway (stddevFrom), so nothing is lost.
+        sum(col("cnt").cast("double") * col("cnt").cast("double")).as("q"),
         count(lit(1)).as("n"))
       .select(col("hod"),
         (col("s") / col("n")).as("baseline_avg"),
@@ -54,21 +58,31 @@ object StreamingMonitor {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("n"))
       .withColumn("hod", hour(col("window_start")))
+    // A baseline is usable only when the hour has history AND at least two
+    // days of it: at baseline_n = 1 the sample variance is 0/0 = NaN
+    // (Exact.varianceFrom's documented caller obligation), and Spark ranks
+    // NaN above every number, so NaN std would slide through ZScore.z's
+    // `std > 0` guard and make abs(NaN) > threshold TRUE — every window in
+    // that hour flagged anomalous (with a contradictory NONE severity)
+    // until a second day of history exists.
+    val usable = col("baseline_avg").isNotNull && col("baseline_n") >= 2
     windowed
       .join(broadcast(baseline), Seq("hod"), "left")
       .withColumn("z_score",
-        graft.ops.ZScore.z(col("n"), col("baseline_avg"), col("baseline_std")))
-      // a window whose hour-of-day has NO baseline row is traffic where
-      // history never saw any — arguably the most anomalous input there
-      // is. The bare left join would null the z-score, null is_anomaly,
-      // and label it NONE: never-before-seen traffic silently classified
-      // normal. Flag it instead, with its own severity so downstream
-      // routing can tell "statistically deviant" from "no history".
+        when(usable,
+          graft.ops.ZScore.z(col("n"), col("baseline_avg"), col("baseline_std"))))
+      // a window whose hour-of-day has NO usable baseline row is traffic
+      // history never saw (or saw on a single day — not enough to define
+      // variance). The bare left join would null the z-score, null
+      // is_anomaly, and label it NONE: never-before-seen traffic silently
+      // classified normal. Flag it instead, with its own severity so
+      // downstream routing can tell "statistically deviant" from
+      // "no (usable) history".
       .withColumn("is_anomaly",
-        when(col("baseline_avg").isNull, lit(true))
+        when(!usable, lit(true))
           .otherwise(graft.ops.ZScore.isAnomaly(col("z_score"), zThreshold)))
       .withColumn("severity",
-        when(col("baseline_avg").isNull, "NO_BASELINE")
+        when(!usable, "NO_BASELINE")
           .otherwise(when(col("is_anomaly"),
             graft.ops.Thresholds.TxnDeviation.severityCol(
               abs(graft.ops.ZScore.deviationPct(col("n"), col("baseline_avg")))))

@@ -53,6 +53,19 @@ class ExtSpec extends SparkSpec {
     assert(r(0).getLong(1) == 3) // 'the' x3
     assert(r(0).getLong(2) == r(3).getLong(2)) // same text, same fingerprint
     assert(r(0).getLong(2) != r(2).getLong(2))
+    // an EMPTY doc has n_chars = 0, so the punct ratio's denominator is
+    // zero — under Spark 4.1 ANSI (which raises DIVIDE_BY_ZERO for DOUBLE
+    // division too) the unguarded score ABORTED the whole job. Guarded,
+    // it is NULL — DuckDB's own divide-by-zero value, so the mirrored
+    // q26/q44/q56/q57 oracles agree even on degenerate corpora.
+    // (n_tokens is never 0: "" tokenizes to one empty token, so
+    // whitespace-only text still scores — only n_chars can hit zero.)
+    val degenerate = Seq((0L, ""), (1L, "   \t  "), (2L, "a b c"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextStats.qualityScore($"text").as("qs"))
+      .orderBy("doc_id").collect()
+    assert(degenerate(0).isNullAt(1))
+    assert(!degenerate(1).isNullAt(1) && !degenerate(2).isNullAt(1))
   }
 
   test("TextStats.langGuess identifies marker languages") {

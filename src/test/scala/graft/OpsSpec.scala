@@ -24,6 +24,31 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 9.0 && r.getLong(5) == 8)
   }
 
+  test("Exact guards: n=1 variance and all-null avg are NULL, not an ANSI abort") {
+    // Spark 4.1 ANSI raises DIVIDE_BY_ZERO for DOUBLE division too, so the
+    // unguarded (q - s*s/n)/(n-1) ABORTED the whole job the first time a
+    // baseline had a single sample (found via StreamingMonitor's
+    // one-day-history case; every stddevFrom consumer shared the hazard)
+    val one = Seq(5.0).toDF("x")
+      .agg(Exact.sum2(col("x")).as("s"), Exact.sumSq2(col("x")).as("q"),
+        count(col("x")).as("n"))
+      .select(Exact.stddevFrom(col("s"), col("q"), col("n")).as("std"),
+        col("n"))
+      .head()
+    assert(one.getLong(1) == 1L && one.isNullAt(0))
+    // n >= 2 values are untouched by the guard (same expression branch)
+    val two = Seq(2.0, 4.0).toDF("x")
+      .agg(Exact.sum2(col("x")).as("s"), Exact.sumSq2(col("x")).as("q"),
+        count(col("x")).as("n"))
+      .select(Exact.stddevFrom(col("s"), col("q"), col("n")).as("std"))
+      .head()
+    assert(math.abs(two.getDouble(0) - math.sqrt(2.0)) < 1e-12)
+    // avg2 over an all-null column: NULL, not a 0/0 abort
+    val nul = Seq[Option[Double]](None, None).toDF("x")
+      .agg(Exact.avg2(col("x")).as("a")).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("ZScore guards: zero stddev -> 0, zero expected -> 0 deviation") {
     val df = Seq((10.0, 10.0, 0.0)).toDF("x", "m", "s")
     val r = df.select(

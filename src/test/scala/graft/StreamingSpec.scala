@@ -1281,4 +1281,146 @@ class StreamingSpec extends SparkSpec {
       ("revenue", base),
       ("revenue", base + 2 * 3600 * 1000)))
   }
+
+  test("dedup twins: same-id copies within ONE micro-batch collapse to one row") {
+    import graft.streaming.{IncrementalDedup, IncrementalLshDedup, IncrementalSimhashDedup}
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-sameid").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val t = "the quick brown fox jumps over the lazy dog near the old barn today"
+    val other = "completely different content about spark query engines and shuffles here"
+
+    // minhash family: id 1 redelivered twice in the same batch (producer
+    // retry) — the strictly-ordered intra-batch pairing (doc_a < doc_b)
+    // can never pair the copies, so before the collapse BOTH appended
+    val inc = new IncrementalDedup(catalog, "sameid.docs", "sameid.bands",
+      threshold = 0.3)
+    assert(inc.processBatch(
+      Seq((1L, t), (1L, t), (2L, other)).toDF("doc_id", "text"), 0L) == 2L)
+    assert(catalog.load("sameid.docs").filter(col("doc_id") === 1L).count() == 1)
+    val bands = catalog.load("sameid.bands").filter(col("doc_id") === 1L)
+    assert(bands.count() == bands.select("band").distinct().count())
+
+    // embedding-LSH family
+    val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val w = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val lsh = new IncrementalLshDedup(catalog, "sameid.vecs", "sameid.buckets",
+      nPlanes = 4, nTables = 2, threshold = 0.8)
+    assert(lsh.processBatch(
+      Seq((1L, v), (1L, v), (2L, w)).toDF("vec_id", "embedding"), 0L) == 2L)
+    assert(catalog.load("sameid.vecs").filter(col("vec_id") === 1L).count() == 1)
+    val buckets = catalog.load("sameid.buckets").filter(col("vec_id") === 1L)
+    assert(buckets.count() == buckets.select("tbl").distinct().count())
+
+    // simhash family
+    val sim = new IncrementalSimhashDedup(catalog, "sameid.sdocs", "sameid.blocks",
+      maxHamming = 3)
+    assert(sim.processBatch(
+      Seq((1L, t), (1L, t), (2L, other)).toDF("doc_id", "text"), 0L) == 2L)
+    assert(catalog.load("sameid.sdocs").filter(col("doc_id") === 1L).count() == 1)
+    val blocks = catalog.load("sameid.blocks").filter(col("doc_id") === 1L)
+    assert(blocks.count() == 4 && blocks.select("blk").distinct().count() == 4)
+
+    // same id, DIFFERENT payloads: the survivor is the xxhash64-minimal
+    // copy — deterministic under any arrival order, so a replayed batch
+    // collapses to the row a clean run kept
+    val incA = new IncrementalDedup(catalog, "sameidA.docs",
+      "sameidA.bands", threshold = 0.3)
+    val incB = new IncrementalDedup(catalog, "sameidB.docs",
+      "sameidB.bands", threshold = 0.3)
+    incA.processBatch(Seq((7L, t), (7L, other)).toDF("doc_id", "text"), 0L)
+    incB.processBatch(Seq((7L, other), (7L, t)).toDF("doc_id", "text"), 0L)
+    val keptA = catalog.load("sameidA.docs").select("text").head().getString(0)
+    val keptB = catalog.load("sameidB.docs").select("text").head().getString(0)
+    assert(keptA == keptB)
+  }
+
+  test("volumeAnomalies: a single-day baseline hour is NO_BASELINE, not a NaN anomaly") {
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+    // ONE day of history for hour 10 => baseline_n = 1 => sample std is
+    // 0/0 = NaN. Spark ranks NaN above every number, so an ungated z would
+    // pass the std > 0 guard and flag EVERY window in that hour anomalous
+    // (abs(NaN) > 2.5 is true) with a contradictory NONE severity.
+    val history = (0 until 5).map(i => ts(f"2024-01-24T10:0$i:00Z"))
+      .toDF("ts")
+    val baseline = StreamingMonitor.hourlyBaseline(history, "ts")
+    val b = baseline.collect()
+    assert(b.length == 1 && b.head.getLong(3) == 1L) // hod 10, n = 1
+
+    val input = MemoryStream[Timestamp]
+    // live hour 10 traffic with count EXACTLY the baseline avg — as
+    // normal as traffic can be
+    input.addData((0 until 5).map(i => ts(f"2024-01-25T10:0$i:00Z")): _*)
+    input.addData(ts("2024-01-25T18:00:00Z")) // advance watermark
+    input.addData(ts("2024-01-25T22:00:00Z"))
+    val q = StreamingMonitor.start(
+      StreamingMonitor.volumeAnomalies(input.toDF().toDF("ts"), baseline, "ts"),
+      "nan_baseline")
+    val drained = q.awaitTermination(120000)
+    if (!drained) q.stop()
+    assert(drained, "drain timed out")
+    val row = spark.table("nan_baseline").collect()
+      .find(_.getTimestamp(0).toInstant == java.time.Instant.parse("2024-01-25T10:00:00Z"))
+      .get
+    // flagged as unusable history — NOT as a statistical anomaly, and the
+    // z-score is null rather than NaN
+    assert(row.getAs[String]("severity") == "NO_BASELINE")
+    assert(row.isNullAt(row.fieldIndex("z_score")))
+    assert(row.getAs[Boolean]("is_anomaly"))
+  }
+
+  test("MonitoringLoop: an EMPTY first batch under a partitioned layout does not crash") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+    val root = java.nio.file.Files.createTempDirectory("graft-emptyfirst").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val am = new AlertManager(FixedClock.at("2024-01-31T18:00:00Z"),
+      Seq(new InMemorySink("log")))
+    // dedupKeys mode: an empty batch 0 writes only _SUCCESS — the table
+    // dir exists but has no parquet footer, so a plain load would throw
+    // OUTSIDE the detectors' recover wrappers and kill the query on every
+    // restart until data arrives
+    val loop = new MonitoringLoop(catalog, "monitoring.emptyfirst", am,
+      expectedFeeds = Seq("click"), dedupKeys = Seq("event_id"))
+    val empty = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    loop.runBatch(empty, 0L) // must not throw
+    assert(loop.outcomes.last.batchRows == 0L)
+    // and the loop recovers normally once data lands
+    val day = Seq((1L, ts("2024-01-31T10:00:00Z"), 10L, "click", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    loop.runBatch(day, 1L)
+    assert(loop.outcomes.last.batchRows == 1L)
+    assert(catalog.load("monitoring.emptyfirst").count() == 1)
+  }
+
+  test("MonitoringLoop: an unreadable reconDest falls back with a warn, not CHECK FAILED") {
+    import graft.alerts.{AlertManager, InMemorySink}
+    import graft.core.FixedClock
+    import graft.streaming.MonitoringLoop
+    val root = java.nio.file.Files.createTempDirectory("graft-tornrecon").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    // a destination whose first append crashed mid-write: the directory
+    // EXISTS but holds only _temporary droppings — exists+load would
+    // throw inside the detector thunk, be swallowed by the runner's
+    // recover, and leave recon silently CHECK FAILED forever
+    val destDir = java.nio.file.Paths.get(root, "monitoring", "torn_dst", "_temporary")
+    java.nio.file.Files.createDirectories(destDir)
+    java.nio.file.Files.write(destDir.resolve("part-0000"), Array[Byte](1, 2, 3))
+    val am = new AlertManager(FixedClock.at("2024-01-31T18:00:00Z"),
+      Seq(new InMemorySink("log")))
+    val loop = new MonitoringLoop(catalog, "monitoring.tornsrc", am,
+      expectedFeeds = Seq("click"), reconDest = Some("monitoring.torn_dst"))
+    val day = Seq((1L, ts("2024-01-30T10:00:00Z"), 10L, "click", 5.0, "{}"),
+        (2L, ts("2024-01-31T09:00:00Z"), 11L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    loop.runBatch(day, 0L)
+    val rc = loop.outcomes.last.result.recon
+    // the designed fallback fired: self-vs-self (vacuously reconciled),
+    // not a swallowed failure
+    assert(rc.isDefined, loop.outcomes.last.result.report)
+    assert(rc.get.isReconciled)
+  }
 }
