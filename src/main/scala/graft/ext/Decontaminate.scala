@@ -133,8 +133,16 @@ object Decontaminate {
   def contaminationPredicate(evalNg: DataFrame, text: Column, n: Int): Column = {
     // the ceiling guard (count) and the collect both execute the eval
     // pipeline — typically an explode + distinct shuffle; persist so the
-    // plan materializes once, not twice per predicate construction
-    val cached = evalNg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // plan materializes once, not twice per predicate construction.
+    // Only unpersist what THIS call persisted: a caller following the
+    // "built once, reused across shards" advice may have cached evalNg
+    // itself, and evicting their cache would silently re-run the eval
+    // shuffle for every later shard.
+    val alreadyCached =
+      evalNg.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached =
+      if (alreadyCached) evalNg
+      else evalNg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val items =
       try {
         val total = cached.count()
@@ -144,7 +152,7 @@ object Decontaminate {
             "contaminatedIdsBloom (scan-time Bloom prune + exact semi-join) " +
             "for reference sets this large")
         cached.collect().map(_.getString(0))
-      } finally cached.unpersist()
+      } finally if (!alreadyCached) cached.unpersist()
     val probe =
       if (items.length <= PredicateLiteralMax)
         graft.functions.AnyInSet(ngrams(text, n), items.toIndexedSeq)

@@ -265,9 +265,13 @@ object Dedup {
   /** 64-bit SimHash over tokens: majority vote per bit of the token hashes.
     * Single-pass native expression ([[graft.functions.SimHash64]]) — the
     * composable 64-fold HOF form walked every token array 64 times through
-    * interpreted lambda machinery (13s at sf0.1 vs <1s for this). */
+    * interpreted lambda machinery (13s at sf0.1 vs <1s for this).
+    * Null text coalesces to "" — the SAME null contract [[shingleHashes]]
+    * pins: a null-propagating signature made every null-vs-anything block
+    * comparison NULL, so duplicated null-text docs silently SURVIVED
+    * simhash dedup while exactClusters and minhash both caught them. */
   def simhash(text: Column): Column =
-    graft.functions.SimHash64(TextStats.tokens(text))
+    graft.functions.SimHash64(TextStats.tokens(coalesce(text, lit(""))))
 
   /** Hamming distance between two simhashes (bit_count of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -120,9 +120,15 @@ object Ivf {
     centroidsFromDF(catalog.load(ref))
 
   private def l2(a: Array[Double], b: Array[Double]): Double = {
+    // loud on a dim mismatch — NearestCentroid's contract applied to the
+    // driver-side probe: a min(len) loop would argmin over TRUNCATED
+    // distances (e.g. stale 32-dim centroids against a 64-dim query) and
+    // the partitioned/PQ probe paths have no downstream check to catch
+    // the silently wrong cell set
+    require(a.length == b.length,
+      s"vector dim mismatch: ${a.length} vs ${b.length} (stale centroids?)")
     var s = 0.0; var i = 0
-    val m = math.min(a.length, b.length)
-    while (i < m) { val d = a(i) - b(i); s += d * d; i += 1 }
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
 
@@ -141,22 +147,17 @@ object Ivf {
     * vector, top-k. The vector and its squared norm ride the plan as
     * LITERALS — no second corpus lookup, no join: the round-4 form
     * re-filtered the (partitioned) corpus for the query row inside the
-    * rerank, a full-partition scan that diluted the probe's pruning. */
+    * rerank, a full-partition scan that diluted the probe's pruning.
+    * ONE definition ([[Similarity.rerankVecLit]]) — the rounding/tie-break
+    * contract every oracle equality depends on must not fork per module. */
   private def rerankVec(cells: DataFrame, qv: Array[Double], excludeId: Option[Long],
-      k: Int, idCol: String, vecCol: String): DataFrame = {
-    val qvLit = array(qv.map(lit).toSeq: _*)
-    excludeId.fold(cells)(q => cells.filter(col(idCol) =!= q))
-      .select(col(idCol),
-        round(Similarity.cosinePre(col(vecCol), qvLit, lit(norm2Vec(qv))), 6)
-          .as("cosine_sim"))
-      .orderBy(desc("cosine_sim"), col(idCol))
-      .limit(k)
-  }
+      k: Int, idCol: String, vecCol: String): DataFrame =
+    Similarity.rerankVecLit(cells, qv, excludeId, k, idCol, vecCol)
 
   /** Empty (idCol, cosine_sim) result — the degraded shape every sibling
     * top-k returns when the queryId is absent. */
   private def emptyTopK(emb: DataFrame, idCol: String): DataFrame =
-    emb.select(col(idCol), lit(0.0d).as("cosine_sim")).limit(0)
+    Similarity.emptyTopK(emb, idCol)
 
   /** Vector-first IVF top-k — the production entry point: query vectors
     * come from OUTSIDE the corpus (a user query embedded on the fly), so
@@ -207,7 +208,7 @@ object Ivf {
   def ivfTopKPartitionedVec(clustered: DataFrame, centroids: Array[Array[Double]],
       qv: Array[Double], k: Int, nProbe: Int = 2, excludeId: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(clustered.columns.contains("cluster"),
+    require(TableShapes.hasColumn(clustered, "cluster"),
       "ivfTopKPartitionedVec requires a stored 'cluster' column — write the " +
         "corpus once via Catalog.save(Ivf.assign(emb, centroids), ref, " +
         "partitionBy = Seq(\"cluster\")) and pass the re-loaded table " +
@@ -221,7 +222,7 @@ object Ivf {
   def ivfTopKPartitioned(clustered: DataFrame, centroids: Array[Array[Double]],
       queryId: Long, k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(clustered.columns.contains("cluster"),
+    require(TableShapes.hasColumn(clustered, "cluster"),
       "ivfTopKPartitioned requires a stored 'cluster' column — write the " +
         "corpus once via Catalog.save(Ivf.assign(emb, centroids), ref, " +
         "partitionBy = Seq(\"cluster\")) and pass the re-loaded table " +
@@ -284,7 +285,10 @@ object Ivf {
     }
     val probes = probeRows.toDF("query_id", "cluster", "qv", "n2q")
     val corpus =
-      if (emb.columns.contains("cluster")) emb else assign(emb, centroids, vecCol)
+      // analyzer-rules membership: a raw contains("cluster") would miss a
+      // stored CLUSTER column, silently re-assign the whole corpus, and
+      // case-insensitively REPLACE the stored assignments
+      if (TableShapes.hasColumn(emb, "cluster")) emb else assign(emb, centroids, vecCol)
     val cells = corpus.filter(
       col("cluster").isin(probeRows.map(_._2).distinct: _*))
     val joined = cells.join(broadcast(probes), Seq("cluster"))

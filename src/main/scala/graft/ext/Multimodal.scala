@@ -33,8 +33,11 @@ object Multimodal {
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
+      // pmod, not %: sign-preserving % on a negative doc_id gives index
+      // <= 0 and an ANSI invalid-array-index abort (syntheticMedia below
+      // already uses pmod for every id-derived index)
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"),
       to_json(struct(col("source"), col("n_chars"))).as("meta"))
 
@@ -44,7 +47,10 @@ object Multimodal {
       col("media_id"), col("kind"),
       length(col("payload")).cast("long").as("n_bytes"),
       sha2(col("payload"), 256).as("sha256"),
-      substring(hex(col("payload")), 1, 8).as("magic"))
+      // slice the BYTES first, then hex: hexing the whole payload
+      // allocates a 2x-payload-size string per row just to keep its
+      // first 8 chars — identical value (first 4 bytes hexed), O(1) cost
+      hex(substring(col("payload"), 1, 4)).as("magic"))
 
   // ───── Format-valid synthetic corpus + real header decode ─────
 

@@ -54,7 +54,12 @@ object Pq {
   def trainCodebooks(emb: DataFrame, m: Int, k: Int = 16, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): Codebooks = {
     require(m >= 1 && k >= 1 && iters >= 1)
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    // loud on an empty corpus: head() on zero rows is an opaque
+    // NoSuchElementException far from the bad argument (the Pq.encode /
+    // PqAdc loud-contract applied to the training entry point)
+    val dimRows = emb.select(size(col(vecCol))).take(1)
+    require(dimRows.nonEmpty, "trainCodebooks: empty corpus — nothing to train on")
+    val dim = dimRows(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
     val subDim = dim / m
     val proj = emb.select(col(idCol), col(vecCol))
@@ -195,9 +200,8 @@ object Pq {
       cb: Codebooks, query: Array[Double], topK: Int, nProbe: Int = 2,
       shortlist: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    require(clusteredEncoded.columns.contains("cluster") &&
-      clusteredEncoded.columns.contains("codes"),
-      "ivfPqTopKVec needs 'cluster' (Ivf.assign) and 'codes' (Pq.encode) columns")
+    TableShapes.requireColumns(clusteredEncoded, Seq("cluster", "codes"),
+      "ivfPqTopKVec", "'cluster' comes from Ivf.assign, 'codes' from Pq.encode")
     val probes = Ivf.nearestClusters(query, centroids, nProbe)
     pqTopKRerankVec(
       clusteredEncoded.filter(col("cluster").isin(probes: _*)),
@@ -220,6 +224,8 @@ object Pq {
       .collect().map(r => (r.getInt(0), r.getInt(1), Similarity.toVec(r, 2)))
     val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    require(books.nonEmpty && books.head.nonEmpty,
+      s"loadCodebooks('$ref'): artifact table is empty — not a trained codebook")
     Codebooks(books, books.head.head.length)
   }
 }

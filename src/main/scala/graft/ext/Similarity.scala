@@ -27,9 +27,17 @@ object Similarity {
   def norm2(a: Column): Column = graft.functions.VectorFunctions.norm2(a)
 
   /** cosine = dot / (sqrt(|a|²) * sqrt(|b|²)) — same shape DuckDB's
-    * list_cosine_similarity uses, so the oracle matches bit-for-bit. */
+    * list_cosine_similarity uses, so the oracle matches bit-for-bit.
+    *
+    * The denominator rides through `nullif`: a ZERO-norm vector (all-zero
+    * embedding) would otherwise be a double divide-by-zero, which this
+    * Spark build's ANSI mode raises as a JOB-ABORTING error (the
+    * varianceFrom lesson — see Exact.scala). Dividing by NULL instead
+    * yields a NULL score, which is also what DuckDB's raw x/0 returns, so
+    * degenerate rows score NULL on both engines and every nonzero-norm
+    * row is bit-identical to the unguarded form. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    dot(a, b) / nullif(sqrt(norm2(a)) * sqrt(norm2(b)), lit(0.0))
 
   /** [[cosine]] with one side's squared norm precomputed. Pair-scoring
     * paths project `norm2(vec)` once per VECTOR and feed it here, so each
@@ -37,11 +45,11 @@ object Similarity {
     * bit-identical (same IEEE operations in the same order; `norm2` is the
     * same left-to-right fold whether evaluated per pair or per row). */
   def cosinePre(a: Column, b: Column, n2b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(n2b))
+    dot(a, b) / nullif(sqrt(norm2(a)) * sqrt(n2b), lit(0.0))
 
   /** [[cosine]] with BOTH squared norms precomputed — one dot per pair. */
   def cosinePre2(a: Column, b: Column, n2a: Column, n2b: Column): Column =
-    dot(a, b) / (sqrt(n2a) * sqrt(n2b))
+    dot(a, b) / nullif(sqrt(n2a) * sqrt(n2b), lit(0.0))
 
   /** Collected array column row → double vector (floats widen). A null
     * vector or null element fails with a usable message instead of an
@@ -70,7 +78,7 @@ object Similarity {
 
   /** `qv` + its norm as plan literals, scoring `rows` top-k — the shared
     * tail of every vector-first single-query form. */
-  private def rerankVecLit(rows: DataFrame, qv: Array[Double],
+  private[ext] def rerankVecLit(rows: DataFrame, qv: Array[Double],
       excludeId: Option[Long], k: Int, idCol: String, vecCol: String): DataFrame = {
     val qvLit = array(qv.map(lit).toSeq: _*)
     excludeId.fold(rows)(q => rows.filter(col(idCol) =!= q))
@@ -80,7 +88,7 @@ object Similarity {
       .limit(k)
   }
 
-  private def emptyTopK(emb: DataFrame, idCol: String): DataFrame =
+  private[ext] def emptyTopK(emb: DataFrame, idCol: String): DataFrame =
     emb.select(col(idCol), lit(0.0d).as("cosine_sim")).limit(0)
 
   /** Vector-first exact top-k — the production entry point: query vectors
@@ -192,13 +200,8 @@ object Similarity {
       "write the corpus once with lshBucket(vec, nPlanes) (optionally " +
         s"partitionBy(\"$bucketCol\") for pruning); an unbucketed corpus " +
         "takes annTopKMultiProbeVec")
-    val qvLit = array(qv.map(lit).toSeq: _*)
-    corpus.filter(col(bucketCol).isin(probes: _*))
-      .transform(rows => excludeId.fold(rows)(q => rows.filter(col(idCol) =!= q)))
-      .select(col(idCol),
-        round(cosinePre(col(vecCol), qvLit, lit(norm2Vec(qv))), 6).as("cosine_sim"))
-      .orderBy(desc("cosine_sim"), col(idCol))
-      .limit(k)
+    rerankVecLit(corpus.filter(col(bucketCol).isin(probes: _*)),
+      qv, excludeId, k, idCol, vecCol)
   }
 
   /** Batched ANN over a persisted-bucket corpus: the m query rows (vector

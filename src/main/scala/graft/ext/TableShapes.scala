@@ -6,19 +6,22 @@ import org.apache.spark.sql.DataFrame
   * (collision tables, bucketed ANN corpora): a clear builder-naming
   * message instead of an unresolved-column analysis error. */
 private[ext] object TableShapes {
-  def requireColumns(df: DataFrame, needed: Seq[String], fn: String,
-      hint: String): Unit = {
-    // match the analyzer's resolution, not something stricter: Spark
-    // resolves columns case-insensitively unless spark.sql.caseSensitive
-    // is on, so a caller-built `Bucket`/`BKEY` table that the downstream
-    // query would accept must pass the guard too
+  /** Column presence under the ANALYZER's resolution rules — the one
+    * membership test every guard and path-choice in ext/ must share:
+    * case-insensitive unless spark.sql.caseSensitive is on. A raw
+    * `columns.contains` would reject (or worse, silently miss and
+    * recompute past) a `Cluster`/`CODES` table every downstream query
+    * resolves fine. */
+  def hasColumn(df: DataFrame, name: String): Boolean = {
     val caseSensitive = df.sparkSession.conf
       .get("spark.sql.caseSensitive", "false").toBoolean
-    val ok =
-      if (caseSensitive) (n: String) => df.columns.contains(n)
-      else (n: String) => df.columns.exists(_.equalsIgnoreCase(n))
-    require(needed.forall(ok),
+    if (caseSensitive) df.columns.contains(name)
+    else df.columns.exists(_.equalsIgnoreCase(name))
+  }
+
+  def requireColumns(df: DataFrame, needed: Seq[String], fn: String,
+      hint: String): Unit =
+    require(needed.forall(hasColumn(df, _)),
       s"$fn requires columns (${needed.mkString(", ")}); " +
         s"got ${df.columns.mkString(", ")} — $hint")
-  }
 }

@@ -206,7 +206,7 @@ object ExtQ {
           .orderBy("media_id"),
       Some("""
         SELECT doc_id AS media_id,
-          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          CASE (doc_id % 3 + 3) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           sha256(text) AS sha256,
           substring(upper(hex(encode(text))), 1, 8) AS magic

@@ -282,9 +282,16 @@ class ExtSpec extends SparkSpec {
 
   test("Dedup.simhashPairs multi-block candidates have ZERO false negatives (pigeonhole)") {
     // every pair within maxHamming bits must surface — compare the blocked
-    // join against the exhaustive O(n²) scan at several radii
-    val sigs = edgeDocs.select($"doc_id", Dedup.simhash($"text").as("sh"))
-      .collect().filterNot(_.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1))
+    // join against the exhaustive O(n²) scan at several radii.
+    // Null text coalesces to "" (the shingleHashes contract, shared since
+    // round 9): signatures are never null, so the two null-text docs and
+    // the empty/whitespace-only docs all pair at hamming 0 instead of
+    // silently surviving dedup through null-propagating comparisons.
+    val rows = edgeDocs.select($"doc_id", Dedup.simhash($"text").as("sh")).collect()
+    assert(rows.forall(!_.isNullAt(1)), "simhash must never be null")
+    val sigs = rows.map(r => r.getLong(0) -> r.getLong(1))
+    val bySig = sigs.toMap
+    assert(bySig(107L) == bySig(108L) && bySig(107L) == bySig(100L))
     for (h <- Seq(0, 3, 7, 15)) {
       val exact = (for {
         (ia, sa) <- sigs; (ib, sb) <- sigs
@@ -656,6 +663,33 @@ class ExtSpec extends SparkSpec {
       l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
     assert(merged.map(_.id) == run(all))
     assert(merged.map(_.id) == Seq(2L, 3L, 5L))
+  }
+
+  test("zero-norm vectors score NULL, not an ANSI divide-by-zero job abort") {
+    // an all-zero embedding makes the cosine denominator 0.0, and this
+    // Spark build's ANSI mode raises DIVIDE_BY_ZERO for double division —
+    // the nullif guard scores such rows NULL (DuckDB's own x/0 value) and
+    // they sort to the bottom of the DESC top-k instead of killing the job
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopKVec(emb, Array(1.0, 0.0), k = 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(top(2).isNullAt(1)) // the zero vector's score is NULL
+    // and a zero QUERY vector degrades to all-NULL scores, no abort
+    val zq = Similarity.bruteForceTopKVec(emb, Array(0.0, 0.0), k = 3).collect()
+    assert(zq.length == 3 && zq.forall(_.isNullAt(1)))
+  }
+
+  test("Ivf probe: a centroid/query dim mismatch fails loudly, never truncates") {
+    // stale 3-dim centroids against a 2-dim query: the driver-side probe
+    // must raise (a min(len) loop would argmin over truncated distances
+    // and return a silently wrong cell set — NearestCentroid's contract)
+    val emb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val e = intercept[IllegalArgumentException](
+      Ivf.ivfTopKVec(emb, cents, Array(1.0, 0.0), k = 1))
+    assert(e.getMessage.contains("dim mismatch"))
   }
 
   test("batched top-k equals per-query exact results and is partitioning-invariant") {
