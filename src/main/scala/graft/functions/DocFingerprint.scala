@@ -47,8 +47,7 @@ case class DocFingerprint(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"doc_fingerprint requires string, got $t")
   }
 
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+  private def isWs(b: Byte): Boolean = Tokenize.isWsByte(b)
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

@@ -79,6 +79,17 @@ case class HyperplaneLsh(child: Expression, nPlanes: Int, nTables: Int, planeOff
   override protected def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val n = vec.numElements()
+    // null components would project as 0.0 — sign bits near the margin
+    // flip vs the true vector and the row lands in a wrong-but-valid
+    // bucket, silently unfindable by every probe (the PqAdc null-slot
+    // contract); validate once before any projection
+    var j = 0
+    while (j < n) {
+      if (vec.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"hyperplane_lsh: null element at index $j — vectors must be dense")
+      j += 1
+    }
     val mat = planeMatrix(n)
     val stride = mat.length / (nPlanes * nTables)
     val out = new Array[Long](nTables)

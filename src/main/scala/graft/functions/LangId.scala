@@ -59,10 +59,13 @@ case class LangId(child: Expression) extends UnaryExpression with CodegenFallbac
 
     var i = 0
     val n = s.length
-    while (i < n) {
+    while (i < n && !cjk) {
       val c = s.charAt(i)
+      // first CJK codepoint decides the answer unconditionally — stop
+      // scanning (a 1 MB zh doc otherwise pays the full tokenize +
+      // lowercase + marker-probe walk for a result already known)
       if (c >= '一' && c <= '鿿') cjk = true
-      if (isWs(c)) closeToken() else sb.append(c)
+      else { if (isWs(c)) closeToken() else sb.append(c) }
       i += 1
     }
     closeToken()
@@ -104,8 +107,7 @@ object LangId {
       .groupBy(_._1)
       .map { case (w, xs) => (w, xs.map(_._2).toArray) }
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+  private def isWs(c: Char): Boolean = Tokenize.isWsChar(c)
 
   def apply(text: Column): Column =
     GraftColumnBridge.column(LangId(GraftColumnBridge.expression(text)))

@@ -47,10 +47,25 @@ case class MinHashK(child: Expression, k: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // An EMPTY shingle array would yield k Long.MaxValue sentinels — one
+    // shared signature that bands every empty doc as a candidate dup of
+    // every other. ShingleHashes never emits empty (short docs fall back
+    // to one whole-text shingle), so an empty array here is misuse of the
+    // raw SQL surface: loud, like the geometry guards of this family.
+    if (n == 0)
+      throw new IllegalArgumentException(
+        "minhash_k: empty shingle array — build inputs with " +
+          "graft_shingle_hashes (its short-doc fallback guarantees >= 1 shingle)")
     val seeds = jSeeds
     val mins = Array.fill(k)(Long.MaxValue)
     var s = 0
     while (s < n) {
+      // getLong reads a null slot as 0 — a phantom shingle whose k hashes
+      // would dominate minima and band unrelated docs together (the
+      // PqAdc null-slot contract)
+      if (arr.isNullAt(s))
+        throw new IllegalArgumentException(
+          s"minhash_k: null shingle hash at index $s — hashes must be dense")
       val base = arr.getLong(s)
       var j = 0
       while (j < k) {

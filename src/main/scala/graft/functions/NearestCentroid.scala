@@ -39,6 +39,17 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val n = vec.numElements()
+    // getFloat/getDouble read a null slot as 0.0 — the distance to every
+    // centroid would be computed against a zeroed component and argmin
+    // would pick a wrong-but-valid cluster with no error (the PqAdc
+    // null-slot contract); validate once up front, not per centroid
+    var j = 0
+    while (j < n) {
+      if (vec.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"nearest_centroid: null element at index $j — vectors must be dense")
+      j += 1
+    }
     var best = 0
     var bestDist = Double.MaxValue
     var c = 0

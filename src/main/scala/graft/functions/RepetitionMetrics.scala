@@ -73,10 +73,18 @@ case class RepetitionMetrics(child: Expression)
     toks.foreach(t => wordCounts.merge(t, 1L, _ + _))
     var topCount = 0L
     var topTok: String = null
+    // the current best's UTF8String only changes when the best changes —
+    // caching it halves the per-tie allocations on repetitive corpora
+    // (this expression's target input)
+    var topTokU: UTF8String = null
     wordCounts.forEach { (tok, c) =>
-      if (c > topCount || (c == topCount &&
-          UTF8String.fromString(tok).compareTo(UTF8String.fromString(topTok)) < 0))
-        { topCount = c; topTok = tok }
+      if (c > topCount) { topCount = c; topTok = tok; topTokU = null }
+      else if (c == topCount) {
+        if (topTokU == null) topTokU = UTF8String.fromString(topTok)
+        if (UTF8String.fromString(tok).compareTo(topTokU) < 0) {
+          topCount = c; topTok = tok; topTokU = null
+        }
+      }
     }
 
     InternalRow(
@@ -99,7 +107,7 @@ object RepetitionMetrics {
     StructField("top_word_count", LongType, nullable = false),
     StructField("top_word_chars", LongType, nullable = false)))
 
-  private val Ws: Pattern = Pattern.compile("\\s+")
+  private val Ws: Pattern = Tokenize.Ws // one shared \s+ definition
 
   def apply(text: Column): Column =
     GraftColumnBridge.column(RepetitionMetrics(GraftColumnBridge.expression(text)))

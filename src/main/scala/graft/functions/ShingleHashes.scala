@@ -76,7 +76,7 @@ case class ShingleHashes(child: Expression, n: Int)
 
 object ShingleHashes {
   /** Same regex Spark's `split(text, "\\s+")` compiles. */
-  private val Ws: Pattern = Pattern.compile("\\s+")
+  private val Ws: Pattern = Tokenize.Ws // one shared \s+ definition
 
   def apply(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))

@@ -74,7 +74,7 @@ object TextMetrics {
     StructField("punct", LongType, nullable = false),
     StructField("n_chars", LongType, nullable = false)))
 
-  private val Ws: Pattern = Pattern.compile("\\s+")
+  private val Ws: Pattern = Tokenize.Ws // one shared \s+ definition
 
   def apply(text: Column, stopwords: Seq[String]): Column =
     GraftColumnBridge.column(

@@ -53,6 +53,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var s = 0.0
     var i = 0
     while (i < n) {
+      // getFloat/getDouble read a null slot as 0.0 — a plausible but
+      // scaled-down score with no error (the PqAdc null-code contract
+      // applied to the whole vector family); null elements are corrupt
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_dot: null element at index $i — embedding vectors must be dense")
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -78,6 +84,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         |}
         |double $s = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+        |    throw new IllegalArgumentException(
+        |      "graft_dot: null element at index " + $i + " — embedding vectors must be dense");
+        |  }
         |  $s += ${getter(a, elemType(left), i)} * ${getter(b, elemType(right), i)};
         |}
         |${ev.value} = $s;

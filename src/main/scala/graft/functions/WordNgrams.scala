@@ -63,7 +63,7 @@ case class WordNgrams(child: Expression, n: Int)
 }
 
 object WordNgrams {
-  private val Ws: Pattern = Pattern.compile("\\s+")
+  private val Ws: Pattern = Tokenize.Ws // one shared \s+ definition
   private val Empty = new GenericArrayData(Array.empty[AnyRef])
 
   def apply(text: Column, n: Int): Column =

@@ -538,6 +538,37 @@ class ExtSpec extends SparkSpec {
       Option(t.getMessage).exists(_.contains("literal integer"))), nullLit.toString)
   }
 
+  test("vector natives: null array slots fail loudly, never read as 0") {
+    import graft.functions.{HyperplaneLsh, MinHashK, NearestCentroid}
+    def msgHas(t: Throwable, s: String): Boolean =
+      causeChain(t).exists(x => Option(x.getMessage).exists(_.contains(s)))
+    // a null element would read as 0.0/0L through the unsafe getters —
+    // plausible-but-wrong scores/buckets/signatures with no error (the
+    // PqAdc null-slot contract, applied to the rest of the family)
+    val holey = Seq((1L, Seq[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("id", "v")
+    val dotE = intercept[Exception](
+      holey.select(Similarity.dot($"v", $"v")).collect())
+    assert(msgHas(dotE, "graft_dot: null element"), dotE.toString)
+    val ncE = intercept[Exception](
+      holey.select(NearestCentroid($"v", Array(Array(1.0, 0.0, 0.0)))).collect())
+    assert(msgHas(ncE, "nearest_centroid: null element"), ncE.toString)
+    val lshE = intercept[Exception](
+      holey.select(HyperplaneLsh($"v", 4, 1)).collect())
+    assert(msgHas(lshE, "hyperplane_lsh: null element"), lshE.toString)
+    // MinHashK: a null shingle hash is a phantom shingle; an empty array
+    // would be one shared sentinel signature banding all empty docs
+    val holeyHashes = Seq((1L, Seq[java.lang.Long](42L, null)))
+      .toDF("id", "sh")
+    val mhE = intercept[Exception](
+      holeyHashes.select(MinHashK($"sh", 4)).collect())
+    assert(msgHas(mhE, "minhash_k: null shingle hash"), mhE.toString)
+    val emptyE = intercept[Exception](
+      Seq((1L, Seq.empty[Long])).toDF("id", "sh")
+        .select(MinHashK($"sh", 4)).collect())
+    assert(msgHas(emptyE, "minhash_k: empty shingle array"), emptyE.toString)
+  }
+
   test("PqAdc: geometry mismatches fail loudly, never mis-score") {
     import graft.functions.PqAdc
     def msgHas(t: Throwable, s: String): Boolean =
