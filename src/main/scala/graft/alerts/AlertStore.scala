@@ -38,9 +38,12 @@ object AlertStore {
   def append(catalog: Catalog, spark: SparkSession, alerts: Seq[Alert],
       ref: String = "financial_monitoring.monitoring_alerts"): Unit = {
     if (alerts.isEmpty) return
-    val (ns, table) = catalog.parseRef(ref)
-    toDataFrame(spark, alerts).write.mode("append")
-      .partitionBy("alert_date").parquet(catalog.path(ns, table))
+    // Catalog.append, not a raw parquet write to the table path: on a
+    // manifest-committed table a raw write's files belong to NO snapshot,
+    // so every alert appended after the table went manifest-mode would be
+    // invisible to load() — silent history loss. The Catalog path also
+    // keeps the partition-layout guard.
+    catalog.append(toDataFrame(spark, alerts), ref, Seq("alert_date"))
   }
 
   /** Load history with the 180-day retention predicate applied at scan.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Clock
-import graft.ops.{Joins, Profiles, Thresholds, TimeFilters}
+import graft.ops.{Joins, Thresholds, TimeFilters}
 
 /** Missing-feed detection (reference `monitoring/detectors/feed_detector.py`).
   *

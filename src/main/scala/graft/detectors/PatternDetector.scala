@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Clock
-import graft.ops.{Joins, Thresholds, TimeFilters}
+import graft.ops.{Thresholds, TimeFilters}
 
 /** Distribution pattern-break detection (reference
   * `monitoring/detectors/pattern_detector.py`): today's per-key volumes vs
@@ -55,11 +55,22 @@ final class PatternDetector(
       // even with null rows present today, a permanent false positive that
       // inflates breaks.size into the severity ladder
       val b = baseline.withColumnRenamed("key", "bkey")
+      // beyond the reference, symmetric with `vanished` below: a key with
+      // today-volume but NO baseline row is a brand-new dimension value —
+      // an appearance is always a break (+100%), regardless of the pct
+      // threshold. The old null deviation was silently filtered, so a data
+      // bug emitting a new key with any volume could never be flagged
+      // while a vanished key always was. (A key whose baseline fell below
+      // minDailyCount reads as new too — it was deliberately excluded
+      // from deviation measurement.)
       val present = todayCounts.join(broadcast(b), col("key") <=> col("bkey"), "left")
+        .withColumn("new_key", col("baseline_avg").isNull)
+        .withColumn("baseline_avg", coalesce(col("baseline_avg"), lit(0.0)))
         .withColumn("deviation_pct",
-          when(col("baseline_avg") > 0,
-            (col("today_value") - col("baseline_avg")) / col("baseline_avg") * 100))
-        .filter(abs(col("deviation_pct")) > breakThresholdPct)
+          when(col("new_key"), lit(100.0))
+            .otherwise(when(col("baseline_avg") > 0,
+              (col("today_value") - col("baseline_avg")) / col("baseline_avg") * 100)))
+        .filter(col("new_key") || abs(col("deviation_pct")) > breakThresholdPct)
       // beyond the reference: a key present all baseline days but absent
       // today is invisible to the today-side left join; a disappearance is
       // always a break (deviation -100%), regardless of the pct threshold

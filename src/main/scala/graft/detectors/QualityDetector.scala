@@ -28,18 +28,36 @@ final class QualityDetector(
     val baseline = TimeFilters.filterDateBetween(facts, tsCol,
       clock.today.minusDays(baselineDays.toLong), clock.today.minusDays(1))
 
-    def pcts(df: DataFrame): Map[String, Double] = {
-      val r = Profiles.nullPcts(df, columns).head()
-      columns.zipWithIndex.map { case (c, i) =>
-        c -> (if (r.isNullAt(i + 1)) 0.0 else r.getDouble(i + 1))
-      }.toMap
-    }
-    val todayPcts = pcts(today)
-    val basePcts = pcts(baseline)
+    // TWO actions, not three: today's null profile and its duplicate
+    // stats combine into ONE aggregate (they were two separate jobs each
+    // re-scanning the same today slice — the serial-driver-loop shape
+    // FreshnessDetector's union already optimized away). The baseline
+    // profile stays its own job: folding it in via a side-tagged union
+    // would drag the countDistinct shuffle across 30 days of data for a
+    // statistic only today needs.
+    val n = count(lit(1))
+    val nullAggs = columns.map(c =>
+      when(n > 0, Profiles.countIf(col(c).isNull) * lit(100.0) / n)
+        .otherwise(lit(0.0)).as(s"${c}_null_pct"))
+    val dupAggs = Seq(
+      count(col(idCol)).as("id_rows"),
+      countDistinct(col(idCol)).as("distinct_ids"))
+    val todayRow = today
+      .agg((nullAggs ++ dupAggs).head, (nullAggs ++ dupAggs).tail: _*).head()
+    val todayPcts = columns.zipWithIndex.map { case (c, i) =>
+      c -> (if (todayRow.isNullAt(i)) 0.0 else todayRow.getDouble(i))
+    }.toMap
+
+    val baseRow = Profiles.nullPcts(baseline, columns).head()
+    val basePcts = columns.zipWithIndex.map { case (c, i) =>
+      c -> (if (baseRow.isNullAt(i + 1)) 0.0 else baseRow.getDouble(i + 1))
+    }.toMap
     val degraded = columns.filter(c => todayPcts(c) - basePcts(c) > degradationPts)
 
-    val dupRow = Profiles.dupStats(today, idCol).head()
-    val dupPct = if (dupRow.getLong(0) == 0) 0.0 else dupRow.getDouble(3)
+    val idRows = todayRow.getLong(columns.size)
+    val distinctIds = todayRow.getLong(columns.size + 1)
+    val dupPct =
+      if (idRows == 0) 0.0 else (idRows - distinctIds).toDouble * 100 / idRows
     val issues = degraded.size + (if (dupPct > dupPctThreshold) 1 else 0)
 
     QualityStatus(todayPcts, dupPct, degraded,

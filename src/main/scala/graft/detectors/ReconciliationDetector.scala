@@ -16,6 +16,15 @@ import graft.ops.{Joins, Thresholds, TimeFilters}
   *
   * API parity: `check_reconciliation(src, dst, date)` →
   * [[checkReconciliation]].
+  *
+  * DELIBERATE reference parity, not an oversight: `isReconciled` derives
+  * from NET totals (`is_reconciled = discrepancy == 0`,
+  * reconciliation_detector.py:61), so offsetting hourly discrepancies —
+  * e.g. 500 rows recorded under a different hour downstream — cancel to a
+  * reconciled NONE state. The hourly breakdown still SURFACES the
+  * offsetting diffs for an operator reading the report; a consumer that
+  * wants hour-level strictness gates on
+  * `hourlyBreakdown.forall(_.diff == 0)` itself.
   */
 final class ReconciliationDetector(clock: Clock) {
 

@@ -28,16 +28,37 @@ object Skew {
     * (factor null-padded rows instead of one), silently corrupting results.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, factor: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", salt: Option[Column] = None): DataFrame = {
     require(factor > 0)
     val jt = joinType.toLowerCase.replace("_", "")
     require(Set("inner", "left", "leftouter", "leftsemi").contains(jt),
       s"saltedJoin supports inner/left/left_semi only, got '$joinType' " +
         "(right/full outer would emit one unmatched row per salt replica)")
-    val salted = big.withColumn("__salt", (rand(42) * factor).cast("int"))
+    // the salt must be a PURE ROW FUNCTION, not per-partition-seeded rand:
+    // a lost map output recomputed through lineage (fetch failure, AQE
+    // re-plan) would re-draw rand() salts, so a row could land on a replica
+    // whose reducer already committed without it — duplicated or dropped
+    // join rows. Same derivation contract as [[saltedAggregate]].
+    val salted = big.withColumn("__salt",
+      salt.getOrElse(spreadingSalt(big, Set(key), factor, "saltedJoin")))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Deterministic spreading salt: `hash(non-key hashable columns) mod
+    * factor` — a pure row function (recomputation-stable), hashing only
+    * NON-key columns because the group/join keys are constant within the
+    * hot key and would collapse every hot row into one bucket. */
+  private def spreadingSalt(df: DataFrame, keySet: Set[String], factor: Int,
+      fn: String): Column = {
+    val hashable = df.schema.fields.collect {
+      case f if !keySet.contains(f.name) && isHashable(f.dataType) => col(f.name)
+    }.toSeq
+    require(hashable.nonEmpty,
+      s"$fn: no hashable non-key column to derive a spreading salt from " +
+        "(value columns are map-typed or absent); pass an explicit salt column")
+    pmod(hash(hashable: _*), lit(factor))
   }
 
   /** Two-phase aggregation: partial on (keys, salt), final on keys.
@@ -66,21 +87,8 @@ object Skew {
       partial: Seq[Column], finalAggs: Seq[Column],
       salt: Option[Column] = None): DataFrame = {
     require(factor > 0 && partial.nonEmpty && finalAggs.nonEmpty)
-    val saltCol = salt.getOrElse {
-      // hash only NON-key columns: the group keys are constant within the
-      // hot key by definition, so a keys-only hash would collapse every
-      // hot-key row into one salt bucket — a silent no-op of the exact
-      // mitigation this helper exists for
-      val keySet = keys.toSet
-      val hashable = df.schema.fields.collect {
-        case f if !keySet.contains(f.name) && isHashable(f.dataType) => col(f.name)
-      }.toSeq
-      require(hashable.nonEmpty,
-        "saltedAggregate: no hashable non-key column to derive a spreading " +
-          "salt from (value columns are map-typed or absent); pass an " +
-          "explicit salt column")
-      pmod(hash(hashable: _*), lit(factor))
-    }
+    val saltCol = salt.getOrElse(
+      spreadingSalt(df, keys.toSet, factor, "saltedAggregate"))
     val salted = df.withColumn("__salt", saltCol)
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)

@@ -25,6 +25,8 @@ final case class MonitoringResult(
 final class MonitoringRunner(alerts: AlertManager,
     checkTimeout: Duration = 10.minutes) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def run(
       feeds: () => FeedStatus, revenue: () => RevenueStatus,
       volume: () => VolumeStatus, freshness: () => FreshnessStatus,
@@ -32,8 +34,14 @@ final class MonitoringRunner(alerts: AlertManager,
       sla: () => SlaStatus, quality: () => QualityStatus)
       (implicit ec: ExecutionContext = ExecutionContext.global): MonitoringResult = {
 
-    def opt[T](f: () => T): Future[Option[T]] =
-      Future(Some(f()): Option[T]).recover { case _ => None }
+    def opt[T](name: String, f: () => T): Future[Option[T]] =
+      Future(Some(f()): Option[T]).recover { case e =>
+        // keep the diagnostic: without this log the report's CHECK FAILED
+        // row is the ONLY trace and the exception class/message is lost
+        log.warn(s"monitoring check '$name' failed: ${e.getClass.getName}: " +
+          s"${e.getMessage}")
+        None
+      }
 
     // bounded barrier: a fatal throwable in a check body (StackOverflowError,
     // InterruptedException — both outside NonFatal, so neither Future.apply
@@ -46,8 +54,10 @@ final class MonitoringRunner(alerts: AlertManager,
       catch { case _: java.util.concurrent.TimeoutException => None }
 
     // fan-out (8 parallel checks) + barrier
-    val fs = (opt(feeds), opt(revenue), opt(volume), opt(freshness),
-      opt(patterns), opt(recon), opt(sla), opt(quality))
+    val fs = (opt("feeds", feeds), opt("revenue", revenue),
+      opt("volume", volume), opt("freshness", freshness),
+      opt("patterns", patterns), opt("recon", recon),
+      opt("sla", sla), opt("quality", quality))
     val (f, r, v, fr, p, rc, s, q) = (
       await(fs._1), await(fs._2), await(fs._3), await(fs._4),
       await(fs._5), await(fs._6), await(fs._7), await(fs._8))

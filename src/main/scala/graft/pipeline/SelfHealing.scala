@@ -103,6 +103,9 @@ object AutoHealer {
   * `retry_delay`, `dag/financial_monitoring_dag.py:45-50`). */
 object Retry {
   def apply[T](attempts: Int, delayMs: Long = 0)(f: => T): T = {
+    // attempts <= 0 would skip the loop and `throw last` with last == null
+    // — a bare NullPointerException masking the caller's bad config
+    require(attempts >= 1, s"Retry: attempts must be >= 1, got $attempts")
     var last: Throwable = null
     var i = 0
     while (i < attempts) {

@@ -54,6 +54,8 @@ class CoreSpec extends AnyFunSuite {
     val r = Retry(3) { n += 1; if (n < 3) sys.error("boom"); n }
     assert(r == 3)
     assertThrows[RuntimeException](Retry(2) { sys.error("always") })
+    // attempts <= 0: a loud argument error, not `throw null` (a bare NPE)
+    assertThrows[IllegalArgumentException](Retry(0) { 42 })
   }
 
   test("SelfHealingRunner heals a bad artifact then gives up on unknown errors") {

@@ -182,6 +182,22 @@ class DetectorsSpec extends SparkSpec {
       b.dimension == "region" && b.key == null && b.deviationPct == -100.0))
   }
 
+  test("PatternDetector: a brand-new key today is a break, symmetric with vanished") {
+    // ASIA has no baseline row at all; before the new-key branch its
+    // deviation was NULL and the threshold filter silently dropped it —
+    // a data bug emitting a new dimension value could never be flagged
+    // while a vanished one always was
+    val rows = (1 to 31).flatMap { d =>
+      val day = today.minusDays(d.toLong)
+      Seq(("EUROPE", "Food", ts(day)))
+    } ++ Seq(("EUROPE", "Food", ts(today)), ("ASIA", "Food", ts(today)))
+    val st = new PatternDetector(rows.toDF("region", "product_category",
+      "transaction_date"), clock, baselineDays = 30).checkPatternBreaks()
+    val asia = st.breaks.find(b => b.dimension == "region" && b.key == "ASIA")
+    assert(asia.isDefined, st.breaks.mkString(","))
+    assert(asia.get.deviationPct == 100.0 && asia.get.baselineAvg == 0.0)
+  }
+
   test("TransactionDetector: baseline median is the real percentile, not the mean") {
     // same-hour daily counts 15,1,1,1,1,1,1: mean 3, median 1 — a consumer
     // reading baseline.median must not silently get the mean

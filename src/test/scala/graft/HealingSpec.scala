@@ -526,6 +526,25 @@ class HealingSpec extends SparkSpec {
     assert(scan.partitionFilters.exists(_.references.exists(_.name == "alert_date")))
   }
 
+  test("AlertStore.append stays visible after the table goes manifest-mode") {
+    import graft.alerts.{Alert, AlertStore}
+    val now = java.time.Instant.parse("2024-01-31T00:00:00Z")
+    val ref = "fm2.alerts_mf"
+    val a1 = Alert("revenue_anomaly", "HIGH", "first", Map.empty, Nil, now)
+    val a2 = Alert("missing_feeds", "MEDIUM", "second", Map.empty, Nil, now)
+    // start as a plain directory table, then a manifest commit ADOPTS it
+    AlertStore.append(catalog, spark, Seq(a1), ref)
+    catalog.commitAppend(AlertStore.toDataFrame(spark, Seq(a2)), ref,
+      partitionBy = Seq("alert_date"))
+    // the store's own append must go through the Catalog: a raw parquet
+    // write into the directory would belong to NO snapshot and every
+    // alert after adoption would silently vanish from load()
+    val a3 = Alert("sla_breach", "CRITICAL", "third", Map.empty, Nil, now)
+    AlertStore.append(catalog, spark, Seq(a3), ref)
+    val titles = catalog.load(ref).select("title").collect().map(_.getString(0)).toSet
+    assert(titles == Set("first", "second", "third"))
+  }
+
   test("DataQualityCheck: schema-driven null profile + assessment") {
     val df = Seq((Some(1), Some("x")), (None, Some("y")), (None, None))
       .toDF("a", "b")
