@@ -50,15 +50,28 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         s"graft_dot: vector dims differ ($n vs ${y.numElements()})")
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
+    // getFloat/getDouble read a null slot as 0.0 — a plausible but
+    // scaled-down score with no error (the PqAdc null-code contract
+    // applied to the whole vector family); null elements are corrupt.
+    // The scan runs as its OWN loop, gated on the schema's containsNull,
+    // so the multiply loop below stays branch-free (hot path: O(pairs·dim))
+    if (leftNullable) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) throw nullElement(i)
+        i += 1
+      }
+    }
+    if (rightNullable) {
+      var i = 0
+      while (i < n) {
+        if (y.isNullAt(i)) throw nullElement(i)
+        i += 1
+      }
+    }
     var s = 0.0
     var i = 0
     while (i < n) {
-      // getFloat/getDouble read a null slot as 0.0 — a plausible but
-      // scaled-down score with no error (the PqAdc null-code contract
-      // applied to the whole vector family); null elements are corrupt
-      if (x.isNullAt(i) || y.isNullAt(i))
-        throw new IllegalArgumentException(
-          s"graft_dot: null element at index $i — embedding vectors must be dense")
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -67,11 +80,34 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     s
   }
 
+  private def leftNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  private def rightNullable: Boolean =
+    right.dataType.asInstanceOf[ArrayType].containsNull
+  private def nullElement(i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_dot: null element at index $i — embedding vectors must be dense")
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def getter(arr: String, t: DataType, i: String): String = t match {
       case FloatType => s"(double) $arr.getFloat($i)"
       case _ => s"$arr.getDouble($i)"
     }
+    // null-slot scan as a SEPARATE loop, emitted only when the schema
+    // admits null elements — keeps the multiply loop branch-free
+    def nullScan(arr: String, nullable: Boolean, n: String): String =
+      if (!nullable) ""
+      else {
+        val j = ctx.freshName("j")
+        s"""
+          |for (int $j = 0; $j < $n; $j++) {
+          |  if ($arr.isNullAt($j)) {
+          |    throw new IllegalArgumentException(
+          |      "graft_dot: null element at index " + $j + " — embedding vectors must be dense");
+          |  }
+          |}
+        """.stripMargin
+      }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -82,12 +118,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         |  throw new IllegalArgumentException(
         |    "graft_dot: vector dims differ (" + $n + " vs " + $b.numElements() + ")");
         |}
+        |${nullScan(a, leftNullable, n)}
+        |${nullScan(b, rightNullable, n)}
         |double $s = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
-        |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
-        |    throw new IllegalArgumentException(
-        |      "graft_dot: null element at index " + $i + " — embedding vectors must be dense");
-        |  }
         |  $s += ${getter(a, elemType(left), i)} * ${getter(b, elemType(right), i)};
         |}
         |${ev.value} = $s;
