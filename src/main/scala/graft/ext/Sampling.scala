@@ -74,7 +74,13 @@ object Sampling {
     * for a handful of huge groups (languages over 100 TB), take
     * [[strataApprox]] — sketch thresholds + broadcast join, no cap. */
   def strata(group: Column, score: Column, tieBreak: Column, n: Int = 4): Column =
-    ntile(n).over(Window.partitionBy(group).orderBy(score, tieBreak)).cast("long")
+    // asc_nulls_last, not Spark's default NULLS FIRST: DuckDB's ASC
+    // default is NULLS LAST, so a null score (an empty doc under the
+    // guarded quality ratios) would otherwise land in quartile 1 on one
+    // engine and quartile n on the other, shifting every sibling's
+    // bucket — the q16 desc_nulls_last lesson on the ascending side
+    ntile(n).over(Window.partitionBy(group)
+      .orderBy(score.asc_nulls_last, tieBreak)).cast("long")
 
   /** The scale path for [[strata]]: per-group APPROXIMATE quantile buckets
     * from `approx_percentile` thresholds — one aggregation plus a broadcast

@@ -368,8 +368,15 @@ object DetectorQ {
     "q20_quality_cross" -> QueryDef(
       (s, dir) => {
         val ev = t(s, dir, "events")
-        def pct(df: org.apache.spark.sql.DataFrame, name: String) =
-          df.agg((Profiles.countIf(col("value") < 0.1) * lit(100.0) / count(lit(1))).as(name))
+        // guarded: COUNT is never null, so an empty slice is 0.0/0 — an
+        // ANSI DIVIDE_BY_ZERO abort (double division included, the
+        // varianceFrom lesson) where the oracle's 0*100.0/0 is NULL;
+        // when-without-otherwise yields the same NULL
+        def pct(df: org.apache.spark.sql.DataFrame, name: String) = {
+          val n = count(lit(1))
+          df.agg(when(n > 0,
+            Profiles.countIf(col("value") < 0.1) * lit(100.0) / n).as(name))
+        }
         val today = pct(TimeFilters.filterOnDate(ev, "ts", EventsToday), "today_pct")
         val base = pct(TimeFilters.filterDateBetween(ev, "ts",
           LocalDate.parse("2024-01-01"), LocalDate.parse("2024-01-29")), "baseline_pct")

@@ -1113,8 +1113,11 @@ object ExtQ {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
-        val query = emb.filter(col("vec_id") === 0L).head()
-          .getSeq[Float](1).map(_.toDouble).toArray
+        val qRows = emb.filter(col("vec_id") === 0L).take(1)
+        require(qRows.nonEmpty,
+          "q67: embeddings corpus has no vec_id 0 (the registry's query-row " +
+            "convention) — not an opaque head() crash")
+        val query = qRows(0).getSeq[Float](1).map(_.toDouble).toArray
         Pq.pqTopKRerankVec(
           Pq.encode(emb.filter(col("vec_id") =!= 0L), cb),
           query, cb, topK = 10, shortlist = 10)
@@ -1359,8 +1362,12 @@ object ExtQ {
             Similarity.lshBucket(col("embedding"), nPlanes = 4)),
           "ann.q73_corpus", partitionBy = Seq("bucket"))
         val corpus = cat.load("ann.q73_corpus")
-        val qv = corpus.filter(col("vec_id") === 0L).select(col("embedding"))
-          .head().getSeq[Float](0).map(_.toDouble).toArray
+        val qRows = corpus.filter(col("vec_id") === 0L)
+          .select(col("embedding")).take(1)
+        require(qRows.nonEmpty,
+          "q73: persisted corpus has no vec_id 0 — corrupt/partial artifact; " +
+            "delete the ann root and rerun")
+        val qv = qRows(0).getSeq[Float](0).map(_.toDouble).toArray
         val probes = Similarity.probeSet(qv, nPlanes = 4, nProbe = 4)
         cat.save(probes.toDF("bucket"), "ann.q73_probes")
         Similarity.annTopKPersistedVec(corpus, qv, k = 10,
@@ -1502,8 +1509,12 @@ object ExtQ {
 
   private def servePq(cat: graft.core.Catalog): DataFrame = {
     val enc = cat.load("ann.q69_corpus")
-    val qv = enc.filter(col("vec_id") === 0L).select(col("embedding"))
-      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val qRows = enc.filter(col("vec_id") === 0L)
+      .select(col("embedding")).take(1)
+    require(qRows.nonEmpty,
+      "servePq: ann.q69_corpus has no vec_id 0 — corrupt/partial artifact; " +
+        "delete the ann root and rerun the witness")
+    val qv = qRows(0).getSeq[Float](0).map(_.toDouble).toArray
     Pq.pqTopKVec(enc.filter(col("vec_id") =!= 0L), qv,
       Pq.loadCodebooks(cat, "ann.q69_codebooks"), topK = 10)
   }
@@ -1543,8 +1554,12 @@ object ExtQ {
 
   private def serveIvfPq(cat: graft.core.Catalog): DataFrame = {
     val corpus = cat.load("ann.q70_corpus")
-    val qv = corpus.filter(col("vec_id") === 0L).select(col("embedding"))
-      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val qRows = corpus.filter(col("vec_id") === 0L)
+      .select(col("embedding")).take(1)
+    require(qRows.nonEmpty,
+      "serveIvfPq: ann.q70_corpus has no vec_id 0 — corrupt/partial artifact; " +
+        "delete the ann root and rerun the witness")
+    val qv = qRows(0).getSeq[Float](0).map(_.toDouble).toArray
     Pq.ivfPqTopKVec(corpus.filter(col("vec_id") =!= 0L),
       Ivf.loadCentroids(cat, "ann.q70_centroids"),
       Pq.loadCodebooks(cat, "ann.q70_codebooks"),

@@ -101,7 +101,9 @@ object RelationalQ {
       Some("""
         SELECT total_rows, distinct_keys,
           total_rows - distinct_keys AS dup_count,
-          CAST(total_rows - distinct_keys AS DOUBLE) * 100 / CAST(total_rows AS DOUBLE) AS dup_pct
+          CASE WHEN total_rows > 0
+            THEN CAST(total_rows - distinct_keys AS DOUBLE) * 100 / CAST(total_rows AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_pct
         FROM (SELECT COUNT(user_id) AS total_rows,
                      COUNT(DISTINCT user_id) AS distinct_keys FROM events)""")),
 
