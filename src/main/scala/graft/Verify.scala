@@ -3,6 +3,27 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Engine/oracle parity precondition on the generated corpus: the engine's
+    * cosine returns NULL for a zero-norm vector (undefined; see
+    * ext/Similarity.cosine), but DuckDB 1.0.0's `list_cosine_similarity` —
+    * the form every cosine oracle uses — returns -1.0 there. No current
+    * corpus contains one, and this assertion turns a future regeneration
+    * that does into ONE loud, self-explaining failure instead of a spray of
+    * inscrutable hash mismatches across the cosine queries. */
+  private def assertNoZeroNormVectors(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val zero = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(graft.functions.VectorFunctions.norm2(col("embedding")) === 0.0)
+      .count()
+    if (zero > 0) sys.error(
+      s"[verify] $zero zero-norm vector(s) in $sfDir/embeddings.parquet: " +
+        "engine cosine yields NULL there but the DuckDB oracle's " +
+        "list_cosine_similarity yields -1.0, so every cosine oracle would " +
+        "diverge. Regenerate the corpus without all-zero embeddings or " +
+        "align the oracle form first.")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length != 2) sys.error("usage: graft.Verify <sfDir> <outDir>")
     val Array(sfDir, outDir) = args
@@ -11,6 +32,7 @@ object Verify {
     // contract and the join-threshold/AQE posture must not drift per-main
     val spark = graft.core.Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
+    assertNoZeroNormVectors(spark, sfDir)
     // Optional comma-separated name filter for local iteration (selfcheck
     // walks the output dirs, so a partial dump self-checks fine). The
     // driver never sets this — its gate always dumps the full registry.

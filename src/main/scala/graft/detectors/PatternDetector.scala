@@ -46,7 +46,12 @@ final class PatternDetector(
         .agg(count(lit(1)).as("cnt"))
         .groupBy("key")
         .agg(avg(col("cnt")).as("baseline_avg"))
-        .filter(col("baseline_avg") > minDailyCount)
+        // keys whose average fell at/below minDailyCount keep their TRUE
+        // baseline_avg but are excluded from deviation measurement: dropping
+        // the row (the old shape) made them indistinguishable from brand-new
+        // keys, so a handful of low-volume dimension values read as "new"
+        // breaks (+100%, baseline 0.0) and could ladder up to critical
+        .withColumn("eligible", col("baseline_avg") > minDailyCount)
       // reference shape (pattern_detector.py:98): today LEFT JOIN baseline.
       // Both joins are null-safe (<=>): a null dimension value forms a real
       // group in both aggregates, and plain equality would (a) never pair it
@@ -56,25 +61,29 @@ final class PatternDetector(
       // inflates breaks.size into the severity ladder
       val b = baseline.withColumnRenamed("key", "bkey")
       // beyond the reference, symmetric with `vanished` below: a key with
-      // today-volume but NO baseline row is a brand-new dimension value —
-      // an appearance is always a break (+100%), regardless of the pct
-      // threshold. The old null deviation was silently filtered, so a data
-      // bug emitting a new key with any volume could never be flagged
-      // while a vanished key always was. (A key whose baseline fell below
-      // minDailyCount reads as new too — it was deliberately excluded
-      // from deviation measurement.)
+      // today-volume but NO baseline history at all is a brand-new dimension
+      // value — an appearance is a break (+100%), regardless of the pct
+      // threshold, PROVIDED today's volume clears the same minDailyCount
+      // floor the baseline side applies (a single stray row on a new key is
+      // below the detector's own materiality line and must not ladder
+      // toward critical). A key with real-but-sub-threshold history is NOT
+      // new: it reports its true baseline_avg and stays excluded from
+      // deviation measurement, so it never flags.
       val present = todayCounts.join(broadcast(b), col("key") <=> col("bkey"), "left")
-        .withColumn("new_key", col("baseline_avg").isNull)
+        .withColumn("new_key",
+          col("baseline_avg").isNull && col("today_value") > minDailyCount)
         .withColumn("baseline_avg", coalesce(col("baseline_avg"), lit(0.0)))
         .withColumn("deviation_pct",
           when(col("new_key"), lit(100.0))
-            .otherwise(when(col("baseline_avg") > 0,
+            .otherwise(when(col("eligible") && col("baseline_avg") > 0,
               (col("today_value") - col("baseline_avg")) / col("baseline_avg") * 100)))
         .filter(col("new_key") || abs(col("deviation_pct")) > breakThresholdPct)
       // beyond the reference: a key present all baseline days but absent
       // today is invisible to the today-side left join; a disappearance is
       // always a break (deviation -100%), regardless of the pct threshold
-      val vanished = b
+      // only measurement-eligible baselines can "vanish" — a key that was
+      // already excluded for sub-threshold volume is not a disappearance
+      val vanished = b.filter(col("eligible"))
         .join(broadcast(todayCounts.select("key")), col("bkey") <=> col("key"), "left_anti")
         .select(col("bkey").as("key"), lit(0.0).as("today_value"),
           col("baseline_avg"), lit(-100.0).as("deviation_pct"))

@@ -32,8 +32,15 @@ object Similarity {
     * The division is `try_divide`: a ZERO-norm vector (all-zero embedding)
     * would otherwise be a double divide-by-zero, which this Spark build's
     * ANSI mode raises as a JOB-ABORTING error (the varianceFrom lesson —
-    * see Exact.scala). try_divide yields NULL on the zero denominator —
-    * also what DuckDB's raw x/0 returns — and is bit-identical to plain
+    * see Exact.scala). try_divide yields NULL on the zero denominator.
+    * NOTE the q-oracles' `list_cosine_similarity` is NOT that shape for
+    * this degenerate input: DuckDB 1.0.0 returns -1.0 for a zero-norm
+    * vector (verified; its raw x/0 is NULL). NULL here is the deliberate
+    * choice — cosine is undefined at zero norm, and NULL propagates/sorts
+    * honestly where a fake -1.0 would rank as "maximally dissimilar" —
+    * and Verify asserts the corpus carries no zero-norm vector, so the
+    * divergence cannot reach an oracle comparison (see
+    * Verify.assertNoZeroNormVectors). try_divide is bit-identical to plain
     * division everywhere else. NOT `nullif(denom, 0)`: that expands to a
     * CASE evaluating the denominator TWICE, and the denominator carries an
     * O(dim) norm2 per scored pair — measured ~1.3-1.5x on every

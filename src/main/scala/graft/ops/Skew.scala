@@ -26,6 +26,22 @@ object Skew {
     * Only inner/left(_outer)/left_semi are admitted: under right/full outer
     * joins each unmatched small-side key would surface once per salt replica
     * (factor null-padded rows instead of one), silently corrupting results.
+    *
+    * Same spreading-salt caveats as [[saltedAggregate]]: big-side rows that
+    * are FULL duplicates (identical non-key values — common in exactly the
+    * skewed data this helper targets) share a salt bucket, so a hot key made
+    * of duplicates stays on one reducer and the mitigation silently does
+    * nothing; and a big frame whose ONLY column is the join key has no
+    * non-key column to hash, so the default salt derivation refuses loudly.
+    * Both shapes take an explicit `salt` — but an explicit salt must still
+    * be a pure row function (the :37 contract below): a layout-dependent
+    * salt (`monotonically_increasing_id`, per-partition `rand`) re-buckets
+    * rows on lineage recomputation, and a re-bucketed row can be duplicated
+    * or dropped across already-committed reducers even though every bucket
+    * would match the same small rows. For the all-duplicates shape the
+    * robust fix is upstream: collapse duplicates first
+    * (`groupBy(all columns).count`) and join the distinct rows, or carry a
+    * stable ingest id (file offset, source row id) into the salt hash.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, factor: Int,
       joinType: String = "inner", salt: Option[Column] = None): DataFrame = {

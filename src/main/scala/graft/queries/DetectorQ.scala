@@ -2,6 +2,7 @@ package graft.queries
 
 import java.time.LocalDate
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -37,6 +38,71 @@ object DetectorQ {
       .withColumn("severity",
         Thresholds.RevenueDeviation.severityCol(abs(col("deviation_pct"))))
   }
+
+  /** Trailing window over the shared `(partitionCols…, d, daily_total)`
+    * daily-table shape, ordered by day within each key. An empty
+    * `partitionCols` is the global-ORDER single-partition form — acceptable
+    * only because the daily input is already aggregated (≤365 rows/entity);
+    * the keyed form is the one that survives a 100× scale-up (see q40). */
+  private def trailingWindow(partitionCols: Seq[String], frame: (Int, Int)) = {
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy("d")
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy("d")
+    base.rowsBetween(frame._1.toLong, frame._2.toLong)
+  }
+
+  /** Shared z-score block of q22/q40 (SURVEY §2.5 W1/W2): trailing-30
+    * exclusive-of-today baseline via one-pass decimal-exact s/q/n — the
+    * DECIMAL(18,2) accumulation is reassociation-safe, so the window's
+    * fold order (and therefore the oracle hash) cannot depend on layout;
+    * stats drop to double only after the windowed sums. `baseline_n >= 7`
+    * is the defined-baseline contract (a week of history before a z-score
+    * means anything); the fixed-decimal rounding absorbs 1-ulp
+    * decimal→double divergence vs the DuckDB oracle's identical casts. */
+  private def trailingZScore(daily: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val w = trailingWindow(partitionCols, (-30, -1))
+    val dec = col("daily_total").cast(DecimalType(18, 2))
+    val out = partitionCols ++ Seq("d", "daily_total", "baseline_avg",
+      "std_dev", "baseline_n", "z_score", "is_anomaly")
+    daily
+      .withColumn("s", sum(dec).over(w).cast("double"))
+      .withColumn("q", sum(dec * dec).over(w).cast("double"))
+      .withColumn("baseline_n", count(col("daily_total")).over(w))
+      .filter(col("baseline_n") >= 7)
+      .withColumn("baseline_avg", col("s") / col("baseline_n"))
+      .withColumn("std_dev", Exact.stddevFrom(col("s"), col("q"), col("baseline_n")))
+      .withColumn("z_score",
+        ZScore.z(col("daily_total"), col("baseline_avg"), col("std_dev")))
+      .withColumn("is_anomaly", ZScore.isAnomaly(col("z_score")))
+      .withColumn("std_dev", round(col("std_dev"), 4))
+      .withColumn("z_score", round(col("z_score"), 6))
+      .select(out.head, out.tail: _*)
+      .orderBy((partitionCols :+ "d").map(col): _*)
+  }
+
+  /** Shared 7-day moving-average block of q23/q41 (SURVEY §2.5 W5): same
+    * decimal-exact windowed sum as [[trailingZScore]], inclusive frame. */
+  private def trailingMa7(daily: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val w = trailingWindow(partitionCols, (-6, 0))
+    val dec = col("daily_total").cast(DecimalType(18, 2))
+    val out = partitionCols ++ Seq("d", "daily_total", "ma7", "n7")
+    daily
+      .withColumn("s", sum(dec).over(w).cast("double"))
+      .withColumn("n7", count(col("daily_total")).over(w))
+      .withColumn("ma7", col("s") / col("n7"))
+      .select(out.head, out.tail: _*)
+      .orderBy((partitionCols :+ "d").map(col): _*)
+  }
+
+  /** Per-(category, day) decimal-exact totals — the keyed daily table
+    * feeding q40/q41. */
+  private def keyedDaily(s: org.apache.spark.sql.SparkSession, dir: String,
+      from: LocalDate): DataFrame =
+    TimeFilters.filterDateBetween(t(s, dir, "orders"), "o_orderdate",
+        from, OrdersToday)
+      .groupBy(col("o_orderpriority").as("category"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(Exact.sum2(col("o_totalprice")).as("daily_total"))
 
   private val categoryDeviationSql = """
         WITH today AS (
@@ -402,30 +468,12 @@ object DetectorQ {
     // one-anchor-date loop, with the reference's >=7 min-sample gate
     // (revenue_detector.py:126). Decimal-cast window sums keep it exact.
     "q22_trailing_window_zscore" -> QueryDef(
-      (s, dir) => {
-        val daily = BaselineStats.dailyTotals(
+      (s, dir) => trailingZScore(
+        BaselineStats.dailyTotals(
           TimeFilters.filterDateBetween(t(s, dir, "orders"), "o_orderdate",
             LocalDate.parse("2001-05-01"), OrdersToday),
-          "o_orderdate", "o_totalprice")
-        val w = Window.orderBy("d").rowsBetween(-30, -1)
-        val dec = col("daily_total").cast(DecimalType(18, 2))
-        daily
-          .withColumn("s", sum(dec).over(w).cast("double"))
-          .withColumn("q", sum(dec * dec).over(w).cast("double"))
-          .withColumn("baseline_n", count(col("daily_total")).over(w))
-          .filter(col("baseline_n") >= 7)
-          .withColumn("baseline_avg", col("s") / col("baseline_n"))
-          .withColumn("std_dev", Exact.stddevFrom(col("s"), col("q"), col("baseline_n")))
-          .withColumn("z_score",
-            ZScore.z(col("daily_total"), col("baseline_avg"), col("std_dev")))
-          .withColumn("is_anomaly", ZScore.isAnomaly(col("z_score")))
-          // fixed-decimal rounding absorbs 1-ulp decimal->double divergence
-          .withColumn("std_dev", round(col("std_dev"), 4))
-          .withColumn("z_score", round(col("z_score"), 6))
-          .select("d", "daily_total", "baseline_avg", "std_dev", "baseline_n",
-            "z_score", "is_anomaly")
-          .orderBy("d")
-      },
+          "o_orderdate", "o_totalprice"),
+        partitionCols = Nil),
       Some("""
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS d,
@@ -451,20 +499,12 @@ object DetectorQ {
 
     // W5 windowed form: 7-day moving average per day via rowsBetween(-6, 0).
     "q23_ma7_window" -> QueryDef(
-      (s, dir) => {
-        val daily = BaselineStats.dailyTotals(
+      (s, dir) => trailingMa7(
+        BaselineStats.dailyTotals(
           TimeFilters.filterDateBetween(t(s, dir, "orders"), "o_orderdate",
             LocalDate.parse("2001-06-01"), OrdersToday),
-          "o_orderdate", "o_totalprice")
-        val w = Window.orderBy("d").rowsBetween(-6, 0)
-        val dec = col("daily_total").cast(DecimalType(18, 2))
-        daily
-          .withColumn("s", sum(dec).over(w).cast("double"))
-          .withColumn("n7", count(col("daily_total")).over(w))
-          .withColumn("ma7", col("s") / col("n7"))
-          .select("d", "daily_total", "ma7", "n7")
-          .orderBy("d")
-      },
+          "o_orderdate", "o_totalprice"),
+        partitionCols = Nil),
       Some("""
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS d,
@@ -487,30 +527,9 @@ object DetectorQ {
     // windows inside each key's partition, so the sort parallelizes and no
     // executor ever sees more than one key's history.
     "q40_keyed_window_zscore" -> QueryDef(
-      (s, dir) => {
-        val daily = TimeFilters.filterDateBetween(t(s, dir, "orders"), "o_orderdate",
-            LocalDate.parse("2001-05-01"), OrdersToday)
-          .groupBy(col("o_orderpriority").as("category"),
-            to_date(col("o_orderdate")).as("d"))
-          .agg(Exact.sum2(col("o_totalprice")).as("daily_total"))
-        val w = Window.partitionBy("category").orderBy("d").rowsBetween(-30, -1)
-        val dec = col("daily_total").cast(DecimalType(18, 2))
-        daily
-          .withColumn("s", sum(dec).over(w).cast("double"))
-          .withColumn("q", sum(dec * dec).over(w).cast("double"))
-          .withColumn("baseline_n", count(col("daily_total")).over(w))
-          .filter(col("baseline_n") >= 7)
-          .withColumn("baseline_avg", col("s") / col("baseline_n"))
-          .withColumn("std_dev", Exact.stddevFrom(col("s"), col("q"), col("baseline_n")))
-          .withColumn("z_score",
-            ZScore.z(col("daily_total"), col("baseline_avg"), col("std_dev")))
-          .withColumn("is_anomaly", ZScore.isAnomaly(col("z_score")))
-          .withColumn("std_dev", round(col("std_dev"), 4))
-          .withColumn("z_score", round(col("z_score"), 6))
-          .select("category", "d", "daily_total", "baseline_avg", "std_dev",
-            "baseline_n", "z_score", "is_anomaly")
-          .orderBy("category", "d")
-      },
+      (s, dir) => trailingZScore(
+        keyedDaily(s, dir, LocalDate.parse("2001-05-01")),
+        partitionCols = Seq("category")),
       Some("""
         WITH daily AS (
           SELECT o_orderpriority AS category, CAST(o_orderdate AS DATE) AS d,
@@ -538,21 +557,9 @@ object DetectorQ {
     // (partitionBy(category) — see q40 for why the keyed form is the one
     // that survives a 100x scale-up).
     "q41_keyed_ma7_window" -> QueryDef(
-      (s, dir) => {
-        val daily = TimeFilters.filterDateBetween(t(s, dir, "orders"), "o_orderdate",
-            LocalDate.parse("2001-06-01"), OrdersToday)
-          .groupBy(col("o_orderpriority").as("category"),
-            to_date(col("o_orderdate")).as("d"))
-          .agg(Exact.sum2(col("o_totalprice")).as("daily_total"))
-        val w = Window.partitionBy("category").orderBy("d").rowsBetween(-6, 0)
-        val dec = col("daily_total").cast(DecimalType(18, 2))
-        daily
-          .withColumn("s", sum(dec).over(w).cast("double"))
-          .withColumn("n7", count(col("daily_total")).over(w))
-          .withColumn("ma7", col("s") / col("n7"))
-          .select("category", "d", "daily_total", "ma7", "n7")
-          .orderBy("category", "d")
-      },
+      (s, dir) => trailingMa7(
+        keyedDaily(s, dir, LocalDate.parse("2001-06-01")),
+        partitionCols = Seq("category")),
       Some("""
         WITH daily AS (
           SELECT o_orderpriority AS category, CAST(o_orderdate AS DATE) AS d,

@@ -59,12 +59,12 @@ object StreamingMonitor {
       .select(col("w.start").as("window_start"), col("n"))
       .withColumn("hod", hour(col("window_start")))
     // A baseline is usable only when the hour has history AND at least two
-    // days of it: at baseline_n = 1 the sample variance is 0/0 = NaN
-    // (Exact.varianceFrom's documented caller obligation), and Spark ranks
-    // NaN above every number, so NaN std would slide through ZScore.z's
-    // `std > 0` guard and make abs(NaN) > threshold TRUE — every window in
-    // that hour flagged anomalous (with a contradictory NONE severity)
-    // until a second day of history exists.
+    // days of it: at baseline_n = 1 Exact.varianceFrom returns NULL (its
+    // n > 1 guard), so the std — and therefore the z-score — would be NULL,
+    // ZScore's flag would be NULL, and the window would fall through to the
+    // no-usable-history branch below anyway; gating here keeps the
+    // "single-day history" case explicitly on that branch instead of
+    // depending on NULL propagation through the z-score arithmetic.
     val usable = col("baseline_avg").isNotNull && col("baseline_n") >= 2
     windowed
       .join(broadcast(baseline), Seq("hod"), "left")

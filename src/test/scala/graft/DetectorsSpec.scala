@@ -198,6 +198,44 @@ class DetectorsSpec extends SparkSpec {
     assert(asia.get.deviationPct == 100.0 && asia.get.baselineAvg == 0.0)
   }
 
+  test("PatternDetector: minDailyCount floors new-key breaks and keeps " +
+      "sub-threshold history out of the 'new' branch") {
+    // EUROPE: healthy everywhere. ASIA: brand-new today with ONE stray row
+    // — below the minDailyCount=2 materiality floor, must NOT flag (a few
+    // such keys used to ladder to critical). AFRICA: brand-new today with
+    // 5 rows — above the floor, flags as new. OCEANIA: real but LOW
+    // history (1/day <= minDailyCount) and present today — excluded from
+    // deviation measurement, and must NOT resurface as a "new" +100% break
+    // the way the old baseline-row-drop shape made it.
+    val rows = (1 to 31).flatMap { d =>
+      val day = today.minusDays(d.toLong)
+      Seq.fill(5)(("EUROPE", "Food", ts(day))) :+ (("OCEANIA", "Food", ts(day)))
+    } ++ Seq.fill(5)(("EUROPE", "Food", ts(today))) ++
+      Seq(("OCEANIA", "Food", ts(today)), ("ASIA", "Food", ts(today))) ++
+      Seq.fill(5)(("AFRICA", "Food", ts(today)))
+    val st = new PatternDetector(rows.toDF("region", "product_category",
+        "transaction_date"), clock, baselineDays = 30,
+      minDailyCount = 2).checkPatternBreaks()
+    val byKey = st.breaks.filter(_.dimension == "region").map(b => b.key -> b).toMap
+    assert(!byKey.contains("ASIA"), st.breaks.mkString(","))
+    assert(!byKey.contains("OCEANIA"), st.breaks.mkString(","))
+    assert(byKey.get("AFRICA").exists(b =>
+      b.deviationPct == 100.0 && b.baselineAvg == 0.0), st.breaks.mkString(","))
+    assert(!byKey.contains("EUROPE"))
+
+    // and a sub-threshold-history key that disappears is NOT a vanished
+    // break either — it was never measurement-eligible
+    val goneLow = (1 to 31).flatMap { d =>
+      val day = today.minusDays(d.toLong)
+      Seq.fill(5)(("EUROPE", "Food", ts(day))) :+ (("OCEANIA", "Food", ts(day)))
+    } ++ Seq.fill(5)(("EUROPE", "Food", ts(today)))
+    val st2 = new PatternDetector(goneLow.toDF("region", "product_category",
+        "transaction_date"), clock, baselineDays = 30,
+      minDailyCount = 2).checkPatternBreaks()
+    assert(!st2.breaks.exists(b => b.dimension == "region" && b.key == "OCEANIA"),
+      st2.breaks.mkString(","))
+  }
+
   test("TransactionDetector: baseline median is the real percentile, not the mean") {
     // same-hour daily counts 15,1,1,1,1,1,1: mean 3, median 1 — a consumer
     // reading baseline.median must not silently get the mean

@@ -1237,6 +1237,112 @@ class StreamingSpec extends SparkSpec {
     assert(cat.load("w.vbuckets").select("vec_id").distinct().count() == 1L)
   }
 
+  test("dedup twins: compact+vacuum racing the corpus and state appends " +
+      "keeps survivor sets equal to a maintenance-free run") {
+    // The delta-chain stress pins the manifest commit protocol against
+    // racing maintenance for the MonitoringLoop family; this is the same
+    // harness turned on the two r9 twins — a maintenance thread
+    // compacts+vacuums BOTH tables of the racy instance (corpus AND
+    // collision state) for the whole run, with one injected crash+replay
+    // mid-stream, while a clean instance on untouched tables processes the
+    // identical batches. The twins' probe-then-append cycle must read the
+    // same accepted state whether or not a sweep just rewrote the chain:
+    // survivor sets equal, and re-arrivals still drop afterward (no state
+    // row eaten by a vacuum).
+    import graft.streaming.{IncrementalLshDedup, IncrementalSimhashDedup}
+    final case class Harness(process: (org.apache.spark.sql.DataFrame, Long) => Long,
+      armCrash: () => Unit, disarm: () => Unit)
+    def text(k: Int) =
+      s"document about topic ${k % 7} with number $k plus words w${k * 13 % 101} w${k * 29 % 97} w${k * 31 % 89}"
+    def vec(k: Int): Seq[Float] =
+      Seq.tabulate(8)(d => math.sin(k * 8.0 + d).toFloat)
+    val families = Seq[(String, String, (graft.core.Catalog, String, String) => Harness, Seq[(Long, Int)] => org.apache.spark.sql.DataFrame)](
+      ("simhash", "doc_id", (c, d, s) => {
+        val l = new IncrementalSimhashDedup(c, d, s, maxHamming = 3)
+        Harness(l.processBatch, () => l.crashBetweenAppendsOnce = true,
+          () => l.crashBetweenAppendsOnce = false)
+      }, rows => rows.map { case (id, k) => (id, text(k)) }.toDF("doc_id", "text")),
+      ("lsh", "vec_id", (c, d, s) => {
+        val l = new IncrementalLshDedup(c, d, s, nPlanes = 4, nTables = 8,
+          threshold = 0.999)
+        Harness(l.processBatch, () => l.crashBetweenAppendsOnce = true,
+          () => l.crashBetweenAppendsOnce = false)
+      }, rows => rows.map { case (id, k) => (id, vec(k)) }.toDF("vec_id", "embedding")))
+
+    for ((fam, idCol, mkLoop, mkBatch) <- families) {
+      val rnd = new scala.util.Random(fam.hashCode ^ 4242)
+      val seen = scala.collection.mutable.ArrayBuffer[Int]()
+      var nextId = 0L
+      val batches = (0 until 8).map { _ =>
+        (0 until (2 + rnd.nextInt(3))).map { _ =>
+          val k =
+            if (seen.nonEmpty && rnd.nextDouble() < 0.4) seen(rnd.nextInt(seen.size))
+            else { val f = rnd.nextInt(10000); seen += f; f }
+          nextId += 1
+          (nextId, k)
+        }
+      }
+      val root = java.nio.file.Files.createTempDirectory(s"graft-mx-$fam").toString
+      val cat = new graft.core.Catalog(spark, root)
+      val racy = mkLoop(cat, s"mx.${fam}_docs", s"mx.${fam}_state")
+      val clean = mkLoop(cat, s"mx.${fam}_docs2", s"mx.${fam}_state2")
+
+      @volatile var stopMaint = false
+      val maintErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val vacuumed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maint = new Thread(() => {
+        var i = 0
+        while (!stopMaint) {
+          for (t <- Seq(s"${fam}_docs", s"${fam}_state")) {
+            try {
+              if (cat.isManifest("mx", t) && cat.exists(s"mx.$t")) {
+                if (i % 3 == 0)
+                  try cat.compact(s"mx.$t")
+                  catch { case _: java.io.IOException => () } // CAS loss to a live append
+                cat.vacuum(s"mx.$t", retainLast = 3)
+                vacuumed.incrementAndGet()
+              }
+            } catch { case e: Throwable => maintErrors.add(e) }
+          }
+          i += 1
+          Thread.sleep(15)
+        }
+      })
+      maint.start()
+      try {
+        batches.zipWithIndex.foreach { case (keys, b) =>
+          val df = mkBatch(keys)
+          if (b == 4) {
+            // one crashed-then-replayed batch with maintenance still racing:
+            // the replay's partial-append protection must hold against a
+            // freshly compacted/swept chain too
+            racy.armCrash()
+            try { racy.process(df, b.toLong); racy.disarm() }
+            catch {
+              case e: RuntimeException if e.getMessage != null &&
+                  e.getMessage.startsWith("injected crash") =>
+                racy.process(df, b.toLong)
+            }
+          } else racy.process(df, b.toLong)
+          clean.process(df, b.toLong)
+        }
+      } finally { stopMaint = true; maint.join() }
+      assert(maintErrors.isEmpty,
+        s"$fam: maintenance beside live twin ingest broke: ${maintErrors.peek()}")
+      assert(vacuumed.get() > 0, s"$fam: vacuum never actually raced the writer")
+      def ids(t: String) = cat.load(t).select(idCol).collect()
+        .map(_.getLong(0)).toSet
+      assert(ids(s"mx.${fam}_docs") == ids(s"mx.${fam}_docs2"),
+        s"$fam: survivors diverged under racing compact+vacuum")
+      // no state row lost to a sweep: surviving content re-arriving drops
+      val replay = seen.distinct.take(4).zipWithIndex
+        .map { case (k, i) => (900000L + i, k) }
+      val n = racy.process(mkBatch(replay.toSeq), 99L)
+      assert(n == 0L, s"$fam: $n re-arrivals survived after racing vacuum")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("dedupStateful: default lateness admits first occurrences that skew across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AlertEvent]

@@ -65,12 +65,19 @@ def main():
         rows.append((ratio, q, o, n))
     rows.sort(reverse=True)
     flagged = [r for r in rows if r[0] >= flag and r[3] >= 0.1]
+    # Bench self-reports per-query max/min sample spread (its noise meter);
+    # a flag on a query whose own samples disagreed by >= the flag ratio is
+    # annotated — the measurement, not the code, is the likely cause.
+    spreads = {**old.get("spread", {}), **new.get("spread", {})}
     print(f"{len(shared)} shared queries "
           f"(old has {len(oq)}, new has {len(nq)}); flag ratio {flag}")
-    print(f"{'ratio':>7}  {'old_s':>8}  {'new_s':>8}  query")
+    print(f"{'ratio':>7}  {'old_s':>8}  {'new_s':>8}  {'spread':>6}  query")
     for ratio, q, o, n in rows:
         mark = " <-- FLAG" if (ratio, q, o, n) in flagged else ""
-        print(f"{ratio:7.2f}  {o:8.3f}  {n:8.3f}  {q}{mark}")
+        if mark and spreads.get(q, 1.0) >= flag:
+            mark += " (noisy samples — suspect the host first)"
+        sp = f"{spreads[q]:6.2f}" if q in spreads else "     -"
+        print(f"{ratio:7.2f}  {o:8.3f}  {n:8.3f}  {sp}  {q}{mark}")
     tot_o = sum(oq[q] for q in shared)
     tot_n = sum(nq[q] for q in shared)
     print(f"shared-set total: {tot_o:.1f}s -> {tot_n:.1f}s "
