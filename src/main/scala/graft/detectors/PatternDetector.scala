@@ -47,10 +47,12 @@ final class PatternDetector(
         .groupBy("key")
         .agg(avg(col("cnt")).as("baseline_avg"))
         // keys whose average fell at/below minDailyCount keep their TRUE
-        // baseline_avg but are excluded from deviation measurement: dropping
-        // the row (the old shape) made them indistinguishable from brand-new
-        // keys, so a handful of low-volume dimension values read as "new"
-        // breaks (+100%, baseline 0.0) and could ladder up to critical
+        // baseline_avg but are not measurement-eligible on baseline volume
+        // alone: dropping the row (the old shape) made them
+        // indistinguishable from brand-new keys, so a handful of low-volume
+        // dimension values read as "new" breaks (+100%, baseline 0.0) and
+        // could ladder up to critical. They can still EARN measurement on
+        // today's volume — see the deviation branch below.
         .withColumn("eligible", col("baseline_avg") > minDailyCount)
       // reference shape (pattern_detector.py:98): today LEFT JOIN baseline.
       // Both joins are null-safe (<=>): a null dimension value forms a real
@@ -67,15 +69,22 @@ final class PatternDetector(
       // floor the baseline side applies (a single stray row on a new key is
       // below the detector's own materiality line and must not ladder
       // toward critical). A key with real-but-sub-threshold history is NOT
-      // new: it reports its true baseline_avg and stays excluded from
-      // deviation measurement, so it never flags.
+      // new: it reports its true baseline_avg, and is measured against it
+      // whenever TODAY's volume clears the same minDailyCount floor —
+      // otherwise a low-volume key that surges (baseline 1.5/day, today
+      // 5000) could never flag while a truly-new key with the same today
+      // volume flags at +100%, i.e. having a little history would suppress
+      // alerting more than having none. A sub-threshold key that stays
+      // quiet today (neither side clears the floor) remains unmeasured.
       val present = todayCounts.join(broadcast(b), col("key") <=> col("bkey"), "left")
         .withColumn("new_key",
           col("baseline_avg").isNull && col("today_value") > minDailyCount)
         .withColumn("baseline_avg", coalesce(col("baseline_avg"), lit(0.0)))
         .withColumn("deviation_pct",
           when(col("new_key"), lit(100.0))
-            .otherwise(when(col("eligible") && col("baseline_avg") > 0,
+            .otherwise(when(
+              (col("eligible") || col("today_value") > minDailyCount)
+                && col("baseline_avg") > 0,
               (col("today_value") - col("baseline_avg")) / col("baseline_avg") * 100)))
         .filter(col("new_key") || abs(col("deviation_pct")) > breakThresholdPct)
       // beyond the reference: a key present all baseline days but absent

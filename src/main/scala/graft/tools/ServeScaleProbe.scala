@@ -71,7 +71,14 @@ object ServeScaleProbe {
       scala.util.Try {
         scala.io.Source.fromFile("/proc/diskstats").getLines()
           .map(_.trim.split("\\s+"))
-          .filter(f => f.length > 5 && f(2).matches("[a-z]+da?|nvme\\d+n\\d+|vd[a-z]"))
+          // whole devices only, across SCSI/IDE/Xen-virt/virtio/NVMe/eMMC
+          // families (sda AND sdb/xvdf — an earlier `[a-z]+da?` form only
+          // matched the FIRST SCSI device, silently reading ~0 cold MB on
+          // hosts whose data disk is sdb+); full-string match excludes
+          // partition suffixes (sda1, nvme0n1p1, mmcblk0p1 all carry a
+          // trailing digit the whole-device patterns reject)
+          .filter(f => f.length > 5 &&
+            f(2).matches("(x?v|s|h)d[a-z]+|nvme\\d+n\\d+|mmcblk\\d+"))
           .map(_(5).toLong).sum
       }.getOrElse(0L)
 

@@ -236,6 +236,27 @@ class DetectorsSpec extends SparkSpec {
       st2.breaks.mkString(","))
   }
 
+  test("PatternDetector: a sub-threshold-history key that SURGES today is " +
+      "measured against its true baseline, not silently dropped") {
+    // OCEANIA has real but low history (1/day <= minDailyCount=2). Quietly
+    // present today it stays unmeasured (previous test); but 50 rows today
+    // clears the materiality floor, and suppressing it would mean a little
+    // history hides a surge a brand-new key would have flagged. It must
+    // flag against its TRUE baseline_avg (1.0), not as a +100% "new" key.
+    val rows = (1 to 31).flatMap { d =>
+      val day = today.minusDays(d.toLong)
+      Seq.fill(5)(("EUROPE", "Food", ts(day))) :+ (("OCEANIA", "Food", ts(day)))
+    } ++ Seq.fill(5)(("EUROPE", "Food", ts(today))) ++
+      Seq.fill(50)(("OCEANIA", "Food", ts(today)))
+    val st = new PatternDetector(rows.toDF("region", "product_category",
+        "transaction_date"), clock, baselineDays = 30,
+      minDailyCount = 2).checkPatternBreaks()
+    val oce = st.breaks.find(b => b.dimension == "region" && b.key == "OCEANIA")
+    assert(oce.isDefined, st.breaks.mkString(","))
+    assert(oce.get.baselineAvg == 1.0 && oce.get.deviationPct == 4900.0,
+      oce.toString)
+  }
+
   test("TransactionDetector: baseline median is the real percentile, not the mean") {
     // same-hour daily counts 15,1,1,1,1,1,1: mean 3, median 1 — a consumer
     // reading baseline.median must not silently get the mean

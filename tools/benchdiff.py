@@ -65,18 +65,22 @@ def main():
         rows.append((ratio, q, o, n))
     rows.sort(reverse=True)
     flagged = [r for r in rows if r[0] >= flag and r[3] >= 0.1]
-    # Bench self-reports per-query max/min sample spread (its noise meter);
-    # a flag on a query whose own samples disagreed by >= the flag ratio is
-    # annotated — the measurement, not the code, is the likely cause.
-    spreads = {**old.get("spread", {}), **new.get("spread", {})}
+    # Bench self-reports per-query sample spread (its noise meter; since r11
+    # the map is SPARSE — an absent entry means the samples agreed within
+    # 1.5x). A flag is annotated when EITHER artifact's own samples
+    # disagreed by >= the flag ratio: a noisy OLD measurement inflates the
+    # old min just as misleadingly as a noisy new one, so the measurement,
+    # not the code, is the likely cause either way.
+    os_, ns_ = old.get("spread", {}), new.get("spread", {})
     print(f"{len(shared)} shared queries "
           f"(old has {len(oq)}, new has {len(nq)}); flag ratio {flag}")
     print(f"{'ratio':>7}  {'old_s':>8}  {'new_s':>8}  {'spread':>6}  query")
     for ratio, q, o, n in rows:
+        worst = max(os_.get(q, 1.0), ns_.get(q, 1.0))
         mark = " <-- FLAG" if (ratio, q, o, n) in flagged else ""
-        if mark and spreads.get(q, 1.0) >= flag:
+        if mark and worst >= flag:
             mark += " (noisy samples — suspect the host first)"
-        sp = f"{spreads[q]:6.2f}" if q in spreads else "     -"
+        sp = f"{worst:6.2f}" if (q in os_ or q in ns_) else "     -"
         print(f"{ratio:7.2f}  {o:8.3f}  {n:8.3f}  {sp}  {q}{mark}")
     tot_o = sum(oq[q] for q in shared)
     tot_n = sum(nq[q] for q in shared)
@@ -91,6 +95,13 @@ def main():
     for side, d in (("old", old), ("new", new)):
         if d.get("failed"):
             print(f"{side} failed queries:", d["failed"])
+        # samples map (r11+): successful-sample count where it differs from
+        # `passes` — below means partial failures (flaky query), above means
+        # the adaptive re-sampler ran (noisy measurement)
+        p = d.get("passes")
+        for q, cnt in sorted(d.get("samples", {}).items()):
+            kind = "partial failures" if (p and cnt < p) else "re-sampled"
+            print(f"{side} {q}: {cnt} samples ({kind})")
     if flagged:
         print(f"{len(flagged)} flagged regression(s) >= {flag}x "
               "(re-run before concluding: bench is order/GC sensitive)")
