@@ -4,47 +4,133 @@
 Usage:
   python3 tools/benchdiff.py OLD.json NEW.json [ratio_flag]
 
-OLD/NEW are Bench outputs (`bench_latest.json` or a driver `BENCH_rNN.json`
-whose captured line may be truncated — a file that fails to parse as a whole
-is scanned for the LAST parseable `{"metric":...}` line instead). Prints the
-queries present in both, sorted by new/old ratio, flags anything slower than
-`ratio_flag` (default 1.3), and lists queries only in one file. Sub-100ms
-queries are never flagged (pure jitter). Exit code 1 when a flagged
-regression exists, so the round workflow can gate on it.
+OLD/NEW are Bench outputs in any of their historical shapes:
+  - the repo-root full line (`bench_latest.json`),
+  - a raw one-line Bench stdout capture,
+  - a driver `BENCH_rNN.json` wrapper ({"n":…,"rc":…,"tail":"…"}) whose
+    `tail` holds only the LAST ~2000 chars of the line — the per-field
+    recovery below reconstructs whatever maps survive in the fragment
+    (since r11 the line orders the compact per-query map last, so the
+    tail always contains every per-query timing).
+
+Query names are normalized to their `qNN` prefix before matching: r11+
+artifacts key the per-query map by the prefix alone (the full-name map
+cannot fit the driver's tail window), while older artifacts and the
+spread/samples/failed fields carry full registry names. The report prints
+the longest name either side knows.
+
+Prints the queries present in both, sorted by new/old ratio, flags anything
+slower than `ratio_flag` (default 1.3), and lists queries only in one file.
+Sub-100ms queries are never flagged (pure jitter). Exit code 1 when a
+flagged regression exists, so the round workflow can gate on it.
 
 Wall-clock totals are compared ONLY over the shared query set: totals over
 different registries measure registry growth, not performance.
 """
 import json
+import re
 import sys
+
+
+def parse_metric_text(text):
+    """Parse a Bench metric line, whole or tail-truncated.
+
+    A complete line parses directly. For a truncated fragment, each known
+    map field is recovered independently by locating its key and
+    raw-decoding the first complete JSON value after it — so a tail that
+    lost the line's head still yields whatever maps survive in full.
+    """
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "queries" in d:
+            return d
+    except json.JSONDecodeError:
+        pass
+    dec = json.JSONDecoder()
+    out = {}
+    spans = []  # (start, end) of recovered values, for the orphan scan
+    for field in ("queries", "spread", "samples", "skipped", "failed"):
+        at = text.rfind('"%s":' % field)
+        if at < 0:
+            continue
+        vstart = at + len(field) + 3
+        try:
+            val, vend = dec.raw_decode(text[vstart:])
+            out[field] = val
+            spans.append((at, vstart + vend))
+        except json.JSONDecodeError:
+            continue
+    m = re.search(r'"sf":("[^"]*")', text)
+    if m:
+        out["sf"] = json.loads(m.group(1))
+    m = re.search(r'"passes":(\d+)', text)
+    if m:
+        out["passes"] = int(m.group(1))
+    if "queries" not in out:
+        # A tail can start MID-map, the map's own key cut off. Blank the
+        # spans recovered above; any orphan "qNN...":number pairs left are
+        # a truncated map's survivors — but WHICH map? The spread map's
+        # entries look exactly like timings (r10's artifact truncated
+        # mid-spread, and reading noise ratios as seconds would be worse
+        # than refusing). The line's field order disambiguates: a queries
+        # fragment is followed by "passes"/"spread" (pre-r11 order) or by
+        # nothing (r11 puts queries last); a spread/samples fragment is
+        # followed by "samples"/"failed"/"skipped"/"sf".
+        blanked = list(text)
+        for s, e in spans:
+            blanked[s:e] = " " * (e - s)
+        blanked = "".join(blanked)
+        pairs = list(re.finditer(r'"(q\d+[^"]*)":(\d+(?:\.\d+)?)', blanked))
+        if pairs:
+            after = blanked[pairs[-1].end():]
+            nxt = re.search(r'"(passes|spread|samples|failed|skipped|sf)":',
+                            after)
+            if nxt is None or nxt.group(1) in ("passes", "spread"):
+                out["queries"] = {m.group(1): float(m.group(2)) for m in pairs}
+                out["partial"] = True
+    return out if "queries" in out else None
 
 
 def load(path):
     raw = open(path).read()
     try:
         d = json.loads(raw)
-        if isinstance(d, dict) and "queries" in d:
-            return d
+        if isinstance(d, dict):
+            if "queries" in d:
+                return d
+            if isinstance(d.get("tail"), str):  # driver BENCH_rNN wrapper
+                got = parse_metric_text(d["tail"])
+                if got is not None:
+                    got.setdefault("sf", d.get("sf"))
+                    return got
+                sys.exit(f"benchdiff: {path} is a driver wrapper but its "
+                         "tail holds no complete per-query map")
     except json.JSONDecodeError:
         pass
-    # driver tail-capture file: find the last parseable metric line
+    # raw stdout capture: find the last line yielding a per-query map
     best = None
     for line in raw.splitlines():
-        line = line.strip()
-        if '"metric"' not in line:
-            continue
         start = line.find("{")
         if start < 0:
             continue
-        try:
-            d = json.loads(line[start:])
-            if isinstance(d, dict) and "queries" in d:
-                best = d
-        except json.JSONDecodeError:
-            continue
+        got = parse_metric_text(line[start:])
+        if got is not None:
+            best = got
+    if best is None:
+        best = parse_metric_text(raw)
     if best is None:
         sys.exit(f"benchdiff: no parseable bench JSON in {path}")
     return best
+
+
+def norm(name):
+    """qNN prefix — the identity stable across full-name and compact keys."""
+    head = name.split("_", 1)[0]
+    return head if re.fullmatch(r"q\d+", head) else name
+
+
+def norm_map(d):
+    return {norm(k): v for k, v in (d or {}).items()}
 
 
 def main():
@@ -53,10 +139,21 @@ def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     flag = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     old, new = load(old_path), load(new_path)
-    oq, nq = old["queries"], new["queries"]
+    oq, nq = norm_map(old["queries"]), norm_map(new["queries"])
+    # longest spelling seen anywhere, for display
+    names = {}
+    for d in (old, new):
+        for field in ("queries", "spread", "samples"):
+            for k in (d.get(field) or {}):
+                if len(k) > len(names.get(norm(k), "")):
+                    names[norm(k)] = k
     if old.get("sf") != new.get("sf"):
         print(f"NOTE: different sf dirs ({old.get('sf')} vs {new.get('sf')}) "
               "— ratios are not comparable across scale factors")
+    for side, d in (("old", old), ("new", new)):
+        if d.get("partial"):
+            print(f"NOTE: {side} artifact was tail-truncated mid-map — only "
+                  f"{len(d['queries'])} per-query timings recovered")
     shared = sorted(set(oq) & set(nq))
     rows = []
     for q in shared:
@@ -71,7 +168,7 @@ def main():
     # disagreed by >= the flag ratio: a noisy OLD measurement inflates the
     # old min just as misleadingly as a noisy new one, so the measurement,
     # not the code, is the likely cause either way.
-    os_, ns_ = old.get("spread", {}), new.get("spread", {})
+    os_, ns_ = norm_map(old.get("spread")), norm_map(new.get("spread"))
     print(f"{len(shared)} shared queries "
           f"(old has {len(oq)}, new has {len(nq)}); flag ratio {flag}")
     print(f"{'ratio':>7}  {'old_s':>8}  {'new_s':>8}  {'spread':>6}  query")
@@ -81,7 +178,7 @@ def main():
         if mark and worst >= flag:
             mark += " (noisy samples — suspect the host first)"
         sp = f"{worst:6.2f}" if (q in os_ or q in ns_) else "     -"
-        print(f"{ratio:7.2f}  {o:8.3f}  {n:8.3f}  {sp}  {q}{mark}")
+        print(f"{ratio:7.2f}  {o:8.3f}  {n:8.3f}  {sp}  {names.get(q, q)}{mark}")
     tot_o = sum(oq[q] for q in shared)
     tot_n = sum(nq[q] for q in shared)
     print(f"shared-set total: {tot_o:.1f}s -> {tot_n:.1f}s "
@@ -89,9 +186,9 @@ def main():
     only_old = sorted(set(oq) - set(nq))
     only_new = sorted(set(nq) - set(oq))
     if only_old:
-        print("only in old:", ", ".join(only_old))
+        print("only in old:", ", ".join(names.get(q, q) for q in only_old))
     if only_new:
-        print("only in new:", ", ".join(only_new))
+        print("only in new:", ", ".join(names.get(q, q) for q in only_new))
     for side, d in (("old", old), ("new", new)):
         if d.get("failed"):
             print(f"{side} failed queries:", d["failed"])
@@ -99,7 +196,7 @@ def main():
         # `passes` — below means partial failures (flaky query), above means
         # the adaptive re-sampler ran (noisy measurement)
         p = d.get("passes")
-        for q, cnt in sorted(d.get("samples", {}).items()):
+        for q, cnt in sorted((d.get("samples") or {}).items()):
             kind = "partial failures" if (p and cnt < p) else "re-sampled"
             print(f"{side} {q}: {cnt} samples ({kind})")
     if flagged:
