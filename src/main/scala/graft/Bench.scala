@@ -10,6 +10,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * understate expression-heavy queries (simhash, langid, features).
   */
 object Bench {
+
+  /** The artifact's per-query noise meter: with samples sorted ascending,
+    * kth-smallest / smallest for k = min(3, n) — at the default 3 passes
+    * with no re-sampling this IS max/min; after adaptive re-sampling it
+    * meters how well the best 3 samples agree (how well-supported the
+    * reported min is) instead of forever reporting the one host spike
+    * that triggered the re-sample. None when fewer than 2 samples exist:
+    * a single surviving sample is NOT a clean measurement and must never
+    * read as spread 1.0 (it is reported via the `samples` map instead).
+    * Pinned in CoreSpec. */
+  private[graft] def consensusSpread(ss: Seq[Double]): Option[Double] = {
+    if (ss.size < 2 || ss.min <= 0) None
+    else {
+      val sorted = ss.sorted
+      Some(sorted(math.min(3, sorted.size) - 1) / sorted.head)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -80,19 +98,6 @@ object Bench {
     val allPasses: Seq[Map[String, Option[Double]]] =
       (1 to passes).map(_ =>
         benched.map { case (name, fn) => name -> once(name, fn) }.toMap)
-    // The noise meter is the CONSENSUS spread: with samples sorted
-    // ascending, kth-smallest / smallest for k = min(3, n). At the default
-    // 3 passes with no re-sampling this IS max/min (r10 semantics); after
-    // adaptive re-sampling it meters how well the best 3 samples agree —
-    // i.e. how well-supported the reported min is — instead of forever
-    // reporting the one host spike that triggered the re-sample.
-    def spreadOf(ss: Seq[Double]): Option[Double] = {
-      if (ss.size < 2 || ss.min <= 0) None
-      else {
-        val sorted = ss.sorted
-        Some(sorted(math.min(3, sorted.size) - 1) / sorted.head)
-      }
-    }
     // Adaptive re-sample (r10 spread entries hit 9-20x when one of only
     // three samples caught a multi-second host spike on a sub-second
     // query): any query whose samples disagree by >3x, or that has fewer
@@ -106,7 +111,7 @@ object Bench {
       var ss = allPasses.flatMap(_(name))
       var extras = 0
       while (extras < extraMax && ss.nonEmpty &&
-          (ss.size < 2 || spreadOf(ss).exists(_ > noisyAt))) {
+          (ss.size < 2 || consensusSpread(ss).exists(_ > noisyAt))) {
         once(name, fn).foreach(t => ss = ss :+ t)
         extras += 1
       }
@@ -142,7 +147,7 @@ object Bench {
     // entry means the samples agreed within 1.5x — clean), keeping the
     // one-line artifact short enough for the driver's tail capture
     val spreads = ok.flatMap { case (k, ss) =>
-      spreadOf(ss).filter(_ >= 1.5).map(r =>
+      consensusSpread(ss).filter(_ >= 1.5).map(r =>
         SparkEntry.jsonString(k) + ":" + (math.rint(r * 100) / 100))
     }.mkString("{", ",", "}")
     // per-query successful-sample count, emitted only when it differs from

@@ -3,23 +3,25 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Dedup
+import graft.ext.{Dedup, Similarity}
 
 /** Measured sublinearity evidence for the dedup families, at corpus sizes
   * that outgrow sf0.1 (the [[ServeScaleProbe]] treatment applied to dedup —
   * the r10 review's remaining "asserted, not measured" scale property).
   *
-  * The candidate-volume curve tests in ExtSpec prove the LSH banding and
-  * Manku blocking are bucketed-not-all-pairs at sf0.1 (~500 docs); this
-  * probe runs the SAME production entry points ([[Dedup.minhashTable]] →
-  * [[Dedup.bandCandidates]], [[Dedup.simhashBlockTable]] →
-  * [[Dedup.simhashPairsFromBlocks]]) on deterministic synthetic corpora of
-  * 250k/1M/4M documents and records, per size: table build time, candidate
-  * derivation time, and candidate-pair volume. The claim under test — the
-  * one that decides whether the design survives 100 TB — is that BOTH time
-  * and volume grow ~linearly in corpus size (all-pairs would grow the pair
-  * count quadratically: 4M docs => 8×10^12 raw pairs, vs the ~linear
-  * dup-rate × n this probe expects).
+  * The candidate-volume curve tests in ExtSpec prove the collision
+  * relations are bucketed-not-all-pairs at sf0.1 (~500 docs); this probe
+  * runs the SAME production entry points for all three families
+  * ([[Dedup.minhashTable]] → [[Dedup.bandCandidates]],
+  * [[Dedup.simhashBlockTable]] → [[Dedup.simhashPairsFromBlocks]],
+  * [[Similarity.lshTable]] → [[Similarity.lshCandidatesFromTable]] with
+  * production [[Similarity.lshParams]] auto-sizing) on deterministic
+  * synthetic corpora of 250k/1M/4M documents and records, per size: table
+  * build time, candidate derivation time, and candidate-pair volume. The
+  * claim under test — the one that decides whether the design survives
+  * 100 TB — is that BOTH time and volume grow ~linearly in corpus size
+  * (all-pairs would grow the pair count quadratically: 4M docs =>
+  * 8×10^12 raw pairs, vs the ~linear dup-rate × n this probe expects).
   *
   * Corpus: a pure row function of doc id (hash-derived words; rebuilds are
   * byte-identical — the [[ServeScaleProbe]] determinism contract). Every
@@ -84,6 +86,24 @@ object DedupScaleProbe {
       spark.range(n).select(id.as("doc_id"), text.as("text"))
     }
 
+    /** Deterministic embedding corpus, same dup structure: docs with
+      * id % 20 == 1 carry the predecessor's vector plus a 5%-amplitude
+      * hash-derived perturbation — cosine ≈ 0.999 to the original, far
+      * above the 0.98 probe threshold, while unrelated hash-vectors sit
+      * near 0. True near-dup pairs = n/20, as in the text corpus. */
+    def syntheticVec(n: Long, dim: Int = 64): DataFrame = {
+      val id = col("id")
+      val isDup = pmod(id, lit(20)) === 1
+      val base = when(isDup, id - 1).otherwise(id)
+      def h(src: org.apache.spark.sql.Column, d: Int, salt: Int) =
+        (pmod(hash(src, lit(d), lit(salt)), lit(2001)) - lit(1000))
+          .cast("double") / 1000.0
+      spark.range(n).select(id.as("vec_id"),
+        array((0 until dim).map(d =>
+          (h(base, d, 0) + when(isDup, h(id, d, 1) * 0.05).otherwise(lit(0.0)))
+            .cast("float")): _*).as("embedding"))
+    }
+
     def ensure(path: String)(build: => DataFrame): Unit =
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         System.err.println(s"[dedup-probe] building $path ...")
@@ -107,22 +127,50 @@ object DedupScaleProbe {
             "doc_id", "simhash", maxHamming = 3)
         }
       }
+      // embedding-LSH family: production auto-sizing picks (planes,
+      // tables) per corpus size — depth growing with n is exactly what
+      // keeps candidate volume linear, so the probe exercises the sizing,
+      // not a pinned config
+      val (planes, tables) = Similarity.lshParams(n, threshold = 0.98)
+      val (lshBuild, _) = timed {
+        ensure(s"$dir/lshbuckets") {
+          Similarity.lshTable(syntheticVec(n), planes, tables)
+        }
+      }
       // ---- pairing, timed from the persisted table (min-of-reps wall
-      // time; volume is identical every rep — it's a deterministic count)
-      def run(fam: String, buildSec: Double, derive: () => DataFrame): Unit = {
+      // time; volume is identical every rep — it's a deterministic count).
+      // `detected` re-derives once, untimed, to count surviving PLANTED
+      // pairs (id_b = id_a + 1 with id_b in the dup residue class) — for
+      // the text families candidates ≈ detected by construction, but the
+      // embedding family's fixed-depth buckets admit random collisions,
+      // and leakage = pairs − detected is the quantity that must not
+      // outgrow n.
+      def run(fam: String, buildSec: Double, meta: String,
+          derive: () => DataFrame, aCol: String, bCol: String): Unit = {
         val rs = (1 to reps).map(_ => timed(derive().count()))
         val pairs = rs.head._2
         require(rs.forall(_._2 == pairs),
           s"$fam candidate count varied across reps: ${rs.map(_._2)}")
+        val detected = derive()
+          .filter(col(bCol) === col(aCol) + 1 && pmod(col(bCol), lit(20)) === 1)
+          .count()
+        spark.sharedState.cacheManager.clearCache()
         val secs = rs.map(_._1)
         println(f"""{"rows":$n,"family":"$fam","build_s":$buildSec%.3f,""" +
           f""""pairs_s":${secs.min}%.3f,"pairs_runs":${secs.map(s => f"$s%.3f")
-            .mkString("[", ",", "]")},"pairs":$pairs,"true_dups":${n / 20}}""")
+            .mkString("[", ",", "]")},"pairs":$pairs,"detected":$detected,""" +
+          f""""true_dups":${n / 20}$meta}""")
       }
-      run("minhash_lsh", bandBuild, () =>
-        Dedup.bandCandidates(spark.read.parquet(s"$dir/bands"), "doc_id"))
-      run("simhash", blockBuild, () =>
-        Dedup.simhashPairsFromBlocks(spark.read.parquet(s"$dir/blocks"), "doc_id"))
+      run("minhash_lsh", bandBuild, "", () =>
+        Dedup.bandCandidates(spark.read.parquet(s"$dir/bands"), "doc_id"),
+        "doc_a", "doc_b")
+      run("simhash", blockBuild, "", () =>
+        Dedup.simhashPairsFromBlocks(spark.read.parquet(s"$dir/blocks"), "doc_id"),
+        "doc_a", "doc_b")
+      run("embedding_lsh", lshBuild, s""","planes":$planes,"tables":$tables""",
+        () => Similarity.lshCandidatesFromTable(
+          spark.read.parquet(s"$dir/lshbuckets"), "vec_id"),
+        "id_a", "id_b")
     }
     spark.stop()
   }

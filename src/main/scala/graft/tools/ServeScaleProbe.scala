@@ -38,6 +38,17 @@ import graft.ext.{Ivf, Pq}
   * when absent (the q75-q77 `_SUCCESS` servability contract). */
 object ServeScaleProbe {
 
+  /** /proc/diskstats whole-device filter: SCSI/IDE/Xen-virt/virtio/NVMe/
+    * eMMC device names, matched generically across the family letter
+    * (sda AND sdb/xvdf — an earlier `[a-z]+da?` form only matched the
+    * FIRST SCSI device, silently reading ~0 cold MB on hosts whose data
+    * disk is sdb+). Full-string matching excludes partition rows: sda1,
+    * nvme0n1p1 and mmcblk0p1 all carry a trailing suffix these patterns
+    * reject, so partition traffic is never double-counted beside its
+    * parent device. Pinned in CoreSpec. */
+  private[graft] val WholeDevicePattern =
+    "(x?v|s|h)d[a-z]+|nvme\\d+n\\d+|mmcblk\\d+"
+
   def main(args: Array[String]): Unit = {
     var sizes = Seq(250000L, 1000000L, 4000000L)
     var reps = 2
@@ -71,14 +82,7 @@ object ServeScaleProbe {
       scala.util.Try {
         scala.io.Source.fromFile("/proc/diskstats").getLines()
           .map(_.trim.split("\\s+"))
-          // whole devices only, across SCSI/IDE/Xen-virt/virtio/NVMe/eMMC
-          // families (sda AND sdb/xvdf — an earlier `[a-z]+da?` form only
-          // matched the FIRST SCSI device, silently reading ~0 cold MB on
-          // hosts whose data disk is sdb+); full-string match excludes
-          // partition suffixes (sda1, nvme0n1p1, mmcblk0p1 all carry a
-          // trailing digit the whole-device patterns reject)
-          .filter(f => f.length > 5 &&
-            f(2).matches("(x?v|s|h)d[a-z]+|nvme\\d+n\\d+|mmcblk\\d+"))
+          .filter(f => f.length > 5 && f(2).matches(WholeDevicePattern))
           .map(_(5).toLong).sum
       }.getOrElse(0L)
 

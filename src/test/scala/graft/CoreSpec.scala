@@ -100,4 +100,31 @@ class CoreSpec extends AnyFunSuite {
     assert(a.recommendedActions.size == 4)
     assert(RuleBasedAnalyzer.analyze("nope", Map.empty).rootCause.contains("Unknown issue"))
   }
+
+  test("Bench.consensusSpread: max/min at <=3 samples, best-3 consensus " +
+      "beyond, None for a single survivor") {
+    import graft.Bench.consensusSpread
+    // a query that survived only one pass must NOT read as a clean 1.0
+    assert(consensusSpread(Seq(1.5)).isEmpty)
+    assert(consensusSpread(Seq.empty).isEmpty)
+    // plain max/min at the default pass count
+    assert(consensusSpread(Seq(2.0, 1.0)).contains(2.0))
+    assert(consensusSpread(Seq(1.0, 3.0, 1.5)).contains(3.0))
+    // after adaptive re-sampling the one spike that TRIGGERED it stops
+    // dominating: 5 samples meter the best 3 (1.1/1.0), not 20.0/1.0
+    assert(consensusSpread(Seq(20.0, 1.0, 1.05, 1.1, 1.2)).contains(1.1))
+    // but if even the best 3 disagree, the spread still says so
+    assert(consensusSpread(Seq(9.0, 1.0, 4.0, 8.0)).contains(8.0))
+  }
+
+  test("ServeScaleProbe whole-device pattern: generic across families, " +
+      "never a partition row") {
+    val p = graft.tools.ServeScaleProbe.WholeDevicePattern
+    for (dev <- Seq("sda", "sdb", "sdab", "xvdf", "vda", "vdb", "hda",
+        "nvme0n1", "nvme10n2", "mmcblk0"))
+      assert(dev.matches(p), s"whole device $dev must match")
+    for (part <- Seq("sda1", "sdb2", "xvdf1", "vda3", "nvme0n1p1",
+        "mmcblk0p1", "loop0", "ram0", "md0", "dm-0", "sr0", "zram1"))
+      assert(!part.matches(p), s"partition/virtual $part must not match")
+  }
 }
