@@ -54,6 +54,10 @@ object DedupScaleProbe {
           s"unknown arg '$other'; usage: DedupScaleProbe [--sizes N,..] [--reps N]")
       }
     }
+    // fail at parse time, not with a NoSuchElementException after an
+    // hour of table building
+    require(reps >= 1, s"--reps must be >= 1, got $reps")
+    require(sizes.nonEmpty && sizes.forall(_ > 0), s"bad --sizes: $sizes")
     val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROOT", "/tmp/graft_dedup_scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
@@ -104,22 +108,31 @@ object DedupScaleProbe {
             .cast("float")): _*).as("embedding"))
     }
 
-    def ensure(path: String)(build: => DataFrame): Unit =
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    /** Returns true when it actually built — a cached re-run's ~0s
+      * "build time" must not be emitted as a measurement. */
+    def ensure(path: String)(build: => DataFrame): Boolean =
+      if (new java.io.File(s"$path/_SUCCESS").exists()) false
+      else {
         System.err.println(s"[dedup-probe] building $path ...")
         build.write.mode("overwrite").parquet(path)
+        true
       }
 
     sizes.foreach { n =>
       val dir = s"$root/n$n"
-      // ---- build once per size, through the production scan-side paths
-      val (bandBuild, _) = timed {
+      // ---- build once per size, through the production scan-side paths;
+      // the JSON fragment reports the measured seconds only for a REAL
+      // build (a cached re-run says so instead of passing a File.exists
+      // check off as scan-side work)
+      def buildJson(t: (Double, Boolean)): String =
+        if (t._2) f""""build_s":${t._1}%.3f""" else """"build_cached":true"""
+      val bandBuild = timed {
         ensure(s"$dir/bands") {
           Dedup.minhashTable(synthetic(n), "text", "doc_id", shingleN = 3,
             k = 32, bands = 8)
         }
       }
-      val (blockBuild, _) = timed {
+      val blockBuild = timed {
         ensure(s"$dir/blocks") {
           Dedup.simhashBlockTable(
             synthetic(n).select(col("doc_id"),
@@ -132,7 +145,7 @@ object DedupScaleProbe {
       // keeps candidate volume linear, so the probe exercises the sizing,
       // not a pinned config
       val (planes, tables) = Similarity.lshParams(n, threshold = 0.98)
-      val (lshBuild, _) = timed {
+      val lshBuild = timed {
         ensure(s"$dir/lshbuckets") {
           Similarity.lshTable(syntheticVec(n), planes, tables)
         }
@@ -145,7 +158,7 @@ object DedupScaleProbe {
       // embedding family's fixed-depth buckets admit random collisions,
       // and leakage = pairs − detected is the quantity that must not
       // outgrow n.
-      def run(fam: String, buildSec: Double, meta: String,
+      def run(fam: String, build: String, meta: String,
           derive: () => DataFrame, aCol: String, bCol: String): Unit = {
         val rs = (1 to reps).map(_ => timed(derive().count()))
         val pairs = rs.head._2
@@ -156,18 +169,19 @@ object DedupScaleProbe {
           .count()
         spark.sharedState.cacheManager.clearCache()
         val secs = rs.map(_._1)
-        println(f"""{"rows":$n,"family":"$fam","build_s":$buildSec%.3f,""" +
+        println(f"""{"rows":$n,"family":"$fam",$build,""" +
           f""""pairs_s":${secs.min}%.3f,"pairs_runs":${secs.map(s => f"$s%.3f")
             .mkString("[", ",", "]")},"pairs":$pairs,"detected":$detected,""" +
           f""""true_dups":${n / 20}$meta}""")
       }
-      run("minhash_lsh", bandBuild, "", () =>
+      run("minhash_lsh", buildJson(bandBuild), "", () =>
         Dedup.bandCandidates(spark.read.parquet(s"$dir/bands"), "doc_id"),
         "doc_a", "doc_b")
-      run("simhash", blockBuild, "", () =>
+      run("simhash", buildJson(blockBuild), "", () =>
         Dedup.simhashPairsFromBlocks(spark.read.parquet(s"$dir/blocks"), "doc_id"),
         "doc_a", "doc_b")
-      run("embedding_lsh", lshBuild, s""","planes":$planes,"tables":$tables""",
+      run("embedding_lsh", buildJson(lshBuild),
+        s""","planes":$planes,"tables":$tables""",
         () => Similarity.lshCandidatesFromTable(
           spark.read.parquet(s"$dir/lshbuckets"), "vec_id"),
         "id_a", "id_b")

@@ -130,7 +130,22 @@ def norm(name):
 
 
 def norm_map(d):
-    return {norm(k): v for k, v in (d or {}).items()}
+    # Two distinct names sharing a qNN prefix must NOT collapse into one
+    # key (last-wins would silently drop a timing) — Bench keeps full
+    # names for colliding prefixes on the emit side, so the diff side
+    # mirrors that: colliding groups keep their full spellings.
+    d = d or {}
+    groups = {}
+    for k in d:
+        groups.setdefault(norm(k), []).append(k)
+    out = {}
+    for nk, ks in groups.items():
+        if len(ks) == 1:
+            out[nk] = d[ks[0]]
+        else:
+            for k in ks:
+                out[k] = d[k]
+    return out
 
 
 def main():
@@ -192,12 +207,16 @@ def main():
     for side, d in (("old", old), ("new", new)):
         if d.get("failed"):
             print(f"{side} failed queries:", d["failed"])
-        # samples map (r11+): successful-sample count where it differs from
-        # `passes` — below means partial failures (flaky query), above means
-        # the adaptive re-sampler ran (noisy measurement)
+        # samples map (r11+): emitted for any query whose run was not the
+        # plain `passes` clean passes — below `passes` means partial
+        # failures (flaky query), above means the adaptive re-sampler ran
+        # (noisy measurement), exactly `passes` means both (a failed pass
+        # whose re-samples landed the count back at passes)
         p = d.get("passes")
         for q, cnt in sorted((d.get("samples") or {}).items()):
-            kind = "partial failures" if (p and cnt < p) else "re-sampled"
+            kind = ("partial failures" if (p and cnt < p)
+                    else "failed pass + re-sampled" if (p and cnt == p)
+                    else "re-sampled")
             print(f"{side} {q}: {cnt} samples ({kind})")
     if flagged:
         print(f"{len(flagged)} flagged regression(s) >= {flag}x "
