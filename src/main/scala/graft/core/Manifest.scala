@@ -392,7 +392,19 @@ private[graft] object Manifest {
       s"manifest publish lost a race for $dest ($why) — one writer per table")
     if (!tryExclusiveCreate(fs, lock)) {
       if (fs.exists(dest)) lost("version already published")
-      val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+        catch {
+          // the holder RELEASED the lock (published, or aborted) between
+          // our failed create and this stat — the same outcome as losing
+          // the lock race, and it must surface as the retryable
+          // PublishRaceException, not a raw FileNotFoundException that
+          // aborts commitAppend's bounded retry loop
+          // ([[adoptionTransition]] guards its identical window the same
+          // way)
+          case _: java.io.FileNotFoundException =>
+            lost("version lock released mid-check")
+        }
       if (age < LockStaleMs) lost("another writer holds the version lock")
       // crashed writer: acquired the lock, died before the rename
       fs.delete(lock, false)

@@ -239,4 +239,33 @@ class ManifestSpec extends AnyFunSuite {
     assert(!fs.exists(lock))
     assert(Manifest.versions(fs, table) == Seq(1L, 2L))
   }
+
+  test("a lock released between the failed acquire and the stat is a " +
+      "retryable race, not a raw FileNotFoundException") {
+    // the holder can publish-and-release (or abort) in the sliver between
+    // our failed create-if-absent and the staleness stat; the loser must
+    // see the retryable PublishRaceException (commitAppend's retry loop
+    // only catches that) rather than an FNF that aborts the commit. The
+    // wrapper deterministically collapses the window: the first stat of a
+    // lock file deletes it and reports it gone.
+    val (fs, table) = freshTable()
+    Manifest.publish(fs, table, Nil, None, Seq("a.parquet"))
+    val lock = new Path(Manifest.dir(table), f"v${2L}%020d.lock")
+    fs.create(lock, true).close()
+    val racing = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+        if (p.getName.endsWith(".lock")) {
+          fs.delete(p, false)
+          throw new java.io.FileNotFoundException(p.toString)
+        } else super.getFileStatus(p)
+    }
+    val e = intercept[Manifest.PublishRaceException] {
+      Manifest.publish(racing, table, Nil, None, Seq("b.parquet"))
+    }
+    assert(e.getMessage.contains("released mid-check"), e.getMessage)
+    // and the standard retry-after-race path then commits cleanly
+    val s = Manifest.publish(fs, table, Nil, None, Seq("b.parquet"))
+    assert(s.version == 2L)
+    assert(Manifest.versions(fs, table) == Seq(1L, 2L))
+  }
 }
