@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Self-test for benchdiff's artifact parsing and name normalization.
+
+Covers the truncation scenarios the parser must distinguish (r10's official
+artifact was truncated mid-SPREAD-map, which must refuse rather than read
+noise ratios as seconds; r11's format puts the per-query map last, which
+must recover fully). Run: `python3 tools/benchdiff_selftest.py` — prints
+PASS/FAIL per case, exit 1 on any failure. The round workflow can gate on
+it before trusting a cross-round diff.
+"""
+import json
+import sys
+
+sys.path.insert(0, __import__("os").path.dirname(__file__))
+import benchdiff  # noqa: E402
+
+
+FULL = (
+    '{"metric":"total","value":3.0,"unit":"sec","passes":3,'
+    '"spread":{"q01_alpha":1.61,"q02_beta":2.2},"samples":{"q02_beta":4},'
+    '"failed":[],"skipped":{},"sf":"/root/testdata/sf0.1",'
+    '"queries":{"q01":1.25,"q02":1.75}}'
+)
+
+# pre-r11 line: queries FIRST, then passes, spread, failed, skipped, sf
+OLD_STYLE = (
+    '{"metric":"total","value":3.0,"unit":"sec",'
+    '"queries":{"q01_alpha":1.2,"q02_beta":1.8},"passes":3,'
+    '"spread":{"q01_alpha":1.1,"q02_beta":9.45},"failed":[],'
+    '"skipped":{},"sf":"/root/testdata/sf0.1"}'
+)
+
+
+def check(name, cond, detail=""):
+    print(f"{'PASS' if cond else 'FAIL'}  {name}{'  ' + detail if detail else ''}")
+    return bool(cond)
+
+
+def main():
+    ok = True
+
+    # 1. complete line parses directly
+    d = benchdiff.parse_metric_text(FULL)
+    ok &= check("full line", d is not None and d["queries"] == {"q01": 1.25, "q02": 1.75})
+
+    # 2. r11 tail truncated BEFORE the queries key: the intact
+    #    "queries":{...} map at the end must recover, spread partially
+    cut = FULL[FULL.find('"spread"') + 20:]
+    d = benchdiff.parse_metric_text(cut)
+    ok &= check("r11 tail (queries key intact)",
+                d is not None and d["queries"] == {"q01": 1.25, "q02": 1.75})
+
+    # 3. r11 tail truncated MID-queries: orphan pairs at end-of-text are a
+    #    queries fragment (nothing follows) — partial recovery
+    cut = FULL[FULL.find('"q02":'):]
+    d = benchdiff.parse_metric_text(cut)
+    ok &= check("r11 tail (mid-queries)",
+                d is not None and d.get("partial") and d["queries"] == {"q02": 1.75})
+
+    # 4. pre-r11 tail truncated MID-SPREAD (the r10 artifact): orphan pairs
+    #    followed by "failed" are NOISE RATIOS, not timings — must refuse
+    cut = OLD_STYLE[OLD_STYLE.find('"q02_beta":9.45'):]
+    d = benchdiff.parse_metric_text(cut)
+    ok &= check("pre-r11 tail (mid-spread refuses)", d is None,
+                detail="" if d is None else f"wrongly parsed {d}")
+
+    # 5. pre-r11 tail truncated MID-QUERIES: orphans followed by "passes"
+    #    are timings — partial recovery
+    cut = OLD_STYLE[OLD_STYLE.find('"q02_beta":1.8'):]
+    d = benchdiff.parse_metric_text(cut)
+    ok &= check("pre-r11 tail (mid-queries recovers)",
+                d is not None and d.get("partial")
+                and d["queries"] == {"q02_beta": 1.8})
+
+    # 6. driver wrapper: tail string inside {"n":..,"tail":...}
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump({"n": 10, "rc": 0, "sf": 0.1, "tail": FULL[-80:]}, f)
+        p = f.name
+    d = benchdiff.load(p)
+    ok &= check("driver wrapper", d["queries"] == {"q01": 1.25, "q02": 1.75})
+
+    # 7. name normalization: full names and compact keys meet at the qNN
+    #    prefix; colliding prefixes keep full spellings; non-qNN untouched
+    nm = benchdiff.norm_map({"q01_alpha": 1.0, "q02": 2.0, "qtest_x": 3.0})
+    ok &= check("norm_map basic", nm == {"q01": 1.0, "q02": 2.0, "qtest_x": 3.0})
+    nm = benchdiff.norm_map({"q09_a": 1.0, "q09_b": 2.0})
+    ok &= check("norm_map collision keeps full names",
+                nm == {"q09_a": 1.0, "q09_b": 2.0})
+
+    if not ok:
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
