@@ -257,6 +257,49 @@ class DetectorsSpec extends SparkSpec {
       oce.toString)
   }
 
+  test("PatternDetector: the full measurement decision table at the " +
+      "minDailyCount floor") {
+    // one key per cell of the (baseline regime x today volume) matrix, all
+    // in one run — the rule under test: a key is MEASURED against its true
+    // baseline iff its baseline clears the floor OR today does; brand-new
+    // keys flag (+100%) iff today clears the floor; nothing below the
+    // floor on both sides can ladder severity. Baselines: HI=5/day
+    // (eligible), LO=1/day (sub-threshold), NEW=absent. Today: BIG=50
+    // (clears floor 2), TINY=1 (below floor), ZERO=absent. The 50% break
+    // threshold makes HI_TINY's measured -80% a visible break, so
+    // measured-under-threshold and unmeasured keys cannot be confused.
+    val mk = (r: String, n: Int, day: java.time.LocalDate) =>
+      Seq.fill(n)((r, "Food", ts(day)))
+    val rows = (1 to 31).flatMap { d =>
+      val day = today.minusDays(d.toLong)
+      mk("HI_BIG", 5, day) ++ mk("HI_TINY", 5, day) ++ mk("HI_ZERO", 5, day) ++
+        mk("LO_BIG", 1, day) ++ mk("LO_TINY", 1, day) ++ mk("LO_ZERO", 1, day)
+    } ++
+      mk("HI_BIG", 50, today) ++ mk("HI_TINY", 1, today) ++
+      mk("LO_BIG", 50, today) ++ mk("LO_TINY", 1, today) ++
+      mk("NEW_BIG", 50, today) ++ mk("NEW_TINY", 1, today)
+    val st = new PatternDetector(rows.toDF("region", "product_category",
+        "transaction_date"), clock, dimensions = Seq("region" -> 50.0),
+      baselineDays = 30, minDailyCount = 2).checkPatternBreaks()
+    val byKey = st.breaks.map(b => b.key -> b).toMap
+    // eligible baseline: measured regardless of today's volume
+    assert(byKey("HI_BIG").deviationPct == 900.0)     // (50-5)/5
+    assert(byKey("HI_TINY").deviationPct == -80.0)    // (1-5)/5
+    assert(byKey("HI_ZERO").deviationPct == -100.0)   // vanished
+    // sub-threshold baseline: measured only when TODAY clears the floor
+    assert(byKey("LO_BIG").deviationPct == 4900.0 &&
+      byKey("LO_BIG").baselineAvg == 1.0)             // the r11 surge rule
+    assert(!byKey.contains("LO_TINY"))                // quiet, unmeasured
+    assert(!byKey.contains("LO_ZERO"))                // not a disappearance
+    // no baseline: new-key break only above the floor
+    assert(byKey("NEW_BIG").deviationPct == 100.0 &&
+      byKey("NEW_BIG").baselineAvg == 0.0)
+    assert(!byKey.contains("NEW_TINY"))
+    assert(byKey.keySet == Set("HI_BIG", "HI_TINY", "HI_ZERO", "LO_BIG",
+      "NEW_BIG"), byKey.keySet.toString)
+    assert(st.severity == "CRITICAL") // 5 breaks >= the 4-break ladder top
+  }
+
   test("TransactionDetector: baseline median is the real percentile, not the mean") {
     // same-hour daily counts 15,1,1,1,1,1,1: mean 3, median 1 — a consumer
     // reading baseline.median must not silently get the mean
