@@ -93,10 +93,17 @@ object Sampling {
     * at a threshold all land in the lower bucket. `accuracy` is the
     * `approx_percentile` knob (higher = tighter, more memory).
     *
-    * Null groups follow [[strata]]'s convention — a window's partitionBy
-    * treats null as its own partition, so the threshold join here is
-    * NULL-SAFE (`<=>`): swapping exact for approx at scale buckets the
-    * null-group rows instead of silently dropping them.
+    * Null groups AND null scores follow [[strata]]'s conventions — a
+    * window's partitionBy treats null as its own partition, so the
+    * threshold join here is NULL-SAFE (`<=>`): swapping exact for approx
+    * at scale buckets the null-group rows instead of silently dropping
+    * them. And a null score lands in bucket `n`, matching the exact
+    * form's `asc_nulls_last` — without the explicit branch every
+    * `score > t` comparison is null, the filter keeps nothing, and a
+    * null-score row (an empty doc under the guarded quality ratios, the
+    * case [[strata]]'s own ordering comment calls out) would silently
+    * flip from the last bucket to the FIRST when a deployment swaps
+    * exact for approx.
     *
     * Returns `df` plus a `bucket` column. */
   def strataApprox(df: DataFrame, group: Column, score: Column, n: Int = 4,
@@ -107,7 +114,8 @@ object Sampling {
       .agg(percentile_approx(score, probs, lit(accuracy)).as("__th"))
     df.join(broadcast(th), group <=> col("__g"))
       .withColumn("bucket",
-        (size(filter(col("__th"), t => score > t)) + 1).cast("long"))
+        when(score.isNull, lit(n.toLong))
+          .otherwise((size(filter(col("__th"), t => score > t)) + 1).cast("long")))
       .drop("__g", "__th")
   }
 

@@ -1474,6 +1474,29 @@ class ExtSpec extends SparkSpec {
     assert(ordered == ordered.sorted, s"null-group buckets not monotone: $ordered")
   }
 
+  test("Sampling.strataApprox buckets null SCORES like strata (last bucket)") {
+    // exact strata orders asc_nulls_last, so a null score (empty doc under
+    // the guarded quality ratios) lands in the LAST bucket; the approx
+    // form's score > t comparisons are all null for a null score, which
+    // without an explicit branch kept nothing and silently flipped those
+    // rows to bucket 1 when a deployment swapped exact for approx
+    val rows = (0L until 40L)
+      .map(i => (i, s"g${i % 2}",
+        if (i % 8 == 0) null else java.lang.Double.valueOf((i * 37 % 11).toDouble)))
+      .toDF("id", "g", "score")
+    val exact = rows.withColumn("bucket",
+        Sampling.strata($"g", $"score", $"id"))
+      .filter($"score".isNull)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val approx = Sampling.strataApprox(rows, $"g", $"score")
+      .filter($"score".isNull)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(exact.nonEmpty && exact.keySet == approx.keySet)
+    // both conventions agree: null scores take the last (4th) bucket
+    assert(exact.values.toSet == Set(4L), exact.toString)
+    assert(approx.values.toSet == Set(4L), approx.toString)
+  }
+
   test("Sampling.tokenShards: greedy deterministic packing per group") {
     val rows = Seq(
       (0L, "g0", 100L), (1L, "g0", 300L), (2L, "g0", 200L), (3L, "g0", 50L),
