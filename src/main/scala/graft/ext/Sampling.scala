@@ -97,13 +97,17 @@ object Sampling {
     * window's partitionBy treats null as its own partition, so the
     * threshold join here is NULL-SAFE (`<=>`): swapping exact for approx
     * at scale buckets the null-group rows instead of silently dropping
-    * them. And a null score lands in bucket `n`, matching the exact
-    * form's `asc_nulls_last` — without the explicit branch every
-    * `score > t` comparison is null, the filter keeps nothing, and a
-    * null-score row (an empty doc under the guarded quality ratios, the
-    * case [[strata]]'s own ordering comment calls out) would silently
-    * flip from the last bucket to the FIRST when a deployment swaps
-    * exact for approx.
+    * them. And a null score ALWAYS lands in bucket `n` — a deliberate
+    * convention, not an exact-ntile equivalence: it coincides with
+    * [[strata]]'s `asc_nulls_last` only while a group's nulls fit in one
+    * bucket (null fraction ≤ 1/n); past that, exact NTILE spreads the
+    * null tail across the top buckets while this form pins every null to
+    * bucket `n` (divergence pinned in ExtSpec). The branch itself is
+    * load-bearing either way — without it every `score > t` comparison
+    * is null, the filter keeps nothing, and a null-score row (an empty
+    * doc under the guarded quality ratios, the case [[strata]]'s own
+    * ordering comment calls out) would silently flip from the last
+    * bucket to the FIRST when a deployment swaps exact for approx.
     *
     * Returns `df` plus a `bucket` column. */
   def strataApprox(df: DataFrame, group: Column, score: Column, n: Int = 4,

@@ -1497,6 +1497,32 @@ class ExtSpec extends SparkSpec {
     assert(approx.values.toSet == Set(4L), approx.toString)
   }
 
+  test("Sampling.strataApprox null convention DIVERGES from strata past 1/n nulls") {
+    // The documented limit of the nulls-take-bucket-n convention: with a
+    // group's null fraction ABOVE 1/n (here 50% nulls, n=4), exact
+    // strata's NTILE spreads the null tail across the top buckets
+    // (asc_nulls_last makes nulls the tail of the sort, and ntile slices
+    // the tail like any other rows), while strataApprox pins every null
+    // to bucket n. This test pins the divergence on purpose — if it ever
+    // fails, the Sampling.scala doc's "coincides only while nulls fit in
+    // one bucket" caveat needs rewriting, not the test.
+    val rows = (0L until 16L)
+      .map(i => (i, "g",
+        if (i % 2 == 0) null else java.lang.Double.valueOf(i.toDouble)))
+      .toDF("id", "g", "score")
+    val exact = rows.withColumn("bucket",
+        Sampling.strata($"g", $"score", $"id"))
+      .filter($"score".isNull)
+      .collect().map(r => r.getLong(3)).toSet
+    val approx = Sampling.strataApprox(rows, $"g", $"score")
+      .filter($"score".isNull)
+      .collect().map(r => r.getLong(3)).toSet
+    // 8 non-null rows fill buckets 1-2, the 8-null tail spans buckets 3-4
+    assert(exact == Set(3L, 4L), s"exact spread changed: $exact")
+    // approx pins all nulls to the last bucket regardless of fraction
+    assert(approx == Set(4L), s"approx convention changed: $approx")
+  }
+
   test("Sampling.tokenShards: greedy deterministic packing per group") {
     val rows = Seq(
       (0L, "g0", 100L), (1L, "g0", 300L), (2L, "g0", 200L), (3L, "g0", 50L),

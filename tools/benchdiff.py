@@ -107,15 +107,27 @@ def load(path):
                          "tail holds no complete per-query map")
     except json.JSONDecodeError:
         pass
-    # raw stdout capture: find the last line yielding a per-query map
-    best = None
+    # raw stdout capture: find the last line yielding a per-query map.
+    # COMPLETE parses outrank partial ones regardless of order: a later
+    # log line carrying orphan "qNN":number text (a spread fragment, a
+    # progress echo) can partial-parse, and letting it supersede an
+    # earlier complete metric line would silently swap the real timings
+    # for noise. A partial result is used only when NO line in the
+    # capture parsed complete.
+    best_complete = None
+    best_partial = None
     for line in raw.splitlines():
         start = line.find("{")
         if start < 0:
             continue
         got = parse_metric_text(line[start:])
-        if got is not None:
-            best = got
+        if got is None:
+            continue
+        if got.get("partial"):
+            best_partial = got
+        else:
+            best_complete = got
+    best = best_complete or best_partial
     if best is None:
         best = parse_metric_text(raw)
     if best is None:
@@ -129,11 +141,16 @@ def norm(name):
     return head if re.fullmatch(r"q\d+", head) else name
 
 
-def norm_map(d):
+def norm_map(d, collided=None):
     # Two distinct names sharing a qNN prefix must NOT collapse into one
     # key (last-wins would silently drop a timing) — Bench keeps full
     # names for colliding prefixes on the emit side, so the diff side
-    # mirrors that: colliding groups keep their full spellings.
+    # mirrors that: colliding groups keep their full spellings. When a
+    # prefix collides on ONE side only (old registry had one q09, new
+    # grew q09_a + q09_b), the keys can never meet in the shared set —
+    # the caller passes `collided` to collect those prefixes and warn
+    # that the group was excluded, instead of letting it vanish into the
+    # only-in-old/only-in-new noise.
     d = d or {}
     groups = {}
     for k in d:
@@ -143,6 +160,8 @@ def norm_map(d):
         if len(ks) == 1:
             out[nk] = d[ks[0]]
         else:
+            if collided is not None:
+                collided.setdefault(nk, []).extend(sorted(ks))
             for k in ks:
                 out[k] = d[k]
     return out
@@ -154,7 +173,22 @@ def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     flag = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     old, new = load(old_path), load(new_path)
-    oq, nq = norm_map(old["queries"]), norm_map(new["queries"])
+    o_coll, n_coll = {}, {}
+    oq, nq = norm_map(old["queries"], o_coll), norm_map(new["queries"], n_coll)
+    # one-side-only prefix collisions: that side keeps full names, the
+    # other's compact key has nothing to meet — the group is EXCLUDED
+    # from the ratio comparison (matching one compact timing against two
+    # full-name timings would be a guess), and saying so beats letting it
+    # silently drop into the only-in-old/only-in-new lists
+    for p in sorted(set(o_coll) | set(n_coll)):
+        full = o_coll.get(p, []) + n_coll.get(p, [])
+        side = "old" if p in o_coll else "new"
+        other = nq if side == "old" else oq
+        if p not in (n_coll if side == "old" else o_coll) and p in other:
+            print(f"WARNING: prefix {p} collides in {side} only "
+                  f"({', '.join(full)}) — group excluded from the ratio "
+                  "comparison (ambiguous match against the other side's "
+                  f"single {p} timing)")
     # longest spelling seen anywhere, for display
     names = {}
     for d in (old, new):
@@ -162,6 +196,11 @@ def main():
             for k in (d.get(field) or {}):
                 if len(k) > len(names.get(norm(k), "")):
                     names[norm(k)] = k
+    # a collided prefix's full spellings are distinct keys in their own
+    # right — rewriting the other side's compact key to one of them would
+    # print e.g. old's lone q09 as "q09_a"
+    for p in set(o_coll) | set(n_coll):
+        names.pop(p, None)
     if old.get("sf") != new.get("sf"):
         print(f"NOTE: different sf dirs ({old.get('sf')} vs {new.get('sf')}) "
               "— ratios are not comparable across scale factors")
@@ -179,7 +218,9 @@ def main():
     flagged = [r for r in rows if r[0] >= flag and r[3] >= 0.1]
     # Bench self-reports per-query sample spread (its noise meter; since r11
     # the map is SPARSE — an absent entry means the samples agreed within
-    # 1.5x). A flag is annotated when EITHER artifact's own samples
+    # the emit cutoff: 1.3x since r12, 1.5x in the r11 artifact — so an
+    # r11-era flag in the 1.3-1.49x band can lack its noise annotation).
+    # A flag is annotated when EITHER artifact's own samples
     # disagreed by >= the flag ratio: a noisy OLD measurement inflates the
     # old min just as misleadingly as a noisy new one, so the measurement,
     # not the code, is the likely cause either way.

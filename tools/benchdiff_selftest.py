@@ -87,6 +87,30 @@ def main():
     nm = benchdiff.norm_map({"q09_a": 1.0, "q09_b": 2.0})
     ok &= check("norm_map collision keeps full names",
                 nm == {"q09_a": 1.0, "q09_b": 2.0})
+    coll = {}
+    benchdiff.norm_map({"q09_a": 1.0, "q09_b": 2.0, "q10_x": 3.0}, coll)
+    ok &= check("norm_map reports colliding prefixes",
+                coll == {"q09": ["q09_a", "q09_b"]})
+
+    # 8. raw-stdout scan: a LATER line that only partial-parses (orphan
+    #    qNN:number text, e.g. an echoed spread fragment) must not
+    #    supersede an EARLIER complete metric line
+    with tempfile.NamedTemporaryFile("w", suffix=".log", delete=False) as f:
+        f.write("[info] running bench\n" + FULL + "\n"
+                + '{"q01_alpha":9.45,"q02_beta":8.8}' + "\n[success] done\n")
+        p = f.name
+    d = benchdiff.load(p)
+    ok &= check("stdout scan prefers complete over later partial",
+                not d.get("partial")
+                and d["queries"] == {"q01": 1.25, "q02": 1.75},
+                detail="" if not d.get("partial") else f"partial won: {d}")
+    # ... and a capture holding ONLY a partial line still recovers it
+    with tempfile.NamedTemporaryFile("w", suffix=".log", delete=False) as f:
+        f.write("[info] noise\n" + FULL[FULL.find('"q02":'):] + "\n")
+        p = f.name
+    d = benchdiff.load(p)
+    ok &= check("stdout scan falls back to partial when nothing complete",
+                d.get("partial") and d["queries"] == {"q02": 1.75})
 
     if not ok:
         sys.exit(1)
