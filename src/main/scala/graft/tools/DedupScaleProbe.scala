@@ -36,28 +36,69 @@ import graft.ext.{Dedup, Similarity}
   * derivation number independent of generation cost.
   *
   * Not part of the driver contract; run via
-  * `sbt 'runMain graft.tools.DedupScaleProbe [--sizes N,N,..] [--reps N]'`.
-  * Tables cache under /tmp/graft_dedup_scale/n<rows> and are rebuilt only
-  * when absent. */
+  * `sbt 'runMain graft.tools.DedupScaleProbe [--sizes N,N,..] [--reps N]
+  * [--families minhash,simhash,embedding] [--pinnedLsh PxT] [--mutDenom D]
+  * [--multiProbeCheck]'`.
+  * `--families` restricts a run to a subset (the 16M step only needs the
+  * embedding family); `--pinnedLsh 21x14` adds a pinned-config embedding
+  * row beside the auto-sized one (the posture comparison: a config frozen
+  * at a smaller corpus, re-run when the data outgrows it); `--mutDenom`
+  * sets the text-corpus per-position mutation probability to 1/D for the
+  * detection-vs-mutation sweep (default 20 ≈ 5%); `--multiProbeCheck`
+  * runs the driver-side multi-probe-vs-OR-amplification decision
+  * measurement (see [[multiProbeDecision]]); `--rawVolume` reports the
+  * exact pre-distinct candidate volume Σ C(|cell|,2) per embedding bucket
+  * table via an occupancy aggregation instead of running the full pairing
+  * — the join-input cost, measurable even where a posture's distinct
+  * outgrows local scratch. Tables cache under
+  * /tmp/graft_dedup_scale/n<rows> and are rebuilt only when absent. */
 object DedupScaleProbe {
 
   def main(args: Array[String]): Unit = {
     var sizes = Seq(250000L, 1000000L, 4000000L)
     var reps = 2
+    var families = Set("minhash", "simhash", "embedding")
+    var pinnedLsh: Option[(Int, Int)] = None
+    var mutDenom = 20
+    var multiProbeCheck = false
+    var rawVolume = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--sizes" if i + 1 < args.length =>
           sizes = args(i + 1).split(",").map(_.trim.toLong).toSeq; i += 2
         case "--reps" if i + 1 < args.length => reps = args(i + 1).toInt; i += 2
+        case "--families" if i + 1 < args.length =>
+          families = args(i + 1).split(",").map(_.trim).toSet; i += 2
+        case "--pinnedLsh" if i + 1 < args.length =>
+          val parts = args(i + 1).split("[x,]").map(_.trim.toInt)
+          require(parts.length == 2, s"--pinnedLsh wants PLANESxTABLES, got '${args(i + 1)}'")
+          pinnedLsh = Some((parts(0), parts(1))); i += 2
+        case "--mutDenom" if i + 1 < args.length =>
+          mutDenom = args(i + 1).toInt; i += 2
+        case "--multiProbeCheck" => multiProbeCheck = true; i += 1
+        case "--rawVolume" => rawVolume = true; i += 1
         case other => sys.error(
-          s"unknown arg '$other'; usage: DedupScaleProbe [--sizes N,..] [--reps N]")
+          s"unknown arg '$other'; usage: DedupScaleProbe [--sizes N,..] " +
+            "[--reps N] [--families minhash,simhash,embedding] " +
+            "[--pinnedLsh PxT] [--mutDenom D] [--multiProbeCheck]")
       }
     }
     // fail at parse time, not with a NoSuchElementException after an
     // hour of table building
     require(reps >= 1, s"--reps must be >= 1, got $reps")
     require(sizes.nonEmpty && sizes.forall(_ > 0), s"bad --sizes: $sizes")
+    val known = Set("minhash", "simhash", "embedding")
+    require(families.nonEmpty && families.subsetOf(known),
+      s"--families must be a non-empty subset of $known, got $families")
+    // a per-position mutation probability of 1/mutDenom; 20 is the r11
+    // corpus (~5%), 50 and 100 give the 2%/1% rows of the
+    // detection-vs-mutation sweep. Only the TEXT families read it — the
+    // dup STRUCTURE (every 20th doc) is independent of the rate, so
+    // true_dups stays n/20 at every setting.
+    require(mutDenom >= 2, s"--mutDenom must be >= 2, got $mutDenom")
+    require(pinnedLsh.forall { case (p, t) => p >= 1 && p <= 63 && t >= 1 },
+      s"--pinnedLsh out of range: $pinnedLsh")
     val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROOT", "/tmp/graft_dedup_scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
@@ -84,7 +125,7 @@ object DedupScaleProbe {
       val text = array_join(
         transform(sequence(lit(0), lit(words - 1)), p =>
           concat(lit("w"), pmod(hash(
-            when(isDup && pmod(hash(id, p, lit(777)), lit(20)) === 0, id)
+            when(isDup && pmod(hash(id, p, lit(777)), lit(mutDenom)) === 0, id)
               .otherwise(base), p), lit(vocab)))),
         " ")
       spark.range(n).select(id.as("doc_id"), text.as("text"))
@@ -120,20 +161,23 @@ object DedupScaleProbe {
 
     sizes.foreach { n =>
       val dir = s"$root/n$n"
+      // non-default mutation rates cache under their own suffix so the
+      // sweep can never serve the 5% corpus as a 1% measurement
+      val mutSuffix = if (mutDenom == 20) "" else s"_m$mutDenom"
       // ---- build once per size, through the production scan-side paths;
       // the JSON fragment reports the measured seconds only for a REAL
       // build (a cached re-run says so instead of passing a File.exists
       // check off as scan-side work)
       def buildJson(t: (Double, Boolean)): String =
         if (t._2) f""""build_s":${t._1}%.3f""" else """"build_cached":true"""
-      val bandBuild = timed {
-        ensure(s"$dir/bands") {
+      lazy val bandBuild = timed {
+        ensure(s"$dir/bands$mutSuffix") {
           Dedup.minhashTable(synthetic(n), "text", "doc_id", shingleN = 3,
             k = 32, bands = 8)
         }
       }
-      val blockBuild = timed {
-        ensure(s"$dir/blocks") {
+      lazy val blockBuild = timed {
+        ensure(s"$dir/blocks$mutSuffix") {
           Dedup.simhashBlockTable(
             synthetic(n).select(col("doc_id"),
               Dedup.simhash(col("text")).as("simhash")),
@@ -143,9 +187,12 @@ object DedupScaleProbe {
       // embedding-LSH family: production auto-sizing picks (planes,
       // tables) per corpus size — depth growing with n is exactly what
       // keeps candidate volume linear, so the probe exercises the sizing,
-      // not a pinned config
-      val (planes, tables) = Similarity.lshParams(n, threshold = 0.98)
-      val lshBuild = timed {
+      // not a pinned config. A --pinnedLsh row builds a SECOND bucket
+      // table at an explicit (planes, tables) — the posture comparison:
+      // what a deployment that froze a smaller corpus's config pays when
+      // the data outgrows it.
+      lazy val (planes, tables) = Similarity.lshParams(n, threshold = 0.98)
+      lazy val lshBuild = timed {
         ensure(s"$dir/lshbuckets") {
           Similarity.lshTable(syntheticVec(n), planes, tables)
         }
@@ -174,18 +221,157 @@ object DedupScaleProbe {
             .mkString("[", ",", "]")},"pairs":$pairs,"detected":$detected,""" +
           f""""true_dups":${n / 20}$meta}""")
       }
-      run("minhash_lsh", buildJson(bandBuild), "", () =>
-        Dedup.bandCandidates(spark.read.parquet(s"$dir/bands"), "doc_id"),
-        "doc_a", "doc_b")
-      run("simhash", buildJson(blockBuild), "", () =>
-        Dedup.simhashPairsFromBlocks(spark.read.parquet(s"$dir/blocks"), "doc_id"),
-        "doc_a", "doc_b")
-      run("embedding_lsh", buildJson(lshBuild),
-        s""","planes":$planes,"tables":$tables""",
-        () => Similarity.lshCandidatesFromTable(
-          spark.read.parquet(s"$dir/lshbuckets"), "vec_id"),
-        "id_a", "id_b")
+      val mutMeta = if (mutDenom == 20) "" else s""","mut_denom":$mutDenom"""
+      if (families("minhash"))
+        run("minhash_lsh", buildJson(bandBuild), mutMeta, () =>
+          Dedup.bandCandidates(spark.read.parquet(s"$dir/bands$mutSuffix"), "doc_id"),
+          "doc_a", "doc_b")
+      if (families("simhash"))
+        run("simhash", buildJson(blockBuild), mutMeta, () =>
+          Dedup.simhashPairsFromBlocks(
+            spark.read.parquet(s"$dir/blocks$mutSuffix"), "doc_id"),
+          "doc_a", "doc_b")
+      // RAW candidate volume Σ_cells C(|cell|,2): the exact pre-distinct
+      // pair count the bucket self-join emits — the cost that actually
+      // hits the shuffle at scale (the post-distinct `pairs` number is
+      // what survives it). One small occupancy aggregation per table,
+      // computable even where the full distinct outgrows local scratch
+      // (the pinned-at-16M posture did exactly that).
+      def rawPairs(path: String): Long =
+        // sum the (always even) product in LONG and halve driver-side:
+        // `/` on long columns is DOUBLE division in Spark SQL, and an
+        // exact count must not round-trip through floating point
+        spark.read.parquet(path).groupBy("ckey").count()
+          .agg(sum(col("count") * (col("count") - lit(1L))).as("raw2"))
+          .first().getLong(0) / 2
+      if (families("embedding")) {
+        if (rawVolume) {
+          val auto = timed {
+            ensure(s"$dir/lshbuckets") { Similarity.lshTable(syntheticVec(n), planes, tables) }
+            rawPairs(s"$dir/lshbuckets")
+          }
+          println(f"""{"check":"raw_volume","rows":$n,"mode":"auto",""" +
+            f""""planes":$planes,"tables":$tables,"raw_pairs":${auto._2},""" +
+            f""""agg_s":${auto._1}%.3f}""")
+          pinnedLsh.foreach { case (pp, tt) =>
+            val pinnedDir = s"$dir/lshbuckets_p${pp}t$tt"
+            val pinned = timed {
+              ensure(pinnedDir) { Similarity.lshTable(syntheticVec(n), pp, tt) }
+              rawPairs(pinnedDir)
+            }
+            println(f"""{"check":"raw_volume","rows":$n,"mode":"pinned",""" +
+              f""""planes":$pp,"tables":$tt,"raw_pairs":${pinned._2},""" +
+              f""""agg_s":${pinned._1}%.3f}""")
+          }
+        } else {
+          run("embedding_lsh", buildJson(lshBuild),
+            s""","planes":$planes,"tables":$tables,"mode":"auto"""",
+            () => Similarity.lshCandidatesFromTable(
+              spark.read.parquet(s"$dir/lshbuckets"), "vec_id"),
+            "id_a", "id_b")
+          pinnedLsh.foreach { case (pp, tt) =>
+            val pinnedDir = s"$dir/lshbuckets_p${pp}t$tt"
+            val pinnedBuild = timed {
+              ensure(pinnedDir) { Similarity.lshTable(syntheticVec(n), pp, tt) }
+            }
+            run("embedding_lsh", buildJson(pinnedBuild),
+              s""","planes":$pp,"tables":$tt,"mode":"pinned"""",
+              () => Similarity.lshCandidatesFromTable(
+                spark.read.parquet(pinnedDir), "vec_id"),
+              "id_a", "id_b")
+          }
+        }
+      }
     }
+    if (multiProbeCheck) multiProbeDecision()
     spark.stop()
+  }
+
+  /** Measures whether single-bit multi-probe banding (the q49 trick: probe
+    * the buckets reached by flipping a vector's lowest-|projection| sign
+    * bits) could replace OR-amplified tables in the SELF-JOIN dedup
+    * relation at a sub-auto candidate volume — the r11 verdict's option
+    * (b) for flattening the auto-sizer's table growth.
+    *
+    * The check is a property of the plane family and the threshold, not of
+    * any corpus, so it runs driver-side and deterministic (seeded):
+    * synthetic unit-vector pairs at EXACTLY the sizing threshold's cosine
+    * (the pair the recall target is solved for) are bucketed under the
+    * production [[graft.functions.HyperplaneLsh]] planes across many
+    * independent tables, and for each probe budget q the measured
+    * per-table collision probability with probing
+    * (agree + 1-bit mismatches whose differing bit is among EITHER
+    * vector's q lowest margins — the self-join sees both directions) is
+    * fed back through [[Similarity.lshTablesFor]]'s own recall solve. The
+    * verdict figure is `volume_factor`: (tables_mp × (1+q)) / tables_auto
+    * — in the A=home ⋈ B=home∪probe join every probe row multiplies each
+    * table's bucket-join volume the same way a home row does (probing is
+    * an ASYMMETRIC trick: in q49's query-side search the probes multiply
+    * only the query's touched buckets, never a corpus×corpus join side),
+    * so a factor above 1.0 means multi-probe GROWS dedup candidate volume
+    * at equal recall and the auto-sizer's extra tables are the cheaper
+    * recall instrument. */
+  private[tools] def multiProbeDecision(threshold: Double = 0.98,
+      targetRecall: Double = 0.98, dim: Int = 64, nPairs: Int = 2000,
+      nTablesSampled: Int = 32): Unit = {
+    import graft.functions.HyperplaneLsh
+    val rnd = new scala.util.Random(42)
+    def gaussian(k: Int): Array[Double] = Array.fill(k)(rnd.nextGaussian())
+    def normed(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    /** A unit vector and a partner at exactly cos(angle)=threshold. */
+    def pairAtThreshold(): (Array[Double], Array[Double]) = {
+      val v = normed(gaussian(dim))
+      val w0 = gaussian(dim)
+      val d = w0.zip(v).map { case (a, b) => a * b }.sum
+      val w = normed(w0.zip(v).map { case (a, b) => a - d * b })
+      val s = math.sqrt(1.0 - threshold * threshold)
+      (v, v.zip(w).map { case (a, b) => threshold * a + s * b })
+    }
+    val pairs = Seq.fill(nPairs)(pairAtThreshold())
+    // the measured auto depths at 250k/1M/4M (SCALE.md r11 table) plus
+    // this round's 16M step
+    for (k <- Seq(17, 19, 21, 23)) {
+      val tablesAuto = Similarity.lshTablesFor(k, threshold, targetRecall)
+      var agree = 0L
+      var oneBit = 0L
+      val recovered = Array.fill(4)(0L) // q = 1..3 at index q
+      var total = 0L
+      for (((a, b), pi) <- pairs.zipWithIndex; t <- 0 until nTablesSampled) {
+        // disjoint plane sets per (pair, table) so the nPairs × nTables
+        // samples are independent draws from the SAME family the scan
+        // uses — plane index never collides across samples
+        val off = (pi.toLong * nTablesSampled + t) * k
+        require(off + k < Int.MaxValue, "plane offset overflow")
+        val pa = HyperplaneLsh.projections(a, k, off.toInt)
+        val pb = HyperplaneLsh.projections(b, k, off.toInt)
+        val mismatches = (0 until k).filter(i => (pa(i) >= 0) != (pb(i) >= 0))
+        total += 1
+        if (mismatches.isEmpty) agree += 1
+        else if (mismatches.size == 1) {
+          oneBit += 1
+          val bit = mismatches.head
+          def lowestQ(p: Array[Double], q: Int): Boolean =
+            p.zipWithIndex.sortBy { case (x, _) => math.abs(x) }
+              .take(q).exists(_._2 == bit)
+          for (q <- 1 to 3)
+            if (lowestQ(pa, q) || lowestQ(pb, q)) recovered(q) += 1
+        }
+      }
+      val pAuto = agree.toDouble / total
+      for (q <- 1 to 3) {
+        val p1 = (agree + recovered(q)).toDouble / total
+        val tablesMp = math.ceil(math.log(1.0 - targetRecall) /
+          math.log(1.0 - p1)).toInt
+        val factor = tablesMp.toDouble * (1 + q) / tablesAuto
+        println(f"""{"check":"multi_probe","planes":$k,"probes":$q,""" +
+          f""""p_table_auto":$pAuto%.4f,"p_table_mp":$p1%.4f,""" +
+          f""""one_bit_share":${oneBit.toDouble / total}%.4f,""" +
+          f""""recovered_share":${recovered(q).toDouble / math.max(1, oneBit)}%.4f,""" +
+          f""""tables_auto":$tablesAuto,"tables_mp":$tablesMp,""" +
+          f""""volume_factor":$factor%.3f}""")
+      }
+    }
   }
 }
