@@ -311,9 +311,21 @@ object DedupScaleProbe {
     * so a factor above 1.0 means multi-probe GROWS dedup candidate volume
     * at equal recall and the auto-sizer's extra tables are the cheaper
     * recall instrument. */
-  private[tools] def multiProbeDecision(threshold: Double = 0.98,
+  /** One measured row of [[multiProbeDecision]]: the per-table collision
+    * statistics at depth `planes` with `probes` low-margin flips, and the
+    * derived table count + candidate-volume factor vs pure
+    * OR-amplification. Deterministic for fixed parameters (seeded RNG,
+    * the production plane family) — pinned in ToolsSpec so the SCALE.md
+    * decision table stays reproducible. */
+  private[graft] case class MultiProbeRow(planes: Int, probes: Int,
+      pTableAuto: Double, pTableMp: Double, oneBitShare: Double,
+      recoveredShare: Double, tablesAuto: Int, tablesMp: Int,
+      volumeFactor: Double)
+
+  private[graft] def multiProbeRows(threshold: Double = 0.98,
       targetRecall: Double = 0.98, dim: Int = 64, nPairs: Int = 2000,
-      nTablesSampled: Int = 32): Unit = {
+      nTablesSampled: Int = 32,
+      depths: Seq[Int] = Seq(17, 19, 21, 23)): Seq[MultiProbeRow] = {
     import graft.functions.HyperplaneLsh
     val rnd = new scala.util.Random(42)
     def gaussian(k: Int): Array[Double] = Array.fill(k)(rnd.nextGaussian())
@@ -330,9 +342,9 @@ object DedupScaleProbe {
       (v, v.zip(w).map { case (a, b) => threshold * a + s * b })
     }
     val pairs = Seq.fill(nPairs)(pairAtThreshold())
-    // the measured auto depths at 250k/1M/4M (SCALE.md r11 table) plus
-    // this round's 16M step
-    for (k <- Seq(17, 19, 21, 23)) {
+    // default depths: the measured auto sizings at 250k/1M/4M (SCALE.md
+    // r11 table) plus the r12 16M step
+    depths.flatMap { k =>
       val tablesAuto = Similarity.lshTablesFor(k, threshold, targetRecall)
       var agree = 0L
       var oneBit = 0L
@@ -360,18 +372,24 @@ object DedupScaleProbe {
         }
       }
       val pAuto = agree.toDouble / total
-      for (q <- 1 to 3) {
+      (1 to 3).map { q =>
         val p1 = (agree + recovered(q)).toDouble / total
         val tablesMp = math.ceil(math.log(1.0 - targetRecall) /
           math.log(1.0 - p1)).toInt
-        val factor = tablesMp.toDouble * (1 + q) / tablesAuto
-        println(f"""{"check":"multi_probe","planes":$k,"probes":$q,""" +
-          f""""p_table_auto":$pAuto%.4f,"p_table_mp":$p1%.4f,""" +
-          f""""one_bit_share":${oneBit.toDouble / total}%.4f,""" +
-          f""""recovered_share":${recovered(q).toDouble / math.max(1, oneBit)}%.4f,""" +
-          f""""tables_auto":$tablesAuto,"tables_mp":$tablesMp,""" +
-          f""""volume_factor":$factor%.3f}""")
+        MultiProbeRow(k, q, pAuto, p1, oneBit.toDouble / total,
+          recovered(q).toDouble / math.max(1, oneBit), tablesAuto, tablesMp,
+          tablesMp.toDouble * (1 + q) / tablesAuto)
       }
     }
   }
+
+  private[tools] def multiProbeDecision(): Unit =
+    multiProbeRows().foreach { r =>
+      println(f"""{"check":"multi_probe","planes":${r.planes},"probes":${r.probes},""" +
+        f""""p_table_auto":${r.pTableAuto}%.4f,"p_table_mp":${r.pTableMp}%.4f,""" +
+        f""""one_bit_share":${r.oneBitShare}%.4f,""" +
+        f""""recovered_share":${r.recoveredShare}%.4f,""" +
+        f""""tables_auto":${r.tablesAuto},"tables_mp":${r.tablesMp},""" +
+        f""""volume_factor":${r.volumeFactor}%.3f}""")
+    }
 }

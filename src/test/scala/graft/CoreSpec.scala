@@ -127,4 +127,39 @@ class CoreSpec extends AnyFunSuite {
         "mmcblk0p1", "loop0", "ram0", "md0", "dm-0", "sr0", "zram1"))
       assert(!part.matches(p), s"partition/virtual $part must not match")
   }
+
+  test("DedupScaleProbe.multiProbeRows: deterministic, isotropic, and " +
+      "volume-neutral — the SCALE.md multi-probe decision stays reproducible") {
+    // smaller sample than the probe's default (the suite shouldn't spend
+    // 10s on Monte Carlo) — statistical assertions get tolerances sized
+    // to ~1000×8 samples per depth
+    val rows = graft.tools.DedupScaleProbe.multiProbeRows(
+      nPairs = 1000, nTablesSampled = 8, depths = Seq(17, 21))
+    // seeded RNG + the production plane family: bit-identical on re-run
+    assert(rows == graft.tools.DedupScaleProbe.multiProbeRows(
+      nPairs = 1000, nTablesSampled = 8, depths = Seq(17, 21)))
+    assert(rows.map(r => (r.planes, r.probes)) ==
+      Seq((17, 1), (17, 2), (17, 3), (21, 1), (21, 2), (21, 3)))
+    val p = 1.0 - math.acos(0.98) / math.Pi
+    rows.foreach { r =>
+      // isotropy cross-check: the measured per-table agreement of
+      // threshold-cosine pairs must track the analytic p^k the sizing
+      // math assumes (a drift here would indict the hash plane family,
+      // not the Monte Carlo)
+      val analytic = math.pow(p, r.planes)
+      assert(math.abs(r.pTableAuto - analytic) < 0.03,
+        s"planes=${r.planes}: measured ${r.pTableAuto} vs analytic $analytic")
+      // probing must genuinely recover low-margin 1-bit misses...
+      assert(r.recoveredShare > 0.5 && r.recoveredShare <= 1.0, r.toString)
+      assert(r.pTableMp > r.pTableAuto, r.toString)
+      // ...and still be volume-NEUTRAL for the self-join: the SCALE.md
+      // "measured and declined" verdict rests on the factor never
+      // dropping meaningfully below 1 (nor exploding)
+      assert(r.volumeFactor > 0.7 && r.volumeFactor < 2.0, r.toString)
+    }
+    // more probes always recover more (monotone in q at fixed depth)
+    rows.grouped(3).foreach { g =>
+      assert(g.map(_.recoveredShare) == g.map(_.recoveredShare).sorted, g.toString)
+    }
+  }
 }
