@@ -115,13 +115,17 @@ object Bench {
     // silently double the run.
     val noisyAt = 3.0
     val sampleCap = 6
+    // passes attempts already ran, leaving sampleCap - passes extras — but
+    // never fewer than r11's unconditional 2: a passes>=5 run is a request
+    // for MORE rigor, and it must not be the setting that silently turns
+    // off the zero-success retry and the noisy-consensus re-sample
+    val extraBudget = math.max(2, sampleCap - passes)
     val results = benched.map { case (name, fn) =>
       var ss = allPasses.flatMap(_(name))
       var extras = 0
       // extras counts ATTEMPTS, not successes, so a query failing every
-      // re-sample cannot spin forever on an ss.size that never grows;
-      // passes attempts already ran, leaving sampleCap - passes extras
-      while (passes >= 2 && extras < sampleCap - passes &&
+      // re-sample cannot spin forever on an ss.size that never grows
+      while (passes >= 2 && extras < extraBudget &&
           (ss.size < 2 || consensusSpread(ss).exists(_ > noisyAt))) {
         once(name, fn).foreach(t => ss = ss :+ t)
         extras += 1

@@ -380,11 +380,16 @@ object Similarity {
     * plane halves a table's random bucket collisions while growing the
     * recall-solving table count by only ~1/p per plane, so the final depth
     * is the minimizer of an explicit per-vector cost proxy
-    * `tables·(planes + 4·n/2^(planes+1))` over every recall-feasible depth
-    * at or past the floor (tables still capped): the first term is the
-    * projection work (one dot per plane per table), the second the
-    * expected random same-bucket candidates per table, weighted 4× because
-    * a candidate costs its rerank dot PLUS join/shuffle machinery. In the
+    * `tables·(planes + 4·4.5·n/2^(planes+1))` over every recall-feasible
+    * depth at or past the floor (tables still capped): the first term is
+    * the projection work (one dot per plane per table), the second the
+    * expected random same-bucket candidates per table, weighted 4× for a
+    * candidate's rerank dot PLUS join/shuffle machinery and a further
+    * 4.5× for the MEASURED sign-bucket non-uniformity (realized
+    * Σ C(|cell|,2) vs the uniform model — r12 probes at 16M/64M docs;
+    * pricing collisions below the measured rate made the pre-r12 proxy
+    * under-deepen at ≥64M and step candidate volume ×9.6 per ×4 data).
+    * In the
     * TIGHT regime (p ≥ 0.8, cosine ≳ 0.81) deepening wins ≥ 1.6× per
     * plane; in the LOOSE regime the table count grows faster (≥ 1.56× per
     * plane) yet the minimizer still finds real wins wherever the table cap
@@ -413,19 +418,46 @@ object Similarity {
   def lshParams(n: Long, threshold: Double, targetRecall: Double = 0.98,
       targetBucketRows: Long = 1024L, maxTables: Int = 64): (Int, Int) = {
     def tablesFor(k: Int): Int = lshTablesFor(k, threshold, targetRecall)
-    var planes = math.min(24, math.max(2,
+    var planes = math.min(MaxPlanes, math.max(2,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
     while (planes > 2 && tablesFor(planes) > maxTables) planes -= 1
     // deepen past the floor to the cost-proxy minimizer over every
     // recall-feasible depth (tables still capped) — all regimes; where the
     // cap already binds the floor is the only feasible depth and nothing
-    // changes
+    // changes. The collision term is weighted by BOTH the join-machinery
+    // factor AND the measured bucket non-uniformity — without the latter
+    // the proxy defects from occupancy-constancy exactly where it matters
+    // (r12 measured the defection at 64M docs: the uniform-model proxy
+    // stopped at 24 planes, occupancy doubled, and raw candidate volume
+    // stepped ×9.6 for ×4 data instead of the ×5-6 the deepening posture
+    // holds; see SCALE.md "posture" sections).
     def cost(k: Int): Double =
-      tablesFor(k).toDouble * (k + 4.0 * n / math.pow(2.0, k + 1))
-    val feasible = (planes to 24).filter(k => tablesFor(k) <= maxTables)
+      tablesFor(k).toDouble *
+        (k + CollisionMachineryWeight * BucketNonUniformity * n / math.pow(2.0, k + 1))
+    val feasible = (planes to MaxPlanes).filter(k => tablesFor(k) <= maxTables)
     if (feasible.nonEmpty) planes = feasible.minBy(cost)
     (planes, math.max(1, math.min(maxTables, tablesFor(planes))))
   }
+
+  /** Depth scan bound for [[lshParams]]. 40 sign bits keep the bucket well
+    * inside [[graft.functions.HyperplaneLsh]]'s 63-bit long and hold the
+    * occupancy-constancy posture to ~2^40·2 ≈ 2×10^12 vectors — past any
+    * 100 TB corpus — where the pre-r12 bound of 24 forced occupancy (and
+    * with it candidate volume per doc) to start doubling from ~32M rows. */
+  private val MaxPlanes = 40
+
+  /** A random same-bucket candidate costs its rerank dot plus the join
+    * and shuffle machinery that carries it — the proxy's original 4×. */
+  private val CollisionMachineryWeight = 4.0
+
+  /** Hash-derived sign buckets are measurably NON-uniform: the realized
+    * Σ C(|cell|,2) runs ~4.3-4.8× the uniform-occupancy model at every
+    * probed size (r12, `DedupScaleProbe --rawVolume` at 16M and 64M docs
+    * — see SCALE.md). The cost proxy must price collisions at the
+    * measured rate or it under-deepens: at 64M the unweighted proxy chose
+    * 24 planes/occupancy 3.8 and paid ×9.6 raw volume per ×4 data, where
+    * one-to-two more planes (re-solved tables) holds the step to ×5-6. */
+  private val BucketNonUniformity = 4.5
 
   /** The (tbl, bucket) self-join candidate pairs for [[nearDupPairsLsh]] —
     * exposed so tests can assert candidate VOLUME (the actual scale

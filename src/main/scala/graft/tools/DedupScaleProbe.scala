@@ -38,7 +38,7 @@ import graft.ext.{Dedup, Similarity}
   * Not part of the driver contract; run via
   * `sbt 'runMain graft.tools.DedupScaleProbe [--sizes N,N,..] [--reps N]
   * [--families minhash,simhash,embedding] [--pinnedLsh PxT] [--mutDenom D]
-  * [--multiProbeCheck]'`.
+  * [--multiProbeCheck] [--rawVolume]'`.
   * `--families` restricts a run to a subset (the 16M step only needs the
   * embedding family); `--pinnedLsh 21x14` adds a pinned-config embedding
   * row beside the auto-sized one (the posture comparison: a config frozen
@@ -81,7 +81,8 @@ object DedupScaleProbe {
         case other => sys.error(
           s"unknown arg '$other'; usage: DedupScaleProbe [--sizes N,..] " +
             "[--reps N] [--families minhash,simhash,embedding] " +
-            "[--pinnedLsh PxT] [--mutDenom D] [--multiProbeCheck]")
+            "[--pinnedLsh PxT] [--mutDenom D] [--multiProbeCheck] " +
+            "[--rawVolume]")
       }
     }
     // fail at parse time, not with a NoSuchElementException after an
@@ -190,12 +191,16 @@ object DedupScaleProbe {
       // not a pinned config. A --pinnedLsh row builds a SECOND bucket
       // table at an explicit (planes, tables) — the posture comparison:
       // what a deployment that froze a smaller corpus's config pays when
-      // the data outgrows it.
+      // the data outgrows it. EVERY bucket-table cache dir is keyed by
+      // its (planes, tables) — including the auto one: if lshParams'
+      // minimizer is ever retuned, a stale table must miss the cache
+      // instead of being served under the new config's label (when
+      // --pinnedLsh matches the auto sizing the two postures share a dir,
+      // and the second build correctly reports build_cached).
       lazy val (planes, tables) = Similarity.lshParams(n, threshold = 0.98)
-      lazy val lshBuild = timed {
-        ensure(s"$dir/lshbuckets") {
-          Similarity.lshTable(syntheticVec(n), planes, tables)
-        }
+      def lshDir(pp: Int, tt: Int) = s"$dir/lshbuckets_p${pp}t$tt"
+      def ensureLsh(pp: Int, tt: Int): (Double, Boolean) = timed {
+        ensure(lshDir(pp, tt)) { Similarity.lshTable(syntheticVec(n), pp, tt) }
       }
       // ---- pairing, timed from the persisted table (min-of-reps wall
       // time; volume is identical every rep — it's a deterministic count).
@@ -245,39 +250,23 @@ object DedupScaleProbe {
           .agg(sum(col("count") * (col("count") - lit(1L))).as("raw2"))
           .first().getLong(0) / 2
       if (families("embedding")) {
-        if (rawVolume) {
-          val auto = timed {
-            ensure(s"$dir/lshbuckets") { Similarity.lshTable(syntheticVec(n), planes, tables) }
-            rawPairs(s"$dir/lshbuckets")
-          }
-          println(f"""{"check":"raw_volume","rows":$n,"mode":"auto",""" +
-            f""""planes":$planes,"tables":$tables,"raw_pairs":${auto._2},""" +
-            f""""agg_s":${auto._1}%.3f}""")
-          pinnedLsh.foreach { case (pp, tt) =>
-            val pinnedDir = s"$dir/lshbuckets_p${pp}t$tt"
-            val pinned = timed {
-              ensure(pinnedDir) { Similarity.lshTable(syntheticVec(n), pp, tt) }
-              rawPairs(pinnedDir)
-            }
-            println(f"""{"check":"raw_volume","rows":$n,"mode":"pinned",""" +
-              f""""planes":$pp,"tables":$tt,"raw_pairs":${pinned._2},""" +
-              f""""agg_s":${pinned._1}%.3f}""")
-          }
-        } else {
-          run("embedding_lsh", buildJson(lshBuild),
-            s""","planes":$planes,"tables":$tables,"mode":"auto"""",
-            () => Similarity.lshCandidatesFromTable(
-              spark.read.parquet(s"$dir/lshbuckets"), "vec_id"),
-            "id_a", "id_b")
-          pinnedLsh.foreach { case (pp, tt) =>
-            val pinnedDir = s"$dir/lshbuckets_p${pp}t$tt"
-            val pinnedBuild = timed {
-              ensure(pinnedDir) { Similarity.lshTable(syntheticVec(n), pp, tt) }
-            }
-            run("embedding_lsh", buildJson(pinnedBuild),
-              s""","planes":$pp,"tables":$tt,"mode":"pinned"""",
+        val postures = (planes, tables, "auto") +:
+          pinnedLsh.map { case (pp, tt) => (pp, tt, "pinned") }.toList
+        postures.foreach { case (pp, tt, mode) =>
+          val build = ensureLsh(pp, tt)
+          if (rawVolume) {
+            // build and aggregation timed SEPARATELY (and the build
+            // honestly marked cached when it was): agg_s must mean the
+            // occupancy aggregation alone, not a multi-minute cold build
+            val agg = timed { rawPairs(lshDir(pp, tt)) }
+            println(f"""{"check":"raw_volume","rows":$n,"mode":"$mode",""" +
+              f""""planes":$pp,"tables":$tt,${buildJson(build)},""" +
+              f""""raw_pairs":${agg._2},"agg_s":${agg._1}%.3f}""")
+          } else {
+            run("embedding_lsh", buildJson(build),
+              s""","planes":$pp,"tables":$tt,"mode":"$mode"""",
               () => Similarity.lshCandidatesFromTable(
-                spark.read.parquet(pinnedDir), "vec_id"),
+                spark.read.parquet(lshDir(pp, tt)), "vec_id"),
               "id_a", "id_b")
           }
         }
@@ -310,13 +299,14 @@ object DedupScaleProbe {
     * only the query's touched buckets, never a corpus×corpus join side),
     * so a factor above 1.0 means multi-probe GROWS dedup candidate volume
     * at equal recall and the auto-sizer's extra tables are the cheaper
-    * recall instrument. */
-  /** One measured row of [[multiProbeDecision]]: the per-table collision
-    * statistics at depth `planes` with `probes` low-margin flips, and the
-    * derived table count + candidate-volume factor vs pure
-    * OR-amplification. Deterministic for fixed parameters (seeded RNG,
-    * the production plane family) — pinned in ToolsSpec so the SCALE.md
-    * decision table stays reproducible. */
+    * recall instrument. [[multiProbeDecision]] prints these rows as JSON;
+    * determinism, isotropy (measured agreement tracks the analytic p^k),
+    * recovery monotonicity, and the neutral volume-factor band are pinned
+    * in CoreSpec so the SCALE.md decision table stays reproducible.
+    *
+    * One row per (depth, probe budget): the per-table collision statistics
+    * at `planes` sign bits with `probes` low-margin flips, and the derived
+    * table count + candidate-volume factor vs pure OR-amplification. */
   private[graft] case class MultiProbeRow(planes: Int, probes: Int,
       pTableAuto: Double, pTableMp: Double, oneBitShare: Double,
       recoveredShare: Double, tablesAuto: Int, tablesMp: Int,

@@ -91,7 +91,9 @@ class PropertiesSpec extends SparkSpec {
       Gen.chooseNum(0.30, 0.99))            // cosine threshold
     forAllN(gen, 200) { case (n, threshold) =>
       val (planes, tables) = graft.ext.Similarity.lshParams(n, threshold)
-      assert(planes >= 2 && planes <= 24)
+      // 40 = lshParams' depth scan bound (occupancy-constancy holds to
+      // ~2×10^12 vectors; the bucket stays well inside the 63-bit long)
+      assert(planes >= 2 && planes <= 40)
       assert(tables >= 1 && tables <= 64)
       val p = 1.0 - math.acos(threshold) / math.Pi
       val recall = 1.0 - math.pow(1.0 - math.pow(p, planes), tables)

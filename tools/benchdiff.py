@@ -116,7 +116,8 @@ def load(path):
     # capture parsed complete.
     best_complete = None
     best_partial = None
-    for line in raw.splitlines():
+    complete_at = partial_at = -1
+    for idx, line in enumerate(raw.splitlines()):
         start = line.find("{")
         if start < 0:
             continue
@@ -124,10 +125,20 @@ def load(path):
         if got is None:
             continue
         if got.get("partial"):
-            best_partial = got
+            best_partial, partial_at = got, idx
         else:
-            best_complete = got
+            best_complete, complete_at = got, idx
     best = best_complete or best_partial
+    if best is best_complete and partial_at > complete_at >= 0:
+        # the chosen complete line is OLDER than a partial-parsing line
+        # further down — usually orphan noise, but if this capture holds
+        # several runs the superseded line could be the LATEST run cut
+        # mid-map, and diffing a stale run with full confidence is worse
+        # than saying so
+        print(f"NOTE: {path}: kept the complete metric line (line "
+              f"{complete_at + 1}) over a later partial parse (line "
+              f"{partial_at + 1}) — if this capture holds more than one "
+              "bench run, the kept line may be from an earlier run")
     if best is None:
         best = parse_metric_text(raw)
     if best is None:
@@ -141,16 +152,17 @@ def norm(name):
     return head if re.fullmatch(r"q\d+", head) else name
 
 
-def norm_map(d, collided=None):
+def norm_map(d, collided=None, origin=None):
     # Two distinct names sharing a qNN prefix must NOT collapse into one
     # key (last-wins would silently drop a timing) — Bench keeps full
     # names for colliding prefixes on the emit side, so the diff side
     # mirrors that: colliding groups keep their full spellings. When a
     # prefix collides on ONE side only (old registry had one q09, new
     # grew q09_a + q09_b), the keys can never meet in the shared set —
-    # the caller passes `collided` to collect those prefixes and warn
-    # that the group was excluded, instead of letting it vanish into the
-    # only-in-old/only-in-new noise.
+    # the caller passes `collided` to collect those prefixes and handle
+    # the group (recover an exact-spelling match or exclude it loudly),
+    # and `origin` to remember which full spelling each compacted
+    # single-member key came from (so recovery can re-key it).
     d = d or {}
     groups = {}
     for k in d:
@@ -159,6 +171,8 @@ def norm_map(d, collided=None):
     for nk, ks in groups.items():
         if len(ks) == 1:
             out[nk] = d[ks[0]]
+            if origin is not None:
+                origin[nk] = ks[0]
         else:
             if collided is not None:
                 collided.setdefault(nk, []).extend(sorted(ks))
@@ -173,22 +187,39 @@ def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     flag = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     old, new = load(old_path), load(new_path)
-    o_coll, n_coll = {}, {}
-    oq, nq = norm_map(old["queries"], o_coll), norm_map(new["queries"], n_coll)
-    # one-side-only prefix collisions: that side keeps full names, the
-    # other's compact key has nothing to meet — the group is EXCLUDED
-    # from the ratio comparison (matching one compact timing against two
-    # full-name timings would be a guess), and saying so beats letting it
-    # silently drop into the only-in-old/only-in-new lists
+    o_coll, n_coll, o_orig, n_orig = {}, {}, {}, {}
+    oq = norm_map(old["queries"], o_coll, o_orig)
+    nq = norm_map(new["queries"], n_coll, n_orig)
+    # One-side-only prefix collisions: that side keeps full names, the
+    # other side's single entry was compacted to the bare prefix. If the
+    # compacted entry's ORIGINAL spelling names one of the colliding full
+    # names, the match is not ambiguous at all — re-key it back to its
+    # full spelling so the pair meets in the shared set (the group's other
+    # members land in only-in as genuinely unmatched). Otherwise the group
+    # really is ambiguous: say so, and actually EXCLUDE it — drop the keys
+    # from both maps so they can't triple-report via the only-in lists.
     for p in sorted(set(o_coll) | set(n_coll)):
-        full = o_coll.get(p, []) + n_coll.get(p, [])
+        if p in o_coll and p in n_coll:
+            continue  # full spellings on both sides meet on their own
         side = "old" if p in o_coll else "new"
-        other = nq if side == "old" else oq
-        if p not in (n_coll if side == "old" else o_coll) and p in other:
+        coll_names = o_coll.get(p) or n_coll.get(p)
+        other_map, other_orig = (nq, n_orig) if side == "old" else (oq, o_orig)
+        if p not in other_map:
+            continue  # the other side lacks the prefix entirely — plain only-in
+        spelling = other_orig.get(p)
+        if spelling in coll_names:
+            other_map[spelling] = other_map.pop(p)
+            print(f"NOTE: prefix {p} collides in {side} only — matched the "
+                  f"other side's entry by its full spelling {spelling}")
+        else:
             print(f"WARNING: prefix {p} collides in {side} only "
-                  f"({', '.join(full)}) — group excluded from the ratio "
-                  "comparison (ambiguous match against the other side's "
-                  f"single {p} timing)")
+                  f"({', '.join(coll_names)}) — group excluded from the "
+                  "comparison (no exact-spelling match for the other "
+                  f"side's single {p} timing)")
+            coll_map = oq if side == "old" else nq
+            for k in coll_names:
+                coll_map.pop(k, None)
+            other_map.pop(p, None)
     # longest spelling seen anywhere, for display
     names = {}
     for d in (old, new):

@@ -112,6 +112,43 @@ def main():
     ok &= check("stdout scan falls back to partial when nothing complete",
                 d.get("partial") and d["queries"] == {"q02": 1.75})
 
+    # 9. one-side collision, end to end via the CLI: an exact full-spelling
+    #    match is recovered; a truly ambiguous compact key is excluded from
+    #    BOTH the ratio table and the only-in lists (no triple-reporting)
+    import subprocess
+    def artifact(queries):
+        return ('{"metric":"total","value":1.0,"unit":"sec","passes":3,'
+                '"spread":{},"samples":{},"failed":[],"skipped":{},'
+                '"sf":"x","queries":' + json.dumps(queries) + "}")
+    def run_cli(old_q, new_q):
+        paths = []
+        for q in (old_q, new_q):
+            with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                             delete=False) as f:
+                f.write(artifact(q))
+                paths.append(f.name)
+        r = subprocess.run(
+            [sys.executable,
+             __import__("os").path.join(
+                 __import__("os").path.dirname(__file__), "benchdiff.py"),
+             paths[0], paths[1]],
+            capture_output=True, text=True)
+        return r.stdout
+    out = run_cli({"q09_a": 1.0, "q09_b": 2.0, "q10": 3.0},
+                  {"q09_a": 1.1, "q10": 3.0})
+    ok &= check("one-side collision recovers exact full spelling",
+                "matched the other side's entry by its full spelling q09_a"
+                in out and "2 shared queries" in out
+                and "only in old: q09_b" in out,
+                detail="" if "2 shared" in out else out)
+    out = run_cli({"q09_a": 1.0, "q09_b": 2.0, "q10": 3.0},
+                  {"q09": 1.1, "q10": 3.0})
+    ok &= check("ambiguous one-side collision fully excluded",
+                "WARNING: prefix q09 collides in old only" in out
+                and "1 shared queries" in out
+                and "only in" not in out,
+                detail="" if "1 shared" in out else out)
+
     if not ok:
         sys.exit(1)
     print("ALL OK")
