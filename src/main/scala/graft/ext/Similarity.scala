@@ -386,9 +386,10 @@ object Similarity {
     * expected random same-bucket candidates per table, weighted 4× for a
     * candidate's rerank dot PLUS join/shuffle machinery and a further
     * 4.5× for the MEASURED sign-bucket non-uniformity (realized
-    * Σ C(|cell|,2) vs the uniform model — r12 probes at 16M/64M docs;
+    * Σ C(|cell|,2) vs the uniform model — r12 probes at 4M-64M docs;
     * pricing collisions below the measured rate made the pre-r12 proxy
-    * under-deepen at ≥64M and step candidate volume ×9.6 per ×4 data).
+    * under-deepen at ≥64M and step candidate volume ×9.6 per ×4 data,
+    * where the weighted proxy measures ×3.8 at the same step).
     * In the
     * TIGHT regime (p ≥ 0.8, cosine ≳ 0.81) deepening wins ≥ 1.6× per
     * plane; in the LOOSE regime the table count grows faster (≥ 1.56× per
@@ -429,8 +430,11 @@ object Similarity {
     // the proxy defects from occupancy-constancy exactly where it matters
     // (r12 measured the defection at 64M docs: the uniform-model proxy
     // stopped at 24 planes, occupancy doubled, and raw candidate volume
-    // stepped ×9.6 for ×4 data instead of the ×5-6 the deepening posture
-    // holds; see SCALE.md "posture" sections).
+    // stepped ×9.6 for ×4 data — the weighted proxy deepens to 27 planes
+    // there and measures ×3.8, with 4.2× less absolute volume; individual
+    // steps stay lumpy because depth moves in whole planes, but the
+    // 4M→64M envelope reads n^1.29 vs the old n^1.45-and-rising; see
+    // SCALE.md "posture" sections).
     def cost(k: Int): Double =
       tablesFor(k).toDouble *
         (k + CollisionMachineryWeight * BucketNonUniformity * n / math.pow(2.0, k + 1))
@@ -451,12 +455,18 @@ object Similarity {
   private val CollisionMachineryWeight = 4.0
 
   /** Hash-derived sign buckets are measurably NON-uniform: the realized
-    * Σ C(|cell|,2) runs ~4.3-4.8× the uniform-occupancy model at every
-    * probed size (r12, `DedupScaleProbe --rawVolume` at 16M and 64M docs
-    * — see SCALE.md). The cost proxy must price collisions at the
-    * measured rate or it under-deepens: at 64M the unweighted proxy chose
-    * 24 planes/occupancy 3.8 and paid ×9.6 raw volume per ×4 data, where
-    * one-to-two more planes (re-solved tables) holds the step to ×5-6. */
+    * Σ C(|cell|,2) runs above the uniform-occupancy model by a factor
+    * that grows ~1.07^planes (r12, `DedupScaleProbe --rawVolume`:
+    * 3.3× at 21 planes, 4.4× at 23, 4.8× at 24, 7.1× at 27 — see
+    * SCALE.md). The cost proxy must price collisions at roughly the
+    * measured rate or it under-deepens: at 64M docs the unweighted proxy
+    * chose 24 planes/occupancy 3.8 and paid ×9.6 raw volume per ×4 data,
+    * where the weighted one deepens to 27 and measures ×3.8. A CONSTANT
+    * mid-band weight suffices in place of the 1.07^k curve because the
+    * cost surface is flat within ±1-2 planes of the minimizer at every
+    * probed size (projection work k·tables dominates once the collision
+    * term is non-negligible), so the marginal depth step the exact curve
+    * would add changes total modeled compute by <2%. */
   private val BucketNonUniformity = 4.5
 
   /** The (tbl, bucket) self-join candidate pairs for [[nearDupPairsLsh]] —

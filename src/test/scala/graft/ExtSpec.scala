@@ -1088,6 +1088,34 @@ class ExtSpec extends SparkSpec {
     assert(1.0 - math.pow(1.0 - math.pow(p45, k), t) >= 0.999 - 1e-9)
   }
 
+  test("lshParams holds bucket occupancy bounded to 2e12 vectors (r12 under-deepening pin)") {
+    // The pre-r12 sizer froze at a 24-plane scan bound and priced
+    // collisions at the uniform-occupancy model, so past ~32M vectors
+    // mean occupancy n/2^planes — and with it candidate volume per doc —
+    // doubled every 4x size step (measured at 64M docs: x9.55 raw pairs
+    // for x4 data; SCALE.md). Pin the fix end to end: depth keeps
+    // growing with n at the dedup threshold, occupancy stays bounded
+    // across nine orders of magnitude, and the recall solve still holds
+    // at every returned config.
+    val pCos = 1.0 - math.acos(0.98) / math.Pi
+    var lastPlanes = 0
+    (3 to 12).foreach { e =>
+      val n = math.pow(10, e).toLong
+      val (planes, tables) = Similarity.lshParams(n, 0.98)
+      assert(planes >= lastPlanes, s"depth regressed at n=1e$e: $planes < $lastPlanes")
+      lastPlanes = planes
+      // the retuned minimizer holds mean occupancy ~1 everywhere; 64 is
+      // slack for host-model drift yet fails the frozen-depth sizer from
+      // ~1e9 on (1e9/2^24 = 60), long before the 24-bit bound saturates
+      assert(n.toDouble / math.pow(2.0, planes) <= 64.0,
+        s"occupancy unbounded at n=1e$e: planes=$planes")
+      assert(1.0 - math.pow(1.0 - math.pow(pCos, planes), tables) >= 0.98 - 1e-9)
+    }
+    // the specific regression: 64M must deepen past the old 24-plane bound
+    val (p64m, _) = Similarity.lshParams(64000000L, 0.98)
+    assert(p64m > 24, s"64M docs under-deepened to $p64m planes (pre-r12 bug)")
+  }
+
   test("LSH candidate volume grows linearly, not quadratically, under auto sizing") {
     def corpus(n: Int) = {
       val rnd = new scala.util.Random(42)
