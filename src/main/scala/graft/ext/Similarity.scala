@@ -410,11 +410,20 @@ object Similarity {
     * produce instead of replicating the math and silently drifting. */
   def lshTablesFor(nPlanes: Int, threshold: Double, targetRecall: Double): Int = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    val pk = math.pow(p, nPlanes)
-    if (pk >= 1.0 || pk <= 0.0) 1
-    else math.ceil(math.log(1.0 - math.min(0.999999, targetRecall)) /
-      math.log(1.0 - pk)).toInt
+    lshTablesForCollision(math.pow(p, nPlanes), targetRecall)
   }
+
+  /** OR-amplification table count solved from a PER-TABLE collision
+    * probability — the inner solve of [[lshTablesFor]], exposed for
+    * callers that MEASURE the collision rate instead of deriving it from
+    * a cosine threshold (the multi-probe decision probe). Degenerate
+    * rates (collision certain or impossible) take one table: more tables
+    * can neither help nor hurt, and the log-solve would divide by
+    * log(0)/log(1). */
+  def lshTablesForCollision(pTable: Double, targetRecall: Double): Int =
+    if (pTable >= 1.0 || pTable <= 0.0) 1
+    else math.ceil(math.log(1.0 - math.min(0.999999, targetRecall)) /
+      math.log(1.0 - pTable)).toInt
 
   def lshParams(n: Long, threshold: Double, targetRecall: Double = 0.98,
       targetBucketRows: Long = 1024L, maxTables: Int = 64): (Int, Int) = {

@@ -98,6 +98,12 @@ object DedupScaleProbe {
     // dup STRUCTURE (every 20th doc) is independent of the rate, so
     // true_dups stays n/20 at every setting.
     require(mutDenom >= 2, s"--mutDenom must be >= 2, got $mutDenom")
+    // --rawVolume and --pinnedLsh only do anything on the embedding rows;
+    // silently ignoring them after hours of text-family building would
+    // violate this block's fail-at-parse-time rule
+    require(families("embedding") || (!rawVolume && pinnedLsh.isEmpty),
+      "--rawVolume/--pinnedLsh measure the embedding family; " +
+        s"add embedding to --families (got $families)")
     require(pinnedLsh.forall { case (p, t) => p >= 1 && p <= 63 && t >= 1 },
       s"--pinnedLsh out of range: $pinnedLsh")
     val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROOT", "/tmp/graft_dedup_scale")
@@ -364,8 +370,9 @@ object DedupScaleProbe {
       val pAuto = agree.toDouble / total
       (1 to 3).map { q =>
         val p1 = (agree + recovered(q)).toDouble / total
-        val tablesMp = math.ceil(math.log(1.0 - targetRecall) /
-          math.log(1.0 - p1)).toInt
+        // the engine's own guarded solve: a measured p1 of exactly 1.0
+        // (tight threshold / small sample) means one table, not log(0)
+        val tablesMp = Similarity.lshTablesForCollision(p1, targetRecall)
         MultiProbeRow(k, q, pAuto, p1, oneBit.toDouble / total,
           recovered(q).toDouble / math.max(1, oneBit), tablesAuto, tablesMp,
           tablesMp.toDouble * (1 + q) / tablesAuto)

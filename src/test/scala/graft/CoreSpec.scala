@@ -162,4 +162,20 @@ class CoreSpec extends AnyFunSuite {
       assert(g.map(_.recoveredShare) == g.map(_.recoveredShare).sorted, g.toString)
     }
   }
+
+  test("DedupScaleProbe.multiProbeRows: a measured collision rate of 1.0 " +
+      "solves to one table, not a log(0) zero") {
+    // threshold 1.0 makes every pair identical, so every sampled table
+    // collides: the table solve must route through the engine's guarded
+    // form (one table — more can neither help nor hurt) instead of
+    // dividing by log(0) and emitting tablesMp=0 / volume_factor=0.0,
+    // which would read as "multi-probe is infinitely cheaper"
+    val rows = graft.tools.DedupScaleProbe.multiProbeRows(
+      threshold = 1.0, nPairs = 50, nTablesSampled = 4, depths = Seq(17))
+    rows.foreach { r =>
+      assert(r.pTableMp == 1.0, r.toString)
+      assert(r.tablesMp == 1, s"degenerate rate must take exactly 1 table: $r")
+      assert(r.volumeFactor > 0.0 && !r.volumeFactor.isNaN, r.toString)
+    }
+  }
 }

@@ -1088,6 +1088,16 @@ class ExtSpec extends SparkSpec {
     assert(1.0 - math.pow(1.0 - math.pow(p45, k), t) >= 0.999 - 1e-9)
   }
 
+  test("lshTablesForCollision: guarded degenerate rates, and lshTablesFor delegates to it") {
+    assert(Similarity.lshTablesForCollision(1.0, 0.98) == 1)
+    assert(Similarity.lshTablesForCollision(0.0, 0.98) == 1)
+    assert(Similarity.lshTablesForCollision(-0.1, 0.98) == 1)
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    for (k <- Seq(5, 12, 21))
+      assert(Similarity.lshTablesFor(k, 0.9, 0.98) ==
+        Similarity.lshTablesForCollision(math.pow(p, k), 0.98))
+  }
+
   test("lshParams holds bucket occupancy bounded to 2e12 vectors (r12 under-deepening pin)") {
     // The pre-r12 sizer froze at a 24-plane scan bound and priced
     // collisions at the uniform-occupancy model, so past ~32M vectors

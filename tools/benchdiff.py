@@ -190,6 +190,12 @@ def main():
     o_coll, n_coll, o_orig, n_orig = {}, {}, {}, {}
     oq = norm_map(old["queries"], o_coll, o_orig)
     nq = norm_map(new["queries"], n_coll, n_orig)
+    # spread maps normalized the same way as the query maps so their keys
+    # stay aligned (including through collision re-keying below) — a
+    # re-keyed query whose spread entry kept the compact key would lose
+    # its noise annotation exactly where it matters
+    os_ = norm_map(old.get("spread"))
+    ns_ = norm_map(new.get("spread"))
     # One-side-only prefix collisions: that side keeps full names, the
     # other side's single entry was compacted to the bare prefix. If the
     # compacted entry's ORIGINAL spelling names one of the colliding full
@@ -209,6 +215,11 @@ def main():
         spelling = other_orig.get(p)
         if spelling in coll_names:
             other_map[spelling] = other_map.pop(p)
+            # the same artifact's spread entry (if any) follows its query
+            # key: it describes the same single full-named query
+            other_spread = ns_ if side == "old" else os_
+            if p in other_spread:
+                other_spread[spelling] = other_spread.pop(p)
             print(f"NOTE: prefix {p} collides in {side} only — matched the "
                   f"other side's entry by its full spelling {spelling}")
         else:
@@ -254,8 +265,8 @@ def main():
     # A flag is annotated when EITHER artifact's own samples
     # disagreed by >= the flag ratio: a noisy OLD measurement inflates the
     # old min just as misleadingly as a noisy new one, so the measurement,
-    # not the code, is the likely cause either way.
-    os_, ns_ = norm_map(old.get("spread")), norm_map(new.get("spread"))
+    # not the code, is the likely cause either way. (os_/ns_ were
+    # normalized next to the query maps, before collision re-keying.)
     print(f"{len(shared)} shared queries "
           f"(old has {len(oq)}, new has {len(nq)}); flag ratio {flag}")
     print(f"{'ratio':>7}  {'old_s':>8}  {'new_s':>8}  {'spread':>6}  query")

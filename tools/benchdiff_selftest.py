@@ -116,16 +116,17 @@ def main():
     #    match is recovered; a truly ambiguous compact key is excluded from
     #    BOTH the ratio table and the only-in lists (no triple-reporting)
     import subprocess
-    def artifact(queries):
+    def artifact(queries, spread=None):
         return ('{"metric":"total","value":1.0,"unit":"sec","passes":3,'
-                '"spread":{},"samples":{},"failed":[],"skipped":{},'
+                '"spread":' + json.dumps(spread or {}) +
+                ',"samples":{},"failed":[],"skipped":{},'
                 '"sf":"x","queries":' + json.dumps(queries) + "}")
-    def run_cli(old_q, new_q):
+    def run_cli(old_q, new_q, old_spread=None, new_spread=None):
         paths = []
-        for q in (old_q, new_q):
+        for q, s in ((old_q, old_spread), (new_q, new_spread)):
             with tempfile.NamedTemporaryFile("w", suffix=".json",
                                              delete=False) as f:
-                f.write(artifact(q))
+                f.write(artifact(q, s))
                 paths.append(f.name)
         r = subprocess.run(
             [sys.executable,
@@ -148,6 +149,16 @@ def main():
                 and "1 shared queries" in out
                 and "only in" not in out,
                 detail="" if "1 shared" in out else out)
+
+    # 10. a re-keyed one-side-collision match keeps its spread entry: the
+    #     2x flag on q09_a must carry the new artifact's self-reported
+    #     5.5x sample disagreement (annotation + spread column), not "-"
+    out = run_cli({"q09_a": 1.0, "q09_b": 2.0},
+                  {"q09_a": 2.0},
+                  new_spread={"q09_a": 5.5})
+    ok &= check("re-keyed collision match keeps its noise annotation",
+                "noisy samples" in out and "5.50" in out,
+                detail="" if "noisy samples" in out else out)
 
     if not ok:
         sys.exit(1)
