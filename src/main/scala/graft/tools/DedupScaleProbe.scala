@@ -321,7 +321,7 @@ object DedupScaleProbe {
   private[graft] def multiProbeRows(threshold: Double = 0.98,
       targetRecall: Double = 0.98, dim: Int = 64, nPairs: Int = 2000,
       nTablesSampled: Int = 32,
-      depths: Seq[Int] = Seq(17, 19, 21, 23)): Seq[MultiProbeRow] = {
+      depths: Seq[Int] = Seq(17, 19, 21, 23, 24, 27)): Seq[MultiProbeRow] = {
     import graft.functions.HyperplaneLsh
     val rnd = new scala.util.Random(42)
     def gaussian(k: Int): Array[Double] = Array.fill(k)(rnd.nextGaussian())
@@ -338,8 +338,10 @@ object DedupScaleProbe {
       (v, v.zip(w).map { case (a, b) => threshold * a + s * b })
     }
     val pairs = Seq.fill(nPairs)(pairAtThreshold())
-    // default depths: the measured auto sizings at 250k/1M/4M (SCALE.md
-    // r11 table) plus the r12 16M step
+    // default depths: the r11 sizer's measured autos at 250k/1M/4M/16M
+    // plus the r12-retuned sizer's 16M (24) and 64M (27) choices, so the
+    // volume-neutrality verdict is measured at every config either sizer
+    // actually picked
     depths.flatMap { k =>
       val tablesAuto = Similarity.lshTablesFor(k, threshold, targetRecall)
       var agree = 0L
