@@ -38,7 +38,7 @@ import graft.ext.{Dedup, Similarity}
   * Not part of the driver contract; run via
   * `sbt 'runMain graft.tools.DedupScaleProbe [--sizes N,N,..] [--reps N]
   * [--families minhash,simhash,embedding] [--pinnedLsh PxT] [--mutDenom D]
-  * [--multiProbeCheck] [--rawVolume]'`.
+  * [--multiProbeCheck] [--rawVolume] [--plantedRecall]'`.
   * `--families` restricts a run to a subset (the 16M step only needs the
   * embedding family); `--pinnedLsh 21x14` adds a pinned-config embedding
   * row beside the auto-sized one (the posture comparison: a config frozen
@@ -62,6 +62,7 @@ object DedupScaleProbe {
     var mutDenom = 20
     var multiProbeCheck = false
     var rawVolume = false
+    var plantedRecallCheck = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -78,11 +79,12 @@ object DedupScaleProbe {
           mutDenom = args(i + 1).toInt; i += 2
         case "--multiProbeCheck" => multiProbeCheck = true; i += 1
         case "--rawVolume" => rawVolume = true; i += 1
+        case "--plantedRecall" => plantedRecallCheck = true; i += 1
         case other => sys.error(
           s"unknown arg '$other'; usage: DedupScaleProbe [--sizes N,..] " +
             "[--reps N] [--families minhash,simhash,embedding] " +
             "[--pinnedLsh PxT] [--mutDenom D] [--multiProbeCheck] " +
-            "[--rawVolume]")
+            "[--rawVolume] [--plantedRecall]")
       }
     }
     // fail at parse time, not with a NoSuchElementException after an
@@ -98,12 +100,15 @@ object DedupScaleProbe {
     // dup STRUCTURE (every 20th doc) is independent of the rate, so
     // true_dups stays n/20 at every setting.
     require(mutDenom >= 2, s"--mutDenom must be >= 2, got $mutDenom")
-    // --rawVolume and --pinnedLsh only do anything on the embedding rows;
-    // silently ignoring them after hours of text-family building would
-    // violate this block's fail-at-parse-time rule
-    require(families("embedding") || (!rawVolume && pinnedLsh.isEmpty),
-      "--rawVolume/--pinnedLsh measure the embedding family; " +
-        s"add embedding to --families (got $families)")
+    // --rawVolume/--plantedRecall/--pinnedLsh only do anything on the
+    // embedding rows; silently ignoring them after hours of text-family
+    // building would violate this block's fail-at-parse-time rule
+    require(families("embedding") ||
+        (!rawVolume && !plantedRecallCheck && pinnedLsh.isEmpty),
+      "--rawVolume/--plantedRecall/--pinnedLsh measure the embedding " +
+        s"family; add embedding to --families (got $families)")
+    require(!(rawVolume && plantedRecallCheck),
+      "--rawVolume and --plantedRecall are distinct modes; pick one")
     require(pinnedLsh.forall { case (p, t) => p >= 1 && p <= 63 && t >= 1 },
       s"--pinnedLsh out of range: $pinnedLsh")
     val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROOT", "/tmp/graft_dedup_scale")
@@ -138,23 +143,7 @@ object DedupScaleProbe {
       spark.range(n).select(id.as("doc_id"), text.as("text"))
     }
 
-    /** Deterministic embedding corpus, same dup structure: docs with
-      * id % 20 == 1 carry the predecessor's vector plus a 5%-amplitude
-      * hash-derived perturbation — cosine ≈ 0.999 to the original, far
-      * above the 0.98 probe threshold, while unrelated hash-vectors sit
-      * near 0. True near-dup pairs = n/20, as in the text corpus. */
-    def syntheticVec(n: Long, dim: Int = 64): DataFrame = {
-      val id = col("id")
-      val isDup = pmod(id, lit(20)) === 1
-      val base = when(isDup, id - 1).otherwise(id)
-      def h(src: org.apache.spark.sql.Column, d: Int, salt: Int) =
-        (pmod(hash(src, lit(d), lit(salt)), lit(2001)) - lit(1000))
-          .cast("double") / 1000.0
-      spark.range(n).select(id.as("vec_id"),
-        array((0 until dim).map(d =>
-          (h(base, d, 0) + when(isDup, h(id, d, 1) * 0.05).otherwise(lit(0.0)))
-            .cast("float")): _*).as("embedding"))
-    }
+    def syntheticVec(n: Long): DataFrame = syntheticVecCorpus(spark, n)
 
     /** Returns true when it actually built — a cached re-run's ~0s
       * "build time" must not be emitted as a measurement. */
@@ -259,6 +248,15 @@ object DedupScaleProbe {
         val postures = (planes, tables, "auto") +:
           pinnedLsh.map { case (pp, tt) => (pp, tt, "pinned") }.toList
         postures.foreach { case (pp, tt, mode) =>
+          if (plantedRecallCheck) {
+            // no bucket table at all: detection measured pair-locally
+            val t = timed { plantedRecall(spark, n, pp, tt) }
+            val (hit, truth) = t._2
+            println(f"""{"check":"planted_recall","rows":$n,"mode":"$mode",""" +
+              f""""planes":$pp,"tables":$tt,"detected":$hit,""" +
+              f""""true_dups":$truth,"recall":${hit.toDouble / truth}%.4f,""" +
+              f""""wall_s":${t._1}%.3f}""")
+          } else {
           val build = ensureLsh(pp, tt)
           if (rawVolume) {
             // build and aggregation timed SEPARATELY (and the build
@@ -274,6 +272,7 @@ object DedupScaleProbe {
               () => Similarity.lshCandidatesFromTable(
                 spark.read.parquet(lshDir(pp, tt)), "vec_id"),
               "id_a", "id_b")
+          }
           }
         }
       }
@@ -391,4 +390,51 @@ object DedupScaleProbe {
         f""""tables_auto":${r.tablesAuto},"tables_mp":${r.tablesMp},""" +
         f""""volume_factor":${r.volumeFactor}%.3f}""")
     }
+
+  /** Deterministic embedding corpus, same dup structure as the text one:
+    * docs with id % 20 == 1 carry the predecessor's vector plus a
+    * 5%-amplitude hash-derived perturbation — cosine ≈ 0.999 to the
+    * original, far above the 0.98 probe threshold, while unrelated
+    * hash-vectors sit near 0. True near-dup pairs = n/20, as in the text
+    * corpus. Object-level (not a main-local def) so [[plantedRecall]] and
+    * its spec can reach it. */
+  private[graft] def syntheticVecCorpus(spark: SparkSession, n: Long,
+      dim: Int = 64): DataFrame = {
+    val id = col("id")
+    val isDup = pmod(id, lit(20)) === 1
+    val base = when(isDup, id - 1).otherwise(id)
+    def h(src: org.apache.spark.sql.Column, d: Int, salt: Int) =
+      (pmod(hash(src, lit(d), lit(salt)), lit(2001)) - lit(1000))
+        .cast("double") / 1000.0
+    spark.range(n).select(id.as("vec_id"),
+      array((0 until dim).map(d =>
+        (h(base, d, 0) + when(isDup, h(id, d, 1) * 0.05).otherwise(lit(0.0)))
+          .cast("float")): _*).as("embedding"))
+  }
+
+  /** MEASURED detection of the planted near-dup pairs under an explicit
+    * (planes, tables) config, without building, persisting, or
+    * self-joining a bucket table: both vectors of every planted pair
+    * derive scan-side from the deterministic corpus, and detection is
+    * positional bucket agreement in ≥1 of the OR-amplified tables — the
+    * exact collision event [[Similarity.lshCandidatesFromTable]]'s join
+    * keys encode. O(n/20) result rows and one narrow n/10-row shuffle,
+    * so the recall cell is measurable at sizes where the full pairing's
+    * distinct shuffle outgrows local scratch (the 64M row in SCALE.md). */
+  private[graft] def plantedRecall(spark: SparkSession, n: Long,
+      planes: Int, tables: Int): (Long, Long) = {
+    import graft.functions.HyperplaneLsh
+    val v = syntheticVecCorpus(spark, n)
+    val dups = v.where(pmod(col("vec_id"), lit(20)) === 1)
+      .select((col("vec_id") - 1).as("orig_id"), col("embedding").as("emb_dup"))
+    val origs = v.where(pmod(col("vec_id"), lit(20)) === 0)
+      .select(col("vec_id").as("orig_id"), col("embedding").as("emb_orig"))
+    val hit = dups.join(origs, "orig_id")
+      .where(exists(zip_with(
+        HyperplaneLsh(col("emb_dup"), planes, tables),
+        HyperplaneLsh(col("emb_orig"), planes, tables),
+        (a, b) => a === b), x => x))
+      .count()
+    (hit, (n + 18) / 20)
+  }
 }

@@ -1088,6 +1088,29 @@ class ExtSpec extends SparkSpec {
     assert(1.0 - math.pow(1.0 - math.pow(p45, k), t) >= 0.999 - 1e-9)
   }
 
+  test("DedupScaleProbe.plantedRecall measures the banding-curve detection, table-free") {
+    // the table-free recall measurement (the 64M cell's instrument) must
+    // agree with the collision math it replaces: at a generous config the
+    // cosine-0.999 planted pairs all collide (miss probability ~1e-8);
+    // at a deliberately starved one detection tracks the analytic
+    // 1-(1-p^k)^T banding curve within Monte Carlo tolerance
+    val n = 20000L
+    val (hitDeep, truthDeep) =
+      graft.tools.DedupScaleProbe.plantedRecall(spark, n, 19, 12)
+    assert(truthDeep == n / 20)
+    assert(hitDeep == truthDeep, s"deep config missed ${truthDeep - hitDeep}")
+    val (hitShallow, truthShallow) =
+      graft.tools.DedupScaleProbe.plantedRecall(spark, n, 24, 1)
+    // the planted pairs' realized cosine is ~0.9985-0.999 (5%-amplitude
+    // dim-64 perturbation), so the analytic anchor itself spans ~0.68-0.71
+    // — tolerance covers that spread plus ~3 sigma of 1000-pair Monte Carlo
+    val p = 1.0 - math.acos(0.999) / math.Pi
+    val analytic = 1.0 - math.pow(1.0 - math.pow(p, 24), 1)
+    val measured = hitShallow.toDouble / truthShallow
+    assert(math.abs(measured - analytic) < 0.08,
+      s"measured $measured vs analytic $analytic at (24,1)")
+  }
+
   test("lshTablesForCollision: guarded degenerate rates, and lshTablesFor delegates to it") {
     assert(Similarity.lshTablesForCollision(1.0, 0.98) == 1)
     assert(Similarity.lshTablesForCollision(0.0, 0.98) == 1)
