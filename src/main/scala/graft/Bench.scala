@@ -103,11 +103,15 @@ object Bench {
     // query): any query whose samples disagree by >3x, or that has fewer
     // than 2 successful samples — including ZERO, the transient-failure
     // case the retry most benefits — earns extra samples until the spread
-    // drops below 3x or the sample count hits 6 (r11 capped extras at 2
-    // and its official artifact still carried a 2.93x residual on a
+    // drops below 3x or the attempt budget runs out: at the default 3
+    // passes that budget caps the query at 6 samples (r11 capped extras
+    // at 2 and its official artifact still carried a 2.93x residual on a
     // 0.3 s query with the cap exhausted; a 6-sample budget lets the
     // consensus settle while bounding a pathologically noisy query at
-    // 2x its clean cost). One more spike on the same query in a future
+    // 2x its clean cost), while passes >= 5 keeps an unconditional
+    // 2-extra floor instead — a request for MORE rigor must not be the
+    // setting that turns the re-sampler off, even though it can push a
+    // noisy query past 6 samples. One more spike on the same query in a future
     // run cannot put noise in the official min, and a single surviving
     // sample is never passed off as a measurement with a clean 1.0
     // spread. Disabled at passes=1: that knob is an explicit request for

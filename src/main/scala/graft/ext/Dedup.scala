@@ -427,4 +427,91 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         hamming(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
   }
+
+  /** A dedup-family recommendation: which collision relation to run, with
+    * the production-config entry point it names, the expected detection
+    * rate interpolated from the measured sweep, and the measured rationale. */
+  final case class FamilyRecommendation(family: String, entryPoint: String,
+      expectedDetection: Double, rationale: String)
+
+  /** The MEASURED family chooser — the r12 detection-vs-mutation sweep
+    * (SCALE.md "Simhash detection vs mutation rate": 1M-doc corpus,
+    * production configs `simhashBlockTable` r=3 / `minhashTable` k=32
+    * b=8), encoded as selection logic instead of prose. Measured planted-
+    * pair detection, of 50,000:
+    *
+    * | token mutation | minhash LSH | simhash r=3 |
+    * |---|---|---|
+    * | 1% | 0.998 | 0.770 |
+    * | 2% | 0.986 | 0.581 |
+    * | 5% | 0.895 | 0.235 |
+    *
+    * `mutationTolerance` is the per-token churn the caller still wants
+    * caught (the sweep's knob); `minDetection` the acceptable recall on
+    * pairs AT that churn. Selection prefers the cheapest family whose
+    * interpolated detection clears the bar: simhash (one 64-bit
+    * signature/doc, ~4x fewer candidates than minhash at equal corpus —
+    * the near-identity tier) before minhash (the 2-10% rewrite band,
+    * banding-curve degradation 0.998→0.895 across the sweep) before
+    * embedding LSH (the semantic tier — catches paraphrase-level dups no
+    * text family sees, needs an embedding column, measured recall 1.00 on
+    * cosine-0.999 pairs at every probed size to 64M docs). Detection
+    * between sweep points interpolates log-linearly (both families' decay
+    * is ~exponential in churn over the measured band) and NEVER
+    * extrapolates optimistically: churn above 5% clamps to the 5% row for
+    * the text families. Exact-hash dedup is not in the table — at
+    * mutationTolerance 0 use [[dropExactDuplicates]], which this returns
+    * for tolerance < 0.5 token per 100 (below the sweep's resolution).
+    * Pinned against the SCALE.md table in ExtSpec. */
+  def recommendFamily(mutationTolerance: Double, minDetection: Double = 0.9,
+      hasEmbeddings: Boolean = false): FamilyRecommendation = {
+    require(mutationTolerance >= 0 && mutationTolerance <= 1,
+      s"mutationTolerance is a per-token probability, got $mutationTolerance")
+    require(minDetection > 0 && minDetection <= 1,
+      s"minDetection must be in (0, 1], got $minDetection")
+    val sweep = Seq( // (churn, minhash detection, simhash detection) — r12 measured
+      (0.01, 0.998, 0.770),
+      (0.02, 0.986, 0.581),
+      (0.05, 0.895, 0.235))
+    def interp(select: ((Double, Double, Double)) => Double): Double = {
+      val t = math.max(sweep.head._1, math.min(sweep.last._1, mutationTolerance))
+      val (lo, hi) = sweep.zip(sweep.tail)
+        .find { case (a, b) => t >= a._1 && t <= b._1 }
+        .getOrElse((sweep.last, sweep.last))
+      if (lo._1 == hi._1) select(lo)
+      else {
+        val f = (t - lo._1) / (hi._1 - lo._1)
+        math.exp(math.log(select(lo)) * (1 - f) + math.log(select(hi)) * f)
+      }
+    }
+    val simhashDet = interp(_._3)
+    val minhashDet = interp(_._2)
+    if (mutationTolerance < 0.005)
+      FamilyRecommendation("exact", "Dedup.dropExactDuplicates", 1.0,
+        "sub-sweep-resolution churn tolerance: hash-groupBy exact dedup " +
+          "is complete and the cheapest relation there is")
+    else if (simhashDet >= minDetection)
+      FamilyRecommendation("simhash", "Dedup.simhashBlockTable + simhashPairsFromBlocks",
+        simhashDet,
+        f"simhash r=3 clears $minDetection%.2f at ${mutationTolerance * 100}%.1f%% churn " +
+          "with one 64-bit signature/doc and the smallest candidate volume " +
+          "(r12 sweep: the near-identity tier)")
+    else if (minhashDet >= minDetection)
+      FamilyRecommendation("minhash", "Dedup.minhashTable + bandCandidates",
+        minhashDet,
+        f"simhash collapses at this churn (${simhashDet}%.2f measured) — minhash " +
+          "k=32 b=8 owns the 2-10%% rewrite band (banding-curve decay 0.998→0.895)")
+    else if (hasEmbeddings)
+      FamilyRecommendation("embedding_lsh", "Similarity.nearDupPairsLsh (corpusAwareSizing=true)",
+        1.0,
+        f"no text family reaches $minDetection%.2f at ${mutationTolerance * 100}%.1f%% churn " +
+          "— the semantic tier's exact-cosine rerank measured 1.00 recall to 64M docs; " +
+          "sizing should sample the corpus's own non-uniformity law (r13)")
+    else
+      FamilyRecommendation("minhash", "Dedup.minhashTable + bandCandidates",
+        minhashDet,
+        f"best available without embeddings: measured detection $minhashDet%.2f " +
+          f"is BELOW the requested $minDetection%.2f — widen bands/shingles or " +
+          "supply an embedding column for the semantic tier")
+  }
 }

@@ -380,16 +380,21 @@ object Similarity {
     * plane halves a table's random bucket collisions while growing the
     * recall-solving table count by only ~1/p per plane, so the final depth
     * is the minimizer of an explicit per-vector cost proxy
-    * `tables·(planes + 4·4.5·n/2^(planes+1))` over every recall-feasible
-    * depth at or past the floor (tables still capped): the first term is
-    * the projection work (one dot per plane per table), the second the
-    * expected random same-bucket candidates per table, weighted 4× for a
-    * candidate's rerank dot PLUS join/shuffle machinery and a further
-    * 4.5× for the MEASURED sign-bucket non-uniformity (realized
-    * Σ C(|cell|,2) vs the uniform model — r12 probes at 4M-64M docs;
-    * pricing collisions below the measured rate made the pre-r12 proxy
-    * under-deepen at ≥64M and step candidate volume ×9.6 per ×4 data,
-    * where the weighted proxy measures ×3.8 at the same step).
+    * `tables·(planes + 4·w(planes)·n/2^(planes+1))` over every
+    * recall-feasible depth at or past the floor (tables still capped): the
+    * first term is the projection work (one dot per plane per table), the
+    * second the expected random same-bucket candidates per table, weighted
+    * 4× for a candidate's rerank dot PLUS join/shuffle machinery and a
+    * further `w(planes)` for the MEASURED sign-bucket non-uniformity
+    * (realized Σ C(|cell|,2) vs the uniform model — r12 probes at 250k-64M
+    * docs; pricing collisions below the measured rate made the pre-r12
+    * proxy under-deepen at ≥64M and step candidate volume ×9.6 per ×4
+    * data, where the weighted proxy measures ×3.8 at the same step). The
+    * weight is a DEPTH-KEYED law ([[NonUniformityLaw]]): the measured
+    * ratio grows exponentially in depth, and pass the corpus's OWN
+    * sample-measured law ([[measureNonUniformityLaw]]) when the corpus is
+    * clustered — hash-derived vectors are the floor, real embedding
+    * corpora sit higher (r13 clustered-corpus probes).
     * In the
     * TIGHT regime (p ≥ 0.8, cosine ≳ 0.81) deepening wins ≥ 1.6× per
     * plane; in the LOOSE regime the table count grows faster (≥ 1.56× per
@@ -426,7 +431,8 @@ object Similarity {
       math.log(1.0 - pTable)).toInt
 
   def lshParams(n: Long, threshold: Double, targetRecall: Double = 0.98,
-      targetBucketRows: Long = 1024L, maxTables: Int = 64): (Int, Int) = {
+      targetBucketRows: Long = 1024L, maxTables: Int = 64,
+      law: NonUniformityLaw = HashCorpusNonUniformity): (Int, Int) = {
     def tablesFor(k: Int): Int = lshTablesFor(k, threshold, targetRecall)
     var planes = math.min(MaxPlanes, math.max(2,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
@@ -439,18 +445,28 @@ object Similarity {
     // the proxy defects from occupancy-constancy exactly where it matters
     // (r12 measured the defection at 64M docs: the uniform-model proxy
     // stopped at 24 planes, occupancy doubled, and raw candidate volume
-    // stepped ×9.6 for ×4 data — the weighted proxy deepens to 27 planes
+    // stepped ×9.6 for ×4 data — the weighted proxy deepens past 24
     // there and measures ×3.8, with 4.2× less absolute volume; individual
     // steps stay lumpy because depth moves in whole planes, but the
     // 4M→64M envelope reads n^1.29 vs the old n^1.45-and-rising; see
     // SCALE.md "posture" sections).
-    def cost(k: Int): Double =
-      tablesFor(k).toDouble *
-        (k + CollisionMachineryWeight * BucketNonUniformity * n / math.pow(2.0, k + 1))
     val feasible = (planes to MaxPlanes).filter(k => tablesFor(k) <= maxTables)
-    if (feasible.nonEmpty) planes = feasible.minBy(cost)
+    if (feasible.nonEmpty)
+      planes = feasible.minBy(lshCostProxy(_, n, threshold, targetRecall, law))
     (planes, math.max(1, math.min(maxTables, tablesFor(planes))))
   }
+
+  /** The per-vector modeled cost [[lshParams]] minimizes over depth —
+    * exposed so tests can pin the FLATNESS of the surface around the
+    * minimizer (the property that makes a fitted/sampled law safe to
+    * substitute for the exact curve: a one-plane mis-step never costs
+    * more than ~1.3× modeled compute in the dedup band; PropertiesSpec
+    * pins ≤1.5 over n ∈ [1e5, 1e12]). */
+  private[graft] def lshCostProxy(k: Int, n: Long, threshold: Double,
+      targetRecall: Double,
+      law: NonUniformityLaw = HashCorpusNonUniformity): Double =
+    lshTablesFor(k, threshold, targetRecall).toDouble *
+      (k + CollisionMachineryWeight * law.weight(k) * n / math.pow(2.0, k + 1))
 
   /** Depth scan bound for [[lshParams]]. 40 sign bits keep the bucket well
     * inside [[graft.functions.HyperplaneLsh]]'s 63-bit long and hold the
@@ -463,20 +479,141 @@ object Similarity {
     * and shuffle machinery that carries it — the proxy's original 4×. */
   private val CollisionMachineryWeight = 4.0
 
-  /** Hash-derived sign buckets are measurably NON-uniform: the realized
-    * Σ C(|cell|,2) runs above the uniform-occupancy model by a factor
-    * that grows ~1.07^planes (r12, `DedupScaleProbe --rawVolume`:
-    * 3.3× at 21 planes, 4.4× at 23, 4.8× at 24, 7.1× at 27 — see
-    * SCALE.md). The cost proxy must price collisions at roughly the
-    * measured rate or it under-deepens: at 64M docs the unweighted proxy
-    * chose 24 planes/occupancy 3.8 and paid ×9.6 raw volume per ×4 data,
-    * where the weighted one deepens to 27 and measures ×3.8. A CONSTANT
-    * mid-band weight suffices in place of the 1.07^k curve because the
-    * cost surface is flat within ±1-2 planes of the minimizer at every
-    * probed size (projection work k·tables dominates once the collision
-    * term is non-negligible), so the marginal depth step the exact curve
-    * would add changes total modeled compute by <2%. */
-  private val BucketNonUniformity = 4.5
+  /** Bucket non-uniformity as an exponential-in-depth LAW
+    * `weight(k) = max(1, amplitude · growthPerPlane^k)`: the realized
+    * Σ C(|cell|,2) over sign buckets runs above the uniform-occupancy
+    * model by a depth-keyed factor (per-plane correlations cascade
+    * multiplicatively), and the sizer's cost proxy must price collisions
+    * at roughly the measured rate or it under-deepens exactly where depth
+    * matters (the r12 lesson at 64M docs). The law clamps at ≥1 — a
+    * fixed-marginal occupancy cannot realize FEWER pairs than uniform in
+    * expectation — and holds the weight constant past
+    * `maxMeasuredDepth + ExtrapolationPlanes`: the exponential fit is
+    * trusted a few planes past its measurement band, never to the 40-bit
+    * scan bound (an overestimated weight deepens ≤1-2 planes on a cost
+    * surface measured flat to <2%; an underestimate re-opens the ×9.6
+    * quadratic step). */
+  final case class NonUniformityLaw(amplitude: Double, growthPerPlane: Double,
+      maxMeasuredDepth: Int, measured: Seq[(Int, Double)] = Nil) {
+    require(amplitude > 0 && growthPerPlane >= 1.0 && maxMeasuredDepth >= 2,
+      s"degenerate non-uniformity law ($amplitude, $growthPerPlane, $maxMeasuredDepth)")
+    def weight(planes: Int): Double = math.max(1.0, amplitude *
+      math.pow(growthPerPlane, math.min(planes,
+        maxMeasuredDepth + NonUniformityLaw.ExtrapolationPlanes)))
+  }
+  object NonUniformityLaw {
+    /** How many planes past the measurement band the exponential fit is
+      * trusted before the weight freezes (≈ one octave of weight at the
+      * hash law's 1.12/plane). */
+    val ExtrapolationPlanes = 6
+  }
+
+  /** The default law: least-squares fit of ln(ratio) vs depth over the
+    * nine r12 `DedupScaleProbe --rawVolume` measurements on hash-derived
+    * (near-isotropic) corpora — 2.80× at 19 planes, 3.26-3.40× at 21,
+    * 4.24-4.35× at 23, 4.77-4.82× at 24, 7.09× at 27 (SCALE.md "The 64M
+    * step") — which the fit reproduces within 4% at every point, and
+    * which lands ~1.6× at 8 planes where the r12 constant 4.5 overpriced
+    * the shallow loose regime ~2.6×. Hash corpora are the non-uniformity
+    * FLOOR: clustered corpora (real embeddings) measure higher (r13
+    * clustered probes, SCALE.md), so corpus-aware callers should pass
+    * [[measureNonUniformityLaw]]'s sample-measured law instead. */
+  val HashCorpusNonUniformity: NonUniformityLaw =
+    NonUniformityLaw(amplitude = 0.29, growthPerPlane = 1.125,
+      maxMeasuredDepth = 27)
+
+  /** SAMPLE-MEASURED [[NonUniformityLaw]] for a concrete corpus — the
+    * corpus-aware sizing path. Hashes `sampleRows` sampled vectors into
+    * sign buckets at several depths, measures the realized-vs-uniform
+    * pair ratio Σ C(|cell|,2) / (tables·C(m,2)/2^k) at each, and fits the
+    * exponential depth law through the measurements (least squares on
+    * ln ratio). The ratio is a PAIR-COLLISION statistic, so a uniform
+    * subsample estimates it unbiasedly at any depth where the uniform
+    * model still expects enough pairs to read — depths are chosen so each
+    * measurement carries ≥ ~200 expected uniform pairs, and the fitted
+    * slope (the corpus's own per-plane cascade) extrapolates deeper under
+    * [[NonUniformityLaw]]'s clamp rules. Degenerate fits fall back
+    * conservatively: fewer than two measurable depths, or a DECREASING
+    * fit (sampling noise — the cascade cannot shrink with depth), yield a
+    * flat law at the maximum measured ratio.
+    *
+    * Cost: one small job per depth over m = `sampleRows` vectors
+    * (default 100k — ~seconds beside the table build the sizing
+    * precedes). Determinism: `sample` is seeded, so a given corpus +
+    * sampleRows always measures the same law. */
+  def measureNonUniformityLaw(emb: DataFrame, n: Long,
+      sampleRows: Long = 100000L, nTables: Int = 8,
+      vecCol: String = "embedding",
+      depths: Seq[Int] = Nil): NonUniformityLaw = {
+    val m = math.min(n, sampleRows)
+    val sample =
+      (if (m >= n) emb.select(col(vecCol))
+       else emb.select(col(vecCol))
+         .sample(withReplacement = false, math.min(1.0, m.toDouble * 1.05 / n),
+           seed = 42)
+         .limit(m.toInt))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mm = sample.count()
+      // deepest depth where tables·C(m,2)/2^k still expects ≥200 uniform
+      // pairs — past it the ratio estimate is shot noise
+      val kMax = math.min(MaxPlanes, (math.log(nTables.toDouble * mm * (mm - 1)
+        / 2.0 / 200.0) / math.log(2.0)).toInt)
+      val ks =
+        if (depths.nonEmpty) depths.filter(k => k >= 2 && k <= kMax)
+        else Seq(kMax, kMax - 3, kMax - 6, kMax - 9).filter(_ >= 4).distinct
+      // a corpus too small to measure ANY depth (a few hundred rows) has
+      // no collision economics to speak of — fall back to the hash floor
+      if (ks.isEmpty) return HashCorpusNonUniformity
+      val measured = ks.sorted.map { k =>
+        val realized = lshTable(sample.withColumn("vec_id", lit(0L)), k,
+            nTables, "vec_id", vecCol)
+          .groupBy("ckey").count()
+          .agg(sum(col("count") * (col("count") - lit(1L))).as("r2"))
+          .first().getLong(0) / 2.0
+        val uniform = nTables.toDouble * mm * (mm - 1) / 2.0 /
+          math.pow(2.0, k)
+        k -> math.max(1.0, realized / uniform)
+      }
+      fitNonUniformity(measured)
+    } finally sample.unpersist()
+  }
+
+  /** The log-linear fit behind [[measureNonUniformityLaw]], exposed for
+    * tests and for fitting externally measured (depth, ratio) tables. */
+  private[graft] def fitNonUniformity(
+      measured: Seq[(Int, Double)]): NonUniformityLaw = {
+    require(measured.nonEmpty, "no measurable depths for the law fit")
+    val flat = NonUniformityLaw(measured.map(_._2).max, 1.0,
+      measured.map(_._1).max, measured)
+    if (measured.size < 2) flat
+    else {
+      val xs = measured.map(_._1.toDouble)
+      val ys = measured.map(p => math.log(p._2))
+      val mx = xs.sum / xs.size
+      val my = ys.sum / ys.size
+      val den = xs.map(x => (x - mx) * (x - mx)).sum
+      val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / den
+      if (slope <= 0 || den == 0) flat
+      else NonUniformityLaw(math.exp(my - slope * mx), math.exp(slope),
+        measured.map(_._1).max, measured)
+    }
+  }
+
+  /** [[lshParams]] with the non-uniformity law SAMPLE-MEASURED from the
+    * corpus itself (see [[measureNonUniformityLaw]]) — the sizing call for
+    * corpora whose clustering is unknown: a clustered corpus measures a
+    * higher collision law than the hash-corpus floor and sizes deeper,
+    * which is exactly the under-deepening protection the r12 retune
+    * bought for hash corpora, made corpus-aware. */
+  def lshParamsMeasured(emb: DataFrame, threshold: Double,
+      targetRecall: Double = 0.98, targetBucketRows: Long = 1024L,
+      maxTables: Int = 64, sampleRows: Long = 100000L,
+      vecCol: String = "embedding"): (Int, Int) = {
+    val n = emb.count()
+    lshParams(n, threshold, targetRecall, targetBucketRows, maxTables,
+      measureNonUniformityLaw(emb, n, sampleRows, vecCol = vecCol))
+  }
 
   /** The (tbl, bucket) self-join candidate pairs for [[nearDupPairsLsh]] —
     * exposed so tests can assert candidate VOLUME (the actual scale
@@ -540,6 +677,68 @@ object Similarity {
       .distinct()
   }
 
+  /** SCRATCH-BOUNDED candidate distinct: the same (id_a, id_b) pair set
+    * as [[lshCandidatesFromTable]], computed in table-group stages so no
+    * single shuffle ever carries the full raw candidate volume.
+    *
+    * Why it exists: the one-shot distinct materializes ALL raw bucket
+    * pairs in one exchange — Σ_tables Σ_cells C(|cell|,2) rows — and that
+    * is the op that outgrows executor scratch first (r12: the 16M-doc
+    * probe pinned at (21×14) DNF'd when its 2.78B-row distinct wanted
+    * more shuffle scratch than the host had free; the same cliff waits
+    * for any under-provisioned executor at 100 TB). Within ONE table a
+    * vector occupies exactly one bucket, so per-table pairs are already
+    * distinct — the distinct only reconciles ACROSS tables. Staging
+    * exploits that: accumulate the distinct pair set `tablesPerStage`
+    * tables at a time, materializing each accumulation to `scratchDir`
+    * parquet, so stage i's largest shuffle carries
+    * ~(raw·tablesPerStage/nTables + |distinct so far|) rows — bounded and
+    * tunable — instead of all raw pairs at once. More passes (the
+    * distinct-so-far re-shuffles each stage), bounded peak: the explicit
+    * time-for-scratch trade, measured in `tools.DedupScaleProbe
+    * --stagedDistinct` (SCALE.md r13: peak single-stage shuffle drops
+    * ~g× for g groups at equal pair-set output).
+    *
+    * The returned frame READS the final accumulation (already distinct) —
+    * callers own `scratchDir`'s lifecycle; intermediate stage files are
+    * deleted as each next stage lands. Pair-set equality vs the one-shot
+    * path is pinned in ExtSpec. */
+  def lshCandidatesStaged(bucketTable: DataFrame, scratchDir: String,
+      idCol: String = "vec_id", tablesPerStage: Int = 2): DataFrame = {
+    require(tablesPerStage >= 1, s"tablesPerStage must be >= 1, got $tablesPerStage")
+    TableShapes.requireColumns(bucketTable, Seq("ckey", "tbl", "bucket", idCol),
+      "lshCandidatesStaged",
+      "build it with Similarity.lshTable(emb, nPlanes, nTables)")
+    val spark = bucketTable.sparkSession
+    val tbls = bucketTable.select("tbl").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val groups = tbls.grouped(tablesPerStage).toSeq
+    var prev: Option[String] = None
+    groups.zipWithIndex.foreach { case (g, i) =>
+      val stagePairs =
+        lshCandidatesFromTable(bucketTable.where(col("tbl").isin(g.toSeq.map(Int.box): _*)),
+          idCol)
+      val acc = prev match {
+        case None => stagePairs
+        case Some(p) => spark.read.parquet(p).union(stagePairs).distinct()
+      }
+      val out = s"$scratchDir/stage_$i"
+      acc.write.mode("overwrite").parquet(out)
+      // the previous accumulation is fully contained in the new one —
+      // deleting it as we go is what keeps SCRATCH (not just shuffle)
+      // bounded to ~2 accumulations
+      prev.foreach(p => org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true))
+      prev = Some(out)
+    }
+    prev.map(spark.read.parquet(_))
+      .getOrElse(spark.emptyDataFrame
+        .withColumn("id_a", lit(null).cast("long"))
+        .withColumn("id_b", lit(null).cast("long"))
+        .limit(0))
+  }
+
   /** The production form of [[nearDupPairs]]: OR-amplified multi-table LSH.
     *
     * Each of `nTables` independent tables buckets every vector by `nPlanes`
@@ -565,10 +764,13 @@ object Similarity {
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, nPlanes: Int = 0,
       nTables: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      targetRecall: Double = 0.98): DataFrame = {
+      targetRecall: Double = 0.98, corpusAwareSizing: Boolean = false): DataFrame = {
     require(nPlanes >= 0 && nTables >= 0 && (nPlanes > 0) == (nTables > 0),
       s"pass BOTH nPlanes and nTables explicitly or NEITHER (auto-sizing); " +
         s"got nPlanes=$nPlanes, nTables=$nTables")
+    require(!(corpusAwareSizing && nPlanes > 0),
+      "corpusAwareSizing measures the corpus to SIZE the config — it is " +
+        "meaningless beside an explicit (nPlanes, nTables)")
     // targetRecall is the honest knob of the approximation: at the default
     // 0.98, ~2% of pairs sitting exactly AT the threshold can drop (e.g.
     // the sf0.1 driver corpus recovers 142/144 = 98.6% of loose-threshold
@@ -577,6 +779,8 @@ object Similarity {
     // candidate volume) grow roughly with log(1 - recall).
     val (planes, tables) =
       if (nPlanes > 0) (nPlanes, nTables)
+      else if (corpusAwareSizing)
+        lshParamsMeasured(emb, threshold, targetRecall, vecCol = vecCol)
       else lshParams(emb.count(), threshold, targetRecall)
     val candidates = lshCandidates(emb, planes, tables, idCol, vecCol)
     // squared norms ride the per-vector projection, so the rerank costs

@@ -38,7 +38,9 @@ import graft.ext.{Dedup, Similarity}
   * Not part of the driver contract; run via
   * `sbt 'runMain graft.tools.DedupScaleProbe [--sizes N,N,..] [--reps N]
   * [--families minhash,simhash,embedding] [--pinnedLsh PxT] [--mutDenom D]
-  * [--multiProbeCheck] [--rawVolume] [--plantedRecall]'`.
+  * [--multiProbeCheck] [--rawVolume] [--plantedRecall]
+  * [--corpus hash|clustered] [--measureLaw] [--stagedDistinct G]
+  * [--scratchCapGB X]'`.
   * `--families` restricts a run to a subset (the 16M step only needs the
   * embedding family); `--pinnedLsh 21x14` adds a pinned-config embedding
   * row beside the auto-sized one (the posture comparison: a config frozen
@@ -50,7 +52,19 @@ import graft.ext.{Dedup, Similarity}
   * exact pre-distinct candidate volume Σ C(|cell|,2) per embedding bucket
   * table via an occupancy aggregation instead of running the full pairing
   * — the join-input cost, measurable even where a posture's distinct
-  * outgrows local scratch. Tables cache under
+  * outgrows local scratch. r13 knobs: `--corpus clustered` swaps the
+  * embedding family onto [[syntheticClusteredVecCorpus]] (power-law
+  * mixture-of-Gaussians — the realistic-corpus stress for the sizer's
+  * non-uniformity law; bucket tables cache under a `_cl` suffix);
+  * `--measureLaw` prints the corpus's sample-measured
+  * [[graft.ext.Similarity.measureNonUniformityLaw]] fit as a
+  * `"check":"law"` row and adds a `"measured"` posture sized by it
+  * whenever that differs from the hash-law auto config;
+  * `--stagedDistinct G` runs the full pairing through the
+  * scratch-bounded [[graft.ext.Similarity.lshCandidatesStaged]] at G
+  * tables per stage, reporting the listener-measured peak single-stage
+  * shuffle write (and failing if `--scratchCapGB` is set and breached).
+  * Tables cache under
   * /tmp/graft_dedup_scale/n<rows> and are rebuilt only when absent. */
 object DedupScaleProbe {
 
@@ -63,6 +77,10 @@ object DedupScaleProbe {
     var multiProbeCheck = false
     var rawVolume = false
     var plantedRecallCheck = false
+    var corpus = "hash"
+    var measureLaw = false
+    var stagedDistinct = 0
+    var scratchCapGb = 0.0
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -80,11 +98,18 @@ object DedupScaleProbe {
         case "--multiProbeCheck" => multiProbeCheck = true; i += 1
         case "--rawVolume" => rawVolume = true; i += 1
         case "--plantedRecall" => plantedRecallCheck = true; i += 1
+        case "--corpus" if i + 1 < args.length => corpus = args(i + 1); i += 2
+        case "--measureLaw" => measureLaw = true; i += 1
+        case "--stagedDistinct" if i + 1 < args.length =>
+          stagedDistinct = args(i + 1).toInt; i += 2
+        case "--scratchCapGB" if i + 1 < args.length =>
+          scratchCapGb = args(i + 1).toDouble; i += 2
         case other => sys.error(
           s"unknown arg '$other'; usage: DedupScaleProbe [--sizes N,..] " +
             "[--reps N] [--families minhash,simhash,embedding] " +
             "[--pinnedLsh PxT] [--mutDenom D] [--multiProbeCheck] " +
-            "[--rawVolume] [--plantedRecall]")
+            "[--rawVolume] [--plantedRecall] [--corpus hash|clustered] " +
+            "[--measureLaw] [--stagedDistinct G] [--scratchCapGB X]")
       }
     }
     // fail at parse time, not with a NoSuchElementException after an
@@ -111,6 +136,16 @@ object DedupScaleProbe {
       "--rawVolume and --plantedRecall are distinct modes; pick one")
     require(pinnedLsh.forall { case (p, t) => p >= 1 && p <= 63 && t >= 1 },
       s"--pinnedLsh out of range: $pinnedLsh")
+    require(Set("hash", "clustered")(corpus), s"--corpus must be hash|clustered, got $corpus")
+    require(families("embedding") || (corpus == "hash" && !measureLaw && stagedDistinct == 0),
+      "--corpus clustered/--measureLaw/--stagedDistinct measure the " +
+        s"embedding family; add embedding to --families (got $families)")
+    require(stagedDistinct >= 0 && scratchCapGb >= 0.0,
+      s"--stagedDistinct/--scratchCapGB must be non-negative")
+    require(scratchCapGb == 0.0 || stagedDistinct > 0,
+      "--scratchCapGB bounds the staged distinct; pass --stagedDistinct G with it")
+    require(stagedDistinct == 0 || (!rawVolume && !plantedRecallCheck),
+      "--stagedDistinct runs the full pairing; drop --rawVolume/--plantedRecall")
     val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROOT", "/tmp/graft_dedup_scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
@@ -142,8 +177,6 @@ object DedupScaleProbe {
         " ")
       spark.range(n).select(id.as("doc_id"), text.as("text"))
     }
-
-    def syntheticVec(n: Long): DataFrame = syntheticVecCorpus(spark, n)
 
     /** Returns true when it actually built — a cached re-run's ~0s
       * "build time" must not be emitted as a measurement. */
@@ -193,9 +226,33 @@ object DedupScaleProbe {
       // --pinnedLsh matches the auto sizing the two postures share a dir,
       // and the second build correctly reports build_cached).
       lazy val (planes, tables) = Similarity.lshParams(n, threshold = 0.98)
-      def lshDir(pp: Int, tt: Int) = s"$dir/lshbuckets_p${pp}t$tt"
+      // clustered bucket tables cache under their own suffix — the two
+      // corpora must never serve each other's tables
+      val corpusSuffix = if (corpus == "clustered") "_cl" else ""
+      def vecCorpus(nn: Long): DataFrame =
+        if (corpus == "clustered") syntheticClusteredVecCorpus(spark, nn)
+        else syntheticVecCorpus(spark, nn)
+      // the corpus-aware posture: the sizer's non-uniformity law sampled
+      // from THIS corpus (hash corpora re-measure ≈ the default law;
+      // clustered corpora measure higher and size deeper). The law row
+      // prints the measured (depth, ratio) points so SCALE.md quotes
+      // measurements, not just the fit.
+      lazy val measuredCfg: (Int, Int) = {
+        val t0 = System.nanoTime()
+        val law = Similarity.measureNonUniformityLaw(vecCorpus(n), n)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val cfg = Similarity.lshParams(n, 0.98, law = law)
+        val pts = law.measured.map { case (k, r) => f"[$k,$r%.2f]" }
+          .mkString("[", ",", "]")
+        println(f"""{"check":"law","rows":$n,"corpus":"$corpus","points":$pts,""" +
+          f""""amplitude":${law.amplitude}%.4f,"growth":${law.growthPerPlane}%.4f,""" +
+          f""""max_measured_depth":${law.maxMeasuredDepth},""" +
+          f""""planes":${cfg._1},"tables":${cfg._2},"measure_s":$dt%.3f}""")
+        cfg
+      }
+      def lshDir(pp: Int, tt: Int) = s"$dir/lshbuckets_p${pp}t$tt$corpusSuffix"
       def ensureLsh(pp: Int, tt: Int): (Double, Boolean) = timed {
-        ensure(lshDir(pp, tt)) { Similarity.lshTable(syntheticVec(n), pp, tt) }
+        ensure(lshDir(pp, tt)) { Similarity.lshTable(vecCorpus(n), pp, tt) }
       }
       // ---- pairing, timed from the persisted table (min-of-reps wall
       // time; volume is identical every rep — it's a deterministic count).
@@ -245,17 +302,69 @@ object DedupScaleProbe {
           .agg(sum(col("count") * (col("count") - lit(1L))).as("raw2"))
           .first().getLong(0) / 2
       if (families("embedding")) {
-        val postures = (planes, tables, "auto") +:
+        // the "measured" posture dedupes against "auto" when the sampled
+        // law lands on the same config (hash corpora usually do — that
+        // agreement IS a result; the dedupe only avoids re-timing it)
+        val measuredPosture =
+          if (measureLaw && measuredCfg != ((planes, tables)))
+            List((measuredCfg._1, measuredCfg._2, "measured"))
+          else { if (measureLaw) System.err.println(
+            s"[dedup-probe] measured law sizes to the auto config ($planes, $tables)")
+            Nil }
+        val postures = (planes, tables, "auto") +: measuredPosture :::
           pinnedLsh.map { case (pp, tt) => (pp, tt, "pinned") }.toList
         postures.foreach { case (pp, tt, mode) =>
           if (plantedRecallCheck) {
             // no bucket table at all: detection measured pair-locally
-            val t = timed { plantedRecall(spark, n, pp, tt) }
+            val t = timed { plantedRecall(spark, n, pp, tt,
+              clustered = corpus == "clustered") }
             val (hit, truth) = t._2
             println(f"""{"check":"planted_recall","rows":$n,"mode":"$mode",""" +
-              f""""planes":$pp,"tables":$tt,"detected":$hit,""" +
+              f""""corpus":"$corpus","planes":$pp,"tables":$tt,"detected":$hit,""" +
               f""""true_dups":$truth,"recall":${hit.toDouble / truth}%.4f,""" +
               f""""wall_s":${t._1}%.3f}""")
+          } else if (stagedDistinct > 0) {
+            // SCRATCH-BOUNDED pairing: the staged distinct, with the peak
+            // single-stage shuffle write measured by listener — the
+            // number that must stay under an executor's scratch where the
+            // one-shot distinct's full-raw-volume shuffle could not
+            val build = ensureLsh(pp, tt)
+            val peak = new java.util.concurrent.atomic.AtomicLong(0)
+            val totalW = new java.util.concurrent.atomic.AtomicLong(0)
+            val listener = new org.apache.spark.scheduler.SparkListener {
+              override def onStageCompleted(
+                  sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+                val b = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+                totalW.addAndGet(b)
+                peak.getAndUpdate(p => math.max(p, b))
+              }
+            }
+            spark.sparkContext.addSparkListener(listener)
+            val scratch = s"$dir/staged_scratch"
+            val t = timed {
+              val df = Similarity.lshCandidatesStaged(
+                spark.read.parquet(lshDir(pp, tt)), scratch, "vec_id",
+                tablesPerStage = stagedDistinct)
+              (df, df.count())
+            }
+            val (staged, pairs) = t._2
+            val detected = staged
+              .filter(col("id_b") === col("id_a") + 1 &&
+                pmod(col("id_b"), lit(20)) === 1).count()
+            spark.sparkContext.removeSparkListener(listener)
+            val peakGb = peak.get() / 1e9
+            println(f"""{"check":"staged_distinct","rows":$n,"mode":"$mode",""" +
+              f""""corpus":"$corpus","planes":$pp,"tables":$tt,${buildJson(build)},""" +
+              f""""tables_per_stage":$stagedDistinct,"pairs":$pairs,""" +
+              f""""detected":$detected,"true_dups":${n / 20},""" +
+              f""""peak_stage_shuffle_gb":$peakGb%.3f,""" +
+              f""""total_shuffle_gb":${totalW.get() / 1e9}%.3f,"wall_s":${t._1}%.3f}""")
+            org.apache.hadoop.fs.FileSystem
+              .get(spark.sparkContext.hadoopConfiguration)
+              .delete(new org.apache.hadoop.fs.Path(scratch), true)
+            require(scratchCapGb == 0.0 || peakGb <= scratchCapGb,
+              f"staged distinct peak stage shuffle $peakGb%.2f GB broke the " +
+                f"enforced --scratchCapGB $scratchCapGb%.2f cap")
           } else {
           val build = ensureLsh(pp, tt)
           if (rawVolume) {
@@ -264,11 +373,11 @@ object DedupScaleProbe {
             // occupancy aggregation alone, not a multi-minute cold build
             val agg = timed { rawPairs(lshDir(pp, tt)) }
             println(f"""{"check":"raw_volume","rows":$n,"mode":"$mode",""" +
-              f""""planes":$pp,"tables":$tt,${buildJson(build)},""" +
+              f""""corpus":"$corpus","planes":$pp,"tables":$tt,${buildJson(build)},""" +
               f""""raw_pairs":${agg._2},"agg_s":${agg._1}%.3f}""")
           } else {
             run("embedding_lsh", buildJson(build),
-              s""","planes":$pp,"tables":$tt,"mode":"$mode"""",
+              s""","planes":$pp,"tables":$tt,"mode":"$mode","corpus":"$corpus"""",
               () => Similarity.lshCandidatesFromTable(
                 spark.read.parquet(lshDir(pp, tt)), "vec_id"),
               "id_a", "id_b")
@@ -412,6 +521,49 @@ object DedupScaleProbe {
           .cast("float")): _*).as("embedding"))
   }
 
+  /** Deterministic CLUSTERED embedding corpus — the r13 stress for the
+    * sizer's non-uniformity assumption. The hash corpus above is
+    * near-isotropic (its sign buckets are the non-uniformity FLOOR); real
+    * embedding corpora cluster, which concentrates vectors into few sign
+    * buckets and raises the realized-vs-uniform collision ratio — the
+    * quantity [[graft.ext.Similarity.measureNonUniformityLaw]] samples at
+    * sizing time. Construction (public-knowledge mixture model, every
+    * value a pure hash of ids — rebuilds byte-identical):
+    *
+    *   - `clusters` centers with hash-derived coordinates in [-1, 1];
+    *   - POWER-LAW cluster sizes via inverse-CDF skew: member cluster =
+    *     ⌊clusters · u^sizeSkew⌋ for u = hash-uniform(doc) — density
+    *     ∝ c^(1/skew − 1), so at the default skew 3 the head cluster
+    *     holds ~(1/clusters)^(1/3) ≈ 6% of a 4096-cluster corpus and the
+    *     tail is thousands of small cells (the web-corpus shape);
+    *   - member = center + `noiseScale`·hash-noise: intra-cluster cosine
+    *     concentrates near 1/(1+noiseScale²) ≈ 0.89 at the default 0.35 —
+    *     BELOW the 0.98 probe threshold (cluster-mates are not near-dups)
+    *     while far above the ~0 cross-cluster cosine, which is exactly
+    *     what piles cluster-mates into shared sign buckets;
+    *   - the dup structure is the hash corpus's, unchanged: id % 20 == 1
+    *     carries the predecessor's vector + 5%-amplitude perturbation
+    *     (cosine ≈ 0.999), so true planted pairs = n/20 and
+    *     [[plantedRecall]] reads identically on both corpora. */
+  private[graft] def syntheticClusteredVecCorpus(spark: SparkSession, n: Long,
+      dim: Int = 64, clusters: Int = 4096, sizeSkew: Double = 3.0,
+      noiseScale: Double = 0.35): DataFrame = {
+    val id = col("id")
+    val isDup = pmod(id, lit(20)) === 1
+    val base = when(isDup, id - 1).otherwise(id)
+    def h(src: org.apache.spark.sql.Column, d: Int, salt: Int) =
+      (pmod(hash(src, lit(d), lit(salt)), lit(2001)) - lit(1000))
+        .cast("double") / 1000.0
+    // u in [0, 1) from the base id; pow-skew picks the cluster
+    val u = (pmod(hash(base, lit(555)), lit(1000000)).cast("double")) / 1000000.0
+    val cluster = floor(pow(u, sizeSkew) * clusters).cast("int")
+    spark.range(n).select(id.as("vec_id"),
+      array((0 until dim).map(d =>
+        (h(cluster, d, 556) + h(base, d, 557) * noiseScale +
+          when(isDup, h(id, d, 1) * 0.05).otherwise(lit(0.0)))
+          .cast("float")): _*).as("embedding"))
+  }
+
   /** MEASURED detection of the planted near-dup pairs under an explicit
     * (planes, tables) config, without building, persisting, or
     * self-joining a bucket table: both vectors of every planted pair
@@ -420,11 +572,15 @@ object DedupScaleProbe {
     * exact collision event [[Similarity.lshCandidatesFromTable]]'s join
     * keys encode. O(n/20) result rows and one narrow n/10-row shuffle,
     * so the recall cell is measurable at sizes where the full pairing's
-    * distinct shuffle outgrows local scratch (the 64M row in SCALE.md). */
+    * distinct shuffle outgrows local scratch (the 64M row in SCALE.md).
+    * `clustered = true` reads the planted pairs of
+    * [[syntheticClusteredVecCorpus]] instead — same dup structure, so the
+    * two corpora's recall cells are directly comparable. */
   private[graft] def plantedRecall(spark: SparkSession, n: Long,
-      planes: Int, tables: Int): (Long, Long) = {
+      planes: Int, tables: Int, clustered: Boolean = false): (Long, Long) = {
     import graft.functions.HyperplaneLsh
-    val v = syntheticVecCorpus(spark, n)
+    val v = if (clustered) syntheticClusteredVecCorpus(spark, n)
+      else syntheticVecCorpus(spark, n)
     val dups = v.where(pmod(col("vec_id"), lit(20)) === 1)
       .select((col("vec_id") - 1).as("orig_id"), col("embedding").as("emb_dup"))
     val origs = v.where(pmod(col("vec_id"), lit(20)) === 0)

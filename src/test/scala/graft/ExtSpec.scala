@@ -1149,6 +1149,151 @@ class ExtSpec extends SparkSpec {
     assert(p64m > 24, s"64M docs under-deepened to $p64m planes (pre-r12 bug)")
   }
 
+  test("recommendFamily encodes the r12 detection-vs-mutation sweep") {
+    import graft.ext.Dedup
+    // the sweep's own points come back exactly (no interpolation distortion)
+    assert(math.abs(Dedup.recommendFamily(0.01, 0.7).expectedDetection - 0.770) < 1e-9)
+    assert(math.abs(Dedup.recommendFamily(0.02, 0.95).expectedDetection - 0.986) < 1e-9)
+    // the measured division of labor: near-identity churn -> simhash;
+    // the rewrite band -> minhash; past minhash's measured 0.895 at 5%
+    // the text tier cannot clear 0.9 and the semantic tier takes over
+    assert(Dedup.recommendFamily(0.01, 0.7).family == "simhash")
+    assert(Dedup.recommendFamily(0.02, 0.9).family == "minhash")
+    assert(Dedup.recommendFamily(0.05, 0.9, hasEmbeddings = true).family == "embedding_lsh")
+    // without embeddings the chooser still answers, but says the bar is missed
+    val fallback = Dedup.recommendFamily(0.05, 0.9)
+    assert(fallback.family == "minhash" && fallback.expectedDetection < 0.9)
+    assert(fallback.rationale.contains("BELOW"))
+    // sub-resolution tolerance routes to exact dedup; churn past the sweep
+    // clamps to the 5% row rather than extrapolating optimism
+    assert(Dedup.recommendFamily(0.001).family == "exact")
+    assert(Dedup.recommendFamily(0.2, 0.2).expectedDetection <= 0.235 + 1e-9)
+    // interpolated detection is monotone decreasing in churn for both tiers
+    val det = Seq(0.01, 0.015, 0.02, 0.03, 0.05)
+      .map(m => Dedup.recommendFamily(m, 0.99, hasEmbeddings = false).expectedDetection)
+    assert(det.zip(det.tail).forall { case (a, b) => a >= b - 1e-12 }, det.toString)
+  }
+
+  test("HashCorpusNonUniformity pins the r12 measured depth law and its clamps") {
+    // the default law is the least-squares fit of the nine r12
+    // `--rawVolume` measurements (SCALE.md "The 64M step") — the fit must
+    // keep reproducing them, or the sizer's collision pricing has drifted
+    // from its evidence. Per-depth measured means:
+    val r12 = Seq(19 -> 2.80, 21 -> 3.32, 23 -> 4.30, 24 -> 4.80, 27 -> 7.09)
+    r12.foreach { case (k, measured) =>
+      val w = Similarity.HashCorpusNonUniformity.weight(k)
+      assert(math.abs(w - measured) / measured < 0.10,
+        s"law drifted from the r12 measurement at depth $k: $w vs $measured")
+    }
+    val law = Similarity.HashCorpusNonUniformity
+    // shallow clamp: realized pairs can never undercut the uniform model
+    assert(law.weight(2) == 1.0 && law.weight(8) >= 1.0)
+    // the r12 constant 4.5 overpriced the shallow loose regime ~2.6x;
+    // the law prices ~1.6x there (the ADVICE r12 finding)
+    assert(law.weight(8) < 2.0, s"shallow regime overpriced: ${law.weight(8)}")
+    // extrapolation freeze: the exponential is trusted 6 planes past the
+    // 27-plane measurement band, then held — never compounding to the
+    // 40-bit scan bound on unmeasured depths
+    assert(law.weight(40) == law.weight(27 + 6))
+    assert(law.weight(40) > law.weight(27))
+  }
+
+  test("fitNonUniformity recovers exponential laws and falls back flat on noise") {
+    // exact recovery: points ON a law come back as that law
+    val exact = Similarity.fitNonUniformity(
+      Seq(10, 14, 18, 22).map(k => k -> 0.5 * math.pow(1.2, k)))
+    assert(math.abs(exact.amplitude - 0.5) < 1e-9)
+    assert(math.abs(exact.growthPerPlane - 1.2) < 1e-9)
+    assert(exact.maxMeasuredDepth == 22 && exact.measured.size == 4)
+    // a DECREASING measurement is sampling noise (the cascade cannot
+    // shrink with depth): flat law at the max measured ratio
+    val noisy = Similarity.fitNonUniformity(Seq(10 -> 5.0, 14 -> 3.0))
+    assert(noisy.growthPerPlane == 1.0 && noisy.weight(30) == 5.0)
+    // a single measurable depth: flat at that ratio
+    val single = Similarity.fitNonUniformity(Seq(12 -> 2.5))
+    assert(single.growthPerPlane == 1.0 && single.weight(40) == 2.5)
+  }
+
+  test("measureNonUniformityLaw: clustered corpora measure far above the hash floor and size deeper") {
+    val n = 20000L
+    val hashLaw = Similarity.measureNonUniformityLaw(
+      graft.tools.DedupScaleProbe.syntheticVecCorpus(spark, n), n,
+      sampleRows = 10000L)
+    val clLaw = Similarity.measureNonUniformityLaw(
+      graft.tools.DedupScaleProbe.syntheticClusteredVecCorpus(spark, n), n,
+      sampleRows = 10000L)
+    // the hash corpus is the non-uniformity FLOOR: its sampled weights sit
+    // in the same decade as the default law over the measurable band,
+    // while the clustered corpus's per-plane cascade is dramatically
+    // steeper (r13 probe at 100k docs: growth 1.73/plane vs 1.12, ratio
+    // 1102 vs 4.8 at depth 24)
+    assert(clLaw.growthPerPlane > hashLaw.growthPerPlane + 0.1,
+      s"clustered cascade ${clLaw.growthPerPlane} not steeper than hash ${hashLaw.growthPerPlane}")
+    val kProbe = math.min(hashLaw.maxMeasuredDepth, clLaw.maxMeasuredDepth)
+    assert(clLaw.weight(kProbe) > 5 * hashLaw.weight(kProbe),
+      s"clustered weight ${clLaw.weight(kProbe)} vs hash ${hashLaw.weight(kProbe)} at depth $kProbe")
+    // fed into the sizer at a scale where collisions matter, the measured
+    // clustered law deepens the config vs the hash default — the
+    // corpus-aware under-deepening protection
+    val (pHash, _) = Similarity.lshParams(16000000L, 0.98)
+    val (pCl, tCl) = Similarity.lshParams(16000000L, 0.98, law = clLaw)
+    assert(pCl > pHash, s"clustered law did not deepen: $pCl vs $pHash")
+    // and the recall solve still holds at the deeper config
+    val p = 1.0 - math.acos(0.98) / math.Pi
+    assert(1.0 - math.pow(1.0 - math.pow(p, pCl), tCl) >= 0.98 - 1e-9)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("lshCandidatesStaged emits exactly the one-shot pair set, at any stage width") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val twins = base.take(60).map { case (i, v) => (i + 10000L, v.map(_ + 0.2f)) }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val table = Similarity.lshTable(emb, nPlanes = 6, nTables = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = pairSet(Similarity.lshCandidatesFromTable(table))
+    assert(oneShot.nonEmpty, "vacuous staged-distinct test: no candidates")
+    val scratchRoot = java.nio.file.Files.createTempDirectory("graft_staged").toString
+    try {
+      for (g <- Seq(1, 2, 5, 7)) {
+        val staged = pairSet(Similarity.lshCandidatesStaged(
+          table, s"$scratchRoot/g$g", tablesPerStage = g))
+        assert(staged == oneShot, s"tablesPerStage=$g: staged pair set diverged " +
+          s"(missing ${(oneShot -- staged).size}, extra ${(staged -- oneShot).size})")
+        // staged output is DISTINCT — no cross-table duplicates survive
+        val withDups = Similarity.lshCandidatesStaged(
+          table, s"$scratchRoot/gd$g", tablesPerStage = g).count()
+        assert(withDups == oneShot.size.toLong)
+      }
+    } finally {
+      table.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratchRoot))
+    }
+  }
+
+  test("nearDupPairsLsh corpusAwareSizing: measured-law sizing keeps exactness on real embeddings") {
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.nearDupPairs(emb, 0.45))
+    val aware = pairs(Similarity.nearDupPairsLsh(emb, 0.45, targetRecall = 0.999,
+      corpusAwareSizing = true))
+    // exact rerank: zero false positives; 0.999 target: full recall on
+    // this corpus (the non-aware twin's established property — the
+    // measured law must not break either side of it)
+    assert(aware.subsetOf(exact))
+    assert(aware == exact, s"corpus-aware sizing missed ${(exact -- aware).size} pairs")
+    // explicit config beside corpusAwareSizing is a contradiction
+    intercept[IllegalArgumentException] {
+      Similarity.nearDupPairsLsh(emb, 0.45, nPlanes = 4, nTables = 8,
+        corpusAwareSizing = true)
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("LSH candidate volume grows linearly, not quadratically, under auto sizing") {
     def corpus(n: Int) = {
       val rnd = new scala.util.Random(42)

@@ -104,6 +104,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("lshParams cost surface is flat around the minimizer in the dedup band") {
+    // The guard behind every weight-law substitution the sizer makes
+    // (constant -> fitted hash law -> sampled corpus law): those swaps are
+    // safe ONLY because a one-plane mis-step near the minimizer barely
+    // moves modeled compute. Numerically the worst +-1-plane ratio across
+    // the dedup band (threshold 0.98, recall 0.98, n in [1e5, 1e12]) is
+    // ~1.30 (at the 40-bit scan clamp); pin 1.5 so a future MaxPlanes,
+    // weight, or table-cap change that steepens the surface fails HERE
+    // instead of in a 64M-doc probe.
+    import graft.ext.Similarity
+    val threshold = 0.98
+    val recall = 0.98
+    (50 to 120).foreach { e10 =>
+      val n = math.pow(10.0, e10 / 10.0).toLong
+      val (kStar, _) = Similarity.lshParams(n, threshold)
+      val cStar = Similarity.lshCostProxy(kStar, n, threshold, recall)
+      // neighbors below the corpus-size floor never competed in the scan
+      val floor = math.min(40, math.max(2,
+        math.ceil(math.log(math.max(1.0, n.toDouble / 1024)) / math.log(2.0)).toInt))
+      Seq(kStar - 1, kStar + 1).filter(k => k >= floor && k <= 40).foreach { k =>
+        // only recall-feasible neighbors compete in the minimizer
+        if (Similarity.lshTablesFor(k, threshold, recall) <= 64) {
+          val r = Similarity.lshCostProxy(k, n, threshold, recall) / cStar
+          assert(r >= 1.0 - 1e-9, s"n=$n: $kStar is not the minimizer (k=$k at $r)")
+          assert(r <= 1.5, s"n=$n: cost surface not flat at k=$k vs $kStar: $r")
+        }
+      }
+    }
+  }
+
   test("native text expressions are bit-identical to composable forms on random text") {
     import org.apache.spark.sql.functions._
     import graft.ext.{Dedup, TextStats}

@@ -152,7 +152,7 @@ def norm(name):
     return head if re.fullmatch(r"q\d+", head) else name
 
 
-def norm_map(d, collided=None, origin=None):
+def norm_map(d, collided=None, origin=None, keep_full=None):
     # Two distinct names sharing a qNN prefix must NOT collapse into one
     # key (last-wins would silently drop a timing) — Bench keeps full
     # names for colliding prefixes on the emit side, so the diff side
@@ -163,13 +163,19 @@ def norm_map(d, collided=None, origin=None):
     # the group (recover an exact-spelling match or exclude it loudly),
     # and `origin` to remember which full spelling each compacted
     # single-member key came from (so recovery can re-key it).
+    # `keep_full` carries prefixes ALREADY known to collide in this
+    # side's QUERY map: a sparse spread map usually holds one entry of a
+    # colliding group (only the noisy member crossed the emit cutoff),
+    # and compacting that lone entry to the bare prefix would detach it
+    # from its full-spelling query key — the flag it annotates would
+    # print spread "-" with no noise warning.
     d = d or {}
     groups = {}
     for k in d:
         groups.setdefault(norm(k), []).append(k)
     out = {}
     for nk, ks in groups.items():
-        if len(ks) == 1:
+        if len(ks) == 1 and nk not in (keep_full or ()):
             out[nk] = d[ks[0]]
             if origin is not None:
                 origin[nk] = ks[0]
@@ -191,11 +197,14 @@ def main():
     oq = norm_map(old["queries"], o_coll, o_orig)
     nq = norm_map(new["queries"], n_coll, n_orig)
     # spread maps normalized the same way as the query maps so their keys
-    # stay aligned (including through collision re-keying below) — a
-    # re-keyed query whose spread entry kept the compact key would lose
-    # its noise annotation exactly where it matters
-    os_ = norm_map(old.get("spread"))
-    ns_ = norm_map(new.get("spread"))
+    # stay aligned — with each side's own query-map collisions passed as
+    # keep_full, so a lone spread entry on a COLLIDING side keeps the full
+    # spelling its query key kept (compacted, it would miss the
+    # os_.get(full_name) lookup and the flag would lose its noise
+    # annotation). Compacted-side entries are re-keyed in the collision
+    # recovery below instead.
+    os_ = norm_map(old.get("spread"), keep_full=set(o_coll))
+    ns_ = norm_map(new.get("spread"), keep_full=set(n_coll))
     # One-side-only prefix collisions: that side keeps full names, the
     # other side's single entry was compacted to the bare prefix. If the
     # compacted entry's ORIGINAL spelling names one of the colliding full

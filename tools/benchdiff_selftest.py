@@ -160,6 +160,18 @@ def main():
                 "noisy samples" in out and "5.50" in out,
                 detail="" if "noisy samples" in out else out)
 
+    # 11. the mirror case: the spread entry sits on the COLLIDING side
+    #     (whose query keys keep full spellings). The sparse spread map
+    #     holds only the noisy member, so its single entry must NOT be
+    #     compacted to the bare prefix — the flag on q09_a carries the
+    #     OLD side's 5.5x self-reported disagreement
+    out = run_cli({"q09_a": 1.0, "q09_b": 2.0},
+                  {"q09_a": 2.0},
+                  old_spread={"q09_a": 5.5})
+    ok &= check("colliding-side spread entry keeps its full spelling",
+                "noisy samples" in out and "5.50" in out,
+                detail="" if "noisy samples" in out else out)
+
     if not ok:
         sys.exit(1)
     print("ALL OK")
