@@ -76,6 +76,7 @@ object DedupScaleProbe {
     var mutDenom = 20
     var multiProbeCheck = false
     var rawVolume = false
+    var rawDirect = false
     var plantedRecallCheck = false
     var corpus = "hash"
     var measureLaw = false
@@ -97,6 +98,7 @@ object DedupScaleProbe {
           mutDenom = args(i + 1).toInt; i += 2
         case "--multiProbeCheck" => multiProbeCheck = true; i += 1
         case "--rawVolume" => rawVolume = true; i += 1
+        case "--rawVolumeDirect" => rawVolume = true; rawDirect = true; i += 1
         case "--plantedRecall" => plantedRecallCheck = true; i += 1
         case "--corpus" if i + 1 < args.length => corpus = args(i + 1); i += 2
         case "--measureLaw" => measureLaw = true; i += 1
@@ -108,7 +110,8 @@ object DedupScaleProbe {
           s"unknown arg '$other'; usage: DedupScaleProbe [--sizes N,..] " +
             "[--reps N] [--families minhash,simhash,embedding] " +
             "[--pinnedLsh PxT] [--mutDenom D] [--multiProbeCheck] " +
-            "[--rawVolume] [--plantedRecall] [--corpus hash|clustered] " +
+            "[--rawVolume|--rawVolumeDirect] [--plantedRecall] " +
+            "[--corpus hash|clustered] " +
             "[--measureLaw] [--stagedDistinct G] [--scratchCapGB X]")
       }
     }
@@ -365,6 +368,33 @@ object DedupScaleProbe {
             require(scratchCapGb == 0.0 || peakGb <= scratchCapGb,
               f"staged distinct peak stage shuffle $peakGb%.2f GB broke the " +
                 f"enforced --scratchCapGB $scratchCapGb%.2f cap")
+          } else if (rawVolume && rawDirect) {
+            // BUILDLESS exact occupancy: per-(table, bucket) C(|cell|,2)
+            // summed from scan-side projections in table batches, each
+            // batch generating ONLY its own tables' planes (planeOffset
+            // arithmetic — no wasted projections) — so the shuffle per
+            // batch is n x batch rows and raw volume is measurable at
+            // sizes whose bucket TABLE outgrows local disk (the 64M
+            // clustered measured-config case: a 53-table parquet table
+            // would be ~65 GB this host does not have)
+            // batch width trades scan count (corpus regeneration is the
+            // dominant cost) against per-batch shuffle width (n × batch
+            // rows ≈ 12 GB at 64M × 8 — fine for local scratch)
+            val batch = 8
+            val agg = timed {
+              (0 until tt by batch).map { t0 =>
+                val b = math.min(batch, tt - t0)
+                vecCorpus(n).select(posexplode(graft.functions.HyperplaneLsh(
+                    col("embedding"), pp, b, t0 * pp)))
+                  .toDF("tbl", "bucket")
+                  .groupBy("tbl", "bucket").count()
+                  .agg(sum(col("count") * (col("count") - lit(1L))).as("r2"))
+                  .first().getLong(0) / 2
+              }.sum
+            }
+            println(f"""{"check":"raw_volume","rows":$n,"mode":"$mode",""" +
+              f""""corpus":"$corpus","planes":$pp,"tables":$tt,"direct":true,""" +
+              f""""raw_pairs":${agg._2},"agg_s":${agg._1}%.3f}""")
           } else {
           val build = ensureLsh(pp, tt)
           if (rawVolume) {
