@@ -665,6 +665,14 @@ object Similarity {
       "build it with Similarity.lshTable(emb, nPlanes, nTables)")
     val bk = if (!cache) bucketTable
       else bucketTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshCandidatesRaw(bk, idCol).distinct()
+  }
+
+  /** The PRE-distinct bucket-collision pairs — the self-join output before
+    * the cross-table reconciliation, one row per (pair, colliding table).
+    * Shared by the one-shot distinct above and the bounded-scratch modes
+    * below, so their pair semantics can never drift. */
+  private def lshCandidatesRaw(bk: DataFrame, idCol: String): DataFrame = {
     val a = bk.select(col("ckey"), col("tbl").as("tbl_a"),
       col("bucket").as("bucket_a"), col(idCol).as("id_a"))
     val b = bk.select(col("ckey").as("ckey_b"), col("tbl").as("tbl_b"),
@@ -674,7 +682,53 @@ object Similarity {
         col("bucket_a").bitwiseXOR(col("bucket_b")) === lit(0L) &&
         col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+  }
+
+  /** PAIR-SPACE partitioned candidate distinct: the same (id_a, id_b) pair
+    * set as [[lshCandidatesFromTable]], computed in `partitions` passes
+    * that each keep only the pairs whose hash lands in their slice — so
+    * the peak TRANSIENT shuffle is ~raw/partitions rows no matter how
+    * large the distinct output is.
+    *
+    * Why a second bounded mode exists beside [[lshCandidatesStaged]]: the
+    * table-staged accumulation re-shuffles the distinct-so-far every
+    * stage, so its peak stage carries ~(raw·g/T + |distinct so far|) rows
+    * — fine when cross-table duplication makes distinct ≪ raw, but on
+    * workloads where raw ≈ distinct (hash-floor corpora: the r12
+    * 16M-pinned DNF measured 2.78B raw vs ~2.6B distinct) the accumulation
+    * term approaches the one-shot cost and staging buys little.
+    * Partitioning the PAIR SPACE instead makes the passes independent:
+    * pass p filters `pmod(xxhash64(id_a, id_b), P) = p` BETWEEN the join
+    * and the distinct (map-side, pipelined — the raw volume is generated
+    * but never shuffled whole), dedupes only its slice, and appends it to
+    * `scratchDir`. Slices are disjoint by construction, so their union is
+    * globally distinct with no reconciliation pass. The trade is compute:
+    * the bucket self-join is re-derived in every pass (join work ×P) —
+    * time for scratch, explicitly. Peak transient = raw/P shuffle rows +
+    * one slice's aggregation; the output parquet (= the answer) is the
+    * only thing that accumulates. Each pass is also independently
+    * restartable, which is the posture a 1000-executor run wants anyway.
+    * Measured against one-shot and staged in `tools.DedupScaleProbe
+    * --partitionedDistinct` (SCALE.md r13). Pair-set equality vs the
+    * one-shot distinct is pinned in ExtSpec.
+    *
+    * The returned frame reads the slice files; callers own `scratchDir`'s
+    * lifecycle. */
+  def lshCandidatesPartitioned(bucketTable: DataFrame, scratchDir: String,
+      idCol: String = "vec_id", partitions: Int = 8): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    TableShapes.requireColumns(bucketTable, Seq("ckey", "tbl", "bucket", idCol),
+      "lshCandidatesPartitioned",
+      "build it with Similarity.lshTable(emb, nPlanes, nTables)")
+    val spark = bucketTable.sparkSession
+    val raw = lshCandidatesRaw(bucketTable, idCol)
+    (0 until partitions).foreach { p =>
+      raw.where(pmod(xxhash64(col("id_a"), col("id_b")), lit(partitions.toLong))
+          === lit(p.toLong))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$scratchDir/slice_$p")
+    }
+    spark.read.parquet((0 until partitions).map(p => s"$scratchDir/slice_$p"): _*)
   }
 
   /** SCRATCH-BOUNDED candidate distinct: the same (id_a, id_b) pair set
@@ -692,12 +746,16 @@ object Similarity {
     * exploits that: accumulate the distinct pair set `tablesPerStage`
     * tables at a time, materializing each accumulation to `scratchDir`
     * parquet, so stage i's largest shuffle carries
-    * ~(raw·tablesPerStage/nTables + |distinct so far|) rows — bounded and
-    * tunable — instead of all raw pairs at once. More passes (the
-    * distinct-so-far re-shuffles each stage), bounded peak: the explicit
-    * time-for-scratch trade, measured in `tools.DedupScaleProbe
-    * --stagedDistinct` (SCALE.md r13: peak single-stage shuffle drops
-    * ~g× for g groups at equal pair-set output).
+    * ~(raw·tablesPerStage/nTables + |distinct so far|) rows — instead of
+    * all raw pairs at once. More passes (the distinct-so-far re-shuffles
+    * each stage), bounded raw term: a time-for-scratch trade whose floor
+    * is the ACCUMULATION — when cross-table duplication is low and
+    * distinct ≈ raw (hash-floor corpora), the last stages still carry
+    * ~the full pair set and staging buys little over one-shot; when
+    * distinct ≪ raw it pays. For a bound that holds regardless of the
+    * distinct size, use [[lshCandidatesPartitioned]]. Both modes are
+    * measured side by side in `tools.DedupScaleProbe --stagedDistinct` /
+    * `--partitionedDistinct` (SCALE.md r13).
     *
     * The returned frame READS the final accumulation (already distinct) —
     * callers own `scratchDir`'s lifecycle; intermediate stage files are

@@ -63,7 +63,11 @@ import graft.ext.{Dedup, Similarity}
   * `--stagedDistinct G` runs the full pairing through the
   * scratch-bounded [[graft.ext.Similarity.lshCandidatesStaged]] at G
   * tables per stage, reporting the listener-measured peak single-stage
-  * shuffle write (and failing if `--scratchCapGB` is set and breached).
+  * shuffle write (and failing if `--scratchCapGB` is set and breached);
+  * `--partitionedDistinct P` does the same through the pair-space
+  * [[graft.ext.Similarity.lshCandidatesPartitioned]] at P hash slices —
+  * the mode whose peak transient shuffle is ~raw/P regardless of the
+  * distinct size.
   * Tables cache under
   * /tmp/graft_dedup_scale/n<rows> and are rebuilt only when absent. */
 object DedupScaleProbe {
@@ -81,6 +85,7 @@ object DedupScaleProbe {
     var corpus = "hash"
     var measureLaw = false
     var stagedDistinct = 0
+    var partitionedDistinct = 0
     var scratchCapGb = 0.0
     var i = 0
     while (i < args.length) {
@@ -104,6 +109,8 @@ object DedupScaleProbe {
         case "--measureLaw" => measureLaw = true; i += 1
         case "--stagedDistinct" if i + 1 < args.length =>
           stagedDistinct = args(i + 1).toInt; i += 2
+        case "--partitionedDistinct" if i + 1 < args.length =>
+          partitionedDistinct = args(i + 1).toInt; i += 2
         case "--scratchCapGB" if i + 1 < args.length =>
           scratchCapGb = args(i + 1).toDouble; i += 2
         case other => sys.error(
@@ -111,8 +118,8 @@ object DedupScaleProbe {
             "[--reps N] [--families minhash,simhash,embedding] " +
             "[--pinnedLsh PxT] [--mutDenom D] [--multiProbeCheck] " +
             "[--rawVolume|--rawVolumeDirect] [--plantedRecall] " +
-            "[--corpus hash|clustered] " +
-            "[--measureLaw] [--stagedDistinct G] [--scratchCapGB X]")
+            "[--corpus hash|clustered] [--measureLaw] " +
+            "[--stagedDistinct G | --partitionedDistinct P] [--scratchCapGB X]")
       }
     }
     // fail at parse time, not with a NoSuchElementException after an
@@ -140,15 +147,21 @@ object DedupScaleProbe {
     require(pinnedLsh.forall { case (p, t) => p >= 1 && p <= 63 && t >= 1 },
       s"--pinnedLsh out of range: $pinnedLsh")
     require(Set("hash", "clustered")(corpus), s"--corpus must be hash|clustered, got $corpus")
-    require(families("embedding") || (corpus == "hash" && !measureLaw && stagedDistinct == 0),
-      "--corpus clustered/--measureLaw/--stagedDistinct measure the " +
-        s"embedding family; add embedding to --families (got $families)")
-    require(stagedDistinct >= 0 && scratchCapGb >= 0.0,
-      s"--stagedDistinct/--scratchCapGB must be non-negative")
-    require(scratchCapGb == 0.0 || stagedDistinct > 0,
-      "--scratchCapGB bounds the staged distinct; pass --stagedDistinct G with it")
-    require(stagedDistinct == 0 || (!rawVolume && !plantedRecallCheck),
-      "--stagedDistinct runs the full pairing; drop --rawVolume/--plantedRecall")
+    require(families("embedding") || (corpus == "hash" && !measureLaw &&
+        stagedDistinct == 0 && partitionedDistinct == 0),
+      "--corpus clustered/--measureLaw/--stagedDistinct/--partitionedDistinct " +
+        s"measure the embedding family; add embedding to --families (got $families)")
+    require(stagedDistinct >= 0 && partitionedDistinct >= 0 && scratchCapGb >= 0.0,
+      s"--stagedDistinct/--partitionedDistinct/--scratchCapGB must be non-negative")
+    require(stagedDistinct == 0 || partitionedDistinct == 0,
+      "--stagedDistinct and --partitionedDistinct are alternative bounded " +
+        "modes; run them separately so the listener attributes shuffle to one")
+    require(scratchCapGb == 0.0 || stagedDistinct > 0 || partitionedDistinct > 0,
+      "--scratchCapGB bounds a bounded-distinct mode; pass --stagedDistinct G " +
+        "or --partitionedDistinct P with it")
+    require((stagedDistinct == 0 && partitionedDistinct == 0) ||
+        (!rawVolume && !plantedRecallCheck),
+      "bounded-distinct modes run the full pairing; drop --rawVolume/--plantedRecall")
     val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROOT", "/tmp/graft_dedup_scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
@@ -326,11 +339,12 @@ object DedupScaleProbe {
               f""""corpus":"$corpus","planes":$pp,"tables":$tt,"detected":$hit,""" +
               f""""true_dups":$truth,"recall":${hit.toDouble / truth}%.4f,""" +
               f""""wall_s":${t._1}%.3f}""")
-          } else if (stagedDistinct > 0) {
-            // SCRATCH-BOUNDED pairing: the staged distinct, with the peak
-            // single-stage shuffle write measured by listener — the
-            // number that must stay under an executor's scratch where the
-            // one-shot distinct's full-raw-volume shuffle could not
+          } else if (stagedDistinct > 0 || partitionedDistinct > 0) {
+            // SCRATCH-BOUNDED pairing: the staged or pair-partitioned
+            // distinct, with the peak single-stage shuffle write measured
+            // by listener — the number that must stay under an executor's
+            // scratch where the one-shot distinct's full-raw-volume
+            // shuffle could not
             val build = ensureLsh(pp, tt)
             val peak = new java.util.concurrent.atomic.AtomicLong(0)
             val totalW = new java.util.concurrent.atomic.AtomicLong(0)
@@ -342,23 +356,34 @@ object DedupScaleProbe {
                 peak.getAndUpdate(p => math.max(p, b))
               }
             }
+            val (check, knobJson) =
+              if (stagedDistinct > 0)
+                ("staged_distinct", s""""tables_per_stage":$stagedDistinct""")
+              else
+                ("partitioned_distinct", s""""partitions":$partitionedDistinct""")
             spark.sparkContext.addSparkListener(listener)
-            val scratch = s"$dir/staged_scratch"
+            val scratch = s"$dir/${check}_scratch"
             val t = timed {
-              val df = Similarity.lshCandidatesStaged(
-                spark.read.parquet(lshDir(pp, tt)), scratch, "vec_id",
-                tablesPerStage = stagedDistinct)
+              val df =
+                if (stagedDistinct > 0)
+                  Similarity.lshCandidatesStaged(
+                    spark.read.parquet(lshDir(pp, tt)), scratch, "vec_id",
+                    tablesPerStage = stagedDistinct)
+                else
+                  Similarity.lshCandidatesPartitioned(
+                    spark.read.parquet(lshDir(pp, tt)), scratch, "vec_id",
+                    partitions = partitionedDistinct)
               (df, df.count())
             }
-            val (staged, pairs) = t._2
-            val detected = staged
+            val (bounded, pairs) = t._2
+            val detected = bounded
               .filter(col("id_b") === col("id_a") + 1 &&
                 pmod(col("id_b"), lit(20)) === 1).count()
             spark.sparkContext.removeSparkListener(listener)
             val peakGb = peak.get() / 1e9
-            println(f"""{"check":"staged_distinct","rows":$n,"mode":"$mode",""" +
+            println(f"""{"check":"$check","rows":$n,"mode":"$mode",""" +
               f""""corpus":"$corpus","planes":$pp,"tables":$tt,${buildJson(build)},""" +
-              f""""tables_per_stage":$stagedDistinct,"pairs":$pairs,""" +
+              f"""$knobJson,"pairs":$pairs,""" +
               f""""detected":$detected,"true_dups":${n / 20},""" +
               f""""peak_stage_shuffle_gb":$peakGb%.3f,""" +
               f""""total_shuffle_gb":${totalW.get() / 1e9}%.3f,"wall_s":${t._1}%.3f}""")
@@ -366,7 +391,7 @@ object DedupScaleProbe {
               .get(spark.sparkContext.hadoopConfiguration)
               .delete(new org.apache.hadoop.fs.Path(scratch), true)
             require(scratchCapGb == 0.0 || peakGb <= scratchCapGb,
-              f"staged distinct peak stage shuffle $peakGb%.2f GB broke the " +
+              f"$check peak stage shuffle $peakGb%.2f GB broke the " +
                 f"enforced --scratchCapGB $scratchCapGb%.2f cap")
           } else if (rawVolume && rawDirect) {
             // BUILDLESS exact occupancy: per-(table, bucket) C(|cell|,2)

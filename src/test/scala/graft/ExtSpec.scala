@@ -1273,6 +1273,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("lshCandidatesPartitioned emits exactly the one-shot pair set, at any slice count") {
+    val rnd = new scala.util.Random(12)
+    val base = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val twins = base.take(60).map { case (i, v) => (i + 10000L, v.map(_ + 0.2f)) }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val table = Similarity.lshTable(emb, nPlanes = 6, nTables = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = pairSet(Similarity.lshCandidatesFromTable(table))
+    assert(oneShot.nonEmpty, "vacuous partitioned-distinct test: no candidates")
+    val scratchRoot = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      // P = 1 (degenerate: one slice IS the one-shot), a mid value, and a
+      // P larger than needed so some slices are empty parquet
+      for (p <- Seq(1, 3, 37)) {
+        val sliced = Similarity.lshCandidatesPartitioned(
+          table, s"$scratchRoot/p$p", partitions = p)
+        assert(pairSet(sliced) == oneShot, s"partitions=$p: sliced pair set " +
+          s"diverged (missing ${(oneShot -- pairSet(sliced)).size})")
+        // slices are disjoint, so the union count needs no further distinct
+        assert(sliced.count() == oneShot.size.toLong)
+      }
+    } finally {
+      table.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratchRoot))
+    }
+  }
+
   test("nearDupPairsLsh corpusAwareSizing: measured-law sizing keeps exactness on real embeddings") {
     assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
