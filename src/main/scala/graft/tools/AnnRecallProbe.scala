@@ -75,18 +75,24 @@ object AnnRecallProbe {
   private def queryIds(rows: Long, nQueries: Int): Seq[Long] =
     (0 until nQueries).map(q => (rows / nQueries) * q + 3)
 
+  /** Runs the recall matrix on `emb`, printing one JSON row per config
+    * and RETURNING the recalls keyed by `"index@knob"` (e.g. `"ivf@16"`,
+    * `"pq_rerank@8"`, `"ivf_pq@16"`) so ExtSpec can pin test-scale
+    * clustered lower bounds against the same code path the probe runs. */
   private[graft] def probeCorpus(spark: SparkSession, emb: DataFrame,
-      corpus: String, rows: Long, nQueries: Int, k: Int): Unit = {
+      corpus: String, rows: Long, nQueries: Int, k: Int): Map[String, Double] = {
     val ids = queryIds(rows, nQueries)
     val qRows = emb.filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id"), col("embedding")).collect()
     val queries = qRows.toSeq.map(r =>
       (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
 
-    def timedRecall(name: String, meta: String)(body: => Double): Unit = {
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    def timedRecall(name: String, knob: Int, meta: String)(body: => Double): Unit = {
       val t0 = System.nanoTime()
       val r = body
       val dt = (System.nanoTime() - t0) / 1e9
+      out(s"$name@$knob") = r
       println(f"""{"check":"ann_recall","corpus":"$corpus","rows":$rows,""" +
         f""""queries":$nQueries,"k":$k,"index":"$name",$meta""" +
         f""""recall":$r%.4f,"wall_s":$dt%.3f}""")
@@ -107,7 +113,7 @@ object AnnRecallProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count()
     Seq(1, 4, 8, 16).foreach { nProbe =>
-      timedRecall("ivf", s""""cells":256,"nprobe":$nProbe,""") {
+      timedRecall("ivf", nProbe, s""""cells":256,"nprobe":$nProbe,""") {
         meanRecall(topSet(Ivf.ivfTopKBatchVec(assigned, centroids, queries, k,
           nProbe, excludeSelf = true), "query_id", "vec_id"), cosTruth)
       }
@@ -128,7 +134,7 @@ object AnnRecallProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     encoded.count()
     Seq(4, 8).foreach { shortlist =>
-      timedRecall("pq_rerank", s""""m":8,"shortlist":$shortlist,""") {
+      timedRecall("pq_rerank", shortlist, s""""m":8,"shortlist":$shortlist,""") {
         queries.map { case (qid, qv) =>
           val got = Pq.pqTopKRerankVec(encoded.filter(col("vec_id") =!= qid),
             qv, cb, k, shortlist).collect().map(_.getLong(0)).toSet
@@ -141,7 +147,7 @@ object AnnRecallProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     clusteredEncoded.count()
     Seq(4, 16).foreach { nProbe =>
-      timedRecall("ivf_pq", s""""cells":256,"nprobe":$nProbe,"m":8,"shortlist":4,""") {
+      timedRecall("ivf_pq", nProbe, s""""cells":256,"nprobe":$nProbe,"m":8,"shortlist":4,""") {
         queries.map { case (qid, qv) =>
           val got = Pq.ivfPqTopKVec(
             clusteredEncoded.filter(col("vec_id") =!= qid), centroids, cb,
@@ -152,5 +158,6 @@ object AnnRecallProbe {
     }
     assigned.unpersist(); encoded.unpersist(); clusteredEncoded.unpersist()
     spark.sharedState.cacheManager.clearCache()
+    out.toMap
   }
 }

@@ -1214,6 +1214,27 @@ class ExtSpec extends SparkSpec {
     assert(single.growthPerPlane == 1.0 && single.weight(40) == 2.5)
   }
 
+  test("AnnRecallProbe: clustered-corpus serving recall floors hold at test scale") {
+    // the r12 verdict's task #3 pin: IVF/PQ/IVF-PQ recall on a CLUSTERED
+    // corpus (the regime that moves centroid fit and ADC anisotropy) —
+    // same generator + same probe code path as the SCALE.md rows, at a
+    // size the suite can afford. Floors sit ~0.1 under the measured
+    // test-scale values so corpus-determinism keeps them stable while a
+    // real quality regression (wrong cell probed, rerank metric drift)
+    // still fails.
+    val emb = graft.tools.DedupScaleProbe.syntheticClusteredVecCorpus(spark, 20000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r = graft.tools.AnnRecallProbe.probeCorpus(spark, emb, "clustered",
+        20000L, 6, 10)
+      info(s"clustered test-scale recalls: ${r.toSeq.sortBy(_._1)}")
+      assert(r("ivf@16") >= 0.85, s"ivf@16 ${r("ivf@16")}")
+      assert(r("ivf@16") >= r("ivf@1") - 1e-9, "probe-budget monotonicity broke")
+      assert(r("pq_rerank@8") >= 0.65, s"pq_rerank@8 ${r("pq_rerank@8")}")
+      assert(r("ivf_pq@16") >= 0.55, s"ivf_pq@16 ${r("ivf_pq@16")}")
+    } finally { emb.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("measureNonUniformityLaw: clustered corpora measure far above the hash floor and size deeper") {
     val n = 20000L
     val hashLaw = Similarity.measureNonUniformityLaw(
