@@ -472,7 +472,14 @@ object Similarity {
     * inside [[graft.functions.HyperplaneLsh]]'s 63-bit long and hold the
     * occupancy-constancy posture to ~2^40·2 ≈ 2×10^12 vectors — past any
     * 100 TB corpus — where the pre-r12 bound of 24 forced occupancy (and
-    * with it candidate volume per doc) to start doubling from ~32M rows. */
+    * with it candidate volume per doc) to start doubling from ~32M rows.
+    * Clustered corpora (r13) hit this bound from ~16M docs under their
+    * sample-measured law, but there it is NOT the r12 regret reborn: at
+    * measured growth ~1.73×/plane the net win per extra plane is
+    * (2/1.73)/1.07 ≈ 8% and the 64-table recall cap binds by ~42 planes
+    * anyway — deepening past 40 is volume-neutral, and the residual
+    * volume is the corpus's intrinsic near-threshold pair mass
+    * (SCALE.md r13 clustered section, reading 3). */
   private val MaxPlanes = 40
 
   /** A random same-bucket candidate costs its rerank dot plus the join
@@ -818,7 +825,15 @@ object Similarity {
     * id_b) before any scoring, and the two join-backs that fetch vectors for
     * the surviving candidates key on id (broadcast when candidates are few).
     * With auto-sized params no step is quadratic in the corpus; candidate
-    * growth is asserted in ExtSpec (count-based, not plan-node-based). */
+    * growth is asserted in ExtSpec (count-based, not plan-node-based).
+    * Where even the candidate distinct's one exchange outgrows executor
+    * scratch (measured cliff: 2.78B raw pairs vs ~75 GB local scratch,
+    * SCALE.md r12/r13), run the relation level directly — [[lshTable]]
+    * then [[lshCandidatesPartitioned]] (peak transient ~raw/P) or
+    * [[lshCandidatesStaged]] (pays when distinct ≪ raw) — and verify
+    * survivors with the same exact-cosine join-back this operator uses;
+    * the default inline path here stays one-shot deliberately (lazy plan,
+    * no scratch-dir contract). */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, nPlanes: Int = 0,
       nTables: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
