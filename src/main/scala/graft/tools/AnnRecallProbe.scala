@@ -41,6 +41,7 @@ object AnnRecallProbe {
     var nQueries = 32
     var k = 10
     var corpora = Seq("hash", "clustered")
+    var shortlists = Seq(4, 8)
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -49,13 +50,18 @@ object AnnRecallProbe {
         case "--k" if i + 1 < args.length => k = args(i + 1).toInt; i += 2
         case "--corpora" if i + 1 < args.length =>
           corpora = args(i + 1).split(",").map(_.trim).toSeq; i += 2
+        case "--shortlists" if i + 1 < args.length =>
+          shortlists = args(i + 1).split(",").map(_.trim.toInt).toSeq; i += 2
         case other => sys.error(s"unknown arg '$other'; usage: AnnRecallProbe " +
-          "[--rows N] [--queries Q] [--k K] [--corpora hash,clustered]")
+          "[--rows N] [--queries Q] [--k K] [--corpora hash,clustered] " +
+          "[--shortlists 4,8,..]")
       }
     }
     require(rows > 0 && nQueries > 0 && k > 0, "bad sizes")
     require(corpora.nonEmpty && corpora.forall(Set("hash", "clustered")),
       s"--corpora must name hash|clustered, got $corpora")
+    require(shortlists.nonEmpty && shortlists.forall(_ >= 1),
+      s"bad --shortlists: $shortlists")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
     corpora.foreach { c =>
@@ -63,7 +69,7 @@ object AnnRecallProbe {
         DedupScaleProbe.syntheticClusteredVecCorpus(spark, rows)
       else DedupScaleProbe.syntheticVecCorpus(spark, rows))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try probeCorpus(spark, emb, c, rows, nQueries, k)
+      try probeCorpus(spark, emb, c, rows, nQueries, k, shortlists)
       finally emb.unpersist()
     }
     spark.stop()
@@ -80,7 +86,8 @@ object AnnRecallProbe {
     * `"pq_rerank@8"`, `"ivf_pq@16"`) so ExtSpec can pin test-scale
     * clustered lower bounds against the same code path the probe runs. */
   private[graft] def probeCorpus(spark: SparkSession, emb: DataFrame,
-      corpus: String, rows: Long, nQueries: Int, k: Int): Map[String, Double] = {
+      corpus: String, rows: Long, nQueries: Int, k: Int,
+      shortlists: Seq[Int] = Seq(4, 8)): Map[String, Double] = {
     val ids = queryIds(rows, nQueries)
     val qRows = emb.filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id"), col("embedding")).collect()
@@ -133,7 +140,7 @@ object AnnRecallProbe {
     val encoded = Pq.encode(emb, cb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     encoded.count()
-    Seq(4, 8).foreach { shortlist =>
+    shortlists.foreach { shortlist =>
       timedRecall("pq_rerank", shortlist, s""""m":8,"shortlist":$shortlist,""") {
         queries.map { case (qid, qv) =>
           val got = Pq.pqTopKRerankVec(encoded.filter(col("vec_id") =!= qid),
@@ -146,12 +153,14 @@ object AnnRecallProbe {
       .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     clusteredEncoded.count()
+    val ivfPqShortlist = shortlists.max
     Seq(4, 16).foreach { nProbe =>
-      timedRecall("ivf_pq", nProbe, s""""cells":256,"nprobe":$nProbe,"m":8,"shortlist":4,""") {
+      timedRecall("ivf_pq", nProbe,
+          s""""cells":256,"nprobe":$nProbe,"m":8,"shortlist":$ivfPqShortlist,""") {
         queries.map { case (qid, qv) =>
           val got = Pq.ivfPqTopKVec(
             clusteredEncoded.filter(col("vec_id") =!= qid), centroids, cb,
-            qv, k, nProbe).collect().map(_.getLong(0)).toSet
+            qv, k, nProbe, ivfPqShortlist).collect().map(_.getLong(0)).toSet
           got.intersect(dTruth(qid)).size.toDouble / k
         }.sum / queries.size
       }
