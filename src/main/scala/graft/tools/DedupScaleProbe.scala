@@ -59,7 +59,9 @@ import graft.ext.{Dedup, Similarity}
   * `--measureLaw` prints the corpus's sample-measured
   * [[graft.ext.Similarity.measureNonUniformityLaw]] fit as a
   * `"check":"law"` row and adds a `"measured"` posture sized by it
-  * whenever that differs from the hash-law auto config;
+  * whenever that differs from the hash-law auto config (`--lawOnly`
+  * emits just the law row + sized config — the sizing-instrument cell
+  * at corpus sizes whose tables outgrow the host);
   * `--stagedDistinct G` runs the full pairing through the
   * scratch-bounded [[graft.ext.Similarity.lshCandidatesStaged]] at G
   * tables per stage, reporting the listener-measured peak single-stage
@@ -84,6 +86,7 @@ object DedupScaleProbe {
     var plantedRecallCheck = false
     var corpus = "hash"
     var measureLaw = false
+    var lawOnly = false
     var stagedDistinct = 0
     var partitionedDistinct = 0
     var scratchCapGb = 0.0
@@ -107,6 +110,7 @@ object DedupScaleProbe {
         case "--plantedRecall" => plantedRecallCheck = true; i += 1
         case "--corpus" if i + 1 < args.length => corpus = args(i + 1); i += 2
         case "--measureLaw" => measureLaw = true; i += 1
+        case "--lawOnly" => lawOnly = true; i += 1
         case "--stagedDistinct" if i + 1 < args.length =>
           stagedDistinct = args(i + 1).toInt; i += 2
         case "--partitionedDistinct" if i + 1 < args.length =>
@@ -151,6 +155,9 @@ object DedupScaleProbe {
         stagedDistinct == 0 && partitionedDistinct == 0),
       "--corpus clustered/--measureLaw/--stagedDistinct/--partitionedDistinct " +
         s"measure the embedding family; add embedding to --families (got $families)")
+    require(!lawOnly || (measureLaw && !rawVolume && !plantedRecallCheck &&
+        stagedDistinct == 0 && partitionedDistinct == 0),
+      "--lawOnly emits just the --measureLaw row; drop the posture modes")
     require(stagedDistinct >= 0 && partitionedDistinct >= 0 && scratchCapGb >= 0.0,
       s"--stagedDistinct/--partitionedDistinct/--scratchCapGB must be non-negative")
     require(stagedDistinct == 0 || partitionedDistinct == 0,
@@ -317,7 +324,15 @@ object DedupScaleProbe {
         spark.read.parquet(path).groupBy("ckey").count()
           .agg(sum(col("count") * (col("count") - lit(1L))).as("raw2"))
           .first().getLong(0) / 2
-      if (families("embedding")) {
+      if (families("embedding") && lawOnly) {
+        // law row only — the sizing-instrument cost/stability cell at
+        // corpus sizes whose TABLES (let alone pairings) outgrow this
+        // host: the sample-bounded measurement + the config it sizes,
+        // nothing materialized
+        val cfg = measuredCfg
+        System.err.println(s"[dedup-probe] lawOnly: measured law sizes n=$n " +
+          s"to (${cfg._1}, ${cfg._2}); hash-law auto would be ($planes, $tables)")
+      } else if (families("embedding")) {
         // the "measured" posture dedupes against "auto" when the sampled
         // law lands on the same config (hash corpora usually do — that
         // agreement IS a result; the dedupe only avoids re-timing it)
