@@ -705,16 +705,26 @@ object Similarity {
     * 16M-pinned DNF measured 2.78B raw vs ~2.6B distinct) the accumulation
     * term approaches the one-shot cost and staging buys little.
     * Partitioning the PAIR SPACE instead makes the passes independent:
-    * pass p filters `pmod(xxhash64(id_a, id_b), P) = p` BETWEEN the join
-    * and the distinct (map-side, pipelined — the raw volume is generated
-    * but never shuffled whole), dedupes only its slice, and appends it to
-    * `scratchDir`. Slices are disjoint by construction, so their union is
-    * globally distinct with no reconciliation pass. The trade is compute:
-    * the bucket self-join is re-derived in every pass (join work ×P) —
-    * time for scratch, explicitly. Peak transient = raw/P shuffle rows +
-    * one slice's aggregation; the output parquet (= the answer) is the
-    * only thing that accumulates. Each pass is also independently
-    * restartable, which is the posture a 1000-executor run wants anyway.
+    * pass p keeps the pairs with `pmod(xxhash64(id_a), P) = p`. Keying
+    * the slice by id_a ALONE (not the pair hash) is what keeps total
+    * compute linear: the join emits pairs with `id_a < id_b`, so every
+    * pair lives in exactly one id_a slice — per-slice distinct is
+    * globally valid — AND the predicate references only the build side's
+    * columns, so Catalyst pushes it BELOW the join onto the a-side
+    * (plan-pinned in ExtSpec): pass p's join MATCHES only the sliced
+    * a-rows against the full b-side, generating ~raw/P pairs instead of
+    * generating all raw and discarding (P−1)/P — across all passes the
+    * match work stays ~raw, where a pair-hash slice would pay raw×P.
+    * Slices are disjoint by construction, so their union is globally
+    * distinct with no reconciliation pass. The residual ×P cost is the
+    * b-side SCAN per pass (storage-local for persisted tables; no
+    * exchange at all over a `ckey`-bucketed publish). Peak transient =
+    * ~raw/P shuffle rows + one slice's aggregation; the output parquet
+    * (= the answer) is the only thing that accumulates. Each pass is
+    * also independently restartable, which is the posture a
+    * 1000-executor run wants anyway. Slice balance rides id_a's
+    * pair-degree distribution — bounded for LSH tables, whose per-cell
+    * degree is capped by the sizer's target occupancy × tables.
     * Measured against one-shot and staged in `tools.DedupScaleProbe
     * --partitionedDistinct` (SCALE.md r13). Pair-set equality vs the
     * one-shot distinct is pinned in ExtSpec.
@@ -730,7 +740,7 @@ object Similarity {
     val spark = bucketTable.sparkSession
     val raw = lshCandidatesRaw(bucketTable, idCol)
     (0 until partitions).foreach { p =>
-      raw.where(pmod(xxhash64(col("id_a"), col("id_b")), lit(partitions.toLong))
+      raw.where(pmod(xxhash64(col("id_a")), lit(partitions.toLong))
           === lit(p.toLong))
         .distinct()
         .write.mode("overwrite").parquet(s"$scratchDir/slice_$p")

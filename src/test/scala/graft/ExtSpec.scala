@@ -1317,6 +1317,24 @@ class ExtSpec extends SparkSpec {
         // slices are disjoint, so the union count needs no further distinct
         assert(sliced.count() == oneShot.size.toLong)
       }
+      // the compute-linearity mechanism: an id_a slice predicate pushes
+      // BELOW the self-join onto the a-side (it references only build-side
+      // columns), so a pass's join MATCHES ~raw/P rows instead of
+      // generating all raw and discarding — the property that keeps total
+      // match work ~raw across all passes. Pin it on the same plan shape
+      // lshCandidatesPartitioned builds (filter over the one-shot pairs —
+      // Catalyst pushes through the distinct, then the join).
+      val slicePlan = Similarity.lshCandidatesFromTable(table)
+        .where(pmod(xxhash64(col("id_a")), lit(4L)) === lit(1L))
+        .queryExecution.optimizedPlan
+      val joins = slicePlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(joins.size == 1, s"expected one self-join:\n$slicePlan")
+      assert(joins.head.left.toString.contains("pmod"),
+        s"id_a slice predicate did not push below the join:\n$slicePlan")
+      assert(!slicePlan.toString.matches("(?s).*Filter [^\\n]*pmod[^\\n]*\\n\\s*.[^\\n]*Aggregate.*") ||
+        joins.head.left.toString.contains("pmod"),
+        s"slice predicate stuck above the distinct:\n$slicePlan")
     } finally {
       table.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratchRoot))
