@@ -520,8 +520,10 @@ object Similarity {
     * (near-isotropic) corpora — 2.80× at 19 planes, 3.26-3.40× at 21,
     * 4.24-4.35× at 23, 4.77-4.82× at 24, 7.09× at 27 (SCALE.md "The 64M
     * step") — which the fit reproduces within 4% at every point, and
-    * which lands ~1.6× at 8 planes where the r12 constant 4.5 overpriced
-    * the shallow loose regime ~2.6×. Hash corpora are the non-uniformity
+    * whose ≥1 clamp holds the shallow loose band at exactly 1.0 (the raw
+    * fit runs below 1 there: 0.29·1.125⁸ ≈ 0.74 at 8 planes, first
+    * reaching ~1.6× only near 14-15 planes) where the r12 constant 4.5
+    * overpriced that regime. Hash corpora are the non-uniformity
     * FLOOR: clustered corpora (real embeddings) measure higher (r13
     * clustered probes, SCALE.md), so corpus-aware callers should pass
     * [[measureNonUniformityLaw]]'s sample-measured law instead. */
@@ -801,10 +803,15 @@ object Similarity {
       acc.write.mode("overwrite").parquet(out)
       // the previous accumulation is fully contained in the new one —
       // deleting it as we go is what keeps SCRATCH (not just shuffle)
-      // bounded to ~2 accumulations
-      prev.foreach(p => org.apache.hadoop.fs.FileSystem
-        .get(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(p), true))
+      // bounded to ~2 accumulations. The filesystem resolves from the
+      // PATH (Catalog.fsOf's idiom), not fs.defaultFS — a scratchDir on
+      // s3a/local under an HDFS default would otherwise throw Wrong-FS
+      // mid-computation.
+      prev.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+      }
       prev = Some(out)
     }
     prev.map(spark.read.parquet(_))

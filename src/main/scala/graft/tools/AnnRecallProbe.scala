@@ -76,10 +76,16 @@ object AnnRecallProbe {
   }
 
   /** Query ids spread across the corpus, avoiding the planted-dup residue
-    * class (a dup's top-1 is trivially its twin — real queries shouldn't
-    * all be the easy case). */
+    * classes (twins live at id % 20 ∈ {0, 1}; a dup's top-1 is trivially
+    * its twin — real queries shouldn't all be the easy case). The stride
+    * can land step·q + 3 on a twin residue for some (rows, nQueries)
+    * combinations (e.g. step ≡ 2 mod 20, q = 9), so ids that hit one are
+    * nudged past both residues explicitly. */
   private def queryIds(rows: Long, nQueries: Int): Seq[Long] =
-    (0 until nQueries).map(q => (rows / nQueries) * q + 3)
+    (0 until nQueries).map { q =>
+      val id = (rows / nQueries) * q + 3
+      if (id % 20 <= 1) id + 2 else id
+    }
 
   /** Runs the recall matrix on `emb`, printing one JSON row per config
     * and RETURNING the recalls keyed by `"index@knob"` (e.g. `"ivf@16"`,

@@ -87,17 +87,24 @@ object BucketedDistinctProbe {
       "vec_id", partitions)
     val pairs = df.count()
     val wallS = (System.nanoTime() - t1) / 1e9
+    // snapshot the scratch metrics BEFORE the verification query — its
+    // shuffle is not part of the bounded-distinct cost being measured; the
+    // async listener bus gets a moment to land late stage-completed events.
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
+    val peakGb = peak.get() / 1e9
+    val totalGb = totalW.get() / 1e9
     val detected = df.filter(col("id_b") === col("id_a") + 1 &&
       pmod(col("id_b"), lit(20)) === 1).count()
-    spark.sparkContext.removeSparkListener(listener)
     println(f"""{"check":"bucketed_partitioned_distinct","rows":$rows,""" +
       f""""planes":$planes,"tables":$tables,"buckets":$buckets,""" +
       f""""partitions":$partitions,"publish_s":$publishS%.3f,"pairs":$pairs,""" +
       f""""detected":$detected,"true_dups":${rows / 20},""" +
-      f""""peak_stage_shuffle_gb":${peak.get() / 1e9}%.3f,""" +
-      f""""total_shuffle_gb":${totalW.get() / 1e9}%.3f,"wall_s":$wallS%.3f}""")
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(scratch), true)
+      f""""peak_stage_shuffle_gb":$peakGb%.3f,""" +
+      f""""total_shuffle_gb":$totalGb%.3f,"wall_s":$wallS%.3f}""")
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(scratchPath, true)
     cat.dropBucketed("probe.lshbuckets")
     spark.stop()
   }

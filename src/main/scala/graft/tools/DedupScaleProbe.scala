@@ -391,20 +391,27 @@ object DedupScaleProbe {
               (df, df.count())
             }
             val (bounded, pairs) = t._2
+            // snapshot the scratch metrics BEFORE the verification query —
+            // its shuffle stages are not part of the bounded-distinct cost
+            // this mode exists to measure. The listener bus is async, so
+            // give the count's late stage-completed events a moment to land
+            // before detaching.
+            Thread.sleep(500)
+            spark.sparkContext.removeSparkListener(listener)
+            val peakGb = peak.get() / 1e9
+            val totalGb = totalW.get() / 1e9
             val detected = bounded
               .filter(col("id_b") === col("id_a") + 1 &&
                 pmod(col("id_b"), lit(20)) === 1).count()
-            spark.sparkContext.removeSparkListener(listener)
-            val peakGb = peak.get() / 1e9
             println(f"""{"check":"$check","rows":$n,"mode":"$mode",""" +
               f""""corpus":"$corpus","planes":$pp,"tables":$tt,${buildJson(build)},""" +
               f"""$knobJson,"pairs":$pairs,""" +
               f""""detected":$detected,"true_dups":${n / 20},""" +
               f""""peak_stage_shuffle_gb":$peakGb%.3f,""" +
-              f""""total_shuffle_gb":${totalW.get() / 1e9}%.3f,"wall_s":${t._1}%.3f}""")
-            org.apache.hadoop.fs.FileSystem
-              .get(spark.sparkContext.hadoopConfiguration)
-              .delete(new org.apache.hadoop.fs.Path(scratch), true)
+              f""""total_shuffle_gb":$totalGb%.3f,"wall_s":${t._1}%.3f}""")
+            val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+            scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(scratchPath, true)
             require(scratchCapGb == 0.0 || peakGb <= scratchCapGb,
               f"$check peak stage shuffle $peakGb%.2f GB broke the " +
                 f"enforced --scratchCapGB $scratchCapGb%.2f cap")

@@ -1188,9 +1188,13 @@ class ExtSpec extends SparkSpec {
     val law = Similarity.HashCorpusNonUniformity
     // shallow clamp: realized pairs can never undercut the uniform model
     assert(law.weight(2) == 1.0 && law.weight(8) >= 1.0)
-    // the r12 constant 4.5 overpriced the shallow loose regime ~2.6x;
-    // the law prices ~1.6x there (the ADVICE r12 finding)
-    assert(law.weight(8) < 2.0, s"shallow regime overpriced: ${law.weight(8)}")
+    // the r12 constant 4.5 overpriced the shallow loose regime; the law's
+    // raw fit runs below 1 there (0.29*1.125^8 ~= 0.74) so the >=1 clamp
+    // holds depth 8 at exactly 1.0 — the fit itself first reaches ~1.6x
+    // only near 14-15 planes (the ADVICE r13 correction)
+    assert(law.weight(8) == 1.0, s"shallow clamp drifted: ${law.weight(8)}")
+    assert(law.weight(14) > 1.4 && law.weight(15) < 2.0,
+      s"~1.6x band moved: w(14)=${law.weight(14)}, w(15)=${law.weight(15)}")
     // extrapolation freeze: the exponential is trusted 6 planes past the
     // 27-plane measurement band, then held — never compounding to the
     // 40-bit scan bound on unmeasured depths
