@@ -182,6 +182,119 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedSchema)
   }
 
+  // ───── Image perceptual near-dup (dHash over real PNG decode) ─────
+
+  /** Schema of [[syntheticImages]]. */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Deterministic REAL-PNG image corpus keyed by the documents table:
+    * each doc_id becomes a `width`×`height` 8-bit grayscale PNG (valid
+    * signature/IHDR/IDAT/CRCs — [[graft.functions.PngGray.encodeGray]])
+    * whose pixels are a smooth two-frequency sine field seeded by the id.
+    * The planted structure mirrors every dedup fixture in this repo:
+    * docs with id % 20 == 1 render the PREDECESSOR's pattern shifted
+    * +8 brightness with two single-pixel jitters — a perceptual
+    * near-dup (dHash hamming ≤ 2 by construction: uniform brightness is
+    * exactly invariant, a pixel jitter flips at most its cell's two
+    * gradient signs) — so true near-dup pairs = n/20 at every scale.
+    * Amplitudes keep pixels in [13, 243]: the +8 shift never clamps,
+    * which is what makes the brightness invariance EXACT.
+    *
+    * Generation is partition-local (one iterator in, one out, nothing
+    * collected) — [[byteHistogram]]'s batch shape; `StrictMath` keeps the
+    * pattern bit-reproducible across hosts. */
+  def syntheticImages(docs: DataFrame, width: Int = 32, height: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val w = width; val h = height
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+        val seed = if (isDup) id - 1 else id
+        val pix = patternPixels(seed, w, h)
+        if (isDup) {
+          var i = 0
+          while (i < pix.length) { pix(i) = ((pix(i) & 0xff) + 8).toByte; i += 1 }
+          // two deterministic single-pixel jitters — enough to make the
+          // planted pairs span hamming 0-2 instead of all-zero
+          val j1 = (java.lang.Math.floorMod(id * 31L, (w * h).toLong)).toInt
+          val j2 = (java.lang.Math.floorMod(id * 57L + 13L, (w * h).toLong)).toInt
+          pix(j1) = ((pix(j1) & 0xff) ^ 0x14).toByte
+          pix(j2) = ((pix(j2) & 0xff) ^ 0x0a).toByte
+        }
+        Row(id, graft.functions.PngGray.encodeGray(w, h, pix))
+      }
+    }
+    spark.createDataFrame(rdd, imageSchema)
+  }
+
+  /** The smooth luminance field behind [[syntheticImages]] — exposed so
+    * the mutation tests build cropped/jittered variants of the SAME
+    * pattern the corpus carries. */
+  private[graft] def patternPixels(seed: Long, w: Int, h: Int): Array[Byte] = {
+    // hash-derived frequencies (1..4 cycles) and phases — splitmix64
+    // finalizer, a public PRNG mix
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val m1 = mix(seed); val m2 = mix(seed + 1); val m3 = mix(seed + 2)
+    val fx = 1 + java.lang.Math.floorMod(m1, 4L).toInt
+    val fy = 1 + java.lang.Math.floorMod(m2, 4L).toInt
+    val fxy = 1 + java.lang.Math.floorMod(m3, 3L).toInt
+    val px = java.lang.Math.floorMod(m1 >>> 8, 628L) / 100.0
+    val py = java.lang.Math.floorMod(m2 >>> 8, 628L) / 100.0
+    val pxy = java.lang.Math.floorMod(m3 >>> 8, 628L) / 100.0
+    val pix = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // the x·y cross term is what makes dHash ROWS differ: without it
+        // the horizontal gradient field is constant in y and the 64-bit
+        // hash collapses to 8 bits of x-profile (measured: ~2% of all doc
+        // pairs collided within hamming 3 on the separable field)
+        val v = 128.0 +
+          40.0 * StrictMath.sin(2.0 * StrictMath.PI * fx * x / w + px) +
+          40.0 * StrictMath.sin(2.0 * StrictMath.PI * fy * y / h + py) +
+          35.0 * StrictMath.sin(2.0 * StrictMath.PI * fxy * x * y / (w * h) + pxy)
+        pix(y * w + x) = StrictMath.rint(v).toInt.toByte
+        x += 1
+      }
+      y += 1
+    }
+    pix
+  }
+
+  /** Perceptual fingerprints: one [[graft.functions.ImageDHash]] decode +
+    * dHash per row, flattened to (media_id, dhash, error) — the
+    * persistable artifact the pairing and its DuckDB oracle replay from.
+    * Scan-stage; only 8 bytes per image leave the scan. */
+  def imageFingerprints(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), graft.functions.ImageDHash(col("payload")).as("f"))
+      .select(col("media_id"), col("f.dhash").as("dhash"), col("f.error").as("error"))
+
+  /** Image near-dup pairs from a persisted (media_id, dhash) fingerprint
+    * table: the Manku pigeonhole blocking + exact popcount verify,
+    * REUSING [[Dedup.simhashPairsFromSigs]] verbatim — hamming over
+    * dHash bits is the same algebra as hamming over token-vote simhash
+    * bits, so the image family inherits the text family's
+    * zero-false-negative guarantee, plan hygiene, and exhaustive
+    * `bit_count(xor)` oracle shape (q72's, replayed as q80). Undecodable
+    * rows (null dhash) drop before blocking — they have no content to
+    * match. */
+  def imageNearDups(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      fingerprints.filter(col("dhash").isNotNull),
+      "media_id", "dhash", maxHamming)
+      .withColumnRenamed("doc_a", "media_a")
+      .withColumnRenamed("doc_b", "media_b")
+
   /** Frame/segment sampling stub: slices the payload into `every`-byte
     * strides, keeping the first `frameLen` bytes of each stride — the same
     * row-explode shape a real video frame sampler has (one row per frame,

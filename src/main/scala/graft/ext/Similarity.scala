@@ -851,6 +851,199 @@ object Similarity {
     * survivors with the same exact-cosine join-back this operator uses;
     * the default inline path here stays one-shot deliberately (lazy plan,
     * no scratch-dir contract). */
+  // ───── Survivor-oriented dedup (greedy star per cell) ─────
+
+  /** Near-dup SURVIVOR mining — the head-mass answer (r13 verdict task #1).
+    *
+    * Why it exists: a corpus with a constant-fraction head cluster has
+    * Θ(n²) NEAR-THRESHOLD pair mass intrinsically (SCALE.md r13 reading
+    * 4) — no LSH sizing prunes it, because the pairs are real. But DEDUP
+    * does not need the pair list; it needs a survivor set. Greedy-star
+    * representative clustering gets one in ~m·k comparisons per cell
+    * (k = representatives the cell promotes) instead of the C(m,2) the
+    * pair path pays: within each (table, bucket) cell, members walk in
+    * id order against the cell's representative set — the first match
+    * (exact rounded cosine > threshold, the [[nearDupPairs]] convention)
+    * eliminates the member; a non-match PROMOTES it. On a head-cluster
+    * blob the first representative eliminates essentially the whole
+    * cell, so k stays ~1 and the quadratic mass never materializes.
+    *
+    * Semantics (deterministic, order-free): a doc is eliminated iff some
+    * cell's greedy walk matched it against an earlier-id CELL-LOCAL
+    * representative; `dup_of` is the smallest eliminating representative
+    * across cells. Representatives are cell-local, so a doc eliminated in
+    * one cell can still eliminate later members in another — `dup_of`
+    * chains like a union-find parent pointer, which collapses chain
+    * components TOWARD the closure. The invariants (ExtSpec-pinned):
+    * every elimination is a genuine exact-rounded-cosine pair with a
+    * smaller id (the operator never drops a non-duplicate); each
+    * component's min id always survives, so survivors ⊇ the closure's
+    * min-per-component set; and on corpora whose duplicate groups are
+    * cliques above the threshold (the planted-dup shape) the survivor
+    * set EQUALS the closure's (pinned including a head-cluster corpus).
+    *
+    * Scale shape: one shuffle of (multi-occupied cell member × vector)
+    * rows — singleton cells semi-join away first, so the vector
+    * amplification is ≤ nTables× and usually far less; no pair relation
+    * ever materializes, which is why this composes with the same
+    * persisted [[lshTable]] artifacts the bounded-distinct modes mine
+    * ([[nearDupAssignFromTable]]). The per-cell walk is genuinely
+    * sequential (each verdict depends on the previous promotions), so it
+    * runs as a `flatMapSortedGroups` grouped-map — the one imperative
+    * island, kept to the walk itself; hashing, occupancy pruning, vector
+    * fetch, and the cross-cell reconciliation all stay declarative, and
+    * the grouped-map's required distribution is what guarantees cell
+    * co-location on every planner path (see the in-body comment).
+    *
+    * Returns ALL docs as (idCol, dup_of): `dup_of` null ⇒ survivor.
+    * Sizing knobs as [[nearDupPairsLsh]]. */
+  def nearDupAssign(emb: DataFrame, threshold: Double, nPlanes: Int = 0,
+      nTables: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding",
+      targetRecall: Double = 0.98, corpusAwareSizing: Boolean = false,
+      maxRepsPerCell: Int = 4096): DataFrame = {
+    require(nPlanes >= 0 && nTables >= 0 && (nPlanes > 0) == (nTables > 0),
+      s"pass BOTH nPlanes and nTables explicitly or NEITHER (auto-sizing); " +
+        s"got nPlanes=$nPlanes, nTables=$nTables")
+    require(!(corpusAwareSizing && nPlanes > 0),
+      "corpusAwareSizing measures the corpus to SIZE the config — it is " +
+        "meaningless beside an explicit (nPlanes, nTables)")
+    val (planes, tables) =
+      if (nPlanes > 0) (nPlanes, nTables)
+      else if (corpusAwareSizing)
+        lshParamsMeasured(emb, threshold, targetRecall, vecCol = vecCol)
+      else lshParams(emb.count(), threshold, targetRecall)
+    nearDupAssignFromTable(lshTable(emb, planes, tables, idCol, vecCol),
+      emb, threshold, idCol, vecCol, maxRepsPerCell)
+  }
+
+  /** [[nearDupAssign]] filtered to the survivor ids — what a curation
+    * pipeline keeps. */
+  def nearDupSurvivors(emb: DataFrame, threshold: Double, nPlanes: Int = 0,
+      nTables: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding",
+      targetRecall: Double = 0.98, corpusAwareSizing: Boolean = false,
+      maxRepsPerCell: Int = 4096): DataFrame =
+    nearDupAssign(emb, threshold, nPlanes, nTables, idCol, vecCol,
+      targetRecall, corpusAwareSizing, maxRepsPerCell)
+      .filter(col("dup_of").isNull).select(col(idCol))
+
+  /** [[nearDupAssign]] over a persisted [[lshTable]]-shaped relation — the
+    * re-mine path for deployments that publish the bucket table once at
+    * ingest (optionally `ckey`-bucketed). `comparisons`, when given,
+    * accumulates the number of member-vs-representative cosine
+    * evaluations the walk performed — a PROBE metric (task retries can
+    * double-count it), there so `tools.DedupScaleProbe --survivors` can
+    * read rerank work against the cell pair mass it replaces. */
+  def nearDupAssignFromTable(bucketTable: DataFrame, emb: DataFrame,
+      threshold: Double, idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRepsPerCell: Int = 4096,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    require(maxRepsPerCell >= 1, s"maxRepsPerCell must be >= 1, got $maxRepsPerCell")
+    TableShapes.requireColumns(bucketTable, Seq("ckey", "tbl", "bucket", idCol),
+      "nearDupAssignFromTable",
+      "build it with Similarity.lshTable(emb, nPlanes, nTables)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // singleton cells can neither eliminate nor promote anything a
+    // multi-cell wouldn't — prune them BEFORE the vector join, so only
+    // multi-occupied cells ever shuffle a vector (the dominant saving at
+    // deep planes, where most cells are singletons)
+    val multi = bucketTable.groupBy("ckey", "tbl", "bucket")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select("ckey", "tbl", "bucket")
+    val members = bucketTable
+      .join(multi, Seq("ckey", "tbl", "bucket"), "left_semi")
+      .join(emb.select(col(idCol),
+        col(vecCol).cast("array<double>").as("v"),
+        norm2(col(vecCol)).as("n2")), Seq(idCol))
+      .select(col("ckey"), col("tbl"), col("bucket"),
+        col(idCol).as("member_id"), col("n2"), col("v"))
+    val thr = threshold
+    val cap = maxRepsPerCell
+    val cmp = comparisons
+    // flatMapSortedGroups, NOT repartition+sortWithinPartitions+
+    // mapPartitions: the walk's correctness depends on cell co-location,
+    // and a bare repartition is only a PREFERENCE to the planner — the
+    // initial plan elides it when a child exchange happens to satisfy it,
+    // and an AQE replan (e.g. broadcast-converting the occupancy
+    // semi-join) can then drop that exchange too, silently leaving cells
+    // split across scan partitions (caught by the r14 survivors probe:
+    // survivors = per-file-chunk minima). Grouped-map REQUIRES
+    // ClusteredDistribution(key) + in-group order, which every planner
+    // path must honor.
+    val elim = members
+      .as[(Long, Int, Long, Long, Double, Seq[Double])]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapSortedGroups(col("member_id")) { case (_, rows) =>
+        greedyStarCell(rows, thr, cap, cmp)
+      }
+      .toDF(idCol, "dup_of")
+      // a doc eliminated in several cells reconciles to the smallest
+      // eliminating representative — deterministic on any partitioning
+      .groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
+    emb.select(col(idCol)).join(elim, Seq(idCol), "left_outer")
+  }
+
+  /** The sequential greedy star over ONE cell's members, id-ascending
+    * (the grouped-map contract guarantees the order). Streaming (flatMap
+    * over the group iterator, nothing buffered but the representative
+    * set, which `maxReps` bounds — a member matching no representative
+    * in a FULL cell survives unpromoted: conservative, never
+    * over-eliminates; an adversarial all-distinct cell costs m·maxReps,
+    * not C(m,2)).
+    *
+    * Cosine parity with [[nearDupPairs]]: the same left-to-right dot
+    * fold, the same dot/(√n2·√n2) shape, and the same HALF_UP 6-decimal
+    * rounding Catalyst's `round` applies to doubles — so a pair the pair
+    * path scores at exactly the threshold boundary gets the identical
+    * verdict here (equivalence is test-pinned). A zero-norm or NaN
+    * cosine never matches (the try_divide-null convention). */
+  private def greedyStarCell(
+      it: Iterator[(Long, Int, Long, Long, Double, Seq[Double])],
+      threshold: Double, maxReps: Int,
+      comparisons: Option[org.apache.spark.util.LongAccumulator]): Iterator[(Long, Long)] = {
+    val reps = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+    it.flatMap { case (_, _, _, id, n2, vSeq) =>
+      if (vSeq == null) Iterator.empty // null vectors never pair (see cosine)
+      else {
+        val v = new Array[Double](vSeq.length)
+        var i = 0
+        while (i < v.length) { v(i) = vSeq(i); i += 1 }
+        var matched = -1L
+        var r = 0
+        var n = 0L
+        while (matched < 0 && r < reps.length) {
+          val (rid, rv, rn2) = reps(r)
+          n += 1
+          if (roundedCosine(rv, rn2, v, n2) > threshold) matched = rid
+          r += 1
+        }
+        comparisons.foreach(_.add(n))
+        if (matched >= 0) Iterator.single((id, matched))
+        else {
+          if (reps.length < maxReps) reps += ((id, v, n2))
+          Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** Exact cosine with the pair path's fold order and Catalyst's
+    * double-`round(…, 6)` semantics (HALF_UP on the shortest decimal
+    * representation). Returns −∞ (never a match) where the expression
+    * form yields NULL (zero norm) or NaN. */
+  private def roundedCosine(a: Array[Double], n2a: Double,
+      b: Array[Double], n2b: Double): Double = {
+    if (a.length != b.length) return Double.NegativeInfinity
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    val denom = math.sqrt(n2a) * math.sqrt(n2b)
+    if (denom == 0.0) return Double.NegativeInfinity
+    val c = s / denom
+    if (java.lang.Double.isNaN(c)) return Double.NegativeInfinity
+    BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, nPlanes: Int = 0,
       nTables: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -1,0 +1,288 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Perceptual difference-hash (dHash) of a PNG payload —
+  * `struct<dhash: bigint, error: string>` — the image analogue of the
+  * text SimHash: a 64-bit fingerprint whose hamming distance tracks
+  * VISUAL similarity, so the Manku-blocked pairing machinery
+  * ([[graft.ext.Dedup.simhashPairsFromSigs]]) mines image near-dups with
+  * the same zero-false-negative pigeonhole guarantee and the same
+  * exhaustive `bit_count(xor)` DuckDB oracle over persisted fingerprints.
+  *
+  * The decode is REAL, not a stub: a constrained decoder for the PNG
+  * subset the synthetic fixture corpus emits and a real pipeline's
+  * thumbnail tier commonly uses — 8-bit, color types 0 (grayscale) and 2
+  * (truecolor RGB), non-interlaced — implemented from the public spec
+  * (RFC 2083): chunk walk, zlib-inflate of the concatenated IDAT stream
+  * (`java.util.zip.Inflater` — in the JDK, no external libs), and the
+  * five scanline filters (None/Sub/Up/Average/Paeth) reversed per row.
+  * RGB converts to luminance by the integer BT.601 weights
+  * ((77·R + 150·G + 29·B) >> 8). Anything outside the subset (palette,
+  * alpha, 16-bit, interlaced, or a non-PNG payload) lands in `error`
+  * with a null hash — one odd blob poisons its row, never the job, the
+  * [[MediaHeader]] contract.
+  *
+  * dHash (public algorithm, widely documented): box-average the
+  * luminance grid down to 9×8, then bit (r·8+c) = 1 iff cell(r, c+1) >
+  * cell(r, c) — 64 horizontal gradient signs. Uniform brightness shifts
+  * preserve every comparison (the hash is EXACTLY invariant, test-pinned)
+  * and small crops/jitter flip few bits, which is what makes hamming
+  * radius a perceptual near-dup knob.
+  *
+  * Scale: one pass over payload bytes per row, scan-stage, nothing but
+  * the 8-byte hash leaves the scan. Inflate cost is O(payload) — unlike
+  * [[MediaHeader]]'s O(markers) header peek this expression DOES touch
+  * every byte, the honest floor for any content fingerprint.
+  */
+case class ImageDHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ImageDHash.Schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"image_dhash requires binary, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageDHash.hashRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDHash =
+    copy(child = newChild)
+}
+
+object ImageDHash {
+  val Schema: StructType = StructType(Seq(
+    StructField("dhash", LongType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  private def err(e: String): InternalRow =
+    InternalRow(null, UTF8String.fromString(e))
+
+  private[functions] def hashRow(payload: Array[Byte]): InternalRow =
+    PngGray.decode(payload) match {
+      case Left(e) => err(e)
+      case Right(img) => InternalRow(dHash64(img), null)
+    }
+
+  /** 9×8 box-average then horizontal gradient signs — deterministic
+    * integer arithmetic throughout (sum·countOther comparisons avoid even
+    * a division rounding choice). Exposed for the ExtSpec reference
+    * re-implementation to diff against. */
+  private[graft] def dHash64(img: PngGray.Gray): Long = {
+    val cols = 9; val rows = 8
+    val w = img.width; val h = img.height
+    // box sums (not means): cell boundaries by integer scaling, every
+    // source pixel in exactly one cell
+    val sum = Array.ofDim[Long](rows, cols)
+    val cnt = Array.ofDim[Long](rows, cols)
+    var y = 0
+    while (y < h) {
+      val r = (y.toLong * rows / h).toInt
+      var x = 0
+      while (x < w) {
+        val c = (x.toLong * cols / w).toInt
+        sum(r)(c) += img.pix(y * w + x) & 0xff
+        cnt(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        // mean(r,c+1) > mean(r,c) without division: cross-multiply counts
+        if (sum(r)(c + 1) * cnt(r)(c) > sum(r)(c) * cnt(r)(c + 1))
+          bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  def apply(payload: Column): Column =
+    GraftColumnBridge.column(ImageDHash(GraftColumnBridge.expression(payload)))
+}
+
+/** Constrained PNG codec — the decode behind [[ImageDHash]] plus the
+  * fixture-grade encoder the synthetic corpus and tests share. Public
+  * byte format throughout (RFC 2083); zlib via `java.util.zip`. */
+private[graft] object PngGray {
+
+  /** Decoded luminance grid, row-major bytes. */
+  final case class Gray(width: Int, height: Int, pix: Array[Byte])
+
+  private val Sig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** Decode an 8-bit non-interlaced grayscale (color type 0) or RGB
+    * (color type 2) PNG to a luminance grid. Every failure is a Left —
+    * the expression contract is throw-free. */
+  def decode(payload: Array[Byte]): Either[String, Gray] = {
+    val n = payload.length
+    var i = 0
+    while (i < 8) {
+      if (i >= n || payload(i) != Sig(i)) return Left("not_png")
+      i += 1
+    }
+    if (n < 33) return Left("png_truncated")
+    if (be32(payload, 8) != 13L || payload(12) != 'I' || payload(13) != 'H' ||
+      payload(14) != 'D' || payload(15) != 'R') return Left("png_no_ihdr")
+    val w = be32(payload, 16); val h = be32(payload, 20)
+    // a hostile header can claim huge dims; cap the decode allocation at
+    // 64 MPix so one bad row cannot OOM an executor
+    if (w <= 0 || h <= 0 || w * h > 64L * 1024 * 1024)
+      return Left("png_bad_dims")
+    val bitDepth = u8(payload, 24); val colorType = u8(payload, 25)
+    val interlace = u8(payload, 28)
+    if (bitDepth != 8) return Left("png_unsupported_depth")
+    if (colorType != 0 && colorType != 2) return Left("png_unsupported_color")
+    if (interlace != 0) return Left("png_interlaced")
+    val bpp = if (colorType == 0) 1 else 3
+    // chunk walk: concatenate IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    i = 33 // skip IHDR's CRC (8 sig + 4 len + 4 type + 13 data + 4 crc)
+    var sawEnd = false
+    while (!sawEnd) {
+      if (i + 8 > n) return Left("png_truncated")
+      val len = be32(payload, i)
+      if (len < 0 || len > Int.MaxValue - 12 || i + 12 + len > n)
+        return Left("png_truncated")
+      val t = new String(payload, i + 4, 4, "US-ASCII")
+      if (t == "IDAT") idat.write(payload, i + 8, len.toInt)
+      else if (t == "IEND") sawEnd = true
+      i += 12 + len.toInt
+    }
+    val compressed = idat.toByteArray
+    if (compressed.isEmpty) return Left("png_no_idat")
+    val raw = new Array[Byte]((h * (1 + w * bpp)).toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(compressed)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, off, raw.length - off)
+        if (k == 0 && inf.needsInput()) return Left("png_bad_idat")
+        off += k
+      }
+      if (off < raw.length) return Left("png_bad_idat")
+    } catch {
+      case _: java.util.zip.DataFormatException => return Left("png_bad_idat")
+    } finally inf.end()
+    // unfilter scanlines in place (RFC 2083 §6.2-6.6)
+    val stride = 1 + w.toInt * bpp
+    val wB = w.toInt * bpp
+    var y = 0
+    while (y < h) {
+      val rowOff = y * stride + 1
+      val prevOff = rowOff - stride
+      val ft = u8(raw, rowOff - 1)
+      if (ft > 4) return Left("png_bad_filter")
+      var x = 0
+      while (x < wB) {
+        val a = if (x >= bpp) u8(raw, rowOff + x - bpp) else 0
+        val b = if (y > 0) u8(raw, prevOff + x) else 0
+        val c = if (y > 0 && x >= bpp) u8(raw, prevOff + x - bpp) else 0
+        val add = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(rowOff + x) = ((u8(raw, rowOff + x) + add) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // project to luminance
+    val pix = new Array[Byte]((w * h).toInt)
+    if (bpp == 1) {
+      y = 0
+      while (y < h) {
+        System.arraycopy(raw, y * stride + 1, pix, y * w.toInt, w.toInt)
+        y += 1
+      }
+    } else {
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = y * stride + 1 + x * 3
+          val lum = (77 * u8(raw, o) + 150 * u8(raw, o + 1) + 29 * u8(raw, o + 2)) >> 8
+          pix(y * w.toInt + x) = lum.toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Right(Gray(w.toInt, h.toInt, pix))
+  }
+
+  /** Fixture-grade encoder: a valid 8-bit grayscale non-interlaced PNG
+    * (filter 0 scanlines, one IDAT, real CRCs) — what the synthetic image
+    * corpus and the mutation tests emit. Deterministic for fixed input on
+    * a given JVM (Deflater level pinned). */
+  def encodeGray(width: Int, height: Int, pix: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pix.length == width * height,
+      s"bad gray buffer: ${width}x$height vs ${pix.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Sig)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    val raw = new Array[Byte](height * (1 + width))
+    var y = 0
+    while (y < height) {
+      raw(y * (1 + width)) = 0 // filter type None
+      System.arraycopy(pix, y * width, raw, y * (1 + width) + 1, width)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(6)
+    val buf = new Array[Byte](raw.length + 64)
+    deflater.setInput(raw); deflater.finish()
+    val m = deflater.deflate(buf)
+    require(deflater.finished(), "fixture deflate buffer undersized")
+    deflater.end()
+    writeChunk(out, "IDAT", java.util.Arrays.copyOf(buf, m))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4); putBe32(len, 0, data.length)
+    out.write(len)
+    val typB = typ.getBytes("US-ASCII")
+    out.write(typB)
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typB); crc.update(data)
+    val c = new Array[Byte](4); putBe32(c, 0, crc.getValue.toInt)
+    out.write(c)
+  }
+}

@@ -1415,7 +1415,55 @@ object ExtQ {
                 PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
               FROM s)
         SELECT query_id, vec_id, cosine_sim FROM r WHERE rn <= 10
-        ORDER BY query_id, cosine_sim DESC, vec_id"""))
+        ORDER BY query_id, cosine_sim DESC, vec_id""")),
+
+    // ───── Image perceptual near-dup (q79-q80) ─────
+    // The multimodal pillar's CONTENT fingerprint (q33/q78 cover headers):
+    // a REAL constrained PNG decode (chunk walk, zlib inflate, all five
+    // scanline filters — graft.functions.PngGray) feeds a 64-bit dHash
+    // whose hamming distance is a perceptual near-dup radius. The corpus
+    // is format-valid synthetic PNGs keyed by doc_id with the standard
+    // planted structure (id%20==1 = predecessor's pattern +8 brightness +
+    // two pixel jitters). dHash VALUES need the decode, so the
+    // fingerprint query is rows-only — and exactly like q28/q30 vs
+    // q71/q72, everything downstream of the persisted fingerprints is
+    // pure relational arithmetic that q80 oracles exhaustively.
+    "q79_image_dhash_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(Multimodal.syntheticImages(t(s, dir, "documents")),
+          "media.q79_images")
+        Multimodal.imageFingerprints(cat.load("media.q79_images"))
+          .orderBy("media_id")
+      },
+      None),
+
+    // Manku-blocked image pairing from persisted fingerprints vs the
+    // oracle's EXHAUSTIVE bit_count(xor) scan over every pair — the q72
+    // proof applied to the image family: a hash match certifies the
+    // pigeonhole blocking loses no pair at the radius, cross-engine, on
+    // real fingerprint values.
+    "q80_image_dhash_pairs_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.imageFingerprints(
+            Multimodal.syntheticImages(t(s, dir, "documents"))),
+          "media.q80_fps")
+        Multimodal.imageNearDups(cat.load("media.q80_fps"), maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy("media_a", "media_b")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT media_id, dhash
+          FROM read_parquet('$AnnOracleRoot/media/q80_fps/*.parquet')
+          WHERE dhash IS NOT NULL)
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+          CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM f a JOIN f b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        ORDER BY 1, 2"""))
   )
 
   /** Root for the persisted ANN search artifacts (q68-q70), keyed by the

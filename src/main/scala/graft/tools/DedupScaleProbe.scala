@@ -69,7 +69,12 @@ import graft.ext.{Dedup, Similarity}
   * `--partitionedDistinct P` does the same through the pair-space
   * [[graft.ext.Similarity.lshCandidatesPartitioned]] at P hash slices —
   * the mode whose peak transient shuffle is ~raw/P regardless of the
-  * distinct size.
+  * distinct size. r14: `--survivors` runs the greedy-star
+  * [[graft.ext.Similarity.nearDupAssignFromTable]] over the same bucket
+  * tables, reporting the walk's comparison count against the raw cell
+  * pair mass the pair path would rerank (`--survivorsThreshold` moves
+  * the near-dup threshold; `--noise X` overrides the clustered corpus's
+  * noiseScale — 0.05 makes every cluster a clique, the head-mass shape).
   * Tables cache under
   * /tmp/graft_dedup_scale/n<rows> and are rebuilt only when absent. */
 object DedupScaleProbe {
@@ -90,6 +95,9 @@ object DedupScaleProbe {
     var stagedDistinct = 0
     var partitionedDistinct = 0
     var scratchCapGb = 0.0
+    var survivors = false
+    var survivorsThreshold = 0.98
+    var noiseOverride: Option[Double] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -117,13 +125,19 @@ object DedupScaleProbe {
           partitionedDistinct = args(i + 1).toInt; i += 2
         case "--scratchCapGB" if i + 1 < args.length =>
           scratchCapGb = args(i + 1).toDouble; i += 2
+        case "--survivors" => survivors = true; i += 1
+        case "--survivorsThreshold" if i + 1 < args.length =>
+          survivorsThreshold = args(i + 1).toDouble; i += 2
+        case "--noise" if i + 1 < args.length =>
+          noiseOverride = Some(args(i + 1).toDouble); i += 2
         case other => sys.error(
           s"unknown arg '$other'; usage: DedupScaleProbe [--sizes N,..] " +
             "[--reps N] [--families minhash,simhash,embedding] " +
             "[--pinnedLsh PxT] [--mutDenom D] [--multiProbeCheck] " +
             "[--rawVolume|--rawVolumeDirect] [--plantedRecall] " +
             "[--corpus hash|clustered] [--measureLaw] " +
-            "[--stagedDistinct G | --partitionedDistinct P] [--scratchCapGB X]")
+            "[--stagedDistinct G | --partitionedDistinct P] [--scratchCapGB X] " +
+            "[--survivors [--survivorsThreshold T] [--noise X]]")
       }
     }
     // fail at parse time, not with a NoSuchElementException after an
@@ -169,6 +183,15 @@ object DedupScaleProbe {
     require((stagedDistinct == 0 && partitionedDistinct == 0) ||
         (!rawVolume && !plantedRecallCheck),
       "bounded-distinct modes run the full pairing; drop --rawVolume/--plantedRecall")
+    require(!survivors || (families("embedding") && !rawVolume &&
+        !plantedRecallCheck && !lawOnly &&
+        stagedDistinct == 0 && partitionedDistinct == 0),
+      "--survivors is its own embedding-family mode; drop the other posture modes")
+    require(survivorsThreshold > 0.0 && survivorsThreshold < 1.0,
+      s"--survivorsThreshold out of (0,1): $survivorsThreshold")
+    require(noiseOverride.forall(x => x > 0.0 && survivors && corpus == "clustered"),
+      "--noise overrides the clustered corpus's noiseScale for the " +
+        "--survivors head-mass cell; pass it with --survivors --corpus clustered")
     val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROOT", "/tmp/graft_dedup_scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
@@ -250,10 +273,14 @@ object DedupScaleProbe {
       // and the second build correctly reports build_cached).
       lazy val (planes, tables) = Similarity.lshParams(n, threshold = 0.98)
       // clustered bucket tables cache under their own suffix — the two
-      // corpora must never serve each other's tables
-      val corpusSuffix = if (corpus == "clustered") "_cl" else ""
+      // corpora must never serve each other's tables; a --noise override
+      // gets its own suffix too (a low-noise clique corpus must never be
+      // served as the 0.35 default or vice versa)
+      val corpusSuffix = (if (corpus == "clustered") "_cl" else "") +
+        noiseOverride.map(x => s"_nz${(x * 100).round}").getOrElse("")
       def vecCorpus(nn: Long): DataFrame =
-        if (corpus == "clustered") syntheticClusteredVecCorpus(spark, nn)
+        if (corpus == "clustered") syntheticClusteredVecCorpus(spark, nn,
+          noiseScale = noiseOverride.getOrElse(0.35))
         else syntheticVecCorpus(spark, nn)
       // the corpus-aware posture: the sizer's non-uniformity law sampled
       // from THIS corpus (hash corpora re-measure ≈ the default law;
@@ -354,6 +381,41 @@ object DedupScaleProbe {
               f""""corpus":"$corpus","planes":$pp,"tables":$tt,"detected":$hit,""" +
               f""""true_dups":$truth,"recall":${hit.toDouble / truth}%.4f,""" +
               f""""wall_s":${t._1}%.3f}""")
+          } else if (survivors) {
+            // SURVIVOR-ORIENTED dedup (greedy star per cell) — the
+            // head-mass cell (r13 verdict task #1): on a corpus whose
+            // head cluster is a near-dup blob above the threshold, the
+            // pair path's rerank work is the raw cell pair mass
+            // Σ C(|cell|,2) (quadratic in the blob), while the greedy
+            // walk's comparisons stay ~members × promoted reps. The row
+            // reports both numbers from the SAME bucket table, plus the
+            // survivor count and planted-dup detection (every id%20==1
+            // doc should be eliminated by SOMETHING — its twin sits at
+            // cosine ≈ 0.999). Survivor-set equality vs the exact pair
+            // closure is ExtSpec's pin (test scale); this cell measures
+            // the WORK ratio at sizes where the pair list cannot exist.
+            val build = ensureLsh(pp, tt)
+            val raw = rawPairs(lshDir(pp, tt))
+            val cmp = spark.sparkContext.longAccumulator("greedy_star_comparisons")
+            val t = timed {
+              val assign = Similarity.nearDupAssignFromTable(
+                spark.read.parquet(lshDir(pp, tt)), vecCorpus(n),
+                survivorsThreshold, comparisons = Some(cmp))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val surv = assign.filter(col("dup_of").isNull).count()
+              val detected = assign.filter(col("dup_of").isNotNull &&
+                pmod(col("vec_id"), lit(20)) === 1).count()
+              assign.unpersist()
+              (surv, detected)
+            }
+            val (surv, detected) = t._2
+            println(f"""{"check":"survivors","rows":$n,"mode":"$mode",""" +
+              f""""corpus":"$corpus","noise":${noiseOverride.getOrElse(0.35)},""" +
+              f""""threshold":$survivorsThreshold,"planes":$pp,"tables":$tt,""" +
+              f"""${buildJson(build)},"raw_pair_mass":$raw,""" +
+              f""""comparisons":${cmp.value},"survivors":$surv,""" +
+              f""""eliminated":${n - surv},"detected":$detected,""" +
+              f""""true_dups":${n / 20},"wall_s":${t._1}%.3f}""")
           } else if (stagedDistinct > 0 || partitionedDistinct > 0) {
             // SCRATCH-BOUNDED pairing: the staged or pair-partitioned
             // distinct, with the peak single-stage shuffle write measured

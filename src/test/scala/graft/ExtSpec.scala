@@ -1174,6 +1174,150 @@ class ExtSpec extends SparkSpec {
     assert(det.zip(det.tail).forall { case (a, b) => a >= b - 1e-12 }, det.toString)
   }
 
+  // ───── image perceptual near-dup (PNG decode + dHash) ─────
+
+  test("PngGray codec: encode/decode round-trip, filter reversal, RGB luminance") {
+    import graft.functions.PngGray
+    val pix = Multimodal.patternPixels(7L, 32, 32)
+    val dec = PngGray.decode(PngGray.encodeGray(32, 32, pix))
+    assert(dec == Right(PngGray.Gray(32, 32, pix)) ||
+      dec.toOption.exists(g => g.width == 32 && g.height == 32 &&
+        g.pix.toSeq == pix.toSeq))
+
+    // independent chunk assembly (NOT via encodeGray) so the decoder's
+    // filter reversal is tested against forward filters applied here
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length)); out.write(typ.getBytes("US-ASCII"))
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+      out.toByteArray
+    }
+    def assemble(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(chunk("IHDR", be32(w) ++ be32(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)))
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val m = d.deflate(buf); d.end()
+      out.write(chunk("IDAT", java.util.Arrays.copyOf(buf, m)))
+      out.write(chunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+    // forward-apply each filter type to the pattern's scanlines; the
+    // decoder must reverse all five to the same grid
+    val (w, h) = (16, 12)
+    val grid = Multimodal.patternPixels(9L, w, h)
+    for (ft <- 0 to 4) {
+      val raw = new Array[Byte](h * (1 + w))
+      for (y <- 0 until h) {
+        raw(y * (1 + w)) = ft.toByte
+        for (x <- 0 until w) {
+          val cur = grid(y * w + x) & 0xff
+          val a = if (x > 0) grid(y * w + x - 1) & 0xff else 0
+          val b = if (y > 0) grid((y - 1) * w + x) & 0xff else 0
+          val c = if (y > 0 && x > 0) grid((y - 1) * w + x - 1) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(y * (1 + w) + 1 + x) = ((cur - pred) & 0xff).toByte
+        }
+      }
+      val got = PngGray.decode(assemble(w, h, 0, raw))
+      assert(got.isRight && got.toOption.get.pix.toSeq == grid.toSeq,
+        s"filter $ft did not round-trip: $got")
+    }
+    // RGB (color type 2) projects to BT.601 integer luminance
+    val rgbRaw = new Array[Byte](2 * (1 + 2 * 3)) // 2x2 RGB, filter 0 rows
+    val colors = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (200, 200, 200))
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val (r, g, b) = colors(y * 2 + x)
+      val o = y * 7 + 1 + x * 3
+      rgbRaw(o) = r.toByte; rgbRaw(o + 1) = g.toByte; rgbRaw(o + 2) = b.toByte
+    }
+    val rgb = PngGray.decode(assemble(2, 2, 2, rgbRaw))
+    assert(rgb.isRight)
+    val lums = rgb.toOption.get.pix.map(_ & 0xff).toSeq
+    assert(lums == colors.map { case (r, g, b) => (77 * r + 150 * g + 29 * b) >> 8 },
+      lums.toString)
+    // failure taxonomy: throw-free Lefts
+    assert(PngGray.decode("not a png".getBytes).isLeft)
+    assert(PngGray.decode(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A,
+      0x1A, 0x0A, 0, 0)).isLeft) // truncated after signature
+    val interlaced = {
+      val ih = assemble(4, 4, 0, new Array[Byte](4 * 5))
+      ih(28 + 8 - 8) = ih(28) // no-op; interlace byte is at offset 28
+      ih.updated(28, 1.toByte)
+    }
+    assert(PngGray.decode(interlaced) == Left("png_interlaced"))
+  }
+
+  test("ImageDHash: brightness-exact, small-mutation radius, planted pair mining") {
+    import graft.functions.{ImageDHash, PngGray}
+    def hashOf(pix: Array[Byte], w: Int = 32, h: Int = 32): Long =
+      ImageDHash.dHash64(PngGray.Gray(w, h, pix))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.patternPixels(3L, 32, 32)
+    // uniform brightness shift: EXACT invariance (no pixel clamps by
+    // construction — amplitudes keep the field in [13, 251])
+    val bright = base.map(p => ((p & 0xff) + 8).toByte)
+    assert(hashOf(base) == hashOf(bright))
+    // 1-pixel crop: few gradient signs flip
+    val crop = Array.tabulate(31 * 31)(i => base((i / 31 + 1) * 32 + (i % 31 + 1)))
+    assert(ham(hashOf(base), hashOf(crop, 31, 31)) <= 12)
+    // distinct patterns: far apart
+    val other = Multimodal.patternPixels(4L, 32, 32)
+    assert(ham(hashOf(base), hashOf(other)) >= 16)
+
+    // the expression path agrees with the direct decode+hash
+    val png = PngGray.encodeGray(32, 32, base)
+    val viaExpr = Seq((1L, png)).toDF("media_id", "payload")
+      .select(ImageDHash($"payload").as("f")).select($"f.dhash", $"f.error")
+      .first()
+    assert(viaExpr.getLong(0) == hashOf(base) && viaExpr.isNullAt(1))
+    // undecodable payloads: error, null hash, never a throw
+    val bad = Seq((1L, "plain text".getBytes), (2L, Array[Byte](0xFF.toByte, 0xD8.toByte)))
+      .toDF("media_id", "payload")
+    val badRows = Multimodal.imageFingerprints(bad).collect()
+    assert(badRows.forall(r => r.isNullAt(1) && !r.isNullAt(2)))
+
+    // planted near-dup mining over the synthetic corpus: every id%20==1
+    // image is its predecessor's pattern +8 brightness + two pixel
+    // jitters — detected at the default radius through the REUSED Manku
+    // blocking; extras (if any) must still verify at the radius
+    val docs = spark.range(60).select($"id".as("doc_id"))
+    val fps = Multimodal.imageFingerprints(Multimodal.syntheticImages(docs))
+    assert(fps.filter($"error".isNotNull).count() == 0)
+    val pairs = Multimodal.imageNearDups(fps, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = Set((0L, 1L), (20L, 21L), (40L, 41L))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(got),
+      s"planted image pairs missed: ${planted -- got} (got $got)")
+    assert(pairs.forall(_._3 <= 3))
+    // and every reported pair is a genuine perceptual near-dup: recompute
+    // the hamming from the fingerprints exhaustively
+    val fpMap = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b, hm) =>
+      assert(ham(fpMap(a), fpMap(b)) == hm, s"hamming drifted for ($a,$b)")
+    }
+  }
+
   test("HashCorpusNonUniformity pins the r12 measured depth law and its clamps") {
     // the default law is the least-squares fit of the nine r12
     // `--rawVolume` measurements (SCALE.md "The 64M step") — the fit must
@@ -1343,6 +1487,149 @@ class ExtSpec extends SparkSpec {
       table.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratchRoot))
     }
+  }
+
+  // ───── survivor-oriented dedup (greedy star per cell) ─────
+
+  /** min-id-per-connected-component survivors of an exact pair set — the
+    * transitive-closure ground truth the greedy star must match on
+    * clique-structured corpora. Driver-side union-find, test-scale only. */
+  private def closureSurvivors(ids: Seq[Long], pairs: Set[(Long, Long)]): Set[Long] = {
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // after unions, each component's root is its min id (unions always
+    // point the larger root at the smaller)
+    ids.filter(i => find(i) == i).toSet
+  }
+
+  private def exactPairSet(emb: org.apache.spark.sql.DataFrame,
+      threshold: Double): Set[(Long, Long)] =
+    Similarity.nearDupPairs(emb, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("nearDupAssign survivors equal the exact-closure survivors on planted cliques") {
+    // planted clique groups (sizes 1-4) of near-identical vectors around
+    // distinct random anchors: every dup group is a clique above the
+    // threshold and cross-group cosine sits far below — the regime where
+    // greedy star and transitive closure provably coincide
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 60).flatMap { g =>
+      val anchor = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (0 until 1 + g % 4).map { m =>
+        (g * 10L + m, anchor.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val thr = 0.95
+    val exact = exactPairSet(emb, thr)
+    assert(exact.nonEmpty, "vacuous survivors test: no planted pairs")
+    val truth = closureSurvivors(rows.map(_._1), exact)
+    val assign = Similarity.nearDupAssign(emb, thr, nPlanes = 4, nTables = 32)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(assign.length == rows.size) // every doc gets a verdict
+    val survivors = assign.collect { case (id, None) => id }.toSet
+    assert(survivors == truth,
+      s"greedy survivors diverged from closure: missing ${truth -- survivors}, " +
+        s"extra ${survivors -- truth}")
+    // soundness on ANY corpus: every elimination is a genuine exact-cosine
+    // pair with a smaller id (the walk verifies exact rounded cosine)
+    assign.foreach {
+      case (id, Some(dupOf)) =>
+        assert(dupOf < id && exact.contains((dupOf, id)),
+          s"elimination ($id -> $dupOf) is not an exact near-dup pair")
+      case _ =>
+    }
+    // nearDupSurvivors is the filtered view of the same assignment
+    val sv = Similarity.nearDupSurvivors(emb, thr, nPlanes = 4, nTables = 32)
+      .collect().map(_.getLong(0)).toSet
+    assert(sv == survivors)
+  }
+
+  test("nearDupAssign on a head-cluster corpus: closure-equal survivors at ~linear comparisons") {
+    // the quadratic-head-mass shape: 40% of the corpus is ONE
+    // near-identical blob (a clique above the threshold), the rest
+    // isolated randoms. The pair path pays C(m,2) inside the blob's
+    // cells; the greedy walk's first representative eliminates the whole
+    // cell, so comparisons stay ~members
+    val rnd = new scala.util.Random(22)
+    val blobAnchor = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val blob = (0 until 200).map(i =>
+      (i.toLong, blobAnchor.map(x => x + 0.01f * rnd.nextGaussian().toFloat)))
+    val rest = (0 until 300).map(i =>
+      (1000L + i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val emb = (blob ++ rest).toDF("vec_id", "embedding")
+    val thr = 0.95
+    val exact = exactPairSet(emb, thr)
+    val truth = closureSurvivors((blob ++ rest).map(_._1), exact)
+    val table = Similarity.lshTable(emb, nPlanes = 4, nTables = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cmp = spark.sparkContext.longAccumulator("greedy_star_comparisons")
+      val assign = Similarity.nearDupAssignFromTable(table, emb, thr,
+        comparisons = Some(cmp)).collect()
+      val survivors = assign.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+      assert(survivors == truth,
+        s"head-cluster survivors diverged: missing ${truth -- survivors}, " +
+          s"extra ${survivors -- truth}")
+      // the work bound: comparisons ≪ the cell pair mass the pair path
+      // reranks (sum of C(|cell|,2) over multi-occupied cells)
+      val pairMass = table.groupBy("ckey", "tbl", "bucket").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+        .first().getLong(0)
+      assert(cmp.value > 0 && cmp.value < pairMass / 5,
+        s"greedy star did not beat the pair mass: ${cmp.value} vs $pairMass")
+    } finally table.unpersist()
+  }
+
+  test("nearDupAssign is conservative on chains and under a representative cap") {
+    // chain a~b, b~c, a≁c (cosine transitivity failure): representatives
+    // are CELL-LOCAL, so b can eliminate c in a cell a never entered even
+    // though b itself is eliminated elsewhere — chains collapse TOWARD the
+    // closure. The invariants: the component min always survives
+    // (survivors ⊇ closure survivors) and every elimination is a genuine
+    // exact pair with a smaller id
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat, 0.0f)
+    val emb = Seq((0L, v(0)), (1L, v(20)), (2L, v(40))).toDF("vec_id", "embedding")
+    val thr = 0.9 // cos 20° ≈ 0.94 > thr, cos 40° ≈ 0.766 < thr
+    val exact = exactPairSet(emb, thr)
+    assert(exact == Set((0L, 1L), (1L, 2L)), exact.toString)
+    val truth = closureSurvivors(Seq(0L, 1L, 2L), exact) // {0}
+    val assign = Similarity.nearDupAssign(emb, thr, nPlanes = 2, nTables = 16)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(assign(0L).isEmpty, assign.toString) // component min survives
+    val survivors = assign.collect { case (id, None) => id }.toSet
+    assert(truth.subsetOf(survivors), s"closure survivor eliminated: $assign")
+    assign.foreach {
+      case (id, Some(d)) => assert(d < id && exact.contains((d, id)),
+        s"elimination ($id -> $d) is not a genuine pair")
+      case _ =>
+    }
+    // a representative cap can only ADD survivors (members past the cap
+    // survive unpromoted), never over-eliminate
+    val rnd = new scala.util.Random(23)
+    val groups = (0 until 20).flatMap { g =>
+      val anchor = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (0 until 3).map(m => (g * 10L + m,
+        anchor.map(x => x + 0.02f * rnd.nextGaussian().toFloat)))
+    }
+    val gEmb = groups.toDF("vec_id", "embedding")
+    def surv(cap: Int) = Similarity.nearDupAssign(gEmb, 0.95,
+        nPlanes = 2, nTables = 8, maxRepsPerCell = cap)
+      .filter(col("dup_of").isNull).collect().map(_.getLong(0)).toSet
+    val capped = surv(1)
+    val full = surv(4096)
+    assert(full.subsetOf(capped),
+      s"cap over-eliminated: ${full -- capped} survived uncapped but not capped")
   }
 
   test("nearDupPairsLsh corpusAwareSizing: measured-law sizing keeps exactness on real embeddings") {
