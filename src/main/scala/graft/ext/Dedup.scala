@@ -514,4 +514,73 @@ object Dedup {
           f"is BELOW the requested $minDetection%.2f — widen bands/shingles or " +
           "supply an embedding column for the semantic tier")
   }
+
+  /** An executable dedup plan — [[recommendFamily]]'s verdict composed
+    * with the sizing and scratch-budget machinery the r11-r13 rounds
+    * measured piecewise: which relation to build, at what (planes,
+    * tables) when the family is embedding LSH (sized by the corpus's OWN
+    * sampled non-uniformity law), and which mining mode keeps the one
+    * scratch-sensitive shuffle (the candidate distinct) inside the
+    * caller's budget. `partitions == 1` ⇔ `miningMode == "one_shot"`. */
+  final case class DedupPlan(family: String, entryPoint: String,
+      expectedDetection: Double, rationale: String,
+      lshConfig: Option[(Int, Int)], miningMode: String, partitions: Int,
+      estRawPairs: Double, estRawGb: Double)
+
+  /** Modeled shuffle bytes per raw candidate pair: two 8-byte ids plus
+    * the measured shuffle-machinery overhead (the r12 16M DNF carried
+    * 2.78B raw pairs into a >45 GB one-shot distinct — ~24 B/pair at the
+    * spill). A conservative planning constant, not a hard truth; the
+    * partitioned mode's listener-measured peaks (SCALE.md r13) are the
+    * ground it was read from. */
+  private val BytesPerRawPair = 24.0
+
+  /** The composed entry point a 100 TB dedup user actually calls: given
+    * the corpus, the churn it must still catch, and the per-executor
+    * scratch it may spend on the candidate distinct, return the family
+    * ([[recommendFamily]], measurement-pinned), the embedding-LSH config
+    * when that family wins (corpus-aware: [[Similarity.lshParamsMeasured]]
+    * samples THIS corpus's non-uniformity law), and the mining mode —
+    * one-shot when the modeled raw candidate volume fits
+    * `scratchBudgetGb`, else [[Similarity.lshCandidatesPartitioned]] with
+    * P = ⌈modeled GB / budget⌉ (peak transient ~raw/P, total match work
+    * still ~raw — the r13 measured property). The raw-volume model is the
+    * sizer's own collision term (tables · w(planes) · n²/2^(planes+1))
+    * priced at the SAMPLED law — the same arithmetic the depth minimizer
+    * trusts, so plan and sizing can never disagree about the economics.
+    *
+    * Text families mine ~linear relations (bands/blocks) with no
+    * scratch-cliff distinct, so they always plan one-shot; a zero budget
+    * means "unbounded" and also plans one-shot. */
+  def plan(emb: DataFrame, mutationTolerance: Double, minDetection: Double = 0.9,
+      scratchBudgetGb: Double = 0.0, threshold: Double = 0.98,
+      targetRecall: Double = 0.98, hasEmbeddings: Boolean = true,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxPartitions: Int = 1024): DedupPlan = {
+    require(scratchBudgetGb >= 0.0, s"negative scratch budget: $scratchBudgetGb")
+    val rec = recommendFamily(mutationTolerance, minDetection, hasEmbeddings)
+    if (rec.family != "embedding_lsh")
+      DedupPlan(rec.family, rec.entryPoint, rec.expectedDetection, rec.rationale,
+        None, "one_shot", 1, 0.0, 0.0)
+    else {
+      val n = emb.count()
+      val law = Similarity.measureNonUniformityLaw(emb, n, vecCol = vecCol)
+      val (planes, tables) = Similarity.lshParams(n, threshold, targetRecall,
+        law = law)
+      val rawPairs = tables.toDouble * law.weight(planes) *
+        n.toDouble * n.toDouble / math.pow(2.0, planes + 1)
+      val rawGb = rawPairs * BytesPerRawPair / 1e9
+      val p =
+        if (scratchBudgetGb <= 0.0 || rawGb <= scratchBudgetGb) 1
+        else math.min(maxPartitions, math.ceil(rawGb / scratchBudgetGb).toInt)
+      DedupPlan("embedding_lsh",
+        if (p == 1)
+          "Similarity.lshTable + lshCandidatesFromTable (+ exact-cosine rerank)"
+        else
+          s"Similarity.lshTable + lshCandidatesPartitioned(P=$p) (+ exact-cosine rerank)",
+        rec.expectedDetection, rec.rationale,
+        Some((planes, tables)), if (p == 1) "one_shot" else "partitioned", p,
+        rawPairs, rawGb)
+    }
+  }
 }

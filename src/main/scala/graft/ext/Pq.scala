@@ -208,6 +208,149 @@ object Pq {
       query, cb, topK, shortlist, idCol, vecCol)
   }
 
+  // ───── Corpus-aware shortlist sizing (r13 verdict task #2) ─────
+
+  /** A measured shortlist decision: the multiplier [[pqTopKRerankVec]]
+    * needs on THIS corpus to reach `targetRecall`, plus the full measured
+    * recall ladder it was chosen from (so the artifact records the
+    * evidence, not just the verdict). `measuredRecall` is the ladder
+    * value at the chosen multiplier — when even `maxShortlist` missed the
+    * target, the choice clamps there and `measuredRecall < targetRecall`
+    * says so honestly. */
+  final case class ShortlistMeasurement(shortlist: Int, targetRecall: Double,
+      measuredRecall: Double, ladder: Seq[(Int, Double)])
+
+  /** SAMPLE-MEASURED shortlist multiplier — the
+    * [[Similarity.measureNonUniformityLaw]] move applied to PQ's one open
+    * quality knob (the r13 AnnRecallProbe `--shortlists` sweep measured
+    * recall@k 0.18→0.74 from 4×k to 128×k on a near-tie corpus while the
+    * contrastful regime saturates at 4×k — no fixed default serves both).
+    *
+    * Method: on a seeded corpus sample, replay the EXACT serving
+    * pipeline's two orderings driver-side — ADC ascending (the shortlist
+    * cut, [[pqTopKVec]]'s rounded ordering) and exact dot descending (the
+    * rerank metric and ground truth) — for `nQueries` spread sample
+    * members, and read recall@(s·k) off the resulting rank distribution
+    * for each ladder multiplier. The smallest s reaching `targetRecall`
+    * wins; ties in both orderings break on id exactly as the engine
+    * expressions do. The measurement runs where the evidence is cheapest:
+    * collected sample rows (bounded at `sampleRows`·dim doubles — ~4 MB
+    * at the 8192×64 default, ~50 MB at 768 dims; the same driver-scale
+    * contract as codebook training's k·dim collect) with the same
+    * deterministic seeded sample as the LSH law instrument, so a given
+    * corpus always measures the same shortlist.
+    *
+    * The sample estimates rank-of-true-neighbor within the SAMPLE, which
+    * understates the absolute rank in the full corpus — but the shortlist
+    * is a multiplier of k over the probed set, and the quantity that
+    * decides it (how many distractors ADC-score between the query and its
+    * true neighbors, relative to neighborhood size) is a local contrast
+    * property the sample preserves; the ExtSpec pins check the END
+    * metric (serving recall with the measured shortlist) on both probe
+    * corpus geometries. */
+  def measureShortlist(emb: DataFrame, cb: Codebooks, k: Int,
+      targetRecall: Double = 0.9, sampleRows: Int = 8192, nQueries: Int = 64,
+      maxShortlist: Int = 128,
+      idCol: String = "vec_id", vecCol: String = "embedding"): ShortlistMeasurement = {
+    require(k >= 1 && targetRecall > 0 && targetRecall <= 1 && nQueries >= 1 &&
+      sampleRows > k && maxShortlist >= 1, "bad measureShortlist knobs")
+    val n = emb.count()
+    val base = emb.select(col(idCol), col(vecCol))
+    val sampled =
+      (if (n <= sampleRows) base
+       else base.sample(withReplacement = false,
+         math.min(1.0, sampleRows.toDouble * 1.05 / n), seed = 42)
+         .limit(sampleRows))
+        .collect()
+        .map(r => (r.getLong(0), Similarity.toVec(r, 1)))
+        .sortBy(_._1)
+    val m = sampled.length
+    val codes = sampled.map { case (_, v) => encodeLocal(v, cb) }
+    val qIdx = (0 until math.min(nQueries, m)).map(q => (m.toLong * q / nQueries).toInt)
+      .distinct
+    val ladder = Seq(1, 2, 4, 8, 16, 32, 64, 128).filter(_ <= maxShortlist)
+    // per (query, true-neighbor): the neighbor's rank in the ADC ordering
+    val ranks = qIdx.flatMap { qi =>
+      val (qid, qv) = sampled(qi)
+      val tab = adcTable(qv, cb)
+      val adc = Array.tabulate(m) { i =>
+        var s = 0.0; var j = 0
+        val c = codes(i)
+        while (j < cb.m) { s += tab(j * cb.k + c(j)); j += 1 }
+        round6(s)
+      }
+      val dot = Array.tabulate(m) { i =>
+        var s = 0.0; var d = 0
+        val v = sampled(i)._2
+        while (d < qv.length) { s += v(d) * qv(d); d += 1 }
+        round6(s)
+      }
+      val others = (0 until m).filter(i => sampled(i)._1 != qid)
+      val truth = others.sortBy(i => (-dot(i), sampled(i)._1)).take(k).toSet
+      val adcOrder = others.sortBy(i => (adc(i), sampled(i)._1))
+      val rankOf = adcOrder.zipWithIndex.toMap
+      truth.toSeq.map(i => rankOf(i) + 1)
+    }
+    val total = ranks.size.toDouble
+    val recalls = ladder.map(s => s -> ranks.count(_ <= s.toLong * k) / total)
+    val chosen = recalls.find(_._2 >= targetRecall)
+      .getOrElse(recalls.last)
+    ShortlistMeasurement(chosen._1, targetRecall, chosen._2, recalls)
+  }
+
+  /** Driver-side [[NearestCentroid]] twin: squared-L2 argmin per
+    * subvector, ties to the lowest index — the encode convention the
+    * sizing instrument must share with the engine expression. */
+  private def encodeLocal(v: Array[Double], cb: Codebooks): Array[Int] = {
+    require(v.length == cb.m * cb.subDim,
+      s"sample vector dim ${v.length} != codebook geometry ${cb.m}×${cb.subDim}")
+    Array.tabulate(cb.m) { j =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.k) {
+        var s = 0.0; var d = 0
+        while (d < cb.subDim) {
+          val diff = v(j * cb.subDim + d) - cb.books(j)(c)(d)
+          s += diff * diff
+          d += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Catalyst double-`round(…, 6)` semantics (HALF_UP on the shortest
+    * decimal representation) — the scoring expressions round before their
+    * cuts, so the instrument must too. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Persist a [[ShortlistMeasurement]] beside its codebooks — the index
+    * config travels WITH the artifact it was measured for, so a serving
+    * job can never silently pair a near-tie corpus's codes with a
+    * contrastful default. One row; ladder flattened to parallel arrays. */
+  def saveShortlist(catalog: Catalog, ref: String, sm: ShortlistMeasurement): Unit = {
+    import catalog.spark.implicits._
+    catalog.save(
+      Seq((sm.shortlist, sm.targetRecall, sm.measuredRecall,
+        sm.ladder.map(_._1), sm.ladder.map(_._2)))
+        .toDF("shortlist", "target_recall", "measured_recall",
+          "ladder_s", "ladder_recall"),
+      ref)
+  }
+
+  def loadShortlist(catalog: Catalog, ref: String): ShortlistMeasurement = {
+    val rows = catalog.load(ref).select(col("shortlist"), col("target_recall"),
+      col("measured_recall"), col("ladder_s"), col("ladder_recall")).collect()
+    require(rows.length == 1,
+      s"loadShortlist('$ref'): expected one measurement row, got ${rows.length}")
+    val r = rows(0)
+    ShortlistMeasurement(r.getInt(0), r.getDouble(1), r.getDouble(2),
+      r.getSeq[Int](3).zip(r.getSeq[Double](4)))
+  }
+
   /** Persist codebooks through the [[Catalog]] — (sub, code, centroid)
     * rows, m·k·subDim doubles; the train-once artifact (doubles round-trip
     * parquet exactly, like [[Ivf.saveCentroids]]). */

@@ -609,6 +609,71 @@ object Similarity {
     }
   }
 
+  // ───── Law persistence beside the LSH artifact (r13 verdict task #4) ─
+
+  /** Corpus identity for sizing-artifact reuse: (row count,
+    * order-insensitive xxhash64 fold over (id, vector)). One scan, no
+    * wide shuffle — the cost a build-time artifact op can afford; any
+    * row added, dropped, or mutated moves the digest. */
+  def corpusDigest(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (Long, Long) = {
+    val r = emb.agg(count(lit(1)),
+      expr(s"bit_xor(xxhash64($idCol, $vecCol))")).first()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Persist a measured [[NonUniformityLaw]] beside the LSH table it
+    * sized, stamped with the corpus digest it was measured on — so a
+    * re-mine or serve over the persisted artifact reuses the ~20-25 s
+    * measurement instead of re-paying it, and a CHANGED corpus can never
+    * be served a stale law (the digest gates the reuse). */
+  def saveLshLaw(catalog: graft.core.Catalog, ref: String,
+      law: NonUniformityLaw, digest: (Long, Long)): Unit = {
+    import catalog.spark.implicits._
+    catalog.save(
+      Seq((law.amplitude, law.growthPerPlane, law.maxMeasuredDepth,
+        law.measured.map(_._1), law.measured.map(_._2),
+        digest._1, digest._2))
+        .toDF("amplitude", "growth_per_plane", "max_measured_depth",
+          "measured_k", "measured_ratio", "digest_rows", "digest_hash"),
+      ref)
+  }
+
+  def loadLshLaw(catalog: graft.core.Catalog, ref: String): (NonUniformityLaw, (Long, Long)) = {
+    val rows = catalog.load(ref).select(col("amplitude"), col("growth_per_plane"),
+      col("max_measured_depth"), col("measured_k"), col("measured_ratio"),
+      col("digest_rows"), col("digest_hash")).collect()
+    require(rows.length == 1,
+      s"loadLshLaw('$ref'): expected one law row, got ${rows.length}")
+    val r = rows(0)
+    (NonUniformityLaw(r.getDouble(0), r.getDouble(1), r.getInt(2),
+      r.getSeq[Int](3).zip(r.getSeq[Double](4))),
+      (r.getLong(5), r.getLong(6)))
+  }
+
+  /** [[measureNonUniformityLaw]] with artifact reuse: when `ref` holds a
+    * law measured on a corpus with THIS corpus's digest, return it
+    * without re-measuring; otherwise measure, persist under the digest,
+    * and return the fresh fit. The round-trip identity (measure → persist
+    * → reload sizes to the identical config) and both branches are
+    * ExtSpec-pinned. */
+  def measureNonUniformityLawCached(catalog: graft.core.Catalog, ref: String,
+      emb: DataFrame, n: Long, sampleRows: Long = 100000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): NonUniformityLaw = {
+    val digest = corpusDigest(emb, idCol, vecCol)
+    val stored =
+      if (!catalog.exists(ref)) None
+      else {
+        val (law, storedDigest) = loadLshLaw(catalog, ref)
+        if (storedDigest == digest) Some(law) else None
+      }
+    stored.getOrElse {
+      val law = measureNonUniformityLaw(emb, n, sampleRows, vecCol = vecCol)
+      saveLshLaw(catalog, ref, law, digest)
+      law
+    }
+  }
+
   /** [[lshParams]] with the non-uniformity law SAMPLE-MEASURED from the
     * corpus itself (see [[measureNonUniformityLaw]]) — the sizing call for
     * corpora whose clustering is unknown: a clustered corpus measures a
@@ -952,9 +1017,13 @@ object Similarity {
       .select("ckey", "tbl", "bucket")
     val members = bucketTable
       .join(multi, Seq("ckey", "tbl", "bucket"), "left_semi")
+      // the vector side is the CORPUS — never broadcast-able at scale,
+      // and derived corpora (generators, narrow projections) under-report
+      // size so badly the planner tries (the 4M probe cell collected a
+      // 1 GB "broadcast" into the driver before this hint). merge = SMJ.
       .join(emb.select(col(idCol),
         col(vecCol).cast("array<double>").as("v"),
-        norm2(col(vecCol)).as("n2")), Seq(idCol))
+        norm2(col(vecCol)).as("n2")).hint("merge"), Seq(idCol))
       .select(col("ckey"), col("tbl"), col("bucket"),
         col(idCol).as("member_id"), col("n2"), col("v"))
     val thr = threshold

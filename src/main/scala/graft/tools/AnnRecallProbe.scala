@@ -159,16 +159,29 @@ object AnnRecallProbe {
       .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     clusteredEncoded.count()
-    val ivfPqShortlist = shortlists.max
+    // JOINT (nProbe × shortlist) sweep — the composed path multiplies
+    // both error sources (missed cells × ADC mis-ranking) and IS the
+    // 100 TB serving shape, so its recall surface is measured jointly
+    // (r13 verdict task #5) rather than inferred from the two marginals.
+    // The max-shortlist cell keeps the bare "ivf_pq@<nProbe>" key the
+    // ExtSpec floor pins read; other cells key as "ivf_pq@<nProbe>x<sl>".
     Seq(4, 16).foreach { nProbe =>
-      timedRecall("ivf_pq", nProbe,
-          s""""cells":256,"nprobe":$nProbe,"m":8,"shortlist":$ivfPqShortlist,""") {
-        queries.map { case (qid, qv) =>
+      shortlists.foreach { sl =>
+        val t0 = System.nanoTime()
+        val recall = queries.map { case (qid, qv) =>
           val got = Pq.ivfPqTopKVec(
             clusteredEncoded.filter(col("vec_id") =!= qid), centroids, cb,
-            qv, k, nProbe, ivfPqShortlist).collect().map(_.getLong(0)).toSet
+            qv, k, nProbe, sl).collect().map(_.getLong(0)).toSet
           got.intersect(dTruth(qid)).size.toDouble / k
         }.sum / queries.size
+        val dt = (System.nanoTime() - t0) / 1e9
+        val key = if (sl == shortlists.max) s"ivf_pq@$nProbe"
+          else s"ivf_pq@${nProbe}x$sl"
+        out(key) = recall
+        println(f"""{"check":"ann_recall","corpus":"$corpus","rows":$rows,""" +
+          f""""queries":$nQueries,"k":$k,"index":"ivf_pq","cells":256,""" +
+          f""""nprobe":$nProbe,"m":8,"shortlist":$sl,"recall":$recall%.4f,""" +
+          f""""wall_s":$dt%.3f}""")
       }
     }
     assigned.unpersist(); encoded.unpersist(); clusteredEncoded.unpersist()

@@ -1149,6 +1149,50 @@ class ExtSpec extends SparkSpec {
     assert(p64m > 24, s"64M docs under-deepened to $p64m planes (pre-r12 bug)")
   }
 
+  test("Dedup.plan composes family choice, measured-law sizing, and a budget-bound P") {
+    import graft.ext.Dedup
+    val n = 20000L
+    val emb = graft.tools.DedupScaleProbe.syntheticClusteredVecCorpus(spark, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // text-tier churn plans a text family, one-shot, no LSH config
+      val textPlan = Dedup.plan(emb, mutationTolerance = 0.01, minDetection = 0.7,
+        scratchBudgetGb = 1.0)
+      assert(textPlan.family == "simhash" && textPlan.miningMode == "one_shot" &&
+        textPlan.partitions == 1 && textPlan.lshConfig.isEmpty)
+      // semantic-tier churn on the clustered corpus: the plan's config
+      // must be EXACTLY what the measured-law sizing produces (same
+      // seeded sample ⇒ same law ⇒ same minimizer)
+      val p0 = Dedup.plan(emb, mutationTolerance = 0.2, scratchBudgetGb = 0.0)
+      assert(p0.family == "embedding_lsh", p0.toString)
+      val expectCfg = Similarity.lshParamsMeasured(emb, 0.98)
+      assert(p0.lshConfig.contains(expectCfg),
+        s"planned ${p0.lshConfig} != measured-law sizing $expectCfg")
+      // zero budget = unbounded: one-shot regardless of modeled volume
+      assert(p0.miningMode == "one_shot" && p0.partitions == 1)
+      assert(p0.estRawPairs > 0 && p0.estRawGb > 0)
+      // a budget below the modeled volume slices: P = ceil(est / budget),
+      // mode partitioned, entry point names the P
+      val tight = p0.estRawGb / 3.5
+      val p1 = Dedup.plan(emb, mutationTolerance = 0.2, scratchBudgetGb = tight)
+      assert(p1.miningMode == "partitioned" &&
+        p1.partitions == math.ceil(p0.estRawGb / tight).toInt,
+        s"P=${p1.partitions} for est ${p0.estRawGb} at budget $tight")
+      assert(p1.entryPoint.contains(s"P=${p1.partitions}"))
+      // a budget above it stays one-shot
+      val p2 = Dedup.plan(emb, mutationTolerance = 0.2,
+        scratchBudgetGb = p0.estRawGb * 2)
+      assert(p2.miningMode == "one_shot" && p2.partitions == 1)
+      // the same economics the sizer trusts: the modeled raw volume uses
+      // the sampled law's weight at the planned depth
+      val law = Similarity.measureNonUniformityLaw(emb, n)
+      val (pl, tb) = expectCfg
+      val expectRaw = tb.toDouble * law.weight(pl) * n.toDouble * n.toDouble /
+        math.pow(2.0, pl + 1)
+      assert(math.abs(p0.estRawPairs - expectRaw) / expectRaw < 1e-9)
+    } finally { emb.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("recommendFamily encodes the r12 detection-vs-mutation sweep") {
     import graft.ext.Dedup
     // the sweep's own points come back exactly (no interpolation distortion)
@@ -1380,7 +1424,58 @@ class ExtSpec extends SparkSpec {
       assert(r("ivf@16") >= r("ivf@1") - 1e-9, "probe-budget monotonicity broke")
       assert(r("pq_rerank@8") >= 0.65, s"pq_rerank@8 ${r("pq_rerank@8")}")
       assert(r("ivf_pq@16") >= 0.55, s"ivf_pq@16 ${r("ivf_pq@16")}")
+      // the composed (nProbe × shortlist) surface (r13 verdict task #5):
+      // the joint sweep emits every cell, and the best-budget corner can
+      // never sit below the worst-budget corner (slack absorbs 6-query
+      // quantization at test scale)
+      assert(r.contains("ivf_pq@4x4") && r.contains("ivf_pq@16x4"),
+        s"joint ivf-pq cells missing: ${r.keys.toSeq.sorted}")
+      assert(r("ivf_pq@16") >= r("ivf_pq@4x4") - 0.1,
+        s"composed surface inverted: ${r.filter(_._1.startsWith("ivf_pq"))}")
     } finally { emb.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
+  test("measureNonUniformityLawCached: digest-gated law reuse beside the LSH artifact") {
+    val n = 12000L
+    val emb = graft.tools.DedupScaleProbe.syntheticClusteredVecCorpus(spark, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val other = graft.tools.DedupScaleProbe.syntheticVecCorpus(spark, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-lshlaw").toString
+      val cat = new graft.core.Catalog(spark, root)
+      // branch 1: no artifact — measures and persists
+      val fresh = Similarity.measureNonUniformityLawCached(cat, "ann.law", emb, n,
+        sampleRows = 8000L)
+      val direct = Similarity.measureNonUniformityLaw(emb, n, sampleRows = 8000L)
+      assert(fresh == direct, "cached measure diverged from the direct one")
+      // round-trip identity: the reloaded law sizes to the IDENTICAL config
+      val (reloaded, digest) = Similarity.loadLshLaw(cat, "ann.law")
+      assert(reloaded == fresh)
+      assert(digest == Similarity.corpusDigest(emb))
+      assert(Similarity.lshParams(n, 0.98, law = reloaded) ==
+        Similarity.lshParams(n, 0.98, law = fresh))
+      // branch 2: digest MATCH — the stored law is returned without
+      // re-measuring; prove the reuse path by planting a distinctive fake
+      // under the same digest and watching it come back verbatim
+      val fake = Similarity.NonUniformityLaw(123.0, 1.5, 10)
+      Similarity.saveLshLaw(cat, "ann.law", fake, digest)
+      assert(Similarity.measureNonUniformityLawCached(cat, "ann.law", emb, n,
+        sampleRows = 8000L) == fake)
+      // branch 3: digest MISMATCH (different corpus, same ref) — the
+      // stale law is ignored and a fresh measurement replaces it
+      val remeasured = Similarity.measureNonUniformityLawCached(cat, "ann.law",
+        other, n, sampleRows = 8000L)
+      assert(remeasured != fake, "stale law served to a changed corpus")
+      assert(Similarity.loadLshLaw(cat, "ann.law")._2 ==
+        Similarity.corpusDigest(other))
+      // the digest itself moves on any row mutation
+      val mutated = other.withColumn("embedding",
+        when(col("vec_id") === 7L,
+          transform(col("embedding"), x => x * lit(2.0f)))
+          .otherwise(col("embedding")))
+      assert(Similarity.corpusDigest(other) != Similarity.corpusDigest(mutated))
+    } finally { emb.unpersist(); other.unpersist() }
   }
 
   test("measureNonUniformityLaw: clustered corpora measure far above the hash floor and size deeper") {
@@ -2334,6 +2429,88 @@ class ExtSpec extends SparkSpec {
     }
     assert(scans.nonEmpty && scans.forall(_.selectedPartitions.partitionCount <= 3),
       s"IVF-PQ scan read ${scans.map(_.selectedPartitions.partitionCount)} cells, want <=3")
+  }
+
+  test("Pq.measureShortlist: contrast-measured sizing reaches the floor on both corpus geometries") {
+    // the r13 AnnRecallProbe sweep measured the shortlist as the whole
+    // game on near-tie corpora (0.18→0.74 from 4×k to 128×k) while the
+    // contrastful regime saturates at small multipliers — so the sizing
+    // must (a) measure the gap, (b) choose monotonically with the
+    // geometry, (c) reach the END metric with its choice, (d) round-trip
+    // as an artifact beside the codebooks
+    val k = 10
+    val target = 0.75
+    def servingRecall(emb: org.apache.spark.sql.DataFrame, cb: Pq.Codebooks,
+        shortlist: Int): Double = {
+      val enc = Pq.encode(emb, cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      enc.count()
+      val queries = emb.filter(pmod($"vec_id", lit(20)) === 3)
+        .orderBy("vec_id").limit(6).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      val recalls = queries.map { case (qid, qv) =>
+        val got = Pq.pqTopKRerankVec(enc.filter($"vec_id" =!= qid), qv, cb, k,
+          shortlist).collect().map(_.getLong(0)).toSet
+        val qlit = typedLit(qv.toSeq)
+        val exact = emb.filter($"vec_id" =!= qid)
+          .withColumn("s", graft.functions.VectorFunctions
+            .dot($"embedding".cast("array<double>"), qlit))
+          .orderBy(desc("s"), $"vec_id").limit(k)
+          .collect().map(_.getLong(0)).toSet
+        (got & exact).size.toDouble / k
+      }
+      enc.unpersist()
+      recalls.sum / recalls.length
+    }
+    def monotone(sm: Pq.ShortlistMeasurement): Unit = {
+      val rs = sm.ladder.map(_._2)
+      assert(rs.zip(rs.tail).forall { case (a, b) => b >= a - 1e-12 },
+        s"recall ladder not monotone: ${sm.ladder}")
+    }
+    val hashEmb = graft.tools.DedupScaleProbe.syntheticVecCorpus(spark, 20000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clEmb = graft.tools.DedupScaleProbe.syntheticClusteredVecCorpus(spark, 20000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cbH = Pq.trainCodebooks(hashEmb, m = 8, k = 16, iters = 5)
+      val smH = Pq.measureShortlist(hashEmb, cbH, k, targetRecall = target,
+        sampleRows = 4096, nQueries = 24)
+      val cbC = Pq.trainCodebooks(clEmb, m = 8, k = 16, iters = 5)
+      val smC = Pq.measureShortlist(clEmb, cbC, k, targetRecall = target,
+        sampleRows = 4096, nQueries = 24)
+      info(s"hash: $smH")
+      info(s"clustered: $smC")
+      monotone(smH); monotone(smC)
+      // the choice is the MINIMAL ladder entry reaching the target —
+      // every smaller multiplier measured short of it (the structural
+      // property; which geometry needs more is the measurement's own
+      // verdict, not an assumption: at this scale the hash corpus's
+      // dot-truth vs L2-ADC mismatch on unnormalized vectors costs MORE
+      // than clustering — 64 vs 32 measured — the opposite of the 1M
+      // near-tie story, which is exactly why the knob is measured
+      // per-corpus instead of defaulted)
+      for (sm <- Seq(smH, smC)) {
+        assert(sm.measuredRecall >= target, s"clamped without reaching target: $sm")
+        assert(sm.ladder.takeWhile(_._1 < sm.shortlist).forall(_._2 < target),
+          s"not the minimal feasible multiplier: $sm")
+        assert(sm.ladder.find(_._1 == sm.shortlist).exists(_._2 == sm.measuredRecall))
+      }
+      // END metric: serving recall with the measured shortlist on the
+      // full corpus (the sample measures within-sample ranks; the slack
+      // absorbs the sample-vs-corpus gap)
+      assert(servingRecall(hashEmb, cbH, smH.shortlist) >= target - 0.15,
+        s"hash serving recall below floor at shortlist ${smH.shortlist}")
+      assert(servingRecall(clEmb, cbC, smC.shortlist) >= target - 0.15,
+        s"clustered serving recall below floor at shortlist ${smC.shortlist}")
+      // artifact round-trip beside the codebooks
+      val root = java.nio.file.Files.createTempDirectory("graft-pqsl").toString
+      val cat = new graft.core.Catalog(spark, root)
+      Pq.saveShortlist(cat, "ann.shortlist", smC)
+      assert(Pq.loadShortlist(cat, "ann.shortlist") == smC)
+    } finally {
+      hashEmb.unpersist(); clEmb.unpersist()
+      spark.sharedState.cacheManager.clearCache()
+    }
   }
 
   test("Dedup.dedupParagraphs keeps first occurrences and reassembles in order") {
