@@ -104,6 +104,49 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("nearDupAssign invariants hold on fuzzed corpora (soundness, min-survival, closure bound)") {
+    // random corpora with planted twins at random spots: on ANY such
+    // corpus (clique or chain structure, dense or sparse), the greedy
+    // star must (a) eliminate only genuine exact-rounded-cosine pairs
+    // toward a smaller id, (b) never eliminate a component's min id, so
+    // survivors ⊇ the exact closure's min-per-component set
+    import graft.ext.Similarity
+    val gen = Gen.zip(Gen.chooseNum(20, 45), Gen.chooseNum(0, 10000))
+    forAllN(gen, 6) { case (n, salt) =>
+      val rnd = new scala.util.Random(salt)
+      val base = (0 until n).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      val twins = base.filter(_._1 % 5 == 1).map { case (i, v) =>
+        (i + 1000L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      }
+      val emb = (base ++ twins).toDF("vec_id", "embedding")
+      val thr = 0.9
+      val exact = Similarity.nearDupPairs(emb, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = (base ++ twins).map(_._1)
+      // driver union-find, min-id roots
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      exact.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val closure = ids.filter(i => find(i) == i).toSet
+      val assign = Similarity.nearDupAssign(emb, thr, nPlanes = 3, nTables = 12)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(assign.length == ids.size)
+      val survivors = assign.collect { case (id, None) => id }.toSet
+      assert(closure.subsetOf(survivors),
+        s"salt=$salt: closure survivor eliminated: ${closure -- survivors}")
+      assign.foreach {
+        case (id, Some(d)) =>
+          assert(d < id && exact.contains((d, id)),
+            s"salt=$salt: ($id -> $d) is not a genuine exact pair")
+        case _ =>
+      }
+    }
+  }
+
   test("lshParams cost surface is flat around the minimizer in the dedup band") {
     // The guard behind every weight-law substitution the sizer makes
     // (constant -> fitted hash law -> sampled corpus law): those swaps are
