@@ -1463,7 +1463,59 @@ object ExtQ {
           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
         FROM f a JOIN f b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ───── Survivor-oriented dedup, persisted-stage oracle (q81) ─────
+    // The greedy-star assignment's cell structure is engine-hash LSH (no
+    // DuckDB twin), but its SOUNDNESS contract — every elimination is a
+    // genuine exact-cosine pair toward a smaller id — is pure relational
+    // arithmetic over the persisted assignment: both engines recompute
+    // the rounded cosine of every eliminated (dup_of, id) pair from the
+    // SAME parquet and stamp the threshold verdict. A hash match proves
+    // cross-engine agreement on the eliminations' evidence, and the
+    // `sound` column being all-true in the hashed output IS the
+    // cross-engine proof that no unsound elimination exists. Runs on the
+    // q46/q50 derived twin corpus (the driver corpus plants nothing
+    // above cosine 0.60; the +0.05 twins land all planted pairs in
+    // [0.916, 0.950]), auto-sized at targetRecall 0.9999 like q50, so
+    // the eliminations are deterministic: every twin eliminated by its
+    // original. (Survivor-set semantics vs the exact closure are
+    // ExtSpec's pins; this row makes the operator's evidence a
+    // driver-gate artifact like q71/q72/q80.)
+    "q81_near_dup_survivors_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        val corpus = twinCorpus(s, dir)
+        cat.save(
+          Similarity.nearDupAssign(corpus, threshold = 0.9, targetRecall = 0.9999),
+          "ann.q81_assign")
+        cat.load("ann.q81_assign")
+          .filter(col("dup_of").isNotNull)
+          .join(corpus.select(col("vec_id"), col("embedding").as("v_m")), "vec_id")
+          .join(corpus.select(col("vec_id").as("dup_of"), col("embedding").as("v_r")),
+            "dup_of")
+          .select(col("vec_id"), col("dup_of"),
+            round(Similarity.cosine(col("v_m"), col("v_r")), 6).as("cosine_sim"))
+          .withColumn("sound", col("cosine_sim") > 0.9 && col("dup_of") < col("vec_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        u AS (
+          SELECT vec_id, v FROM e
+          UNION ALL
+          SELECT vec_id + 1000000, list_transform(v, x -> x + 0.05) FROM e),
+        a AS (
+          SELECT vec_id, dup_of
+          FROM read_parquet('$AnnOracleRoot/ann/q81_assign/*.parquet')
+          WHERE dup_of IS NOT NULL)
+        SELECT a.vec_id, a.dup_of,
+          round(list_cosine_similarity(m.v, r.v), 6) AS cosine_sim,
+          round(list_cosine_similarity(m.v, r.v), 6) > 0.9
+            AND a.dup_of < a.vec_id AS sound
+        FROM a JOIN u m ON m.vec_id = a.vec_id
+               JOIN u r ON r.vec_id = a.dup_of
+        ORDER BY a.vec_id"""))
   )
 
   /** Root for the persisted ANN search artifacts (q68-q70), keyed by the
