@@ -428,6 +428,83 @@ object Dedup {
         hamming(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
   }
 
+  // ───── Survivor-oriented SimHash dedup (greedy star per block cell) ──
+
+  /** [[graft.ext.Similarity.nearDupAssign]]'s greedy star applied to the
+    * SimHash family: per Manku block cell, members walk id-ascending
+    * against cell-local representatives — a popcount match within the
+    * table's stamped radius eliminates, a non-match promotes. The same
+    * head-mass economics (a cell of near-identical docs costs ~members,
+    * not C(members, 2)) with an even cheaper verify: the signature rides
+    * IN the block relation, so no corpus join-back at all — the walk
+    * shuffles only (cell key, id, signature) rows for multi-occupied
+    * cells. Same invariants, same grouped-map co-location guarantee, same
+    * semantics contract (eliminations are genuine radius pairs toward a
+    * smaller id; component minima always survive; clique corpora equal
+    * the closure) — ExtSpec-pinned against [[simhashPairsFromBlocks]]'
+    * closure.
+    *
+    * Returns ALL doc ids as (idCol, dup_of): null ⇒ survivor. */
+  def simhashAssignFromBlocks(blockTable: DataFrame, idCol: String = "doc_id",
+      maxRepsPerCell: Int = 4096,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    require(maxRepsPerCell >= 1, s"maxRepsPerCell must be >= 1, got $maxRepsPerCell")
+    TableShapes.requireColumns(blockTable,
+      Seq("bkey", "blk", "bits", "sh", "max_hamming", idCol),
+      "simhashAssignFromBlocks",
+      "build it with Dedup.simhashBlockTable(sigs, …)")
+    val spark = blockTable.sparkSession
+    import spark.implicits._
+    val multi = blockTable.groupBy("bkey", "blk", "bits")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select("bkey", "blk", "bits")
+    val members = blockTable
+      .join(multi, Seq("bkey", "blk", "bits"), "left_semi")
+      .select(col("bkey"), col("blk"), col("bits"),
+        col(idCol).as("member_id"), col("sh"), col("max_hamming"))
+    val cap = maxRepsPerCell
+    val cmp = comparisons
+    val elim = members
+      .as[(Long, Int, Long, Long, Long, Int)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapSortedGroups(col("member_id")) { case (_, rows) =>
+        val reps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        rows.flatMap { case (_, _, _, id, sh, radius) =>
+          var matched = -1L
+          var r = 0
+          var n = 0L
+          while (matched < 0 && r < reps.length) {
+            val (rid, rsh) = reps(r)
+            n += 1
+            if (java.lang.Long.bitCount(sh ^ rsh) <= radius) matched = rid
+            r += 1
+          }
+          cmp.foreach(_.add(n))
+          if (matched >= 0) Iterator.single((id, matched))
+          else {
+            if (reps.length < cap) reps += ((id, sh))
+            Iterator.empty
+          }
+        }
+      }
+      .toDF(idCol, "dup_of")
+      .groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
+    blockTable.select(col(idCol)).distinct()
+      .join(elim, Seq(idCol), "left_outer")
+  }
+
+  /** [[simhashAssignFromBlocks]] from raw documents — signature + block
+    * table derived inline (the [[simhashPairs]] convenience applied to
+    * the survivor form). */
+  def simhashAssign(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      maxRepsPerCell: Int = 4096): DataFrame =
+    simhashAssignFromBlocks(
+      simhashBlockTable(
+        docs.select(col(idCol), simhash(col(textCol)).as("simhash")),
+        idCol, "simhash", maxHamming),
+      idCol, maxRepsPerCell)
+
   /** A dedup-family recommendation: which collision relation to run, with
     * the production-config entry point it names, the expected detection
     * rate interpolated from the measured sweep, and the measured rationale. */

@@ -1149,6 +1149,48 @@ class ExtSpec extends SparkSpec {
     assert(p64m > 24, s"64M docs under-deepened to $p64m planes (pre-r12 bug)")
   }
 
+  test("simhashAssign survivors equal the radius closure on clique corpora, never unsound") {
+    // duplicate groups = identical or one-word-edited texts (hamming 0-3
+    // signatures — cliques at the radius); distinct topics far apart.
+    // Ground truth: min-id-per-component of the exhaustive simhashPairs
+    // closure (itself q72-oracle-proven zero-false-negative blocking)
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog near the old barn today and sleeps",
+      "completely different content about spark query engines and shuffles here now",
+      "der hund und die katze sind nicht ein problem für das haus heute",
+      "weather report says heavy rain tomorrow across the northern coastal region")
+    val docs = base.zipWithIndex.flatMap { case (t, g) =>
+      Seq((g * 10L, t), (g * 10L + 1, t), (g * 10L + 2, t)) // exact-dup cliques
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val truth = closureSurvivors(ids, pairs)
+    val cmp = spark.sparkContext.longAccumulator("simhash_star_comparisons")
+    val assign = Dedup.simhashAssignFromBlocks(
+      Dedup.simhashBlockTable(
+        docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+      comparisons = Some(cmp))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(assign.length == ids.size)
+    val survivors = assign.collect { case (id, None) => id }.toSet
+    assert(survivors == truth,
+      s"simhash survivors diverged: missing ${truth -- survivors}, " +
+        s"extra ${survivors -- truth}")
+    assert(cmp.value > 0)
+    // soundness: every elimination is a genuine radius pair with smaller id
+    assign.foreach {
+      case (id, Some(d)) => assert(d < id && pairs.contains((d, id)),
+        s"($id -> $d) is not a genuine radius pair")
+      case _ =>
+    }
+    // the inline convenience agrees with the block form
+    val inline = Dedup.simhashAssign(docs)
+      .filter(col("dup_of").isNull).collect().map(_.getLong(0)).toSet
+    assert(inline == survivors)
+  }
+
   test("Dedup.plan composes family choice, measured-law sizing, and a budget-bound P") {
     import graft.ext.Dedup
     val n = 20000L
