@@ -1002,6 +1002,59 @@ object Similarity {
       threshold: Double, idCol: String = "vec_id", vecCol: String = "embedding",
       maxRepsPerCell: Int = 4096,
       comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val elim = starEliminations(bucketTable, emb, threshold, idCol, vecCol,
+      maxRepsPerCell, comparisons)
+      // a doc eliminated in several cells reconciles to the smallest
+      // eliminating representative — deterministic on any partitioning
+      .groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
+    emb.select(col(idCol)).join(elim, Seq(idCol), "left_outer")
+  }
+
+  /** [[nearDupAssignFromTable]] with the one scale-sensitive shuffle
+    * BOUNDED: the walk's input is (multi-cell member × vector) rows —
+    * ~n·tables vector copies on dense corpora — and this form processes
+    * the tables `tablesPerPass` at a time, landing each pass's
+    * eliminations in `scratchDir` parquet, so the peak vector shuffle is
+    * ~n·tablesPerPass copies instead of n·tables.
+    *
+    * Unlike the pair-space distinct (where slicing had to be engineered
+    * so total match work stayed ~raw), grouping is FREE here: every
+    * elimination is cell-local and cells never span tables, so the union
+    * of per-pass eliminations followed by the same min-reconciliation is
+    * EXACTLY the one-shot assignment (set equality pinned in ExtSpec at
+    * several widths). Each pass is independently restartable — the
+    * 1000-executor posture. Callers own `scratchDir`'s lifecycle; the
+    * same caveat as [[lshCandidatesPartitioned]] applies (slice files
+    * are not manifest-atomic). */
+  def nearDupAssignGrouped(bucketTable: DataFrame, emb: DataFrame,
+      threshold: Double, scratchDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRepsPerCell: Int = 4096, tablesPerPass: Int = 4,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    require(tablesPerPass >= 1, s"tablesPerPass must be >= 1, got $tablesPerPass")
+    val spark = emb.sparkSession
+    val tbls = bucketTable.select("tbl").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val groups = tbls.grouped(tablesPerPass).toSeq
+    groups.zipWithIndex.foreach { case (g, i) =>
+      starEliminations(
+        bucketTable.where(col("tbl").isin(g.toSeq.map(Int.box): _*)),
+        emb, threshold, idCol, vecCol, maxRepsPerCell, comparisons)
+        .write.mode("overwrite").parquet(s"$scratchDir/pass_$i")
+    }
+    val elim = spark.read
+      .parquet(groups.indices.map(i => s"$scratchDir/pass_$i"): _*)
+      .groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
+    emb.select(col(idCol)).join(elim, Seq(idCol), "left_outer")
+  }
+
+  /** The pre-reconciliation per-cell eliminations — one row per
+    * (member, eliminating rep, cell), shared by the one-shot and grouped
+    * assignment forms so their semantics can never drift. */
+  private def starEliminations(bucketTable: DataFrame, emb: DataFrame,
+      threshold: Double, idCol: String, vecCol: String,
+      maxRepsPerCell: Int,
+      comparisons: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
     require(maxRepsPerCell >= 1, s"maxRepsPerCell must be >= 1, got $maxRepsPerCell")
     TableShapes.requireColumns(bucketTable, Seq("ckey", "tbl", "bucket", idCol),
       "nearDupAssignFromTable",
@@ -1015,6 +1068,16 @@ object Similarity {
     val multi = bucketTable.groupBy("ckey", "tbl", "bucket")
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
       .select("ckey", "tbl", "bucket")
+    // float corpora shuffle their vectors UN-widened (half the bytes of a
+    // cast to double — the walk widens per element inside the fold, the
+    // same exact IEEE widening the expression dot performs); double
+    // corpora ride as-is. Never downcast: a double→float cast would
+    // change cosines.
+    val isFloat = emb.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
     val members = bucketTable
       .join(multi, Seq("ckey", "tbl", "bucket"), "left_semi")
       // the vector side is the CORPUS — never broadcast-able at scale,
@@ -1022,7 +1085,7 @@ object Similarity {
       // size so badly the planner tries (the 4M probe cell collected a
       // 1 GB "broadcast" into the driver before this hint). merge = SMJ.
       .join(emb.select(col(idCol),
-        col(vecCol).cast("array<double>").as("v"),
+        (if (isFloat) col(vecCol) else col(vecCol).cast("array<double>")).as("v"),
         norm2(col(vecCol)).as("n2")).hint("merge"), Seq(idCol))
       .select(col("ckey"), col("tbl"), col("bucket"),
         col(idCol).as("member_id"), col("n2"), col("v"))
@@ -1039,18 +1102,34 @@ object Similarity {
     // survivors = per-file-chunk minima). Grouped-map REQUIRES
     // ClusteredDistribution(key) + in-group order, which every planner
     // path must honor.
-    val elim = members
-      .as[(Long, Int, Long, Long, Double, Seq[Double])]
-      .groupByKey(t => (t._1, t._2, t._3))
-      .flatMapSortedGroups(col("member_id")) { case (_, rows) =>
-        greedyStarCell(rows, thr, cap, cmp)
-      }
-      .toDF(idCol, "dup_of")
-      // a doc eliminated in several cells reconciles to the smallest
-      // eliminating representative — deterministic on any partitioning
-      .groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
-    emb.select(col(idCol)).join(elim, Seq(idCol), "left_outer")
+    val elimDs =
+      if (isFloat)
+        members.as[(Long, Int, Long, Long, Double, Seq[Float])]
+          .groupByKey(t => (t._1, t._2, t._3))
+          .flatMapSortedGroups(col("member_id")) { case (_, rows) =>
+            greedyStarCell(rows.map { case (_, _, _, id, n2, v) =>
+              (id, n2, floatsToDoubles(v))
+            }, thr, cap, cmp)
+          }
+      else
+        members.as[(Long, Int, Long, Long, Double, Seq[Double])]
+          .groupByKey(t => (t._1, t._2, t._3))
+          .flatMapSortedGroups(col("member_id")) { case (_, rows) =>
+            greedyStarCell(rows.map { case (_, _, _, id, n2, v) =>
+              (id, n2, if (v == null) null else v.toArray)
+            }, thr, cap, cmp)
+          }
+    elimDs.toDF(idCol, "dup_of")
   }
+
+  private def floatsToDoubles(v: Seq[Float]): Array[Double] =
+    if (v == null) null
+    else {
+      val a = new Array[Double](v.length)
+      var i = 0
+      while (i < a.length) { a(i) = v(i).toDouble; i += 1 }
+      a
+    }
 
   /** The sequential greedy star over ONE cell's members, id-ascending
     * (the grouped-map contract guarantees the order). Streaming (flatMap
@@ -1067,16 +1146,13 @@ object Similarity {
     * verdict here (equivalence is test-pinned). A zero-norm or NaN
     * cosine never matches (the try_divide-null convention). */
   private def greedyStarCell(
-      it: Iterator[(Long, Int, Long, Long, Double, Seq[Double])],
+      it: Iterator[(Long, Double, Array[Double])],
       threshold: Double, maxReps: Int,
       comparisons: Option[org.apache.spark.util.LongAccumulator]): Iterator[(Long, Long)] = {
     val reps = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
-    it.flatMap { case (_, _, _, id, n2, vSeq) =>
-      if (vSeq == null) Iterator.empty // null vectors never pair (see cosine)
+    it.flatMap { case (id, n2, v) =>
+      if (v == null) Iterator.empty // null vectors never pair (see cosine)
       else {
-        val v = new Array[Double](vSeq.length)
-        var i = 0
-        while (i < v.length) { v(i) = vSeq(i); i += 1 }
         var matched = -1L
         var r = 0
         var n = 0L

@@ -97,6 +97,7 @@ object DedupScaleProbe {
     var scratchCapGb = 0.0
     var survivors = false
     var survivorsThreshold = 0.98
+    var survivorsTablesPerPass = 0
     var noiseOverride: Option[Double] = None
     var i = 0
     while (i < args.length) {
@@ -128,6 +129,8 @@ object DedupScaleProbe {
         case "--survivors" => survivors = true; i += 1
         case "--survivorsThreshold" if i + 1 < args.length =>
           survivorsThreshold = args(i + 1).toDouble; i += 2
+        case "--survivorsTablesPerPass" if i + 1 < args.length =>
+          survivorsTablesPerPass = args(i + 1).toInt; i += 2
         case "--noise" if i + 1 < args.length =>
           noiseOverride = Some(args(i + 1).toDouble); i += 2
         case other => sys.error(
@@ -189,6 +192,8 @@ object DedupScaleProbe {
       "--survivors is its own embedding-family mode; drop the other posture modes")
     require(survivorsThreshold > 0.0 && survivorsThreshold < 1.0,
       s"--survivorsThreshold out of (0,1): $survivorsThreshold")
+    require(survivorsTablesPerPass >= 0 && (survivorsTablesPerPass == 0 || survivors),
+      "--survivorsTablesPerPass bounds the --survivors walk; pass them together")
     require(noiseOverride.forall(x => x > 0.0 && survivors && corpus == "clustered"),
       "--noise overrides the clustered corpus's noiseScale for the " +
         "--survivors head-mass cell; pass it with --survivors --corpus clustered")
@@ -397,10 +402,17 @@ object DedupScaleProbe {
             val build = ensureLsh(pp, tt)
             val raw = rawPairs(lshDir(pp, tt))
             val cmp = spark.sparkContext.longAccumulator("greedy_star_comparisons")
+            val scratch = s"$dir/survivors_scratch"
             val t = timed {
-              val assign = Similarity.nearDupAssignFromTable(
+              val assign = (if (survivorsTablesPerPass > 0)
+                Similarity.nearDupAssignGrouped(
+                  spark.read.parquet(lshDir(pp, tt)), vecCorpus(n),
+                  survivorsThreshold, scratch,
+                  tablesPerPass = survivorsTablesPerPass,
+                  comparisons = Some(cmp))
+              else Similarity.nearDupAssignFromTable(
                 spark.read.parquet(lshDir(pp, tt)), vecCorpus(n),
-                survivorsThreshold, comparisons = Some(cmp))
+                survivorsThreshold, comparisons = Some(cmp)))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               val surv = assign.filter(col("dup_of").isNull).count()
               val detected = assign.filter(col("dup_of").isNotNull &&
@@ -409,8 +421,12 @@ object DedupScaleProbe {
               (surv, detected)
             }
             val (surv, detected) = t._2
+            val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+            val fs = scratchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(scratchPath)) fs.delete(scratchPath, true)
             println(f"""{"check":"survivors","rows":$n,"mode":"$mode",""" +
               f""""corpus":"$corpus","noise":${noiseOverride.getOrElse(0.35)},""" +
+              f""""tables_per_pass":$survivorsTablesPerPass,""" +
               f""""threshold":$survivorsThreshold,"planes":$pp,"tables":$tt,""" +
               f"""${buildJson(build)},"raw_pair_mass":$raw,""" +
               f""""comparisons":${cmp.value},"survivors":$surv,""" +

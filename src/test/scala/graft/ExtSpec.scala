@@ -1726,6 +1726,47 @@ class ExtSpec extends SparkSpec {
     } finally table.unpersist()
   }
 
+  test("nearDupAssignGrouped equals the one-shot assignment at any pass width") {
+    // grouping the walk by table-groups is semantically FREE (cells never
+    // span tables; min-reconciliation over the union = one-shot) — pin
+    // the full (id, dup_of) assignment equal at several widths, on a
+    // corpus with cliques so dup_of reconciliation is actually exercised,
+    // and on BOTH element types (float corpus and a double-cast one)
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 40).flatMap { g =>
+      val anchor = Array.fill(12)(rnd.nextGaussian().toFloat)
+      (0 until 1 + g % 3).map(m =>
+        (g * 10L + m, anchor.map(x => x + 0.02f * rnd.nextGaussian().toFloat)))
+    }
+    val thr = 0.95
+    for (toDouble <- Seq(false, true)) {
+      val emb0 = rows.toDF("vec_id", "embedding")
+      val emb = if (toDouble)
+        emb0.withColumn("embedding", col("embedding").cast("array<double>"))
+      else emb0
+      val table = Similarity.lshTable(emb, nPlanes = 3, nTables = 7)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def assignMap(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val oneShot = assignMap(
+          Similarity.nearDupAssignFromTable(table, emb, thr))
+        assert(oneShot.values.exists(_.isDefined), "vacuous grouped test")
+        val scratch = java.nio.file.Files.createTempDirectory("graft_star").toString
+        try {
+          for (g <- Seq(1, 3, 7)) {
+            val grouped = assignMap(Similarity.nearDupAssignGrouped(
+              table, emb, thr, s"$scratch/g$g", tablesPerPass = g))
+            assert(grouped == oneShot,
+              s"toDouble=$toDouble tablesPerPass=$g diverged from one-shot")
+          }
+        } finally org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(scratch))
+      } finally table.unpersist()
+    }
+  }
+
   test("nearDupAssign is conservative on chains and under a representative cap") {
     // chain a~b, b~c, a≁c (cosine transitivity failure): representatives
     // are CELL-LOCAL, so b can eliminate c in a cell a never entered even
