@@ -255,15 +255,7 @@ object Pq {
     require(k >= 1 && targetRecall > 0 && targetRecall <= 1 && nQueries >= 1 &&
       sampleRows > k && maxShortlist >= 1, "bad measureShortlist knobs")
     val n = emb.count()
-    val base = emb.select(col(idCol), col(vecCol))
-    val sampled =
-      (if (n <= sampleRows) base
-       else base.sample(withReplacement = false,
-         math.min(1.0, sampleRows.toDouble * 1.05 / n), seed = 42)
-         .limit(sampleRows))
-        .collect()
-        .map(r => (r.getLong(0), Similarity.toVec(r, 1)))
-        .sortBy(_._1)
+    val sampled = collectSample(emb, n, sampleRows, idCol, vecCol)
     val m = sampled.length
     val codes = sampled.map { case (_, v) => encodeLocal(v, cb) }
     val qIdx = (0 until math.min(nQueries, m)).map(q => (m.toLong * q / nQueries).toInt)
@@ -296,6 +288,149 @@ object Pq {
     val chosen = recalls.find(_._2 >= targetRecall)
       .getOrElse(recalls.last)
     ShortlistMeasurement(chosen._1, targetRecall, chosen._2, recalls)
+  }
+
+  // ───── Joint IVF-PQ serving config from measured marginals ─────
+
+  /** A measured IVF-PQ serving plan: the cheapest (nProbe, shortlist)
+    * whose PREDICTED composed recall — the product of the two
+    * sample-measured marginals — reaches the target. The product model
+    * is itself a measurement, not an assumption: the r14 joint sweep
+    * (SCALE.md) read every (nProbe × shortlist) cell within ~4% of
+    * ivf(nProbe)·pq(shortlist) on the 1M clustered corpus — no
+    * interaction term (probing the right cells does not improve ADC tie
+    * ranking, and ADC mis-ranking does not hide cell misses) — so the
+    * two knobs can be budgeted independently and multiplied. When even
+    * the max corner misses the target, the plan clamps there and
+    * `predictedRecall < targetRecall` says so honestly. */
+  final case class IvfPqPlan(nProbe: Int, shortlist: Int, ivfRecall: Double,
+      pqRecall: Double, predictedRecall: Double,
+      ivfLadder: Seq[(Int, Double)], pqLadder: Seq[(Int, Double)])
+
+  /** Measure both serving marginals on ONE seeded corpus sample and
+    * solve for the cheapest feasible (nProbe, shortlist):
+    *
+    *  - IVF marginal: recall@p = the fraction of true top-k neighbors
+    *    (exact dot, the rerank metric) whose assigned cell sits among
+    *    the query's p nearest centroids — exactly the cells
+    *    [[ivfPqTopKVec]] probes, same argmin/tie conventions as
+    *    [[Ivf.assign]]/[[Ivf.nearestClusters]];
+    *  - PQ marginal: [[measureShortlist]]'s rank statistic, computed on
+    *    the same sample pass.
+    *
+    * Cost model for the solve: probing scans p·(n/cells) codes at m adds
+    * each; the rerank touches s·k full vectors at dim mults each — the
+    * two scan-stage costs the composed plan pays per query. The minimal-
+    * cost feasible corner wins; ladder monotonicity, minimality, and the
+    * end metric (serving recall with the planned config) are
+    * ExtSpec-pinned on both probe corpus geometries. */
+  def planIvfPq(emb: DataFrame, centroids: Array[Array[Double]], cb: Codebooks,
+      k: Int, targetRecall: Double = 0.9, sampleRows: Int = 8192,
+      nQueries: Int = 64, maxShortlist: Int = 128,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqPlan = {
+    require(k >= 1 && targetRecall > 0 && targetRecall <= 1 && nQueries >= 1 &&
+      sampleRows > k && maxShortlist >= 1 && centroids.nonEmpty,
+      "bad planIvfPq knobs")
+    val n = emb.count()
+    val sampled = collectSample(emb, n, sampleRows, idCol, vecCol)
+    val m = sampled.length
+    val codes = sampled.map { case (_, v) => encodeLocal(v, cb) }
+    val cellOf = sampled.map { case (_, v) =>
+      Ivf.nearestClusters(v, centroids, 1).head
+    }
+    val qIdx = (0 until math.min(nQueries, m)).map(q => (m.toLong * q / nQueries).toInt)
+      .distinct
+    val pqLadderS = Seq(1, 2, 4, 8, 16, 32, 64, 128).filter(_ <= maxShortlist)
+    val probeLadderP = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
+      .filter(_ <= centroids.length)
+    val adcRanks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val cellRanks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    qIdx.foreach { qi =>
+      val (qid, qv) = sampled(qi)
+      val tab = adcTable(qv, cb)
+      val adc = Array.tabulate(m) { i =>
+        var s = 0.0; var j = 0
+        val c = codes(i)
+        while (j < cb.m) { s += tab(j * cb.k + c(j)); j += 1 }
+        round6(s)
+      }
+      val dot = Array.tabulate(m) { i =>
+        var s = 0.0; var d = 0
+        val v = sampled(i)._2
+        while (d < qv.length) { s += v(d) * qv(d); d += 1 }
+        round6(s)
+      }
+      val others = (0 until m).filter(i => sampled(i)._1 != qid)
+      val truth = others.sortBy(i => (-dot(i), sampled(i)._1)).take(k)
+      val adcOrder = others.sortBy(i => (adc(i), sampled(i)._1))
+      val rankOf = adcOrder.zipWithIndex.toMap
+      val cellRankOf = Ivf.nearestClusters(qv, centroids, centroids.length)
+        .zipWithIndex.toMap
+      truth.foreach { i =>
+        adcRanks += rankOf(i) + 1
+        cellRanks += cellRankOf(cellOf(i))
+      }
+    }
+    val total = adcRanks.size.toDouble
+    val pqLadder = pqLadderS.map(s => s -> adcRanks.count(_ <= s.toLong * k) / total)
+    val ivfLadder = probeLadderP.map(p => p -> cellRanks.count(_ < p) / total)
+    val dim = cb.m * cb.subDim
+    def cost(p: Int, s: Int): Double =
+      p.toDouble * n / centroids.length * cb.m + s.toDouble * k * dim
+    val corners = for {
+      (p, ri) <- ivfLadder
+      (s, rp) <- pqLadder
+    } yield (p, s, ri, rp, ri * rp)
+    val chosen = corners.filter(_._5 >= targetRecall)
+      .sortBy { case (p, s, _, _, _) => (cost(p, s), p, s) }
+      .headOption
+      .getOrElse(corners.maxBy(c => (c._5, -cost(c._1, c._2))))
+    IvfPqPlan(chosen._1, chosen._2, chosen._3, chosen._4, chosen._5,
+      ivfLadder, pqLadder)
+  }
+
+  /** Persist an [[IvfPqPlan]] beside the centroids/codebooks it was
+    * measured for — one row, ladders flattened to parallel arrays. */
+  def saveIvfPqPlan(catalog: Catalog, ref: String, plan: IvfPqPlan): Unit = {
+    import catalog.spark.implicits._
+    catalog.save(
+      Seq((plan.nProbe, plan.shortlist, plan.ivfRecall, plan.pqRecall,
+        plan.predictedRecall,
+        plan.ivfLadder.map(_._1), plan.ivfLadder.map(_._2),
+        plan.pqLadder.map(_._1), plan.pqLadder.map(_._2)))
+        .toDF("nprobe", "shortlist", "ivf_recall", "pq_recall",
+          "predicted_recall", "ivf_ladder_p", "ivf_ladder_recall",
+          "pq_ladder_s", "pq_ladder_recall"),
+      ref)
+  }
+
+  def loadIvfPqPlan(catalog: Catalog, ref: String): IvfPqPlan = {
+    val rows = catalog.load(ref).select(col("nprobe"), col("shortlist"),
+      col("ivf_recall"), col("pq_recall"), col("predicted_recall"),
+      col("ivf_ladder_p"), col("ivf_ladder_recall"),
+      col("pq_ladder_s"), col("pq_ladder_recall")).collect()
+    require(rows.length == 1,
+      s"loadIvfPqPlan('$ref'): expected one plan row, got ${rows.length}")
+    val r = rows(0)
+    IvfPqPlan(r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4),
+      r.getSeq[Int](5).zip(r.getSeq[Double](6)),
+      r.getSeq[Int](7).zip(r.getSeq[Double](8)))
+  }
+
+  /** The seeded sample both sizing instruments share ([[measureShortlist]],
+    * [[planIvfPq]]) — deterministic for a given (corpus, sampleRows), id-
+    * sorted so query spreading is layout-independent. */
+  private def collectSample(emb: DataFrame, n: Long, sampleRows: Int,
+      idCol: String, vecCol: String): Array[(Long, Array[Double])] = {
+    val base = emb.select(col(idCol), col(vecCol))
+    (if (n <= sampleRows) base
+     else base.sample(withReplacement = false,
+       math.min(1.0, sampleRows.toDouble * 1.05 / n), seed = 42)
+       .limit(sampleRows))
+      .collect()
+      .map(r => (r.getLong(0), Similarity.toVec(r, 1)))
+      .sortBy(_._1)
   }
 
   /** Driver-side [[NearestCentroid]] twin: squared-L2 argmin per

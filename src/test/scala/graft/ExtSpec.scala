@@ -2596,6 +2596,67 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Pq.planIvfPq: joint config from measured marginals reaches the end metric") {
+    // the r14 joint sweep measured composed recall ≈ ivf(nProbe) ×
+    // pq(shortlist) with no interaction term — planIvfPq turns that law
+    // into an auto-config. Pins: ladders monotone; the chosen corner is
+    // the cheapest feasible one under the declared cost model; the
+    // product definition holds; and the PLANNED config reaches the end
+    // metric through ivfPqTopKVec itself
+    val k = 10
+    val target = 0.6
+    val emb = graft.tools.DedupScaleProbe.syntheticClusteredVecCorpus(spark, 20000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = Ivf.trainCentroids(emb, k = 64, iters = 4)
+      val cb = Pq.trainCodebooks(emb, m = 8, k = 16, iters = 5)
+      val plan = Pq.planIvfPq(emb, cents, cb, k, targetRecall = target,
+        sampleRows = 4096, nQueries = 24)
+      info(s"plan: $plan")
+      def monotone(l: Seq[(Int, Double)]): Unit =
+        assert(l.map(_._2).sliding(2).forall(p => p.last >= p.head - 1e-12), l.toString)
+      monotone(plan.ivfLadder); monotone(plan.pqLadder)
+      assert(math.abs(plan.predictedRecall - plan.ivfRecall * plan.pqRecall) < 1e-12)
+      assert(plan.predictedRecall >= target, s"clamped without reaching target: $plan")
+      // minimality under the declared cost model: every strictly cheaper
+      // ladder corner is infeasible
+      val dim = 64
+      def cost(p: Int, s: Int) = p.toDouble * 20000 / 64 * 8 + s.toDouble * k * dim
+      for ((p, ri) <- plan.ivfLadder; (s, rp) <- plan.pqLadder
+           if cost(p, s) < cost(plan.nProbe, plan.shortlist))
+        assert(ri * rp < target,
+          s"cheaper feasible corner ($p, $s) ignored: ${ri * rp}")
+      // END metric: the planned config through the actual serving path
+      val clusteredEnc = Pq.encode(Ivf.assign(emb, cents), cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      clusteredEnc.count()
+      val queries = emb.filter(pmod($"vec_id", lit(20)) === 3)
+        .orderBy("vec_id").limit(6).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      val recalls = queries.map { case (qid, qv) =>
+        val got = Pq.ivfPqTopKVec(clusteredEnc.filter($"vec_id" =!= qid), cents,
+          cb, qv, k, plan.nProbe, plan.shortlist)
+          .collect().map(_.getLong(0)).toSet
+        val qlit = typedLit(qv.toSeq)
+        val exact = emb.filter($"vec_id" =!= qid)
+          .withColumn("s", graft.functions.VectorFunctions
+            .dot($"embedding".cast("array<double>"), qlit))
+          .orderBy(desc("s"), $"vec_id").limit(k)
+          .collect().map(_.getLong(0)).toSet
+        (got & exact).size.toDouble / k
+      }
+      clusteredEnc.unpersist()
+      val served = recalls.sum / recalls.length
+      assert(served >= target - 0.15,
+        s"planned (${plan.nProbe}, ${plan.shortlist}) served $served < ${target - 0.15}")
+      // artifact round-trip
+      val root = java.nio.file.Files.createTempDirectory("graft-ivfpqplan").toString
+      val cat = new graft.core.Catalog(spark, root)
+      Pq.saveIvfPqPlan(cat, "ann.plan", plan)
+      assert(Pq.loadIvfPqPlan(cat, "ann.plan") == plan)
+    } finally { emb.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("Dedup.dedupParagraphs keeps first occurrences and reassembles in order") {
     val docs = Seq(
       (0L, "intro\nboiler\nbody zero"),
