@@ -428,6 +428,107 @@ object Dedup {
         hamming(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
   }
 
+  // ───── Survivor-oriented MinHash dedup (greedy star per band cell) ──
+
+  /** The greedy star applied to the MinHash family — the third survivor
+    * form (embedding: [[graft.ext.Similarity.nearDupAssign]]; simhash:
+    * [[simhashAssignFromBlocks]]): per (band, bucket) cell, members walk
+    * id-ascending against cell-local representatives, and a match is the
+    * pair path's EXACT verify — Jaccard over the hashed shingle sets
+    * (`|A∩B| / |A∪B|` on the same distinct-xxhash64 arrays
+    * [[nearDupPairs]]' join carries, two-pointer over sorted copies, the
+    * identical integer sizes and double division). Same invariants, same
+    * grouped-map co-location guarantee, same conservative semantics —
+    * closure-pinned in ExtSpec against [[nearDupPairs]].
+    *
+    * Shuffle shape: shingle-hash arrays (8 B/shingle) ride the member
+    * rows for multi-occupied cells only — the minhash analogue of the
+    * embedding walk's vector rows, with the same head-mass economics:
+    * a cell of true near-dups costs ~members verifies, not C(members, 2).
+    *
+    * Returns ALL doc ids as (idCol, dup_of): null ⇒ survivor. */
+  def minhashAssignFromBands(bandTable: DataFrame, shingles: DataFrame,
+      threshold: Double, idCol: String = "doc_id", maxRepsPerCell: Int = 4096,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    require(maxRepsPerCell >= 1, s"maxRepsPerCell must be >= 1, got $maxRepsPerCell")
+    TableShapes.requireColumns(bandTable, Seq("band", "bucket", idCol),
+      "minhashAssignFromBands",
+      "build it with Dedup.minhashTable(docs, textCol, idCol)")
+    TableShapes.requireColumns(shingles, Seq("sh", idCol),
+      "minhashAssignFromBands",
+      "build it with docs.select(id, Dedup.shingleHashes(text, n).as(\"sh\"))")
+    val spark = bandTable.sparkSession
+    import spark.implicits._
+    val multi = bandTable.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select("band", "bucket")
+    val members = bandTable
+      .join(multi, Seq("band", "bucket"), "left_semi")
+      // the shingle side is corpus-sized — same no-broadcast reasoning as
+      // the embedding walk's vector fetch
+      .join(shingles.select(col(idCol), col("sh")).hint("merge"), Seq(idCol))
+      .select(col("band"), col("bucket"), col(idCol).as("member_id"), col("sh"))
+    val thr = threshold
+    val cap = maxRepsPerCell
+    val cmp = comparisons
+    val elim = members
+      .as[(Int, Long, Long, Seq[Long])]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapSortedGroups(col("member_id")) { case (_, rows) =>
+        val reps = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        rows.flatMap { case (_, _, id, shSeq) =>
+          if (shSeq == null) Iterator.empty
+          else {
+            val sh = shSeq.toArray
+            java.util.Arrays.sort(sh)
+            var matched = -1L
+            var r = 0
+            var n = 0L
+            while (matched < 0 && r < reps.length) {
+              val (rid, rsh) = reps(r)
+              n += 1
+              if (sortedJaccard(rsh, sh) >= thr) matched = rid
+              r += 1
+            }
+            cmp.foreach(_.add(n))
+            if (matched >= 0) Iterator.single((id, matched))
+            else {
+              if (reps.length < cap) reps += ((id, sh))
+              Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF(idCol, "dup_of")
+      .groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
+    shingles.select(col(idCol)).join(elim, Seq(idCol), "left_outer")
+  }
+
+  /** [[minhashAssignFromBands]] from raw documents — band table + shingle
+    * hashes derived inline. */
+  def minhashAssign(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxRepsPerCell: Int = 4096): DataFrame =
+    minhashAssignFromBands(
+      minhashTable(docs, textCol, idCol, shingleN, k, bands),
+      docs.select(col(idCol), shingleHashes(col(textCol), shingleN).as("sh")),
+      threshold, idCol, maxRepsPerCell)
+
+  /** Exact Jaccard of two SORTED distinct-hash arrays — the pair path's
+    * `size(array_intersect)/size(array_union)` on the same values (integer
+    * sizes, one double division; empty∪empty = both-null-text docs give
+    * 0/0 = NaN there and never pass ≥ threshold — mirrored here). */
+  private def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    inter.toDouble / union
+  }
+
   // ───── Survivor-oriented SimHash dedup (greedy star per block cell) ──
 
   /** [[graft.ext.Similarity.nearDupAssign]]'s greedy star applied to the

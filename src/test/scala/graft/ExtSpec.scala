@@ -1149,6 +1149,49 @@ class ExtSpec extends SparkSpec {
     assert(p64m > 24, s"64M docs under-deepened to $p64m planes (pre-r12 bug)")
   }
 
+  test("minhashAssign survivors equal the jaccard closure on clique corpora, never unsound") {
+    // dup groups: exact copies (jaccard 1) plus one lightly-edited member
+    // still above the 0.5 default threshold; distinct topics far below.
+    // Ground truth: min-id-per-component of nearDupPairs' exact verify —
+    // the SAME hashed-shingle jaccard the walk recomputes
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog near the old barn today and sleeps soundly",
+      "completely different content about spark query engines and shuffle hygiene in production",
+      "weather report says heavy rain tomorrow across the northern coastal region of the country")
+    val docs = base.zipWithIndex.flatMap { case (t, g) =>
+      Seq((g * 10L, t), (g * 10L + 1, t),
+        (g * 10L + 2, t.replace("the", "a"))) // light edit, same shingle mass
+    }.toDF("doc_id", "text")
+    val thr = 0.3
+    val pairs = Dedup.nearDupPairs(docs, threshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val truth = closureSurvivors(ids, pairs)
+    val cmp = spark.sparkContext.longAccumulator("minhash_star_comparisons")
+    val assign = Dedup.minhashAssignFromBands(
+      Dedup.minhashTable(docs, "text", "doc_id"),
+      docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh")),
+      thr, comparisons = Some(cmp))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(assign.length == ids.size)
+    val survivors = assign.collect { case (id, None) => id }.toSet
+    assert(survivors == truth,
+      s"minhash survivors diverged: missing ${truth -- survivors}, " +
+        s"extra ${survivors -- truth}")
+    assert(cmp.value > 0)
+    // soundness: every elimination is a genuine exact-jaccard pair
+    assign.foreach {
+      case (id, Some(d)) => assert(d < id && pairs.contains((d, id)),
+        s"($id -> $d) is not a genuine jaccard pair")
+      case _ =>
+    }
+    // the inline convenience agrees with the band form
+    val inline = Dedup.minhashAssign(docs, threshold = thr)
+      .filter(col("dup_of").isNull).collect().map(_.getLong(0)).toSet
+    assert(inline == survivors)
+  }
+
   test("simhashAssign survivors equal the radius closure on clique corpora, never unsound") {
     // duplicate groups = identical or one-word-edited texts (hamming 0-3
     // signatures — cliques at the radius); distinct topics far apart.
