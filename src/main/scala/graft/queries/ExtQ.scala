@@ -1516,6 +1516,97 @@ object ExtQ {
         FROM a JOIN u m ON m.vec_id = a.vec_id
                JOIN u r ON r.vec_id = a.dup_of
         ORDER BY a.vec_id"""))
+  ) ++ survivorTwinDefs
+
+  // ───── Survivor-family persisted-stage oracles (q82-q83) ─────
+  // q81's proof shape applied to the other two survivor families: the
+  // cell structure is engine-hash (blocks / band buckets), but every
+  // elimination's EVIDENCE — the radius or jaccard of the (dup_of, id)
+  // pair — is pure arithmetic over persisted engine artifacts, so both
+  // engines recompute it from the same parquet and hash-compare the
+  // verdicts. `sound` all-true in the hashed output is the cross-engine
+  // proof that no unsound elimination exists.
+  private def survivorTwinDefs: Map[String, QueryDef] = Map(
+    "q82_simhash_survivors_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          t(s, dir, "documents")
+            .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
+          "ann.q82_sigs")
+        val sigs = cat.load("ann.q82_sigs")
+        cat.save(
+          Dedup.simhashAssignFromBlocks(
+            Dedup.simhashBlockTable(sigs, "doc_id", "simhash", maxHamming = 3)),
+          "ann.q82_assign")
+        cat.load("ann.q82_assign")
+          .filter(col("dup_of").isNotNull)
+          .join(sigs.select(col("doc_id"), col("simhash").as("sh_m")), "doc_id")
+          .join(sigs.select(col("doc_id").as("dup_of"), col("simhash").as("sh_r")),
+            "dup_of")
+          .select(col("doc_id"), col("dup_of"),
+            Dedup.hamming(col("sh_m"), col("sh_r")).cast("long").as("hamming"))
+          .withColumn("sound", col("hamming") <= 3 && col("dup_of") < col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH sigs AS (
+          SELECT doc_id, simhash
+          FROM read_parquet('$AnnOracleRoot/ann/q82_sigs/*.parquet')),
+        a AS (
+          SELECT doc_id, dup_of
+          FROM read_parquet('$AnnOracleRoot/ann/q82_assign/*.parquet')
+          WHERE dup_of IS NOT NULL)
+        SELECT a.doc_id, a.dup_of,
+          CAST(bit_count(xor(m.simhash, r.simhash)) AS BIGINT) AS hamming,
+          bit_count(xor(m.simhash, r.simhash)) <= 3
+            AND a.dup_of < a.doc_id AS sound
+        FROM a JOIN sigs m ON m.doc_id = a.doc_id
+               JOIN sigs r ON r.doc_id = a.dup_of
+        ORDER BY a.doc_id""")),
+
+    "q83_minhash_survivors_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              Dedup.shingleHashes(col("text"), 3).as("sh")),
+          "ann.q83_shingles")
+        val sh = cat.load("ann.q83_shingles")
+        cat.save(
+          Dedup.minhashAssignFromBands(
+            Dedup.minhashTable(t(s, dir, "documents"), "text", "doc_id"),
+            sh, threshold = 0.3),
+          "ann.q83_assign")
+        cat.load("ann.q83_assign")
+          .filter(col("dup_of").isNotNull)
+          .join(sh.select(col("doc_id"), col("sh").as("sh_m")), "doc_id")
+          .join(sh.select(col("doc_id").as("dup_of"), col("sh").as("sh_r")),
+            "dup_of")
+          .select(col("doc_id"), col("dup_of"),
+            (size(array_intersect(col("sh_m"), col("sh_r"))).cast("double") /
+              size(array_union(col("sh_m"), col("sh_r")))).as("jaccard"))
+          .withColumn("sound", col("jaccard") >= 0.3 && col("dup_of") < col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, sh
+          FROM read_parquet('$AnnOracleRoot/ann/q83_shingles/*.parquet')),
+        a AS (
+          SELECT doc_id, dup_of
+          FROM read_parquet('$AnnOracleRoot/ann/q83_assign/*.parquet')
+          WHERE dup_of IS NOT NULL)
+        SELECT a.doc_id, a.dup_of,
+          CAST(len(list_intersect(m.sh, r.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(m.sh, r.sh))) AS jaccard,
+          CAST(len(list_intersect(m.sh, r.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(m.sh, r.sh))) >= 0.3
+            AND a.dup_of < a.doc_id AS sound
+        FROM a JOIN sh m ON m.doc_id = a.doc_id
+               JOIN sh r ON r.doc_id = a.dup_of
+        ORDER BY a.doc_id"""))
   )
 
   /** Root for the persisted ANN search artifacts (q68-q70), keyed by the
