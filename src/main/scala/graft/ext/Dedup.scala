@@ -475,29 +475,14 @@ object Dedup {
       .as[(Int, Long, Long, Seq[Long])]
       .groupByKey(t => (t._1, t._2))
       .flatMapSortedGroups(col("member_id")) { case (_, rows) =>
-        val reps = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-        rows.flatMap { case (_, _, id, shSeq) =>
-          if (shSeq == null) Iterator.empty
-          else {
+        GreedyStar.walk[Array[Long]](
+          rows.collect { case (_, _, id, shSeq) if shSeq != null =>
             val sh = shSeq.toArray
             java.util.Arrays.sort(sh)
-            var matched = -1L
-            var r = 0
-            var n = 0L
-            while (matched < 0 && r < reps.length) {
-              val (rid, rsh) = reps(r)
-              n += 1
-              if (sortedJaccard(rsh, sh) >= thr) matched = rid
-              r += 1
-            }
-            cmp.foreach(_.add(n))
-            if (matched >= 0) Iterator.single((id, matched))
-            else {
-              if (reps.length < cap) reps += ((id, sh))
-              Iterator.empty
-            }
-          }
-        }
+            (id, sh)
+          },
+          matches = (rsh, sh) => sortedJaccard(rsh, sh) >= thr,
+          cap, cmp)
       }
       .toDF(idCol, "dup_of")
       .groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
@@ -569,24 +554,14 @@ object Dedup {
       .as[(Long, Int, Long, Long, Long, Int)]
       .groupByKey(t => (t._1, t._2, t._3))
       .flatMapSortedGroups(col("member_id")) { case (_, rows) =>
-        val reps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        rows.flatMap { case (_, _, _, id, sh, radius) =>
-          var matched = -1L
-          var r = 0
-          var n = 0L
-          while (matched < 0 && r < reps.length) {
-            val (rid, rsh) = reps(r)
-            n += 1
-            if (java.lang.Long.bitCount(sh ^ rsh) <= radius) matched = rid
-            r += 1
-          }
-          cmp.foreach(_.add(n))
-          if (matched >= 0) Iterator.single((id, matched))
-          else {
-            if (reps.length < cap) reps += ((id, sh))
-            Iterator.empty
-          }
-        }
+        // evidence carries the MEMBER row's stamped radius — the walk
+        // verifies at the radius of the row being judged
+        GreedyStar.walk[(Long, Int)](
+          rows.map { case (_, _, _, id, sh, radius) => (id, (sh, radius)) },
+          matches = { case ((rsh, _), (sh, radius)) =>
+            java.lang.Long.bitCount(sh ^ rsh) <= radius
+          },
+          cap, cmp)
       }
       .toDF(idCol, "dup_of")
       .groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
@@ -733,8 +708,7 @@ object Dedup {
   def plan(emb: DataFrame, mutationTolerance: Double, minDetection: Double = 0.9,
       scratchBudgetGb: Double = 0.0, threshold: Double = 0.98,
       targetRecall: Double = 0.98, hasEmbeddings: Boolean = true,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      maxPartitions: Int = 1024): DedupPlan = {
+      vecCol: String = "embedding", maxPartitions: Int = 1024): DedupPlan = {
     require(scratchBudgetGb >= 0.0, s"negative scratch budget: $scratchBudgetGb")
     val rec = recommendFamily(mutationTolerance, minDetection, hasEmbeddings)
     if (rec.family != "embedding_lsh")

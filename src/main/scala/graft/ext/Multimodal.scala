@@ -195,10 +195,13 @@ object Multimodal {
     * whose pixels are a smooth two-frequency sine field seeded by the id.
     * The planted structure mirrors every dedup fixture in this repo:
     * docs with id % 20 == 1 render the PREDECESSOR's pattern shifted
-    * +8 brightness with two single-pixel jitters — a perceptual
-    * near-dup (dHash hamming ≤ 2 by construction: uniform brightness is
-    * exactly invariant, a pixel jitter flips at most its cell's two
-    * gradient signs) — so true near-dup pairs = n/20 at every scale.
+    * +8 brightness with ONE single-pixel jitter — a perceptual near-dup
+    * (dHash hamming ≤ 2 by construction: uniform brightness is exactly
+    * invariant, and one jittered pixel sits in one 9×8 cell, whose mean
+    * participates in exactly two horizontal comparisons — so the
+    * default radius-3 mining can never miss a planted pair; a second
+    * jitter would allow hamming 4 and silently break the
+    * true-pairs = n/20 invariant for unlucky ids) — at every scale.
     * Amplitudes keep pixels in [13, 243]: the +8 shift never clamps,
     * which is what makes the brightness invariance EXACT.
     *
@@ -217,12 +220,11 @@ object Multimodal {
         if (isDup) {
           var i = 0
           while (i < pix.length) { pix(i) = ((pix(i) & 0xff) + 8).toByte; i += 1 }
-          // two deterministic single-pixel jitters — enough to make the
-          // planted pairs span hamming 0-2 instead of all-zero
+          // ONE deterministic single-pixel jitter — planted pairs span
+          // hamming 0-2 instead of all-zero, while staying provably
+          // inside the radius-3 mining default (see the scaladoc bound)
           val j1 = (java.lang.Math.floorMod(id * 31L, (w * h).toLong)).toInt
-          val j2 = (java.lang.Math.floorMod(id * 57L + 13L, (w * h).toLong)).toInt
           pix(j1) = ((pix(j1) & 0xff) ^ 0x14).toByte
-          pix(j2) = ((pix(j2) & 0xff) ^ 0x0a).toByte
         }
         Row(id, graft.functions.PngGray.encodeGray(w, h, pix))
       }

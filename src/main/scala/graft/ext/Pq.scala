@@ -256,13 +256,36 @@ object Pq {
       sampleRows > k && maxShortlist >= 1, "bad measureShortlist knobs")
     val n = emb.count()
     val sampled = collectSample(emb, n, sampleRows, idCol, vecCol)
+    val ladder = Seq(1, 2, 4, 8, 16, 32, 64, 128).filter(_ <= maxShortlist)
+    val (ranks, _) = rankStats(sampled, cb, k, nQueries, centroids = None)
+    val total = ranks.size.toDouble
+    val recalls = ladder.map(s => s -> ranks.count(_ <= s.toLong * k) / total)
+    val chosen = recalls.find(_._2 >= targetRecall)
+      .getOrElse(recalls.last)
+    ShortlistMeasurement(chosen._1, targetRecall, chosen._2, recalls)
+  }
+
+  /** The per-(query, true-neighbor) rank statistics BOTH sizing
+    * instruments read ([[measureShortlist]], [[planIvfPq]]) — one
+    * implementation so the two measurements the r14 product model
+    * requires to agree can never drift: for each spread sample query,
+    * exact-dot truth (descending, id tie-break), each true neighbor's
+    * rank in the rounded-ADC ascending ordering, and — when `centroids`
+    * are given — the rank of the neighbor's assigned cell in the query's
+    * centroid-distance order (the cells [[ivfPqTopKVec]] probes, same
+    * argmin/tie conventions as [[Ivf.assign]]/[[Ivf.nearestClusters]]). */
+  private def rankStats(sampled: Array[(Long, Array[Double])], cb: Codebooks,
+      k: Int, nQueries: Int,
+      centroids: Option[Array[Array[Double]]]): (Seq[Int], Seq[Int]) = {
     val m = sampled.length
     val codes = sampled.map { case (_, v) => encodeLocal(v, cb) }
+    val cellOf = centroids.map(c =>
+      sampled.map { case (_, v) => Ivf.nearestClusters(v, c, 1).head })
     val qIdx = (0 until math.min(nQueries, m)).map(q => (m.toLong * q / nQueries).toInt)
       .distinct
-    val ladder = Seq(1, 2, 4, 8, 16, 32, 64, 128).filter(_ <= maxShortlist)
-    // per (query, true-neighbor): the neighbor's rank in the ADC ordering
-    val ranks = qIdx.flatMap { qi =>
+    val adcRanks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val cellRanks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    qIdx.foreach { qi =>
       val (qid, qv) = sampled(qi)
       val tab = adcTable(qv, cb)
       val adc = Array.tabulate(m) { i =>
@@ -278,16 +301,17 @@ object Pq {
         round6(s)
       }
       val others = (0 until m).filter(i => sampled(i)._1 != qid)
-      val truth = others.sortBy(i => (-dot(i), sampled(i)._1)).take(k).toSet
+      val truth = others.sortBy(i => (-dot(i), sampled(i)._1)).take(k)
       val adcOrder = others.sortBy(i => (adc(i), sampled(i)._1))
       val rankOf = adcOrder.zipWithIndex.toMap
-      truth.toSeq.map(i => rankOf(i) + 1)
+      val cellRankOf = centroids.map(c =>
+        Ivf.nearestClusters(qv, c, c.length).zipWithIndex.toMap)
+      truth.foreach { i =>
+        adcRanks += rankOf(i) + 1
+        for (cro <- cellRankOf; co <- cellOf) cellRanks += cro(co(i))
+      }
     }
-    val total = ranks.size.toDouble
-    val recalls = ladder.map(s => s -> ranks.count(_ <= s.toLong * k) / total)
-    val chosen = recalls.find(_._2 >= targetRecall)
-      .getOrElse(recalls.last)
-    ShortlistMeasurement(chosen._1, targetRecall, chosen._2, recalls)
+    (adcRanks.toSeq, cellRanks.toSeq)
   }
 
   // ───── Joint IVF-PQ serving config from measured marginals ─────
@@ -333,44 +357,11 @@ object Pq {
       "bad planIvfPq knobs")
     val n = emb.count()
     val sampled = collectSample(emb, n, sampleRows, idCol, vecCol)
-    val m = sampled.length
-    val codes = sampled.map { case (_, v) => encodeLocal(v, cb) }
-    val cellOf = sampled.map { case (_, v) =>
-      Ivf.nearestClusters(v, centroids, 1).head
-    }
-    val qIdx = (0 until math.min(nQueries, m)).map(q => (m.toLong * q / nQueries).toInt)
-      .distinct
     val pqLadderS = Seq(1, 2, 4, 8, 16, 32, 64, 128).filter(_ <= maxShortlist)
     val probeLadderP = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
       .filter(_ <= centroids.length)
-    val adcRanks = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val cellRanks = scala.collection.mutable.ArrayBuffer.empty[Int]
-    qIdx.foreach { qi =>
-      val (qid, qv) = sampled(qi)
-      val tab = adcTable(qv, cb)
-      val adc = Array.tabulate(m) { i =>
-        var s = 0.0; var j = 0
-        val c = codes(i)
-        while (j < cb.m) { s += tab(j * cb.k + c(j)); j += 1 }
-        round6(s)
-      }
-      val dot = Array.tabulate(m) { i =>
-        var s = 0.0; var d = 0
-        val v = sampled(i)._2
-        while (d < qv.length) { s += v(d) * qv(d); d += 1 }
-        round6(s)
-      }
-      val others = (0 until m).filter(i => sampled(i)._1 != qid)
-      val truth = others.sortBy(i => (-dot(i), sampled(i)._1)).take(k)
-      val adcOrder = others.sortBy(i => (adc(i), sampled(i)._1))
-      val rankOf = adcOrder.zipWithIndex.toMap
-      val cellRankOf = Ivf.nearestClusters(qv, centroids, centroids.length)
-        .zipWithIndex.toMap
-      truth.foreach { i =>
-        adcRanks += rankOf(i) + 1
-        cellRanks += cellRankOf(cellOf(i))
-      }
-    }
+    val (adcRanks, cellRanks) = rankStats(sampled, cb, k, nQueries,
+      Some(centroids))
     val total = adcRanks.size.toDouble
     val pqLadder = pqLadderS.map(s => s -> adcRanks.count(_ <= s.toLong * k) / total)
     val ivfLadder = probeLadderP.map(p => p -> cellRanks.count(_ < p) / total)

@@ -1035,6 +1035,12 @@ object Similarity {
     val spark = emb.sparkSession
     val tbls = bucketTable.select("tbl").distinct().collect()
       .map(_.getInt(0)).sorted
+    // an empty bucket table writes zero pass files, and a zero-path
+    // parquet read throws — the one-shot form's answer there is
+    // everyone-survives, so match it instead of diverging at width 0
+    if (tbls.isEmpty)
+      return emb.select(col(idCol))
+        .withColumn("dup_of", lit(null).cast("long"))
     val groups = tbls.grouped(tablesPerPass).toSeq
     groups.zipWithIndex.foreach { case (g, i) =>
       starEliminations(
@@ -1148,29 +1154,14 @@ object Similarity {
   private def greedyStarCell(
       it: Iterator[(Long, Double, Array[Double])],
       threshold: Double, maxReps: Int,
-      comparisons: Option[org.apache.spark.util.LongAccumulator]): Iterator[(Long, Long)] = {
-    val reps = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
-    it.flatMap { case (id, n2, v) =>
-      if (v == null) Iterator.empty // null vectors never pair (see cosine)
-      else {
-        var matched = -1L
-        var r = 0
-        var n = 0L
-        while (matched < 0 && r < reps.length) {
-          val (rid, rv, rn2) = reps(r)
-          n += 1
-          if (roundedCosine(rv, rn2, v, n2) > threshold) matched = rid
-          r += 1
-        }
-        comparisons.foreach(_.add(n))
-        if (matched >= 0) Iterator.single((id, matched))
-        else {
-          if (reps.length < maxReps) reps += ((id, v, n2))
-          Iterator.empty
-        }
-      }
-    }
-  }
+      comparisons: Option[org.apache.spark.util.LongAccumulator]): Iterator[(Long, Long)] =
+    GreedyStar.walk[(Array[Double], Double)](
+      // null vectors never pair (see cosine) — dropped before the walk
+      it.collect { case (id, n2, v) if v != null => (id, (v, n2)) },
+      matches = { case ((rv, rn2), (v, n2)) =>
+        roundedCosine(rv, rn2, v, n2) > threshold
+      },
+      maxReps, comparisons)
 
   /** Exact cosine with the pair path's fold order and Catalyst's
     * double-`round(…, 6)` semantics (HALF_UP on the shortest decimal

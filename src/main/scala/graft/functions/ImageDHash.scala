@@ -145,8 +145,12 @@ private[graft] object PngGray {
       payload(14) != 'D' || payload(15) != 'R') return Left("png_no_ihdr")
     val w = be32(payload, 16); val h = be32(payload, 20)
     // a hostile header can claim huge dims; cap the decode allocation at
-    // 64 MPix so one bad row cannot OOM an executor
-    if (w <= 0 || h <= 0 || w * h > 64L * 1024 * 1024)
+    // 64 MPix so one bad row cannot OOM an executor. Each dimension is
+    // capped FIRST: two u32 dims can overflow their Long product (w = h =
+    // 0xFFFFFFFF multiplies negative) and slip past a product-only check
+    // into a negative allocation or a 4-billion-row unfilter loop.
+    val maxPix = 64L * 1024 * 1024
+    if (w <= 0 || h <= 0 || w > maxPix || h > maxPix || w * h > maxPix)
       return Left("png_bad_dims")
     val bitDepth = u8(payload, 24); val colorType = u8(payload, 25)
     val interlace = u8(payload, 28)
@@ -177,7 +181,13 @@ private[graft] object PngGray {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val k = inf.inflate(raw, off, raw.length - off)
-        if (k == 0 && inf.needsInput()) return Left("png_bad_idat")
+        // zero progress in ANY state bails: truncated stream
+        // (needsInput), preset-dictionary stream (needsDictionary — a
+        // hostile FDICT zlib header would otherwise return 0 forever
+        // without needing input, an infinite loop inside the
+        // expression), or any other stall. The throw-free per-row
+        // contract demands an error Left, never a hang.
+        if (k == 0) return Left("png_bad_idat")
         off += k
       }
       if (off < raw.length) return Left("png_bad_idat")
@@ -258,7 +268,10 @@ private[graft] object PngGray {
       y += 1
     }
     val deflater = new java.util.zip.Deflater(6)
-    val buf = new Array[Byte](raw.length + 64)
+    // zlib's worst case (incompressible input → stored blocks) is
+    // input + 5 bytes per 16383-byte block + 6 bytes header/adler; a
+    // flat +64 margin tripped on large noise images
+    val buf = new Array[Byte](raw.length + 5 * (raw.length / 16383 + 1) + 64)
     deflater.setInput(raw); deflater.finish()
     val m = deflater.deflate(buf)
     require(deflater.finished(), "fixture deflate buffer undersized")

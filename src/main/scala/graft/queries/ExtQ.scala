@@ -1424,7 +1424,8 @@ object ExtQ {
     // whose hamming distance is a perceptual near-dup radius. The corpus
     // is format-valid synthetic PNGs keyed by doc_id with the standard
     // planted structure (id%20==1 = predecessor's pattern +8 brightness +
-    // two pixel jitters). dHash VALUES need the decode, so the
+    // one pixel jitter — hamming ≤ 2, provably inside the radius-3
+    // mining default). dHash VALUES need the decode, so the
     // fingerprint query is rows-only — and exactly like q28/q30 vs
     // q71/q72, everything downstream of the persisted fingerprints is
     // pure relational arithmetic that q80 oracles exhaustively.

@@ -1388,6 +1388,32 @@ class ExtSpec extends SparkSpec {
     assert(PngGray.decode("not a png".getBytes).isLeft)
     assert(PngGray.decode(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A,
       0x1A, 0x0A, 0, 0)).isLeft) // truncated after signature
+    // hostile inputs (r14 review): a preset-dictionary (FDICT) zlib
+    // stream makes Inflater return 0 forever without needing input —
+    // must be an error Left, never an infinite loop. 0x78BB has the
+    // FDICT bit set and passes the zlib FCHECK (0x78BB % 31 == 0).
+    val fdictPng = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(chunk("IHDR", be32(4) ++ be32(4) ++ Array[Byte](8, 0, 0, 0, 0)))
+      out.write(chunk("IDAT", Array[Byte](0x78, 0xBB.toByte, 1, 2, 3, 4, 0, 0)))
+      out.write(chunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+    assert(PngGray.decode(fdictPng) == Left("png_bad_idat"))
+    // and u32 dims whose Long product overflows must hit the cap, not
+    // slip into a negative allocation or a 4-billion-row unfilter loop
+    val overflowPng = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      val ff = Array.fill[Byte](4)(0xFF.toByte)
+      out.write(chunk("IHDR", ff ++ ff ++ Array[Byte](8, 0, 0, 0, 0)))
+      out.write(chunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+    assert(PngGray.decode(overflowPng) == Left("png_bad_dims"))
     val interlaced = {
       val ih = assemble(4, 4, 0, new Array[Byte](4 * 5))
       ih(28 + 8 - 8) = ih(28) // no-op; interlace byte is at offset 28
@@ -1426,9 +1452,10 @@ class ExtSpec extends SparkSpec {
     assert(badRows.forall(r => r.isNullAt(1) && !r.isNullAt(2)))
 
     // planted near-dup mining over the synthetic corpus: every id%20==1
-    // image is its predecessor's pattern +8 brightness + two pixel
-    // jitters — detected at the default radius through the REUSED Manku
-    // blocking; extras (if any) must still verify at the radius
+    // image is its predecessor's pattern +8 brightness + one pixel
+    // jitter (hamming ≤ 2 by construction) — detected at the default
+    // radius through the REUSED Manku blocking; extras (if any) must
+    // still verify at the radius
     val docs = spark.range(60).select($"id".as("doc_id"))
     val fps = Multimodal.imageFingerprints(Multimodal.syntheticImages(docs))
     assert(fps.filter($"error".isNotNull).count() == 0)
