@@ -186,10 +186,13 @@ object DedupScaleProbe {
     require((stagedDistinct == 0 && partitionedDistinct == 0) ||
         (!rawVolume && !plantedRecallCheck),
       "bounded-distinct modes run the full pairing; drop --rawVolume/--plantedRecall")
-    require(!survivors || (families("embedding") && !rawVolume &&
-        !plantedRecallCheck && !lawOnly &&
+    require(!survivors || (!rawVolume && !plantedRecallCheck && !lawOnly &&
         stagedDistinct == 0 && partitionedDistinct == 0),
-      "--survivors is its own embedding-family mode; drop the other posture modes")
+      "--survivors is its own mode; drop the other posture modes")
+    require(!survivors || families("embedding") ||
+        (survivorsThreshold == 0.98 && survivorsTablesPerPass == 0),
+      "--survivorsThreshold/--survivorsTablesPerPass tune the embedding " +
+        s"family's walk; add embedding to --families (got $families)")
     require(survivorsThreshold > 0.0 && survivorsThreshold < 1.0,
       s"--survivorsThreshold out of (0,1): $survivorsThreshold")
     require(survivorsTablesPerPass >= 0 && (survivorsTablesPerPass == 0 || survivors),
@@ -334,15 +337,61 @@ object DedupScaleProbe {
           f""""true_dups":${n / 20}$meta}""")
       }
       val mutMeta = if (mutDenom == 20) "" else s""","mut_denom":$mutDenom"""
-      if (families("minhash"))
-        run("minhash_lsh", buildJson(bandBuild), mutMeta, () =>
-          Dedup.bandCandidates(spark.read.parquet(s"$dir/bands$mutSuffix"), "doc_id"),
-          "doc_a", "doc_b")
-      if (families("simhash"))
-        run("simhash", buildJson(blockBuild), mutMeta, () =>
-          Dedup.simhashPairsFromBlocks(
-            spark.read.parquet(s"$dir/blocks$mutSuffix"), "doc_id"),
-          "doc_a", "doc_b")
+      // text-family SURVIVOR cells (--survivors with minhash/simhash in
+      // --families): the greedy-star assignment over the same cached
+      // relations the pairing cells read, reporting comparisons against
+      // the cell pair mass and the planted-dup detection — detection for
+      // simhash at the default ~5% churn is the family's MEASURED ~0.24
+      // (the r12 sweep), not a defect
+      def survivorsTextCell(fam: String, build: String,
+          cellCols: Seq[String], tablePath: String,
+          assign: (DataFrame, org.apache.spark.util.LongAccumulator) => DataFrame): Unit = {
+        val table = spark.read.parquet(tablePath)
+        val mass = table.groupBy(cellCols.map(col): _*)
+          .count()
+          .agg(sum(col("count") * (col("count") - lit(1L))).as("m2"))
+          .first().getLong(0) / 2
+        val cmp = spark.sparkContext.longAccumulator(s"${fam}_star_comparisons")
+        val t = timed {
+          val a = assign(table, cmp)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val surv = a.filter(col("dup_of").isNull).count()
+          val detected = a.filter(col("dup_of").isNotNull &&
+            pmod(col("doc_id"), lit(20)) === 1).count()
+          a.unpersist()
+          (surv, detected, cmp.value)
+        }
+        val (surv, detected, comparisons) = t._2
+        println(f"""{"check":"survivors","rows":$n,"family":"$fam",$build,""" +
+          f""""raw_pair_mass":$mass,"comparisons":$comparisons,""" +
+          f""""survivors":$surv,"eliminated":${n - surv},"detected":$detected,""" +
+          f""""true_dups":${n / 20},"wall_s":${t._1}%.3f$mutMeta}""")
+      }
+      if (families("minhash")) {
+        if (survivors)
+          survivorsTextCell("minhash", buildJson(bandBuild),
+            Seq("band", "bucket"), s"$dir/bands$mutSuffix",
+            (table, cmp) => Dedup.minhashAssignFromBands(table,
+              synthetic(n).select(col("doc_id"),
+                Dedup.shingleHashes(col("text"), 3).as("sh")),
+              threshold = 0.5, comparisons = Some(cmp)))
+        else
+          run("minhash_lsh", buildJson(bandBuild), mutMeta, () =>
+            Dedup.bandCandidates(spark.read.parquet(s"$dir/bands$mutSuffix"), "doc_id"),
+            "doc_a", "doc_b")
+      }
+      if (families("simhash")) {
+        if (survivors)
+          survivorsTextCell("simhash", buildJson(blockBuild),
+            Seq("bkey", "blk", "bits"), s"$dir/blocks$mutSuffix",
+            (table, cmp) => Dedup.simhashAssignFromBlocks(table,
+              comparisons = Some(cmp)))
+        else
+          run("simhash", buildJson(blockBuild), mutMeta, () =>
+            Dedup.simhashPairsFromBlocks(
+              spark.read.parquet(s"$dir/blocks$mutSuffix"), "doc_id"),
+            "doc_a", "doc_b")
+      }
       // RAW candidate volume Σ_cells C(|cell|,2): the exact pre-distinct
       // pair count the bucket self-join emits — the cost that actually
       // hits the shuffle at scale (the post-distinct `pairs` number is
