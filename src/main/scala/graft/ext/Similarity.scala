@@ -357,7 +357,11 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosinePre2(col("v_a"), col("v_b"), col("n2_a"), col("n2_b")), 6)
           .as("cosine_sim"))
-      .filter(col("cosine_sim") > threshold)
+      // Spark SQL orders NaN ABOVE every double, so a bare `> threshold`
+      // would pass NaN-element pairs that the survivor walk (roundedCosine
+      // → -Infinity, never a match) rejects — the NaN guard keeps the
+      // pinned pair-path/walk parity contract exact on hostile corpora
+      .filter(col("cosine_sim") > threshold && !isnan(col("cosine_sim")))
       .orderBy(desc("cosine_sim"), col("id_a"), col("id_b"))
   }
 
@@ -1217,7 +1221,11 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosinePre2(col("v_a"), col("v_b"), col("n2_a"), col("n2_b")), 6)
           .as("cosine_sim"))
-      .filter(col("cosine_sim") > threshold)
+      // NaN guard as in [[nearDupPairs]]: NaN sorts above every double in
+      // Spark SQL, so without it NaN-element pairs pass here while the
+      // walk's roundedCosine (NaN → -Infinity) rejects them — the parity
+      // the survivor specs pin would silently diverge on hostile corpora
+      .filter(col("cosine_sim") > threshold && !isnan(col("cosine_sim")))
       .orderBy(desc("cosine_sim"), col("id_a"), col("id_b"))
   }
 }

@@ -70,6 +70,14 @@ object ImageDHash {
   private[functions] def hashRow(payload: Array[Byte]): InternalRow =
     PngGray.decode(payload) match {
       case Left(e) => err(e)
+      // below the 9×8 sampling grid dHash is degenerate: integer-scaled
+      // cell assignment leaves trailing cells empty (cnt = 0), so their
+      // gradient bits are constant 0 and DISTINCT tiny images hash
+      // near-identically — an 8×8 icon corpus would near-dup-collapse
+      // silently. The decode itself stays valid (the codec has no grid);
+      // the HASH refuses, per-row, like every other unusable payload.
+      case Right(img) if img.width < 9 || img.height < 8 =>
+        err("image_too_small")
       case Right(img) => InternalRow(dHash64(img), null)
     }
 
@@ -156,6 +164,13 @@ private[graft] object PngGray {
     val interlace = u8(payload, 28)
     if (bitDepth != 8) return Left("png_unsupported_depth")
     if (colorType != 0 && colorType != 2) return Left("png_unsupported_color")
+    // RFC 2083 defines exactly one compression (0 = deflate) and one
+    // filter method (0 = adaptive 5-type); a payload declaring anything
+    // else would otherwise unfilter as method 0 and yield a
+    // wrong-but-plausible fingerprint instead of an error Left — the only
+    // unsupported-subset case the original decode silently mis-read
+    if (u8(payload, 26) != 0) return Left("png_unsupported_compression")
+    if (u8(payload, 27) != 0) return Left("png_unsupported_filter_method")
     if (interlace != 0) return Left("png_interlaced")
     val bpp = if (colorType == 0) 1 else 3
     // chunk walk: concatenate IDAT payloads
