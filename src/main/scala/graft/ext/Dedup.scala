@@ -356,35 +356,124 @@ object Dedup {
   /** The exploded Manku block table — the persistable form of the simhash
     * pairing's collision relation, for deployments that fix a radius and
     * re-pair many times (the [[minhashTable]]/[[bandCandidates]] split
-    * applied to simhash). One row per (doc, block) carrying: a SINGLE
-    * collision key `bkey = xxhash64(blk, bits)` (the block index hashed
-    * in, so cross-block bit patterns never collide on the key), the raw
-    * `blk`/`bits` for the residual exactness check, the signature for the
-    * verify tail, and `max_hamming` — the radius the blocking encodes,
-    * stamped into the table so a pairing run can never silently apply the
-    * wrong one. Publish with `Catalog.saveBucketed(…, "bkey", n)` and
-    * [[simhashPairsFromBlocks]] re-derives pairs with NO collision-key
-    * exchange (plan-pinned in ExtSpec). */
+    * applied to simhash). One row per (doc, block combination) carrying:
+    * a SINGLE collision key `bkey = xxhash64(blk, bits)` (the combination
+    * index hashed in, so cross-combination bit patterns never collide on
+    * the key), the raw `blk`/`bits` for the residual exactness check, the
+    * signature for the verify tail, and `max_hamming` — the radius the
+    * blocking encodes, stamped into the table so a pairing run can never
+    * silently apply the wrong one. Publish with
+    * `Catalog.saveBucketed(…, "bkey", n)` and [[simhashPairsFromBlocks]]
+    * re-derives pairs with NO collision-key exchange (plan-pinned in
+    * ExtSpec).
+    *
+    * `blocks` generalizes the split (Manku et al., WWW'07 §3, the full
+    * table construction): with B blocks and radius h, a pair within h
+    * differing bits agrees on ≥ B−h blocks, so it agrees VERBATIM on at
+    * least one of the C(B, B−h) (B−h)-block combinations — each
+    * combination becomes one collision table (one `blk` value), packing
+    * its blocks' bits into a single long key of ~64·(B−h)/B bits. More
+    * blocks ⇒ MORE key bits per table (B−h of B blocks instead of 1 of
+    * h+1) ⇒ geometrically fewer random collisions, at C(B, h) rows/doc of
+    * scan-side volume — the spend-scan-to-save-shuffle trade
+    * [[bandingParams]] makes, sized by [[simhashParams]]. The default
+    * `blocks = 0` means `maxHamming + 1` — the single-block-key split,
+    * BIT-IDENTICAL rows to what this method always emitted (each
+    * combination is then exactly one block; pinned by q72/q82 staying
+    * hash-green). */
   def simhashBlockTable(sigs: DataFrame, idCol: String = "doc_id",
-      sigCol: String = "simhash", maxHamming: Int = 3): DataFrame = {
+      sigCol: String = "simhash", maxHamming: Int = 3, blocks: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (blocks need >= 4 bits to prune), got $maxHamming")
-    val blocks = maxHamming + 1
-    val width = 64 / blocks
-    val blockStructs = (0 until blocks).map { i =>
+    val b = if (blocks == 0) maxHamming + 1 else blocks
+    require(b >= maxHamming + 1 && b <= 32,
+      s"blocks must be in [maxHamming + 1, 32] (pigeonhole needs blocks > " +
+        s"maxHamming; width needs >= 2 bits), got $b for maxHamming=$maxHamming")
+    val width = 64 / b
+    val pick = b - maxHamming
+    // lexicographic combination order: for b == maxHamming + 1 each
+    // combination is the single block {i} at index i — the legacy rows
+    val combos = (0 until b).combinations(pick).toSeq
+    require(combos.size <= 512,
+      s"C($b, $maxHamming) = ${combos.size} combination tables exceed the " +
+        "512 rows/doc sanity cap — size with simhashParams instead")
+    def blockBits(i: Int): (Column, Int) = {
       val start = i * width
-      val len = if (i == blocks - 1) 64 - start else width // last absorbs the remainder
+      val len = if (i == b - 1) 64 - start else width // last absorbs the remainder
       val bits =
         if (len == 64) col("sh")
         else shiftrightunsigned(col("sh"), start).bitwiseAND(lit((1L << len) - 1L))
-      struct(lit(i).as("blk"), bits.as("bits"))
+      (bits, len)
+    }
+    val comboStructs = combos.zipWithIndex.map { case (set, ci) =>
+      // pack the chosen blocks into one long, ascending block order
+      // (total width ≤ 64 by construction); key equality ⇔ every chosen
+      // block equal. Single-block combos reduce to the bare block value —
+      // the legacy expression tree, bit for bit.
+      val packed = set.map(blockBits).reduceLeft[(Column, Int)] {
+        case ((acc, accLen), (bits, len)) =>
+          (shiftleft(acc, len).bitwiseOR(bits), accLen + len)
+      }._1
+      struct(lit(ci).as("blk"), packed.as("bits"))
     }
     sigs.select(col(idCol), col(sigCol).as("sh"))
-      .select(col(idCol), col("sh"), explode(array(blockStructs: _*)).as("bb"))
+      .select(col(idCol), col("sh"), explode(array(comboStructs: _*)).as("bb"))
       .select(col(idCol), col("sh"),
         xxhash64(col("bb.blk"), col("bb.bits")).as("bkey"),
         col("bb.blk").as("blk"), col("bb.bits").as("bits"),
         lit(maxHamming).as("max_hamming"))
+  }
+
+  /** (blocks, tables) sized to the corpus — the [[bandingParams]] /
+    * [[graft.ext.Similarity.lshParams]] pattern applied to the third
+    * family, closing the one scale lever the fixed `maxHamming + 1` split
+    * left open: at 4 blocks of 16 bits, random block-key collisions grow
+    * ~n²/2¹⁶ (~1.5×10¹¹ popcounts at 100M docs). With B blocks each
+    * collision table keys on B−maxHamming of them (~64·(B−h)/B bits), so
+    * expected popcount mass is C(B, h) · n²/2^(K+1) with K the WORST-CASE
+    * (fewest-bit) combination width — every extra block multiplies tables
+    * polynomially (~B^h) but shrinks collisions geometrically (2^{~64h/B²}
+    * per step), the same economics as LSH depth. Chooses the SMALLEST B
+    * whose expected mass stays ≤ `targetMassPerDoc` per document (linear
+    * total, the scale invariant), within `maxTables` rows/doc of scan-side
+    * volume; when no B clears the bar the feasible mass-minimizer is
+    * returned (best effort, like the LSH table cap binding). The
+    * zero-false-negative pigeonhole guarantee holds at EVERY B >
+    * maxHamming — sizing moves cost, never recall (ExtSpec pins blocked
+    * pairs == exhaustive popcount pairs at auto params).
+    *
+    * Returns (blocks, tables) with tables = C(blocks, maxHamming) — pass
+    * `blocks` to [[simhashBlockTable]]. */
+  def simhashParams(n: Long, maxHamming: Int = 3, maxTables: Int = 64,
+      targetMassPerDoc: Double = 8.0): (Int, Int) = {
+    require(n >= 0, s"negative corpus size: $n")
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    require(maxTables >= 1 && targetMassPerDoc > 0,
+      s"maxTables >= 1 and targetMassPerDoc > 0 required, " +
+        s"got $maxTables / $targetMassPerDoc")
+    def tables(b: Int): Long = {
+      var t = BigInt(1)
+      for (i <- 0 until maxHamming) t = t * (b - i) / (i + 1)
+      if (t > Long.MaxValue) Long.MaxValue else t.toLong
+    }
+    // worst-case key width: the remainder-absorbing last block is the
+    // widest, so the fewest-bit combination excludes it whenever it can
+    def minKeyBits(b: Int): Int = {
+      val width = 64 / b
+      val pick = b - maxHamming
+      if (pick <= b - 1) pick * width else 64 // pick == b ⇔ h == 0: whole signature
+    }
+    def massPerDoc(b: Int): Double =
+      tables(b).toDouble * n.toDouble / math.pow(2.0, minKeyBits(b) + 1)
+    val feasible = (maxHamming + 1 to 32).filter(b => tables(b) <= maxTables)
+    // a cap below even the minimal split's h+1 tables leaves nothing
+    // feasible — the minimal split is then the only honest answer
+    val b =
+      if (feasible.isEmpty) maxHamming + 1
+      else feasible.find(b => massPerDoc(b) <= targetMassPerDoc)
+        .getOrElse(feasible.minBy(massPerDoc))
+    (b, tables(b).toInt)
   }
 
   /** Pairing over an (id, sh, bkey, blk, bits, max_hamming) block table
@@ -674,11 +763,15 @@ object Dedup {
     * tables) when the family is embedding LSH (sized by the corpus's OWN
     * sampled non-uniformity law), and which mining mode keeps the one
     * scratch-sensitive shuffle (the candidate distinct) inside the
-    * caller's budget. `partitions == 1` ⇔ `miningMode == "one_shot"`. */
+    * caller's budget. `partitions == 1` ⇔ `miningMode == "one_shot"`.
+    * `budgetSatisfied` is false ONLY when the modeled P was clamped at
+    * `maxPartitions` — the per-pass peak (~rawGb/P) then still EXCEEDS
+    * `scratchBudgetGb`, and a caller trusting the budget must raise the
+    * cap or the budget rather than read "partitioned" as "fits". */
   final case class DedupPlan(family: String, entryPoint: String,
       expectedDetection: Double, rationale: String,
       lshConfig: Option[(Int, Int)], miningMode: String, partitions: Int,
-      estRawPairs: Double, estRawGb: Double)
+      estRawPairs: Double, estRawGb: Double, budgetSatisfied: Boolean = true)
 
   /** Modeled shuffle bytes per raw candidate pair: two 8-byte ids plus
     * the measured shuffle-machinery overhead (the r12 16M DNF carried
@@ -722,17 +815,26 @@ object Dedup {
       val rawPairs = tables.toDouble * law.weight(planes) *
         n.toDouble * n.toDouble / math.pow(2.0, planes + 1)
       val rawGb = rawPairs * BytesPerRawPair / 1e9
-      val p =
+      val pWanted =
         if (scratchBudgetGb <= 0.0 || rawGb <= scratchBudgetGb) 1
-        else math.min(maxPartitions, math.ceil(rawGb / scratchBudgetGb).toInt)
+        else math.ceil(rawGb / scratchBudgetGb).toInt
+      val p = math.min(maxPartitions, pWanted)
+      // a clamped P is NOT budget-respecting: per-pass peak ~rawGb/P still
+      // exceeds the budget — say so instead of letting "partitioned" read
+      // as "fits" (the silent-clamp trap the r14 advice named)
+      val satisfied = p == pWanted
       DedupPlan("embedding_lsh",
         if (p == 1)
           "Similarity.lshTable + lshCandidatesFromTable (+ exact-cosine rerank)"
         else
           s"Similarity.lshTable + lshCandidatesPartitioned(P=$p) (+ exact-cosine rerank)",
-        rec.expectedDetection, rec.rationale,
+        rec.expectedDetection,
+        if (satisfied) rec.rationale
+        else rec.rationale + f" | WARNING: P clamped at maxPartitions=$maxPartitions " +
+          f"(budget wanted P=$pWanted); per-pass peak ~${rawGb / p}%.1f GB exceeds " +
+          f"the $scratchBudgetGb%.1f GB scratch budget",
         Some((planes, tables)), if (p == 1) "one_shot" else "partitioned", p,
-        rawPairs, rawGb)
+        rawPairs, rawGb, budgetSatisfied = satisfied)
     }
   }
 }

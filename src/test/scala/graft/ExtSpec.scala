@@ -1268,6 +1268,14 @@ class ExtSpec extends SparkSpec {
       val p2 = Dedup.plan(emb, mutationTolerance = 0.2,
         scratchBudgetGb = p0.estRawGb * 2)
       assert(p2.miningMode == "one_shot" && p2.partitions == 1)
+      // un-clamped plans report the budget satisfied; a P clamped at
+      // maxPartitions must SAY the scratch budget is not met (r14 advice:
+      // the silent clamp read as a budget-respecting plan)
+      assert(p0.budgetSatisfied && p1.budgetSatisfied && p2.budgetSatisfied)
+      val clamped = Dedup.plan(emb, mutationTolerance = 0.2,
+        scratchBudgetGb = tight, maxPartitions = 2)
+      assert(clamped.partitions == 2 && !clamped.budgetSatisfied &&
+        clamped.rationale.contains("clamped"), clamped.toString)
       // the same economics the sizer trusts: the modeled raw volume uses
       // the sampled law's weight at the planned depth
       val law = Similarity.measureNonUniformityLaw(emb, n)
@@ -1472,6 +1480,131 @@ class ExtSpec extends SparkSpec {
     pairs.foreach { case (a, b, hm) =>
       assert(ham(fpMap(a), fpMap(b)) == hm, s"hamming drifted for ($a,$b)")
     }
+  }
+
+  test("r14 advice hardening: tiny-image refusal, IHDR method bytes, NaN cosine") {
+    import graft.functions.{ImageDHash, PngGray}
+    // sub-9x8 images hash degenerately (trailing box cells empty → their
+    // gradient bits constant 0): the HASH refuses per-row while the codec
+    // still decodes — an 8x8 icon corpus errors loudly instead of
+    // near-dup-collapsing silently
+    val tiny = PngGray.encodeGray(8, 8, Array.fill[Byte](64)(7))
+    assert(PngGray.decode(tiny).isRight) // codec: still a valid PNG
+    val r = Seq((1L, tiny)).toDF("media_id", "payload")
+      .select(ImageDHash($"payload").as("f")).select($"f.dhash", $"f.error").first()
+    assert(r.isNullAt(0) && r.getString(1) == "image_too_small")
+    // 9x8 is the smallest hashable grid — exactly at the bound succeeds
+    val atBound = PngGray.encodeGray(9, 8,
+      Array.tabulate[Byte](72)(i => (i * 3).toByte))
+    val r2 = Seq((1L, atBound)).toDF("media_id", "payload")
+      .select(ImageDHash($"payload").as("f")).select($"f.dhash", $"f.error").first()
+    assert(!r2.isNullAt(0) && r2.isNullAt(1))
+
+    // nonzero IHDR compression/filter-method bytes are an error Left,
+    // never a wrong-but-plausible method-0 unfilter
+    def withMethodByte(offset: Int, v: Byte): Array[Byte] = {
+      val png = PngGray.encodeGray(16, 16, Array.fill[Byte](256)(9))
+      // patching IHDR invalidates its CRC — the decoder ignores chunk
+      // CRCs by design (content hash is the integrity story), so the
+      // patched byte is what it sees
+      png(offset) = v
+      png
+    }
+    assert(PngGray.decode(withMethodByte(26, 1)) ==
+      Left("png_unsupported_compression"))
+    assert(PngGray.decode(withMethodByte(27, 1)) ==
+      Left("png_unsupported_filter_method"))
+
+    // NaN-element embeddings: Spark SQL sorts NaN above every double, so
+    // an unguarded `cosine_sim > t` passes NaN pairs that the survivor
+    // walk rejects (roundedCosine → -Infinity). Both pair paths must
+    // reject them — the pinned pair/walk parity contract.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),               // exact dup of 1
+      (3L, Array(Float.NaN, 0.5f)),          // hostile: NaN element
+      (4L, Array(Float.NaN, 0.5f))).toDF("vec_id", "embedding")
+    val brute = Similarity.nearDupPairs(emb, 0.9).collect()
+    assert(brute.map(row => (row.getLong(0), row.getLong(1))).toSet == Set((1L, 2L)),
+      brute.mkString(","))
+    val lsh = Similarity.nearDupPairsLsh(emb, 0.9, nPlanes = 2, nTables = 4)
+      .collect()
+    assert(lsh.map(row => (row.getLong(0), row.getLong(1))).toSet == Set((1L, 2L)),
+      lsh.mkString(","))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("simhashParams: combination blocking stays pigeonhole-exact at auto sizes") {
+    import graft.ext.Dedup
+    // the sizing law: growing corpora deepen the split (more blocks =
+    // more key bits per table = geometrically fewer random collisions),
+    // tables grow only polynomially and stay under the cap
+    assert(Dedup.simhashParams(10000L) == ((4, 4)))            // legacy split
+    assert(Dedup.simhashParams(16L * 1000 * 1000) == ((5, 10)))
+    assert(Dedup.simhashParams(100L * 1000 * 1000) == ((6, 20)))
+    assert(Dedup.simhashParams(50L * 1000 * 1000 * 1000) == ((8, 56)))
+    // the modeled mass the chooser enforces: C(B,h)·n/2^(K+1) ≤ 8/doc at
+    // the chosen B (spot-check the 100M row: 20·1e8/2³¹ ≈ 0.93)
+    assert(20.0 * 1e8 / math.pow(2, 31) <= 8.0)
+    // a table cap below even the minimal split falls back to h+1
+    assert(Dedup.simhashParams(1000L, maxHamming = 3, maxTables = 2)._1 == 4)
+    // h = 0 keeps one table (the whole signature is the key)
+    assert(Dedup.simhashParams(1L << 40, maxHamming = 0) == ((1, 1)))
+
+    // zero false negatives at a DEEPENED split: planted pairs at every
+    // hamming distance 0..3 plus random fillers — blocked pairs must
+    // EQUAL the exhaustive popcount pairs (the pigeonhole guarantee is
+    // radius-exact, and the verify filter kills every false positive)
+    val rnd = new scala.util.Random(11)
+    val bases = Array.fill(40)(rnd.nextLong())
+    val planted = bases.zipWithIndex.map { case (sig, i) =>
+      var twin = sig
+      val d = i % 4 // hamming 0, 1, 2, 3
+      val flipped = scala.collection.mutable.Set.empty[Int]
+      while (flipped.size < d) flipped += rnd.nextInt(64)
+      flipped.foreach(bit => twin ^= 1L << bit)
+      (1000L + i, twin)
+    }
+    val fillers = Array.fill(120)(rnd.nextLong()).zipWithIndex
+      .map { case (sig, i) => (2000L + i, sig) }
+    val sigs = (bases.zipWithIndex.map { case (s, i) => (i.toLong, s) } ++
+      planted ++ fillers).toSeq.toDF("doc_id", "simhash")
+    val exhaustive = {
+      val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      (for {
+        (ia, sa) <- all; (ib, sb) <- all
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+      } yield (ia, ib)).toSet
+    }
+    assert(exhaustive.size >= 40, s"fixture degenerated: ${exhaustive.size}")
+    val (blocks, tables) = Dedup.simhashParams(50L * 1000 * 1000 * 1000)
+    assert(blocks > 4) // genuinely exercises the combination path
+    val deep = Dedup.simhashPairsFromBlocks(
+      Dedup.simhashBlockTable(sigs, "doc_id", "simhash", maxHamming = 3,
+        blocks = blocks), cache = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(deep == exhaustive,
+      s"deep split missed ${exhaustive -- deep}, invented ${deep -- exhaustive}")
+    // the table emits exactly C(blocks, h) rows per doc
+    val rowsPerDoc = Dedup.simhashBlockTable(sigs, "doc_id", "simhash",
+      maxHamming = 3, blocks = blocks).groupBy("doc_id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSeq
+    assert(rowsPerDoc == Seq(tables), rowsPerDoc.toString)
+    // and the survivor walk over the deepened table stays sound + complete
+    // on clique structure: every elimination is a genuine radius pair
+    // toward a smaller id
+    val assign = Dedup.simhashAssignFromBlocks(
+      Dedup.simhashBlockTable(sigs, "doc_id", "simhash", maxHamming = 3,
+        blocks = blocks))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assign.foreach { case (id, dupOf) =>
+      dupOf.foreach { d =>
+        assert(d < id &&
+          java.lang.Long.bitCount(sigMap(id) ^ sigMap(d)) <= 3, s"unsound: $id -> $d")
+      }
+    }
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("HashCorpusNonUniformity pins the r12 measured depth law and its clamps") {
