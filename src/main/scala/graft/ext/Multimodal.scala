@@ -297,6 +297,32 @@ object Multimodal {
       .withColumnRenamed("doc_a", "media_a")
       .withColumnRenamed("doc_b", "media_b")
 
+  /** Survivor-oriented image dedup — the greedy star over Manku block
+    * cells ([[Dedup.simhashAssignFromBlocks]], reused verbatim: hamming
+    * over dHash bits is the same algebra as over token-vote simhash
+    * bits), completing the survivor matrix's fourth family. Returns ALL
+    * fingerprint rows as (media_id, dup_of): null ⇒ survivor. Undecodable
+    * images (null dhash) survive by definition — they have no content to
+    * match, mirroring [[imageNearDups]] dropping them from pairing.
+    * `blocks` deepens the split per [[Dedup.simhashParams]] at corpus
+    * scale (0 = the legacy `maxHamming + 1` split). Same soundness
+    * contract as every survivor family — eliminations are genuine
+    * radius pairs toward a smaller id, component minima always survive —
+    * ExtSpec-pinned against [[imageNearDups]]' closure and q84-oracled
+    * over persisted fingerprints. */
+  def imageAssign(fingerprints: DataFrame, maxHamming: Int = 3,
+      maxRepsPerCell: Int = 4096, blocks: Int = 0): DataFrame = {
+    TableShapes.requireColumns(fingerprints, Seq("media_id", "dhash"),
+      "imageAssign", "build it with Multimodal.imageFingerprints(media)")
+    val assigned = Dedup.simhashAssignFromBlocks(
+      Dedup.simhashBlockTable(
+        fingerprints.filter(col("dhash").isNotNull),
+        "media_id", "dhash", maxHamming, blocks),
+      "media_id", maxRepsPerCell)
+    fingerprints.select(col("media_id"))
+      .join(assigned, Seq("media_id"), "left_outer")
+  }
+
   /** Frame/segment sampling stub: slices the payload into `every`-byte
     * strides, keeping the first `frameLen` bytes of each stride — the same
     * row-explode shape a real video frame sampler has (one row per frame,

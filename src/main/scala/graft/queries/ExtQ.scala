@@ -1607,7 +1607,51 @@ object ExtQ {
             AND a.dup_of < a.doc_id AS sound
         FROM a JOIN sh m ON m.doc_id = a.doc_id
                JOIN sh r ON r.doc_id = a.dup_of
-        ORDER BY a.doc_id"""))
+        ORDER BY a.doc_id""")),
+
+    // The fourth survivor family (images): greedy star over Manku block
+    // cells of persisted dHash fingerprints — q82's proof shape on q80's
+    // artifact: both engines recompute every elimination's hamming from
+    // the SAME persisted fingerprints; `sound` all-true in the hashed
+    // output is the cross-engine proof that no unsound elimination
+    // exists. (Planted structure: id%20==1 images are their
+    // predecessor's pattern at hamming ≤ 2, so eliminations are
+    // deterministic twin→original edges.)
+    "q84_image_survivors_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.imageFingerprints(
+            Multimodal.syntheticImages(t(s, dir, "documents"))),
+          "media.q84_fps")
+        val fps = cat.load("media.q84_fps")
+        cat.save(Multimodal.imageAssign(fps, maxHamming = 3),
+          "media.q84_assign")
+        cat.load("media.q84_assign")
+          .filter(col("dup_of").isNotNull)
+          .join(fps.select(col("media_id"), col("dhash").as("dh_m")), "media_id")
+          .join(fps.select(col("media_id").as("dup_of"), col("dhash").as("dh_r")),
+            "dup_of")
+          .select(col("media_id"), col("dup_of"),
+            Dedup.hamming(col("dh_m"), col("dh_r")).cast("long").as("hamming"))
+          .withColumn("sound", col("hamming") <= 3 && col("dup_of") < col("media_id"))
+          .orderBy("media_id")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT media_id, dhash
+          FROM read_parquet('$AnnOracleRoot/media/q84_fps/*.parquet')),
+        a AS (
+          SELECT media_id, dup_of
+          FROM read_parquet('$AnnOracleRoot/media/q84_assign/*.parquet')
+          WHERE dup_of IS NOT NULL)
+        SELECT a.media_id, a.dup_of,
+          CAST(bit_count(xor(m.dhash, r.dhash)) AS BIGINT) AS hamming,
+          bit_count(xor(m.dhash, r.dhash)) <= 3
+            AND a.dup_of < a.media_id AS sound
+        FROM a JOIN f m ON m.media_id = a.media_id
+               JOIN f r ON r.media_id = a.dup_of
+        ORDER BY a.media_id"""))
   )
 
   /** Root for the persisted ANN search artifacts (q68-q70), keyed by the
