@@ -660,14 +660,15 @@ object Dedup {
 
   /** [[simhashAssignFromBlocks]] from raw documents — signature + block
     * table derived inline (the [[simhashPairs]] convenience applied to
-    * the survivor form). */
+    * the survivor form). `blocks` deepens the split per [[simhashParams]]
+    * (0 = the legacy `maxHamming + 1` split). */
   def simhashAssign(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
-      maxRepsPerCell: Int = 4096): DataFrame =
+      maxRepsPerCell: Int = 4096, blocks: Int = 0): DataFrame =
     simhashAssignFromBlocks(
       simhashBlockTable(
         docs.select(col(idCol), simhash(col(textCol)).as("simhash")),
-        idCol, "simhash", maxHamming),
+        idCol, "simhash", maxHamming, blocks),
       idCol, maxRepsPerCell)
 
   /** A dedup-family recommendation: which collision relation to run, with
@@ -771,7 +772,8 @@ object Dedup {
   final case class DedupPlan(family: String, entryPoint: String,
       expectedDetection: Double, rationale: String,
       lshConfig: Option[(Int, Int)], miningMode: String, partitions: Int,
-      estRawPairs: Double, estRawGb: Double, budgetSatisfied: Boolean = true)
+      estRawPairs: Double, estRawGb: Double, budgetSatisfied: Boolean = true,
+      threshold: Double = 0.98)
 
   /** Modeled shuffle bytes per raw candidate pair: two 8-byte ids plus
     * the measured shuffle-machinery overhead (the r12 16M DNF carried
@@ -806,7 +808,7 @@ object Dedup {
     val rec = recommendFamily(mutationTolerance, minDetection, hasEmbeddings)
     if (rec.family != "embedding_lsh")
       DedupPlan(rec.family, rec.entryPoint, rec.expectedDetection, rec.rationale,
-        None, "one_shot", 1, 0.0, 0.0)
+        None, "one_shot", 1, 0.0, 0.0, budgetSatisfied = true, threshold)
     else {
       val n = emb.count()
       val law = Similarity.measureNonUniformityLaw(emb, n, vecCol = vecCol)
@@ -834,7 +836,74 @@ object Dedup {
           f"(budget wanted P=$pWanted); per-pass peak ~${rawGb / p}%.1f GB exceeds " +
           f"the $scratchBudgetGb%.1f GB scratch budget",
         Some((planes, tables)), if (p == 1) "one_shot" else "partitioned", p,
-        rawPairs, rawGb, budgetSatisfied = satisfied)
+        rawPairs, rawGb, budgetSatisfied = satisfied, threshold = threshold)
     }
   }
+
+  /** EXECUTE a [[DedupPlan]] into a survivor assignment — the call a
+    * 100 TB user actually makes after [[plan]]: (idCol, `dup_of`) over
+    * every input row, null ⇒ survivor, dispatching the family and mining
+    * mode the plan chose so the measured pieces compose behind one entry
+    * point (each family's semantics are exactly its direct call,
+    * ExtSpec-pinned):
+    *
+    *  - `exact` → min-id-per-digest assignment (the [[dropExactDuplicates]]
+    *    survivor set as an assignment relation; one 32-char-keyed shuffle).
+    *  - `simhash` → [[simhashAssign]] at the production radius, with the
+    *    split auto-deepened by [[simhashParams]] from the corpus size —
+    *    the plan's one family whose sizing happens at RUN time (the
+    *    collision economics depend only on n, no sampling needed).
+    *  - `minhash` → [[minhashAssign]] at the production (k=32, b=8) the
+    *    detection sweep measured, verifying at `jaccardThreshold`.
+    *  - `embedding_lsh` one-shot → [[Similarity.nearDupAssignFromTable]]
+    *    over [[Similarity.lshTable]] at the plan's sized (planes, tables)
+    *    and stamped threshold.
+    *  - `embedding_lsh` partitioned → [[Similarity.nearDupAssignGrouped]]
+    *    with tablesPerPass = ⌈tables/P⌉, so the walk's one scale-sensitive
+    *    shuffle runs in the plan's P budget-bounded passes (`scratchDir`
+    *    REQUIRED; pass-file lifecycle is the caller's, the
+    *    lshCandidatesPartitioned contract).
+    *
+    * `data` must carry `textCol` for the text families / `vecCol` for the
+    * embedding family; the text knobs (`jaccardThreshold`, `maxHamming`)
+    * are run-time inputs because [[plan]] sizes only the embedding tier —
+    * the text families' production configs are constants the detection
+    * sweep measured. */
+  def runPlan(p: DedupPlan, data: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", vecCol: String = "embedding",
+      jaccardThreshold: Double = 0.5, maxHamming: Int = 3,
+      scratchDir: String = "", maxRepsPerCell: Int = 4096): DataFrame =
+    p.family match {
+      case "exact" =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col(textCol).cast("binary")))
+        data
+          .select(col(idCol), min(col(idCol)).over(w).as("__keeper"))
+          .select(col(idCol),
+            when(col(idCol) === col("__keeper"), lit(null).cast("long"))
+              .otherwise(col("__keeper")).as("dup_of"))
+      case "simhash" =>
+        val (blocks, _) = simhashParams(data.count(), maxHamming)
+        simhashAssign(data, textCol, idCol, maxHamming, maxRepsPerCell, blocks)
+      case "minhash" =>
+        minhashAssign(data, textCol, idCol, shingleN = 3, k = 32, bands = 8,
+          jaccardThreshold, maxRepsPerCell)
+      case "embedding_lsh" =>
+        val (planes, tables) = p.lshConfig.getOrElse(throw new IllegalArgumentException(
+          "embedding_lsh plan carries no lshConfig — build plans with Dedup.plan"))
+        val bucketTable = Similarity.lshTable(data, planes, tables, idCol, vecCol)
+        if (p.miningMode == "one_shot")
+          Similarity.nearDupAssignFromTable(bucketTable, data, p.threshold,
+            idCol, vecCol, maxRepsPerCell)
+        else {
+          require(scratchDir.nonEmpty,
+            "partitioned embedding mining needs a scratchDir (pass files; " +
+              "caller-owned lifecycle)")
+          val perPass = math.max(1, math.ceil(tables.toDouble / p.partitions).toInt)
+          Similarity.nearDupAssignGrouped(bucketTable, data, p.threshold,
+            scratchDir, idCol, vecCol, maxRepsPerCell, perPass)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown plan family '$other' — runPlan executes plans built by Dedup.plan")
+    }
 }

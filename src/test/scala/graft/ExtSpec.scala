@@ -1286,6 +1286,78 @@ class ExtSpec extends SparkSpec {
     } finally { emb.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
+  test("runPlan executes every family's plan to the direct call's assignment") {
+    import graft.ext.Dedup
+    // text corpora: exact-dup cliques plus a light edit, the survivor
+    // fixtures' standard shape
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog near the old barn today",
+      "completely different content about spark query engines and shuffles",
+      "weather report says heavy rain tomorrow across the coastal region")
+      .zipWithIndex.flatMap { case (t, g) =>
+        Seq((g * 10L, t), (g * 10L + 1, t), (g * 10L + 2, t + " appended"))
+      }.toDF("doc_id", "text")
+    def assignSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+
+    // exact family: survivors equal dropExactDuplicates, eliminations
+    // point at the digest group's min id
+    val exactPlan = Dedup.plan(docs, mutationTolerance = 0.001,
+      hasEmbeddings = false)
+    assert(exactPlan.family == "exact")
+    val exactAssign = assignSet(Dedup.runPlan(exactPlan, docs))
+    val exactSurvivors = exactAssign.collect { case (id, None) => id }
+    assert(exactSurvivors ==
+      Dedup.dropExactDuplicates(docs).select("doc_id").collect()
+        .map(_.getLong(0)).toSet)
+    assert(exactAssign.collect { case (id, Some(d)) => (id, d) } ==
+      Set((1L, 0L), (11L, 10L), (21L, 20L)))
+
+    // simhash family: exactly simhashAssign at the auto-deepened split
+    val shPlan = Dedup.plan(docs, mutationTolerance = 0.01, minDetection = 0.7,
+      hasEmbeddings = false)
+    assert(shPlan.family == "simhash")
+    val (autoBlocks, _) = Dedup.simhashParams(docs.count())
+    assert(assignSet(Dedup.runPlan(shPlan, docs)) ==
+      assignSet(Dedup.simhashAssign(docs, blocks = autoBlocks)))
+
+    // minhash family: exactly minhashAssign at the production config
+    val mhPlan = Dedup.plan(docs, mutationTolerance = 0.02, minDetection = 0.9,
+      hasEmbeddings = false)
+    assert(mhPlan.family == "minhash")
+    assert(assignSet(Dedup.runPlan(mhPlan, docs, jaccardThreshold = 0.3)) ==
+      assignSet(Dedup.minhashAssign(docs, threshold = 0.3)))
+
+    // embedding family, both mining modes, on the clustered corpus: the
+    // plan's sized config executed verbatim; partitioned passes land the
+    // identical assignment (grouped == one-shot is the standing pin)
+    val emb = graft.tools.DedupScaleProbe.syntheticClusteredVecCorpus(spark, 5000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p0 = Dedup.plan(emb, mutationTolerance = 0.2, scratchBudgetGb = 0.0)
+      assert(p0.family == "embedding_lsh" && p0.miningMode == "one_shot")
+      val (planes, tables) = p0.lshConfig.get
+      val direct = assignSet(Similarity.nearDupAssignFromTable(
+        Similarity.lshTable(emb, planes, tables), emb, p0.threshold))
+      assert(assignSet(Dedup.runPlan(p0, emb, idCol = "vec_id")) == direct)
+      val pPart = Dedup.plan(emb, mutationTolerance = 0.2,
+        scratchBudgetGb = p0.estRawGb / 2.5)
+      assert(pPart.miningMode == "partitioned" && pPart.partitions > 1)
+      val scratch = java.nio.file.Files
+        .createTempDirectory("runplan_scratch").toString
+      try
+        assert(assignSet(Dedup.runPlan(pPart, emb, idCol = "vec_id",
+          scratchDir = scratch)) == direct)
+      finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(scratch))
+      // the partitioned mode without a scratchDir refuses loudly
+      intercept[IllegalArgumentException] {
+        Dedup.runPlan(pPart, emb, idCol = "vec_id")
+      }
+    } finally { emb.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("recommendFamily encodes the r12 detection-vs-mutation sweep") {
     import graft.ext.Dedup
     // the sweep's own points come back exactly (no interpolation distortion)
@@ -1532,6 +1604,51 @@ class ExtSpec extends SparkSpec {
     assert(lsh.map(row => (row.getLong(0), row.getLong(1))).toSet == Set((1L, 2L)),
       lsh.mkString(","))
     spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("imageAssign survivors equal the dHash radius closure, never unsound") {
+    // the synthetic corpus plants hamming ≤ 2 twins at id%20==1; ground
+    // truth is min-id-per-component of imageNearDups' pair path (itself
+    // q80-oracle-proven zero-false-negative) — the fourth survivor family
+    // must close over exactly the same relation
+    val docs = spark.range(60).select($"id".as("doc_id"))
+    val fps = Multimodal.imageFingerprints(Multimodal.syntheticImages(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = Multimodal.imageNearDups(fps, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.nonEmpty)
+      val ids = fps.select("media_id").collect().map(_.getLong(0)).toSeq
+      val truth = closureSurvivors(ids, pairs)
+      val assign = Multimodal.imageAssign(fps, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(assign.length == ids.size)
+      val survivors = assign.collect { case (id, None) => id }.toSet
+      assert(survivors == truth,
+        s"image survivors diverged: missing ${truth -- survivors}, " +
+          s"extra ${survivors -- truth}")
+      // soundness: every elimination is a genuine perceptual radius pair
+      assign.foreach {
+        case (id, Some(d)) => assert(d < id && pairs.contains((d, id)),
+          s"($id -> $d) is not a genuine dHash radius pair")
+        case _ =>
+      }
+      // undecodable rows survive by definition (no content to match)
+      val withBad = fps.unionByName(
+        Seq((999L, null.asInstanceOf[java.lang.Long], "not_png"))
+          .toDF("media_id", "dhash", "error")
+          .select($"media_id", $"dhash".cast("long").as("dhash"), $"error"))
+      val badRow = Multimodal.imageAssign(withBad, maxHamming = 3)
+        .filter($"media_id" === 999L).collect()
+      assert(badRow.length == 1 && badRow.head.isNullAt(1))
+      // a deepened split (simhashParams blocks) finds the identical
+      // survivor set — sizing moves cost, never recall
+      val (blocks, _) = graft.ext.Dedup.simhashParams(50L * 1000 * 1000 * 1000)
+      val deepSurvivors = Multimodal.imageAssign(fps, maxHamming = 3,
+        blocks = blocks)
+        .filter($"dup_of".isNull).collect().map(_.getLong(0)).toSet
+      assert(deepSurvivors == survivors)
+    } finally { fps.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
   test("simhashParams: combination blocking stays pigeonhole-exact at auto sizes") {
