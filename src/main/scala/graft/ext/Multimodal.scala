@@ -226,7 +226,17 @@ object Multimodal {
           val j1 = (java.lang.Math.floorMod(id * 31L, (w * h).toLong)).toInt
           pix(j1) = ((pix(j1) & 0xff) ^ 0x14).toByte
         }
-        Row(id, graft.functions.PngGray.encodeGray(w, h, pix))
+        // every third image is PALETTE-encoded (color type 3) with the
+        // identity-gray PLTE — decode is pixel-exact either way (the
+        // BT.601 weights sum to 256), so every planted-pair invariant
+        // holds verbatim while the driver gate exercises the palette
+        // decode path on a third of the corpus
+        val png =
+          if (java.lang.Math.floorMod(id, 3L) == 2L)
+            graft.functions.PngGray.encodePalette(w, h,
+              graft.functions.PngGray.identityGrayPalette, pix)
+          else graft.functions.PngGray.encodeGray(w, h, pix)
+        Row(id, png)
       }
     }
     spark.createDataFrame(rdd, imageSchema)

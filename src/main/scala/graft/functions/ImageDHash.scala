@@ -19,14 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The decode is REAL, not a stub: a constrained decoder for the PNG
   * subset the synthetic fixture corpus emits and a real pipeline's
-  * thumbnail tier commonly uses — 8-bit, color types 0 (grayscale) and 2
-  * (truecolor RGB), non-interlaced — implemented from the public spec
+  * thumbnail tier commonly uses — 8-bit, color types 0 (grayscale),
+  * 2 (truecolor RGB), and 3 (palette, the most common thumbnail
+  * encoding), non-interlaced — implemented from the public spec
   * (RFC 2083): chunk walk, zlib-inflate of the concatenated IDAT stream
   * (`java.util.zip.Inflater` — in the JDK, no external libs), and the
   * five scanline filters (None/Sub/Up/Average/Paeth) reversed per row.
   * RGB converts to luminance by the integer BT.601 weights
-  * ((77·R + 150·G + 29·B) >> 8). Anything outside the subset (palette,
-  * alpha, 16-bit, interlaced, or a non-PNG payload) lands in `error`
+  * ((77·R + 150·G + 29·B) >> 8); palette indices go through the same
+  * weights applied to their PLTE triple. Anything outside the subset
+  * (alpha, 16-bit, interlaced, or a non-PNG payload) lands in `error`
   * with a null hash — one odd blob poisons its row, never the job, the
   * [[MediaHeader]] contract.
   *
@@ -163,7 +165,8 @@ private[graft] object PngGray {
     val bitDepth = u8(payload, 24); val colorType = u8(payload, 25)
     val interlace = u8(payload, 28)
     if (bitDepth != 8) return Left("png_unsupported_depth")
-    if (colorType != 0 && colorType != 2) return Left("png_unsupported_color")
+    if (colorType != 0 && colorType != 2 && colorType != 3)
+      return Left("png_unsupported_color")
     // RFC 2083 defines exactly one compression (0 = deflate) and one
     // filter method (0 = adaptive 5-type); a payload declaring anything
     // else would otherwise unfilter as method 0 and yield a
@@ -172,9 +175,10 @@ private[graft] object PngGray {
     if (u8(payload, 26) != 0) return Left("png_unsupported_compression")
     if (u8(payload, 27) != 0) return Left("png_unsupported_filter_method")
     if (interlace != 0) return Left("png_interlaced")
-    val bpp = if (colorType == 0) 1 else 3
-    // chunk walk: concatenate IDAT payloads
+    val bpp = if (colorType == 2) 3 else 1 // palette indices are 1 byte/pixel
+    // chunk walk: concatenate IDAT payloads, capture PLTE for color type 3
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     i = 33 // skip IHDR's CRC (8 sig + 4 len + 4 type + 13 data + 4 crc)
     var sawEnd = false
     while (!sawEnd) {
@@ -184,8 +188,18 @@ private[graft] object PngGray {
         return Left("png_truncated")
       val t = new String(payload, i + 4, 4, "US-ASCII")
       if (t == "IDAT") idat.write(payload, i + 8, len.toInt)
+      else if (t == "PLTE") {
+        // RFC 2083 §4.1.2: exactly one PLTE, 1-256 RGB triples
+        if (plte != null) return Left("png_bad_plte")
+        plte = java.util.Arrays.copyOfRange(payload, i + 8, i + 8 + len.toInt)
+      }
       else if (t == "IEND") sawEnd = true
       i += 12 + len.toInt
+    }
+    if (colorType == 3) {
+      if (plte == null) return Left("png_no_plte")
+      if (plte.length == 0 || plte.length % 3 != 0 || plte.length > 768)
+        return Left("png_bad_plte")
     }
     val compressed = idat.toByteArray
     if (compressed.isEmpty) return Left("png_no_idat")
@@ -240,7 +254,32 @@ private[graft] object PngGray {
     }
     // project to luminance
     val pix = new Array[Byte]((w * h).toInt)
-    if (bpp == 1) {
+    if (colorType == 3) {
+      // palette indices → BT.601 luminance via a 256-entry LUT built once
+      // per image (the same integer weights as the RGB path; 77+150+29 =
+      // 256, so an identity-gray palette reproduces its indices exactly)
+      val nEntries = plte.length / 3
+      val lut = new Array[Byte](nEntries)
+      var k = 0
+      while (k < nEntries) {
+        lut(k) = ((77 * u8(plte, 3 * k) + 150 * u8(plte, 3 * k + 1) +
+          29 * u8(plte, 3 * k + 2)) >> 8).toByte
+        k += 1
+      }
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val idx = u8(raw, y * stride + 1 + x)
+          // an index past the palette is an encoding error per the spec —
+          // loud per-row Left, never a silent clamp to a wrong color
+          if (idx >= nEntries) return Left("png_bad_palette_index")
+          pix(y * w.toInt + x) = lut(idx)
+          x += 1
+        }
+        y += 1
+      }
+    } else if (bpp == 1) {
       y = 0
       while (y < h) {
         System.arraycopy(raw, y * stride + 1, pix, y * w.toInt, w.toInt)
@@ -294,6 +333,52 @@ private[graft] object PngGray {
     writeChunk(out, "IDAT", java.util.Arrays.copyOf(buf, m))
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Fixture-grade palette (color type 3) encoder: PLTE of RGB triples,
+    * one index byte per pixel, filter-0 scanlines, real CRCs — the most
+    * common thumbnail encoding the decoder subset now covers. With the
+    * identity-gray palette (`identityGrayPalette`) the decode reproduces
+    * `indices` bit-exact (77+150+29 = 256), which is how the synthetic
+    * corpus exercises this path without changing any planted dHash. */
+  def encodePalette(width: Int, height: Int, palette: Array[Byte],
+      indices: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && indices.length == width * height,
+      s"bad index buffer: ${width}x$height vs ${indices.length}")
+    require(palette.length >= 3 && palette.length % 3 == 0 && palette.length <= 768,
+      s"palette must be 1-256 RGB triples, got ${palette.length} bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Sig)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 3; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "PLTE", palette)
+    val raw = new Array[Byte](height * (1 + width))
+    var y = 0
+    while (y < height) {
+      raw(y * (1 + width)) = 0 // filter type None
+      System.arraycopy(indices, y * width, raw, y * (1 + width) + 1, width)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(6)
+    val buf = new Array[Byte](raw.length + 5 * (raw.length / 16383 + 1) + 64)
+    deflater.setInput(raw); deflater.finish()
+    val m = deflater.deflate(buf)
+    require(deflater.finished(), "fixture deflate buffer undersized")
+    deflater.end()
+    writeChunk(out, "IDAT", java.util.Arrays.copyOf(buf, m))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** The 256-entry r=g=b palette whose BT.601 luminance is the identity
+    * map — palette decode of gray `indices` returns them unchanged. */
+  def identityGrayPalette: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var k = 0
+    while (k < 256) { p(3 * k) = k.toByte; p(3 * k + 1) = k.toByte; p(3 * k + 2) = k.toByte; k += 1 }
+    p
   }
 
   private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {

@@ -1502,6 +1502,113 @@ class ExtSpec extends SparkSpec {
     assert(PngGray.decode(interlaced) == Left("png_interlaced"))
   }
 
+  test("PngGray palette decode (color type 3): LUT projection, errors, ImageIO parity") {
+    import graft.functions.PngGray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length)); out.write(typ.getBytes("US-ASCII"))
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+      out.toByteArray
+    }
+    def assemblePalette(w: Int, h: Int, plteChunks: Seq[Array[Byte]],
+        indices: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 3, 0, 0, 0)))
+      plteChunks.foreach(p => out.write(chunk("PLTE", p)))
+      val raw = new Array[Byte](h * (1 + w))
+      for (y <- 0 until h) {
+        raw(y * (1 + w)) = 0
+        System.arraycopy(indices, y * w, raw, y * (1 + w) + 1, w)
+      }
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val m = d.deflate(buf); d.end()
+      out.write(chunk("IDAT", java.util.Arrays.copyOf(buf, m)))
+      out.write(chunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+
+    // identity-gray palette reproduces the indices bit-exact (the BT.601
+    // weights sum to 256) — what lets the synthetic corpus mix encodings
+    // without moving a single planted dHash
+    val pix = Multimodal.patternPixels(13L, 16, 12)
+    val dec = PngGray.decode(
+      PngGray.encodePalette(16, 12, PngGray.identityGrayPalette, pix))
+    assert(dec.toOption.exists(g => g.width == 16 && g.height == 12 &&
+      g.pix.toSeq == pix.toSeq), dec.toString)
+
+    // nontrivial palette: every pixel is the BT.601 luminance of its
+    // PLTE triple, computed independently here
+    val rnd = new scala.util.Random(41)
+    val palette = Array.fill[Byte](16 * 3)(rnd.nextInt(256).toByte)
+    val idx = Array.tabulate[Byte](16 * 12)(i => (i % 16).toByte)
+    val lum = PngGray.decode(PngGray.encodePalette(16, 12, palette, idx))
+      .toOption.get.pix.map(_ & 0xff)
+    idx.map(_ & 0xff).zip(lum).foreach { case (k, l) =>
+      val expect = (77 * (palette(3 * k) & 0xff) + 150 * (palette(3 * k + 1) & 0xff) +
+        29 * (palette(3 * k + 2) & 0xff)) >> 8
+      assert(l == expect, s"palette entry $k: got $l want $expect")
+    }
+
+    // error taxonomy: loud per-row Lefts, never a wrong-but-plausible grid
+    val noPlte = {
+      val full = assemblePalette(4, 4, Nil, new Array[Byte](16))
+      full
+    }
+    assert(PngGray.decode(noPlte) == Left("png_no_plte"))
+    assert(PngGray.decode(assemblePalette(4, 4, Seq(Array[Byte](1, 2, 3, 4)),
+      new Array[Byte](16))) == Left("png_bad_plte")) // len % 3 != 0
+    assert(PngGray.decode(assemblePalette(4, 4,
+      Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6)),
+      new Array[Byte](16))) == Left("png_bad_plte")) // duplicate PLTE
+    assert(PngGray.decode(assemblePalette(4, 4, Seq(Array[Byte](9, 9, 9)),
+      Array.fill[Byte](16)(5))) == Left("png_bad_palette_index"))
+
+    // independent-parser parity (javax.imageio, in the JDK): random gray
+    // AND palette fixtures decode to the same luminance grid — the q78
+    // fuzz posture applied to the pixel decoder
+    for (seed <- 1 to 40) {
+      val r = new scala.util.Random(seed)
+      val w = 1 + r.nextInt(24); val h = 1 + r.nextInt(24)
+      val usePalette = seed % 2 == 0
+      val png =
+        if (usePalette) {
+          val nCol = 1 + r.nextInt(256)
+          val pal = Array.fill[Byte](nCol * 3)(r.nextInt(256).toByte)
+          val ind = Array.fill[Byte](w * h)(r.nextInt(nCol).toByte)
+          PngGray.encodePalette(w, h, pal, ind)
+        } else
+          PngGray.encodeGray(w, h, Array.fill[Byte](w * h)(r.nextInt(256).toByte))
+      val ours = PngGray.decode(png)
+      assert(ours.isRight, s"seed $seed: $ours")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"seed $seed")
+      val g = ours.toOption.get
+      for (y <- 0 until h; x <- 0 until w) {
+        // gray: read the raster sample directly (getRGB would route
+        // through Java's CS_GRAY→sRGB transform, which is not identity);
+        // palette: getRGB is the IndexColorModel's exact PLTE triple
+        val expect =
+          if (usePalette) {
+            val rgb = img.getRGB(x, y)
+            (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+              29 * (rgb & 0xff)) >> 8
+          } else img.getRaster.getSample(x, y, 0)
+        assert((g.pix(y * w + x) & 0xff) == expect,
+          s"seed $seed ($x,$y): ours ${g.pix(y * w + x) & 0xff} vs imageio $expect")
+      }
+    }
+  }
+
   test("ImageDHash: brightness-exact, small-mutation radius, planted pair mining") {
     import graft.functions.{ImageDHash, PngGray}
     def hashOf(pix: Array[Byte], w: Int = 32, h: Int = 32): Long =
