@@ -343,14 +343,14 @@ object Dedup {
     * the signature table feeds both self-join sides, so it persists here
     * and stays in the session cache for the caller. */
   def simhashPairsFromSigs(sigs: DataFrame, idCol: String = "doc_id",
-      sigCol: String = "simhash", maxHamming: Int = 3): DataFrame = {
+      sigCol: String = "simhash", maxHamming: Int = 3, blocks: Int = 0): DataFrame = {
     // cache the NARROW signature table, not the (maxHamming+1)x exploded
     // block relation — each join side re-derives its blocks from the cache
     // (cheap scan-stage shifts), which is what the pre-split form did too
     val sh = sigs.select(col(idCol), col(sigCol).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     simhashPairsFromBlocks(
-      simhashBlockTable(sh, idCol, "sh", maxHamming), idCol, cache = false)
+      simhashBlockTable(sh, idCol, "sh", maxHamming, blocks), idCol, cache = false)
   }
 
   /** The exploded Manku block table — the persistable form of the simhash
@@ -677,6 +677,33 @@ object Dedup {
   final case class FamilyRecommendation(family: String, entryPoint: String,
       expectedDetection: Double, rationale: String)
 
+  /** The r15-measured IMAGE detection sweep (`tools.ImageDedupProbe`,
+    * 200k-image corpus, dHash radius-3 production config, planted twins
+    * at `round(churn · pixels)` single-pixel jitters + the brightness
+    * shift dHash is exactly invariant to): (pixel churn, detection).
+    * dHash's law is far FLATTER than text simhash's — a jittered pixel
+    * lands in one 9×8 cell whose mean moves ~1/14th of the perturbation,
+    * rarely flipping a gradient sign — which is why the image family
+    * keeps its radius-3 config across the whole measured band. */
+  private val ImageSweep = Seq(
+    (0.001, 1.0), (0.005, 1.0), (0.01, 1.0),
+    (0.02, 0.9997), (0.05, 0.9954), (0.10, 0.9854))
+
+  /** Log-linear interpolation over a measured (churn, detection) sweep,
+    * clamped at both ends — churn past the last point returns the last
+    * row rather than extrapolating optimism (the standing convention). */
+  private def interpSweep(points: Seq[(Double, Double)], churn: Double): Double = {
+    val t = math.max(points.head._1, math.min(points.last._1, churn))
+    val (lo, hi) = points.zip(points.tail)
+      .find { case (a, b) => t >= a._1 && t <= b._1 }
+      .getOrElse((points.last, points.last))
+    if (lo._1 == hi._1) lo._2
+    else {
+      val f = (t - lo._1) / (hi._1 - lo._1)
+      math.exp(math.log(lo._2) * (1 - f) + math.log(hi._2) * f)
+    }
+  }
+
   /** The MEASURED family chooser — the r12 detection-vs-mutation sweep
     * (SCALE.md "Simhash detection vs mutation rate": 1M-doc corpus,
     * production configs `simhashBlockTable` r=3 / `minhashTable` k=32
@@ -705,28 +732,32 @@ object Dedup {
     * the text families. Exact-hash dedup is not in the table — at
     * mutationTolerance 0 use [[dropExactDuplicates]], which this returns
     * for tolerance < 0.5 token per 100 (below the sweep's resolution).
-    * Pinned against the SCALE.md table in ExtSpec. */
+    * Pinned against the SCALE.md table in ExtSpec.
+    *
+    * `modality = "image"` swaps in the r15-measured [[ImageSweep]]
+    * (`mutationTolerance` is then a per-PIXEL churn probability): dHash
+    * radius-3 ([[graft.ext.Multimodal.imageFingerprints]] +
+    * `imageAssign`) clears 0.985 detection across the whole measured band
+    * to 10% pixel churn, so it wins whenever it clears the caller's bar;
+    * past it the semantic tier (image-embedding LSH) is the only
+    * alternative; byte-identical tolerance routes to exact payload-digest
+    * dedup. */
   def recommendFamily(mutationTolerance: Double, minDetection: Double = 0.9,
-      hasEmbeddings: Boolean = false): FamilyRecommendation = {
+      hasEmbeddings: Boolean = false, modality: String = "text"): FamilyRecommendation = {
     require(mutationTolerance >= 0 && mutationTolerance <= 1,
       s"mutationTolerance is a per-token probability, got $mutationTolerance")
     require(minDetection > 0 && minDetection <= 1,
       s"minDetection must be in (0, 1], got $minDetection")
+    require(modality == "text" || modality == "image",
+      s"modality must be text|image, got '$modality'")
+    if (modality == "image") return recommendImageFamily(
+      mutationTolerance, minDetection, hasEmbeddings)
     val sweep = Seq( // (churn, minhash detection, simhash detection) — r12 measured
       (0.01, 0.998, 0.770),
       (0.02, 0.986, 0.581),
       (0.05, 0.895, 0.235))
-    def interp(select: ((Double, Double, Double)) => Double): Double = {
-      val t = math.max(sweep.head._1, math.min(sweep.last._1, mutationTolerance))
-      val (lo, hi) = sweep.zip(sweep.tail)
-        .find { case (a, b) => t >= a._1 && t <= b._1 }
-        .getOrElse((sweep.last, sweep.last))
-      if (lo._1 == hi._1) select(lo)
-      else {
-        val f = (t - lo._1) / (hi._1 - lo._1)
-        math.exp(math.log(select(lo)) * (1 - f) + math.log(select(hi)) * f)
-      }
-    }
+    def interp(select: ((Double, Double, Double)) => Double): Double =
+      interpSweep(sweep.map(p => (p._1, select(p))), mutationTolerance)
     val simhashDet = interp(_._3)
     val minhashDet = interp(_._2)
     if (mutationTolerance < 0.005)
@@ -756,6 +787,41 @@ object Dedup {
         f"best available without embeddings: measured detection $minhashDet%.2f " +
           f"is BELOW the requested $minDetection%.2f — widen bands/shingles or " +
           "supply an embedding column for the semantic tier")
+  }
+
+  /** The image branch of [[recommendFamily]] — selection over the
+    * r15-measured [[ImageSweep]]. */
+  private def recommendImageFamily(mutationTolerance: Double,
+      minDetection: Double, hasEmbeddings: Boolean): FamilyRecommendation = {
+    val det = interpSweep(ImageSweep, mutationTolerance)
+    if (mutationTolerance < 0.0005)
+      FamilyRecommendation("exact", "Dedup.dropExactDuplicates over payload digests",
+        1.0,
+        "sub-sweep-resolution churn tolerance: byte-identical payloads " +
+          "dedup on a sha256/md5 digest groupBy — complete and the " +
+          "cheapest relation there is")
+    else if (det >= minDetection)
+      FamilyRecommendation("image_dhash",
+        "Multimodal.imageFingerprints + imageAssign", det,
+        f"dHash radius-3 clears $minDetection%.2f at " +
+          f"${mutationTolerance * 100}%.1f%% pixel churn (r15 sweep: detection " +
+          f"$det%.4f; the law is flat — a jittered pixel moves one 9x8 cell " +
+          "mean by ~1/14th of itself); one 64-bit fingerprint/doc, the " +
+          "smallest relation of any perceptual family")
+    else if (hasEmbeddings)
+      FamilyRecommendation("embedding_lsh",
+        "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over image embeddings",
+        1.0,
+        f"dHash detection $det%.4f misses $minDetection%.2f at " +
+          f"${mutationTolerance * 100}%.1f%% pixel churn — past the perceptual-" +
+          "fingerprint band only the embedding tier sees it (measured recall " +
+          "1.00 on cosine-0.999 pairs to 64M docs)")
+    else
+      FamilyRecommendation("image_dhash",
+        "Multimodal.imageFingerprints + imageAssign", det,
+        f"best available without embeddings: measured detection $det%.4f " +
+          f"is BELOW the requested $minDetection%.2f — supply an image-" +
+          "embedding column for the semantic tier")
   }
 
   /** An executable dedup plan — [[recommendFamily]]'s verdict composed
@@ -803,9 +869,11 @@ object Dedup {
   def plan(emb: DataFrame, mutationTolerance: Double, minDetection: Double = 0.9,
       scratchBudgetGb: Double = 0.0, threshold: Double = 0.98,
       targetRecall: Double = 0.98, hasEmbeddings: Boolean = true,
-      vecCol: String = "embedding", maxPartitions: Int = 1024): DedupPlan = {
+      vecCol: String = "embedding", maxPartitions: Int = 1024,
+      modality: String = "text"): DedupPlan = {
     require(scratchBudgetGb >= 0.0, s"negative scratch budget: $scratchBudgetGb")
-    val rec = recommendFamily(mutationTolerance, minDetection, hasEmbeddings)
+    val rec = recommendFamily(mutationTolerance, minDetection, hasEmbeddings,
+      modality)
     if (rec.family != "embedding_lsh")
       DedupPlan(rec.family, rec.entryPoint, rec.expectedDetection, rec.rationale,
         None, "one_shot", 1, 0.0, 0.0, budgetSatisfied = true, threshold)
@@ -888,6 +956,12 @@ object Dedup {
       case "minhash" =>
         minhashAssign(data, textCol, idCol, shingleN = 3, k = 32, bands = 8,
           jaccardThreshold, maxRepsPerCell)
+      case "image_dhash" =>
+        // data = a fingerprint table (media_id, dhash) — the
+        // Multimodal.imageFingerprints contract; split auto-deepened at
+        // run time like the simhash family
+        val (blocks, _) = simhashParams(data.count(), maxHamming)
+        Multimodal.imageAssign(data, maxHamming, maxRepsPerCell, blocks)
       case "embedding_lsh" =>
         val (planes, tables) = p.lshConfig.getOrElse(throw new IllegalArgumentException(
           "embedding_lsh plan carries no lshConfig — build plans with Dedup.plan"))

@@ -300,10 +300,11 @@ object Multimodal {
     * `bit_count(xor)` oracle shape (q72's, replayed as q80). Undecodable
     * rows (null dhash) drop before blocking — they have no content to
     * match. */
-  def imageNearDups(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame =
+  def imageNearDups(fingerprints: DataFrame, maxHamming: Int = 3,
+      blocks: Int = 0): DataFrame =
     Dedup.simhashPairsFromSigs(
       fingerprints.filter(col("dhash").isNotNull),
-      "media_id", "dhash", maxHamming)
+      "media_id", "dhash", maxHamming, blocks)
       .withColumnRenamed("doc_a", "media_a")
       .withColumnRenamed("doc_b", "media_b")
 

@@ -8,11 +8,17 @@ import graft.core.Catalog
 import graft.ext.Dedup
 
 /** Incremental SimHash near-duplicate removal — the third streaming dedup
-  * twin, completing the family matrix ([[IncrementalDedup]] covers minhash
-  * bands, [[IncrementalLshDedup]] embedding buckets): a re-crawled
-  * document arriving days later drops on arrival by Manku-blocked hamming
-  * distance, instead of waiting for a batch re-mine of the persisted block
-  * relation.
+  * twin ([[IncrementalDedup]] covers minhash bands, [[IncrementalLshDedup]]
+  * embedding buckets): a re-crawled document arriving days later drops on
+  * arrival by Manku-blocked hamming distance, instead of waiting for a
+  * batch re-mine of the persisted block relation.
+  *
+  * The `signature` parameter generalizes the loop over ANY nullable 64-bit
+  * content signature whose hamming distance is a near-dup radius — the
+  * image instantiation ([[IncrementalImageDedup]]) passes dHash over PNG
+  * payloads, completing the streaming matrix's fourth family. Null
+  * signatures (undecodable payloads) survive unconditionally and emit no
+  * block rows.
   *
   * State is the accumulated (id, sh, bkey, blk, bits, max_hamming) block
   * table ([[Dedup.simhashBlockTable]] shape) plus the accepted-document
@@ -44,7 +50,9 @@ import graft.ext.Dedup
 final class IncrementalSimhashDedup(
     catalog: Catalog, docsTable: String, blocksTable: String,
     maxHamming: Int = 3, textCol: String = "text", idCol: String = "doc_id",
-    exactlyOnce: Boolean = false) {
+    exactlyOnce: Boolean = false,
+    signature: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      Dedup.simhash) {
   require(maxHamming >= 0 && maxHamming <= 15,
     s"maxHamming must be in [0, 15], got $maxHamming")
 
@@ -70,12 +78,16 @@ final class IncrementalSimhashDedup(
     // intra-batch pairing — collapse them first (StreamingAppend scaladoc)
     val batch = StreamingAppend.collapseSameId(batchRaw, idCol)
     val newSigs = batch
-      .select(col(idCol), Dedup.simhash(col(textCol)).as("sh"))
+      .select(col(idCol), signature(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // blocks re-derive from the narrow cached signatures per consumer —
     // cheap scan-stage shifts (the r8 simhash-cache lesson: never cache
-    // the (maxHamming+1)x exploded relation)
-    def newBlocks = Dedup.simhashBlockTable(newSigs, idCol, "sh", maxHamming)
+    // the (maxHamming+1)x exploded relation). NULL signatures (the image
+    // instantiation's undecodable payloads — text simhash never nulls)
+    // emit no block rows: they can match nothing, so they always SURVIVE
+    // and never poison a collision key with hash-of-null buckets.
+    def newBlocks = Dedup.simhashBlockTable(
+      newSigs.filter(col("sh").isNotNull), idCol, "sh", maxHamming)
     try {
       // loadIfReadable, not exists+load: a FIRST-batch crash during the
       // blocks append (partition mode) leaves the directory with only
@@ -138,6 +150,26 @@ final class IncrementalSimhashDedup(
       checkpoint: Option[String] = None): StreamingQuery =
     StreamingAppend.startForeachBatch(stream, queryName, continuous,
       interval, checkpoint) { (batch, id) => processBatch(batch, id); () }
+}
+
+/** Incremental IMAGE near-duplicate removal — the streaming matrix's
+  * fourth family: a thin dHash instantiation of
+  * [[IncrementalSimhashDedup]] (hamming over dHash bits is the same
+  * algebra as over token-vote simhash bits, the
+  * [[graft.ext.Multimodal.imageAssign]] observation applied to the
+  * stream). Arrivals are (idCol, payloadCol) rows; a re-uploaded
+  * thumbnail within the perceptual radius of an accepted image drops on
+  * arrival, undecodable payloads survive (no content to match) with no
+  * block rows, and accepted images append their fingerprint blocks
+  * exactly-once like every twin. Drop-on-arrival and batch-sweep
+  * equality are StreamingSpec-pinned. */
+object IncrementalImageDedup {
+  def apply(catalog: Catalog, mediaTable: String, blocksTable: String,
+      maxHamming: Int = 3, payloadCol: String = "payload",
+      idCol: String = "media_id", exactlyOnce: Boolean = false): IncrementalSimhashDedup =
+    new IncrementalSimhashDedup(catalog, mediaTable, blocksTable, maxHamming,
+      payloadCol, idCol, exactlyOnce,
+      signature = p => graft.functions.ImageDHash(p).getField("dhash"))
 }
 
 object IncrementalSimhashDedup {

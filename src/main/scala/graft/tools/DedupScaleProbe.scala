@@ -99,6 +99,8 @@ object DedupScaleProbe {
     var survivorsThreshold = 0.98
     var survivorsTablesPerPass = 0
     var noiseOverride: Option[Double] = None
+    var simhashBlocks = 0 // 0 = legacy maxHamming+1 split; -1 = simhashParams auto
+    var blockMassOnly = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -131,6 +133,9 @@ object DedupScaleProbe {
           survivorsThreshold = args(i + 1).toDouble; i += 2
         case "--survivorsTablesPerPass" if i + 1 < args.length =>
           survivorsTablesPerPass = args(i + 1).toInt; i += 2
+        case "--simhashBlocks" if i + 1 < args.length =>
+          simhashBlocks = args(i + 1).toInt; i += 2
+        case "--blockMassOnly" => blockMassOnly = true; i += 1
         case "--noise" if i + 1 < args.length =>
           noiseOverride = Some(args(i + 1).toDouble); i += 2
         case other => sys.error(
@@ -200,6 +205,12 @@ object DedupScaleProbe {
     require(noiseOverride.forall(x => x > 0.0 && survivors && corpus == "clustered"),
       "--noise overrides the clustered corpus's noiseScale for the " +
         "--survivors head-mass cell; pass it with --survivors --corpus clustered")
+    require(simhashBlocks >= -1 && (simhashBlocks == 0 || families("simhash")),
+      "--simhashBlocks deepens the simhash family's Manku split " +
+        s"(-1 = simhashParams auto); add simhash to --families (got $families)")
+    require(!blockMassOnly || families("simhash"),
+      "--blockMassOnly reports the simhash block-collision mass without " +
+        s"running the pairing; add simhash to --families (got $families)")
     val root = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROOT", "/tmp/graft_dedup_scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
@@ -259,12 +270,22 @@ object DedupScaleProbe {
             k = 32, bands = 8)
         }
       }
+      // the deepened-split posture (r15): --simhashBlocks B (or -1 = the
+      // simhashParams auto choice for THIS n) builds the combination
+      // block table; cache dirs are keyed by the split so a legacy table
+      // is never served as a deepened measurement or vice versa
+      lazy val shBlocks =
+        if (simhashBlocks == -1) Dedup.simhashParams(n, maxHamming = 3)._1
+        else if (simhashBlocks == 0) 4
+        else simhashBlocks
+      lazy val blockSuffix = if (shBlocks == 4) "" else s"_b$shBlocks"
+      lazy val blockPath = s"$dir/blocks$mutSuffix$blockSuffix"
       lazy val blockBuild = timed {
-        ensure(s"$dir/blocks$mutSuffix") {
+        ensure(blockPath) {
           Dedup.simhashBlockTable(
             synthetic(n).select(col("doc_id"),
               Dedup.simhash(col("text")).as("simhash")),
-            "doc_id", "simhash", maxHamming = 3)
+            "doc_id", "simhash", maxHamming = 3, blocks = shBlocks)
         }
       }
       // embedding-LSH family: production auto-sizing picks (planes,
@@ -381,15 +402,37 @@ object DedupScaleProbe {
             "doc_a", "doc_b")
       }
       if (families("simhash")) {
-        if (survivors)
+        // raw block-collision mass Σ_cells C(|cell|,2) — the popcount
+        // count the blocked self-join emits pre-collapse, THE quantity
+        // the r15 auto-sizing bounds (legacy 4×16-bit split: ~4·n²/2¹⁷;
+        // simhashParams split: ≤ targetMassPerDoc·n by construction).
+        // One occupancy aggregation over the persisted table, computable
+        // even where the legacy pairing itself would outgrow the host —
+        // the rawPairs posture applied to the simhash family.
+        def blockMass: Long = {
+          val b = blockBuild // ensure built before reading
+          val mass = spark.read.parquet(blockPath)
+            .groupBy("bkey", "blk", "bits").count()
+            .agg(sum(col("count") * (col("count") - lit(1L))).as("m2"))
+            .first().getLong(0) / 2
+          if (b._2) () // build time already reported via buildJson
+          mass
+        }
+        lazy val massOnce = blockMass
+        lazy val blocksMeta = s""","blocks":$shBlocks,"block_mass":$massOnce"""
+        if (blockMassOnly)
+          println(f"""{"check":"block_mass","rows":$n,"family":"simhash",""" +
+            f""""blocks":$shBlocks,"mass":$massOnce,${buildJson(blockBuild)}""" +
+            f"""$mutMeta}""")
+        else if (survivors)
           survivorsTextCell("simhash", buildJson(blockBuild),
-            Seq("bkey", "blk", "bits"), s"$dir/blocks$mutSuffix",
+            Seq("bkey", "blk", "bits"), blockPath,
             (table, cmp) => Dedup.simhashAssignFromBlocks(table,
               comparisons = Some(cmp)))
         else
-          run("simhash", buildJson(blockBuild), mutMeta, () =>
+          run("simhash", buildJson(blockBuild), mutMeta + blocksMeta, () =>
             Dedup.simhashPairsFromBlocks(
-              spark.read.parquet(s"$dir/blocks$mutSuffix"), "doc_id"),
+              spark.read.parquet(blockPath), "doc_id"),
             "doc_a", "doc_b")
       }
       // RAW candidate volume Σ_cells C(|cell|,2): the exact pre-distinct

@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+
+/** Measured detection-vs-mutation sweep for the IMAGE dedup family — the
+  * r12 text sweep's posture applied to dHash: how much pixel-level churn
+  * can the radius-3 Manku-blocked perceptual pairing still catch? The
+  * numbers this prints are what `Dedup.recommendFamily(modality="image")`
+  * encodes (SCALE.md r15) — selection logic quotes measurements, never
+  * guesses.
+  *
+  * Corpus: the `Multimodal.syntheticImages` pattern generator at 32×32,
+  * with every id%20==1 image rendering its PREDECESSOR's pattern at a
+  * parameterized mutation — `round(m · w · h)` deterministic single-pixel
+  * jitters (XOR 0x14, the corpus's standard perturbation) plus the +8
+  * uniform brightness shift (which dHash is exactly invariant to, so the
+  * sweep measures the JITTER response alone). True pairs = n/20 exactly,
+  * at every size and mutation.
+  *
+  * `sbt 'runMain graft.tools.ImageDedupProbe [--size N]
+  * [--mutations 0.001,0.01,...] [--radius H] [--blocks B]'`
+  * — one JSON line per mutation level: planted detection, total pairs,
+  * leakage (pairs beyond the planted ones — all still genuine radius
+  * pairs, the verify is exact), and wall seconds.
+  */
+object ImageDedupProbe {
+
+  /** Parametrized twin corpus: (media_id, payload) PNGs where dup twins
+    * jitter `jitters` pixels of the predecessor's pattern. Partition-local
+    * generation, nothing collected — `syntheticImages`' batch shape with
+    * the mutation knob exposed. */
+  def corpus(spark: SparkSession, n: Long, jitters: Int,
+      w: Int = 32, h: Int = 32): DataFrame = {
+    val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+        val seed = if (isDup) id - 1 else id
+        val pix = Multimodal.patternPixels(seed, w, h)
+        if (isDup) {
+          var i = 0
+          while (i < pix.length) { pix(i) = ((pix(i) & 0xff) + 8).toByte; i += 1 }
+          var j = 0
+          while (j < jitters) {
+            // distinct deterministic positions: a stride coprime to w·h
+            // (w·h = 1024, 31 is odd) walks all cells before repeating
+            val p = (java.lang.Math.floorMod(id * 31L + j * 131L, (w * h).toLong)).toInt
+            pix(p) = ((pix(p) & 0xff) ^ 0x14).toByte
+            j += 1
+          }
+        }
+        Row(id, graft.functions.PngGray.encodeGray(w, h, pix))
+      }
+    }
+    spark.createDataFrame(rdd, Multimodal.imageSchema)
+  }
+
+  def main(args: Array[String]): Unit = {
+    var size = 200000L
+    var mutations = Seq(0.001, 0.005, 0.01, 0.02, 0.05, 0.10)
+    var radius = 3
+    var blocks = 0
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--size" if i + 1 < args.length => size = args(i + 1).toLong; i += 2
+        case "--mutations" if i + 1 < args.length =>
+          mutations = args(i + 1).split(",").map(_.toDouble).toSeq; i += 2
+        case "--radius" if i + 1 < args.length => radius = args(i + 1).toInt; i += 2
+        case "--blocks" if i + 1 < args.length => blocks = args(i + 1).toInt; i += 2
+        case other => sys.error(s"unknown arg '$other'; usage: ImageDedupProbe " +
+          "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B]")
+      }
+    }
+    require(size > 0 && mutations.nonEmpty && mutations.forall(m => m >= 0 && m <= 1),
+      s"bad knobs: size=$size mutations=$mutations")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val spark = graft.core.Sessions.local(cpus)
+    val wh = 32 * 32
+    mutations.foreach { m =>
+      val jitters = math.max(1, math.round(m * wh).toInt)
+      val t0 = System.nanoTime()
+      // fingerprints persist (both self-join sides read them), pairs once
+      val fps = Multimodal.imageFingerprints(corpus(spark, size, jitters))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Multimodal.imageNearDups(fps, radius, blocks)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = pairs.count()
+      val detected = pairs
+        .filter(col("media_b") === col("media_a") + 1 &&
+          pmod(col("media_b"), lit(20)) === 1)
+        .count()
+      val errs = fps.filter(col("error").isNotNull).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      pairs.unpersist(); fps.unpersist()
+      spark.sharedState.cacheManager.clearCache()
+      val truth = size / 20
+      println(f"""{"check":"image_detection","rows":$size,"mutation":$m,""" +
+        f""""jitters":$jitters,"radius":$radius,"blocks":$blocks,""" +
+        f""""detected":$detected,"true_dups":$truth,""" +
+        f""""detection":${detected.toDouble / truth}%.4f,"pairs":$total,""" +
+        f""""decode_errors":$errs,"wall_s":$dt%.3f}""")
+    }
+    spark.stop()
+  }
+}

@@ -1358,6 +1358,51 @@ class ExtSpec extends SparkSpec {
     } finally { emb.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
+  test("recommendFamily/plan route image corpora through the r15 dHash sweep") {
+    import graft.ext.Dedup
+    // sweep points come back exactly; the law is flat (dHash holds 0.985+
+    // across the measured band to 10% pixel churn)
+    assert(Dedup.recommendFamily(0.05, 0.9, modality = "image").family == "image_dhash")
+    assert(math.abs(Dedup.recommendFamily(0.05, 0.9, modality = "image")
+      .expectedDetection - 0.9954) < 1e-9)
+    assert(math.abs(Dedup.recommendFamily(0.02, 0.9, modality = "image")
+      .expectedDetection - 0.9997) < 1e-9)
+    // churn past the sweep clamps to the 10% row, never extrapolates
+    assert(math.abs(Dedup.recommendFamily(0.5, 0.5, modality = "image")
+      .expectedDetection - 0.9854) < 1e-9)
+    // a bar above the measured law: embedding tier if available, else the
+    // honest BELOW verdict
+    assert(Dedup.recommendFamily(0.05, 0.999, hasEmbeddings = true,
+      modality = "image").family == "embedding_lsh")
+    val below = Dedup.recommendFamily(0.05, 0.999, modality = "image")
+    assert(below.family == "image_dhash" && below.rationale.contains("BELOW"))
+    // byte-identical tolerance routes to exact payload-digest dedup
+    assert(Dedup.recommendFamily(0.0001, modality = "image").family == "exact")
+    intercept[IllegalArgumentException] {
+      Dedup.recommendFamily(0.05, modality = "video")
+    }
+
+    // plan routes the modality and runPlan executes it: equality with the
+    // direct imageAssign call at the auto-deepened split
+    val docs = spark.range(60).select($"id".as("doc_id"))
+    val fps = Multimodal.imageFingerprints(Multimodal.syntheticImages(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = Dedup.plan(fps, mutationTolerance = 0.05, modality = "image",
+        hasEmbeddings = false)
+      assert(p.family == "image_dhash" && p.miningMode == "one_shot" &&
+        p.lshConfig.isEmpty)
+      val (blocks, _) = Dedup.simhashParams(fps.count())
+      val direct = Multimodal.imageAssign(fps, blocks = blocks)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val viaPlan = Dedup.runPlan(p, fps)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(viaPlan == direct)
+    } finally { fps.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("recommendFamily encodes the r12 detection-vs-mutation sweep") {
     import graft.ext.Dedup
     // the sweep's own points come back exactly (no interpolation distortion)

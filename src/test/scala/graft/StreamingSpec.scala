@@ -1062,6 +1062,66 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("radius 3"))
   }
 
+  test("IncrementalImageDedup: perceptual near-dups drop on arrival; undecodable payloads survive") {
+    import graft.ext.Multimodal
+    import graft.functions.PngGray
+    import graft.streaming.IncrementalImageDedup
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-incimg").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val inc = IncrementalImageDedup(catalog, "cur.idocs", "cur.iblocks",
+      maxHamming = 3)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = inc.start(input.toDF().toDF("media_id", "payload"),
+      continuous = true, interval = "1 second")
+
+    def png(seed: Long, bright: Int = 0, jitter: Boolean = false): Array[Byte] = {
+      val pix = Multimodal.patternPixels(seed, 32, 32)
+      if (bright != 0) {
+        var i = 0
+        while (i < pix.length) { pix(i) = ((pix(i) & 0xff) + bright).toByte; i += 1 }
+      }
+      if (jitter) pix(7) = ((pix(7) & 0xff) ^ 0x14).toByte
+      PngGray.encodeGray(32, 32, pix)
+    }
+
+    input.addData((1L, png(1)), (2L, png(2)))
+    q.processAllAvailable()
+    // intra-batch: the exact re-upload drops against the lower id; the
+    // undecodable payload survives (no content to match) without
+    // poisoning anything
+    input.addData((3L, "not an image at all".getBytes),
+      (4L, png(4)), (5L, png(4)))
+    q.processAllAvailable()
+    // a perceptual near-dup (+8 brightness + one pixel jitter, hamming
+    // ≤ 2 by the corpus bound) of a batch-1 image, two batches later:
+    // the persisted block table drops it on arrival
+    input.addData((6L, png(1, bright = 8, jitter = true)))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = catalog.load("cur.idocs").select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+    // block rows exist exactly for the DECODABLE survivors
+    assert(catalog.load("cur.iblocks").select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+
+    // chain-free corpus: online equals the batch imageNearDups sweep
+    val all = Seq((1L, png(1)), (2L, png(2)),
+      (3L, "not an image at all".getBytes), (4L, png(4)), (5L, png(4)),
+      (6L, png(1, bright = 8, jitter = true))).toDF("media_id", "payload")
+    val fps = Multimodal.imageFingerprints(all)
+    val dropB = Multimodal.imageNearDups(fps, maxHamming = 3)
+      .select(col("media_b").as("media_id")).distinct()
+    val sweep = all.join(dropB, Seq("media_id"), "left_anti")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(sweep == kept)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("IncrementalSimhashDedup state probe broadcasts the micro-batch, never shuffles the state") {
     import graft.ext.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft-isbc").toString
