@@ -98,13 +98,21 @@ final class IncrementalSimhashDedup(
           case None => batch.select(col(idCol)).limit(0)
           case Some(loaded) =>
           if (!radiusChecked) {
-            val stamped = loaded.select("max_hamming").head().getInt(0)
-            require(stamped == maxHamming,
-              s"block table '$blocksTable' is blocked at radius $stamped " +
-                s"but this loop probes at $maxHamming: the pigeonhole " +
-                "guarantee does not transfer across radii — rebuild the " +
-                "table or match the radius")
-            radiusChecked = true
+            // limit(1).collect, not head(): an all-undecodable first
+            // batch (image instantiation) appends survivors but ZERO
+            // block rows, leaving a readable EMPTY table — which carries
+            // no geometry yet, so there is nothing to check until the
+            // first real signature lands
+            val stampRow = loaded.select("max_hamming").limit(1).collect()
+            if (stampRow.nonEmpty) {
+              val stamped = stampRow.head.getInt(0)
+              require(stamped == maxHamming,
+                s"block table '$blocksTable' is blocked at radius $stamped " +
+                  s"but this loop probes at $maxHamming: the pigeonhole " +
+                  "guarantee does not transfer across radii — rebuild the " +
+                  "table or match the radius")
+              radiusChecked = true
+            }
           }
           // partial-append replay protection: the shared acceptedState
           // convention over the SAME `loaded` frame the radius check read

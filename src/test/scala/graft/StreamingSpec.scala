@@ -1109,6 +1109,21 @@ class StreamingSpec extends SparkSpec {
     assert(catalog.load("cur.iblocks").select("media_id").distinct()
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
 
+    // an all-undecodable FIRST batch leaves a readable EMPTY blocks table
+    // (survivors appended, zero block rows) — the next batch's radius
+    // check must see "no geometry yet", not crash on head-of-empty
+    val root2 = java.nio.file.Files.createTempDirectory("graft-incimg2").toString
+    val cat2 = new graft.core.Catalog(spark, root2)
+    val inc2 = IncrementalImageDedup(cat2, "cur.jdocs", "cur.jblocks",
+      maxHamming = 3)
+    assert(inc2.processBatch(
+      Seq((1L, "junk one".getBytes), (2L, "junk two".getBytes))
+        .toDF("media_id", "payload"), 1L) == 2L)
+    assert(inc2.processBatch(
+      Seq((3L, png(9)), (4L, png(9))).toDF("media_id", "payload"), 2L) == 1L)
+    assert(cat2.load("cur.jdocs").select("media_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
     // chain-free corpus: online equals the batch imageNearDups sweep
     val all = Seq((1L, png(1)), (2L, png(2)),
       (3L, "not an image at all".getBytes), (4L, png(4)), (5L, png(4)),
