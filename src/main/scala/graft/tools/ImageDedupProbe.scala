@@ -63,6 +63,7 @@ object ImageDedupProbe {
     var mutations = Seq(0.001, 0.005, 0.01, 0.02, 0.05, 0.10)
     var radius = 3
     var blocks = 0
+    var survivors = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -71,8 +72,9 @@ object ImageDedupProbe {
           mutations = args(i + 1).split(",").map(_.toDouble).toSeq; i += 2
         case "--radius" if i + 1 < args.length => radius = args(i + 1).toInt; i += 2
         case "--blocks" if i + 1 < args.length => blocks = args(i + 1).toInt; i += 2
+        case "--survivors" => survivors = true; i += 1
         case other => sys.error(s"unknown arg '$other'; usage: ImageDedupProbe " +
-          "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B]")
+          "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B] [--survivors]")
       }
     }
     require(size > 0 && mutations.nonEmpty && mutations.forall(m => m >= 0 && m <= 1),
@@ -80,6 +82,45 @@ object ImageDedupProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
     val wh = 32 * 32
+    if (survivors) {
+      // SURVIVOR-oriented image dedup — the head-mass cell for the fourth
+      // family: the synthetic pattern corpus is deliberately LOW-DIVERSITY
+      // (48 frequency classes), so its genuine radius-pair mass is
+      // quadratic-ish in n (61.5M pairs at 200k docs) — exactly the
+      // corpus shape where a pair-path dedup drowns and the greedy star's
+      // ~members×promoted-reps work is the point. Reports the block-cell
+      // popcount mass the pair path would collapse, the walk's actual
+      // comparisons, survivors, and planted-dup detection.
+      mutations = mutations.take(1)
+      val m = mutations.head
+      val jitters = math.max(1, math.round(m * wh).toInt)
+      val fps = Multimodal.imageFingerprints(corpus(spark, size, jitters))
+        .filter(col("dhash").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val blockTable = graft.ext.Dedup.simhashBlockTable(
+        fps, "media_id", "dhash", radius,
+        if (blocks == -1) graft.ext.Dedup.simhashParams(size, radius)._1 else blocks)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mass = blockTable.groupBy("bkey", "blk", "bits").count()
+        .agg(sum(col("count") * (col("count") - lit(1L))).as("m2"))
+        .first().getLong(0) / 2
+      val cmp = spark.sparkContext.longAccumulator("image_star_comparisons")
+      val t0 = System.nanoTime()
+      val assign = graft.ext.Dedup.simhashAssignFromBlocks(blockTable,
+        "media_id", comparisons = Some(cmp))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val surv = assign.filter(col("dup_of").isNull).count()
+      val detected = assign.filter(col("dup_of").isNotNull &&
+        pmod(col("media_id"), lit(20)) === 1).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"""{"check":"image_survivors","rows":$size,"mutation":$m,""" +
+        f""""radius":$radius,"raw_pair_mass":$mass,"comparisons":${cmp.value},""" +
+        f""""survivors":$surv,"eliminated":${size - surv},"detected":$detected,""" +
+        f""""true_dups":${size / 20},"wall_s":$dt%.3f}""")
+      assign.unpersist(); blockTable.unpersist(); fps.unpersist()
+      spark.stop()
+      return
+    }
     mutations.foreach { m =>
       val jitters = math.max(1, math.round(m * wh).toInt)
       val t0 = System.nanoTime()
