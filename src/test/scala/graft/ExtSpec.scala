@@ -361,6 +361,18 @@ class ExtSpec extends SparkSpec {
       val want = Dedup.simhashPairs(edgeDocs, maxHamming = 3).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(got == want && got.nonEmpty, s"got=$got want=$want")
+      // the DEEPENED combination split publishes and re-pairs under the
+      // same contract — bkey stays the single equi-key, so the bucketed
+      // scan still satisfies the join's clustering with no exchange
+      val tbDeep = cat.saveBucketed(
+        Dedup.simhashBlockTable(sigs, maxHamming = 3, blocks = 6),
+        "sh.blocks_b6", "bkey", 4)
+      val deepPairs = Dedup.simhashPairsFromBlocks(spark.table(tbDeep))
+      val deepPlan = deepPairs.queryExecution.executedPlan.toString
+      assert(!deepPlan.contains("hashpartitioning(bkey"),
+        s"deepened bucketed self-join shuffles on the collision key:\n$deepPlan")
+      assert(deepPairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == want)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sharedState.cacheManager.clearCache()
   }

@@ -147,6 +147,41 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("combination Manku blocking is radius-exact on fuzzed (radius, blocks) splits") {
+    // the pigeonhole guarantee must hold at EVERY blocks > maxHamming —
+    // fuzz radius 0..4 against splits from minimal to deepened (uneven
+    // last-block widths, single-combo h=0, multi-block packed keys), with
+    // twins planted at distances STRADDLING the radius so both the
+    // no-missed-pair and the no-invented-pair directions bite
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(77)
+    for (_ <- 1 to 6) {
+      val h = rnd.nextInt(5) // 0..4
+      val b = h + 1 + rnd.nextInt(5) // h+1 .. h+5; C(9,4)=126 < cap
+      val base = Array.fill(120)(rnd.nextLong())
+      val twins = base.zipWithIndex.map { case (s, i) =>
+        var t = s
+        val d = rnd.nextInt(h + 2) // 0..h+1 — includes just-outside-radius
+        val flipped = scala.collection.mutable.Set.empty[Int]
+        while (flipped.size < d) flipped += rnd.nextInt(64)
+        flipped.foreach(bit => t ^= 1L << bit)
+        (1000L + i, t)
+      }
+      val rows = base.zipWithIndex.map { case (s, i) => (i.toLong, s) } ++ twins
+      val exhaustive = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= h
+      } yield (ia, ib)).toSet
+      val sigs = rows.toSeq.toDF("doc_id", "simhash")
+      val blocked = Dedup.simhashPairsFromBlocks(
+        Dedup.simhashBlockTable(sigs, "doc_id", "simhash", h, b), cache = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == exhaustive,
+        s"h=$h b=$b: missed ${exhaustive -- blocked}, invented ${blocked -- exhaustive}")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("lshParams cost surface is flat around the minimizer in the dedup band") {
     // The guard behind every weight-law substitution the sizer makes
     // (constant -> fitted hash law -> sampled corpus law): those swaps are
