@@ -684,7 +684,14 @@ object Dedup {
     * dHash's law is far FLATTER than text simhash's — a jittered pixel
     * lands in one 9×8 cell whose mean moves ~1/14th of the perturbation,
     * rarely flipping a gradient sign — which is why the image family
-    * keeps its radius-3 config across the whole measured band. */
+    * keeps its radius-3 config across the whole measured band.
+    *
+    * The knob is PIXEL-CHURN by contract, not geometric invariance: the
+    * `--cropSweep` cells measured a 1/2/4-pixel shift at median planted
+    * hamming 8/16/32 (detection 0.186/0.020/0.000 at radius 3) — crops
+    * and rescales misalign the box grid and collapse the family in a few
+    * pixels, which is the embedding tier's job (SCALE.md r15, "The
+    * geometric boundary"). */
   private val ImageSweep = Seq(
     (0.001, 1.0), (0.005, 1.0), (0.01, 1.0),
     (0.02, 0.9997), (0.05, 0.9954), (0.10, 0.9854))

@@ -58,12 +58,44 @@ object ImageDedupProbe {
     spark.createDataFrame(rdd, Multimodal.imageSchema)
   }
 
+  /** Shift/crop twin corpus for the GEOMETRIC sweep: every image is a
+    * 32×32 window into a 40×40 field; dup twins crop at offset
+    * (shift, shift) instead of (0, 0) — same content, misaligned against
+    * the 9×8 box grid, the transform class the jitter sweep cannot see. */
+  def cropCorpus(spark: SparkSession, n: Long, shift: Int,
+      w: Int = 32, h: Int = 32): DataFrame = {
+    val big = 40
+    require(shift >= 0 && shift + math.max(w, h) <= big, s"bad shift $shift")
+    val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+        val seed = if (isDup) id - 1 else id
+        val field = Multimodal.patternPixels(seed, big, big)
+        val off = if (isDup) shift else 0
+        val pix = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pix(y * w + x) = field((y + off) * big + (x + off))
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, graft.functions.PngGray.encodeGray(w, h, pix))
+      }
+    }
+    spark.createDataFrame(rdd, Multimodal.imageSchema)
+  }
+
   def main(args: Array[String]): Unit = {
     var size = 200000L
     var mutations = Seq(0.001, 0.005, 0.01, 0.02, 0.05, 0.10)
     var radius = 3
     var blocks = 0
     var survivors = false
+    var cropShifts: Seq[Int] = Nil
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -73,9 +105,48 @@ object ImageDedupProbe {
         case "--radius" if i + 1 < args.length => radius = args(i + 1).toInt; i += 2
         case "--blocks" if i + 1 < args.length => blocks = args(i + 1).toInt; i += 2
         case "--survivors" => survivors = true; i += 1
+        case "--cropSweep" if i + 1 < args.length =>
+          cropShifts = args(i + 1).split(",").map(_.toInt).toSeq; i += 2
         case other => sys.error(s"unknown arg '$other'; usage: ImageDedupProbe " +
-          "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B] [--survivors]")
+          "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B] " +
+          "[--survivors] [--cropSweep 1,2,4]")
       }
+    }
+    if (cropShifts.nonEmpty) {
+      // the GEOMETRIC sweep: detection of shift-cropped twins — the
+      // transform class where dHash's box grid misaligns and radius-3
+      // detection is expected to collapse (the honest boundary of the
+      // perceptual-fingerprint family; the embedding tier's job past it)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+      val spark0 = graft.core.Sessions.local(cpus0)
+      cropShifts.foreach { s =>
+        val t0 = System.nanoTime()
+        val fps = Multimodal.imageFingerprints(cropCorpus(spark0, size, s))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val detected = Multimodal.imageNearDups(fps, radius, blocks)
+          .filter(col("media_b") === col("media_a") + 1 &&
+            pmod(col("media_b"), lit(20)) === 1)
+          .count()
+        // median planted-pair hamming, computed exhaustively from the
+        // fingerprints (pair-local, no mining) — locates the twins
+        // relative to the radius even when detection is ~0
+        val hams = fps.select(col("media_id"), col("dhash"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val planted = (0L until size by 20L).flatMap { base =>
+          for (a <- hams.get(base); b <- hams.get(base + 1))
+            yield java.lang.Long.bitCount(a ^ b)
+        }.sorted
+        val med = if (planted.isEmpty) -1 else planted(planted.size / 2)
+        val dt = (System.nanoTime() - t0) / 1e9
+        fps.unpersist()
+        spark0.sharedState.cacheManager.clearCache()
+        println(f"""{"check":"image_crop_detection","rows":$size,"shift":$s,""" +
+          f""""radius":$radius,"detected":$detected,"true_dups":${size / 20},""" +
+          f""""detection":${detected.toDouble / (size / 20)}%.4f,""" +
+          f""""median_planted_hamming":$med,"wall_s":$dt%.3f}""")
+      }
+      spark0.stop()
+      return
     }
     require(size > 0 && mutations.nonEmpty && mutations.forall(m => m >= 0 && m <= 1),
       s"bad knobs: size=$size mutations=$mutations")
