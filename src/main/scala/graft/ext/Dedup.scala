@@ -940,10 +940,13 @@ object Dedup {
     *    lshCandidatesPartitioned contract).
     *
     * `data` must carry `textCol` for the text families / `vecCol` for the
-    * embedding family; the text knobs (`jaccardThreshold`, `maxHamming`)
-    * are run-time inputs because [[plan]] sizes only the embedding tier —
-    * the text families' production configs are constants the detection
-    * sweep measured. */
+    * embedding family / (media_id, dhash) fingerprints for `image_dhash`;
+    * the text knobs (`jaccardThreshold`, `maxHamming`) are run-time
+    * inputs because [[plan]] sizes only the embedding tier — the text
+    * families' production configs are constants the detection sweep
+    * measured. An image plan that resolved to `exact` runs the digest
+    * window over the payload column: pass `textCol = "payload"` (binary
+    * casts to binary trivially; the digest is byte-exact either way). */
   def runPlan(p: DedupPlan, data: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", vecCol: String = "embedding",
       jaccardThreshold: Double = 0.5, maxHamming: Int = 3,
