@@ -466,7 +466,12 @@ object Dedup {
     }
     def massPerDoc(b: Int): Double =
       tables(b).toDouble * n.toDouble / math.pow(2.0, minKeyBits(b) + 1)
-    val feasible = (maxHamming + 1 to 32).filter(b => tables(b) <= maxTables)
+    // cap at BOTH the caller's budget and simhashBlockTable's own 512-
+    // combination sanity require: an uncapped maxTables could size a
+    // (blocks, tables) split the block-table builder then rejects — the
+    // sizer must never hand back an unusable answer
+    val hardCap = math.min(maxTables.toLong, 512L)
+    val feasible = (maxHamming + 1 to 32).filter(b => tables(b) <= hardCap)
     // a cap below even the minimal split's h+1 tables leaves nothing
     // feasible — the minimal split is then the only honest answer
     val b =
@@ -696,6 +701,44 @@ object Dedup {
     (0.001, 1.0), (0.005, 1.0), (0.01, 1.0),
     (0.02, 0.9997), (0.05, 0.9954), (0.10, 0.9854))
 
+  /** The r15/r16-measured GEOMETRIC sweeps (`tools.ImageDedupProbe
+    * --cropSweep`; dHash at 200k images r15, the descriptor tiers at 20k
+    * r16 — 1000 planted pairs/cell; planted twins cropped at an
+    * (s, s)-pixel shift into the same field): (shift px, detection).
+    *
+    * dHash (radius 3): the box grid misaligns and every gradient sign can
+    * flip — median planted hamming 8/16/32 at 1/2/4 px, detection
+    * collapsing to literal zero. The block-mean grid
+    * ([[graft.ext.Multimodal.imageGridFeatures]] at 8×8 through the
+    * embedding-LSH star, cosine threshold 0.9) recovers only the 1 px
+    * band (0.777 vs dHash's 0.186) and collapses by 2-4 px — ANY
+    * aligned-cell descriptor decorrelates with content whose spatial
+    * period approaches the shift (median planted cosine 0.93/0.74/0.14).
+    * The DFT-magnitude tier ([[graft.ext.Multimodal.imageSpectralFeatures]],
+    * same star, same threshold) owns the band: a shift changes phases,
+    * not magnitudes — detection 1.0/1.0/0.993/0.970 at 1/2/4/8 px, the
+    * sub-1.0 tail being the LSH targetRecall knob plus planted cosines
+    * grazing the threshold at 8 px (median 0.954). Linear interpolation
+    * (not log: dHash's floor IS 0.0), clamped at both ends like every
+    * sweep. */
+  private val ImageCropSweepDHash = Seq(
+    (1.0, 0.186), (2.0, 0.020), (4.0, 0.0))
+  private val ImageCropSweepGrid = Seq(
+    (1.0, 0.777), (2.0, 0.067), (4.0, 0.001))
+  private val ImageCropSweepSpectral = Seq(
+    (1.0, 1.0), (2.0, 1.0), (4.0, 0.993), (8.0, 0.970))
+
+  /** Linear interpolation over a measured sweep, clamped at both ends —
+    * for sweeps whose floor is exactly 0.0 (log-linear would NaN). */
+  private def interpLinearSweep(points: Seq[(Double, Double)], x: Double): Double = {
+    val t = math.max(points.head._1, math.min(points.last._1, x))
+    val (lo, hi) = points.zip(points.tail)
+      .find { case (a, b) => t >= a._1 && t <= b._1 }
+      .getOrElse((points.last, points.last))
+    if (lo._1 == hi._1) lo._2
+    else lo._2 + (hi._2 - lo._2) * (t - lo._1) / (hi._1 - lo._1)
+  }
+
   /** Log-linear interpolation over a measured (churn, detection) sweep,
     * clamped at both ends — churn past the last point returns the last
     * row rather than extrapolating optimism (the standing convention). */
@@ -750,15 +793,20 @@ object Dedup {
     * alternative; byte-identical tolerance routes to exact payload-digest
     * dedup. */
   def recommendFamily(mutationTolerance: Double, minDetection: Double = 0.9,
-      hasEmbeddings: Boolean = false, modality: String = "text"): FamilyRecommendation = {
+      hasEmbeddings: Boolean = false, modality: String = "text",
+      geometricTolerance: Double = 0.0): FamilyRecommendation = {
     require(mutationTolerance >= 0 && mutationTolerance <= 1,
       s"mutationTolerance is a per-token probability, got $mutationTolerance")
     require(minDetection > 0 && minDetection <= 1,
       s"minDetection must be in (0, 1], got $minDetection")
     require(modality == "text" || modality == "image",
       s"modality must be text|image, got '$modality'")
+    require(geometricTolerance >= 0,
+      s"geometricTolerance is a pixel shift, got $geometricTolerance")
+    require(geometricTolerance == 0.0 || modality == "image",
+      "geometricTolerance (crop/shift pixels) only applies to image corpora")
     if (modality == "image") return recommendImageFamily(
-      mutationTolerance, minDetection, hasEmbeddings)
+      mutationTolerance, minDetection, hasEmbeddings, geometricTolerance)
     val sweep = Seq( // (churn, minhash detection, simhash detection) — r12 measured
       (0.01, 0.998, 0.770),
       (0.02, 0.986, 0.581),
@@ -797,9 +845,62 @@ object Dedup {
   }
 
   /** The image branch of [[recommendFamily]] — selection over the
-    * r15-measured [[ImageSweep]]. */
+    * r15-measured [[ImageSweep]] (pixel churn) and, when the caller needs
+    * geometric tolerance, the r16-measured [[ImageCropSweepDHash]] /
+    * [[ImageCropSweepGrid]] (crop shift). The two knobs select different
+    * regimes the probes measured separately: dHash owns pixel churn
+    * (0.985+ to 10%) and collapses at a 1 px shift (0.186 → 0.000 by
+    * 4 px); the grid-descriptor tier owns the shift band. */
   private def recommendImageFamily(mutationTolerance: Double,
-      minDetection: Double, hasEmbeddings: Boolean): FamilyRecommendation = {
+      minDetection: Double, hasEmbeddings: Boolean,
+      geometricTolerance: Double = 0.0): FamilyRecommendation = {
+    if (geometricTolerance > 0) {
+      // the caller must still catch crops/shifts of this many pixels —
+      // the regime the r15 crop sweep measured dHash OUT of (0.186 at
+      // 1 px, literal 0.000 by 4). Preference inside the regime follows
+      // the r16 sweep: the block-mean grid recovers only the 1 px band
+      // (aligned cells decorrelate with the content), the DFT-magnitude
+      // descriptor owns the measured 1-4 px band (|F| is blind to the
+      // phase a shift changes), and a model embedding column is the tier
+      // past BOTH measured descriptors.
+      val dhashDet = interpLinearSweep(ImageCropSweepDHash, geometricTolerance)
+      val gridDet = interpLinearSweep(ImageCropSweepGrid, geometricTolerance)
+      val spectralDet = interpLinearSweep(ImageCropSweepSpectral, geometricTolerance)
+      return if (gridDet >= minDetection)
+        FamilyRecommendation("image_grid_lsh",
+          "Multimodal.imageGridFeatures + imageFeatureAssign (threshold 0.9)",
+          gridDet,
+          f"geometric tolerance ${geometricTolerance}%.0f px is past the " +
+            f"perceptual-fingerprint family (dHash crop detection " +
+            f"$dhashDet%.3f measured, r15 sweep) — the block-mean grid " +
+            f"descriptor through embedding-LSH measured $gridDet%.3f at " +
+            "this shift (r16 crop sweep), and is the cheaper, " +
+            "byte-exact-oracled descriptor inside its 1 px band")
+      else if (spectralDet >= minDetection)
+        FamilyRecommendation("image_spectral_lsh",
+          "Multimodal.imageSpectralFeatures + imageFeatureAssign (threshold 0.9)",
+          spectralDet,
+          f"geometric tolerance ${geometricTolerance}%.0f px is past both " +
+            f"aligned-cell descriptors (dHash $dhashDet%.3f, grid " +
+            f"$gridDet%.3f measured) — the low-band DFT-magnitude " +
+            f"descriptor measured $spectralDet%.3f at this shift " +
+            "(r16 crop sweep): a shift changes phases, not magnitudes")
+      else if (hasEmbeddings)
+        FamilyRecommendation("embedding_lsh",
+          "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over image embeddings",
+          1.0,
+          f"spectral-descriptor detection $spectralDet%.3f misses " +
+            f"$minDetection%.2f at ${geometricTolerance}%.0f px shift — " +
+            "only a model image-embedding column sees past the measured " +
+            "geometric band")
+      else
+        FamilyRecommendation("image_spectral_lsh",
+          "Multimodal.imageSpectralFeatures + imageFeatureAssign (threshold 0.9)",
+          spectralDet,
+          f"best available without embeddings: measured detection " +
+            f"$spectralDet%.3f is BELOW the requested $minDetection%.2f — " +
+            "supply an image-embedding column for the semantic tier")
+    }
     val det = interpSweep(ImageSweep, mutationTolerance)
     if (mutationTolerance < 0.0005)
       FamilyRecommendation("exact", "Dedup.dropExactDuplicates over payload digests",
@@ -877,11 +978,18 @@ object Dedup {
       scratchBudgetGb: Double = 0.0, threshold: Double = 0.98,
       targetRecall: Double = 0.98, hasEmbeddings: Boolean = true,
       vecCol: String = "embedding", maxPartitions: Int = 1024,
-      modality: String = "text"): DedupPlan = {
+      modality: String = "text", geometricTolerance: Double = 0.0): DedupPlan = {
     require(scratchBudgetGb >= 0.0, s"negative scratch budget: $scratchBudgetGb")
     val rec = recommendFamily(mutationTolerance, minDetection, hasEmbeddings,
-      modality)
-    if (rec.family != "embedding_lsh")
+      modality, geometricTolerance)
+    // image_grid_lsh / image_spectral_lsh ARE the embedding family over a
+    // derived descriptor column — they share the embedding tier's sizing,
+    // budget, and mining-mode economics verbatim (`emb` is then the
+    // FEATURE table, Multimodal.imageGridFeatures /
+    // imageSpectralFeatures output with null-feature rows dropped, and
+    // `vecCol` = "feature")
+    val embeddingLike = Set("embedding_lsh", "image_grid_lsh", "image_spectral_lsh")
+    if (!embeddingLike(rec.family))
       DedupPlan(rec.family, rec.entryPoint, rec.expectedDetection, rec.rationale,
         None, "one_shot", 1, 0.0, 0.0, budgetSatisfied = true, threshold)
     else {
@@ -900,7 +1008,7 @@ object Dedup {
       // exceeds the budget — say so instead of letting "partitioned" read
       // as "fits" (the silent-clamp trap the r14 advice named)
       val satisfied = p == pWanted
-      DedupPlan("embedding_lsh",
+      DedupPlan(rec.family,
         if (p == 1)
           "Similarity.lshTable + lshCandidatesFromTable (+ exact-cosine rerank)"
         else
@@ -938,6 +1046,12 @@ object Dedup {
     *    shuffle runs in the plan's P budget-bounded passes (`scratchDir`
     *    REQUIRED; pass-file lifecycle is the caller's, the
     *    lshCandidatesPartitioned contract).
+    *  - `image_grid_lsh` / `image_spectral_lsh` → the same embedding
+    *    machinery (both mining modes) over the crop-tolerant descriptor:
+    *    `data` is a [[Multimodal.imageGridFeatures]] /
+    *    [[Multimodal.imageSpectralFeatures]] table (pass idCol =
+    *    "media_id", vecCol = "feature"); undecodable rows (null feature)
+    *    survive by definition, the imageFeatureAssign contract.
     *
     * `data` must carry `textCol` for the text families / `vecCol` for the
     * embedding family / (media_id, dhash) fingerprints for `image_dhash`;
@@ -950,7 +1064,16 @@ object Dedup {
   def runPlan(p: DedupPlan, data: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", vecCol: String = "embedding",
       jaccardThreshold: Double = 0.5, maxHamming: Int = 3,
-      scratchDir: String = "", maxRepsPerCell: Int = 4096): DataFrame =
+      scratchDir: String = "", maxRepsPerCell: Int = 4096,
+      knownCount: Long = -1L): DataFrame = {
+    // the simhash/image branches size their block split from n; a caller
+    // who already knows the corpus size (it counted for plan(), or reads a
+    // manifest row count) supplies it and skips the per-branch
+    // data.count() — on a 100 TB input that second scan is metadata-only
+    // on parquet but a real pass on anything else (r15 verdict nit).
+    // Supplied-count vs counted paths return identical assignments
+    // (spec-pinned); a negative value means "count it here".
+    def corpusN: Long = if (knownCount >= 0) knownCount else data.count()
     p.family match {
       case "exact" =>
         val w = org.apache.spark.sql.expressions.Window
@@ -961,7 +1084,7 @@ object Dedup {
             when(col(idCol) === col("__keeper"), lit(null).cast("long"))
               .otherwise(col("__keeper")).as("dup_of"))
       case "simhash" =>
-        val (blocks, _) = simhashParams(data.count(), maxHamming)
+        val (blocks, _) = simhashParams(corpusN, maxHamming)
         simhashAssign(data, textCol, idCol, maxHamming, maxRepsPerCell, blocks)
       case "minhash" =>
         minhashAssign(data, textCol, idCol, shingleN = 3, k = 32, bands = 8,
@@ -970,24 +1093,44 @@ object Dedup {
         // data = a fingerprint table (media_id, dhash) — the
         // Multimodal.imageFingerprints contract; split auto-deepened at
         // run time like the simhash family
-        val (blocks, _) = simhashParams(data.count(), maxHamming)
+        val (blocks, _) = simhashParams(corpusN, maxHamming)
         Multimodal.imageAssign(data, maxHamming, maxRepsPerCell, blocks)
       case "embedding_lsh" =>
-        val (planes, tables) = p.lshConfig.getOrElse(throw new IllegalArgumentException(
-          "embedding_lsh plan carries no lshConfig — build plans with Dedup.plan"))
-        val bucketTable = Similarity.lshTable(data, planes, tables, idCol, vecCol)
-        if (p.miningMode == "one_shot")
-          Similarity.nearDupAssignFromTable(bucketTable, data, p.threshold,
-            idCol, vecCol, maxRepsPerCell)
-        else {
-          require(scratchDir.nonEmpty,
-            "partitioned embedding mining needs a scratchDir (pass files; " +
-              "caller-owned lifecycle)")
-          val perPass = math.max(1, math.ceil(tables.toDouble / p.partitions).toInt)
-          Similarity.nearDupAssignGrouped(bucketTable, data, p.threshold,
-            scratchDir, idCol, vecCol, maxRepsPerCell, perPass)
-        }
+        runEmbeddingPlan(p, data, idCol, vecCol, scratchDir, maxRepsPerCell)
+      case "image_grid_lsh" | "image_spectral_lsh" =>
+        // data = a feature table (media_id, feature) — the
+        // Multimodal.imageGridFeatures / imageSpectralFeatures contract
+        // (pass idCol = "media_id", vecCol = "feature"). Both families
+        // ARE the embedding machinery at the plan's sized config;
+        // undecodable images (null feature) survive by definition — the
+        // imageFeatureAssign contract
+        data.select(col(idCol)).join(
+          runEmbeddingPlan(p, data.filter(col(vecCol).isNotNull),
+            idCol, vecCol, scratchDir, maxRepsPerCell),
+          Seq(idCol), "left_outer")
       case other => throw new IllegalArgumentException(
         s"unknown plan family '$other' — runPlan executes plans built by Dedup.plan")
     }
+  }
+
+  /** The embedding-family body of [[runPlan]] — ONE definition shared by
+    * the `embedding_lsh` and `image_grid_lsh` dispatches so the two can
+    * never drift on mining-mode semantics. */
+  private def runEmbeddingPlan(p: DedupPlan, emb: DataFrame, idCol: String,
+      vecCol: String, scratchDir: String, maxRepsPerCell: Int): DataFrame = {
+    val (planes, tables) = p.lshConfig.getOrElse(throw new IllegalArgumentException(
+      s"${p.family} plan carries no lshConfig — build plans with Dedup.plan"))
+    val bucketTable = Similarity.lshTable(emb, planes, tables, idCol, vecCol)
+    if (p.miningMode == "one_shot")
+      Similarity.nearDupAssignFromTable(bucketTable, emb, p.threshold,
+        idCol, vecCol, maxRepsPerCell)
+    else {
+      require(scratchDir.nonEmpty,
+        "partitioned embedding mining needs a scratchDir (pass files; " +
+          "caller-owned lifecycle)")
+      val perPass = math.max(1, math.ceil(tables.toDouble / p.partitions).toInt)
+      Similarity.nearDupAssignGrouped(bucketTable, emb, p.threshold,
+        scratchDir, idCol, vecCol, maxRepsPerCell, perPass)
+    }
+  }
 }

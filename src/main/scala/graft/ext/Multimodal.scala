@@ -334,6 +334,70 @@ object Multimodal {
       .join(assigned, Seq("media_id"), "left_outer")
   }
 
+  /** Decoded-luminance dump (media_id, width, height, pix, error) — one
+    * [[graft.functions.ImageLuma]] decode per row. A PROOF artifact: q85
+    * persists it so DuckDB can replay the grid descriptor's integer cell
+    * binning from the same parquet; production paths ship only the 8-byte
+    * dHash or the grid-feature floats out of the scan. */
+  def imageLuma(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), graft.functions.ImageLuma(col("payload")).as("l"))
+      .select(col("media_id"), col("l.width").as("width"),
+        col("l.height").as("height"), col("l.pix").as("pix"),
+        col("l.error").as("error"))
+
+  /** Crop-tolerant image descriptors: one [[graft.functions.ImageGridFeature]]
+    * decode + block-mean grid per row, flattened to
+    * (media_id, feature, error) — the IMAGE-EMBEDDING column the
+    * geometric-tolerance tier feeds into the embedding-LSH survivor
+    * family. Scan-stage; gridW·gridH floats per image leave the scan. */
+  def imageGridFeatures(media: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame =
+    media
+      .select(col("media_id"),
+        graft.functions.ImageGridFeature(col("payload"), gridW, gridH).as("f"))
+      .select(col("media_id"), col("f.feature").as("feature"),
+        col("f.error").as("error"))
+
+  /** Translation-invariant image descriptors: one
+    * [[graft.functions.ImageSpectralFeature]] decode + low-band
+    * DFT-magnitude per row, flattened to (media_id, feature, error) —
+    * the tier for crops/shifts past the grid descriptor's measured 1 px
+    * band (|F| is blind to the phase a shift changes; see the expression
+    * scaladoc). Scan-stage; 24 floats per image at the default band. */
+  def imageSpectralFeatures(media: DataFrame, maxFreq: Int = 3): DataFrame =
+    media
+      .select(col("media_id"),
+        graft.functions.ImageSpectralFeature(col("payload"), maxFreq).as("f"))
+      .select(col("media_id"), col("f.feature").as("feature"),
+        col("f.error").as("error"))
+
+  /** Survivor-oriented CROP-TOLERANT image dedup — a derived image
+    * descriptor ([[imageGridFeatures]] or [[imageSpectralFeatures]], both
+    * emit the same (media_id, feature, error) shape) fed through the
+    * embedding-LSH greedy star ([[Similarity.nearDupAssign]], reused
+    * verbatim: the descriptor IS an embedding, so the image family's
+    * geometric tier inherits the embedding family's auto-sizing, plan
+    * hygiene, and soundness contract). Returns ALL feature rows as
+    * (media_id, dup_of): null ⇒ survivor; undecodable images (null
+    * feature) survive by definition, mirroring [[imageAssign]].
+    * `threshold` is cosine over the descriptor — the r16 crop sweep
+    * measures where each descriptor's planted shift-crops sit against it
+    * (SCALE.md r16: the grid tier owns ≤ 1 px, the spectral tier the
+    * measured 1-4 px band). */
+  def imageFeatureAssign(features: DataFrame, threshold: Double = 0.9,
+      maxRepsPerCell: Int = 4096, targetRecall: Double = 0.98): DataFrame = {
+    TableShapes.requireColumns(features, Seq("media_id", "feature"),
+      "imageFeatureAssign",
+      "build it with Multimodal.imageGridFeatures(media) or " +
+        "Multimodal.imageSpectralFeatures(media)")
+    val assigned = Similarity.nearDupAssign(
+      features.filter(col("feature").isNotNull),
+      threshold, idCol = "media_id", vecCol = "feature",
+      targetRecall = targetRecall, maxRepsPerCell = maxRepsPerCell)
+    features.select(col("media_id"))
+      .join(assigned, Seq("media_id"), "left_outer")
+  }
+
   /** Frame/segment sampling stub: slices the payload into `every`-byte
     * strides, keeping the first `frameLen` bytes of each stride — the same
     * row-explode shape a real video frame sampler has (one row per frame,

@@ -1651,6 +1651,110 @@ object ExtQ {
             AND a.dup_of < a.media_id AS sound
         FROM a JOIN f m ON m.media_id = a.media_id
                JOIN f r ON r.media_id = a.dup_of
+        ORDER BY a.media_id""")),
+
+    // ───── Crop-tolerant grid descriptor, persisted-decode oracle (q85) ─
+    // The r16 geometric tier: dHash collapses at a 1-4 px crop shift
+    // (r15 crop sweep), so Multimodal.imageGridFeatures derives a
+    // block-mean luminance descriptor that feeds the embedding-LSH
+    // survivor family. The descriptor's DECODE is engine-only (no DuckDB
+    // PNG codec) — but everything downstream of the pixels is pure
+    // integer arithmetic, so this row persists the decoded luminance
+    // (ImageLuma: width, height, pix array<int>) through the Catalog and
+    // BOTH engines replay the descriptor's cell binning from the SAME
+    // parquet: pixel pos → cell (((pos % w)·8)//w, ((pos//w)·8)//h),
+    // integer cell sums and counts — byte-exact, the q71/q72/q80 proof
+    // shape applied to the decode artifact. The native expression's
+    // floats are ExtSpec-pinned bit-identical to these cells re-centered
+    // driver-side, which closes the chain from the oracle to the
+    // production descriptor.
+    "q85_image_grid_cells_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.imageLuma(
+            Multimodal.syntheticImages(t(s, dir, "documents"))),
+          "media.q85_luma")
+        cat.load("media.q85_luma")
+          .filter(col("error").isNull)
+          .select(col("media_id"), col("width"), col("height"),
+            posexplode(col("pix")))
+          .select(col("media_id"),
+            expr("((pos div width) * 8) div height").as("gr"),
+            expr("((pos % width) * 8) div width").as("gc"),
+            col("col").as("v"))
+          .groupBy("media_id", "gr", "gc")
+          .agg(sum(col("v")).as("cell_sum"), count(lit(1)).as("cell_cnt"))
+          .orderBy("media_id", "gr", "gc")
+      },
+      Some(s"""
+        WITH l AS (
+          SELECT media_id, width, height, pix
+          FROM read_parquet('$AnnOracleRoot/media/q85_luma/*.parquet')
+          WHERE error IS NULL),
+        px AS (
+          SELECT media_id, width, height,
+            generate_subscripts(pix, 1) - 1 AS pos, unnest(pix) AS v
+          FROM l)
+        SELECT media_id,
+          CAST(((pos // width) * 8) // height AS BIGINT) AS gr,
+          CAST(((pos % width) * 8) // width AS BIGINT) AS gc,
+          CAST(SUM(v) AS BIGINT) AS cell_sum,
+          COUNT(*) AS cell_cnt
+        FROM px
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3""")),
+
+    // ───── Spectral survivor family, persisted-stage oracle (q86) ─────
+    // The translation-invariant image tier: low-band DFT-magnitude
+    // descriptors (ImageSpectralFeature — a shift changes phases, not
+    // magnitudes; the r16 crop sweep measured detection 1.00/1.00/0.99 at
+    // 1/2/4 px shifts where dHash reads 0.186/0.020/0.000) fed through
+    // the embedding-LSH greedy star. Descriptor VALUES are engine-only
+    // (StrictMath trig has no DuckDB twin), so the proof is q81/q84's
+    // shape: persist features + assignment, recompute every elimination's
+    // exact cosine from the SAME parquet in both engines, and `sound`
+    // all-true in the hashed output is the cross-engine proof that no
+    // unsound elimination exists. On this corpus eliminations include
+    // whole translation-equivalence classes (phase-shifted same-frequency
+    // fields ARE translated copies) — exactly what the invariance
+    // promises.
+    "q86_image_spectral_survivors_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.imageSpectralFeatures(
+            Multimodal.syntheticImages(t(s, dir, "documents"))),
+          "media.q86_feats")
+        val feats = cat.load("media.q86_feats")
+        cat.save(Multimodal.imageFeatureAssign(feats, threshold = 0.9),
+          "media.q86_assign")
+        cat.load("media.q86_assign")
+          .filter(col("dup_of").isNotNull)
+          .join(feats.select(col("media_id"), col("feature").as("f_m")), "media_id")
+          .join(feats.select(col("media_id").as("dup_of"),
+            col("feature").as("f_r")), "dup_of")
+          .select(col("media_id"), col("dup_of"),
+            round(Similarity.cosine(col("f_m"), col("f_r")), 6).as("cosine_sim"))
+          .withColumn("sound",
+            col("cosine_sim") > 0.9 && col("dup_of") < col("media_id"))
+          .orderBy("media_id")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT media_id, CAST(feature AS DOUBLE[]) AS v
+          FROM read_parquet('$AnnOracleRoot/media/q86_feats/*.parquet')
+          WHERE feature IS NOT NULL),
+        a AS (
+          SELECT media_id, dup_of
+          FROM read_parquet('$AnnOracleRoot/media/q86_assign/*.parquet')
+          WHERE dup_of IS NOT NULL)
+        SELECT a.media_id, a.dup_of,
+          round(list_cosine_similarity(m.v, r.v), 6) AS cosine_sim,
+          round(list_cosine_similarity(m.v, r.v), 6) > 0.9
+            AND a.dup_of < a.media_id AS sound
+        FROM a JOIN f m ON m.media_id = a.media_id
+               JOIN f r ON r.media_id = a.dup_of
         ORDER BY a.media_id"""))
   )
 

@@ -418,11 +418,15 @@ object DedupScaleProbe {
           if (b._2) () // build time already reported via buildJson
           mass
         }
-        lazy val massOnce = blockMass
-        lazy val blocksMeta = s""","blocks":$shBlocks,"block_mass":$massOnce"""
+        // the mass aggregation is a full extra pass over the persisted
+        // block table and runs OUTSIDE the timed section — interpolating
+        // it into every pairing cell's meta silently inflated probe cost
+        // (r15 advice). Pairing cells report just the split; the mass is
+        // its own cell behind --blockMassOnly.
+        lazy val blocksMeta = s""","blocks":$shBlocks"""
         if (blockMassOnly)
           println(f"""{"check":"block_mass","rows":$n,"family":"simhash",""" +
-            f""""blocks":$shBlocks,"mass":$massOnce,${buildJson(blockBuild)}""" +
+            f""""blocks":$shBlocks,"mass":$blockMass,${buildJson(blockBuild)}""" +
             f"""$mutMeta}""")
         else if (survivors)
           survivorsTextCell("simhash", buildJson(blockBuild),

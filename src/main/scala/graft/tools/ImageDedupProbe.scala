@@ -96,6 +96,8 @@ object ImageDedupProbe {
     var blocks = 0
     var survivors = false
     var cropShifts: Seq[Int] = Nil
+    var family = "dhash" // dhash | grid (the crop-tolerant descriptor tier)
+    var gridThreshold = 0.9
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -107,11 +109,22 @@ object ImageDedupProbe {
         case "--survivors" => survivors = true; i += 1
         case "--cropSweep" if i + 1 < args.length =>
           cropShifts = args(i + 1).split(",").map(_.toInt).toSeq; i += 2
+        case "--family" if i + 1 < args.length => family = args(i + 1); i += 2
+        case "--gridThreshold" if i + 1 < args.length =>
+          gridThreshold = args(i + 1).toDouble; i += 2
         case other => sys.error(s"unknown arg '$other'; usage: ImageDedupProbe " +
           "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B] " +
-          "[--survivors] [--cropSweep 1,2,4]")
+          "[--survivors] [--cropSweep 1,2,4] [--family dhash|grid] " +
+          "[--gridThreshold 0.9]")
       }
     }
+    require(family == "dhash" || family == "grid" || family == "spectral",
+      s"--family must be dhash|grid|spectral, got '$family'")
+    // the descriptor families share the (media_id, feature, error) shape
+    // and the whole measurement harness — they differ only in the builder
+    def featsOf(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (family == "grid") Multimodal.imageGridFeatures(media)
+      else Multimodal.imageSpectralFeatures(media)
     if (cropShifts.nonEmpty) {
       // the GEOMETRIC sweep: detection of shift-cropped twins — the
       // transform class where dHash's box grid misaligns and radius-3
@@ -119,6 +132,47 @@ object ImageDedupProbe {
       // perceptual-fingerprint family; the embedding tier's job past it)
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
       val spark0 = graft.core.Sessions.local(cpus0)
+      if (family != "dhash") {
+        // the crop-tolerant tier: block-mean grid descriptors through the
+        // embedding-LSH pairing, on the SAME shift-cropped twin corpus
+        // the dHash cells measured — detection here at shifts where dHash
+        // reads 0.000 is the r16 verdict's recovery cell. Planted-pair
+        // cosine percentiles (untimed, pair-local) locate the twins
+        // against the threshold the way median hamming does for dHash.
+        cropShifts.foreach { s =>
+          val t0 = System.nanoTime()
+          val feats = featsOf(cropCorpus(spark0, size, s))
+            .filter(col("feature").isNotNull)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val pairs = graft.ext.Similarity.nearDupPairsLsh(feats, gridThreshold,
+            idCol = "media_id", vecCol = "feature")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val total = pairs.count()
+          val detected = pairs.filter(col("id_b") === col("id_a") + 1 &&
+            pmod(col("id_b"), lit(20)) === 1).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val stats = feats.select(col("media_id"), col("feature"))
+            .join(feats.select((col("media_id") - 1).as("media_id"),
+              col("feature").as("f_b")), "media_id")
+            .filter(pmod(col("media_id"), lit(20)) === 0)
+            .select(graft.ext.Similarity
+              .cosine(col("feature"), col("f_b")).as("c"))
+            .agg(min(col("c")).as("mn"),
+              expr("percentile_approx(c, 0.5)").as("md"), max(col("c")).as("mx"))
+            .first()
+          pairs.unpersist(); feats.unpersist()
+          spark0.sharedState.cacheManager.clearCache()
+          println(f"""{"check":"image_crop_detection","family":"$family",""" +
+            f""""rows":$size,"shift":$s,"threshold":$gridThreshold,""" +
+            f""""detected":$detected,"true_dups":${size / 20},""" +
+            f""""detection":${detected.toDouble / (size / 20)}%.4f,""" +
+            f""""pairs":$total,"planted_cosine_min":${stats.getDouble(0)}%.4f,""" +
+            f""""planted_cosine_median":${stats.getDouble(1)}%.4f,""" +
+            f""""planted_cosine_max":${stats.getDouble(2)}%.4f,"wall_s":$dt%.3f}""")
+        }
+        spark0.stop()
+        return
+      }
       cropShifts.foreach { s =>
         val t0 = System.nanoTime()
         val fps = Multimodal.imageFingerprints(cropCorpus(spark0, size, s))
@@ -127,16 +181,34 @@ object ImageDedupProbe {
           .filter(col("media_b") === col("media_a") + 1 &&
             pmod(col("media_b"), lit(20)) === 1)
           .count()
-        // median planted-pair hamming, computed exhaustively from the
-        // fingerprints (pair-local, no mining) — locates the twins
-        // relative to the radius even when detection is ~0
-        val hams = fps.select(col("media_id"), col("dhash"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val planted = (0L until size by 20L).flatMap { base =>
-          for (a <- hams.get(base); b <- hams.get(base + 1))
-            yield java.lang.Long.bitCount(a ^ b)
-        }.sorted
-        val med = if (planted.isEmpty) -1 else planted(planted.size / 2)
+        // median planted-pair hamming, computed DISTRIBUTIVELY (pair-local
+        // self-join on media_id+1, no mining) — locates the twins relative
+        // to the radius even when detection is ~0. Hamming of 64-bit
+        // fingerprints has ≤ 65 distinct values, so the exact median
+        // derives from a 65-row histogram; collecting every fingerprint to
+        // a driver map (the r15 form) was an unbounded driver-memory
+        // hazard at large --size, unlike the rest of the probe.
+        val valid = fps.filter(col("dhash").isNotNull)
+        val hist = valid.select(col("media_id"), col("dhash"))
+          .join(valid.select((col("media_id") - 1).as("media_id"),
+            col("dhash").as("dhash_b")), "media_id")
+          .filter(pmod(col("media_id"), lit(20)) === 0)
+          .groupBy(graft.ext.Dedup.hamming(col("dhash"), col("dhash_b"))
+            .cast("int").as("ham"))
+          .count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val total = hist.map(_._2).sum
+        val med =
+          if (total == 0) -1
+          else {
+            // the element at index total/2 of the sorted multiset — the
+            // same upper-median convention as the collected form
+            var rem = total / 2 + 1; var m = -1; var i = 0
+            while (rem > 0 && i < hist.length) {
+              m = hist(i)._1; rem -= hist(i)._2; i += 1
+            }
+            m
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         fps.unpersist()
         spark0.sharedState.cacheManager.clearCache()
@@ -189,6 +261,36 @@ object ImageDedupProbe {
         f""""survivors":$surv,"eliminated":${size - surv},"detected":$detected,""" +
         f""""true_dups":${size / 20},"wall_s":$dt%.3f}""")
       assign.unpersist(); blockTable.unpersist(); fps.unpersist()
+      spark.stop()
+      return
+    }
+    if (family != "dhash") {
+      // pixel-churn response of the grid-descriptor tier on the same
+      // jittered twin corpus the dHash sweep measures — the second axis
+      // of the r16 routing table (dHash owns churn; this cell verifies
+      // the grid tier doesn't LOSE it while buying crop tolerance)
+      mutations.foreach { m =>
+        val jitters = math.max(1, math.round(m * wh).toInt)
+        val t0 = System.nanoTime()
+        val feats = featsOf(corpus(spark, size, jitters))
+          .filter(col("feature").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = graft.ext.Similarity.nearDupPairsLsh(feats, gridThreshold,
+          idCol = "media_id", vecCol = "feature")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = pairs.count()
+        val detected = pairs.filter(col("id_b") === col("id_a") + 1 &&
+          pmod(col("id_b"), lit(20)) === 1).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        pairs.unpersist(); feats.unpersist()
+        spark.sharedState.cacheManager.clearCache()
+        val truth = size / 20
+        println(f"""{"check":"image_detection","family":"$family","rows":$size,""" +
+          f""""mutation":$m,"jitters":$jitters,"threshold":$gridThreshold,""" +
+          f""""detected":$detected,"true_dups":$truth,""" +
+          f""""detection":${detected.toDouble / truth}%.4f,"pairs":$total,""" +
+          f""""wall_s":$dt%.3f}""")
+      }
       spark.stop()
       return
     }

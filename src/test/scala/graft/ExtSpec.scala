@@ -1333,6 +1333,10 @@ class ExtSpec extends SparkSpec {
     val (autoBlocks, _) = Dedup.simhashParams(docs.count())
     assert(assignSet(Dedup.runPlan(shPlan, docs)) ==
       assignSet(Dedup.simhashAssign(docs, blocks = autoBlocks)))
+    // a supplied knownCount skips the per-branch data.count() (the 100 TB
+    // second-scan nit) and returns the identical assignment
+    assert(assignSet(Dedup.runPlan(shPlan, docs, knownCount = docs.count())) ==
+      assignSet(Dedup.simhashAssign(docs, blocks = autoBlocks)))
 
     // minhash family: exactly minhashAssign at the production config
     val mhPlan = Dedup.plan(docs, mutationTolerance = 0.02, minDetection = 0.9,
@@ -1413,6 +1417,192 @@ class ExtSpec extends SparkSpec {
           if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
       assert(viaPlan == direct)
     } finally { fps.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
+  test("image descriptors: grid equals its relational twin; spectral is shift/brightness-blind") {
+    import graft.functions.{ImageGridFeature, ImageSpectralFeature, PngGray}
+    // ── grid: native expression == the q85 relational twin re-centered ──
+    // the chain q85's oracle proof rides: persisted-luma integer cells
+    // (hash-proven vs DuckDB) → cell means → grand-mean centering → float
+    // cast, re-derived here independently and compared BIT-exact
+    val docs = spark.range(30).select($"id".as("doc_id"))
+    val media = Multimodal.syntheticImages(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gridByIdd = Multimodal.imageGridFeatures(media).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      Multimodal.imageLuma(media).collect().foreach { r =>
+        val id = r.getLong(0)
+        val w = r.getInt(1); val h = r.getInt(2)
+        val pix = r.getSeq[Int](3).toArray
+        // the q85 engine stage's binning, re-done driver-side
+        val sum = new Array[Long](64); val cnt = new Array[Long](64)
+        var p = 0
+        while (p < pix.length) {
+          val gr = ((p / w) * 8) / h; val gc = ((p % w) * 8) / w
+          sum(gr * 8 + gc) += pix(p); cnt(gr * 8 + gc) += 1
+          p += 1
+        }
+        val means = (0 until 64).map(i => sum(i).toDouble / cnt(i))
+        var grand = 0.0
+        means.foreach(grand += _)
+        grand /= 64
+        val expected = means.map(m => (m - grand).toFloat).toArray
+        assert(java.util.Arrays.equals(gridByIdd(id), expected), s"grid twin diverged at id $id")
+      }
+
+      // ── spectral: native (separable) == an independent DIRECT-DFT twin ──
+      val pix0 = Multimodal.patternPixels(7L, 32, 32).map(_ & 0xff)
+      val img0 = PngGray.Gray(32, 32, pix0.map(_.toByte))
+      val native = ImageSpectralFeature.feature(img0, 3)
+      def refMag(u: Int, v: Int): Double = {
+        var re = 0.0; var im = 0.0
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val a = -2.0 * StrictMath.PI * (u.toDouble * x / 32 + v.toDouble * y / 32)
+            val p = pix0(y * 32 + x).toDouble
+            re += p * StrictMath.cos(a); im += p * StrictMath.sin(a)
+            x += 1
+          }
+          y += 1
+        }
+        StrictMath.sqrt(re * re + im * im)
+      }
+      val refFeat = ((1 to 3).map(v => refMag(0, v)) ++
+        (for (u <- 1 to 3; v <- -3 to 3) yield refMag(u, v))).toArray
+      assert(native.length == 24 && refFeat.length == 24)
+      native.zip(refFeat).zipWithIndex.foreach { case ((n, rr), i) =>
+        assert(math.abs(n - rr) <= 1e-7 * math.max(1.0, math.abs(rr)),
+          s"spectral twin diverged at coeff $i: $n vs $rr")
+      }
+
+      def cosine(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+
+      // ── brightness: a uniform +8 shift (no clamp: pattern is [13,243]) ──
+      // grid is EXACTLY invariant at 32x32/8x8 (16-px cells, /16 and /64
+      // both exact in doubles); spectral excludes DC, so the shift lands
+      // only in float rounding
+      val pixB = pix0.map(v => (v + 8))
+      val imgB = PngGray.Gray(32, 32, pixB.map(_.toByte))
+      assert(java.util.Arrays.equals(
+        ImageGridFeature.feature(img0, 8, 8), ImageGridFeature.feature(imgB, 8, 8)))
+      assert(cosine(native, ImageSpectralFeature.feature(imgB, 3)) > 1 - 1e-9)
+
+      // ── the geometric boundary itself, one planted pair: a (3,3)-shifted
+      // 32x32 window into the same 40x40 field — spectral cosine stays
+      // high (magnitudes), grid cosine drops (aligned cells decorrelate);
+      // this single-pair shape is what the 20k sweep measures in bulk
+      val field = Multimodal.patternPixels(11L, 40, 40)
+      def window(off: Int): PngGray.Gray = {
+        val wp = new Array[Byte](32 * 32)
+        for (y <- 0 until 32; x <- 0 until 32)
+          wp(y * 32 + x) = field((y + off) * 40 + (x + off))
+        PngGray.Gray(32, 32, wp)
+      }
+      val sA = ImageSpectralFeature.feature(window(0), 3)
+      val sB = ImageSpectralFeature.feature(window(3), 3)
+      val gA = ImageGridFeature.feature(window(0), 8, 8)
+      val gB = ImageGridFeature.feature(window(3), 8, 8)
+      assert(cosine(sA, sB) > 0.9, s"spectral shift cosine ${cosine(sA, sB)}")
+      assert(cosine(sA, sB) > cosine(gA, gB),
+        s"spectral ${cosine(sA, sB)} should beat grid ${cosine(gA, gB)} on shifts")
+
+      // ── hostile rows: per-row error, never a throw ──
+      val bad = Seq((1L, "not a png".getBytes("UTF-8")),
+        (2L, PngGray.encodeGray(6, 6, new Array[Byte](36))))
+        .toDF("media_id", "payload")
+      val gridBad = Multimodal.imageGridFeatures(bad).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      val specBad = Multimodal.imageSpectralFeatures(bad).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(gridBad(1L) == "not_png" && specBad(1L) == "not_png")
+      assert(gridBad(2L) == "image_too_small" && specBad(2L) == "image_too_small")
+    } finally { media.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
+  test("geometric tolerance routes the measured descriptor tiers; runPlan executes them") {
+    import graft.ext.Dedup
+    // routing pins at the r16 sweep values (20k cells, 1000 pairs each)
+    val r1 = Dedup.recommendFamily(0.01, 0.9, modality = "image",
+      geometricTolerance = 1)
+    assert(r1.family == "image_spectral_lsh") // grid measured 0.777 < 0.9
+    assert(math.abs(r1.expectedDetection - 1.0) < 1e-9)
+    val r1g = Dedup.recommendFamily(0.01, 0.75, modality = "image",
+      geometricTolerance = 1)
+    assert(r1g.family == "image_grid_lsh" &&
+      math.abs(r1g.expectedDetection - 0.777) < 1e-9)
+    val r4 = Dedup.recommendFamily(0.01, 0.9, modality = "image",
+      geometricTolerance = 4)
+    assert(r4.family == "image_spectral_lsh" &&
+      math.abs(r4.expectedDetection - 0.993) < 1e-9)
+    // past the measured band with a higher bar: the model-embedding tier
+    // when available, else the honest BELOW verdict
+    assert(Dedup.recommendFamily(0.01, 0.99, hasEmbeddings = true,
+      modality = "image", geometricTolerance = 8).family == "embedding_lsh")
+    val below = Dedup.recommendFamily(0.01, 0.99, modality = "image",
+      geometricTolerance = 8)
+    assert(below.family == "image_spectral_lsh" && below.rationale.contains("BELOW"))
+    // the knob is image-only; zero tolerance keeps the churn routing
+    intercept[IllegalArgumentException] {
+      Dedup.recommendFamily(0.01, geometricTolerance = 1.0)
+    }
+    assert(Dedup.recommendFamily(0.05, 0.9, modality = "image").family == "image_dhash")
+
+    // execution: (4,4)-shifted crops — the routed spectral plan runs
+    // through runPlan to EXACTLY the direct call's assignment, eliminates
+    // (nearly) every planted twin soundly, while the dHash family's
+    // radius-3 pairing sees none of them (the r15 boundary)
+    val media = graft.tools.ImageDedupProbe.cropCorpus(spark, 400, 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dhashDetected = Multimodal.imageNearDups(
+        Multimodal.imageFingerprints(media), maxHamming = 3)
+        .filter(col("media_b") === col("media_a") + 1 &&
+          pmod(col("media_b"), lit(20)) === 1)
+        .count()
+      assert(dhashDetected == 0, s"dHash saw $dhashDetected shifted twins")
+      val feats = Multimodal.imageSpectralFeatures(media)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = Dedup.plan(feats, mutationTolerance = 0.01, threshold = 0.9,
+        modality = "image", geometricTolerance = 4, vecCol = "feature")
+      assert(p.family == "image_spectral_lsh" && p.lshConfig.isDefined)
+      def assignSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val (planes, tables) = p.lshConfig.get
+      val direct = assignSet(Similarity.nearDupAssignFromTable(
+        Similarity.lshTable(feats, planes, tables, "media_id", "feature"),
+        feats, p.threshold, "media_id", "feature"))
+      val viaPlan = assignSet(Dedup.runPlan(p, feats, idCol = "media_id",
+        vecCol = "feature"))
+      assert(viaPlan == direct)
+      val fmap = feats.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      // every elimination is sound (genuine > threshold cosine toward a
+      // smaller id); the planted twins are (nearly) all eliminated — the
+      // sub-1.0 allowance is the LSH recall knob, not the descriptor
+      val elims = viaPlan.collect { case (id, Some(d)) => (id, d) }
+      elims.foreach { case (id, d) =>
+        assert(d < id && cos(fmap(id), fmap(d)) > 0.9 - 1e-6,
+          s"unsound elimination $id -> $d (cos ${cos(fmap(id), fmap(d))})")
+      }
+      val twinIds = (0L until 400L).filter(_ % 20 == 1).toSet
+      val eliminatedTwins = elims.map(_._1).toSet.intersect(twinIds)
+      assert(eliminatedTwins.size >= 18,
+        s"only ${eliminatedTwins.size}/20 shifted twins eliminated")
+      feats.unpersist()
+    } finally { media.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
   test("recommendFamily encodes the r12 detection-vs-mutation sweep") {
@@ -1831,6 +2021,16 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.simhashParams(1000L, maxHamming = 3, maxTables = 2)._1 == 4)
     // h = 0 keeps one table (the whole signature is the key)
     assert(Dedup.simhashParams(1L << 40, maxHamming = 0) == ((1, 1)))
+    // the sizer's answer is ALWAYS accepted by simhashBlockTable: even an
+    // absurd maxTables with an unreachable mass target clamps the feasible
+    // search at the builder's own 512-combination cap (r15 advice — the
+    // old form could hand back C(B,h) > 512 and be rejected downstream)
+    val (bCap, tCap) = Dedup.simhashParams(Long.MaxValue / 4,
+      maxHamming = 3, maxTables = Int.MaxValue, targetMassPerDoc = 1e-12)
+    assert(tCap <= 512, s"sizer returned $tCap tables > builder cap")
+    val oneSig = Seq((1L, 0x0123456789abcdefL)).toDF("doc_id", "simhash")
+    // must not throw the 512-combination require
+    assert(Dedup.simhashBlockTable(oneSig, blocks = bCap).count() == tCap)
 
     // zero false negatives at a DEEPENED split: planted pairs at every
     // hamming distance 0..3 plus random fillers — blocked pairs must
