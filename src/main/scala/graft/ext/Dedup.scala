@@ -624,10 +624,21 @@ object Dedup {
     * the closure) — ExtSpec-pinned against [[simhashPairsFromBlocks]]'
     * closure.
     *
+    * `reprobe = true` adds the optional second pass closing the one
+    * measured conservative gap (a member whose only radius-match was
+    * eliminated in its cell before it arrived survives — exactly one
+    * planted twin per 16M-image capstone run): survivors re-walk each
+    * cell against the cell's first-pass ELIMINATED members. Same
+    * soundness contract, strictly more eliminations, ~one extra pass of
+    * mass (probe-measured); it persists the first-pass eliminations for
+    * the plan's lifetime (the [[nearDupPairsLsh]] caching contract —
+    * callers release after materializing).
+    *
     * Returns ALL doc ids as (idCol, dup_of): null ⇒ survivor. */
   def simhashAssignFromBlocks(blockTable: DataFrame, idCol: String = "doc_id",
       maxRepsPerCell: Int = 4096,
-      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None,
+      reprobe: Boolean = false): DataFrame = {
     require(maxRepsPerCell >= 1, s"maxRepsPerCell must be >= 1, got $maxRepsPerCell")
     TableShapes.requireColumns(blockTable,
       Seq("bkey", "blk", "bits", "sh", "max_hamming", idCol),
@@ -644,7 +655,7 @@ object Dedup {
         col(idCol).as("member_id"), col("sh"), col("max_hamming"))
     val cap = maxRepsPerCell
     val cmp = comparisons
-    val elim = members
+    val elim1 = members
       .as[(Long, Int, Long, Long, Long, Int)]
       .groupByKey(t => (t._1, t._2, t._3))
       .flatMapSortedGroups(col("member_id")) { case (_, rows) =>
@@ -658,9 +669,63 @@ object Dedup {
           cap, cmp)
       }
       .toDF(idCol, "dup_of")
-      .groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
+    val elim =
+      if (!reprobe) elim1
+      else {
+        // ── optional second pass: close the promotion leak ──
+        // The greedy star's one conservative gap (measured: exactly one
+        // planted twin per 16M-image capstone run, SCALE.md r15): a member
+        // whose only radius-match was ELIMINATED in the same cell before
+        // it arrived never meets it — eliminated members don't promote to
+        // representatives — so the member survives. The re-probe walks
+        // each cell once more with the roles fixed: first-pass ELIMINATED
+        // members are pre-seeded representatives (id-ascending, same cap),
+        // first-pass survivors compare against them and assign on a
+        // match. Eliminations stay sound (a genuine radius pair toward a
+        // smaller id — dup_of chains exactly like cross-cell elimination
+        // already does), survivors still contain every component minimum,
+        // and the extra mass is Σ_cells |survivors|·|eliminated| —
+        // head-mass corpora have ~1 survivor/cell, so it is bounded by
+        // the first walk's own comparisons (probe-measured, SCALE.md r16).
+        val elimFirst = elim1
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val status = members
+          .join(elimFirst.select(col(idCol).as("member_id"))
+            .distinct().withColumn("__e", lit(true)),
+            Seq("member_id"), "left_outer")
+          .select(col("bkey"), col("blk"), col("bits"), col("member_id"),
+            col("sh"), col("max_hamming"), col("__e").isNotNull.as("is_elim"))
+        val elim2 = status
+          .as[(Long, Int, Long, Long, Long, Int, Boolean)]
+          .groupByKey(t => (t._1, t._2, t._3))
+          .flatMapSortedGroups(col("member_id")) { case (_, rows) =>
+            val reps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+            rows.flatMap { case (_, _, _, id, sh, radius, isElim) =>
+              if (isElim) {
+                if (reps.length < cap) reps += ((id, sh, radius))
+                Iterator.empty
+              } else {
+                var matched = -1L
+                var r = 0
+                var n = 0L
+                while (matched < 0 && r < reps.length) {
+                  n += 1
+                  if (java.lang.Long.bitCount(sh ^ reps(r)._2) <= radius)
+                    matched = reps(r)._1
+                  r += 1
+                }
+                cmp.foreach(_.add(n))
+                if (matched >= 0) Iterator.single((id, matched))
+                else Iterator.empty
+              }
+            }
+          }
+          .toDF(idCol, "dup_of")
+        elimFirst.unionAll(elim2)
+      }
     blockTable.select(col(idCol)).distinct()
-      .join(elim, Seq(idCol), "left_outer")
+      .join(elim.groupBy(idCol).agg(min(col("dup_of")).as("dup_of")),
+        Seq(idCol), "left_outer")
   }
 
   /** [[simhashAssignFromBlocks]] from raw documents — signature + block
@@ -669,12 +734,13 @@ object Dedup {
     * (0 = the legacy `maxHamming + 1` split). */
   def simhashAssign(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
-      maxRepsPerCell: Int = 4096, blocks: Int = 0): DataFrame =
+      maxRepsPerCell: Int = 4096, blocks: Int = 0,
+      reprobe: Boolean = false): DataFrame =
     simhashAssignFromBlocks(
       simhashBlockTable(
         docs.select(col(idCol), simhash(col(textCol)).as("simhash")),
         idCol, "simhash", maxHamming, blocks),
-      idCol, maxRepsPerCell)
+      idCol, maxRepsPerCell, reprobe = reprobe)
 
   /** A dedup-family recommendation: which collision relation to run, with
     * the production-config entry point it names, the expected detection

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Catalog
@@ -118,6 +118,121 @@ object Ivf {
 
   def loadCentroids(catalog: Catalog, ref: String): Array[Array[Double]] =
     centroidsFromDF(catalog.load(ref))
+
+  // ───── Append churn: maintaining a trained index without retraining ──
+
+  /** Assign NEW vectors to an ALREADY-TRAINED quantizer and append them to
+    * the cluster-partitioned corpus — the 100 TB maintenance path. A
+    * trained IVF index is a train-once artifact, but a training corpus
+    * appends daily; retraining per batch would re-cluster (and re-WRITE)
+    * the whole corpus for a marginal centroid move. This instead reuses
+    * the persisted centroids (scan-stage [[NearestCentroid]], no join, no
+    * shuffle beyond the partitioned write), so an append costs
+    * O(batch·k·dim) compute and touches only the batch's own partitions.
+    *
+    * Search semantics stay EXACT over the union (probe + exact-cosine
+    * rerank never approximates within probed cells; append-then-search ==
+    * full-retrain search while the appended distribution matches the
+    * trained one — spec-pinned), but RECALL drifts as appended data
+    * diverges from the trained cells: new-regime vectors land in
+    * stretched cells the probe ranks poorly. The measured curve
+    * (`tools.IvfDriftProbe`, SCALE.md r16) is what [[IvfLedger]] encodes:
+    * track appended mass against the trained base and rebuild at the
+    * measured threshold instead of guessing.
+    *
+    * Returns the appended row count (also accumulated into `ledgerRef`
+    * when given — pass the ledger saved at train time by [[saveLedger]]).
+    * The append inherits the table's `cluster` partition layout; on a
+    * manifest-committed corpus it publishes atomically
+    * ([[graft.core.Catalog.append]]'s contract). */
+  def appendAssign(catalog: Catalog, corpusRef: String, centroidsRef: String,
+      newRows: DataFrame, vecCol: String = "embedding",
+      ledgerRef: String = ""): Long = {
+    val cents = loadCentroids(catalog, centroidsRef)
+    val n = newRows.count()
+    catalog.append(assign(newRows, cents, vecCol), corpusRef,
+      partitionBy = Seq("cluster"))
+    if (ledgerRef.nonEmpty) {
+      val l = loadLedger(catalog, ledgerRef)
+      saveLedger(catalog, ledgerRef,
+        l.copy(appendedCount = l.appendedCount + n))
+    }
+    n
+  }
+
+  /** The rebuild-policy ledger persisted beside the centroids: how much
+    * was trained on, how much has been appended since, and the measured
+    * append fraction past which the quantizer must retrain.
+    * `maxAppendFraction` defaults to [[MeasuredRebuildFraction]] — a
+    * MEASURED threshold (IvfDriftProbe), not a guess. */
+  final case class IvfLedger(baseCount: Long, appendedCount: Long,
+      maxAppendFraction: Double) {
+    def appendFraction: Double =
+      if (baseCount <= 0) Double.PositiveInfinity
+      else appendedCount.toDouble / baseCount
+  }
+
+  /** The r16-measured rebuild threshold (`tools.IvfDriftProbe`, SCALE.md
+    * r16, 200k base / 32 queries / nProbe 3 of 64 cells). The measured
+    * shape: iid appends cost NOTHING (stale appended-query recall 1.000
+    * at every fraction to 2.0× — a rebuild never pays); fully-unseen-
+    * regime appends (the worst case, drift is bounded above by it) cost a
+    * ~9-12 point STEP on appended-query recall (0.909/0.909/0.884/0.900
+    * at 0.25/0.5/1.0/2.0× vs the retrained index's 1.000) that appears
+    * with the first drifted batch and stays ~flat, so the BLENDED
+    * all-corpus recall declines with the appended share:
+    * ≈ (1 + f·0.91)/(1 + f). 0.5 is where that worst-case blend crosses
+    * ~0.97 — the default fraction at which [[shouldRebuild]] fires; a
+    * deployment that measures its own appends iid can raise it, one that
+    * needs appended-query recall ≥ its target under drift should watch
+    * [[measureRecall]] with an appended-only `queryFilter` instead. */
+  val MeasuredRebuildFraction: Double = 0.5
+
+  def shouldRebuild(ledger: IvfLedger): Boolean =
+    ledger.appendFraction > ledger.maxAppendFraction
+
+  def saveLedger(catalog: Catalog, ref: String, ledger: IvfLedger): Unit = {
+    import catalog.spark.implicits._
+    catalog.save(Seq((ledger.baseCount, ledger.appendedCount,
+      ledger.maxAppendFraction))
+      .toDF("base_count", "appended_count", "max_append_fraction"), ref)
+  }
+
+  def loadLedger(catalog: Catalog, ref: String): IvfLedger = {
+    val r = catalog.load(ref).select(
+      col("base_count"), col("appended_count"), col("max_append_fraction"))
+      .first()
+    IvfLedger(r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  /** Mean recall@k of the IVF probe path against exact brute force, over
+    * `nQueries` deterministically-sampled query vectors (smallest hashed
+    * id — the [[trainCentroids]] seeding rule, so the sample is
+    * partitioning-independent). The drift meter: run it over the
+    * appended-union corpus to read what churn cost, and over appended
+    * rows only (`queryFilter`) to read the worst case — drifted queries
+    * probing cells trained without them. Driver loop of 2·nQueries
+    * k-sized jobs; persist `emb` around the call when it is not already
+    * storage-backed. */
+  def measureRecall(emb: DataFrame, centroids: Array[Array[Double]],
+      k: Int = 10, nProbe: Int = 2, nQueries: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryFilter: Column = lit(true)): Double = {
+    val qs = emb.filter(queryFilter)
+      .select(col(idCol), col(vecCol), xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(nQueries).collect()
+      .map(r => (r.getLong(0), toVec(r, 1)))
+    if (qs.isEmpty) return 1.0
+    val recalls = qs.map { case (qid, qv) =>
+      val exact = Similarity.bruteForceTopKVec(emb, qv, k, Some(qid),
+        idCol, vecCol).collect().map(_.getLong(0)).toSet
+      val approx = ivfTopKVec(emb, centroids, qv, k, nProbe, Some(qid),
+        idCol, vecCol).collect().map(_.getLong(0)).toSet
+      if (exact.isEmpty) 1.0
+      else exact.intersect(approx).size.toDouble / exact.size
+    }
+    recalls.sum / recalls.length
+  }
 
   private def l2(a: Array[Double], b: Array[Double]): Double = {
     // loud on a dim mismatch — NearestCentroid's contract applied to the

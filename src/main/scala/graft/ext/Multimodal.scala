@@ -322,14 +322,15 @@ object Multimodal {
     * ExtSpec-pinned against [[imageNearDups]]' closure and q84-oracled
     * over persisted fingerprints. */
   def imageAssign(fingerprints: DataFrame, maxHamming: Int = 3,
-      maxRepsPerCell: Int = 4096, blocks: Int = 0): DataFrame = {
+      maxRepsPerCell: Int = 4096, blocks: Int = 0,
+      reprobe: Boolean = false): DataFrame = {
     TableShapes.requireColumns(fingerprints, Seq("media_id", "dhash"),
       "imageAssign", "build it with Multimodal.imageFingerprints(media)")
     val assigned = Dedup.simhashAssignFromBlocks(
       Dedup.simhashBlockTable(
         fingerprints.filter(col("dhash").isNotNull),
         "media_id", "dhash", maxHamming, blocks),
-      "media_id", maxRepsPerCell)
+      "media_id", maxRepsPerCell, reprobe = reprobe)
     fingerprints.select(col("media_id"))
       .join(assigned, Seq("media_id"), "left_outer")
   }

@@ -19,16 +19,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The decode is REAL, not a stub: a constrained decoder for the PNG
   * subset the synthetic fixture corpus emits and a real pipeline's
-  * thumbnail tier commonly uses — 8-bit, color types 0 (grayscale),
-  * 2 (truecolor RGB), and 3 (palette, the most common thumbnail
-  * encoding), non-interlaced — implemented from the public spec
-  * (RFC 2083): chunk walk, zlib-inflate of the concatenated IDAT stream
-  * (`java.util.zip.Inflater` — in the JDK, no external libs), and the
-  * five scanline filters (None/Sub/Up/Average/Paeth) reversed per row.
+  * thumbnail tier commonly uses — color types 0 (grayscale), 2 (truecolor
+  * RGB), and 3 (palette, the most common thumbnail encoding) at 8-bit
+  * depth, 16-bit for gray/RGB (high byte of each big-endian sample, the
+  * standard reduction), non-interlaced AND Adam7-interlaced — implemented
+  * from the public spec (RFC 2083): chunk walk, zlib-inflate of the
+  * concatenated IDAT stream (`java.util.zip.Inflater` — in the JDK, no
+  * external libs), and the five scanline filters
+  * (None/Sub/Up/Average/Paeth) reversed per row, per interlace pass.
   * RGB converts to luminance by the integer BT.601 weights
   * ((77·R + 150·G + 29·B) >> 8); palette indices go through the same
   * weights applied to their PLTE triple. Anything outside the subset
-  * (alpha, 16-bit, interlaced, or a non-PNG payload) lands in `error`
+  * (alpha, sub-byte depths, or a non-PNG payload) lands in `error`
   * with a null hash — one odd blob poisons its row, never the job, the
   * [[MediaHeader]] contract.
   *
@@ -140,9 +142,12 @@ private[graft] object PngGray {
   private def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
 
-  /** Decode an 8-bit non-interlaced grayscale (color type 0) or RGB
-    * (color type 2) PNG to a luminance grid. Every failure is a Left —
-    * the expression contract is throw-free. */
+  /** Decode a grayscale (color type 0), RGB (2), or palette (3) PNG to a
+    * luminance grid — 8-bit throughout, plus 16-bit for gray/RGB (high
+    * byte of each big-endian sample, the standard reduction), both
+    * non-interlaced and Adam7-interlaced (the two most common encodings
+    * the r15 subset still rejected). Every failure is a Left — the
+    * expression contract is throw-free. */
   def decode(payload: Array[Byte]): Either[String, Gray] = {
     val n = payload.length
     var i = 0
@@ -164,9 +169,14 @@ private[graft] object PngGray {
       return Left("png_bad_dims")
     val bitDepth = u8(payload, 24); val colorType = u8(payload, 25)
     val interlace = u8(payload, 28)
-    if (bitDepth != 8) return Left("png_unsupported_depth")
+    // 8- and 16-bit depths (16-bit projects the high byte of each
+    // big-endian sample — the standard 8-bit reduction); sub-byte depths
+    // stay out of the subset. The spec caps palette depth at 8, so a
+    // 16-bit color-type-3 header is invalid, not merely unsupported.
+    if (bitDepth != 8 && bitDepth != 16) return Left("png_unsupported_depth")
     if (colorType != 0 && colorType != 2 && colorType != 3)
       return Left("png_unsupported_color")
+    if (colorType == 3 && bitDepth != 8) return Left("png_unsupported_depth")
     // RFC 2083 defines exactly one compression (0 = deflate) and one
     // filter method (0 = adaptive 5-type); a payload declaring anything
     // else would otherwise unfilter as method 0 and yield a
@@ -174,8 +184,11 @@ private[graft] object PngGray {
     // unsupported-subset case the original decode silently mis-read
     if (u8(payload, 26) != 0) return Left("png_unsupported_compression")
     if (u8(payload, 27) != 0) return Left("png_unsupported_filter_method")
-    if (interlace != 0) return Left("png_interlaced")
-    val bpp = if (colorType == 2) 3 else 1 // palette indices are 1 byte/pixel
+    // interlace method 1 = Adam7, decoded below; anything else is invalid
+    if (interlace > 1) return Left("png_bad_interlace")
+    val bytesPerSample = bitDepth / 8
+    val channels = if (colorType == 2) 3 else 1
+    val bpp = channels * bytesPerSample // filter distance, bytes per pixel
     // chunk walk: concatenate IDAT payloads, capture PLTE for color type 3
     val idat = new java.io.ByteArrayOutputStream()
     var plte: Array[Byte] = null
@@ -203,7 +216,26 @@ private[graft] object PngGray {
     }
     val compressed = idat.toByteArray
     if (compressed.isEmpty) return Left("png_no_idat")
-    val raw = new Array[Byte]((h * (1 + w * bpp)).toInt)
+    val wI = w.toInt; val hI = h.toInt
+    // Adam7 pass geometry (RFC 2083 §2.6): seven sub-images at the
+    // standard (x0, y0, dx, dy) offsets/strides, each independently
+    // filtered with its own scanlines. Non-interlaced decodes as ONE pass
+    // at stride 1 through the SAME loop — no special case to drift.
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val dims = passes.map { case (x0, y0, dx, dy) =>
+      (math.max(0, (wI - x0 + dx - 1) / dx), math.max(0, (hI - y0 + dy - 1) / dy))
+    }
+    val rawLen = passes.indices.map { pi =>
+      val (wp, hp) = dims(pi)
+      if (wp == 0 || hp == 0) 0L else hp.toLong * (1L + wp.toLong * bpp)
+    }.sum
+    // 64 MPix at the widest bpp (16-bit RGB = 6) is ~402 MB — inside Int
+    // range but still guarded: a future subset widening must not overflow
+    if (rawLen > Int.MaxValue - 64) return Left("png_bad_dims")
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(compressed)
@@ -223,82 +255,77 @@ private[graft] object PngGray {
     } catch {
       case _: java.util.zip.DataFormatException => return Left("png_bad_idat")
     } finally inf.end()
-    // unfilter scanlines in place (RFC 2083 §6.2-6.6)
-    val stride = 1 + w.toInt * bpp
-    val wB = w.toInt * bpp
-    var y = 0
-    while (y < h) {
-      val rowOff = y * stride + 1
-      val prevOff = rowOff - stride
-      val ft = u8(raw, rowOff - 1)
-      if (ft > 4) return Left("png_bad_filter")
-      var x = 0
-      while (x < wB) {
-        val a = if (x >= bpp) u8(raw, rowOff + x - bpp) else 0
-        val b = if (y > 0) u8(raw, prevOff + x) else 0
-        val c = if (y > 0 && x >= bpp) u8(raw, prevOff + x - bpp) else 0
-        val add = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 => // Paeth predictor
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-        }
-        raw(rowOff + x) = ((u8(raw, rowOff + x) + add) & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    // palette LUT (color type 3): indices → BT.601 luminance, built once
+    // per image (the same integer weights as the RGB path; 77+150+29 =
+    // 256, so an identity-gray palette reproduces its indices exactly)
+    val nEntries = if (plte == null) 0 else plte.length / 3
+    val lut = new Array[Byte](nEntries)
+    var k = 0
+    while (k < nEntries) {
+      lut(k) = ((77 * u8(plte, 3 * k) + 150 * u8(plte, 3 * k + 1) +
+        29 * u8(plte, 3 * k + 2)) >> 8).toByte
+      k += 1
     }
-    // project to luminance
-    val pix = new Array[Byte]((w * h).toInt)
-    if (colorType == 3) {
-      // palette indices → BT.601 luminance via a 256-entry LUT built once
-      // per image (the same integer weights as the RGB path; 77+150+29 =
-      // 256, so an identity-gray palette reproduces its indices exactly)
-      val nEntries = plte.length / 3
-      val lut = new Array[Byte](nEntries)
-      var k = 0
-      while (k < nEntries) {
-        lut(k) = ((77 * u8(plte, 3 * k) + 150 * u8(plte, 3 * k + 1) +
-          29 * u8(plte, 3 * k + 2)) >> 8).toByte
-        k += 1
-      }
-      y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val idx = u8(raw, y * stride + 1 + x)
-          // an index past the palette is an encoding error per the spec —
-          // loud per-row Left, never a silent clamp to a wrong color
-          if (idx >= nEntries) return Left("png_bad_palette_index")
-          pix(y * w.toInt + x) = lut(idx)
-          x += 1
+    // per pass: unfilter scanlines in place (RFC 2083 §6.2-6.6; the
+    // left-neighbor distance is bpp BYTES, which is what makes the same
+    // loop correct for 16-bit samples), then project each pixel's
+    // luminance straight into its (x0 + i·dx, y0 + j·dy) position
+    val pix = new Array[Byte](wI * hI)
+    var base = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (wp, hp) = dims(pi)
+      if (wp > 0 && hp > 0) {
+        val stride = 1 + wp * bpp
+        val wB = wp * bpp
+        var j = 0
+        while (j < hp) {
+          val rowOff = base + j * stride + 1
+          val prevOff = rowOff - stride
+          val ft = u8(raw, rowOff - 1)
+          if (ft > 4) return Left("png_bad_filter")
+          var x = 0
+          while (x < wB) {
+            val a = if (x >= bpp) u8(raw, rowOff + x - bpp) else 0
+            val b = if (j > 0) u8(raw, prevOff + x) else 0
+            val c = if (j > 0 && x >= bpp) u8(raw, prevOff + x - bpp) else 0
+            val add = ft match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case 4 => // Paeth predictor
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            }
+            raw(rowOff + x) = ((u8(raw, rowOff + x) + add) & 0xff).toByte
+            x += 1
+          }
+          var i = 0
+          while (i < wp) {
+            val sOff = rowOff + i * bpp
+            val lum: Byte =
+              if (colorType == 3) {
+                val idx = u8(raw, sOff)
+                // an index past the palette is an encoding error per the
+                // spec — loud per-row Left, never a silent wrong color
+                if (idx >= nEntries) return Left("png_bad_palette_index")
+                lut(idx)
+              } else if (channels == 1) raw(sOff) // 16-bit: first byte IS the high byte
+              else ((77 * u8(raw, sOff) + 150 * u8(raw, sOff + bytesPerSample) +
+                29 * u8(raw, sOff + 2 * bytesPerSample)) >> 8).toByte
+            pix((y0 + j * dy) * wI + (x0 + i * dx)) = lum
+            i += 1
+          }
+          j += 1
         }
-        y += 1
+        base += hp * stride
       }
-    } else if (bpp == 1) {
-      y = 0
-      while (y < h) {
-        System.arraycopy(raw, y * stride + 1, pix, y * w.toInt, w.toInt)
-        y += 1
-      }
-    } else {
-      y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val o = y * stride + 1 + x * 3
-          val lum = (77 * u8(raw, o) + 150 * u8(raw, o + 1) + 29 * u8(raw, o + 2)) >> 8
-          pix(y * w.toInt + x) = lum.toByte
-          x += 1
-        }
-        y += 1
-      }
+      pi += 1
     }
-    Right(Gray(w.toInt, h.toInt, pix))
+    Right(Gray(wI, hI, pix))
   }
 
   /** Fixture-grade encoder: a valid 8-bit grayscale non-interlaced PNG
@@ -370,6 +397,90 @@ private[graft] object PngGray {
     writeChunk(out, "IDAT", java.util.Arrays.copyOf(buf, m))
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Fixture-grade 16-BIT grayscale encoder (depth 16, color type 0,
+    * filter-0 scanlines, big-endian sample pairs, real CRCs). `samples`
+    * are 0..65535; the decoder's standard high-byte reduction makes
+    * `decode(encodeGray16(w, h, s)).pix(i) == (s(i) >>> 8).toByte` —
+    * the ExtSpec/ImageIO-parity contract for the depth-16 path. */
+  def encodeGray16(width: Int, height: Int, samples: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && samples.length == width * height,
+      s"bad 16-bit buffer: ${width}x$height vs ${samples.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Sig)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 16; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    val stride = 1 + width * 2
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      raw(y * stride) = 0 // filter type None
+      var x = 0
+      while (x < width) {
+        val s = samples(y * width + x)
+        raw(y * stride + 1 + x * 2) = (s >>> 8).toByte
+        raw(y * stride + 2 + x * 2) = s.toByte
+        x += 1
+      }
+      y += 1
+    }
+    writeChunk(out, "IDAT", deflateRaw(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Fixture-grade Adam7-INTERLACED 8-bit grayscale encoder: the same
+    * pixel grid as [[encodeGray]], written as the seven standard passes
+    * (each its own filter-0 scanline set) — so
+    * `decode(encodeGrayInterlaced(w, h, p)) == decode(encodeGray(w, h, p))`
+    * pixel-exact, the ExtSpec deinterlace contract. */
+  def encodeGrayInterlaced(width: Int, height: Int, pix: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pix.length == width * height,
+      s"bad gray buffer: ${width}x$height vs ${pix.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Sig)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 0; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 1
+    writeChunk(out, "IHDR", ihdr)
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val body = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wp = math.max(0, (width - x0 + dx - 1) / dx)
+      val hp = math.max(0, (height - y0 + dy - 1) / dy)
+      if (wp > 0 && hp > 0) {
+        var j = 0
+        while (j < hp) {
+          body.write(0) // filter type None
+          var i = 0
+          while (i < wp) {
+            body.write(pix((y0 + j * dy) * width + (x0 + i * dx)) & 0xff)
+            i += 1
+          }
+          j += 1
+        }
+      }
+    }
+    writeChunk(out, "IDAT", deflateRaw(body.toByteArray))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** One-shot zlib deflate with the worst-case-sized buffer (stored
+    * blocks: input + 5 bytes per 16383-byte block + header/adler) — the
+    * sizing every fixture encoder shares. */
+  private def deflateRaw(raw: Array[Byte]): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater(6)
+    val buf = new Array[Byte](raw.length + 5 * (raw.length / 16383 + 1) + 64)
+    deflater.setInput(raw); deflater.finish()
+    val m = deflater.deflate(buf)
+    require(deflater.finished(), "fixture deflate buffer undersized")
+    deflater.end()
+    java.util.Arrays.copyOf(buf, m)
   }
 
   /** The 256-entry r=g=b palette whose BT.601 luminance is the identity

@@ -1755,7 +1755,40 @@ object ExtQ {
             AND a.dup_of < a.media_id AS sound
         FROM a JOIN f m ON m.media_id = a.media_id
                JOIN f r ON r.media_id = a.dup_of
-        ORDER BY a.media_id"""))
+        ORDER BY a.media_id""")),
+
+    // ───── IVF search over an append-maintained corpus (q87) ─────
+    // The r16 churn lever: train the quantizer once on HALF the corpus,
+    // cluster-write that half, then Ivf.appendAssign the other half —
+    // assignment to the PERSISTED centroids, no retrain, the daily
+    // maintenance path a 100 TB index actually runs. The search is q68's
+    // probe + exact rerank over the union; the oracle is the SAME
+    // replayed-arithmetic SQL (parameterized tag), because search
+    // semantics never depend on how rows entered the index. A hash match
+    // certifies the append path end to end: appended rows land in the
+    // right cluster partitions, prune correctly, and score identically.
+    // Recall drift vs appended fraction is the probe's measurement
+    // (tools.IvfDriftProbe, SCALE.md r16); the rebuild threshold it
+    // measured is Ivf.MeasuredRebuildFraction, enforced via IvfLedger.
+    "q87_ivf_search_after_append" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        val emb = t(s, dir, "embeddings")
+        val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        val cents = Ivf.trainCentroids(evens, k = 8, iters = 3)
+        Ivf.saveCentroids(cat, "ann.q87_centroids", cents)
+        // overwrite-then-append keeps the artifact deterministic per run
+        // (the oracle globs the directory, so stale appended files from a
+        // prior run must never survive into this one)
+        cat.save(Ivf.assign(evens, cents), "ann.q87_corpus",
+          partitionBy = Seq("cluster"))
+        Ivf.appendAssign(cat, "ann.q87_corpus", "ann.q87_centroids", odds)
+        Ivf.ivfTopKPartitioned(cat.load("ann.q87_corpus"),
+          Ivf.loadCentroids(cat, "ann.q87_centroids"),
+          queryId = 0L, k = 10, nProbe = 3)
+      },
+      Some(ivfSearchOracleFor("q87")))
   )
 
   /** Root for the persisted ANN search artifacts (q68-q70), keyed by the
@@ -1822,13 +1855,21 @@ object ExtQ {
       queryId = 0L, k = 10, nProbe = 3)
 
   // def, not val: `defs` above initializes first (NOTES round-7)
-  private def ivfSearchOracle = s"""
+  private def ivfSearchOracle = ivfSearchOracleFor("q68")
+
+  /** The IVF probe+rerank replay, parameterized by the artifact tag — ONE
+    * SQL for the train-once witness (q68/q75) and the append-maintained
+    * corpus (q87): the oracle replays probe-filter → rounded-cosine →
+    * top-k from whatever rows the persisted corpus carries, which is
+    * exactly why it transfers — search semantics never depend on HOW rows
+    * entered the index. */
+  private def ivfSearchOracleFor(tag: String) = s"""
         WITH cents AS (
           SELECT CAST(cluster AS BIGINT) AS cluster, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('$AnnOracleRoot/ann/q68_centroids/*.parquet')),
+          FROM read_parquet('$AnnOracleRoot/ann/${tag}_centroids/*.parquet')),
         corpus AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(cluster AS BIGINT) AS cluster
-          FROM read_parquet('$AnnOracleRoot/ann/q68_corpus/*/*.parquet', hive_partitioning=true)),
+          FROM read_parquet('$AnnOracleRoot/ann/${tag}_corpus/*/*.parquet', hive_partitioning=true)),
         q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
         probes AS (
           SELECT cluster FROM cents, q

@@ -52,6 +52,72 @@ object CurationStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp", "lang_guess")
 
+  /** Media-stream curation gates — the MULTIMODAL twin of [[curate]]: a
+    * real header decode ([[graft.functions.MediaHeader]], scan-side)
+    * gates decodability and dimensions the way the language/length/
+    * quality expressions gate text; exact dedup is
+    * `dropDuplicatesWithinWatermark` on the payload digest; the sampling
+    * stage is the curation family's own deterministic
+    * [[graft.ext.Sampling.mixtureKeep]] on the media id (`sampleRate` =
+    * 1.0 keeps everything). Pure column expressions throughout — the SAME
+    * frame batch-executes for the StreamingSpec end-to-end equality pin. */
+  def curateMedia(media: DataFrame, payloadCol: String = "payload",
+      idCol: String = "media_id", tsCol: String = "ts",
+      minWidth: Long = 9L, minHeight: Long = 8L, sampleRate: Double = 1.0,
+      watermark: String = "1 hour"): DataFrame = {
+    val gated = (if (media.isStreaming) media.withWatermark(tsCol, watermark)
+                 else media)
+      .withColumn("__h", graft.functions.MediaHeader(col(payloadCol)))
+      .filter(col("__h.error").isNull &&
+        col("__h.width") >= minWidth && col("__h.height") >= minHeight)
+      .drop("__h")
+      .filter(graft.ext.Sampling.mixtureKeep(col(idCol), sampleRate))
+      .withColumn("__fp", md5(col(payloadCol)))
+    // batch twin keeps the LOWEST id per digest — deterministic, and the
+    // same row the stream's first-arrival keeps under id-ordered arrivals
+    // (dropDuplicates would keep an arbitrary one, breaking the
+    // StreamingSpec equality pin on replays)
+    (if (media.isStreaming) gated.dropDuplicatesWithinWatermark("__fp")
+     else gated
+       .withColumn("__keep", col(idCol) === min(col(idCol)).over(
+         org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+       .filter(col("__keep")).drop("__keep"))
+      .drop("__fp")
+  }
+
+  /** Run [[curateMedia]] end-to-end into a catalog table with STATE-BACKED
+    * perceptual near-dup removal — the multimodal pipeline the text form
+    * deliberately cannot be: text LSH pair state is corpus-global (batch
+    * sweeps own it, see the class scaladoc), but the image family's Manku
+    * block state is BOUNDED (maxHamming+1 rows per accepted image), so a
+    * multimodal corpus stream-curates END TO END: header/dimension gates →
+    * deterministic sample → exact payload dedup → per-batch
+    * [[IncrementalImageDedup]] (a re-uploaded thumbnail within the
+    * perceptual radius of an accepted image drops on arrival; undecodable
+    * payloads already gated). Survivors append exactly-once with the
+    * [[curateToTable]] wall-clock `arrival_ts` stamp; drop-on-arrival ==
+    * batch-sweep equality is the StreamingSpec pin. */
+  def curateMediaToTable(media: DataFrame, catalog: Catalog, table: String,
+      blocksTable: String, clock: Clock = SystemClock,
+      payloadCol: String = "payload", idCol: String = "media_id",
+      tsCol: String = "ts", minWidth: Long = 9L, minHeight: Long = 8L,
+      sampleRate: Double = 1.0, maxHamming: Int = 3,
+      watermark: String = "1 hour",
+      queryName: String = "graft_media_curation_stream",
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None,
+      exactlyOnce: Boolean = false): StreamingQuery = {
+    val dedup = IncrementalImageDedup(catalog, table, blocksTable,
+      maxHamming, payloadCol, idCol, exactlyOnce)
+    val gated = curateMedia(media, payloadCol, idCol, tsCol,
+      minWidth, minHeight, sampleRate, watermark)
+    StreamingAppend.startForeachBatch(gated, queryName, continuous,
+      interval, checkpoint) { (batch, id) =>
+      dedup.processBatch(batch.withColumn("arrival_ts", lit(clock.nowTs)), id)
+      ()
+    }
+  }
+
   /** Run [[curate]] end-to-end into a catalog table with WALL-CLOCK arrival
     * stamping: every micro-batch's survivors carry an `arrival_ts` read from
     * the injected clock at commit time (a driver-side literal per batch, not

@@ -868,6 +868,52 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("cluster"))
   }
 
+  test("ivf appendAssign: maintained corpus searches exactly like a retrain; ledger gates rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val cat = new graft.core.Catalog(spark, root)
+    // train on HALF the three-cluster fixture, cluster-write that half,
+    // append the other half against the PERSISTED centroids — no retrain
+    val evens = threeClusterEmb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odds = threeClusterEmb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cents = Ivf.trainCentroids(evens, k = 3, iters = 4)
+    Ivf.saveCentroids(cat, "ann.ap_centroids", cents)
+    cat.save(Ivf.assign(evens, cents), "ann.ap_corpus", partitionBy = Seq("cluster"))
+    Ivf.saveLedger(cat, "ann.ap_ledger",
+      Ivf.IvfLedger(evens.count(), 0L, maxAppendFraction = 0.5))
+    val appended = Ivf.appendAssign(cat, "ann.ap_corpus", "ann.ap_centroids",
+      odds, ledgerRef = "ann.ap_ledger")
+    assert(appended == odds.count())
+    // the union is all 60 vectors, appended rows in the right partitions
+    val corpus = cat.load("ann.ap_corpus")
+    assert(corpus.count() == 60)
+
+    // BELOW the drift threshold (iid appends: the quantizer has seen every
+    // regime), the maintained index's search EQUALS a full retrain's: the
+    // well-separated fixture assigns identically under both quantizers, so
+    // probe sets carry the same members and the exact rerank scores them
+    // bit-identically
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val maintained = res(Ivf.ivfTopKPartitioned(corpus,
+      Ivf.loadCentroids(cat, "ann.ap_centroids"), queryId = 2L, k = 5, nProbe = 1))
+    val retrainCents = Ivf.trainCentroids(threeClusterEmb, k = 3, iters = 4)
+    val retrained = res(Ivf.ivfTopK(threeClusterEmb, retrainCents,
+      queryId = 2L, k = 5, nProbe = 1))
+    assert(maintained == retrained,
+      s"append-maintained search diverged from retrain: $maintained vs $retrained")
+    assert(maintained.nonEmpty)
+    // recall meter: on the seen-regime union both quantizers are exact
+    assert(Ivf.measureRecall(corpus, cents, k = 5, nProbe = 1, nQueries = 8) == 1.0)
+
+    // the ledger accumulated the append and trips the measured threshold
+    val l = Ivf.loadLedger(cat, "ann.ap_ledger")
+    assert(l == Ivf.IvfLedger(30L, 30L, 0.5) && l.appendFraction == 1.0)
+    assert(Ivf.shouldRebuild(l))
+    assert(!Ivf.shouldRebuild(Ivf.IvfLedger(30L, 10L, 0.5)))
+    assert(Ivf.shouldRebuild(Ivf.IvfLedger(0L, 1L, 0.5))) // untrained ledger
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("vector-first entry points are bit-identical to id forms; serving plan is lookup-free") {
     val emb = threeClusterEmb
     val cents = threeClusterCents
@@ -1741,12 +1787,14 @@ class ExtSpec extends SparkSpec {
       out.toByteArray
     }
     assert(PngGray.decode(overflowPng) == Left("png_bad_dims"))
-    val interlaced = {
-      val ih = assemble(4, 4, 0, new Array[Byte](4 * 5))
-      ih(28 + 8 - 8) = ih(28) // no-op; interlace byte is at offset 28
-      ih.updated(28, 1.toByte)
-    }
-    assert(PngGray.decode(interlaced) == Left("png_interlaced"))
+    // Adam7 (interlace 1) is SUPPORTED since r16 (its own test below);
+    // a declared-interlaced payload whose IDAT carries non-interlaced
+    // scanlines inflates short of the seven passes' length — bad idat,
+    // never a misread grid. Anything past method 1 is invalid outright.
+    val fakeInterlaced = assemble(4, 4, 0, new Array[Byte](4 * 5)).updated(28, 1.toByte)
+    assert(PngGray.decode(fakeInterlaced) == Left("png_bad_idat"))
+    val badMethod = assemble(4, 4, 0, new Array[Byte](4 * 5)).updated(28, 2.toByte)
+    assert(PngGray.decode(badMethod) == Left("png_bad_interlace"))
   }
 
   test("PngGray palette decode (color type 3): LUT projection, errors, ImageIO parity") {
@@ -1854,6 +1902,73 @@ class ExtSpec extends SparkSpec {
           s"seed $seed ($x,$y): ours ${g.pix(y * w + x) & 0xff} vs imageio $expect")
       }
     }
+  }
+
+  test("PngGray Adam7 + 16-bit: pixel-exact deinterlace, high-byte reduction, ImageIO parity") {
+    import graft.functions.{ImageDHash, PngGray}
+    // deinterlace == straight decode, pixel-exact, across dims that leave
+    // assorted Adam7 passes EMPTY (1x1 has only pass 1; 3x5 skips several)
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 5), (5, 3), (8, 8), (9, 7), (16, 12), (33, 17))) {
+      val pix = Array.tabulate[Byte](w * h)(i => ((i * 37 + 11) & 0xff).toByte)
+      val inter = PngGray.decode(PngGray.encodeGrayInterlaced(w, h, pix))
+      assert(inter.isRight, s"${w}x$h: $inter")
+      assert(inter.toOption.get.pix.toSeq == pix.toSeq, s"${w}x$h deinterlace")
+    }
+    // independent-parser parity: javax.imageio deinterlaces and reads
+    // 16-bit rasters — the q78/palette fuzz posture on both new paths
+    for (seed <- 1 to 12) {
+      val r = new scala.util.Random(seed + 300)
+      val w = 1 + r.nextInt(24); val h = 1 + r.nextInt(24)
+      val pix = Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      val png = PngGray.encodeGrayInterlaced(w, h, pix)
+      val ours = PngGray.decode(png)
+      assert(ours.isRight, s"seed $seed: $ours")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"seed $seed")
+      for (y <- 0 until h; x <- 0 until w)
+        assert((ours.toOption.get.pix(y * w + x) & 0xff) ==
+          img.getRaster.getSample(x, y, 0), s"interlaced seed $seed ($x,$y)")
+    }
+    for (seed <- 1 to 12) {
+      val r = new scala.util.Random(seed + 400)
+      val w = 1 + r.nextInt(24); val h = 1 + r.nextInt(24)
+      val samples = Array.fill(w * h)(r.nextInt(65536))
+      val png = PngGray.encodeGray16(w, h, samples)
+      val ours = PngGray.decode(png)
+      assert(ours.isRight, s"seed $seed: $ours")
+      // the decode is the standard high-byte reduction...
+      assert(ours.toOption.get.pix.toSeq == samples.map(s => (s >>> 8).toByte).toSeq)
+      // ...and ImageIO's 16-bit raster agrees sample-for-sample
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"seed $seed")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == samples(y * w + x),
+          s"16-bit seed $seed ($x,$y)")
+    }
+    // the fingerprint contract: a 16-bit image whose high bytes equal an
+    // 8-bit image hashes IDENTICALLY whatever its low bytes carry, and an
+    // interlaced re-encode of the same pixels hashes identically too —
+    // planted dHash invariants survive both encodings (q79/q80/q84 safe)
+    val base = Multimodal.patternPixels(17L, 32, 32)
+    val rl = new scala.util.Random(9)
+    val hi16 = base.map(b => ((b & 0xff) << 8) | rl.nextInt(256))
+    def hashOf(png: Array[Byte]): Long =
+      ImageDHash.dHash64(PngGray.decode(png).toOption.get)
+    val h8 = hashOf(PngGray.encodeGray(32, 32, base))
+    assert(hashOf(PngGray.encodeGray16(32, 32, hi16)) == h8)
+    assert(hashOf(PngGray.encodeGrayInterlaced(32, 32, base)) == h8)
+    // error taxonomy (IHDR CRC is unchecked by the constrained decoder,
+    // so byte-level mutation builds the fixtures)
+    val good = PngGray.encodeGray(8, 8, new Array[Byte](64))
+    val badInterlace = good.clone(); badInterlace(28) = 2
+    assert(PngGray.decode(badInterlace) == Left("png_bad_interlace"))
+    val badDepth = good.clone(); badDepth(24) = 4
+    assert(PngGray.decode(badDepth) == Left("png_unsupported_depth"))
+    // 16-bit palette is invalid per spec (palette depth caps at 8)
+    val pal16 = PngGray.encodePalette(4, 4,
+      PngGray.identityGrayPalette, new Array[Byte](16)).clone()
+    pal16(24) = 16
+    assert(PngGray.decode(pal16) == Left("png_unsupported_depth"))
   }
 
   test("ImageDHash: brightness-exact, small-mutation radius, planted pair mining") {
@@ -2003,6 +2118,39 @@ class ExtSpec extends SparkSpec {
         .filter($"dup_of".isNull).collect().map(_.getLong(0)).toSet
       assert(deepSurvivors == survivors)
     } finally { fps.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
+  test("survivor reprobe closes the promotion leak; the default walk is untouched") {
+    import graft.ext.Dedup
+    // the measured leak shape (SCALE.md r15, one twin per 16M capstone):
+    // R eliminates O in their shared cell BEFORE T arrives; T is within
+    // radius of O but outside radius of R, never meets O (eliminated
+    // members don't promote), and survives
+    val r = 0L
+    val o = 7L                 // hamming(R,O) = 3
+    val tt = 7L | (7L << 8)    // hamming(O,T) = 3, hamming(R,T) = 6
+    val sigs = Seq((0L, r), (1L, o), (2L, tt)).toDF("doc_id", "simhash")
+    val bt = Dedup.simhashBlockTable(sigs, maxHamming = 3)
+    def aset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    assert(aset(Dedup.simhashAssignFromBlocks(bt)) ==
+      Set((0L, None), (1L, Some(0L)), (2L, None))) // the documented leak
+    assert(aset(Dedup.simhashAssignFromBlocks(bt, reprobe = true)) ==
+      Set((0L, None), (1L, Some(0L)), (2L, Some(1L)))) // closed, soundly:
+    // T's elimination is a genuine radius pair toward a smaller id (O),
+    // chaining through O -> R exactly like cross-cell elimination does
+
+    // corpora with no leak are unchanged by the second pass (clique)
+    val clique = (0L until 4L).map(i => (i, 0x5a5aL)).toDF("doc_id", "simhash")
+    val cb = Dedup.simhashBlockTable(clique, maxHamming = 3)
+    assert(aset(Dedup.simhashAssignFromBlocks(cb, reprobe = true)) ==
+      aset(Dedup.simhashAssignFromBlocks(cb)))
+
+    // the image family's plumb-through (same algebra over dhash)
+    val fps = Seq((0L, r), (1L, o), (2L, tt)).toDF("media_id", "dhash")
+    assert(aset(Multimodal.imageAssign(fps, reprobe = true)) ==
+      Set((0L, None), (1L, Some(0L)), (2L, Some(1L))))
   }
 
   test("simhashParams: combination blocking stays pigeonhole-exact at auto sizes") {

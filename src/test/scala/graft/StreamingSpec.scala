@@ -1137,6 +1137,90 @@ class StreamingSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("curateMediaToTable: gates + sample + exact/perceptual dedup equal the batch pipeline") {
+    import graft.core.StepClock
+    import graft.ext.Multimodal
+    import graft.functions.PngGray
+    import graft.streaming.CurationStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+
+    def png(seed: Long, bright: Int = 0, jitter: Boolean = false): Array[Byte] = {
+      val pix = Multimodal.patternPixels(seed, 32, 32)
+      if (bright != 0) {
+        var i = 0
+        while (i < pix.length) { pix(i) = ((pix(i) & 0xff) + bright).toByte; i += 1 }
+      }
+      if (jitter) pix(7) = ((pix(7) & 0xff) ^ 0x14).toByte
+      PngGray.encodeGray(32, 32, pix)
+    }
+    // the corpus exercises every stage: undecodable (gated by the header
+    // decode), undersized (gated by dims), byte-identical re-upload
+    // (exact digest dedup), perceptual re-upload two batches later
+    // (state-backed drop-on-arrival), plus clean keepers
+    val rows: Seq[(Long, Timestamp, Array[Byte])] = Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), png(1)),
+      (2L, ts("2024-01-01T10:01:00Z"), png(2)),
+      (3L, ts("2024-01-01T10:02:00Z"), "not an image".getBytes),
+      (4L, ts("2024-01-01T10:03:00Z"), PngGray.encodeGray(4, 4, new Array[Byte](16))),
+      (5L, ts("2024-01-01T10:04:00Z"), png(5)),
+      (6L, ts("2024-01-01T10:05:00Z"), png(5)),
+      (7L, ts("2024-01-01T10:06:00Z"), png(1, bright = 8, jitter = true)),
+      (8L, ts("2024-01-01T10:07:00Z"), png(8)))
+
+    def runStream(rate: Double, tag: String): (Set[Long], graft.core.Catalog) = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-curmedia-$tag").toString
+      val catalog = new graft.core.Catalog(spark, root)
+      val clock = new StepClock(java.time.Instant.parse("2024-02-01T08:00:00Z"))
+      val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+      val q = CurationStream.curateMediaToTable(
+        input.toDF().toDF("media_id", "ts", "payload"),
+        catalog, s"cur.media_$tag", s"cur.mblocks_$tag", clock,
+        sampleRate = rate, continuous = true, interval = "1 second")
+      input.addData(rows.take(3)); q.processAllAvailable()
+      clock.advanceMinutes(10)
+      input.addData(rows.slice(3, 6)); q.processAllAvailable()
+      clock.advanceMinutes(10)
+      input.addData(rows.drop(6)); q.processAllAvailable()
+      q.stop()
+      (catalog.load(s"cur.media_$tag").select("media_id")
+        .collect().map(_.getLong(0)).toSet, catalog)
+    }
+    // the batch twin: the SAME curateMedia gates batch-executed, then the
+    // batch perceptual sweep (imageNearDups) over the gated survivors
+    def batchTwin(rate: Double): Set[Long] = {
+      val all = rows.toDF("media_id", "ts", "payload")
+      val gated = CurationStream.curateMedia(all, sampleRate = rate)
+      val drop = Multimodal.imageNearDups(
+        Multimodal.imageFingerprints(gated), maxHamming = 3)
+        .select(col("media_b").as("media_id")).distinct()
+      gated.join(drop, Seq("media_id"), "left_anti")
+        .select("media_id").collect().map(_.getLong(0)).toSet
+    }
+
+    val (kept, catalog) = runStream(1.0, "full")
+    assert(kept == Set(1L, 2L, 5L, 8L), s"stream kept $kept")
+    assert(kept == batchTwin(1.0))
+    // wall-clock stamps advance with the injected clock per batch
+    val stamps = catalog.load("cur.media_full")
+      .select("media_id", "arrival_ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toInstant).toMap
+    assert(stamps(1L) == java.time.Instant.parse("2024-02-01T08:00:00Z"))
+    assert(stamps(5L) == java.time.Instant.parse("2024-02-01T08:10:00Z"))
+    assert(stamps(8L) == java.time.Instant.parse("2024-02-01T08:20:00Z"))
+    // block state exists exactly for the kept images (all decodable here)
+    assert(catalog.load("cur.mblocks_full").select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet == kept)
+
+    // a thinning sample rate: stream still equals the batch twin on
+    // whatever the deterministic mixtureKeep keeps
+    // (no subset-of-full assertion: sampling OUT an original legitimately
+    // lets its perceptual twin survive — the twin pipelines agree on that)
+    val (keptSampled, _) = runStream(0.6, "s60")
+    assert(keptSampled == batchTwin(0.6), s"sampled stream kept $keptSampled")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("IncrementalSimhashDedup state probe broadcasts the micro-batch, never shuffles the state") {
     import graft.ext.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft-isbc").toString
