@@ -794,6 +794,31 @@ object Dedup {
   private val ImageCropSweepSpectral = Seq(
     (1.0, 1.0), (2.0, 1.0), (4.0, 0.993), (8.0, 0.970))
 
+  /** The r16-measured AUDIO sweeps (`tools.AudioDedupProbe`, 20k clips of
+    * 2048 samples, 1000 planted pairs per cell, cosine threshold 0.9).
+    *
+    * Value churn (×1.25 gain + per-sample jitters): the mean-centered
+    * envelope is EXACTLY blind to the gain (|g·x| = g·|x| and cosine
+    * cancels a scale) and measured FLAT 1.000 detection at 0.1%-20%
+    * sample jitter (min planted cosine 0.9936 at 20%) — value noise
+    * dilutes across 32-sample frame means just like pixel churn across
+    * dHash's 9×8 cells, only flatter. Past the measured 20% band the
+    * response is unmeasured, not extrapolated.
+    *
+    * Time shift (the same aperiodic field windowed s samples later — a
+    * re-trim): the envelope's aligned bins decorrelate at ONE frame
+    * length (2048/64 = 32 samples: 0.973 at 8, 0.000 at 32 — the 0.006
+    * at 128 is organics grazing the threshold, not recovery), while the
+    * DFT-magnitude tier owns the band (1.000/1.000/1.000/0.998 at
+    * 8/32/128/512 — a shift changes phases, not magnitudes). The (0, 1.0)
+    * anchor is the jitter sweep's own zero-shift row. */
+  private val AudioJitterSweepEnvelope = Seq(
+    (0.001, 1.0), (0.01, 1.0), (0.05, 1.0), (0.2, 1.0))
+  private val AudioShiftSweepEnvelope = Seq(
+    (0.0, 1.0), (8.0, 0.973), (32.0, 0.0), (128.0, 0.006), (512.0, 0.0))
+  private val AudioShiftSweepSpectral = Seq(
+    (0.0, 1.0), (8.0, 1.0), (32.0, 1.0), (128.0, 1.0), (512.0, 0.998))
+
   /** Linear interpolation over a measured sweep, clamped at both ends —
     * for sweeps whose floor is exactly 0.0 (log-linear would NaN). */
   private def interpLinearSweep(points: Seq[(Double, Double)], x: Double): Double = {
@@ -865,13 +890,16 @@ object Dedup {
       s"mutationTolerance is a per-token probability, got $mutationTolerance")
     require(minDetection > 0 && minDetection <= 1,
       s"minDetection must be in (0, 1], got $minDetection")
-    require(modality == "text" || modality == "image",
-      s"modality must be text|image, got '$modality'")
+    require(modality == "text" || modality == "image" || modality == "audio",
+      s"modality must be text|image|audio, got '$modality'")
     require(geometricTolerance >= 0,
-      s"geometricTolerance is a pixel shift, got $geometricTolerance")
-    require(geometricTolerance == 0.0 || modality == "image",
-      "geometricTolerance (crop/shift pixels) only applies to image corpora")
+      s"geometricTolerance is a pixel/sample shift, got $geometricTolerance")
+    require(geometricTolerance == 0.0 || modality == "image" || modality == "audio",
+      "geometricTolerance (crop-shift pixels / time-shift samples) only " +
+        "applies to image or audio corpora")
     if (modality == "image") return recommendImageFamily(
+      mutationTolerance, minDetection, hasEmbeddings, geometricTolerance)
+    if (modality == "audio") return recommendAudioFamily(
       mutationTolerance, minDetection, hasEmbeddings, geometricTolerance)
     val sweep = Seq( // (churn, minhash detection, simhash detection) — r12 measured
       (0.01, 0.998, 0.770),
@@ -998,6 +1026,106 @@ object Dedup {
           "embedding column for the semantic tier")
   }
 
+  /** The audio branch of [[recommendFamily]] — selection over the
+    * r16-measured [[AudioJitterSweepEnvelope]] (per-sample value churn;
+    * `mutationTolerance` is then a per-SAMPLE churn probability) and
+    * [[AudioShiftSweepEnvelope]] / [[AudioShiftSweepSpectral]]
+    * (`geometricTolerance` is then a TIME shift in samples — the re-trim
+    * the aligned-bin envelope collapses under at one frame length, 32
+    * samples at the production 2048/64 config). Preference mirrors the
+    * image branch: the envelope tier wherever it clears the bar (the
+    * byte-exact-oracle-able descriptor, q88), the DFT-magnitude tier
+    * inside the measured shift band (q89), a model audio-embedding column
+    * past both. */
+  private def recommendAudioFamily(mutationTolerance: Double,
+      minDetection: Double, hasEmbeddings: Boolean,
+      geometricTolerance: Double): FamilyRecommendation = {
+    if (geometricTolerance > 0) {
+      val envDet = interpLinearSweep(AudioShiftSweepEnvelope, geometricTolerance)
+      val spectralDet = interpLinearSweep(AudioShiftSweepSpectral, geometricTolerance)
+      return if (envDet >= minDetection)
+        FamilyRecommendation("audio_envelope_lsh",
+          "Multimodal.audioEnvelopeFeatures + audioFeatureAssign (threshold 0.9)",
+          envDet,
+          f"time-shift tolerance ${geometricTolerance}%.0f samples sits inside " +
+            f"the envelope tier's measured band (detection $envDet%.3f, r16 " +
+            "shift sweep — aligned 32-sample frames decorrelate at one frame " +
+            "length): the cheaper, byte-exact-oracled descriptor wins there")
+      else if (spectralDet >= minDetection)
+        FamilyRecommendation("audio_spectral_lsh",
+          "Multimodal.audioSpectralFeatures + audioFeatureAssign (threshold 0.9)",
+          spectralDet,
+          f"time-shift tolerance ${geometricTolerance}%.0f samples is past the " +
+            f"aligned-bin envelope (detection $envDet%.3f measured) — the " +
+            f"low-band DFT-magnitude descriptor measured $spectralDet%.3f at " +
+            "this shift (r16 sweep): a shift changes phases, not magnitudes")
+      else if (hasEmbeddings)
+        FamilyRecommendation("embedding_lsh",
+          "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over audio embeddings",
+          1.0,
+          f"spectral-descriptor detection $spectralDet%.3f misses " +
+            f"$minDetection%.2f at ${geometricTolerance}%.0f samples — only a " +
+            "model audio-embedding column sees past the measured shift band")
+      else
+        FamilyRecommendation("audio_spectral_lsh",
+          "Multimodal.audioSpectralFeatures + audioFeatureAssign (threshold 0.9)",
+          spectralDet,
+          f"best available without embeddings: measured detection " +
+            f"$spectralDet%.3f is BELOW the requested $minDetection%.2f — " +
+            "supply an audio-embedding column for the semantic tier")
+    }
+    if (mutationTolerance < 0.0005)
+      return FamilyRecommendation("exact", "Dedup.dropExactDuplicates over payload digests",
+        1.0,
+        "sub-sweep-resolution churn tolerance: byte-identical payloads " +
+          "dedup on a sha256/md5 digest groupBy — complete and the " +
+          "cheapest relation there is")
+    if (mutationTolerance > 0.2) {
+      // past the measured band: the envelope's flat-1.000 law is NOT
+      // extrapolated (the standing no-optimism convention) — route the
+      // semantic tier when available, else say so
+      return if (hasEmbeddings)
+        FamilyRecommendation("embedding_lsh",
+          "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over audio embeddings",
+          1.0,
+          f"${mutationTolerance * 100}%.0f%% per-sample churn is past the " +
+            "measured 20%% envelope band (r16 jitter sweep stops there) — " +
+            "the semantic tier is the only measured option")
+      else
+        FamilyRecommendation("audio_envelope_lsh",
+          "Multimodal.audioEnvelopeFeatures + audioFeatureAssign (threshold 0.9)",
+          interpSweep(AudioJitterSweepEnvelope, 0.2),
+          f"churn ${mutationTolerance * 100}%.0f%% exceeds the measured 20%% " +
+            "band — detection there is UNMEASURED (the sweep's last cell " +
+            "read 1.000 at 20%); supply an audio-embedding column to route " +
+            "the semantic tier instead of extrapolating")
+    }
+    val det = interpSweep(AudioJitterSweepEnvelope, mutationTolerance)
+    if (det >= minDetection)
+      FamilyRecommendation("audio_envelope_lsh",
+        "Multimodal.audioEnvelopeFeatures + audioFeatureAssign (threshold 0.9)",
+        det,
+        f"the mean-centered envelope clears $minDetection%.2f at " +
+          f"${mutationTolerance * 100}%.1f%% sample churn (r16 sweep: detection " +
+          f"$det%.4f, flat to 20%% — value noise dilutes across 32-sample " +
+          "frame means, and a re-level gain cancels exactly); 64 floats/clip, " +
+          "byte-exact oracle (q88)")
+    else if (hasEmbeddings)
+      FamilyRecommendation("embedding_lsh",
+        "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over audio embeddings",
+        1.0,
+        f"envelope detection $det%.4f misses $minDetection%.2f at " +
+          f"${mutationTolerance * 100}%.1f%% sample churn — the semantic tier " +
+          "is the next measured option")
+    else
+      FamilyRecommendation("audio_envelope_lsh",
+        "Multimodal.audioEnvelopeFeatures + audioFeatureAssign (threshold 0.9)",
+        det,
+        f"best available without embeddings: measured detection $det%.4f " +
+          f"is BELOW the requested $minDetection%.2f — supply an audio-" +
+          "embedding column for the semantic tier")
+  }
+
   /** An executable dedup plan — [[recommendFamily]]'s verdict composed
     * with the sizing and scratch-budget machinery the r11-r13 rounds
     * measured piecewise: which relation to build, at what (planes,
@@ -1048,13 +1176,14 @@ object Dedup {
     require(scratchBudgetGb >= 0.0, s"negative scratch budget: $scratchBudgetGb")
     val rec = recommendFamily(mutationTolerance, minDetection, hasEmbeddings,
       modality, geometricTolerance)
-    // image_grid_lsh / image_spectral_lsh ARE the embedding family over a
-    // derived descriptor column — they share the embedding tier's sizing,
+    // the descriptor families (image grid/spectral, audio
+    // envelope/spectral) ARE the embedding family over a derived
+    // descriptor column — they share the embedding tier's sizing,
     // budget, and mining-mode economics verbatim (`emb` is then the
-    // FEATURE table, Multimodal.imageGridFeatures /
-    // imageSpectralFeatures output with null-feature rows dropped, and
-    // `vecCol` = "feature")
-    val embeddingLike = Set("embedding_lsh", "image_grid_lsh", "image_spectral_lsh")
+    // FEATURE table — Multimodal.image*Features / audio*Features output
+    // with null-feature rows dropped — and `vecCol` = "feature")
+    val embeddingLike = Set("embedding_lsh", "image_grid_lsh",
+      "image_spectral_lsh", "audio_envelope_lsh", "audio_spectral_lsh")
     if (!embeddingLike(rec.family))
       DedupPlan(rec.family, rec.entryPoint, rec.expectedDetection, rec.rationale,
         None, "one_shot", 1, 0.0, 0.0, budgetSatisfied = true, threshold)
@@ -1112,6 +1241,9 @@ object Dedup {
     *    shuffle runs in the plan's P budget-bounded passes (`scratchDir`
     *    REQUIRED; pass-file lifecycle is the caller's, the
     *    lshCandidatesPartitioned contract).
+    *  - `audio_envelope_lsh` / `audio_spectral_lsh` → identically, over
+    *    a [[Multimodal.audioEnvelopeFeatures]] /
+    *    [[Multimodal.audioSpectralFeatures]] table.
     *  - `image_grid_lsh` / `image_spectral_lsh` → the same embedding
     *    machinery (both mining modes) over the crop-tolerant descriptor:
     *    `data` is a [[Multimodal.imageGridFeatures]] /
@@ -1163,13 +1295,15 @@ object Dedup {
         Multimodal.imageAssign(data, maxHamming, maxRepsPerCell, blocks)
       case "embedding_lsh" =>
         runEmbeddingPlan(p, data, idCol, vecCol, scratchDir, maxRepsPerCell)
-      case "image_grid_lsh" | "image_spectral_lsh" =>
+      case "image_grid_lsh" | "image_spectral_lsh" |
+           "audio_envelope_lsh" | "audio_spectral_lsh" =>
         // data = a feature table (media_id, feature) — the
-        // Multimodal.imageGridFeatures / imageSpectralFeatures contract
-        // (pass idCol = "media_id", vecCol = "feature"). Both families
+        // Multimodal.imageGridFeatures / imageSpectralFeatures /
+        // audioEnvelopeFeatures / audioSpectralFeatures contract (pass
+        // idCol = "media_id", vecCol = "feature"). All four families
         // ARE the embedding machinery at the plan's sized config;
-        // undecodable images (null feature) survive by definition — the
-        // imageFeatureAssign contract
+        // undecodable payloads (null feature) survive by definition —
+        // the imageFeatureAssign / audioFeatureAssign contract
         data.select(col(idCol)).join(
           runEmbeddingPlan(p, data.filter(col(vecCol).isNotNull),
             idCol, vecCol, scratchDir, maxRepsPerCell),

@@ -399,6 +399,170 @@ object Multimodal {
       .join(assigned, Seq("media_id"), "left_outer")
   }
 
+  // ───── Audio near-dup (real WAV PCM decode → deterministic descriptors) ─
+
+  /** Schema of [[syntheticAudio]]. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Deterministic REAL-WAV audio corpus keyed by the documents table:
+    * each doc_id becomes a PCM clip (valid RIFF/fmt/data chunks —
+    * [[graft.functions.WavPcm]] encoders) whose samples are an
+    * amplitude-modulated three-sine field seeded by the id — the AM term
+    * is what keeps the 64-bin envelope descriptors DIVERSE across clips
+    * (a stationary sine mixture's |amplitude| is near-flat at frame
+    * scale, and a flat envelope corpus would near-dup-collapse the
+    * aligned-bin tier exactly like the separable sine field collapsed
+    * dHash, r14). The planted structure mirrors every dedup fixture in
+    * this repo: docs with id % 20 == 1 render the PREDECESSOR's waveform
+    * at ×1.25 gain (the re-levelled copy the envelope tier is exactly
+    * invariant to after mean-centering — |g·x| = g·|x| and cosine
+    * cancels the scale) with ONE single-sample jitter. Amplitudes stay
+    * ≤ 30,000 after the gain: the re-encode never clips, which is what
+    * keeps the planted cosines ≈ 1.
+    *
+    * Encoding breadth is exercised by the corpus itself, not only by
+    * tests: every 5th clip (id % 5 == 3) encodes 8-bit unsigned (decode
+    * quantizes to the high byte — planted invariants survive because
+    * cosine moves < 1e-4 at this amplitude), else every 3rd (id % 3 == 2)
+    * encodes equal-channel STEREO (the mono mix reproduces the samples
+    * EXACTLY — floorDiv(2s, 2) = s — zero feature movement), else mono
+    * 16-bit. Generation is partition-local (one iterator in, one out,
+    * nothing collected); `StrictMath` keeps the field bit-reproducible. */
+  def syntheticAudio(docs: DataFrame, samplesPerClip: Int = 2048): DataFrame = {
+    val spark = docs.sparkSession
+    val n = samplesPerClip
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+        val seed = if (isDup) id - 1 else id
+        val samples = waveformSamples(seed, n, 0)
+        if (isDup) {
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = StrictMath.rint(samples(i) * 1.25).toInt
+            i += 1
+          }
+          val j = java.lang.Math.floorMod(id * 31L, n.toLong).toInt
+          samples(j) += 1000
+        }
+        val rate = Array(8000, 16000, 22050, 44100, 48000)(
+          java.lang.Math.floorMod(id, 5L).toInt)
+        val wav =
+          if (java.lang.Math.floorMod(id, 5L) == 3L)
+            graft.functions.WavPcm.encodePcm8(rate, 1, samples)
+          else if (java.lang.Math.floorMod(id, 3L) == 2L)
+            graft.functions.WavPcm.encodePcm16(rate, 2, samples)
+          else
+            graft.functions.WavPcm.encodePcm16(rate, 1, samples)
+        Row(id, wav)
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
+  /** The amplitude-modulated sine field behind [[syntheticAudio]] —
+    * sample i reads the field at absolute position `offset + i`, so the
+    * shift-sweep probe can window the SAME content at an offset (the
+    * audio analogue of the crop-shifted image twins). Exposed for the
+    * probe and the mutation tests. */
+  private[graft] def waveformSamples(seed: Long, n: Int, offset: Int): Array[Int] = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val m1 = mix(seed); val m2 = mix(seed + 1); val m3 = mix(seed + 2)
+    val m4 = mix(seed + 3)
+    val f1 = 2 + java.lang.Math.floorMod(m1, 8L).toInt   // 2..9 cycles/clip
+    val f2 = 2 + java.lang.Math.floorMod(m2, 8L).toInt
+    // the half-cycle offset keeps the field APERIODIC over the clip
+    // window: a window shift is then NOT a cyclic rotation, so the
+    // spectral tier's shift invariance is MEASURED (boundary effects and
+    // all), never construction-trivial
+    val f3 = 10.5 + java.lang.Math.floorMod(m3, 20L).toDouble // 10.5..29.5 cycles/clip
+    val fm = 1 + java.lang.Math.floorMod(m4, 3L).toInt   // 1..3 AM cycles
+    val p1 = java.lang.Math.floorMod(m1 >>> 8, 628L) / 100.0
+    val p2 = java.lang.Math.floorMod(m2 >>> 8, 628L) / 100.0
+    val p3 = java.lang.Math.floorMod(m3 >>> 8, 628L) / 100.0
+    val pm = java.lang.Math.floorMod(m4 >>> 8, 628L) / 100.0
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val t = (offset + i).toDouble
+      val carrier =
+        6000.0 * StrictMath.sin(2.0 * StrictMath.PI * f1 * t / n + p1) +
+        6000.0 * StrictMath.sin(2.0 * StrictMath.PI * f2 * t / n + p2) +
+        4000.0 * StrictMath.sin(2.0 * StrictMath.PI * f3 * t / n + p3)
+      val env = 1.0 + 0.5 * StrictMath.sin(2.0 * StrictMath.PI * fm * t / n + pm)
+      out(i) = StrictMath.rint(carrier * env).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Decoded-sample dump (media_id, sample_rate, channels, bits, samples,
+    * error) — one [[graft.functions.AudioSamples]] decode per row.
+    * [[imageLuma]]'s role for the audio family: q88 persists it so DuckDB
+    * replays the envelope descriptor's integer frame binning from the
+    * same parquet; production ships only descriptor floats. */
+  def audioSamples(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), graft.functions.AudioSamples(col("payload")).as("a"))
+      .select(col("media_id"), col("a.sample_rate").as("sample_rate"),
+        col("a.channels").as("channels"), col("a.bits").as("bits"),
+        col("a.samples").as("samples"), col("a.error").as("error"))
+
+  /** Aligned-bin audio descriptors: one
+    * [[graft.functions.AudioEnvelopeFeature]] decode + frame envelope per
+    * row, flattened to (media_id, feature, error) — the AUDIO-EMBEDDING
+    * column the dedup tier feeds into the embedding-LSH survivor family.
+    * Scan-stage; `frames` floats per clip leave the scan. */
+  def audioEnvelopeFeatures(media: DataFrame, frames: Int = 64): DataFrame =
+    media
+      .select(col("media_id"),
+        graft.functions.AudioEnvelopeFeature(col("payload"), frames).as("f"))
+      .select(col("media_id"), col("f.feature").as("feature"),
+        col("f.error").as("error"))
+
+  /** Time-shift-tolerant audio descriptors: one
+    * [[graft.functions.AudioSpectralFeature]] decode + low-band
+    * DFT-magnitude per row, flattened to (media_id, feature, error) —
+    * the tier for re-trimmed/padded clips past the envelope's measured
+    * shift band (|F| is blind to the phase a shift changes; SCALE.md r16
+    * shift sweep). Scan-stage; `maxFreq` floats per clip. */
+  def audioSpectralFeatures(media: DataFrame, maxFreq: Int = 24): DataFrame =
+    media
+      .select(col("media_id"),
+        graft.functions.AudioSpectralFeature(col("payload"), maxFreq).as("f"))
+      .select(col("media_id"), col("f.feature").as("feature"),
+        col("f.error").as("error"))
+
+  /** Survivor-oriented audio dedup — a derived audio descriptor
+    * ([[audioEnvelopeFeatures]] or [[audioSpectralFeatures]], both emit
+    * the (media_id, feature, error) shape) fed through the embedding-LSH
+    * greedy star, exactly [[imageFeatureAssign]] over the audio column:
+    * the descriptor IS an embedding, so the audio family inherits the
+    * embedding family's auto-sizing, plan hygiene, and soundness
+    * contract. Returns ALL feature rows as (media_id, dup_of): null ⇒
+    * survivor; undecodable clips (null feature) survive by definition. */
+  def audioFeatureAssign(features: DataFrame, threshold: Double = 0.9,
+      maxRepsPerCell: Int = 4096, targetRecall: Double = 0.98): DataFrame = {
+    TableShapes.requireColumns(features, Seq("media_id", "feature"),
+      "audioFeatureAssign",
+      "build it with Multimodal.audioEnvelopeFeatures(media) or " +
+        "Multimodal.audioSpectralFeatures(media)")
+    val assigned = Similarity.nearDupAssign(
+      features.filter(col("feature").isNotNull),
+      threshold, idCol = "media_id", vecCol = "feature",
+      targetRecall = targetRecall, maxRepsPerCell = maxRepsPerCell)
+    features.select(col("media_id"))
+      .join(assigned, Seq("media_id"), "left_outer")
+  }
+
   /** Frame/segment sampling stub: slices the payload into `every`-byte
     * strides, keeping the first `frameLen` bytes of each stride — the same
     * row-explode shape a real video frame sampler has (one row per frame,

@@ -1,0 +1,238 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic frame-envelope audio descriptor —
+  * `struct<feature: array<float>, error: string>` — the audio analogue of
+  * [[ImageGridFeature]]: `frames` equal time bins over the mono-mixed
+  * samples ([[WavPcm]] decode), each bin's MEAN ABSOLUTE amplitude,
+  * mean-centered — the aligned-cell tier of the audio dedup family.
+  *
+  * Sample i of n lands in frame i·F/n — the SAME integer binning rule as
+  * the image grid's cells, every sample in exactly one frame — so the
+  * descriptor is ORACLE-ABLE end to end: q88 persists the [[AudioSamples]]
+  * decode and both engines replay the integer |sample| frame sums from the
+  * same parquet; ExtSpec pins this expression's floats bit-identical to
+  * the relational twin re-centered driver-side.
+  *
+  * Gain invariance (the audio analogue of the grid's brightness
+  * invariance, but multiplicative): |g·x| = g·|x| for g > 0, and
+  * mean-centering commutes with the scale, so a re-levelled copy's
+  * centered envelope is exactly g times the original's — COSINE over the
+  * descriptor is gain-invariant up to the per-sample integer rounding of
+  * the re-encode. Time alignment is NOT provided: a shifted window slides
+  * samples across frame boundaries exactly like a crop slides pixels
+  * across grid cells, and the r16 shift sweep (SCALE.md) measures where
+  * detection collapses — past it, [[AudioSpectralFeature]] is the tier.
+  *
+  * Scale: one pass over payload bytes per row, scan-stage; `frames`
+  * floats per clip leave the scan (256 bytes at the default 64) — the
+  * blob-to-descriptor reduction that makes 100 TB of audio joinable. */
+case class AudioEnvelopeFeature(child: Expression, frames: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(frames >= 1 && frames <= 4096,
+    s"frames must be 1..4096, got $frames")
+
+  override def dataType: DataType = ImageGridFeature.Schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"audio_envelope_feature requires binary, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioEnvelopeFeature.featureRow(input.asInstanceOf[Array[Byte]], frames)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioEnvelopeFeature =
+    copy(child = newChild)
+}
+
+object AudioEnvelopeFeature {
+
+  private def err(e: String): InternalRow =
+    InternalRow(null, UTF8String.fromString(e))
+
+  private[functions] def featureRow(payload: Array[Byte], frames: Int): InternalRow =
+    WavPcm.decode(payload) match {
+      case Left(e) => err(e)
+      // below one sample per frame the integer binning leaves empty
+      // frames (cnt = 0) — the degenerate-tiny refusal every descriptor
+      // in this family shares
+      case Right(pcm) if pcm.samples.length < frames =>
+        err("audio_too_short")
+      case Right(pcm) =>
+        InternalRow(new GenericArrayData(feature(pcm.samples, frames)), null)
+    }
+
+  /** Integer |sample| frame sums + counts under the grid binning rule:
+    * sample i lands in frame i·F/n. Exposed for the ExtSpec relational
+    * twin and [[feature]]. */
+  private[graft] def frameSums(samples: Array[Int], frames: Int): (Array[Long], Array[Long]) = {
+    val n = samples.length
+    val sum = new Array[Long](frames)
+    val cnt = new Array[Long](frames)
+    var i = 0
+    while (i < n) {
+      val f = (i.toLong * frames / n).toInt
+      sum(f) += math.abs(samples(i).toLong)
+      cnt(f) += 1
+      i += 1
+    }
+    (sum, cnt)
+  }
+
+  /** The descriptor: frame means (double sum/cnt), mean-centered by the
+    * grand mean accumulated in frame order (fixed fold order ⇒
+    * bit-reproducible), cast to float — [[ImageGridFeature.feature]]'s
+    * arithmetic over time bins. */
+  private[graft] def feature(samples: Array[Int], frames: Int): Array[Float] = {
+    val (sum, cnt) = frameSums(samples, frames)
+    val means = new Array[Double](frames)
+    var grand = 0.0
+    var i = 0
+    while (i < frames) {
+      means(i) = sum(i).toDouble / cnt(i)
+      grand += means(i)
+      i += 1
+    }
+    grand /= frames
+    val f = new Array[Float](frames)
+    i = 0
+    while (i < frames) { f(i) = (means(i) - grand).toFloat; i += 1 }
+    f
+  }
+
+  def apply(payload: Column, frames: Int = 64): Column =
+    GraftColumnBridge.column(
+      AudioEnvelopeFeature(GraftColumnBridge.expression(payload), frames))
+}
+
+/** Deterministic low-band DFT-MAGNITUDE audio descriptor —
+  * `struct<feature: array<float>, error: string>` — the TIME-SHIFT-
+  * tolerant tier, [[ImageSpectralFeature]]'s construction in one
+  * dimension: |F(k)| for k = 1..maxFreq over the mono samples. A time
+  * shift changes only the PHASE of each Fourier coefficient, so the
+  * magnitudes are invariant to cyclic shifts and approximately invariant
+  * to window (re-trim) shifts on locally stationary content — the regime
+  * the r16 shift sweep measures the envelope tier OUT of. DC (k = 0) is
+  * excluded, so a constant offset is exactly invisible; gain scales every
+  * magnitude uniformly, which cosine similarity cancels.
+  *
+  * O(maxFreq·n) multiply-adds per clip, `StrictMath` trig + fixed
+  * summation order ⇒ bit-reproducible on any host and partitioning. Like
+  * the image spectral tier the VALUES are engine-only; the family's proof
+  * is the q89 persisted-stage soundness oracle (eliminations recomputed
+  * as exact cosines from the persisted features, cross-engine) plus the
+  * measured shift-sweep cell (SCALE.md r16). */
+case class AudioSpectralFeature(child: Expression, maxFreq: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxFreq >= 1 && maxFreq <= 128,
+    s"maxFreq must be in [1, 128] (low band), got $maxFreq")
+
+  override def dataType: DataType = ImageGridFeature.Schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"audio_spectral_feature requires binary, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioSpectralFeature.featureRow(input.asInstanceOf[Array[Byte]], maxFreq)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioSpectralFeature =
+    copy(child = newChild)
+}
+
+object AudioSpectralFeature {
+
+  private def err(e: String): InternalRow =
+    InternalRow(null, UTF8String.fromString(e))
+
+  private[functions] def featureRow(payload: Array[Byte], maxFreq: Int): InternalRow =
+    WavPcm.decode(payload) match {
+      case Left(e) => err(e)
+      // below ~2 samples per probed cycle the band aliases — the
+      // ImageSpectralFeature refusal bound in one dimension
+      case Right(pcm) if pcm.samples.length < 2 * maxFreq + 2 =>
+        err("audio_too_short")
+      case Right(pcm) =>
+        InternalRow(new GenericArrayData(feature(pcm.samples, maxFreq)), null)
+    }
+
+  /** |F(k)| for k = 1..maxFreq in fixed order. Exposed for the ExtSpec
+    * reference re-implementation to diff against. */
+  private[graft] def feature(samples: Array[Int], maxFreq: Int): Array[Float] = {
+    val n = samples.length
+    val out = new Array[Float](maxFreq)
+    var k = 1
+    while (k <= maxFreq) {
+      var re = 0.0; var im = 0.0
+      var i = 0
+      while (i < n) {
+        val a = -2.0 * StrictMath.PI * k * i / n
+        val p = samples(i).toDouble
+        re += p * StrictMath.cos(a)
+        im += p * StrictMath.sin(a)
+        i += 1
+      }
+      out(k - 1) = StrictMath.sqrt(re * re + im * im).toFloat
+      k += 1
+    }
+    out
+  }
+
+  def apply(payload: Column, maxFreq: Int = 24): Column =
+    GraftColumnBridge.column(
+      AudioSpectralFeature(GraftColumnBridge.expression(payload), maxFreq))
+}
+
+/** Decoded-sample dump — `struct<sample_rate: int, channels: int,
+  * bits: int, samples: array<int>, error: string>` — the PERSISTABLE form
+  * of the [[WavPcm]] decode behind [[AudioEnvelopeFeature]] /
+  * [[AudioSpectralFeature]], exactly [[ImageLuma]]'s role for the image
+  * family: the decode VALUES are engine-only (no DuckDB WAV codec), but
+  * everything downstream of the samples is pure relational arithmetic, so
+  * q88 persists this table once and both engines replay the envelope's
+  * integer frame binning from the SAME parquet. A PROOF artifact:
+  * production ships only the descriptor floats out of the scan. */
+case class AudioSamples(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = AudioSamples.Schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"audio_samples requires binary, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WavPcm.decode(input.asInstanceOf[Array[Byte]]) match {
+      case Left(e) => InternalRow(null, null, null, null, UTF8String.fromString(e))
+      case Right(pcm) =>
+        InternalRow(pcm.sampleRate, pcm.channels, pcm.bitsPerSample,
+          new GenericArrayData(pcm.samples), null)
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioSamples =
+    copy(child = newChild)
+}
+
+object AudioSamples {
+  val Schema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true),
+    StructField("samples", ArrayType(IntegerType), nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  def apply(payload: Column): Column =
+    GraftColumnBridge.column(AudioSamples(GraftColumnBridge.expression(payload)))
+}

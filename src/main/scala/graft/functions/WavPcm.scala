@@ -1,0 +1,182 @@
+package graft.functions
+
+/** Constrained WAV/RIFF PCM decoder — the audio analogue of [[PngGray]]:
+  * a REAL decoder for the canonical WAV subset a training-data pipeline's
+  * audio tier commonly carries (integer PCM, the format every recorder and
+  * transcoder can emit), implemented from the public RIFF/WAVE spec
+  * (Microsoft/IBM Multimedia Programming Interface, 1991; the same layout
+  * [[MediaHeader]] header-parses) — chunk walk with the RIFF odd-size pad
+  * rule, `fmt ` validation, and sample decode for 16-bit signed
+  * little-endian and 8-bit unsigned PCM, mono or multi-channel (channels
+  * mix to mono by integer floor-average, the deterministic reduction every
+  * downstream feature shares). Anything outside the subset (compressed
+  * formats, float PCM, 24/32-bit) lands in a per-row error `Left` — one
+  * odd blob poisons its row, never the job, the [[MediaHeader]] contract.
+  *
+  * Reference behavior: the reference pipeline treats media as opaque GCS
+  * blobs with metadata only (`/root/reference/utils/gcs_handler.py`);
+  * decoding is this engine's extension surface, same as the PNG tier.
+  *
+  * Decode rules (strict, each violation its own error string):
+  *  - `RIFF....WAVE` container, else `wav_not_riff`; truncated header
+  *    `wav_truncated`.
+  *  - Chunks walk as [id(4) | size(4, LE) | body | pad byte if size odd]
+  *    (the RIFF word-align rule — a decoder that skips the pad misreads
+  *    every chunk after an odd-sized one). A chunk body running past the
+  *    payload: `wav_chunk_truncated`.
+  *  - Exactly the FIRST `fmt ` chunk binds (≥ 16 bytes else
+  *    `wav_bad_fmt`); it must precede `data` (`wav_no_fmt` otherwise —
+  *    the canonical ordering [[MediaHeader]] also requires). Validated:
+  *    format tag 1 = integer PCM else `wav_not_pcm`; 1-8 channels else
+  *    `wav_bad_channels`; positive sample rate else `wav_bad_rate`; bits
+  *    8 or 16 else `wav_bad_bits`; block align == channels·bits/8 else
+  *    `wav_bad_block_align` (a lying block align desyncs frame math
+  *    silently — refuse loudly instead, the IHDR-method-byte rule).
+  *  - The FIRST `data` chunk binds; absent: `wav_no_data`; its size not
+  *    a multiple of block align: `wav_bad_data_size`.
+  *
+  * Sample semantics: 16-bit samples are signed LE as stored; 8-bit
+  * samples are unsigned midpoint-128 and normalize to the 16-bit scale as
+  * `(b - 128) << 8` so one feature pipeline serves both depths (the
+  * high-byte convention mirroring PngGray's 16-bit reduction, inverted).
+  * Multi-channel frames mix to mono as `floorDiv(sum, channels)` —
+  * integer-exact and therefore byte-replayable cross-engine (q88's
+  * oracle); equal-channel stereo reproduces the mono samples EXACTLY
+  * (floorDiv(c·s, c) = s), which is how the synthetic corpus exercises
+  * the multi-channel path with zero feature movement.
+  */
+object WavPcm {
+
+  /** A decoded clip: `samples` are mono-mixed, 16-bit-scaled ints. */
+  final case class Pcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Int])
+
+  private def ascii(b: Array[Byte], off: Int, s: String): Boolean = {
+    if (off + s.length > b.length) return false
+    var i = 0
+    while (i < s.length) {
+      if (b(off + i) != s.charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  def decode(payload: Array[Byte]): Either[String, Pcm] = {
+    val b = payload
+    if (b.length < 12) return Left("wav_truncated")
+    if (!ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return Left("wav_not_riff")
+    // fmt fields captured when the chunk binds
+    var haveFmt = false
+    var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
+    var off = 12
+    while (off + 8 <= b.length) {
+      val size = le32(b, off + 4)
+      if (size > Int.MaxValue - 8) return Left("wav_chunk_truncated")
+      val body = off + 8
+      if (body + size > b.length) return Left("wav_chunk_truncated")
+      if (ascii(b, off, "fmt ") && !haveFmt) {
+        if (size < 16) return Left("wav_bad_fmt")
+        val fmtTag = le16(b, body)
+        if (fmtTag != 1) return Left("wav_not_pcm")
+        channels = le16(b, body + 2)
+        if (channels < 1 || channels > 8) return Left("wav_bad_channels")
+        val r = le32(b, body + 4)
+        if (r <= 0 || r > Int.MaxValue) return Left("wav_bad_rate")
+        rate = r.toInt
+        blockAlign = le16(b, body + 12)
+        bits = le16(b, body + 14)
+        if (bits != 8 && bits != 16) return Left("wav_bad_bits")
+        if (blockAlign != channels * (bits / 8)) return Left("wav_bad_block_align")
+        haveFmt = true
+      } else if (ascii(b, off, "data")) {
+        if (!haveFmt) return Left("wav_no_fmt")
+        val n = size.toInt
+        if (n % blockAlign != 0) return Left("wav_bad_data_size")
+        val frames = n / blockAlign
+        val mono = new Array[Int](frames)
+        val bytesPer = bits / 8
+        var f = 0
+        while (f < frames) {
+          val base = body + f * blockAlign
+          var sum = 0L
+          var c = 0
+          while (c < channels) {
+            val s =
+              if (bits == 16) le16(b, base + c * bytesPer).toShort.toInt
+              else ((b(base + c) & 0xff) - 128) << 8
+            sum += s
+            c += 1
+          }
+          mono(f) = java.lang.Math.floorDiv(sum, channels.toLong).toInt
+          f += 1
+        }
+        return Right(Pcm(rate, channels, bits, mono))
+      }
+      off = body + size.toInt + (size.toInt & 1) // RIFF pad rule
+    }
+    if (!haveFmt) Left("wav_no_fmt") else Left("wav_no_data")
+  }
+
+  // ───── Fixture/corpus encoders (canonical chunk layout) ─────
+
+  private def wLe16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+  }
+
+  private def wLe32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+
+  private def header(out: java.io.ByteArrayOutputStream, dataBytes: Int,
+      rate: Int, channels: Int, bits: Int): Unit = {
+    val blockAlign = channels * (bits / 8)
+    out.write("RIFF".getBytes("US-ASCII")); wLe32(out, 36 + dataBytes)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); wLe32(out, 16)
+    wLe16(out, 1); wLe16(out, channels); wLe32(out, rate)
+    wLe32(out, rate * blockAlign); wLe16(out, blockAlign); wLe16(out, bits)
+    out.write("data".getBytes("US-ASCII")); wLe32(out, dataBytes)
+  }
+
+  /** 16-bit signed PCM; every channel carries the same mono samples
+    * (values clamp to the 16-bit range). */
+  def encodePcm16(rate: Int, channels: Int, mono: Array[Int]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels 1-8, got $channels")
+    val out = new java.io.ByteArrayOutputStream(44 + mono.length * channels * 2)
+    header(out, mono.length * channels * 2, rate, channels, 16)
+    var i = 0
+    while (i < mono.length) {
+      val v = math.max(-32768, math.min(32767, mono(i)))
+      var c = 0
+      while (c < channels) { wLe16(out, v & 0xffff); c += 1 }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** 8-bit unsigned PCM: stores the high byte + 128 (the inverse of the
+    * decode-side `(b - 128) << 8` normalization, so a round-trip is
+    * value-exact on samples that are multiples of 256). */
+  def encodePcm8(rate: Int, channels: Int, mono: Array[Int]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels 1-8, got $channels")
+    val out = new java.io.ByteArrayOutputStream(44 + mono.length * channels)
+    header(out, mono.length * channels, rate, channels, 8)
+    var i = 0
+    while (i < mono.length) {
+      val v = math.max(-32768, math.min(32767, mono(i)))
+      val q = ((v >> 8) + 128) & 0xff
+      var c = 0
+      while (c < channels) { out.write(q); c += 1 }
+      i += 1
+    }
+    out.toByteArray
+  }
+}

@@ -1789,7 +1789,104 @@ object ExtQ {
           queryId = 0L, k = 10, nProbe = 3)
       },
       Some(ivfSearchOracleFor("q87")))
-  )
+  ) ++ Map(
+
+    // ───── Audio envelope descriptor, persisted-decode oracle (q88) ─────
+    // The r16 audio family's q85: the WavPcm decode VALUES are engine-only
+    // (no DuckDB WAV codec), but everything downstream of the mono samples
+    // is pure integer arithmetic — so this row persists the decoded
+    // samples (AudioSamples: sample_rate, channels, bits, samples
+    // array<int>) through the Catalog and BOTH engines replay the
+    // envelope descriptor's frame binning from the SAME parquet: sample
+    // pos → frame (pos·64)//n, integer |sample| frame sums and counts —
+    // byte-exact. The corpus itself exercises every decode path the
+    // subset supports (mono/stereo-equal 16-bit, 8-bit unsigned — the
+    // syntheticAudio encoding rotation), so a hash match certifies the
+    // chunk walk, the pad rule, the sample decode, and the mono mix in
+    // one row. The native expression's floats are ExtSpec-pinned
+    // bit-identical to these frames re-centered driver-side.
+    "q88_audio_envelope_frames_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.audioSamples(
+            Multimodal.syntheticAudio(t(s, dir, "documents"))),
+          "media.q88_samples")
+        cat.load("media.q88_samples")
+          .filter(col("error").isNull)
+          .select(col("media_id"), size(col("samples")).as("n"),
+            posexplode(col("samples")))
+          .select(col("media_id"),
+            expr("(pos * 64) div n").as("frame"),
+            abs(col("col")).as("v"))
+          .groupBy("media_id", "frame")
+          .agg(sum(col("v")).as("frame_sum"), count(lit(1)).as("frame_cnt"))
+          .orderBy("media_id", "frame")
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT media_id, samples, len(samples) AS n
+          FROM read_parquet('$AnnOracleRoot/media/q88_samples/*.parquet')
+          WHERE error IS NULL),
+        sx AS (
+          SELECT media_id, n,
+            generate_subscripts(samples, 1) - 1 AS pos, unnest(samples) AS v
+          FROM a)
+        SELECT media_id,
+          CAST((pos * 64) // n AS BIGINT) AS frame,
+          CAST(SUM(ABS(v)) AS BIGINT) AS frame_sum,
+          COUNT(*) AS frame_cnt
+        FROM sx
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // ───── Audio spectral survivor family, persisted-stage oracle (q89) ─
+    // The time-shift-tolerant audio tier: low-band DFT-magnitude
+    // descriptors (AudioSpectralFeature — a re-trim changes phases, not
+    // magnitudes; the r16 shift sweep measures the envelope tier
+    // collapsing and this one holding) fed through the embedding-LSH
+    // greedy star. Descriptor VALUES are engine-only (StrictMath trig),
+    // so the proof is q86's shape: persist features + assignment,
+    // recompute every elimination's exact cosine from the SAME parquet in
+    // both engines, and `sound` all-true in the hashed output is the
+    // cross-engine proof that no unsound elimination exists.
+    "q89_audio_spectral_survivors_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.audioSpectralFeatures(
+            Multimodal.syntheticAudio(t(s, dir, "documents"))),
+          "media.q89_feats")
+        val feats = cat.load("media.q89_feats")
+        cat.save(Multimodal.audioFeatureAssign(feats, threshold = 0.9),
+          "media.q89_assign")
+        cat.load("media.q89_assign")
+          .filter(col("dup_of").isNotNull)
+          .join(feats.select(col("media_id"), col("feature").as("f_m")), "media_id")
+          .join(feats.select(col("media_id").as("dup_of"),
+            col("feature").as("f_r")), "dup_of")
+          .select(col("media_id"), col("dup_of"),
+            round(Similarity.cosine(col("f_m"), col("f_r")), 6).as("cosine_sim"))
+          .withColumn("sound",
+            col("cosine_sim") > 0.9 && col("dup_of") < col("media_id"))
+          .orderBy("media_id")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT media_id, CAST(feature AS DOUBLE[]) AS v
+          FROM read_parquet('$AnnOracleRoot/media/q89_feats/*.parquet')
+          WHERE feature IS NOT NULL),
+        a AS (
+          SELECT media_id, dup_of
+          FROM read_parquet('$AnnOracleRoot/media/q89_assign/*.parquet')
+          WHERE dup_of IS NOT NULL)
+        SELECT a.media_id, a.dup_of,
+          round(list_cosine_similarity(m.v, r.v), 6) AS cosine_sim,
+          round(list_cosine_similarity(m.v, r.v), 6) > 0.9
+            AND a.dup_of < a.media_id AS sound
+        FROM a JOIN f m ON m.media_id = a.media_id
+               JOIN f r ON r.media_id = a.dup_of
+        ORDER BY a.media_id""")))
 
   /** Root for the persisted ANN search artifacts (q68-q70), keyed by the
     * scale-factor directory leaf so verify/bench runs at different SFs

@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+
+/** Measured detection sweeps for the AUDIO dedup family — the image
+  * probe's posture applied to the WAV descriptors: which deterministic
+  * descriptor tier still catches a re-levelled / re-trimmed duplicate
+  * clip? The numbers this prints are what
+  * `Dedup.recommendFamily(modality="audio")` encodes (SCALE.md r16) —
+  * selection logic quotes measurements, never guesses.
+  *
+  * Two sweeps, mirroring the image family's churn-vs-geometry split:
+  *
+  *  - `--jitterSweep f1,f2,...` — per-SAMPLE churn: dup twins render the
+  *    predecessor's waveform at ×1.25 gain (which the mean-centered
+  *    envelope is exactly blind to — cosine cancels a scale) plus
+  *    `round(f · n)` deterministic single-sample jitters. The aligned-bin
+  *    response to value noise.
+  *  - `--shiftSweep s1,s2,...` — the GEOMETRIC analogue: dup twins window
+  *    the SAME aperiodic field `s` samples later (a re-trim), the
+  *    transform that slides samples across frame boundaries exactly like
+  *    a crop slides pixels across grid cells. The envelope tier is
+  *    expected to collapse as s approaches the frame length; the
+  *    DFT-magnitude tier to hold (a shift changes phases, not
+  *    magnitudes).
+  *
+  * `sbt 'runMain graft.tools.AudioDedupProbe [--size N]
+  * [--shiftSweep 8,32,...|--jitterSweep 0.001,...]
+  * [--family envelope|spectral] [--threshold 0.9] [--samples 2048]'`
+  * — one JSON line per cell: planted detection, total pairs, planted
+  * cosine percentiles (locating the twins against the threshold), wall
+  * seconds.
+  */
+object AudioDedupProbe {
+
+  /** Jitter twin corpus: dup twins at ×1.25 gain + `jitters` single-sample
+    * perturbations of the predecessor's waveform. Partition-local. */
+  def corpus(spark: SparkSession, n: Long, jitters: Int,
+      samples: Int): DataFrame = {
+    val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+        val seed = if (isDup) id - 1 else id
+        val wave = Multimodal.waveformSamples(seed, samples, 0)
+        if (isDup) {
+          var i = 0
+          while (i < wave.length) {
+            wave(i) = StrictMath.rint(wave(i) * 1.25).toInt; i += 1
+          }
+          var j = 0
+          while (j < jitters) {
+            val p = (java.lang.Math.floorMod(id * 31L + j * 131L, samples.toLong)).toInt
+            wave(p) += 1000
+            j += 1
+          }
+        }
+        Row(id, graft.functions.WavPcm.encodePcm16(16000, 1, wave))
+      }
+    }
+    spark.createDataFrame(rdd, Multimodal.audioSchema)
+  }
+
+  /** Shift twin corpus for the GEOMETRIC sweep: dup twins window the same
+    * aperiodic field `shift` samples later — same content, re-trimmed. */
+  def shiftCorpus(spark: SparkSession, n: Long, shift: Int,
+      samples: Int): DataFrame = {
+    require(shift >= 0, s"bad shift $shift")
+    val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+        val seed = if (isDup) id - 1 else id
+        val off = if (isDup) shift else 0
+        val wave = Multimodal.waveformSamples(seed, samples, off)
+        Row(id, graft.functions.WavPcm.encodePcm16(16000, 1, wave))
+      }
+    }
+    spark.createDataFrame(rdd, Multimodal.audioSchema)
+  }
+
+  def main(args: Array[String]): Unit = {
+    var size = 20000L
+    var shiftSweep: Seq[Int] = Nil
+    var jitterSweep: Seq[Double] = Nil
+    var family = "envelope"
+    var threshold = 0.9
+    var samples = 2048
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--size" if i + 1 < args.length => size = args(i + 1).toLong; i += 2
+        case "--shiftSweep" if i + 1 < args.length =>
+          shiftSweep = args(i + 1).split(",").map(_.toInt).toSeq; i += 2
+        case "--jitterSweep" if i + 1 < args.length =>
+          jitterSweep = args(i + 1).split(",").map(_.toDouble).toSeq; i += 2
+        case "--family" if i + 1 < args.length => family = args(i + 1); i += 2
+        case "--threshold" if i + 1 < args.length =>
+          threshold = args(i + 1).toDouble; i += 2
+        case "--samples" if i + 1 < args.length => samples = args(i + 1).toInt; i += 2
+        case other => sys.error(s"unknown arg '$other'; usage: AudioDedupProbe " +
+          "[--size N] [--shiftSweep 8,32,...|--jitterSweep 0.001,...] " +
+          "[--family envelope|spectral] [--threshold 0.9] [--samples 2048]")
+      }
+    }
+    require(family == "envelope" || family == "spectral",
+      s"--family must be envelope|spectral, got '$family'")
+    require(shiftSweep.nonEmpty ^ jitterSweep.nonEmpty,
+      "pass exactly one of --shiftSweep / --jitterSweep")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val spark = graft.core.Sessions.local(cpus)
+    def featsOf(media: DataFrame): DataFrame =
+      if (family == "envelope") Multimodal.audioEnvelopeFeatures(media)
+      else Multimodal.audioSpectralFeatures(media)
+    val cells: Seq[(String, Double, DataFrame)] =
+      if (shiftSweep.nonEmpty)
+        shiftSweep.map(s => ("shift", s.toDouble, shiftCorpus(spark, size, s, samples)))
+      else
+        jitterSweep.map { f =>
+          val jitters = math.max(1, math.round(f * samples).toInt)
+          ("jitter", f, corpus(spark, size, jitters, samples))
+        }
+    cells.foreach { case (kind, knob, media) =>
+      val t0 = System.nanoTime()
+      val feats = featsOf(media)
+        .filter(col("feature").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.ext.Similarity.nearDupPairsLsh(feats, threshold,
+        idCol = "media_id", vecCol = "feature")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = pairs.count()
+      val detected = pairs.filter(col("id_b") === col("id_a") + 1 &&
+        pmod(col("id_b"), lit(20)) === 1).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // planted-pair cosine percentiles, pair-local (untimed): locates
+      // the twins against the threshold — the probe's diagnosis column
+      val stats = feats.select(col("media_id"), col("feature"))
+        .join(feats.select((col("media_id") - 1).as("media_id"),
+          col("feature").as("f_b")), "media_id")
+        .filter(pmod(col("media_id"), lit(20)) === 0)
+        .select(graft.ext.Similarity.cosine(col("feature"), col("f_b")).as("c"))
+        .agg(min(col("c")).as("mn"),
+          expr("percentile_approx(c, 0.5)").as("md"), max(col("c")).as("mx"))
+        .first()
+      pairs.unpersist(); feats.unpersist()
+      spark.sharedState.cacheManager.clearCache()
+      println(f"""{"check":"audio_detection","family":"$family","kind":"$kind",""" +
+        f""""rows":$size,"knob":$knob,"threshold":$threshold,"samples":$samples,""" +
+        f""""detected":$detected,"true_dups":${size / 20},""" +
+        f""""detection":${detected.toDouble / (size / 20)}%.4f,"pairs":$total,""" +
+        f""""planted_cosine_min":${stats.getDouble(0)}%.4f,""" +
+        f""""planted_cosine_median":${stats.getDouble(1)}%.4f,""" +
+        f""""planted_cosine_max":${stats.getDouble(2)}%.4f,"wall_s":$dt%.3f}""")
+    }
+    spark.stop()
+  }
+}

@@ -1651,6 +1651,313 @@ class ExtSpec extends SparkSpec {
     } finally { media.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
+  test("WavPcm codec: round-trips, chunk walk + pad rule, error taxonomy, javax.sound parity") {
+    import graft.functions.WavPcm
+    // ── round-trips across the encoding rotation ──
+    val mono = Array.tabulate(500)(i => ((i * 37) % 60000) - 30000)
+    val d16 = WavPcm.decode(WavPcm.encodePcm16(16000, 1, mono))
+      .getOrElse(fail("mono16 decode failed"))
+    assert(d16.sampleRate == 16000 && d16.channels == 1 && d16.bitsPerSample == 16)
+    assert(d16.samples.toSeq == mono.toSeq)
+    // equal-channel stereo mixes back EXACTLY (floorDiv(2s, 2) = s)
+    val dSt = WavPcm.decode(WavPcm.encodePcm16(44100, 2, mono))
+      .getOrElse(fail("stereo decode failed"))
+    assert(dSt.channels == 2 && dSt.samples.toSeq == mono.toSeq)
+    // 8-bit quantizes to the high byte, sign-exact ((v >> 8) << 8)
+    val d8 = WavPcm.decode(WavPcm.encodePcm8(8000, 1, mono))
+      .getOrElse(fail("8-bit decode failed"))
+    assert(d8.bitsPerSample == 8)
+    assert(d8.samples.toSeq == mono.map(v => (v >> 8) << 8).toSeq)
+
+    // ── raw chunk builder for the walk/pad/error fixtures ──
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def fmtChunk(tag: Int = 1, ch: Int = 1, rate: Int = 8000, bits: Int = 16,
+        align: Int = -1): Array[Byte] = {
+      val a = if (align >= 0) align else ch * (bits / 8)
+      chunk("fmt ", le16(tag) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * a) ++ le16(a) ++ le16(bits))
+    }
+    def riff(chunks: Array[Byte]*): Array[Byte] = {
+      val body = "WAVE".getBytes("US-ASCII") ++ chunks.flatten
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val dataChunk = chunk("data", le16(100) ++ le16(-200))
+
+    // the RIFF pad rule: an ODD-sized junk chunk between fmt and data —
+    // a decoder that forgets the pad byte lands mid-chunk and misreads
+    // everything after (this fixture is the proof it doesn't)
+    val padded = riff(fmtChunk(), chunk("junk", Array[Byte](1, 2, 3)), dataChunk)
+    val dp = WavPcm.decode(padded).getOrElse(fail("pad-rule decode failed"))
+    assert(dp.samples.toSeq == Seq(100, -200))
+    // a LIST chunk BEFORE fmt is skipped, not fatal
+    val listed = riff(chunk("LIST", Array[Byte](9, 9, 9, 9)), fmtChunk(), dataChunk)
+    assert(WavPcm.decode(listed).exists(_.samples.toSeq == Seq(100, -200)))
+
+    // ── error taxonomy, one fixture per Left ──
+    assert(WavPcm.decode(Array[Byte](1, 2, 3)) == Left("wav_truncated"))
+    assert(WavPcm.decode("ABCDEFGHIJKL".getBytes("US-ASCII")) == Left("wav_not_riff"))
+    assert(WavPcm.decode(riff(fmtChunk(tag = 3), dataChunk)) == Left("wav_not_pcm"))
+    assert(WavPcm.decode(riff(fmtChunk(bits = 24), dataChunk)) == Left("wav_bad_bits"))
+    assert(WavPcm.decode(riff(fmtChunk(ch = 0), dataChunk)) == Left("wav_bad_channels"))
+    assert(WavPcm.decode(riff(fmtChunk(align = 3), dataChunk)) == Left("wav_bad_block_align"))
+    assert(WavPcm.decode(riff(fmtChunk(ch = 2, align = 4),
+      chunk("data", Array[Byte](1, 2, 3, 4, 5, 6)))) == Left("wav_bad_data_size"))
+    assert(WavPcm.decode(riff(dataChunk, fmtChunk())) == Left("wav_no_fmt"))
+    assert(WavPcm.decode(riff(fmtChunk())) == Left("wav_no_data"))
+    // a chunk whose declared size runs past the payload
+    val truncated = riff(fmtChunk()) ++ "data".getBytes("US-ASCII") ++
+      le32(1000) ++ Array[Byte](1, 2)
+    assert(WavPcm.decode(truncated) == Left("wav_chunk_truncated"))
+
+    // ── javax.sound.sampled parity fuzz: the JDK's own WAV parser as the
+    // independent reference (the ImageIO-parity posture for audio) ──
+    val rnd = new scala.util.Random(4242)
+    (1 to 60).foreach { cse =>
+      val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val ch = 1 + rnd.nextInt(2)
+      val bits = Seq(8, 16)(rnd.nextInt(2))
+      val n = 1 + rnd.nextInt(300)
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val bytes =
+        if (bits == 16) WavPcm.encodePcm16(rate, ch, samples)
+        else WavPcm.encodePcm8(rate, ch, samples)
+      val ours = WavPcm.decode(bytes).getOrElse(fail(s"case $cse: decode failed"))
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate.toInt == rate && fmt.getChannels == ch &&
+        fmt.getSampleSizeInBits == bits && !fmt.isBigEndian,
+        s"case $cse: javax format disagrees: $fmt")
+      val raw = ais.readAllBytes()
+      assert(raw.length == n * ch * (bits / 8), s"case $cse: javax frame count")
+      // javax's frames, decoded per ITS format object, mono-mixed our way
+      val theirs = (0 until n).map { f =>
+        var sum = 0L
+        (0 until ch).foreach { c =>
+          val s =
+            if (bits == 16) {
+              val off = (f * ch + c) * 2
+              ((raw(off) & 0xff) | ((raw(off + 1) & 0xff) << 8)).toShort.toInt
+            } else ((raw(f * ch + c) & 0xff) - 128) << 8
+          sum += s
+        }
+        java.lang.Math.floorDiv(sum, ch.toLong).toInt
+      }
+      assert(ours.samples.toSeq == theirs,
+        s"case $cse: sample mismatch vs javax (rate=$rate ch=$ch bits=$bits n=$n)")
+    }
+  }
+
+  test("audio descriptors: envelope equals its relational twin; spectral is shift/gain-blind") {
+    import graft.functions.{AudioEnvelopeFeature, AudioSpectralFeature, WavPcm}
+    // ── envelope: native expression == the q88 relational twin re-centered ──
+    // the chain q88's oracle proof rides: persisted-sample integer frame
+    // sums (hash-proven vs DuckDB) → frame means → grand-mean centering →
+    // float cast, re-derived here independently and compared BIT-exact
+    val docs = spark.range(30).select($"id".as("doc_id"))
+    val media = Multimodal.syntheticAudio(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val envById = Multimodal.audioEnvelopeFeatures(media).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      Multimodal.audioSamples(media).collect().foreach { r =>
+        val id = r.getLong(0)
+        val samples = r.getSeq[Int](4).toArray
+        val sum = new Array[Long](64); val cnt = new Array[Long](64)
+        var i = 0
+        while (i < samples.length) {
+          val f = ((i.toLong * 64) / samples.length).toInt
+          sum(f) += math.abs(samples(i).toLong); cnt(f) += 1
+          i += 1
+        }
+        val means = (0 until 64).map(i => sum(i).toDouble / cnt(i))
+        var grand = 0.0
+        means.foreach(grand += _)
+        grand /= 64
+        val expected = means.map(m => (m - grand).toFloat).toArray
+        assert(java.util.Arrays.equals(envById(id), expected),
+          s"envelope twin diverged at id $id")
+      }
+
+      // ── spectral: native == an independent direct-DFT twin ──
+      val wave = Multimodal.waveformSamples(7L, 2048, 0)
+      val native = AudioSpectralFeature.feature(wave, 24)
+      val ref = (1 to 24).map { k =>
+        var re = 0.0; var im = 0.0
+        var i = 0
+        while (i < wave.length) {
+          val a = -2.0 * StrictMath.PI * k * i / wave.length
+          re += wave(i) * StrictMath.cos(a); im += wave(i) * StrictMath.sin(a)
+          i += 1
+        }
+        StrictMath.sqrt(re * re + im * im)
+      }.toArray
+      assert(native.length == 24)
+      native.zip(ref).zipWithIndex.foreach { case ((n, rr), i) =>
+        assert(math.abs(n - rr) <= 1e-7 * math.max(1.0, math.abs(rr)),
+          s"spectral twin diverged at coeff $i: $n vs $rr")
+      }
+
+      def cosine(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+
+      // ── gain: an EXACT ×2 re-level (integer, no rounding) — envelope
+      // mean-centering commutes with the scale, cosine is exactly 1 up to
+      // float casts; the corpus's ×1.25 rint re-level stays ≈ 1 ──
+      val wave2 = wave.map(_ * 2)
+      assert(cosine(AudioEnvelopeFeature.feature(wave, 64),
+        AudioEnvelopeFeature.feature(wave2, 64)) > 1 - 1e-9)
+      assert(cosine(native, AudioSpectralFeature.feature(wave2, 24)) > 1 - 1e-9)
+      val wave125 = wave.map(v => StrictMath.rint(v * 1.25).toInt)
+      assert(cosine(AudioEnvelopeFeature.feature(wave, 64),
+        AudioEnvelopeFeature.feature(wave125, 64)) > 0.999)
+
+      // ── the shift boundary itself, one planted pair: the same aperiodic
+      // field windowed 256 samples later — spectral cosine stays high
+      // (magnitudes), envelope cosine drops (aligned bins decorrelate);
+      // this single-pair shape is what the shift sweep measures in bulk ──
+      val shifted = Multimodal.waveformSamples(7L, 2048, 256)
+      val sCos = cosine(native, AudioSpectralFeature.feature(shifted, 24))
+      val eCos = cosine(AudioEnvelopeFeature.feature(wave, 64),
+        AudioEnvelopeFeature.feature(shifted, 64))
+      assert(sCos > 0.9, s"spectral shift cosine $sCos")
+      assert(sCos > eCos, s"spectral $sCos should beat envelope $eCos on shifts")
+
+      // ── hostile rows: per-row error, never a throw ──
+      val tiny = WavPcm.encodePcm16(8000, 1, Array.tabulate(16)(i => i * 100))
+      val bad = Seq((1L, "definitely not a wav".getBytes("UTF-8")), (2L, tiny))
+        .toDF("media_id", "payload")
+      val envBad = Multimodal.audioEnvelopeFeatures(bad).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      val specBad = Multimodal.audioSpectralFeatures(bad).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(envBad(1L) == "wav_not_riff" && specBad(1L) == "wav_not_riff")
+      assert(envBad(2L) == "audio_too_short" && specBad(2L) == "audio_too_short")
+
+      // ── the survivor form: planted gain+jitter twins eliminate soundly
+      // through audioFeatureAssign over envelope descriptors ──
+      val corpus = graft.tools.AudioDedupProbe.corpus(spark, 400, 1, 2048)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val feats = Multimodal.audioEnvelopeFeatures(corpus)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val assign = Multimodal.audioFeatureAssign(feats, threshold = 0.9)
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(assign.size == 400)
+        val fmap = feats.filter(col("feature").isNotNull).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        assign.foreach { case (id, d) => d.foreach { dup =>
+          assert(dup < id && cosine(fmap(id), fmap(dup)) > 0.9 - 1e-6,
+            s"unsound elimination $id -> $dup")
+        } }
+        val twins = (0L until 400L).filter(_ % 20 == 1)
+        val eliminated = twins.count(assign(_).isDefined)
+        assert(eliminated >= 18, s"only $eliminated/20 planted twins eliminated")
+        feats.unpersist()
+      } finally { corpus.unpersist() }
+    } finally { media.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
+  test("audio tolerance routes the measured descriptor tiers; runPlan executes them") {
+    import graft.ext.Dedup
+    // routing pins at the r16 sweep values (20k clips, 1000 pairs/cell)
+    // value churn: the envelope's measured-flat band to 20%
+    val rj = Dedup.recommendFamily(0.05, 0.9, modality = "audio")
+    assert(rj.family == "audio_envelope_lsh" &&
+      math.abs(rj.expectedDetection - 1.0) < 1e-9)
+    // byte-identical tolerance -> exact payload-digest dedup
+    assert(Dedup.recommendFamily(0.0, modality = "audio").family == "exact")
+    // past the measured 20% band: never extrapolate the flat law
+    assert(Dedup.recommendFamily(0.5, 0.9, hasEmbeddings = true,
+      modality = "audio").family == "embedding_lsh")
+    val past = Dedup.recommendFamily(0.5, 0.9, modality = "audio")
+    assert(past.family == "audio_envelope_lsh" &&
+      past.rationale.contains("UNMEASURED"))
+    // time shift: envelope owns <= ~8 samples, spectral the measured band
+    val r8 = Dedup.recommendFamily(0.01, 0.9, modality = "audio",
+      geometricTolerance = 8)
+    assert(r8.family == "audio_envelope_lsh" &&
+      math.abs(r8.expectedDetection - 0.973) < 1e-9)
+    val r32 = Dedup.recommendFamily(0.01, 0.9, modality = "audio",
+      geometricTolerance = 32)
+    assert(r32.family == "audio_spectral_lsh" &&
+      math.abs(r32.expectedDetection - 1.0) < 1e-9)
+    val r512 = Dedup.recommendFamily(0.01, 0.9, modality = "audio",
+      geometricTolerance = 512)
+    assert(r512.family == "audio_spectral_lsh" &&
+      math.abs(r512.expectedDetection - 0.998) < 1e-9)
+    // past the measured shift band with a higher bar
+    assert(Dedup.recommendFamily(0.01, 0.999, hasEmbeddings = true,
+      modality = "audio", geometricTolerance = 512).family == "embedding_lsh")
+    val below = Dedup.recommendFamily(0.01, 0.999, modality = "audio",
+      geometricTolerance = 512)
+    assert(below.family == "audio_spectral_lsh" && below.rationale.contains("BELOW"))
+    // the knob stays modality-gated for text
+    intercept[IllegalArgumentException] {
+      Dedup.recommendFamily(0.01, geometricTolerance = 1.0)
+    }
+
+    // execution: 64-sample-shifted re-trims — the routed spectral plan
+    // runs through runPlan to EXACTLY the direct call's assignment,
+    // eliminates (nearly) every planted twin soundly, while the envelope
+    // tier's aligned bins see none of them (the measured boundary)
+    val media = graft.tools.AudioDedupProbe.shiftCorpus(spark, 400, 64, 2048)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val envFeats = Multimodal.audioEnvelopeFeatures(media)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val envDetected = Similarity.nearDupPairsLsh(
+        envFeats.filter(col("feature").isNotNull), 0.9,
+        idCol = "media_id", vecCol = "feature")
+        .filter(col("id_b") === col("id_a") + 1 &&
+          pmod(col("id_b"), lit(20)) === 1)
+        .count()
+      assert(envDetected <= 2, s"envelope saw $envDetected shifted twins")
+      envFeats.unpersist()
+      val feats = Multimodal.audioSpectralFeatures(media)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = Dedup.plan(feats, mutationTolerance = 0.01, threshold = 0.9,
+        modality = "audio", geometricTolerance = 64, vecCol = "feature")
+      assert(p.family == "audio_spectral_lsh" && p.lshConfig.isDefined)
+      def assignSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val (planes, tables) = p.lshConfig.get
+      val direct = assignSet(Similarity.nearDupAssignFromTable(
+        Similarity.lshTable(feats, planes, tables, "media_id", "feature"),
+        feats, p.threshold, "media_id", "feature"))
+      val viaPlan = assignSet(Dedup.runPlan(p, feats, idCol = "media_id",
+        vecCol = "feature"))
+      assert(viaPlan == direct)
+      val fmap = feats.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val elims = viaPlan.collect { case (id, Some(d)) => (id, d) }
+      elims.foreach { case (id, d) =>
+        assert(d < id && cos(fmap(id), fmap(d)) > 0.9 - 1e-6,
+          s"unsound elimination $id -> $d (cos ${cos(fmap(id), fmap(d))})")
+      }
+      val twinIds = (0L until 400L).filter(_ % 20 == 1).toSet
+      val eliminatedTwins = elims.map(_._1).toSet.intersect(twinIds)
+      assert(eliminatedTwins.size >= 18,
+        s"only ${eliminatedTwins.size}/20 shifted twins eliminated")
+      feats.unpersist()
+    } finally { media.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("recommendFamily encodes the r12 detection-vs-mutation sweep") {
     import graft.ext.Dedup
     // the sweep's own points come back exactly (no interpolation distortion)
