@@ -118,6 +118,80 @@ object CurationStream {
     }
   }
 
+  /** Audio-stream curation gates — [[curateMedia]] for the WAV tier: the
+    * [[graft.functions.MediaHeader]] parse gates format/decodability/rate
+    * the way dimensions gate images, exact dedup is the payload digest,
+    * sampling is the same deterministic `mixtureKeep`, and the envelope
+    * DESCRIPTOR is computed scan-side and carried out as a `feature`
+    * column — the embedding the perceptual stage and any downstream ANN
+    * both key on, extracted exactly once per payload.
+    *
+    * One deliberate contract difference from the batch survivor relation
+    * (where an undecodable clip SURVIVES — it has no content to match):
+    * a clip whose header passes but whose PCM decode fails (float/24-bit
+    * PCM, truncated data) is REJECTED here — a stream curation's output
+    * feeds training directly, and "emit clean" is its contract; the
+    * per-row error column is the batch pipeline's affordance. */
+  def curateAudio(media: DataFrame, payloadCol: String = "payload",
+      idCol: String = "media_id", tsCol: String = "ts",
+      minSampleRate: Long = 8000L, sampleRate: Double = 1.0,
+      frames: Int = 64, watermark: String = "1 hour"): DataFrame = {
+    val gated = (if (media.isStreaming) media.withWatermark(tsCol, watermark)
+                 else media)
+      .withColumn("__h", graft.functions.MediaHeader(col(payloadCol)))
+      .filter(col("__h.error").isNull && col("__h.format") === "wav" &&
+        col("__h.sample_rate") >= minSampleRate)
+      .drop("__h")
+      .filter(graft.ext.Sampling.mixtureKeep(col(idCol), sampleRate))
+      .withColumn("__fp", md5(col(payloadCol)))
+    val exact =
+      (if (media.isStreaming) gated.dropDuplicatesWithinWatermark("__fp")
+       else gated
+         .withColumn("__keep", col(idCol) === min(col(idCol)).over(
+           org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+         .filter(col("__keep")).drop("__keep"))
+        .drop("__fp")
+    exact
+      .withColumn("feature",
+        graft.functions.AudioEnvelopeFeature(col(payloadCol), frames)
+          .getField("feature"))
+      .filter(col("feature").isNotNull)
+  }
+
+  /** Run [[curateAudio]] end-to-end into a catalog table with STATE-BACKED
+    * perceptual near-dup removal — the audio twin of
+    * [[curateMediaToTable]]: the envelope descriptor IS an embedding, so
+    * the perceptual stage is [[IncrementalLshDedup]] over the `feature`
+    * column (state = the bucket relation, `nTables` rows per ACCEPTED
+    * clip — linear like the image family's block state, catalog-backed,
+    * arrivals broadcast so state is scanned never shuffled). A re-levelled
+    * or lightly-jittered re-upload inside the envelope tier's measured
+    * band (SCALE.md r16 sweeps) drops on arrival. The LSH config is
+    * EXPLICIT by the streaming convention: the bucket table's plane set
+    * is fixed the moment the first batch lands. Drop-on-arrival ==
+    * batch-pipeline equality is the StreamingSpec pin. */
+  def curateAudioToTable(media: DataFrame, catalog: Catalog, table: String,
+      bucketsTable: String, nPlanes: Int, nTables: Int,
+      clock: Clock = SystemClock,
+      payloadCol: String = "payload", idCol: String = "media_id",
+      tsCol: String = "ts", minSampleRate: Long = 8000L,
+      sampleRate: Double = 1.0, frames: Int = 64, threshold: Double = 0.9,
+      watermark: String = "1 hour",
+      queryName: String = "graft_audio_curation_stream",
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None,
+      exactlyOnce: Boolean = false): StreamingQuery = {
+    val dedup = new IncrementalLshDedup(catalog, table, bucketsTable,
+      nPlanes, nTables, threshold, idCol, "feature", exactlyOnce)
+    val gated = curateAudio(media, payloadCol, idCol, tsCol,
+      minSampleRate, sampleRate, frames, watermark)
+    StreamingAppend.startForeachBatch(gated, queryName, continuous,
+      interval, checkpoint) { (batch, id) =>
+      dedup.processBatch(batch.withColumn("arrival_ts", lit(clock.nowTs)), id)
+      ()
+    }
+  }
+
   /** Run [[curate]] end-to-end into a catalog table with WALL-CLOCK arrival
     * stamping: every micro-batch's survivors carry an `arrival_ts` read from
     * the injected clock at commit time (a driver-side literal per batch, not

@@ -1221,6 +1221,100 @@ class StreamingSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("curateAudioToTable: gates + sample + exact/perceptual dedup equal the batch pipeline") {
+    import graft.core.StepClock
+    import graft.ext.{Multimodal, Similarity}
+    import graft.functions.WavPcm
+    import graft.streaming.CurationStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+
+    def wav(seed: Long, gain: Double = 1.0, jitter: Boolean = false,
+        rate: Int = 16000): Array[Byte] = {
+      val wave = Multimodal.waveformSamples(seed, 2048, 0)
+      if (gain != 1.0) {
+        var i = 0
+        while (i < wave.length) {
+          wave(i) = StrictMath.rint(wave(i) * gain).toInt; i += 1
+        }
+      }
+      if (jitter) wave(7) += 1000
+      WavPcm.encodePcm16(rate, 1, wave)
+    }
+    // header-valid but PCM-undecodable: the fmt tag patched to 3 (float)
+    // — passes the MediaHeader gate, fails WavPcm, rejected by the
+    // feature gate (the documented stream-vs-batch contract difference)
+    val floatWav = { val b = wav(9); b(20) = 3; b }
+    // the corpus exercises every stage: undecodable header, sub-rate clip
+    // (gated), float-PCM clip (feature-gated), byte-identical re-upload
+    // (exact digest dedup), re-levelled+jittered re-upload two batches
+    // later (state-backed drop-on-arrival), plus clean keepers
+    val rows: Seq[(Long, Timestamp, Array[Byte])] = Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), wav(1)),
+      (2L, ts("2024-01-01T10:01:00Z"), wav(2)),
+      (3L, ts("2024-01-01T10:02:00Z"), "definitely not audio".getBytes),
+      (4L, ts("2024-01-01T10:03:00Z"), wav(4, rate = 4000)),
+      (5L, ts("2024-01-01T10:04:00Z"), wav(5)),
+      (6L, ts("2024-01-01T10:05:00Z"), wav(5)),
+      (7L, ts("2024-01-01T10:06:00Z"), wav(1, gain = 1.25, jitter = true)),
+      (8L, ts("2024-01-01T10:07:00Z"), floatWav))
+
+    def runStream(rate: Double, tag: String): (Set[Long], graft.core.Catalog) = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-curaudio-$tag").toString
+      val catalog = new graft.core.Catalog(spark, root)
+      val clock = new StepClock(java.time.Instant.parse("2024-02-01T08:00:00Z"))
+      val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+      val q = CurationStream.curateAudioToTable(
+        input.toDF().toDF("media_id", "ts", "payload"),
+        catalog, s"cur.audio_$tag", s"cur.abuckets_$tag",
+        nPlanes = 8, nTables = 4, clock, sampleRate = rate,
+        continuous = true, interval = "1 second")
+      input.addData(rows.take(3)); q.processAllAvailable()
+      clock.advanceMinutes(10)
+      input.addData(rows.slice(3, 6)); q.processAllAvailable()
+      clock.advanceMinutes(10)
+      input.addData(rows.drop(6)); q.processAllAvailable()
+      q.stop()
+      (catalog.load(s"cur.audio_$tag").select("media_id")
+        .collect().map(_.getLong(0)).toSet, catalog)
+    }
+    // the batch twin: the SAME curateAudio gates batch-executed, then the
+    // batch LSH sweep at the stream's explicit config over the features
+    def batchTwin(rate: Double): Set[Long] = {
+      val gated = CurationStream.curateAudio(
+        rows.toDF("media_id", "ts", "payload"), sampleRate = rate)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val drop = Similarity.nearDupPairsLsh(gated, 0.9,
+          nPlanes = 8, nTables = 4, idCol = "media_id", vecCol = "feature")
+          .select(col("id_b").as("media_id")).distinct()
+        gated.join(drop, Seq("media_id"), "left_anti")
+          .select("media_id").collect().map(_.getLong(0)).toSet
+      } finally gated.unpersist()
+    }
+
+    val (kept, catalog) = runStream(1.0, "full")
+    assert(kept == Set(1L, 2L, 5L), s"stream kept $kept")
+    assert(kept == batchTwin(1.0))
+    // wall-clock stamps advance with the injected clock per batch
+    val stamps = catalog.load("cur.audio_full")
+      .select("media_id", "arrival_ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toInstant).toMap
+    assert(stamps(1L) == java.time.Instant.parse("2024-02-01T08:00:00Z"))
+    assert(stamps(5L) == java.time.Instant.parse("2024-02-01T08:10:00Z"))
+    // bucket state exists exactly for the kept clips, nTables rows each
+    val buckets = catalog.load("cur.abuckets_full")
+    assert(buckets.select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet == kept)
+    assert(buckets.count() == kept.size * 4L)
+
+    // a thinning sample rate: stream still equals the batch twin on
+    // whatever the deterministic mixtureKeep keeps
+    val (keptSampled, _) = runStream(0.6, "s60")
+    assert(keptSampled == batchTwin(0.6), s"sampled stream kept $keptSampled")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("IncrementalSimhashDedup state probe broadcasts the micro-batch, never shuffles the state") {
     import graft.ext.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft-isbc").toString
