@@ -139,6 +139,64 @@ object Multimodal {
       to_json(struct(col("source"), col("n_chars"))).as("meta"))
   }
 
+  /** Fabricate a VIDEO corpus whose payloads carry a real ISO BMFF (MP4)
+    * box structure — `ftyp`, `moov`(`mvhd` v0 + `trak`(`tkhd` v0)),
+    * `mdat` with the document text as the opaque frame payload — sized
+    * and dimensioned deterministically from `doc_id` (public layout,
+    * ISO/IEC 14496-12; every box size is exact, so
+    * [[graft.functions.MediaHeader]]'s bounded walk and q91's fixed-offset
+    * DuckDB hex replay read the SAME bytes). Every 12th document is
+    * deliberately malformed two ways — an `ftyp` followed by an
+    * undersized box (`mp4_bad_box`) or nothing at all (`mp4_no_moov`) —
+    * so the loud-per-row error contract is exercised by the corpus
+    * itself. Pure codegen'd expressions: fabrication is scan-stage work. */
+  def syntheticVideo(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val body = encode(col("text"), "UTF-8")
+    val bodyBytes = length(body)
+    val timescale = element_at(
+      array(lit(600), lit(1000), lit(24000), lit(90000)),
+      (pmod(id, lit(4)) + 1).cast("int"))
+    val duration = (pmod(id * 13, lit(36000)) + 1).cast("int")
+    val vw = (pmod(id, lit(1920)) + 16).cast("int")
+    val vh = (pmod(id * 7, lit(1080)) + 16).cast("int")
+    val matrix = bin( // identity: 0x00010000 diag, 0x40000000 last
+      "000100000000000000000000" +
+      "000000000001000000000000" +
+      "000000000000000040000000")
+    val ftyp = concat(bin("00000014"), asc("ftyp"), asc("isom"),
+      bin("00000200"), asc("isom"))
+    val mvhd = concat(bin("0000006C"), asc("mvhd"),
+      bin("00000000"),                      // version 0 + flags
+      bin("00000000"), bin("00000000"),     // creation, modification
+      be(timescale, 4), be(duration, 4),
+      bin("00010000"), bin("0100"), bin("0000"), // rate 1.0, volume, reserved
+      bin("0000000000000000"),              // reserved(8)
+      matrix, bin("0" * 48),                // matrix + pre_defined(24)
+      bin("00000002"))                      // next_track_ID
+    val tkhd = concat(bin("0000005C"), asc("tkhd"),
+      bin("00000007"),                      // version 0 + enabled/in-movie flags
+      bin("00000000"), bin("00000000"),     // creation, modification
+      bin("00000001"), bin("00000000"),     // track_ID, reserved
+      be(duration, 4), bin("0000000000000000"), // duration, reserved(8)
+      bin("0000"), bin("0000"), bin("0000"), bin("0000"), // layer/group/volume/res
+      matrix,
+      be(vw, 2), bin("0000"),               // width  16.16 (integer part)
+      be(vh, 2), bin("0000"))               // height 16.16
+    val moov = concat(bin("000000D8"), asc("moov"), mvhd,
+      concat(bin("00000064"), asc("trak"), tkhd))
+    val mdat = concat(be(bodyBytes + 8, 4), asc("mdat"), body)
+    val valid = concat(ftyp, moov, mdat)
+    docs.select(
+      id.as("media_id"),
+      lit("video").as("kind"),
+      when(pmod(id, lit(12)) === 5,
+          concat(ftyp, bin("00000004"), asc("free"))) // undersized box
+        .when(pmod(id, lit(12)) === 11, ftyp)         // no moov at all
+        .otherwise(valid).as("payload"),
+      to_json(struct(col("source"), col("n_chars"))).as("meta"))
+  }
+
   /** Real header decode: one [[graft.functions.MediaHeader]] parse per row
     * (fixed-offset reads + a bounded JPEG marker walk — O(markers), not
     * O(bytes)), flattened to columns. Malformed payloads land in `error`

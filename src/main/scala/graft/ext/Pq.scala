@@ -189,6 +189,86 @@ object Pq {
       .select(col(idCol), col("score"))
   }
 
+  /** Append maintenance for a persisted PQ codes artifact —
+    * [[Ivf.appendAssign]]'s posture applied to the codebooks: encode the
+    * new vectors with the PERSISTED codebooks (no retrain; [[encode]] is
+    * deterministic given the codebooks, so appended rows carry codes
+    * BIT-IDENTICAL to what a full re-encode would give them — the spec
+    * pin) and append into the codes table. What staleness costs is NOT
+    * placement (PQ has no cells to misroute) but QUANTIZATION
+    * DISTORTION — and the measured verdict (`IvfDriftProbe --family pq`,
+    * SCALE.md r16) is a NULL result worth having: the shortlist
+    * multiplier reaching 0.9 recall is 16× in every probed condition —
+    * stale or retrained codebooks, iid or fully-unseen-regime appends,
+    * to 2× appended mass — because each subvector's MARGINAL barely
+    * moves when new cluster centers appear. So the fraction gate on the
+    * shared [[Ivf.IvfLedger]] is an IVF instrument; the PQ maintenance
+    * loop is this append plus a periodic [[measureShortlist]]
+    * re-measurement (a corpus whose subvector marginals DO shift is a
+    * changed `corpusDigest`, which already invalidates the persisted
+    * shortlist). q90 hash-proves the append path end to end (train on
+    * half, append half, search == DuckDB replay). */
+  def appendEncode(catalog: Catalog, codesRef: String, codebooksRef: String,
+      newRows: DataFrame, vecCol: String = "embedding",
+      ledgerRef: String = ""): Long = {
+    val cb = loadCodebooks(catalog, codebooksRef)
+    val n = newRows.count()
+    catalog.append(encode(newRows, cb, vecCol), codesRef)
+    if (ledgerRef.nonEmpty) {
+      val l = Ivf.loadLedger(catalog, ledgerRef)
+      Ivf.saveLedger(catalog, ledgerRef,
+        l.copy(appendedCount = l.appendedCount + n))
+    }
+    n
+  }
+
+  /** ADC-ordering recall vs the exact squared-L2 ordering — [[Ivf
+    * .measureRecall]]'s shape for the PQ tier, the drift meter an
+    * [[appendEncode]] deployment watches (pure ADC, no rerank: the
+    * rerank stage recovers exact math and would mask the codebook
+    * distortion this meters). Ground truth is EXACT L2, not cosine —
+    * ADC approximates L2 by construction, and measuring it against the
+    * dot-product ordering would read the r14 dot-vs-L2 ordering
+    * mismatch (the reason shortlists exist) instead of quantization
+    * quality: the first cut of this meter did exactly that and read
+    * ~0.01 recall on STALE AND RETRAINED codebooks alike (SCALE.md r16
+    * footnote). Queries sample deterministically by hashed id;
+    * `queryFilter` restricts to e.g. appended rows. */
+  def measureRecall(emb: DataFrame, cb: Codebooks, k: Int = 10,
+      nQueries: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryFilter: org.apache.spark.sql.Column = lit(true)): Double = {
+    // accepts raw vectors OR an already-encoded corpus: the meter's
+    // question is "what would ADC under THESE codebooks return", so a
+    // `codes` column is (re)derived from them when absent
+    val encoded =
+      if (emb.columns.contains("codes")) emb else encode(emb, cb, vecCol)
+    val qs = encoded.filter(queryFilter)
+      .select(col(idCol), col(vecCol), xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(nQueries).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    if (qs.isEmpty) return 1.0
+    val recalls = qs.map { case (qid, qv) =>
+      // exact squared L2 up to the |q|² constant: |v|² − 2·q·v, rounded
+      // 6dp before the cut (the engine-independent-boundary convention)
+      val qCol = typedLit(qv.toSeq)
+      val vd = col(vecCol).cast("array<double>")
+      val exact = encoded.filter(col(idCol) =!= qid)
+        .select(col(idCol), round(
+          graft.functions.VectorFunctions.dot(vd, vd) -
+            lit(2.0) * graft.functions.VectorFunctions.dot(vd, qCol), 6)
+          .as("d2"))
+        .orderBy(col("d2"), col(idCol)).limit(k)
+        .collect().map(_.getLong(0)).toSet
+      val approx = pqTopKVec(encoded.filter(col(idCol) =!= qid), qv, cb, k,
+        idCol).collect().map(_.getLong(0)).toSet
+      if (exact.isEmpty) 1.0
+      else exact.intersect(approx).size.toDouble / exact.size
+    }
+    recalls.sum / recalls.length
+  }
+
   /** IVF-PQ — the standard pairing: restrict ADC search to the `nProbe`
     * coarse cells nearest the query, then shortlist + exact rerank inside
     * them. `clusteredEncoded` carries both a `cluster` column

@@ -167,23 +167,34 @@ object AudioSpectralFeature {
         InternalRow(new GenericArrayData(feature(pcm.samples, maxFreq)), null)
     }
 
-  /** |F(k)| for k = 1..maxFreq in fixed order. Exposed for the ExtSpec
-    * reference re-implementation to diff against. */
+  /** |F(k)| for k = 1..maxFreq in fixed order, via the GOERTZEL
+    * recurrence (public algorithm): s_i = x_i + 2cos(w)·s_{i-1} − s_{i-2},
+    * |F|² = s_{n-1}² + s_{n-2}² − 2cos(w)·s_{n-1}·s_{n-2} — ONE
+    * multiply-add per sample per band instead of a cos+sin pair, ~100×
+    * cheaper per op than the naive DFT sum (2·maxFreq·n StrictMath trig
+    * calls was the honest bench cost of the first cut: ~75 CPU-seconds
+    * per 5k-clip corpus). Still bit-reproducible: two trig calls per
+    * BAND, then a fixed-order FMA-free recurrence — identical fp ops in
+    * identical order on every host and partitioning. The recurrence's
+    * rounding differs from the naive sum's by ~n·ulp (≈1e-13 relative at
+    * 2048 samples) — the ExtSpec twin diffs against an independent naive
+    * DFT within 1e-7, which pins both the algebra and the error bound.
+    * Exposed for that twin. */
   private[graft] def feature(samples: Array[Int], maxFreq: Int): Array[Float] = {
     val n = samples.length
     val out = new Array[Float](maxFreq)
     var k = 1
     while (k <= maxFreq) {
-      var re = 0.0; var im = 0.0
+      val w = 2.0 * StrictMath.PI * k / n
+      val coeff = 2.0 * StrictMath.cos(w)
+      var s1 = 0.0; var s2 = 0.0
       var i = 0
       while (i < n) {
-        val a = -2.0 * StrictMath.PI * k * i / n
-        val p = samples(i).toDouble
-        re += p * StrictMath.cos(a)
-        im += p * StrictMath.sin(a)
+        val s0 = samples(i) + coeff * s1 - s2
+        s2 = s1; s1 = s0
         i += 1
       }
-      out(k - 1) = StrictMath.sqrt(re * re + im * im).toFloat
+      out(k - 1) = StrictMath.sqrt(s1 * s1 + s2 * s2 - coeff * s1 * s2).toFloat
       k += 1
     }
     out

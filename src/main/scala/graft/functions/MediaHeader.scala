@@ -29,6 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    chunk — channels as little-endian u16 at 22, sample rate as
   *    little-endian u32 at 24, bits per sample at 34 (the canonical layout
   *    with `fmt ` first; anything else reports `wav_no_fmt`).
+  *  - MP4 (ISO/IEC 14496-12 BMFF, public): an `ftyp` first box signs the
+  *    container; a bounded box walk surfaces the mvhd timescale (as
+  *    `sample_rate` — time units per second) and the first video track's
+  *    tkhd 16.16 dimensions (integer part). The round-16 VIDEO tier of
+  *    the modality family: real container metadata from the bytes, with
+  *    the frame payload staying opaque ([[graft.ext.Multimodal
+  *    .frameSample]] is the documented decode stub past it).
   *
   * Total work is O(markers) with fixed-offset reads — NOT O(payload) — so
   * the expression is safe in a 100 TB scan stage; the payload bytes never
@@ -142,6 +149,69 @@ object MediaHeader {
         }
       }
       return row("jpeg", error = "jpeg_no_sof")
+    }
+    // ─ MP4 / ISO BMFF ─
+    // (ISO/IEC 14496-12, public): [size u32 BE][type 4cc][payload] boxes;
+    // an `ftyp` first box is the signature. Constrained subset: plain u32
+    // sizes only (size 0 = to-EOF and size 1 = 64-bit largesize report
+    // mp4_bad_box — the thumbnail/clip tier this parses never needs >4 GB
+    // headers, and a hostile largesize would otherwise drive the walk).
+    // Walk: top level → moov; inside moov → mvhd (v0/v1: timescale — time
+    // units per second, surfaced as sample_rate) and the first tkhd with
+    // nonzero 16.16 width/height (the video track; audio-only files leave
+    // dimensions null with no error). O(boxes), fixed-offset reads;
+    // size >= 8 guarantees progress, so the walk is bounded.
+    if (n >= 8 && ascii(b, 4, "ftyp")) {
+      var i = 0
+      var moovStart = -1; var moovEnd = -1
+      while (i + 8 <= n && moovStart < 0) {
+        val size = be32(b, i)
+        if (size < 8) return row("mp4", error = "mp4_bad_box")
+        if (i + size > n) return row("mp4", error = "mp4_truncated")
+        if (ascii(b, i + 4, "moov")) { moovStart = i + 8; moovEnd = i + size.toInt }
+        i += size.toInt
+      }
+      if (moovStart < 0) return row("mp4", error = "mp4_no_moov")
+      var timescale = -1L
+      var w = 0L; var h = 0L
+      var j = moovStart
+      while (j + 8 <= moovEnd) {
+        val size = be32(b, j)
+        if (size < 8 || j + size > moovEnd) return row("mp4", error = "mp4_bad_box")
+        if (ascii(b, j + 4, "mvhd") && timescale < 0) {
+          val v = u8(b, j + 8)
+          val tsOff = if (v == 1) j + 8 + 4 + 16 else j + 8 + 4 + 8
+          if (tsOff + 4 > moovEnd) return row("mp4", error = "mp4_truncated")
+          timescale = be32(b, tsOff)
+        } else if (ascii(b, j + 4, "trak") && w == 0) {
+          // one level deeper: trak children, looking for tkhd
+          var t = j + 8
+          val trakEnd = j + size.toInt
+          while (t + 8 <= trakEnd && w == 0) {
+            val ts = be32(b, t)
+            if (ts < 8 || t + ts > trakEnd) return row("mp4", error = "mp4_bad_box")
+            if (ascii(b, t + 4, "tkhd")) {
+              val v = u8(b, t + 8)
+              // v0 body: ver/flags 4 + times 8 + id 4 + res 4 + dur 4 +
+              // res 8 + layer/group/vol/res 8 + matrix 36 = width at +76;
+              // v1 carries 8-byte times and duration (+12)
+              val wOff = t + 8 + (if (v == 1) 88 else 76)
+              if (wOff + 8 <= trakEnd) {
+                val tw = be32(b, wOff) >> 16 // 16.16 fixed → integer part
+                val th = be32(b, wOff + 4) >> 16
+                if (tw > 0 && th > 0) { w = tw; h = th }
+              }
+            }
+            t += ts.toInt
+          }
+        }
+        j += size.toInt
+      }
+      if (timescale < 0) return row("mp4", error = "mp4_no_mvhd")
+      return row("mp4",
+        width = if (w > 0) w else null,
+        height = if (h > 0) h else null,
+        sampleRate = timescale)
     }
     // ─ WAV ─
     if (n >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {

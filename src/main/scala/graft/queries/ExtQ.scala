@@ -1791,6 +1791,83 @@ object ExtQ {
       Some(ivfSearchOracleFor("q87")))
   ) ++ Map(
 
+    // ───── PQ search over an append-maintained codes table (q90) ─────
+    // q87's churn lever for the PQ tier: train the codebooks once on HALF
+    // the corpus, encode+write that half, then Pq.appendEncode the other
+    // half — encoding against the PERSISTED codebooks, no retrain.
+    // Pq.encode is deterministic given the codebooks, so appended rows
+    // carry codes bit-identical to a full re-encode's (spec-pinned); the
+    // search is q69's ADC scan over the union and the oracle is the SAME
+    // replayed-arithmetic SQL under the q90 tag. A hash match certifies
+    // the append path end to end. What staleness costs here is measured
+    // separately (IvfDriftProbe --family pq, SCALE.md r16): quantization
+    // DISTORTION on unseen-regime appends, not placement.
+    "q90_pq_search_after_append" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        val emb = t(s, dir, "embeddings")
+        val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        val cb = Pq.trainCodebooks(evens, m = 8, k = 64, iters = 3)
+        Pq.saveCodebooks(cat, "ann.q90_codebooks", cb)
+        // overwrite-then-append keeps the artifact deterministic per run
+        // (the oracle globs the directory — q87's convention)
+        cat.save(Pq.encode(evens, cb), "ann.q90_corpus")
+        Pq.appendEncode(cat, "ann.q90_corpus", "ann.q90_codebooks", odds)
+        val enc = cat.load("ann.q90_corpus")
+        val qRows = enc.filter(col("vec_id") === 0L)
+          .select(col("embedding")).take(1)
+        require(qRows.nonEmpty,
+          "q90: ann.q90_corpus has no vec_id 0 — corrupt/partial artifact; " +
+            "delete the ann root and rerun")
+        val qv = qRows(0).getSeq[Float](0).map(_.toDouble).toArray
+        Pq.pqTopKVec(enc.filter(col("vec_id") =!= 0L), qv,
+          Pq.loadCodebooks(cat, "ann.q90_codebooks"), topK = 10)
+      },
+      Some(pqSearchOracleFor("q90"))),
+
+    // ───── Video (MP4) container header decode, persisted oracle (q91) ──
+    // The VIDEO tier of the modality family, q78's proof applied to ISO
+    // BMFF: syntheticVideo fabricates real ftyp/moov(mvhd+trak(tkhd))/mdat
+    // box structures (fixed v0 layout ⇒ every interesting field sits at a
+    // fixed byte offset), MediaHeader's bounded box walk surfaces the
+    // mvhd timescale and the tkhd 16.16 dimensions, and DuckDB replays
+    // the SAME parse as hex arithmetic over the persisted payloads —
+    // including both planted malformed classes (undersized box, missing
+    // moov). The frame payload itself stays opaque (frameSample is the
+    // documented decode stub): container metadata from real bytes IS the
+    // video story a 100 TB curation pipeline needs first.
+    "q91_video_header_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(Multimodal.syntheticVideo(t(s, dir, "documents")),
+          "media.q91_corpus")
+        Multimodal.decodeHeaders(cat.load("media.q91_corpus"))
+          .orderBy("media_id")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT media_id, kind, upper(hex(payload)) AS h,
+                 octet_length(payload) AS n
+          FROM read_parquet('$AnnOracleRoot/media/q91_corpus/*.parquet')),
+        c AS (
+          SELECT *,
+            CASE WHEN n = 20 THEN 'mp4_no_moov'
+                 WHEN substring(h,41,8) = '00000004' THEN 'mp4_bad_box'
+                 END AS error
+          FROM m)
+        SELECT media_id, kind, 'mp4' AS format,
+          CASE WHEN error IS NULL
+               THEN CAST('0x'||substring(h,457,4) AS BIGINT) END AS width,
+          CASE WHEN error IS NULL
+               THEN CAST('0x'||substring(h,465,4) AS BIGINT) END AS height,
+          CAST(NULL AS BIGINT) AS bit_depth,
+          CASE WHEN error IS NULL
+               THEN CAST('0x'||substring(h,97,8) AS BIGINT) END AS sample_rate,
+          CAST(NULL AS BIGINT) AS channels,
+          error
+        FROM c ORDER BY media_id""")),
+
     // ───── Audio envelope descriptor, persisted-decode oracle (q88) ─────
     // The r16 audio family's q85: the WavPcm decode VALUES are engine-only
     // (no DuckDB WAV codec), but everything downstream of the mono samples
@@ -1997,13 +2074,19 @@ object ExtQ {
       Pq.loadCodebooks(cat, "ann.q69_codebooks"), topK = 10)
   }
 
-  private def pqSearchOracle = s"""
+  private def pqSearchOracle = pqSearchOracleFor("q69")
+
+  /** The PQ ADC-search oracle parameterized by artifact tag — q69's SQL
+    * verbatim over another tag's persisted codebooks/corpus (q90: the
+    * append-maintained index; search semantics never depend on how rows
+    * entered it). */
+  private def pqSearchOracleFor(tag: String) = s"""
         WITH cb AS (
           SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('$AnnOracleRoot/ann/q69_codebooks/*.parquet')),
+          FROM read_parquet('$AnnOracleRoot/ann/${tag}_codebooks/*.parquet')),
         corpus AS (
           SELECT vec_id, codes, CAST(embedding AS DOUBLE[]) AS v
-          FROM read_parquet('$AnnOracleRoot/ann/q69_corpus/*.parquet')),
+          FROM read_parquet('$AnnOracleRoot/ann/${tag}_corpus/*.parquet')),
         q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
         parts AS (
           SELECT e.vec_id,

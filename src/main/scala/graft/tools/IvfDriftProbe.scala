@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Ivf
+import graft.ext.{Ivf, Pq}
 
 /** Measured IVF recall under APPEND CHURN — the r16 scale lever: a trained
   * coarse quantizer is a train-once artifact, but a 100 TB corpus appends
@@ -28,8 +28,16 @@ import graft.ext.Ivf
   * (what a rebuild buys back). The rebuild threshold is where stale
   * appended-query recall falls materially below the retrained column.
   *
+  * `--family pq` runs the SAME protocol for the PQ tier
+  * ([[graft.ext.Pq.appendEncode]]): what staleness costs there is not
+  * placement but QUANTIZATION DISTORTION — appended vectors from an
+  * unseen regime sit farther from every codeword, so their ADC orderings
+  * blur ([[graft.ext.Pq.measureRecall]], pure ADC — rerank would mask
+  * exactly the distortion being metered).
+  *
   * `sbt 'runMain graft.tools.IvfDriftProbe [--base N] [--fractions
-  * 0.25,0.5,1,2] [--cells K] [--nProbe P] [--queries M] [--dim D]'`
+  * 0.25,0.5,1,2] [--cells K] [--nProbe P] [--queries M] [--dim D]
+  * [--family ivf|pq] [--m M] [--codewords K]'`
   */
 object IvfDriftProbe {
 
@@ -56,6 +64,9 @@ object IvfDriftProbe {
     var nProbe = 3
     var queries = 32
     var dim = 32
+    var family = "ivf"
+    var m = 8
+    var codewords = 16
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -66,9 +77,13 @@ object IvfDriftProbe {
         case "--nProbe" if i + 1 < args.length => nProbe = args(i + 1).toInt; i += 2
         case "--queries" if i + 1 < args.length => queries = args(i + 1).toInt; i += 2
         case "--dim" if i + 1 < args.length => dim = args(i + 1).toInt; i += 2
+        case "--family" if i + 1 < args.length => family = args(i + 1); i += 2
+        case "--m" if i + 1 < args.length => m = args(i + 1).toInt; i += 2
+        case "--codewords" if i + 1 < args.length =>
+          codewords = args(i + 1).toInt; i += 2
         case other => sys.error(s"unknown arg '$other'; usage: IvfDriftProbe " +
           "[--base N] [--fractions 0.25,..] [--cells K] [--nProbe P] " +
-          "[--queries M] [--dim D]")
+          "[--queries M] [--dim D] [--family ivf|pq] [--m M] [--codewords K]")
       }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
@@ -77,34 +92,83 @@ object IvfDriftProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // train on a bounded deterministic subsample — the ServeScaleProbe rule
     val step = math.max(1L, base / 100000L)
-    val trained = Ivf.trainCentroids(
-      baseDf.filter(pmod(col("vec_id"), lit(step)) === 0), k = cells, iters = 3)
+    require(family == "ivf" || family == "pq",
+      s"--family must be ivf|pq, got '$family'")
+    // the stale artifact trains once on the base (the bounded
+    // deterministic subsample rule), each cell retrains on the union
+    val trainedCents =
+      if (family == "ivf") Ivf.trainCentroids(
+        baseDf.filter(pmod(col("vec_id"), lit(step)) === 0), k = cells, iters = 3)
+      else null
+    val trainedCb =
+      if (family == "pq") Pq.trainCodebooks(
+        baseDf.filter(pmod(col("vec_id"), lit(step)) === 0),
+        m = m, k = codewords, iters = 3)
+      else null
     fractions.foreach { f =>
-      val m = math.max(1L, (base * f).toLong)
+      val app = math.max(1L, (base * f).toLong)
       Seq(("iid", 0), ("drift", cells)).foreach { case (mode, centerBase) =>
-        val appended = clustered(spark, base, base + m, dim, cells, centerBase, 0.25)
+        val appended = clustered(spark, base, base + app, dim, cells, centerBase, 0.25)
         val union = baseDf.unionAll(appended)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val t0 = System.nanoTime()
-        val staleAppended = Ivf.measureRecall(union, trained, k = 10,
-          nProbe = nProbe, nQueries = queries,
-          queryFilter = col("vec_id") >= base)
-        val staleAll = Ivf.measureRecall(union, trained, k = 10,
-          nProbe = nProbe, nQueries = queries)
-        val retrained = Ivf.trainCentroids(
-          union.filter(pmod(col("vec_id"), lit(step)) === 0), k = cells, iters = 3)
-        val retrainAppended = Ivf.measureRecall(union, retrained, k = 10,
-          nProbe = nProbe, nQueries = queries,
-          queryFilter = col("vec_id") >= base)
-        val dt = (System.nanoTime() - t0) / 1e9
-        union.unpersist()
-        spark.sharedState.cacheManager.clearCache()
-        println(f"""{"check":"ivf_append_drift","base":$base,"appended":$m,""" +
-          f""""fraction":$f,"mode":"$mode","cells":$cells,"n_probe":$nProbe,""" +
-          f""""recall_stale_appended":$staleAppended%.4f,""" +
-          f""""recall_stale_all":$staleAll%.4f,""" +
-          f""""recall_retrain_appended":$retrainAppended%.4f,""" +
-          f""""queries":$queries,"wall_s":$dt%.3f}""")
+        if (family == "ivf") {
+          val staleAppended = Ivf.measureRecall(union, trainedCents, k = 10,
+            nProbe = nProbe, nQueries = queries,
+            queryFilter = col("vec_id") >= base)
+          val staleAll = Ivf.measureRecall(union, trainedCents, k = 10,
+            nProbe = nProbe, nQueries = queries)
+          val retrained = Ivf.trainCentroids(
+            union.filter(pmod(col("vec_id"), lit(step)) === 0), k = cells, iters = 3)
+          val retrainAppended = Ivf.measureRecall(union, retrained, k = 10,
+            nProbe = nProbe, nQueries = queries,
+            queryFilter = col("vec_id") >= base)
+          val dt = (System.nanoTime() - t0) / 1e9
+          union.unpersist()
+          spark.sharedState.cacheManager.clearCache()
+          println(f"""{"check":"ivf_append_drift","base":$base,"appended":$app,""" +
+            f""""fraction":$f,"mode":"$mode","cells":$cells,"n_probe":$nProbe,""" +
+            f""""recall_stale_appended":$staleAppended%.4f,""" +
+            f""""recall_stale_all":$staleAll%.4f,""" +
+            f""""recall_retrain_appended":$retrainAppended%.4f,""" +
+            f""""queries":$queries,"wall_s":$dt%.3f}""")
+        } else {
+          // PQ's drift signal is the SHORTLIST MULTIPLIER rerank needs to
+          // reach target recall (Pq.measureShortlist — the production
+          // sizing instrument): pure-ADC top-k recall on a near-tie
+          // corpus reads ~0 for stale AND retrained codebooks alike
+          // (quantization resolution, not drift — measured, SCALE.md
+          // r16), so the meaningful question is how much WIDER the
+          // serving shortlist must get before rerank recovers, stale vs
+          // retrained, on the appended regime.
+          val staleApp = Pq.measureShortlist(appended, trainedCb, k = 10,
+            targetRecall = 0.9, nQueries = queries)
+          val retrainedCb = Pq.trainCodebooks(
+            union.filter(pmod(col("vec_id"), lit(step)) === 0),
+            m = m, k = codewords, iters = 3)
+          val retrainApp = Pq.measureShortlist(appended, retrainedCb, k = 10,
+            targetRecall = 0.9, nQueries = queries)
+          val staleBase = Pq.measureShortlist(baseDf, trainedCb, k = 10,
+            targetRecall = 0.9, nQueries = queries)
+          val dt = (System.nanoTime() - t0) / 1e9
+          union.unpersist()
+          spark.sharedState.cacheManager.clearCache()
+          // fixed-rung recalls expose sub-rung drift the chosen
+          // multiplier's 2x ladder quantizes away
+          def rung(mm: graft.ext.Pq.ShortlistMeasurement, r: Int): Double =
+            mm.ladder.find(_._1 == r).map(_._2).getOrElse(-1.0)
+          println(f"""{"check":"pq_append_drift","base":$base,"appended":$app,""" +
+            f""""fraction":$f,"mode":"$mode","m":$m,"codewords":$codewords,""" +
+            f""""shortlist_stale_appended":${staleApp.shortlist},""" +
+            f""""recall_stale_appended":${staleApp.measuredRecall}%.4f,""" +
+            f""""stale_r4":${rung(staleApp, 4)}%.4f,"stale_r8":${rung(staleApp, 8)}%.4f,""" +
+            f""""shortlist_retrain_appended":${retrainApp.shortlist},""" +
+            f""""recall_retrain_appended":${retrainApp.measuredRecall}%.4f,""" +
+            f""""retrain_r4":${rung(retrainApp, 4)}%.4f,"retrain_r8":${rung(retrainApp, 8)}%.4f,""" +
+            f""""shortlist_stale_base":${staleBase.shortlist},""" +
+            f""""base_r8":${rung(staleBase, 8)}%.4f,""" +
+            f""""queries":$queries,"wall_s":$dt%.3f}""")
+        }
       }
     }
     baseDf.unpersist()

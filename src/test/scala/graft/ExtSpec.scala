@@ -914,6 +914,60 @@ class ExtSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("pq appendEncode: appended codes are bit-identical to a re-encode; ledger gates rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-append").toString
+    val cat = new graft.core.Catalog(spark, root)
+    // train on HALF the fixture, encode+write that half, append the other
+    // half against the PERSISTED codebooks — no retrain
+    val evens = threeClusterEmb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odds = threeClusterEmb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cb = Pq.trainCodebooks(evens, m = 4, k = 8, iters = 3)
+    Pq.saveCodebooks(cat, "ann.pqa_codebooks", cb)
+    cat.save(Pq.encode(evens, cb), "ann.pqa_corpus")
+    Ivf.saveLedger(cat, "ann.pqa_ledger",
+      Ivf.IvfLedger(evens.count(), 0L, maxAppendFraction = 0.5))
+    val appended = Pq.appendEncode(cat, "ann.pqa_corpus", "ann.pqa_codebooks",
+      odds, ledgerRef = "ann.pqa_ledger")
+    assert(appended == odds.count())
+    val corpus = cat.load("ann.pqa_corpus")
+    assert(corpus.count() == 60)
+
+    // encode is deterministic given the codebooks: the append-maintained
+    // codes table equals a one-shot encode of the WHOLE corpus, code for
+    // code — so every downstream ADC scan is bit-identical by construction
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codesOf(corpus) == codesOf(Pq.encode(threeClusterEmb, cb)))
+
+    // and the served search over the maintained artifact equals the
+    // re-encoded one's end to end (Catalog round-trip included)
+    def vecOf(id: Long): Array[Double] = threeClusterEmb
+      .filter($"vec_id" === id).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qv = vecOf(2L)
+    val reloaded = Pq.loadCodebooks(cat, "ann.pqa_codebooks")
+    assert(res(Pq.pqTopKVec(corpus.filter($"vec_id" =!= 2L), qv, reloaded, 5)) ==
+      res(Pq.pqTopKVec(Pq.encode(threeClusterEmb, cb).filter($"vec_id" =!= 2L),
+        qv, cb, 5)))
+
+    // the drift meter runs on the maintained artifact. ADC-only recall on
+    // this tiny fixture under m=4/k=8 codebooks is moderate by NATURE
+    // (the q67 convention pins ADC >= 0.3 and lets rerank recover
+    // exactness — dot-truth vs L2-ADC ordering mismatch, the r14
+    // measured lesson); the meter's job here is to RUN on the maintained
+    // artifact and return a sane fraction
+    val meter = Pq.measureRecall(corpus, reloaded, k = 5, nQueries = 8)
+    assert(meter >= 0.3 && meter <= 1.0, s"ADC drift meter read $meter")
+
+    // the shared ledger accumulated the append and trips the threshold
+    val l = Ivf.loadLedger(cat, "ann.pqa_ledger")
+    assert(l == Ivf.IvfLedger(30L, 30L, 0.5) && Ivf.shouldRebuild(l))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("vector-first entry points are bit-identical to id forms; serving plan is lookup-free") {
     val emb = threeClusterEmb
     val cents = threeClusterCents
@@ -3097,6 +3151,79 @@ class ExtSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
     assert(frames.filter($"media_id" === 0L).count() ==
       math.ceil(docs.filter($"doc_id" === 0L).head().getString(1).length / 16.0).toLong)
+  }
+
+  test("MediaHeader MP4: box walk, v0/v1 layouts, audio-only, malformed classes") {
+    import graft.functions.MediaHeader
+    // box builder: [size u32 BE][type][body]
+    def be32(v: Long) = Array[Byte](((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ tpe.getBytes("US-ASCII") ++ body
+    def mvhdV0(timescale: Long): Array[Byte] = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(500) ++
+        new Array[Byte](100 - 20))
+    def mvhdV1(timescale: Long): Array[Byte] = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++ be32(timescale) ++
+        new Array[Byte](8) ++ new Array[Byte](112 - 32))
+    def tkhdV0(w: Long, h: Long): Array[Byte] = box("tkhd",
+      be32(7) ++ new Array[Byte](72) ++ be32(w << 16) ++ be32(h << 16))
+    def tkhdV1(w: Long, h: Long): Array[Byte] = box("tkhd",
+      Array[Byte](1, 0, 0, 7) ++ new Array[Byte](84) ++ be32(w << 16) ++ be32(h << 16))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200) ++
+      "isom".getBytes("US-ASCII"))
+    def mp4(boxes: Array[Byte]*): Array[Byte] = ftyp ++ boxes.flatten
+
+    def parse(b: Array[Byte]) = {
+      val r = Seq((0L, b)).toDF("id", "payload")
+        .select(MediaHeader($"payload").as("m")).head().getStruct(0)
+      def o(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getString(0), o(1), o(2), o(4),
+        if (r.isNullAt(6)) None else Some(r.getString(6)))
+    }
+
+    // v0: timescale + first video track's 16.16 dims (integer part)
+    assert(parse(mp4(box("moov", mvhdV0(90000) ++ box("trak", tkhdV0(640, 360))),
+      box("mdat", "frames".getBytes))) ==
+      (("mp4", Some(640L), Some(360L), Some(90000L), None)))
+    // v1 boxes carry 64-bit times: different fixed offsets, same fields
+    assert(parse(mp4(box("moov", mvhdV1(1000) ++ box("trak", tkhdV1(1920, 1080))))) ==
+      (("mp4", Some(1920L), Some(1080L), Some(1000L), None)))
+    // audio-only: zero-dim track leaves dimensions null with NO error
+    assert(parse(mp4(box("moov", mvhdV0(48000) ++ box("trak", tkhdV0(0, 0))))) ==
+      (("mp4", None, None, Some(48000L), None)))
+    // a free box before moov is walked over, not fatal
+    assert(parse(mp4(box("free", new Array[Byte](9)),
+      box("moov", mvhdV0(600) ++ box("trak", tkhdV0(32, 32))))) ==
+      (("mp4", Some(32L), Some(32L), Some(600L), None)))
+    // malformed classes, each its own loud error
+    assert(parse(ftyp)._5 == Some("mp4_no_moov"))
+    assert(parse(mp4(be32(4) ++ "free".getBytes("US-ASCII")))._5 ==
+      Some("mp4_bad_box"))
+    assert(parse(mp4(be32(500) ++ "moov".getBytes("US-ASCII")))._5 ==
+      Some("mp4_truncated"))
+    assert(parse(mp4(box("moov", box("trak", tkhdV0(64, 64)))))._5 ==
+      Some("mp4_no_mvhd"))
+
+    // syntheticVideo round-trips through decodeHeaders: derived fields
+    // reproduce the generator's arithmetic, malformed classes land in
+    // error — the q91 oracle's exact relation, checked engine-side
+    val docs = spark.range(40).select($"id".as("doc_id"),
+      concat(lit("body "), $"id".cast("string")).as("text"),
+      lit("web").as("source"), lit(10L).as("n_chars"))
+    val decoded = Multimodal.decodeHeaders(Multimodal.syntheticVideo(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 40L).foreach { id =>
+      val r = decoded(id)
+      assert(r.getString(2) == "mp4")
+      if (id % 12 == 5) assert(r.getString(8) == "mp4_bad_box")
+      else if (id % 12 == 11) assert(r.getString(8) == "mp4_no_moov")
+      else {
+        assert(r.isNullAt(8), s"id $id unexpected error ${r.getString(8)}")
+        assert(r.getLong(3) == id % 1920 + 16 && r.getLong(4) == id * 7 % 1080 + 16)
+        assert(r.getLong(6) == Seq(600L, 1000L, 24000L, 90000L)((id % 4).toInt))
+      }
+    }
   }
 
   test("MediaHeader: real-fixture dims, marker walk, fuzz parity with a reference parser") {
