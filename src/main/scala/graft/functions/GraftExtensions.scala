@@ -139,6 +139,50 @@ object GraftExtensions {
     }
   }
 
+  /** graft_image_dhash(payload) → struct<dhash, error> ([[ImageDHash]]). */
+  private def imageDHashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => ImageDHash(a)
+    case _ => throw new IllegalArgumentException(
+      "graft_image_dhash expects exactly 1 argument")
+  }
+
+  /** graft_image_grid(payload[, gridW, gridH]) → struct<feature, error>
+    * ([[ImageGridFeature]] — the crop-tolerant grid descriptor). */
+  private def imageGridBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => ImageGridFeature(a, 8, 8)
+    case Seq(a, w, h) => ImageGridFeature(a,
+      intLit(w, "graft_image_grid"), intLit(h, "graft_image_grid"))
+    case _ => throw new IllegalArgumentException(
+      "graft_image_grid expects (payload[, gridW, gridH])")
+  }
+
+  /** graft_image_spectral(payload[, maxFreq]) → struct<feature, error>
+    * ([[ImageSpectralFeature]] — the translation-invariant tier). */
+  private def imageSpectralBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => ImageSpectralFeature(a, 3)
+    case Seq(a, f) => ImageSpectralFeature(a, intLit(f, "graft_image_spectral"))
+    case _ => throw new IllegalArgumentException(
+      "graft_image_spectral expects (payload[, maxFreq])")
+  }
+
+  /** graft_audio_envelope(payload[, frames]) → struct<feature, error>
+    * ([[AudioEnvelopeFeature]] — the aligned-bin audio descriptor). */
+  private def audioEnvelopeBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => AudioEnvelopeFeature(a, 64)
+    case Seq(a, f) => AudioEnvelopeFeature(a, intLit(f, "graft_audio_envelope"))
+    case _ => throw new IllegalArgumentException(
+      "graft_audio_envelope expects (payload[, frames])")
+  }
+
+  /** graft_audio_spectral(payload[, maxFreq]) → struct<feature, error>
+    * ([[AudioSpectralFeature]] — the time-shift-tolerant tier). */
+  private def audioSpectralBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => AudioSpectralFeature(a, 24)
+    case Seq(a, f) => AudioSpectralFeature(a, intLit(f, "graft_audio_spectral"))
+    case _ => throw new IllegalArgumentException(
+      "graft_audio_spectral expects (payload[, maxFreq])")
+  }
+
   /** graft_hyperplane_lsh(vec, nPlanes[, nTables[, planeOffset]]) →
     * array<long> of sign-bit buckets (see [[HyperplaneLsh]]). */
   private def lshBuilder(args: Seq[Expression]): Expression = args match {
@@ -233,5 +277,10 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_hash_split", hashSplitBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_mixture_keep", mixtureKeepBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_media_header", mediaHeaderBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_image_dhash", imageDHashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_image_grid", imageGridBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_image_spectral", imageSpectralBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_audio_envelope", audioEnvelopeBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_audio_spectral", audioSpectralBuilder, "built-in")
   }
 }

@@ -89,6 +89,7 @@ object AudioDedupProbe {
     var family = "envelope"
     var threshold = 0.9
     var samples = 2048
+    var throughput = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -101,17 +102,65 @@ object AudioDedupProbe {
         case "--threshold" if i + 1 < args.length =>
           threshold = args(i + 1).toDouble; i += 2
         case "--samples" if i + 1 < args.length => samples = args(i + 1).toInt; i += 2
+        case "--throughput" => throughput = true; i += 1
         case other => sys.error(s"unknown arg '$other'; usage: AudioDedupProbe " +
           "[--size N] [--shiftSweep 8,32,...|--jitterSweep 0.001,...] " +
-          "[--family envelope|spectral] [--threshold 0.9] [--samples 2048]")
+          "[--family envelope|spectral] [--threshold 0.9] [--samples 2048] " +
+          "[--throughput]")
       }
     }
     require(family == "envelope" || family == "spectral",
       s"--family must be envelope|spectral, got '$family'")
-    require(shiftSweep.nonEmpty ^ jitterSweep.nonEmpty,
-      "pass exactly one of --shiftSweep / --jitterSweep")
+    require(throughput || (shiftSweep.nonEmpty ^ jitterSweep.nonEmpty),
+      "pass exactly one of --shiftSweep / --jitterSweep (or --throughput)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
+    if (throughput) {
+      // The at-scale cell: decode + descriptor rate (the blob-to-floats
+      // reduction that makes 100 TB of audio joinable) and the survivor
+      // walk over the resulting embedding at the auto-sized config —
+      // the planted gain+jitter twins measure detection while the
+      // accumulator meters the walk's actual work.
+      val bytesPerClip = 44L + 2L * samples // canonical mono-16 layout
+      val media = corpus(spark, size, 1, samples)
+      val t0 = System.nanoTime()
+      val featsOf =
+        if (family == "envelope") Multimodal.audioEnvelopeFeatures(media)
+        else Multimodal.audioSpectralFeatures(media)
+      val feats = featsOf.filter(col("feature").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = feats.count()
+      val dtFeat = (System.nanoTime() - t0) / 1e9
+      val dims = feats.select(
+        org.apache.spark.sql.functions.size(col("feature"))).first().getInt(0)
+      val cmp = spark.sparkContext.longAccumulator("audio_star_comparisons")
+      val t1 = System.nanoTime()
+      // the AUTO-SIZED config, exactly audioFeatureAssign's path: the
+      // first cut ran a fixed (8, 4) and measured the predictable
+      // failure — comparisons went superlinear (2,093 → 7,800/clip at
+      // 200k → 1M on this phase-class-heavy envelope corpus) and
+      // rep-capped cells leaked 391/50,000 planted twins; the sizer
+      // exists precisely to deepen planes with n
+      val (planes, tables) = graft.ext.Similarity.lshParams(size, threshold, 0.98)
+      val assign = graft.ext.Similarity.nearDupAssignFromTable(
+        graft.ext.Similarity.lshTable(feats, planes, tables, "media_id", "feature"),
+        feats, threshold, "media_id", "feature", comparisons = Some(cmp))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val surv = assign.filter(col("dup_of").isNull).count()
+      val detected = assign.filter(col("dup_of").isNotNull &&
+        pmod(col("media_id"), lit(20)) === 1).count()
+      val dtWalk = (System.nanoTime() - t1) / 1e9
+      println(f"""{"check":"audio_throughput","family":"$family","rows":$size,""" +
+        f""""planes":$planes,"tables":$tables,""" +
+        f""""samples":$samples,"decoded":$n,"payload_mb":${size * bytesPerClip / 1e6}%.1f,""" +
+        f""""feature_mb":${n * dims * 4 / 1e6}%.1f,"decode_feature_s":$dtFeat%.3f,""" +
+        f""""clips_per_s":${n / dtFeat}%.0f,"mb_per_s":${size * bytesPerClip / 1e6 / dtFeat}%.1f,""" +
+        f""""walk_comparisons":${cmp.value},"survivors":$surv,"detected":$detected,""" +
+        f""""true_dups":${size / 20},"walk_s":$dtWalk%.3f}""")
+      assign.unpersist(); feats.unpersist()
+      spark.stop()
+      return
+    }
     def featsOf(media: DataFrame): DataFrame =
       if (family == "envelope") Multimodal.audioEnvelopeFeatures(media)
       else Multimodal.audioSpectralFeatures(media)

@@ -541,6 +541,39 @@ class ExtSpec extends SparkSpec {
         .select($"m.*").head().toSeq)
     assert(spark.sql("SELECT graft_media_header(CAST('junk' AS BINARY)).error")
       .head().getString(0) == "unknown_format")
+    // the media descriptor family in SQL agrees with the column forms —
+    // same canonical PNG for the image tier, an inline-encoded WAV for
+    // the audio tier (bit-identical structs, defaults and explicit knobs)
+    assert(spark.sql(
+        s"SELECT m.* FROM (SELECT graft_image_dhash(unhex('$pngHex')) AS m)")
+      .head().toSeq ==
+      spark.range(1)
+        .select(graft.functions.ImageDHash(unhex(lit(pngHex))).as("m"))
+        .select($"m.*").head().toSeq)
+    val wavHex = graft.functions.WavPcm
+      .encodePcm16(8000, 1, Array.tabulate(256)(i => i * 100 - 12800))
+      .map("%02X".format(_)).mkString
+    assert(spark.sql(
+        s"SELECT m.* FROM (SELECT graft_audio_envelope(unhex('$wavHex'), 16) AS m)")
+      .head().toSeq ==
+      spark.range(1)
+        .select(graft.functions.AudioEnvelopeFeature(unhex(lit(wavHex)), 16).as("m"))
+        .select($"m.*").head().toSeq)
+    assert(spark.sql(
+        s"SELECT m.* FROM (SELECT graft_audio_spectral(unhex('$wavHex'), 8) AS m)")
+      .head().toSeq ==
+      spark.range(1)
+        .select(graft.functions.AudioSpectralFeature(unhex(lit(wavHex)), 8).as("m"))
+        .select($"m.*").head().toSeq)
+    // hostile payloads refuse through SQL exactly like the column form
+    // (the canonical 1x1 fixture is RGBA — outside PngGray's subset, so
+    // the loud error IS the parity check)
+    assert(spark.sql(
+        s"SELECT graft_image_grid(unhex('$pngHex')).error").head().getString(0)
+      == "png_unsupported_color")
+    assert(spark.sql(
+        s"SELECT graft_image_spectral(unhex('$pngHex'), 3).error").head().getString(0)
+      == "png_unsupported_color")
     // a foldable NULL parameter gets the clear literal-integer message,
     // not a bare NPE out of the analyzer
     val nullLit = intercept[Exception] {
