@@ -179,6 +179,9 @@ object MediaHeader {
         val size = be32(b, j)
         if (size < 8 || j + size > moovEnd) return row("mp4", error = "mp4_bad_box")
         if (ascii(b, j + 4, "mvhd") && timescale < 0) {
+          // an empty box (size exactly 8) has no version byte to read —
+          // guard BEFORE u8 or a hostile payload throws out of the scan
+          if (j + 9 > moovEnd) return row("mp4", error = "mp4_truncated")
           val v = u8(b, j + 8)
           val tsOff = if (v == 1) j + 8 + 4 + 16 else j + 8 + 4 + 8
           if (tsOff + 4 > moovEnd) return row("mp4", error = "mp4_truncated")
@@ -190,7 +193,9 @@ object MediaHeader {
           while (t + 8 <= trakEnd && w == 0) {
             val ts = be32(b, t)
             if (ts < 8 || t + ts > trakEnd) return row("mp4", error = "mp4_bad_box")
-            if (ascii(b, t + 4, "tkhd")) {
+            if (ascii(b, t + 4, "tkhd") && t + 9 <= trakEnd) {
+              // same empty-box guard as mvhd; a version-less tkhd just
+              // contributes no dimensions (the audio-only convention)
               val v = u8(b, t + 8)
               // v0 body: ver/flags 4 + times 8 + id 4 + res 4 + dur 4 +
               // res 8 + layer/group/vol/res 8 + matrix 36 = width at +76;

@@ -3237,6 +3237,14 @@ class ExtSpec extends SparkSpec {
       Some("mp4_truncated"))
     assert(parse(mp4(box("moov", box("trak", tkhdV0(64, 64)))))._5 ==
       Some("mp4_no_mvhd"))
+    // hostile empty boxes (size exactly 8 — no version byte to read) at
+    // the very end of their parent: a loud Left, never an
+    // ArrayIndexOutOfBounds out of the scan
+    assert(parse(mp4(box("moov", box("mvhd", Array.emptyByteArray))))._5 ==
+      Some("mp4_truncated"))
+    assert(parse(mp4(box("moov",
+      mvhdV0(600) ++ box("trak", box("tkhd", Array.emptyByteArray))))) ==
+      (("mp4", None, None, Some(600L), None)))
 
     // syntheticVideo round-trips through decodeHeaders: derived fields
     // reproduce the generator's arithmetic, malformed classes land in
