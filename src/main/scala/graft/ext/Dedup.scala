@@ -1184,13 +1184,32 @@ object Dedup {
     // with null-feature rows dropped — and `vecCol` = "feature")
     val embeddingLike = Set("embedding_lsh", "image_grid_lsh",
       "image_spectral_lsh", "audio_envelope_lsh", "audio_spectral_lsh")
+    // the derived-descriptor tiers are PACKAGED configs: their
+    // expectedDetection values are the r16 sweeps, which were measured at
+    // cosine threshold 0.9 over the descriptor (the entry-point strings
+    // say so) — a plan that stamped the caller's generic `threshold`
+    // (default 0.98) would EXECUTE above the measured operating point and
+    // silently void the quoted detection (planted shift-crop cosines
+    // median 0.93-0.98 sit between the two cuts). So descriptor plans
+    // always stamp and size at 0.9; a caller wanting a different cosine
+    // cut owns the embedding family directly with their own column.
+    val descriptorTier = Set("image_grid_lsh", "image_spectral_lsh",
+      "audio_envelope_lsh", "audio_spectral_lsh")
+    val execThreshold = if (descriptorTier(rec.family)) 0.9 else threshold
+    val rationale0 =
+      if (descriptorTier(rec.family) && threshold != 0.9)
+        rec.rationale + f" | NOTE: descriptor tiers execute at their " +
+          f"measured cosine operating point 0.9 (caller passed " +
+          f"$threshold%.2f, ignored — the sweep's detection is only " +
+          "valid at 0.9)"
+      else rec.rationale
     if (!embeddingLike(rec.family))
       DedupPlan(rec.family, rec.entryPoint, rec.expectedDetection, rec.rationale,
         None, "one_shot", 1, 0.0, 0.0, budgetSatisfied = true, threshold)
     else {
       val n = emb.count()
       val law = Similarity.measureNonUniformityLaw(emb, n, vecCol = vecCol)
-      val (planes, tables) = Similarity.lshParams(n, threshold, targetRecall,
+      val (planes, tables) = Similarity.lshParams(n, execThreshold, targetRecall,
         law = law)
       val rawPairs = tables.toDouble * law.weight(planes) *
         n.toDouble * n.toDouble / math.pow(2.0, planes + 1)
@@ -1209,12 +1228,12 @@ object Dedup {
         else
           s"Similarity.lshTable + lshCandidatesPartitioned(P=$p) (+ exact-cosine rerank)",
         rec.expectedDetection,
-        if (satisfied) rec.rationale
-        else rec.rationale + f" | WARNING: P clamped at maxPartitions=$maxPartitions " +
+        if (satisfied) rationale0
+        else rationale0 + f" | WARNING: P clamped at maxPartitions=$maxPartitions " +
           f"(budget wanted P=$pWanted); per-pass peak ~${rawGb / p}%.1f GB exceeds " +
           f"the $scratchBudgetGb%.1f GB scratch budget",
         Some((planes, tables)), if (p == 1) "one_shot" else "partitioned", p,
-        rawPairs, rawGb, budgetSatisfied = satisfied, threshold = threshold)
+        rawPairs, rawGb, budgetSatisfied = satisfied, threshold = execThreshold)
     }
   }
 

@@ -149,15 +149,23 @@ object Ivf {
       newRows: DataFrame, vecCol: String = "embedding",
       ledgerRef: String = ""): Long = {
     val cents = loadCentroids(catalog, centroidsRef)
-    val n = newRows.count()
-    catalog.append(assign(newRows, cents, vecCol), corpusRef,
-      partitionBy = Seq("cluster"))
-    if (ledgerRef.nonEmpty) {
-      val l = loadLedger(catalog, ledgerRef)
-      saveLedger(catalog, ledgerRef,
-        l.copy(appendedCount = l.appendedCount + n))
-    }
-    n
+    // one evaluation of the input lineage: a separate pre-count would run
+    // the (possibly expensive, possibly non-deterministic-between-
+    // actions) source twice AND could let the ledger count disagree with
+    // the rows actually written — persist, count the cached frame, write
+    // the same cache
+    val assigned = assign(newRows, cents, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = assigned.count()
+      catalog.append(assigned, corpusRef, partitionBy = Seq("cluster"))
+      if (ledgerRef.nonEmpty) {
+        val l = loadLedger(catalog, ledgerRef)
+        saveLedger(catalog, ledgerRef,
+          l.copy(appendedCount = l.appendedCount + n))
+      }
+      n
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** The rebuild-policy ledger persisted beside the centroids: how much
@@ -222,7 +230,15 @@ object Ivf {
       .select(col(idCol), col(vecCol), xxhash64(col(idCol)).as("h"))
       .orderBy("h").limit(nQueries).collect()
       .map(r => (r.getLong(0), toVec(r, 1)))
-    if (qs.isEmpty) return 1.0
+    // an EMPTY query sample must fail loudly, not report perfection: the
+    // documented drift-dashboard usage filters to appended-only rows, and
+    // a vacuously-false predicate (wrong column, appends not landed)
+    // returning recall 1.0 is indistinguishable from a healthy index —
+    // the monitoring gate would silently never fire
+    require(qs.nonEmpty,
+      "measureRecall: queryFilter matched no rows - the meter cannot " +
+        "report a recall (a default 1.0 here would mask exactly the " +
+        "drift condition being monitored)")
     val recalls = qs.map { case (qid, qv) =>
       val exact = Similarity.bruteForceTopKVec(emb, qv, k, Some(qid),
         idCol, vecCol).collect().map(_.getLong(0)).toSet

@@ -212,14 +212,20 @@ object Pq {
       newRows: DataFrame, vecCol: String = "embedding",
       ledgerRef: String = ""): Long = {
     val cb = loadCodebooks(catalog, codebooksRef)
-    val n = newRows.count()
-    catalog.append(encode(newRows, cb, vecCol), codesRef)
-    if (ledgerRef.nonEmpty) {
-      val l = Ivf.loadLedger(catalog, ledgerRef)
-      Ivf.saveLedger(catalog, ledgerRef,
-        l.copy(appendedCount = l.appendedCount + n))
-    }
-    n
+    // single-evaluation discipline (the Ivf.appendAssign contract): the
+    // ledger count and the written rows come from the same cached frame
+    val encoded = encode(newRows, cb, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = encoded.count()
+      catalog.append(encoded, codesRef)
+      if (ledgerRef.nonEmpty) {
+        val l = Ivf.loadLedger(catalog, ledgerRef)
+        Ivf.saveLedger(catalog, ledgerRef,
+          l.copy(appendedCount = l.appendedCount + n))
+      }
+      n
+    } finally encoded.unpersist(blocking = false)
   }
 
   /** ADC-ordering recall vs the exact squared-L2 ordering — [[Ivf
@@ -248,7 +254,15 @@ object Pq {
       .orderBy("h").limit(nQueries).collect()
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).map(_.toDouble).toArray))
-    if (qs.isEmpty) return 1.0
+    // an EMPTY query sample must fail loudly, not report perfection: the
+    // documented drift-dashboard usage filters to appended-only rows, and
+    // a vacuously-false predicate (wrong column, appends not landed)
+    // returning recall 1.0 is indistinguishable from a healthy index —
+    // the monitoring gate would silently never fire
+    require(qs.nonEmpty,
+      "measureRecall: queryFilter matched no rows - the meter cannot " +
+        "report a recall (a default 1.0 here would mask exactly the " +
+        "drift condition being monitored)")
     val recalls = qs.map { case (qid, qv) =>
       // exact squared L2 up to the |q|² constant: |v|² − 2·q·v, rounded
       // 6dp before the cut (the engine-independent-boundary convention)

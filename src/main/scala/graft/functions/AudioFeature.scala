@@ -194,7 +194,14 @@ object AudioSpectralFeature {
         s2 = s1; s1 = s0
         i += 1
       }
-      out(k - 1) = StrictMath.sqrt(s1 * s1 + s2 * s2 - coeff * s1 * s2).toFloat
+      // clamp before the sqrt: |F|² is mathematically ≥ 0 but the
+      // subtraction cancels catastrophically when the true value is ~0
+      // against state ~1e15 (a constant/DC clip — every band exactly
+      // zero), and the rounding residue can land slightly NEGATIVE —
+      // sqrt would then emit NaN floats silently poisoning every cosine
+      // downstream instead of the honest 0.0
+      out(k - 1) = StrictMath.sqrt(
+        math.max(0.0, s1 * s1 + s2 * s2 - coeff * s1 * s2)).toFloat
       k += 1
     }
     out

@@ -184,7 +184,12 @@ object MediaHeader {
           if (j + 9 > moovEnd) return row("mp4", error = "mp4_truncated")
           val v = u8(b, j + 8)
           val tsOff = if (v == 1) j + 8 + 4 + 16 else j + 8 + 4 + 8
-          if (tsOff + 4 > moovEnd) return row("mp4", error = "mp4_truncated")
+          // bound against the BOX's own end, not the parent's: an
+          // undersized mvhd followed by a sibling would otherwise pass
+          // the parent check and read the SIBLING's header bytes as a
+          // timescale — plausible garbage with error NULL (the
+          // refuse-loudly contract says a lying size fails instead)
+          if (tsOff + 4 > j + size) return row("mp4", error = "mp4_truncated")
           timescale = be32(b, tsOff)
         } else if (ascii(b, j + 4, "trak") && w == 0) {
           // one level deeper: trak children, looking for tkhd
@@ -200,8 +205,10 @@ object MediaHeader {
               // v0 body: ver/flags 4 + times 8 + id 4 + res 4 + dur 4 +
               // res 8 + layer/group/vol/res 8 + matrix 36 = width at +76;
               // v1 carries 8-byte times and duration (+12)
+              // bound against the tkhd's OWN end (same sibling-read trap
+              // as mvhd); a short tkhd just contributes no dimensions
               val wOff = t + 8 + (if (v == 1) 88 else 76)
-              if (wOff + 8 <= trakEnd) {
+              if (wOff + 8 <= t + ts) {
                 val tw = be32(b, wOff) >> 16 // 16.16 fixed → integer part
                 val th = be32(b, wOff + 4) >> 16
                 if (tw > 0 && th > 0) { w = tw; h = th }

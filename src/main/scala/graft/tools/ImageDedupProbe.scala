@@ -116,7 +116,7 @@ object ImageDedupProbe {
           gridThreshold = args(i + 1).toDouble; i += 2
         case other => sys.error(s"unknown arg '$other'; usage: ImageDedupProbe " +
           "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B] " +
-          "[--survivors] [--cropSweep 1,2,4] [--family dhash|grid] " +
+          "[--survivors] [--reprobe] [--cropSweep 1,2,4] [--family dhash|grid|spectral] " +
           "[--gridThreshold 0.9]")
       }
     }

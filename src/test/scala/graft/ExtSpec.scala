@@ -998,6 +998,18 @@ class ExtSpec extends SparkSpec {
     // the shared ledger accumulated the append and trips the threshold
     val l = Ivf.loadLedger(cat, "ann.pqa_ledger")
     assert(l == Ivf.IvfLedger(30L, 30L, 0.5) && Ivf.shouldRebuild(l))
+
+    // an empty query sample fails LOUDLY in both drift meters: a
+    // vacuously-false appended-only filter reporting recall 1.0 would be
+    // indistinguishable from a healthy index (the monitoring trap)
+    intercept[IllegalArgumentException] {
+      Pq.measureRecall(corpus, reloaded, k = 5, nQueries = 8,
+        queryFilter = lit(false))
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.measureRecall(threeClusterEmb, threeClusterCents, k = 5,
+        nQueries = 8, queryFilter = lit(false))
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
@@ -1918,6 +1930,14 @@ class ExtSpec extends SparkSpec {
       assert(sCos > 0.9, s"spectral shift cosine $sCos")
       assert(sCos > eCos, s"spectral $sCos should beat envelope $eCos on shifts")
 
+      // ── a constant/DC clip: every band's |F| is exactly zero — the
+      // Goertzel cancellation (state ~1e15 vs true value 0) must clamp
+      // to 0.0, never leak a NaN float into the descriptor ──
+      val flat = AudioSpectralFeature.feature(Array.fill(2048)(1000), 24)
+      assert(flat.forall(v => !v.isNaN && v >= 0.0f),
+        s"DC clip spectral feature carries NaN/negative: ${flat.toSeq}")
+      assert(flat.forall(_ < 1.0f), s"DC clip bands should be ~0: ${flat.toSeq}")
+
       // ── hostile rows: per-row error, never a throw ──
       val tiny = WavPcm.encodePcm16(8000, 1, Array.tabulate(16)(i => i * 100))
       val bad = Seq((1L, "definitely not a wav".getBytes("UTF-8")), (2L, tiny))
@@ -2015,6 +2035,14 @@ class ExtSpec extends SparkSpec {
       val p = Dedup.plan(feats, mutationTolerance = 0.01, threshold = 0.9,
         modality = "audio", geometricTolerance = 64, vecCol = "feature")
       assert(p.family == "audio_spectral_lsh" && p.lshConfig.isDefined)
+      // descriptor tiers always stamp their MEASURED 0.9 operating point:
+      // a caller-passed generic threshold (default 0.98) would execute
+      // above the sweep's validity and silently void expectedDetection
+      val pDefault = Dedup.plan(feats, mutationTolerance = 0.01,
+        modality = "audio", geometricTolerance = 64, vecCol = "feature")
+      assert(pDefault.threshold == 0.9 &&
+        pDefault.rationale.contains("measured cosine operating point"),
+        s"default-threshold plan: ${pDefault.threshold} / ${pDefault.rationale}")
       def assignSet(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0),
           if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
@@ -3244,6 +3272,19 @@ class ExtSpec extends SparkSpec {
       Some("mp4_truncated"))
     assert(parse(mp4(box("moov",
       mvhdV0(600) ++ box("trak", box("tkhd", Array.emptyByteArray))))) ==
+      (("mp4", None, None, Some(600L), None)))
+    // an UNDERSIZED mvhd (size 12: version present, timescale outside the
+    // box) followed by a healthy sibling: the field read must bound
+    // against the BOX's own end — reading on would return the SIBLING's
+    // header bytes as a plausible timescale with error NULL
+    assert(parse(mp4(box("moov",
+      box("mvhd", Array[Byte](0, 0, 0, 0)) ++ mvhdV0(600))))._5 ==
+      Some("mp4_truncated"))
+    // same trap on tkhd: a short box contributes no dimensions instead of
+    // reading the next box's bytes as 16.16 fixed-point
+    assert(parse(mp4(box("moov", mvhdV0(600) ++
+      box("trak", box("tkhd", Array[Byte](0, 0, 0, 7)) ++
+        box("free", new Array[Byte](96)))))) ==
       (("mp4", None, None, Some(600L), None)))
 
     // syntheticVideo round-trips through decodeHeaders: derived fields
