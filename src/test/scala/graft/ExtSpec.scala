@@ -1818,7 +1818,7 @@ class ExtSpec extends SparkSpec {
     val rnd = new scala.util.Random(4242)
     (1 to 60).foreach { cse =>
       val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
-      val ch = 1 + rnd.nextInt(2)
+      val ch = 1 + rnd.nextInt(4) // through quad — the floorDiv mix is per-frame over all channels
       val bits = Seq(8, 16)(rnd.nextInt(2))
       val n = 1 + rnd.nextInt(300)
       val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
