@@ -3287,6 +3287,25 @@ class ExtSpec extends SparkSpec {
         box("free", new Array[Byte](96)))))) ==
       (("mp4", None, None, Some(600L), None)))
 
+    // never-throws fuzz: random bytes, and every truncation prefix of a
+    // VALID payload (the nastier class — plausible structure, cut
+    // mid-field), must land in a row, not an exception
+    val rnd = new scala.util.Random(1717)
+    val validMp4 = mp4(box("moov", mvhdV0(90000) ++ box("trak", tkhdV0(640, 360))),
+      box("mdat", "frames".getBytes))
+    val junkCases = (1 to 200).map(_ =>
+      ftyp ++ Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+    val mp4Cuts = (0 until validMp4.length).map(validMp4.take)
+    (junkCases ++ mp4Cuts).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("id", "payload")
+      .select(MediaHeader($"payload").as("m")).collect() // must not throw
+    val validWav = graft.functions.WavPcm.encodePcm16(8000, 2,
+      Array.tabulate(50)(_ * 500))
+    (0 until validWav.length).foreach { cut =>
+      graft.functions.WavPcm.decode(validWav.take(cut)) // must not throw
+    }
+    junkCases.foreach(j => graft.functions.WavPcm.decode(j.drop(20)))
+
     // syntheticVideo round-trips through decodeHeaders: derived fields
     // reproduce the generator's arithmetic, malformed classes land in
     // error — the q91 oracle's exact relation, checked engine-side
