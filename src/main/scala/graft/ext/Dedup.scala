@@ -1195,13 +1195,24 @@ object Dedup {
     // cut owns the embedding family directly with their own column.
     val descriptorTier = Set("image_grid_lsh", "image_spectral_lsh",
       "audio_envelope_lsh", "audio_spectral_lsh")
+    // r16 advice: an EXPLICIT caller threshold that conflicts with the
+    // descriptor operating point must fail loudly, not be silently
+    // overridden — a caller passing 0.95 to avoid false eliminations
+    // would otherwise get MORE-aggressive 0.9 execution. Only the
+    // untouched default (0.98) is re-stamped to the measured point.
+    if (descriptorTier(rec.family))
+      require(threshold == 0.98 || threshold == 0.9,
+        f"plan: descriptor tier '${rec.family}' executes at its measured " +
+          f"cosine operating point 0.9 (the r16 sweeps' detection is only " +
+          f"valid there); caller passed explicit threshold=$threshold%.2f. " +
+          "Pass 0.9 (or leave the default), or own the embedding family " +
+          "directly with your own feature column and cut.")
     val execThreshold = if (descriptorTier(rec.family)) 0.9 else threshold
     val rationale0 =
       if (descriptorTier(rec.family) && threshold != 0.9)
-        rec.rationale + f" | NOTE: descriptor tiers execute at their " +
-          f"measured cosine operating point 0.9 (caller passed " +
-          f"$threshold%.2f, ignored — the sweep's detection is only " +
-          "valid at 0.9)"
+        rec.rationale + " | NOTE: descriptor tiers execute at their " +
+          "measured cosine operating point 0.9 (default threshold 0.98 " +
+          "re-stamped — the sweep's detection is only valid at 0.9)"
       else rec.rationale
     if (!embeddingLike(rec.family))
       DedupPlan(rec.family, rec.entryPoint, rec.expectedDetection, rec.rationale,

@@ -239,7 +239,16 @@ object Pq {
     * quality: the first cut of this meter did exactly that and read
     * ~0.01 recall on STALE AND RETRAINED codebooks alike (SCALE.md r16
     * footnote). Queries sample deterministically by hashed id;
-    * `queryFilter` restricts to e.g. appended rows. */
+    * `queryFilter` restricts to e.g. appended rows.
+    *
+    * CONTRACT: a pre-existing `codes` column must have been produced by
+    * `cb` (the maintained-artifact case: [[encode]]/[[appendEncode]]
+    * under these codebooks). A stale-encoded corpus paired with
+    * retrained codebooks would make the ADC tables index foreign codes —
+    * silently wrong recall, or an out-of-bounds codeword read. The shape
+    * guard below rejects the detectable mismatches (wrong m, code ≥ k);
+    * to compare retrained codebooks against a corpus encoded by OLD
+    * ones, drop `codes` first so the meter re-derives them from `cb`. */
   def measureRecall(emb: DataFrame, cb: Codebooks, k: Int = 10,
       nQueries: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding",
@@ -248,7 +257,26 @@ object Pq {
     // question is "what would ADC under THESE codebooks return", so a
     // `codes` column is (re)derived from them when absent
     val encoded =
-      if (emb.columns.contains("codes")) emb else encode(emb, cb, vecCol)
+      if (emb.columns.contains("codes")) {
+        // loud shape guard (r16 advice): codes from codebooks with a
+        // different m or k than `cb` must fail here, not read OOB in the
+        // ADC tables or return a plausible-but-foreign recall
+        val shape = emb.agg(
+          max(size(col("codes"))).as("maxM"),
+          max(array_max(col("codes"))).as("maxCode")).collect()(0)
+        if (!shape.isNullAt(0)) {
+          require(shape.getInt(0) == cb.m,
+            s"measureRecall: 'codes' has ${shape.getInt(0)} subvectors but " +
+              s"cb.m=${cb.m} - these codes were not produced by the passed " +
+              "codebooks; drop the column to re-encode under cb")
+          val maxCode = if (shape.isNullAt(1)) -1 else shape.getInt(1)
+          require(shape.isNullAt(1) || maxCode < cb.k,
+            s"measureRecall: 'codes' references codeword $maxCode >= " +
+              s"cb.k=${cb.k} - these codes were not produced by the " +
+              "passed codebooks; drop the column to re-encode under cb")
+        }
+        emb
+      } else encode(emb, cb, vecCol)
     val qs = encoded.filter(queryFilter)
       .select(col(idCol), col(vecCol), xxhash64(col(idCol)).as("h"))
       .orderBy("h").limit(nQueries).collect()

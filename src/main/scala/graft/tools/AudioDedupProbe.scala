@@ -111,8 +111,13 @@ object AudioDedupProbe {
     }
     require(family == "envelope" || family == "spectral",
       s"--family must be envelope|spectral, got '$family'")
-    require(throughput || (shiftSweep.nonEmpty ^ jitterSweep.nonEmpty),
-      "pass exactly one of --shiftSweep / --jitterSweep (or --throughput)")
+    // r16 advice: --throughput with a sweep flag previously passed the
+    // guard and silently discarded the sweep (the throughput branch
+    // returns early) — reject the combination instead
+    require(
+      (throughput && shiftSweep.isEmpty && jitterSweep.isEmpty) ||
+        (!throughput && (shiftSweep.nonEmpty ^ jitterSweep.nonEmpty)),
+      "pass exactly one of --shiftSweep / --jitterSweep / --throughput")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
     if (throughput) {

@@ -995,6 +995,21 @@ class ExtSpec extends SparkSpec {
     val meter = Pq.measureRecall(corpus, reloaded, k = 5, nQueries = 8)
     assert(meter >= 0.3 && meter <= 1.0, s"ADC drift meter read $meter")
 
+    // codes from FOREIGN codebooks fail the shape guard loudly (r16
+    // advice): a stale-encoded corpus + retrained codebooks would index
+    // the ADC tables with codes the tables don't describe
+    val foreignK = Pq.Codebooks(
+      Array.fill(reloaded.m)(Array.fill(1)(Array.fill(reloaded.subDim)(0.0))),
+      reloaded.subDim) // k=1: any nonzero stored code index trips the guard
+    intercept[IllegalArgumentException] {
+      Pq.measureRecall(corpus, foreignK, k = 5, nQueries = 8)
+    }
+    val foreignM = Pq.Codebooks(
+      reloaded.books ++ reloaded.books, reloaded.subDim) // 2m subvectors
+    intercept[IllegalArgumentException] {
+      Pq.measureRecall(corpus, foreignM, k = 5, nQueries = 8)
+    }
+
     // the shared ledger accumulated the append and trips the threshold
     val l = Ivf.loadLedger(cat, "ann.pqa_ledger")
     assert(l == Ivf.IvfLedger(30L, 30L, 0.5) && Ivf.shouldRebuild(l))
@@ -2043,6 +2058,12 @@ class ExtSpec extends SparkSpec {
       assert(pDefault.threshold == 0.9 &&
         pDefault.rationale.contains("measured cosine operating point"),
         s"default-threshold plan: ${pDefault.threshold} / ${pDefault.rationale}")
+      // an EXPLICIT conflicting threshold fails loudly (r16 advice): a
+      // caller passing a stricter 0.95 cut must not silently get 0.9
+      intercept[IllegalArgumentException] {
+        Dedup.plan(feats, mutationTolerance = 0.01, threshold = 0.95,
+          modality = "audio", geometricTolerance = 64, vecCol = "feature")
+      }
       def assignSet(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0),
           if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
