@@ -247,10 +247,12 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
-  /** Deterministic REAL-PNG image corpus keyed by the documents table:
-    * each doc_id becomes a `width`×`height` 8-bit grayscale PNG (valid
-    * signature/IHDR/IDAT/CRCs — [[graft.functions.PngGray.encodeGray]])
-    * whose pixels are a smooth two-frequency sine field seeded by the id.
+  /** Deterministic MIXED-CODEC image corpus keyed by the documents
+    * table: each doc_id becomes a `width`×`height` image (gray PNG,
+    * palette PNG, or — on a non-pair slice — baseline gray/4:2:0 JPEG;
+    * all format-valid, [[graft.functions.PngGray]] /
+    * [[graft.functions.JpegGray]] encoders) whose pixels are a smooth
+    * two-frequency sine field seeded by the id.
     * The planted structure mirrors every dedup fixture in this repo:
     * docs with id % 20 == 1 render the PREDECESSOR's pattern shifted
     * +8 brightness with ONE single-pixel jitter — a perceptual near-dup
@@ -288,13 +290,29 @@ object Multimodal {
         // identity-gray PLTE — decode is pixel-exact either way (the
         // BT.601 weights sum to 256), so every planted-pair invariant
         // holds verbatim while the driver gate exercises the palette
-        // decode path on a third of the corpus
-        val png =
-          if (java.lang.Math.floorMod(id, 3L) == 2L)
+        // decode path on a third of the corpus. A further NON-PAIR slice
+        // is baseline-JPEG-encoded (r17: half gray, half 4:2:0 color
+        // with noisy chroma planes the decoder must entropy-skip in
+        // sync) so q79/q80/q84-q86 exercise the JPEG decode end to end —
+        // pair members (id%20 ∈ {0,1}) stay losslessly encoded because
+        // the planted hamming ≤ 2 invariant is a PIXEL property JPEG's
+        // quantization noise would void
+        val idm20 = java.lang.Math.floorMod(id, 20L)
+        val payload =
+          if (java.lang.Math.floorMod(id, 3L) == 0L && idm20 >= 2L) {
+            if (java.lang.Math.floorMod(id, 6L) == 0L)
+              graft.functions.JpegGray.encodeGray(w, h, pix, quality = 92)
+            else {
+              val cw = (w + 1) / 2; val ch = (h + 1) / 2
+              graft.functions.JpegGray.encodeColor420(w, h, pix,
+                patternPixels(seed + 101, cw, ch),
+                patternPixels(seed + 211, cw, ch), quality = 92)
+            }
+          } else if (java.lang.Math.floorMod(id, 3L) == 2L)
             graft.functions.PngGray.encodePalette(w, h,
               graft.functions.PngGray.identityGrayPalette, pix)
           else graft.functions.PngGray.encodeGray(w, h, pix)
-        Row(id, png)
+        Row(id, payload)
       }
     }
     spark.createDataFrame(rdd, imageSchema)

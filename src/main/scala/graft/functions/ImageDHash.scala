@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Perceptual difference-hash (dHash) of a PNG payload —
+/** Perceptual difference-hash (dHash) of a PNG or baseline-JPEG payload —
   * `struct<dhash: bigint, error: string>` — the image analogue of the
   * text SimHash: a 64-bit fingerprint whose hamming distance tracks
   * VISUAL similarity, so the Manku-blocked pairing machinery
@@ -29,10 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (None/Sub/Up/Average/Paeth) reversed per row, per interlace pass.
   * RGB converts to luminance by the integer BT.601 weights
   * ((77·R + 150·G + 29·B) >> 8); palette indices go through the same
-  * weights applied to their PLTE triple. Anything outside the subset
-  * (alpha, sub-byte depths, or a non-PNG payload) lands in `error`
-  * with a null hash — one odd blob poisons its row, never the job, the
-  * [[MediaHeader]] contract.
+  * weights applied to their PLTE triple. Baseline-JPEG payloads decode
+  * through [[JpegGray]] (Huffman + dequant + IDCT, luma plane only) via
+  * the [[ImageCodecs]] magic-byte dispatch. Anything outside the subset
+  * (alpha, sub-byte depths, progressive JPEG, or a non-image payload)
+  * lands in `error` with a null hash — one odd blob poisons its row,
+  * never the job, the [[MediaHeader]] contract.
   *
   * dHash (public algorithm, widely documented): box-average the
   * luminance grid down to 9×8, then bit (r·8+c) = 1 iff cell(r, c+1) >
@@ -72,7 +74,7 @@ object ImageDHash {
     InternalRow(null, UTF8String.fromString(e))
 
   private[functions] def hashRow(payload: Array[Byte]): InternalRow =
-    PngGray.decode(payload) match {
+    ImageCodecs.decode(payload) match {
       case Left(e) => err(e)
       // below the 9×8 sampling grid dHash is degenerate: integer-scaled
       // cell assignment leaves trailing cells empty (cnt = 0), so their

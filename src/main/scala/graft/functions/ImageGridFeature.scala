@@ -75,7 +75,7 @@ object ImageGridFeature {
     InternalRow(null, UTF8String.fromString(e))
 
   private[functions] def featureRow(payload: Array[Byte], gw: Int, gh: Int): InternalRow =
-    PngGray.decode(payload) match {
+    ImageCodecs.decode(payload) match {
       case Left(e) => err(e)
       // below the grid the integer binning leaves empty cells (cnt = 0) —
       // the same degenerate-tiny-image refusal as ImageDHash
@@ -192,7 +192,7 @@ object ImageSpectralFeature {
     InternalRow(null, UTF8String.fromString(e))
 
   private[functions] def featureRow(payload: Array[Byte], maxFreq: Int): InternalRow =
-    PngGray.decode(payload) match {
+    ImageCodecs.decode(payload) match {
       case Left(e) => err(e)
       // below ~2 samples per probed cycle the band aliases — refuse like
       // the other degenerate-tiny-image hashes
@@ -299,7 +299,7 @@ case class ImageLuma(child: Expression)
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    PngGray.decode(input.asInstanceOf[Array[Byte]]) match {
+    ImageCodecs.decode(input.asInstanceOf[Array[Byte]]) match {
       case Left(e) => InternalRow(null, null, null, UTF8String.fromString(e))
       case Right(img) =>
         val px = new Array[Int](img.pix.length)

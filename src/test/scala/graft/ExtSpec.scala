@@ -1681,7 +1681,7 @@ class ExtSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getString(2)).toMap
       val specBad = Multimodal.imageSpectralFeatures(bad).collect()
         .map(r => r.getLong(0) -> r.getString(2)).toMap
-      assert(gridBad(1L) == "not_png" && specBad(1L) == "not_png")
+      assert(gridBad(1L) == "not_image" && specBad(1L) == "not_image")
       assert(gridBad(2L) == "image_too_small" && specBad(2L) == "image_too_small")
     } finally { media.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }

@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ImageCodecs, JpegGray, PngGray}
+
+/** The baseline-JPEG codec's contract (r17 verdict item #1): ±1 ImageIO
+  * parity on own AND foreign encodes, bit-exact chroma entropy-skip sync,
+  * restart handling, loud error classes, never-throws hostile fuzz, and
+  * the [[ImageCodecs]] dispatch that feeds every image tier. */
+class JpegSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def imageioDecode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  private def imageioEncode(bi: java.awt.image.BufferedImage, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  private def grayBI(w: Int, h: Int, pix: Array[Byte]): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, pix(y * w + x) & 0xff)
+    bi
+  }
+
+  private def rgbBI(w: Int, h: Int, pix: Array[Byte]): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = pix(y * w + x) & 0xff
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    bi
+  }
+
+  test("JpegGray: ImageIO parity +-1 on own and foreign encodes (gray, 4:2:0, restarts)") {
+    // T.81 mandates IDCT ACCURACY (IEEE 1180), not bit-parity — so the
+    // pin is ±1 per sample, and the PngGray-style bit-exact pins live in
+    // the sync/restart test below where OUR decoder is both sides
+    for (seed <- 1 to 25) {
+      val r = new scala.util.Random(seed)
+      val w = 1 + r.nextInt(48); val h = 1 + r.nextInt(48)
+      // alternate smooth content (typical) and full noise (stresses the
+      // AC run-length/ZRL paths with dense high-frequency coefficients)
+      val pix =
+        if (seed % 2 == 0) graft.ext.Multimodal.patternPixels(seed.toLong, w, h)
+        else Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      val q = 50 + r.nextInt(51)
+      val own = JpegGray.encodeGray(w, h, pix, q,
+        restartInterval = if (seed % 3 == 0) 1 + r.nextInt(4) else 0)
+      val ours = JpegGray.decode(own)
+      assert(ours.isRight, s"seed $seed ${w}x$h q=$q: $ours")
+      val ref = imageioDecode(own)
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h, s"seed $seed")
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs((ours.toOption.get.pix(y * w + x) & 0xff) -
+          ref.getRaster.getSample(x, y, 0))
+        assert(d <= 1, s"gray seed $seed ($x,$y): delta $d")
+      }
+      // our 4:2:0 with NEUTRAL chroma: ImageIO's YCbCr→RGB is exactly
+      // R=G=B=Y there, so the R channel is the same ±1 pin
+      val ownC = JpegGray.encodeColor420(w, h, pix, quality = q)
+      val oursC = JpegGray.decode(ownC)
+      assert(oursC.isRight, s"seed $seed color: $oursC")
+      val refC = imageioDecode(ownC)
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs((oursC.toOption.get.pix(y * w + x) & 0xff) -
+          ((refC.getRGB(x, y) >> 16) & 0xff))
+        assert(d <= 1, s"color seed $seed ($x,$y): delta $d")
+      }
+      // FOREIGN encodes — ImageIO's own writer (its tables, its FDCT, its
+      // 4:2:0 for RGB): our decode vs ImageIO's decode of the same bytes.
+      // The RGB case adds the YCbCr→RGB→BT.601 round trip on the
+      // reference side, still within ±1 on gray content (Cb=Cr≈128).
+      val fGray = imageioEncode(grayBI(w, h, pix), 0.5f + r.nextInt(5) / 10.0f)
+      JpegGray.decode(fGray) match {
+        case Right(g) =>
+          val ref2 = imageioDecode(fGray)
+          for (y <- 0 until h; x <- 0 until w)
+            assert(math.abs((g.pix(y * w + x) & 0xff) -
+              ref2.getRaster.getSample(x, y, 0)) <= 1,
+              s"foreign gray seed $seed ($x,$y)")
+        case Left(e) => fail(s"foreign gray seed $seed: $e")
+      }
+      val fColor = imageioEncode(rgbBI(w, h, pix), 0.5f + r.nextInt(5) / 10.0f)
+      JpegGray.decode(fColor) match {
+        case Right(g) =>
+          val ref3 = imageioDecode(fColor)
+          for (y <- 0 until h; x <- 0 until w) {
+            val rgb = ref3.getRGB(x, y)
+            val lum = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+              29 * (rgb & 0xff)) >> 8
+            assert(math.abs((g.pix(y * w + x) & 0xff) - lum) <= 1,
+              s"foreign color seed $seed ($x,$y)")
+          }
+        case Left(e) => fail(s"foreign color seed $seed: $e")
+      }
+    }
+  }
+
+  test("JpegGray: chroma entropy-skip sync, restart equivalence, error classes") {
+    // NOISY chroma planes: a single lost bit in the chroma Huffman walk
+    // would desync every later luma block — equality with the gray
+    // encode's plane (same FDCT/quant) is the bit-exact sync proof
+    for (seed <- 1 to 10) {
+      val r = new scala.util.Random(seed + 50)
+      val w = 1 + r.nextInt(40); val h = 1 + r.nextInt(40)
+      val pix = Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val cb = Array.fill[Byte](cw * ch)(r.nextInt(256).toByte)
+      val cr = Array.fill[Byte](cw * ch)(r.nextInt(256).toByte)
+      val q = 40 + r.nextInt(61)
+      val gray = JpegGray.decode(JpegGray.encodeGray(w, h, pix, q)).toOption.get
+      val color = JpegGray.decode(
+        JpegGray.encodeColor420(w, h, pix, cb, cr, q)).toOption.get
+      assert(java.util.Arrays.equals(gray.pix, color.pix),
+        s"seed $seed: chroma walk desynced the luma plane")
+      // restart markers re-code DC predictors losslessly: identical plane
+      val rst = JpegGray.decode(
+        JpegGray.encodeGray(w, h, pix, q, restartInterval = 1 + seed % 5))
+      assert(java.util.Arrays.equals(gray.pix, rst.toOption.get.pix),
+        s"seed $seed: restart plane diverged")
+      // color restarts too (the RST path through multi-block MCUs)
+      val rstC = JpegGray.decode(
+        JpegGray.encodeColor420(w, h, pix, cb, cr, q, restartInterval = 2))
+      assert(java.util.Arrays.equals(gray.pix, rstC.toOption.get.pix),
+        s"seed $seed: color restart plane diverged")
+    }
+
+    // ── loud error classes, each built by a targeted byte patch ──
+    val pix = graft.ext.Multimodal.patternPixels(7L, 24, 16)
+    val good = JpegGray.encodeGray(24, 16, pix, 85)
+    assert(JpegGray.decode(good).isRight)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    // progressive: ImageIO writes a real SOF2 stream
+    val prog = imageioEncode(grayBI(24, 16, pix), 0.8f, progressive = true)
+    assert(JpegGray.decode(prog) == Left("jpeg_unsupported_progressive"))
+    // find our SOF0 marker and patch classes onto it
+    def findMarker(m: Int): Int = {
+      var i = 2
+      while (i + 1 < good.length) {
+        if ((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == m) return i
+        i += 1
+      }
+      fail(s"marker $m not found")
+    }
+    val sof = findMarker(0xc0)
+    assert(JpegGray.decode(patched(_(sof + 1) = 0xc3.toByte)) ==
+      Left("jpeg_unsupported_frame"))
+    assert(JpegGray.decode(patched(_(sof + 1) = 0xc9.toByte)) ==
+      Left("jpeg_unsupported_frame"))
+    assert(JpegGray.decode(patched(_(sof + 4) = 12)) == // precision byte
+      Left("jpeg_unsupported_precision"))
+    assert(JpegGray.decode(patched(_(sof + 9) = 2)) == // Nf=2
+      Left("jpeg_unsupported_components"))
+    assert(JpegGray.decode(patched(_(sof + 11) = 0x51)) == // h=5
+      Left("jpeg_unsupported_sampling"))
+    val dqt = findMarker(0xdb)
+    assert(JpegGray.decode(patched(_(dqt + 5) = 0)) == // zero quant entry
+      Left("jpeg_bad_dqt"))
+    assert(JpegGray.decode(patched(_(dqt + 4) = 0x25.toByte)) == // tq=5
+      Left("jpeg_bad_dqt"))
+    val dht = findMarker(0xc4)
+    // over-subscribe the code space: 255 codes of length 1
+    assert(JpegGray.decode(patched(_(dht + 5) = 0xff.toByte)) ==
+      Left("jpeg_bad_dht"))
+    assert(JpegGray.decode(Array[Byte](0xff.toByte, 0xd8.toByte)) ==
+      Left("jpeg_truncated"))
+    assert(JpegGray.decode("GIF89a not a jpeg".getBytes) == Left("not_jpeg"))
+    // wrong restart marker index: RST0 patched to RST3
+    val withRst = JpegGray.encodeGray(24, 16, pix, 85, restartInterval = 1)
+    var ri = 0
+    var found = false
+    val patchedRst = withRst.clone()
+    while (ri + 1 < patchedRst.length && !found) {
+      if ((patchedRst(ri) & 0xff) == 0xff && (patchedRst(ri + 1) & 0xff) == 0xd0) {
+        patchedRst(ri + 1) = 0xd3.toByte; found = true
+      }
+      ri += 1
+    }
+    assert(found && JpegGray.decode(patchedRst) == Left("jpeg_bad_restart"))
+  }
+
+  test("JpegGray: hostile-bytes and truncation-prefix fuzz never throws") {
+    val pix = graft.ext.Multimodal.patternPixels(11L, 33, 21)
+    val cw = 17; val ch = 11
+    val rnd = new scala.util.Random(1718)
+    val cb = Array.fill[Byte](cw * ch)(rnd.nextInt(256).toByte)
+    val cr = Array.fill[Byte](cw * ch)(rnd.nextInt(256).toByte)
+    val valids = Seq(
+      JpegGray.encodeGray(33, 21, pix, 80, restartInterval = 2),
+      JpegGray.encodeColor420(33, 21, pix, cb, cr, 75))
+    // every truncation prefix: plausible structure cut mid-field
+    valids.foreach { v =>
+      (0 until v.length).foreach { cut =>
+        JpegGray.decode(v.take(cut)) // must not throw
+      }
+    }
+    // random tails behind a real SOI, and random single-byte corruptions
+    (1 to 300).foreach { _ =>
+      val junk = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+        Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      JpegGray.decode(junk) // must not throw
+    }
+    (1 to 300).foreach { _ =>
+      val v = valids(rnd.nextInt(valids.length)).clone()
+      v(rnd.nextInt(v.length)) = rnd.nextInt(256).toByte
+      JpegGray.decode(v) // must not throw (Left or lossy Right, both fine)
+    }
+  }
+
+  test("ImageCodecs dispatch: JPEG flows through dHash/grid/spectral/luma; not_image") {
+    import graft.ext.Multimodal
+    val pix = Multimodal.patternPixels(23L, 32, 32)
+    val png = PngGray.encodeGray(32, 32, pix)
+    val jpg = JpegGray.encodeGray(32, 32, pix, 92)
+    val media = Seq(
+      (1L, png), (2L, jpg),
+      (3L, "utterly not an image".getBytes("UTF-8"))).toDF("media_id", "payload")
+
+    val fps = Multimodal.imageFingerprints(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!fps(1L).isNullAt(1) && !fps(2L).isNullAt(1))
+    assert(fps(3L).isNullAt(1) && fps(3L).getString(2) == "not_image")
+    // at q92 on the smooth field the JPEG round trip preserves most
+    // gradient signs: the PNG and JPEG of the SAME pixels sit within the
+    // default perceptual radius (content identity, cross-codec)
+    val hamming = java.lang.Long.bitCount(
+      fps(1L).getLong(1) ^ fps(2L).getLong(1))
+    assert(hamming <= 3, s"cross-codec hamming $hamming")
+
+    val luma = Multimodal.imageLuma(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(luma(2L).getInt(1) == 32 && luma(2L).getInt(2) == 32)
+    assert(luma(3L).getString(4) == "not_image")
+    // the luma artifact IS the decode: q85's oracle replays binning from
+    // it, so the JPEG rows carry real pixels, not placeholders
+    val jpegPix = luma(2L).getSeq[Int](3)
+    val direct = JpegGray.decode(jpg).toOption.get
+    assert(jpegPix == direct.pix.map(_ & 0xff).toSeq)
+
+    val grid = Multimodal.imageGridFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!grid(2L).isNullAt(1) && grid(3L).getString(2) == "not_image")
+    val spec = Multimodal.imageSpectralFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!spec(2L).isNullAt(1) && spec(3L).getString(2) == "not_image")
+
+    // dispatch fidelity: PNG magic still routes to the PNG decoder's own
+    // error taxonomy; JPEG magic to the JPEG one; empty payload refuses
+    assert(ImageCodecs.decode("PNGbroken".getBytes("ISO-8859-1"))
+      == Left("not_png")) // 0x89 magic routes to PngGray's own taxonomy
+    assert(ImageCodecs.decode(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0))
+      .left.toOption.get.startsWith("jpeg_"))
+    assert(ImageCodecs.decode(Array.emptyByteArray) == Left("not_image"))
+  }
+}
