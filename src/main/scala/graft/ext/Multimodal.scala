@@ -209,6 +209,43 @@ object Multimodal {
         col("m.format"), col("m.width"), col("m.height"), col("m.bit_depth"),
         col("m.sample_rate"), col("m.channels"), col("m.error"))
 
+  /** Video candidate PRE-FILTER by header bands (r17 verdict item #2):
+    * pairs of MP4 payloads sharing dimensions AND mvhd timescale — the
+    * q91 header tier's fields ([[graft.functions.MediaHeader]]: for MP4,
+    * `sample_rate` carries the timescale). This is a BLOCKING relation,
+    * not a verification: two videos in the same band share container
+    * geometry, nothing more — content-level similarity needs frame
+    * decode (stubbed, [[frameSample]]) or a model embedding column, and
+    * [[Dedup.runPlan]] refuses to turn these candidates into
+    * eliminations for exactly that reason. Use it to bound the pair
+    * volume ahead of an embedding rerank, or as the join frontier for a
+    * caller-owned verifier.
+    *
+    * Scale: one header parse per row (O(markers), not O(bytes)), then an
+    * equi-join on the band key — shuffle-partitioned by band, never
+    * all-pairs. Pair volume within a band is inherently quadratic (the
+    * blocking trade every family here shares); bands split on
+    * width×height×timescale, which in practice spreads a web corpus
+    * across thousands of cells. Malformed headers (error non-null) have
+    * no band and produce no candidates — they survive, the undecodable-
+    * rows contract of every media family. */
+  def videoHeaderCandidates(media: DataFrame): DataFrame = {
+    val bands = decodeHeaders(media)
+      .filter(col("error").isNull && col("format") === "mp4" &&
+        col("width").isNotNull && col("height").isNotNull &&
+        col("sample_rate").isNotNull)
+      .select(col("media_id"), col("width"), col("height"),
+        col("sample_rate").as("timescale"))
+    bands.as("a").join(bands.as("b"),
+      col("a.width") === col("b.width") &&
+        col("a.height") === col("b.height") &&
+        col("a.timescale") === col("b.timescale") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.width").as("width"), col("a.height").as("height"),
+        col("a.timescale").as("timescale"))
+  }
+
   /** Output schema of the byte-histogram featurizer. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

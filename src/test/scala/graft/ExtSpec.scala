@@ -1554,9 +1554,6 @@ class ExtSpec extends SparkSpec {
     assert(below.family == "image_dhash" && below.rationale.contains("BELOW"))
     // byte-identical tolerance routes to exact payload-digest dedup
     assert(Dedup.recommendFamily(0.0001, modality = "image").family == "exact")
-    intercept[IllegalArgumentException] {
-      Dedup.recommendFamily(0.05, modality = "video")
-    }
 
     // plan routes the modality and runPlan executes it: equality with the
     // direct imageAssign call at the auto-deepened split
@@ -1577,6 +1574,85 @@ class ExtSpec extends SparkSpec {
           if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
       assert(viaPlan == direct)
     } finally { fps.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
+  test("video modality routes exact/embedding/header-blocking; candidates are band-bounded") {
+    import graft.ext.Dedup
+    // ── the routing ladder (r17 verdict item #2) ──
+    val exact = Dedup.recommendFamily(0.0001, modality = "video")
+    assert(exact.family == "exact")
+    val emb = Dedup.recommendFamily(0.05, modality = "video", hasEmbeddings = true)
+    assert(emb.family == "embedding_lsh" &&
+      emb.rationale.contains("videoHeaderCandidates"), emb.rationale)
+    // the UNMEASURED branch carries the refusal IN the recommendation
+    // (the audio 20%-churn-edge convention): detection honestly 0.0
+    val blocked = Dedup.recommendFamily(0.05, modality = "video")
+    assert(blocked.family == "video_header_blocking" &&
+      blocked.expectedDetection == 0.0 &&
+      blocked.rationale.contains("UNMEASURED"), blocked.rationale)
+    // no measured geometric tier for video: loud, not silently ignored
+    intercept[IllegalArgumentException] {
+      Dedup.recommendFamily(0.05, modality = "video", geometricTolerance = 4)
+    }
+
+    // ── candidates: exactly the planted same-header pairs ──
+    val docs = spark.range(40).select($"id".as("doc_id"),
+      concat(lit("body "), $"id".cast("string")).as("text"),
+      lit("web").as("source"), lit(10L).as("n_chars"))
+    val media = Multimodal.syntheticVideo(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a shifted-id copy of the same payloads: every valid id lands in
+      // its twin's band; distinct ids never collide (vw = id%1920+16 is
+      // unique below 40); malformed rows (id%12 in {5,11}) have no band
+      val union = media.unionByName(
+        media.withColumn("media_id", $"media_id" + 1000L))
+      val cands = Multimodal.videoHeaderCandidates(union)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val validIds = (0L until 40L).filterNot(id => id % 12 == 5 || id % 12 == 11)
+      assert(cands.map(c => (c._1, c._2)).toSet ==
+        validIds.map(id => (id, id + 1000L)).toSet,
+        s"candidate pairs diverged: ${cands.toSeq}")
+      // band fields replay the generator's arithmetic (the q91 relation)
+      cands.foreach { case (a, _, w, h, ts) =>
+        assert(w == a % 1920 + 16 && h == a * 7 % 1080 + 16)
+        assert(ts == Seq(600L, 1000L, 24000L, 90000L)((a % 4).toInt))
+      }
+
+      // ── plan → runPlan: the exact path equals the direct digest walk ──
+      val p = Dedup.plan(media, mutationTolerance = 0.0001, modality = "video",
+        hasEmbeddings = false)
+      assert(p.family == "exact" && p.miningMode == "one_shot")
+      def assignSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val viaPlan = assignSet(Dedup.runPlan(p, union,
+        idCol = "media_id", textCol = "payload"))
+      // byte-exact dedup keeps the min id per payload — malformed
+      // payloads dedup too (bytes are bytes; validity is not a digest
+      // property: the id%12==5 and ==11 classes are each CONSTANT bytes,
+      // so they fold across ids). Ground truth re-derived from raw
+      // payload equality driver-side:
+      val expected = union.select("media_id", "payload").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+        .groupBy(_._2).values.flatMap { g =>
+          val ids = g.map(_._1).sorted
+          ids.map(id =>
+            id -> (if (id == ids.head) None else Some(ids.head)))
+        }.toSet
+      assert(viaPlan == expected)
+
+      // ── the UNMEASURED plan REFUSES to execute (candidates are not
+      // eliminations) — and the message routes the caller ──
+      val pBlocked = Dedup.plan(media, mutationTolerance = 0.05,
+        modality = "video", hasEmbeddings = false)
+      assert(pBlocked.family == "video_header_blocking")
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.runPlan(pBlocked, union, idCol = "media_id", textCol = "payload")
+      }
+      assert(ex.getMessage.contains("videoHeaderCandidates"))
+    } finally { media.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
   test("image descriptors: grid equals its relational twin; spectral is shift/brightness-blind") {
