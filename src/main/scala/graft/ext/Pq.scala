@@ -228,6 +228,38 @@ object Pq {
     } finally encoded.unpersist(blocking = false)
   }
 
+  /** COMPOSED IVF-PQ append maintenance (r17 verdict item #3): extend a
+    * corpus carrying BOTH reductions (cluster partitions + m-byte codes,
+    * [[ivfPqTopKVec]]'s input — the artifact a real serving index runs
+    * daily) by assigning new rows to the PERSISTED centroids AND encoding
+    * them against the PERSISTED codebooks, no retrain of either. One
+    * cached evaluation of the input feeds the count, the write, and the
+    * ledger bump (the [[Ivf.appendAssign]] single-evaluation contract);
+    * the ONE shared ledger counts each appended row once — both
+    * quantizers age together, so one rebuild decision governs the
+    * composed artifact (spec-pinned to trip [[Ivf.shouldRebuild]]).
+    * Collects nothing but the k centroids/codebooks; appended rows land
+    * in their cluster partitions so probe pruning keeps reading
+    * nProbe/k of the corpus after any number of appends. */
+  def appendAssignEncode(catalog: Catalog, corpusRef: String,
+      centroidsRef: String, codebooksRef: String, newRows: DataFrame,
+      vecCol: String = "embedding", ledgerRef: String = ""): Long = {
+    val cents = Ivf.loadCentroids(catalog, centroidsRef)
+    val cb = loadCodebooks(catalog, codebooksRef)
+    val prepared = encode(Ivf.assign(newRows, cents, vecCol), cb, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = prepared.count()
+      catalog.append(prepared, corpusRef, partitionBy = Seq("cluster"))
+      if (ledgerRef.nonEmpty) {
+        val l = Ivf.loadLedger(catalog, ledgerRef)
+        Ivf.saveLedger(catalog, ledgerRef,
+          l.copy(appendedCount = l.appendedCount + n))
+      }
+      n
+    } finally prepared.unpersist(blocking = false)
+  }
+
   /** ADC-ordering recall vs the exact squared-L2 ordering — [[Ivf
     * .measureRecall]]'s shape for the PQ tier, the drift meter an
     * [[appendEncode]] deployment watches (pure ADC, no rerank: the

@@ -1826,6 +1826,51 @@ object ExtQ {
       },
       Some(pqSearchOracleFor("q90"))),
 
+    // ───── Composed IVF-PQ search over an append-maintained corpus (q92) ─
+    // The r17 churn lever the r16 pair left open: q87 proves IVF append,
+    // q90 proves PQ append, but the artifact a real serving index ages
+    // daily carries BOTH reductions — cluster partitions AND m-byte
+    // codes. Train BOTH quantizers on HALF the corpus, cluster-write+
+    // encode that half, then Pq.appendAssignEncode the other half —
+    // assignment to the PERSISTED centroids and codes from the PERSISTED
+    // codebooks in one maintenance call, no retrain of either. The
+    // search is q70's probe → ADC shortlist → exact rerank over the
+    // union, and the oracle is the SAME three-stage replayed-arithmetic
+    // SQL under the q92 tag: a hash match certifies that appended rows
+    // land in the right cluster partitions, carry re-encode-identical
+    // codes, prune correctly, and score identically through the composed
+    // pipeline. The shared-ledger rebuild policy over this artifact is
+    // spec-pinned (ExtSpec composed-append test).
+    "q92_ivfpq_search_after_append" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        val emb = t(s, dir, "embeddings")
+        val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        val cents = Ivf.trainCentroids(evens, k = 8, iters = 3)
+        val cb = Pq.trainCodebooks(evens, m = 8, k = 64, iters = 3)
+        Ivf.saveCentroids(cat, "ann.q92_centroids", cents)
+        Pq.saveCodebooks(cat, "ann.q92_codebooks", cb)
+        // overwrite-then-append keeps the artifact deterministic per run
+        // (the oracle globs the partition directories — q87's convention)
+        cat.save(Pq.encode(Ivf.assign(evens, cents), cb), "ann.q92_corpus",
+          partitionBy = Seq("cluster"))
+        Pq.appendAssignEncode(cat, "ann.q92_corpus", "ann.q92_centroids",
+          "ann.q92_codebooks", odds)
+        val corpus = cat.load("ann.q92_corpus")
+        val qRows = corpus.filter(col("vec_id") === 0L)
+          .select(col("embedding")).take(1)
+        require(qRows.nonEmpty,
+          "q92: ann.q92_corpus has no vec_id 0 — corrupt/partial artifact; " +
+            "delete the ann root and rerun")
+        val qv = qRows(0).getSeq[Float](0).map(_.toDouble).toArray
+        Pq.ivfPqTopKVec(corpus.filter(col("vec_id") =!= 0L),
+          Ivf.loadCentroids(cat, "ann.q92_centroids"),
+          Pq.loadCodebooks(cat, "ann.q92_codebooks"),
+          qv, topK = 10, nProbe = 3, shortlist = 10)
+      },
+      Some(ivfPqSearchOracleFor("q92"))),
+
     // ───── Video (MP4) container header decode, persisted oracle (q91) ──
     // The VIDEO tier of the modality family, q78's proof applied to ISO
     // BMFF: syntheticVideo fabricates real ftyp/moov(mvhd+trak(tkhd))/mdat
@@ -2127,16 +2172,18 @@ object ExtQ {
       qv, topK = 10, nProbe = 3, shortlist = 10)
   }
 
-  private def ivfPqSearchOracle = s"""
+  private def ivfPqSearchOracle = ivfPqSearchOracleFor("q70")
+
+  private def ivfPqSearchOracleFor(tag: String) = s"""
         WITH cents AS (
           SELECT CAST(cluster AS BIGINT) AS cluster, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('$AnnOracleRoot/ann/q70_centroids/*.parquet')),
+          FROM read_parquet('$AnnOracleRoot/ann/${tag}_centroids/*.parquet')),
         cb AS (
           SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('$AnnOracleRoot/ann/q70_codebooks/*.parquet')),
+          FROM read_parquet('$AnnOracleRoot/ann/${tag}_codebooks/*.parquet')),
         corpus AS (
           SELECT vec_id, codes, CAST(embedding AS DOUBLE[]) AS v, CAST(cluster AS BIGINT) AS cluster
-          FROM read_parquet('$AnnOracleRoot/ann/q70_corpus/*/*.parquet', hive_partitioning=true)),
+          FROM read_parquet('$AnnOracleRoot/ann/${tag}_corpus/*/*.parquet', hive_partitioning=true)),
         q AS (SELECT v AS qv FROM corpus WHERE vec_id = 0),
         probes AS (
           SELECT cluster FROM cents, q

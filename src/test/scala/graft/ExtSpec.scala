@@ -947,6 +947,64 @@ class ExtSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("ivfpq appendAssignEncode: composed maintenance equals a direct rebuild; one ledger bump") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
+    val cat = new graft.core.Catalog(spark, root)
+    // train BOTH quantizers on HALF, write the composed artifact (cluster
+    // partitions + codes), append the other half in ONE maintenance call
+    val evens = threeClusterEmb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odds = threeClusterEmb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cents = Ivf.trainCentroids(evens, k = 3, iters = 4)
+    val cb = Pq.trainCodebooks(evens, m = 4, k = 8, iters = 3)
+    Ivf.saveCentroids(cat, "ann.cpa_centroids", cents)
+    Pq.saveCodebooks(cat, "ann.cpa_codebooks", cb)
+    cat.save(Pq.encode(Ivf.assign(evens, cents), cb), "ann.cpa_corpus",
+      partitionBy = Seq("cluster"))
+    Ivf.saveLedger(cat, "ann.cpa_ledger",
+      Ivf.IvfLedger(evens.count(), 0L, maxAppendFraction = 0.5))
+    val appended = Pq.appendAssignEncode(cat, "ann.cpa_corpus",
+      "ann.cpa_centroids", "ann.cpa_codebooks", odds,
+      ledgerRef = "ann.cpa_ledger")
+    assert(appended == odds.count())
+
+    // appended rows are BIT-IDENTICAL to a direct assign+encode of the
+    // same rows under the same persisted quantizers — both reductions
+    val maintained = cat.load("ann.cpa_corpus")
+    assert(maintained.count() == 60)
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("cluster"), r.getSeq[Int](r.fieldIndex("codes")))).toMap
+    val direct = codesOf(Pq.encode(Ivf.assign(threeClusterEmb, cents), cb)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("codes")))
+    val stored = codesOf(maintained
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("codes")))
+    assert(stored == direct, "composed append diverged from direct assign+encode")
+
+    // the composed SEARCH over the maintained artifact equals the direct
+    // (no-catalog) composed search — probe pruning, ADC shortlist, and
+    // exact rerank all read the appended rows identically
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qv = threeClusterEmb.filter($"vec_id" === 2L)
+      .collect()(0).getSeq[Float](1).map(_.toDouble).toArray
+    val servedMaintained = res(Pq.ivfPqTopKVec(
+      maintained.filter($"vec_id" =!= 2L),
+      Ivf.loadCentroids(cat, "ann.cpa_centroids"),
+      Pq.loadCodebooks(cat, "ann.cpa_codebooks"),
+      qv, topK = 5, nProbe = 1, shortlist = 4))
+    val servedDirect = res(Pq.ivfPqTopKVec(
+      Pq.encode(Ivf.assign(threeClusterEmb, cents), cb).filter($"vec_id" =!= 2L),
+      cents, cb, qv, topK = 5, nProbe = 1, shortlist = 4))
+    assert(servedMaintained == servedDirect && servedMaintained.nonEmpty,
+      s"composed maintained search diverged: $servedMaintained vs $servedDirect")
+
+    // ONE shared ledger, bumped ONCE per appended row set (both
+    // quantizers age together): the composed artifact trips rebuild
+    val l = Ivf.loadLedger(cat, "ann.cpa_ledger")
+    assert(l == Ivf.IvfLedger(30L, 30L, 0.5) && Ivf.shouldRebuild(l))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("pq appendEncode: appended codes are bit-identical to a re-encode; ledger gates rebuild") {
     val root = java.nio.file.Files.createTempDirectory("graft-pq-append").toString
     val cat = new graft.core.Catalog(spark, root)
