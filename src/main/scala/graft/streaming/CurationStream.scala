@@ -60,11 +60,25 @@ object CurationStream {
     * stage is the curation family's own deterministic
     * [[graft.ext.Sampling.mixtureKeep]] on the media id (`sampleRate` =
     * 1.0 keeps everything). Pure column expressions throughout — the SAME
-    * frame batch-executes for the StreamingSpec end-to-end equality pin. */
+    * frame batch-executes for the StreamingSpec end-to-end equality pin.
+    *
+    * `geometricTolerance` > 0 (crop-shift pixels, the
+    * [[graft.ext.Dedup.recommendFamily]] knob) additionally computes the
+    * TRANSLATION-INVARIANT spectral descriptor
+    * ([[graft.functions.ImageSpectralFeature]]) scan-side and carries it
+    * out as a `feature` column — the embedding the perceptual stage and
+    * any downstream ANN key on, extracted exactly once per payload (the
+    * [[curateAudio]] shape; the r16 crop sweep measured the spectral tier
+    * holding 0.970 detection at 8 px where dHash reads 0.000). With the
+    * knob on, a payload whose header passes but whose PIXEL decode fails
+    * is REJECTED by the feature gate — the documented stream-vs-batch
+    * contract difference [[curateAudio]] pins: a stream curation's output
+    * feeds training directly, and "emit clean" is its contract. */
   def curateMedia(media: DataFrame, payloadCol: String = "payload",
       idCol: String = "media_id", tsCol: String = "ts",
       minWidth: Long = 9L, minHeight: Long = 8L, sampleRate: Double = 1.0,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", geometricTolerance: Double = 0.0,
+      spectralMaxFreq: Int = 3): DataFrame = {
     val gated = (if (media.isStreaming) media.withWatermark(tsCol, watermark)
                  else media)
       .withColumn("__h", graft.functions.MediaHeader(col(payloadCol)))
@@ -77,12 +91,18 @@ object CurationStream {
     // same row the stream's first-arrival keeps under id-ordered arrivals
     // (dropDuplicates would keep an arbitrary one, breaking the
     // StreamingSpec equality pin on replays)
-    (if (media.isStreaming) gated.dropDuplicatesWithinWatermark("__fp")
+    val exact = (if (media.isStreaming) gated.dropDuplicatesWithinWatermark("__fp")
      else gated
        .withColumn("__keep", col(idCol) === min(col(idCol)).over(
          org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
        .filter(col("__keep")).drop("__keep"))
       .drop("__fp")
+    if (geometricTolerance <= 0.0) exact
+    else exact
+      .withColumn("feature",
+        graft.functions.ImageSpectralFeature(col(payloadCol), spectralMaxFreq)
+          .getField("feature"))
+      .filter(col("feature").isNotNull)
   }
 
   /** Run [[curateMedia]] end-to-end into a catalog table with STATE-BACKED
@@ -97,6 +117,15 @@ object CurationStream {
     * payloads already gated). Survivors append exactly-once with the
     * [[curateToTable]] wall-clock `arrival_ts` stamp; drop-on-arrival ==
     * batch-sweep equality is the StreamingSpec pin. */
+  /** `geometricTolerance` > 0 swaps the perceptual stage: the spectral
+    * descriptor rides out of [[curateMedia]] as a `feature` column and
+    * the state-backed dedup becomes [[IncrementalLshDedup]] over it (the
+    * [[curateAudioToTable]] shape — `blocksTable` then holds the LSH
+    * bucket relation at the EXPLICIT (`nPlanes`, `nTables`) config,
+    * fixed the moment the first batch lands), so a re-FRAMED re-upload
+    * inside the spectral tier's measured crop band drops on arrival
+    * where the dHash tier would silently miss it (r16 sweep: dHash
+    * detection 0.000 by 4 px shift). At 0 the dHash tier runs as before. */
   def curateMediaToTable(media: DataFrame, catalog: Catalog, table: String,
       blocksTable: String, clock: Clock = SystemClock,
       payloadCol: String = "payload", idCol: String = "media_id",
@@ -106,14 +135,26 @@ object CurationStream {
       queryName: String = "graft_media_curation_stream",
       continuous: Boolean = false, interval: String = "1 minute",
       checkpoint: Option[String] = None,
-      exactlyOnce: Boolean = false): StreamingQuery = {
-    val dedup = IncrementalImageDedup(catalog, table, blocksTable,
-      maxHamming, payloadCol, idCol, exactlyOnce)
+      exactlyOnce: Boolean = false,
+      geometricTolerance: Double = 0.0, spectralMaxFreq: Int = 3,
+      nPlanes: Int = 8, nTables: Int = 4,
+      threshold: Double = 0.9): StreamingQuery = {
     val gated = curateMedia(media, payloadCol, idCol, tsCol,
-      minWidth, minHeight, sampleRate, watermark)
+      minWidth, minHeight, sampleRate, watermark, geometricTolerance,
+      spectralMaxFreq)
+    val process: (DataFrame, Long) => Unit =
+      if (geometricTolerance > 0.0) {
+        val dedup = new IncrementalLshDedup(catalog, table, blocksTable,
+          nPlanes, nTables, threshold, idCol, "feature", exactlyOnce)
+        (batch, id) => dedup.processBatch(batch, id)
+      } else {
+        val dedup = IncrementalImageDedup(catalog, table, blocksTable,
+          maxHamming, payloadCol, idCol, exactlyOnce)
+        (batch, id) => dedup.processBatch(batch, id)
+      }
     StreamingAppend.startForeachBatch(gated, queryName, continuous,
       interval, checkpoint) { (batch, id) =>
-      dedup.processBatch(batch.withColumn("arrival_ts", lit(clock.nowTs)), id)
+      process(batch.withColumn("arrival_ts", lit(clock.nowTs)), id)
       ()
     }
   }

@@ -1221,6 +1221,112 @@ class StreamingSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("curateMediaToTable geometricTolerance: shifted-crop re-uploads drop via the spectral stream") {
+    import graft.core.StepClock
+    import graft.ext.{Multimodal, Similarity}
+    import graft.functions.{JpegGray, PngGray}
+    import graft.streaming.CurationStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+
+    // 32x32 windows into a 40x40 field: off > 0 is a re-FRAMED re-upload
+    // (the r16 crop band the dHash tier measured 0.000 detection in)
+    def window(seed: Long, off: Int): Array[Byte] = {
+      val field = Multimodal.patternPixels(seed, 40, 40)
+      val wp = new Array[Byte](32 * 32)
+      for (y <- 0 until 32; x <- 0 until 32)
+        wp(y * 32 + x) = field((y + off) * 40 + (x + off))
+      wp
+    }
+    // header-valid but PIXEL-undecodable: IDAT bytes zeroed behind an
+    // intact IHDR — passes the MediaHeader gate, fails PngGray, rejected
+    // by the feature gate (the curateAudio stream-contract convention)
+    val brokenIdat = {
+      val b = PngGray.encodeGray(32, 32, window(9L, 0))
+      val at = (8 until b.length - 4).find(i =>
+        b(i) == 'I' && b(i + 1) == 'D' && b(i + 2) == 'A' && b(i + 3) == 'T').get
+      for (k <- at + 4 until math.min(at + 14, b.length)) b(k) = 0
+      b
+    }
+    val rows: Seq[(Long, Timestamp, Array[Byte])] = Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), PngGray.encodeGray(32, 32, window(11L, 0))),
+      (2L, ts("2024-01-01T10:01:00Z"), PngGray.encodeGray(32, 32, window(12L, 0))),
+      (3L, ts("2024-01-01T10:02:00Z"), "not an image".getBytes),
+      (4L, ts("2024-01-01T10:03:00Z"), brokenIdat),
+      (5L, ts("2024-01-01T10:04:00Z"), PngGray.encodeGray(32, 32, window(11L, 0))),
+      // two batches later: (3,3)-shifted crops of id 1's content — one
+      // PNG, one JPEG (the cross-CODEC re-upload a web corpus actually
+      // sees) — both inside the spectral tier's measured band
+      (6L, ts("2024-01-01T10:05:00Z"), PngGray.encodeGray(32, 32, window(11L, 3))),
+      (7L, ts("2024-01-01T10:06:00Z"), JpegGray.encodeGray(32, 32, window(11L, 3), 92)))
+
+    def runStream(tag: String): (Set[Long], graft.core.Catalog) = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-curgeo-$tag").toString
+      val catalog = new graft.core.Catalog(spark, root)
+      val clock = new StepClock(java.time.Instant.parse("2024-02-01T08:00:00Z"))
+      val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+      val q = CurationStream.curateMediaToTable(
+        input.toDF().toDF("media_id", "ts", "payload"),
+        catalog, s"cur.geo_$tag", s"cur.gbuckets_$tag", clock,
+        continuous = true, interval = "1 second",
+        geometricTolerance = 4.0, nPlanes = 8, nTables = 4)
+      input.addData(rows.take(5)); q.processAllAvailable()
+      clock.advanceMinutes(10)
+      input.addData(rows.drop(5)); q.processAllAvailable()
+      q.stop()
+      (catalog.load(s"cur.geo_$tag").select("media_id")
+        .collect().map(_.getLong(0)).toSet, catalog)
+    }
+    // batch twin: the SAME curateMedia gates (geometric form) then the
+    // batch LSH sweep at the stream's explicit config over the features
+    def batchTwin(): Set[Long] = {
+      val gated = CurationStream.curateMedia(
+        rows.toDF("media_id", "ts", "payload"), geometricTolerance = 4.0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val drop = Similarity.nearDupPairsLsh(gated, 0.9,
+          nPlanes = 8, nTables = 4, idCol = "media_id", vecCol = "feature")
+          .select(col("id_b").as("media_id")).distinct()
+        gated.join(drop, Seq("media_id"), "left_anti")
+          .select("media_id").collect().map(_.getLong(0)).toSet
+      } finally gated.unpersist()
+    }
+
+    val (kept, catalog) = runStream("full")
+    // 3 header-gated, 4 feature-gated (pixel-undecodable), 5 exact dup,
+    // 6 and 7 shifted-crop drops the dHash tier would MISS (r16 sweep)
+    assert(kept == Set(1L, 2L), s"geometric stream kept $kept")
+    assert(kept == batchTwin())
+    // bucket state exists exactly for the kept images, nTables rows each
+    val buckets = catalog.load("cur.gbuckets_full")
+    assert(buckets.select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet == kept)
+    assert(buckets.count() == kept.size * 4L)
+    // the CONTRAST pin: the dHash-tier stream (geometricTolerance 0) on
+    // the same corpus KEEPS the re-framed uploads — the gap this knob
+    // closes; without it a stream hit by re-framed uploads silently
+    // misses what the batch planner would catch
+    val root0 = java.nio.file.Files.createTempDirectory("graft-curgeo-off").toString
+    val catalog0 = new graft.core.Catalog(spark, root0)
+    val input0 = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q0 = CurationStream.curateMediaToTable(
+      input0.toDF().toDF("media_id", "ts", "payload"),
+      catalog0, "cur.geo_off", "cur.gblocks_off",
+      new StepClock(java.time.Instant.parse("2024-02-01T08:00:00Z")),
+      continuous = true, interval = "1 second")
+    input0.addData(rows.take(5)); q0.processAllAvailable()
+    input0.addData(rows.drop(5)); q0.processAllAvailable()
+    q0.stop()
+    val kept0 = catalog0.load("cur.geo_off").select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    // id 6 (the shifted crop of accepted id 1) slips the dHash tier;
+    // id 7 still drops there, but only as a near-identical cross-codec
+    // copy OF id 6 — the id-1 content went unrecognized either way
+    assert(kept0.contains(6L),
+      s"dHash tier unexpectedly caught the shifted crop: $kept0")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("curateAudioToTable: gates + sample + exact/perceptual dedup equal the batch pipeline") {
     import graft.core.StepClock
     import graft.ext.{Multimodal, Similarity}
