@@ -799,11 +799,15 @@ object Dedup {
     *
     * Value churn (×1.25 gain + per-sample jitters): the mean-centered
     * envelope is EXACTLY blind to the gain (|g·x| = g·|x| and cosine
-    * cancels a scale) and measured FLAT 1.000 detection at 0.1%-20%
-    * sample jitter (min planted cosine 0.9936 at 20%) — value noise
-    * dilutes across 32-sample frame means just like pixel churn across
-    * dHash's 9×8 cells, only flatter. Past the measured 20% band the
-    * response is unmeasured, not extrapolated.
+    * cancels a scale) and measured FLAT 1.000 detection at 0.1%-80%
+    * sample jitter (min planted cosine 0.9936 at 20%, 0.9067 at 80% —
+    * value noise dilutes across 32-sample frame means just like pixel
+    * churn across dHash's 9×8 cells, only flatter), dipping to 0.993 at
+    * FULL churn (every sample perturbed: min planted cosine 0.8624 — 7
+    * of 1000 pairs cross the 0.9 cut). The r17 sweep extension
+    * (30/50/80/100%) closed the r16 20%-edge refusal: the whole
+    * tolerance domain is now measured, so the planner interpolates
+    * instead of refusing.
     *
     * Time shift (the same aperiodic field windowed s samples later — a
     * re-trim): the envelope's aligned bins decorrelate at ONE frame
@@ -813,7 +817,8 @@ object Dedup {
     * 8/32/128/512 — a shift changes phases, not magnitudes). The (0, 1.0)
     * anchor is the jitter sweep's own zero-shift row. */
   private val AudioJitterSweepEnvelope = Seq(
-    (0.001, 1.0), (0.01, 1.0), (0.05, 1.0), (0.2, 1.0))
+    (0.001, 1.0), (0.01, 1.0), (0.05, 1.0), (0.2, 1.0),
+    (0.3, 1.0), (0.5, 1.0), (0.8, 1.0), (1.0, 0.993))
   private val AudioShiftSweepEnvelope = Seq(
     (0.0, 1.0), (8.0, 0.973), (32.0, 0.0), (128.0, 0.006), (512.0, 0.0))
   private val AudioShiftSweepSpectral = Seq(
@@ -1084,36 +1089,19 @@ object Dedup {
         "sub-sweep-resolution churn tolerance: byte-identical payloads " +
           "dedup on a sha256/md5 digest groupBy — complete and the " +
           "cheapest relation there is")
-    if (mutationTolerance > 0.2) {
-      // past the measured band: the envelope's flat-1.000 law is NOT
-      // extrapolated (the standing no-optimism convention) — route the
-      // semantic tier when available, else say so
-      return if (hasEmbeddings)
-        FamilyRecommendation("embedding_lsh",
-          "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over audio embeddings",
-          1.0,
-          f"${mutationTolerance * 100}%.0f%% per-sample churn is past the " +
-            "measured 20%% envelope band (r16 jitter sweep stops there) — " +
-            "the semantic tier is the only measured option")
-      else
-        FamilyRecommendation("audio_envelope_lsh",
-          "Multimodal.audioEnvelopeFeatures + audioFeatureAssign (threshold 0.9)",
-          interpSweep(AudioJitterSweepEnvelope, 0.2),
-          f"churn ${mutationTolerance * 100}%.0f%% exceeds the measured 20%% " +
-            "band — detection there is UNMEASURED (the sweep's last cell " +
-            "read 1.000 at 20%); supply an audio-embedding column to route " +
-            "the semantic tier instead of extrapolating")
-    }
+    // the r17 sweep extension measured the full churn domain (flat 1.000
+    // to 80%, 0.993 at 100%) — the r16 20%-edge refusal is closed and the
+    // selection below interpolates measured cells across all of [0, 1]
     val det = interpSweep(AudioJitterSweepEnvelope, mutationTolerance)
     if (det >= minDetection)
       FamilyRecommendation("audio_envelope_lsh",
         "Multimodal.audioEnvelopeFeatures + audioFeatureAssign (threshold 0.9)",
         det,
         f"the mean-centered envelope clears $minDetection%.2f at " +
-          f"${mutationTolerance * 100}%.1f%% sample churn (r16 sweep: detection " +
-          f"$det%.4f, flat to 20%% — value noise dilutes across 32-sample " +
-          "frame means, and a re-level gain cancels exactly); 64 floats/clip, " +
-          "byte-exact oracle (q88)")
+          f"${mutationTolerance * 100}%.1f%% sample churn (r16+r17 sweeps: " +
+          f"detection $det%.4f, flat to 80%% and 0.993 at full churn — value " +
+          "noise dilutes across 32-sample frame means, and a re-level gain " +
+          "cancels exactly); 64 floats/clip, byte-exact oracle (q88)")
     else if (hasEmbeddings)
       FamilyRecommendation("embedding_lsh",
         "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over audio embeddings",
@@ -1406,6 +1394,142 @@ object Dedup {
         s"unknown plan family '$other' — runPlan executes plans built by Dedup.plan")
     }
   }
+
+  /** Per-kind plans for a MIXED media corpus (r17 verdict item #5): a
+    * real curation run is not one modality — the media table carries
+    * png/jpeg/wav/mp4 side by side. Kinds are DETECTED from payload magic
+    * ([[graft.functions.MediaHeader]]'s format), never trusted from a
+    * caller column; png+jpeg route together as ONE image pool (the
+    * [[graft.functions.ImageCodecs]] decode is codec-blind, so a JPEG
+    * re-encode of a PNG deduplicates cross-codec), wav routes the audio
+    * branch, mp4 the video branch. Input contract: `(media_id, payload)`
+    * — the media-family shape every Multimodal entry point shares.
+    *
+    * Knob units differ by modality, so they are SEPARATE parameters:
+    * `mutationTolerance` is per-unit content churn (pixel/sample — one
+    * knob, the shared "how much noise must I still catch" semantics);
+    * geometric tolerances are px (image) vs samples (audio);
+    * `videoMutationTolerance` DEFAULTS to byte-identical because the
+    * exact rung is video's only executable family without model
+    * embeddings ([[recommendVideoFamily]]) — a caller raising it gets
+    * the loud video_header_blocking refusal at [[runPlanByKind]] time,
+    * never a silent downgrade. Embedding tiers are out of scope here by
+    * construction (this entry point sees raw payloads, not model
+    * embeddings); callers with per-modality embedding columns own the
+    * per-modality calls directly.
+    *
+    * Only modalities PRESENT in the corpus get a plan (one groupBy-count
+    * over the detected kinds decides — an empty pool has no corpus to
+    * size against and nothing to run). */
+  def planByKind(media: DataFrame, mutationTolerance: Double,
+      minDetection: Double = 0.9, imageGeometricTolerance: Double = 0.0,
+      audioGeometricTolerance: Double = 0.0,
+      videoMutationTolerance: Double = 0.0,
+      scratchBudgetGb: Double = 0.0): Map[String, DedupPlan] = {
+    TableShapes.requireColumns(media, Seq("media_id", "payload"),
+      "planByKind", "the media-family (media_id, payload) shape")
+    val headed = withDetectedKind(media)
+    val present = headed.groupBy("__kind").count()
+      .collect().map(_.getString(0)).toSet
+    def modalityPlan(kinds: Set[String], modality: String, tol: Double,
+        geo: Double): Option[(String, DedupPlan)] =
+      if (kinds.intersect(present).isEmpty) None
+      else {
+        val rows = headed.filter(col("__kind").isin(kinds.toSeq: _*))
+          .select(col("media_id"), col("payload"))
+        val rec = recommendFamily(tol, minDetection, hasEmbeddings = false,
+          modality, geo)
+        Some(modality -> plan(derivedTable(rows, rec.family), tol,
+          minDetection, scratchBudgetGb, targetRecall = 0.98,
+          hasEmbeddings = false, vecCol = "feature", modality = modality,
+          geometricTolerance = geo))
+      }
+    (modalityPlan(Set("png", "jpeg"), "image", mutationTolerance,
+      imageGeometricTolerance) ++
+      modalityPlan(Set("wav"), "audio", mutationTolerance,
+        audioGeometricTolerance) ++
+      modalityPlan(Set("mp4"), "video", videoMutationTolerance, 0.0)).toMap
+  }
+
+  /** Execute [[planByKind]] over a mixed corpus in ONE call: detect each
+    * payload's kind, run each present modality pool through its own
+    * plan, and union the survivor assignments — `(media_id, kind,
+    * dup_of)`, null dup_of ⇒ survivor, `kind` = the DETECTED format.
+    * Rows of unrecognized/undecodable format survive by definition (no
+    * content to match — every media family's contract). Equality with
+    * per-kind direct calls is ExtSpec-pinned; an unexecutable video plan
+    * (tolerance past byte-identity without embeddings) refuses loudly
+    * through [[runPlan]]'s video_header_blocking branch.
+    *
+    * Scale: ONE header parse per row (O(markers)) splits the pools; each
+    * pool then pays exactly its modality's scan-stage decode + mining —
+    * nothing cross-modality shuffles together, so the mixed call costs
+    * what the three direct calls it replaces would. */
+  def runPlanByKind(media: DataFrame, mutationTolerance: Double,
+      minDetection: Double = 0.9, imageGeometricTolerance: Double = 0.0,
+      audioGeometricTolerance: Double = 0.0,
+      videoMutationTolerance: Double = 0.0,
+      scratchBudgetGb: Double = 0.0, scratchDir: String = "",
+      maxRepsPerCell: Int = 4096): DataFrame = {
+    val plans = planByKind(media, mutationTolerance, minDetection,
+      imageGeometricTolerance, audioGeometricTolerance,
+      videoMutationTolerance, scratchBudgetGb)
+    val headed = withDetectedKind(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val modalityKinds = Seq(
+        "image" -> Set("png", "jpeg"), "audio" -> Set("wav"),
+        "video" -> Set("mp4"))
+      val pooled = modalityKinds.collect {
+        case (modality, kinds) if plans.contains(modality) =>
+          val rows = headed.filter(col("__kind").isin(kinds.toSeq: _*))
+          val p = plans(modality)
+          runPlan(p, derivedTable(rows.select(col("media_id"), col("payload")),
+              p.family),
+            idCol = "media_id", textCol = "payload", vecCol = "feature",
+            scratchDir = scratchDir, maxRepsPerCell = maxRepsPerCell)
+            .join(rows.select(col("media_id"), col("__kind")), Seq("media_id"))
+            .select(col("media_id"), col("__kind").as("kind"), col("dup_of"))
+      }
+      val handledKinds = modalityKinds.collect {
+        case (m, ks) if plans.contains(m) => ks
+      }.flatten
+      val others = headed
+        .filter(!col("__kind").isin(handledKinds: _*))
+        .select(col("media_id"), col("__kind").as("kind"),
+          lit(null).cast("long").as("dup_of"))
+      // materialize before unpersist: the union is lazy and `headed`
+      // backs every branch
+      val out = (pooled :+ others).reduce(_.unionByName(_))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally headed.unpersist(blocking = false)
+  }
+
+  /** Kind detection shared by [[planByKind]] and [[runPlanByKind]] — the
+    * header expression's format field, ONE scan-stage parse per row. */
+  private def withDetectedKind(media: DataFrame): DataFrame =
+    media.withColumn("__kind",
+      graft.functions.MediaHeader(col("payload")).getField("format"))
+
+  /** The derived table each plan family mines over — the [[runPlan]]
+    * input contract resolved per family: raw payloads for the exact
+    * rung, dHash fingerprints for the perceptual rung, descriptor
+    * features for the geometric/audio tiers. */
+  private def derivedTable(rows: DataFrame, family: String): DataFrame =
+    family match {
+      case "exact" | "video_header_blocking" => rows
+      case "image_dhash" => Multimodal.imageFingerprints(rows)
+      case "image_grid_lsh" => Multimodal.imageGridFeatures(rows)
+      case "image_spectral_lsh" => Multimodal.imageSpectralFeatures(rows)
+      case "audio_envelope_lsh" => Multimodal.audioEnvelopeFeatures(rows)
+      case "audio_spectral_lsh" => Multimodal.audioSpectralFeatures(rows)
+      case other => throw new IllegalArgumentException(
+        s"no derived-table rule for family '$other' in the by-kind " +
+          "dispatch (embedding tiers need caller-supplied columns — own " +
+          "the per-modality call directly)")
+    }
 
   /** The embedding-family body of [[runPlan]] — ONE definition shared by
     * the `embedding_lsh` and `image_grid_lsh` dispatches so the two can

@@ -1713,6 +1713,81 @@ class ExtSpec extends SparkSpec {
     } finally { media.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
+  test("runPlanByKind: one call curates a mixed png/jpeg/wav/mp4 corpus, per-kind equal") {
+    import graft.ext.Dedup
+    val docs = spark.range(60).select($"id".as("doc_id"),
+      concat(lit("body "), $"id".cast("string")).as("text"),
+      lit("web").as("source"), lit(10L).as("n_chars"))
+    // one mixed table: images (pngs + the r17 jpeg slice), audio clips
+    // (including the undecodable-PCM rotation), videos (including both
+    // malformed classes), and one unrecognizable payload
+    val mixed = Multimodal.syntheticImages(docs.limit(30))
+      .unionByName(Multimodal.syntheticAudio(docs.limit(20))
+        .withColumn("media_id", $"media_id" + 10000L)
+        .select("media_id", "payload"))
+      .unionByName(Multimodal.syntheticVideo(docs.limit(24))
+        .withColumn("media_id", $"media_id" + 20000L)
+        .select("media_id", "payload"))
+      .unionByName(Seq((30000L, "no codec speaks this".getBytes))
+        .toDF("media_id", "payload"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byKind = Dedup.runPlanByKind(mixed, mutationTolerance = 0.01)
+      val got = byKind.collect()
+        .map(r => r.getLong(0) -> (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      // every input row comes back exactly once
+      assert(got.size == mixed.count())
+
+      // detected kinds drive the split (never a trusted column): the
+      // image pool is png+jpeg TOGETHER, audio wav, video mp4, and the
+      // garbage row survives as its detected 'unknown'
+      assert(got(30000L) == ("unknown", None))
+      val kinds = got.values.map(_._1).toSet
+      assert(Set("png", "jpeg", "wav", "mp4", "unknown").subsetOf(kinds))
+
+      // per-kind equality with the DIRECT per-modality calls
+      def assigns(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val imgPool = mixed.filter($"media_id" < 10000L)
+      val pImg = Dedup.plan(Multimodal.imageFingerprints(imgPool),
+        mutationTolerance = 0.01, modality = "image", hasEmbeddings = false)
+      val directImg = assigns(Dedup.runPlan(pImg,
+        Multimodal.imageFingerprints(imgPool), idCol = "media_id"))
+      val audPool = mixed.filter($"media_id" >= 10000L && $"media_id" < 20000L)
+      val featsAud = Multimodal.audioEnvelopeFeatures(audPool)
+      val pAud = Dedup.plan(featsAud, mutationTolerance = 0.01,
+        modality = "audio", hasEmbeddings = false, vecCol = "feature")
+      val directAud = assigns(Dedup.runPlan(pAud, featsAud,
+        idCol = "media_id", vecCol = "feature"))
+      val vidPool = mixed.filter($"media_id" >= 20000L && $"media_id" < 30000L)
+      val pVid = Dedup.plan(vidPool, mutationTolerance = 0.0001,
+        modality = "video", hasEmbeddings = false)
+      val directVid = assigns(Dedup.runPlan(pVid, vidPool,
+        idCol = "media_id", textCol = "payload"))
+      val direct = directImg ++ directAud ++ directVid
+      got.foreach { case (id, (kind, dupOf)) =>
+        if (kind != "unknown")
+          assert(dupOf == direct(id), s"id $id ($kind): $dupOf vs ${direct(id)}")
+      }
+      // the planted image pairs fold inside the one mixed call (dup_of
+      // points at SOME smaller component member — the greedy-star
+      // contract; the per-kind equality above pins the exact value)
+      assert((1L to 29L by 20).forall(id => got(id)._2.isDefined))
+
+      // plans only for PRESENT modalities; video tolerance above byte
+      // identity without embeddings refuses LOUDLY at run time
+      val plansImgOnly = Dedup.planByKind(imgPool, mutationTolerance = 0.01)
+      assert(plansImgOnly.keySet == Set("image"))
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.runPlanByKind(mixed, mutationTolerance = 0.01,
+          videoMutationTolerance = 0.05)
+      }
+      assert(ex.getMessage.contains("videoHeaderCandidates"))
+    } finally { mixed.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("image descriptors: grid equals its relational twin; spectral is shift/brightness-blind") {
     import graft.functions.{ImageGridFeature, ImageSpectralFeature, PngGray}
     // ── grid: native expression == the q85 relational twin re-centered ──
@@ -2132,12 +2207,21 @@ class ExtSpec extends SparkSpec {
       math.abs(rj.expectedDetection - 1.0) < 1e-9)
     // byte-identical tolerance -> exact payload-digest dedup
     assert(Dedup.recommendFamily(0.0, modality = "audio").family == "exact")
-    // past the measured 20% band: never extrapolate the flat law
-    assert(Dedup.recommendFamily(0.5, 0.9, hasEmbeddings = true,
+    // the r17 sweep extension measured past the old 20% edge: 50% churn
+    // is now a MEASURED 1.000 cell (not a refusal), and full churn reads
+    // the measured 0.993 — the envelope keeps winning wherever it clears
+    // the caller's bar, embeddings route only when it genuinely misses
+    val r50 = Dedup.recommendFamily(0.5, 0.9, modality = "audio")
+    assert(r50.family == "audio_envelope_lsh" &&
+      math.abs(r50.expectedDetection - 1.0) < 1e-9, r50.rationale)
+    val rFull = Dedup.recommendFamily(1.0, 0.9, modality = "audio")
+    assert(rFull.family == "audio_envelope_lsh" &&
+      math.abs(rFull.expectedDetection - 0.993) < 1e-9)
+    assert(Dedup.recommendFamily(1.0, 0.999, hasEmbeddings = true,
       modality = "audio").family == "embedding_lsh")
-    val past = Dedup.recommendFamily(0.5, 0.9, modality = "audio")
-    assert(past.family == "audio_envelope_lsh" &&
-      past.rationale.contains("UNMEASURED"))
+    val miss = Dedup.recommendFamily(1.0, 0.999, modality = "audio")
+    assert(miss.family == "audio_envelope_lsh" &&
+      miss.rationale.contains("BELOW"))
     // time shift: envelope owns <= ~8 samples, spectral the measured band
     val r8 = Dedup.recommendFamily(0.01, 0.9, modality = "audio",
       geometricTolerance = 8)
