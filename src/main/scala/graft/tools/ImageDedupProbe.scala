@@ -33,7 +33,7 @@ object ImageDedupProbe {
     * generation, nothing collected — `syntheticImages`' batch shape with
     * the mutation knob exposed. */
   def corpus(spark: SparkSession, n: Long, jitters: Int,
-      w: Int = 32, h: Int = 32): DataFrame = {
+      w: Int = 32, h: Int = 32, codec: String = "png"): DataFrame = {
     val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
@@ -52,7 +52,21 @@ object ImageDedupProbe {
             j += 1
           }
         }
-        Row(id, graft.functions.PngGray.encodeGray(w, h, pix))
+        // the codec knob exists for the r17 JPEG-decode throughput cell:
+        // jpeg = baseline gray; jpeg420 = 4:2:0 color with NOISY chroma
+        // planes the decoder must entropy-walk in sync (the worst case
+        // for the luma-only decode path). JPEG is LOSSY, so planted
+        // detection under it is a MEASURED output, not an invariant.
+        val payload = codec match {
+          case "png" => graft.functions.PngGray.encodeGray(w, h, pix)
+          case "jpeg" => graft.functions.JpegGray.encodeGray(w, h, pix, 92)
+          case "jpeg420" =>
+            val cw = (w + 1) / 2; val ch = (h + 1) / 2
+            graft.functions.JpegGray.encodeColor420(w, h, pix,
+              Multimodal.patternPixels(seed + 101, cw, ch),
+              Multimodal.patternPixels(seed + 211, cw, ch), 92)
+        }
+        Row(id, payload)
       }
     }
     spark.createDataFrame(rdd, Multimodal.imageSchema)
@@ -99,6 +113,8 @@ object ImageDedupProbe {
     var cropShifts: Seq[Int] = Nil
     var family = "dhash" // dhash | grid (the crop-tolerant descriptor tier)
     var gridThreshold = 0.9
+    var codec = "png"
+    var throughput = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -114,14 +130,56 @@ object ImageDedupProbe {
         case "--family" if i + 1 < args.length => family = args(i + 1); i += 2
         case "--gridThreshold" if i + 1 < args.length =>
           gridThreshold = args(i + 1).toDouble; i += 2
+        case "--codec" if i + 1 < args.length => codec = args(i + 1); i += 2
+        case "--throughput" => throughput = true; i += 1
         case other => sys.error(s"unknown arg '$other'; usage: ImageDedupProbe " +
           "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B] " +
           "[--survivors] [--reprobe] [--cropSweep 1,2,4] [--family dhash|grid|spectral] " +
-          "[--gridThreshold 0.9]")
+          "[--gridThreshold 0.9] [--codec png|jpeg|jpeg420] [--throughput]")
       }
     }
     require(family == "dhash" || family == "grid" || family == "spectral",
       s"--family must be dhash|grid|spectral, got '$family'")
+    require(codec == "png" || codec == "jpeg" || codec == "jpeg420",
+      s"--codec must be png|jpeg|jpeg420, got '$codec'")
+    require(!throughput || cropShifts.isEmpty,
+      "--throughput and --cropSweep are separate cells - pass one")
+    if (throughput) {
+      // The r17 at-scale cell (AudioDedupProbe's shape): decode + dHash
+      // rate per codec — the blob-to-8-bytes reduction that makes 100 TB
+      // of images joinable — then the survivor walk at the auto-deepened
+      // split. Payload bytes are measured from the corpus (JPEG sizes
+      // vary with content), not modeled.
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+      val spark0 = graft.core.Sessions.local(cpus0)
+      val media = corpus(spark0, size, 1, codec = codec)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val payloadBytes = media.select(
+        sum(length(col("payload")))).first().getLong(0)
+      val t0 = System.nanoTime()
+      val fps = Multimodal.imageFingerprints(media)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val decoded = fps.filter(col("dhash").isNotNull).count()
+      val dtFeat = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (blks, _) = graft.ext.Dedup.simhashParams(size, radius)
+      val assign = Multimodal.imageAssign(fps, radius, blocks = blks)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val surv = assign.filter(col("dup_of").isNull).count()
+      val detected = assign.filter(col("dup_of").isNotNull &&
+        pmod(col("media_id"), lit(20)) === 1).count()
+      val dtWalk = (System.nanoTime() - t1) / 1e9
+      println(f"""{"check":"image_throughput","codec":"$codec","rows":$size,""" +
+        f""""radius":$radius,"blocks":$blks,"decoded":$decoded,""" +
+        f""""payload_mb":${payloadBytes / 1e6}%.1f,"decode_hash_s":$dtFeat%.3f,""" +
+        f""""images_per_s":${decoded / dtFeat}%.0f,""" +
+        f""""mb_per_s":${payloadBytes / 1e6 / dtFeat}%.1f,""" +
+        f""""survivors":$surv,"detected":$detected,""" +
+        f""""true_dups":${size / 20},"walk_s":$dtWalk%.3f}""")
+      assign.unpersist(); fps.unpersist(); media.unpersist()
+      spark0.stop()
+      return
+    }
     // the descriptor families share the (media_id, feature, error) shape
     // and the whole measurement harness — they differ only in the builder
     def featsOf(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
