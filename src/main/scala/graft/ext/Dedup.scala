@@ -1428,7 +1428,24 @@ object Dedup {
       scratchBudgetGb: Double = 0.0): Map[String, DedupPlan] = {
     TableShapes.requireColumns(media, Seq("media_id", "payload"),
       "planByKind", "the media-family (media_id, payload) shape")
+    // own persist: sizing a descriptor-tier plan re-reads the pool (count
+    // + sampled law), and re-running the header parse per pass would turn
+    // "one parse per row" into three
     val headed = withDetectedKind(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try planByKindFrom(headed, mutationTolerance, minDetection,
+      imageGeometricTolerance, audioGeometricTolerance,
+      videoMutationTolerance, scratchBudgetGb)
+    finally headed.unpersist(blocking = false)
+  }
+
+  /** [[planByKind]]'s body over an already-kind-detected (and ideally
+    * persisted) frame — shared with [[runPlanByKind]] so the two never
+    * pay or drift on separate header passes. */
+  private def planByKindFrom(headed: DataFrame, mutationTolerance: Double,
+      minDetection: Double, imageGeometricTolerance: Double,
+      audioGeometricTolerance: Double, videoMutationTolerance: Double,
+      scratchBudgetGb: Double): Map[String, DedupPlan] = {
     val present = headed.groupBy("__kind").count()
       .collect().map(_.getString(0)).toSet
     def modalityPlan(kinds: Set[String], modality: String, tol: Double,
@@ -1464,19 +1481,23 @@ object Dedup {
     * Scale: ONE header parse per row (O(markers)) splits the pools; each
     * pool then pays exactly its modality's scan-stage decode + mining —
     * nothing cross-modality shuffles together, so the mixed call costs
-    * what the three direct calls it replaces would. */
+    * what the three direct calls it replaces would. The returned
+    * assignment comes back PERSISTED (it is materialized so the shared
+    * kind-detected scan can be freed) — unpersist it when done. */
   def runPlanByKind(media: DataFrame, mutationTolerance: Double,
       minDetection: Double = 0.9, imageGeometricTolerance: Double = 0.0,
       audioGeometricTolerance: Double = 0.0,
       videoMutationTolerance: Double = 0.0,
       scratchBudgetGb: Double = 0.0, scratchDir: String = "",
       maxRepsPerCell: Int = 4096): DataFrame = {
-    val plans = planByKind(media, mutationTolerance, minDetection,
-      imageGeometricTolerance, audioGeometricTolerance,
-      videoMutationTolerance, scratchBudgetGb)
+    TableShapes.requireColumns(media, Seq("media_id", "payload"),
+      "runPlanByKind", "the media-family (media_id, payload) shape")
     val headed = withDetectedKind(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val plans = planByKindFrom(headed, mutationTolerance, minDetection,
+        imageGeometricTolerance, audioGeometricTolerance,
+        videoMutationTolerance, scratchBudgetGb)
       val modalityKinds = Seq(
         "image" -> Set("png", "jpeg"), "audio" -> Set("wav"),
         "video" -> Set("mp4"))

@@ -321,10 +321,19 @@ private[graft] object JpegGray {
   /** The MCU loop: luma blocks get dequant + IDCT into the plane; chroma
     * blocks are entropy-walked only (see object scaladoc). */
   private def decodeScan(b: Array[Byte], start: Int, end: Int,
-      comps: Array[Comp], scan: Array[(Int, Int, Int)],
+      comps0: Array[Comp], scan: Array[(Int, Int, Int)],
       qt: Array[Array[Int]], qtSeen: Array[Boolean],
       dcTabs: Array[Huff], acTabs: Array[Huff],
       width: Int, height: Int, ri: Int): Either[String, Gray] = {
+    // T.81 A.2.2: a single-component scan is NON-INTERLEAVED — its MCU is
+    // ONE data unit and blocks traverse the component's full-resolution
+    // raster, REGARDLESS of declared sampling factors (compW = ceil(W·h/
+    // hmax) = W when Nf = 1). Walking the declared h×v sub-block geometry
+    // here would silently mis-tile any grayscale JPEG whose SOF carries
+    // factors > 1 (rare but legal); normalizing to 1×1 reproduces the
+    // spec geometry exactly (spec-pinned vs the declared-2x2 fixture).
+    val comps =
+      if (comps0.length == 1) Array(comps0(0).copy(h = 1, v = 1)) else comps0
     val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
     // the luma component must carry the frame maxima so its plane IS the
     // image grid (true of every JFIF encoder; anything else is exotic

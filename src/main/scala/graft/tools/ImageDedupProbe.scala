@@ -65,6 +65,8 @@ object ImageDedupProbe {
             graft.functions.JpegGray.encodeColor420(w, h, pix,
               Multimodal.patternPixels(seed + 101, cw, ch),
               Multimodal.patternPixels(seed + 211, cw, ch), 92)
+          case other => throw new IllegalArgumentException(
+            s"codec must be png|jpeg|jpeg420, got '$other'")
         }
         Row(id, payload)
       }

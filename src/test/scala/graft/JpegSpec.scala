@@ -196,6 +196,32 @@ class JpegSpec extends SparkSpec {
       ri += 1
     }
     assert(found && JpegGray.decode(patchedRst) == Left("jpeg_bad_restart"))
+
+    // T.81 A.2.2: a single-component scan is non-interleaved — declared
+    // sampling factors do NOT change its block geometry (MCU = one data
+    // unit over the full-resolution raster). A grayscale stream whose
+    // SOF claims 2x2 factors must decode IDENTICALLY to the 1x1 claim,
+    // and ImageIO (the independent parser) must agree.
+    def findSof(b: Array[Byte]): Int = {
+      var i = 2
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0) return i
+        i += 1
+      }
+      fail("no SOF0")
+    }
+    val claimed22 = good.clone()
+    claimed22(findSof(claimed22) + 11) = 0x22 // comp 0 hv byte
+    val base = JpegGray.decode(good).toOption.get
+    val with22 = JpegGray.decode(claimed22)
+    assert(with22.isRight, s"2x2-claim decode failed: $with22")
+    assert(java.util.Arrays.equals(with22.toOption.get.pix, base.pix),
+      "single-component scan geometry changed with declared factors")
+    val io22 = imageioDecode(claimed22)
+    assert(io22 != null && io22.getWidth == 24 && io22.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 24)
+      assert(math.abs((with22.toOption.get.pix(y * 24 + x) & 0xff) -
+        io22.getRaster.getSample(x, y, 0)) <= 1, s"io parity ($x,$y)")
   }
 
   test("JpegGray: hostile-bytes and truncation-prefix fuzz never throws") {
