@@ -794,6 +794,23 @@ object Dedup {
   private val ImageCropSweepSpectral = Seq(
     (1.0, 1.0), (2.0, 1.0), (4.0, 0.993), (8.0, 0.970))
 
+  /** The r17-measured CROSS-CODEC recode sweeps (`ImageDedupProbe
+    * --recodeSweep`, 200k images, 10k planted pairs/cell): dup twins are
+    * the predecessor's EXACT pixels re-encoded as baseline JPEG at the
+    * given quality while originals stay PNG — byte-different, so exact
+    * digests see nothing and detection reads the fingerprint's response
+    * to pure quantization noise. dHash (radius 3) holds ≥ 0.96 down to
+    * quality 50 (median planted hamming 0→2, max 4→10 across the
+    * sweep); the DFT-magnitude descriptor reads a measured FLAT 1.000 at
+    * quality 50/30/10 (quantization perturbs high-frequency content the
+    * low band barely carries). Qualities below 10 are outside the
+    * measured domain and refuse loudly — no optimistic extrapolation. */
+  private val ImageRecodeSweepDHash = Seq(
+    (30.0, 0.8684), (50.0, 0.9637), (70.0, 0.9903), (85.0, 0.9996),
+    (95.0, 0.9999), (100.0, 1.0))
+  private val ImageRecodeSweepSpectral = Seq(
+    (10.0, 1.0), (30.0, 1.0), (50.0, 1.0), (100.0, 1.0))
+
   /** The r16-measured AUDIO sweeps (`tools.AudioDedupProbe`, 20k clips of
     * 2048 samples, 1000 planted pairs per cell, cosine threshold 0.9).
     *
@@ -890,7 +907,8 @@ object Dedup {
     * dedup. */
   def recommendFamily(mutationTolerance: Double, minDetection: Double = 0.9,
       hasEmbeddings: Boolean = false, modality: String = "text",
-      geometricTolerance: Double = 0.0): FamilyRecommendation = {
+      geometricTolerance: Double = 0.0,
+      recodeQuality: Double = 100.0): FamilyRecommendation = {
     require(mutationTolerance >= 0 && mutationTolerance <= 1,
       s"mutationTolerance is a per-token probability, got $mutationTolerance")
     require(minDetection > 0 && minDetection <= 1,
@@ -904,8 +922,16 @@ object Dedup {
       "geometricTolerance (crop-shift pixels / time-shift samples) only " +
         "applies to image or audio corpora — video has no measured " +
         "geometric tier (frame decode is stubbed)")
+    require(recodeQuality == 100.0 || modality == "image",
+      "recodeQuality (lowest JPEG re-encode quality to still catch) only " +
+        "applies to image corpora — the r17 recode sweep measured the " +
+        "image fingerprints")
+    require(recodeQuality >= 10.0 && recodeQuality <= 100.0,
+      s"recodeQuality must be in [10, 100] (the r17 sweep's measured " +
+        s"domain — below quality 10 nothing is measured), got $recodeQuality")
     if (modality == "image") return recommendImageFamily(
-      mutationTolerance, minDetection, hasEmbeddings, geometricTolerance)
+      mutationTolerance, minDetection, hasEmbeddings, geometricTolerance,
+      recodeQuality)
     if (modality == "audio") return recommendAudioFamily(
       mutationTolerance, minDetection, hasEmbeddings, geometricTolerance)
     if (modality == "video") return recommendVideoFamily(
@@ -956,7 +982,21 @@ object Dedup {
     * 4 px); the grid-descriptor tier owns the shift band. */
   private def recommendImageFamily(mutationTolerance: Double,
       minDetection: Double, hasEmbeddings: Boolean,
-      geometricTolerance: Double = 0.0): FamilyRecommendation = {
+      geometricTolerance: Double = 0.0,
+      recodeQuality: Double = 100.0): FamilyRecommendation = {
+    // r17: `recodeQuality` is the lowest JPEG re-encode quality of
+    // re-encounters the caller must still catch (100 = corpus never
+    // recodes). Each family's detection is the MIN of its independently
+    // measured laws (churn/crop × recode) — conservative composition,
+    // never an optimistic product model. dHash's recode law holds ≥0.96
+    // to quality 50; the spectral descriptor's reads a measured flat
+    // 1.000 at 50/30/10 (quantization lives in the high band the
+    // descriptor ignores). The grid descriptor has NO measured recode
+    // law, so under recodes the geometric ladder skips straight to the
+    // spectral tier rather than quote an unmeasured number.
+    val dhashRecode = interpLinearSweep(ImageRecodeSweepDHash, recodeQuality)
+    val spectralRecode =
+      interpLinearSweep(ImageRecodeSweepSpectral, recodeQuality)
     if (geometricTolerance > 0) {
       // the caller must still catch crops/shifts of this many pixels —
       // the regime the r15 crop sweep measured dHash OUT of (0.186 at
@@ -969,7 +1009,9 @@ object Dedup {
       val dhashDet = interpLinearSweep(ImageCropSweepDHash, geometricTolerance)
       val gridDet = interpLinearSweep(ImageCropSweepGrid, geometricTolerance)
       val spectralDet = interpLinearSweep(ImageCropSweepSpectral, geometricTolerance)
-      return if (gridDet >= minDetection)
+      val gridEligible = recodeQuality >= 100.0
+      val spectralGeo = math.min(spectralDet, spectralRecode)
+      return if (gridEligible && gridDet >= minDetection)
         FamilyRecommendation("image_grid_lsh",
           "Multimodal.imageGridFeatures + imageFeatureAssign (threshold 0.9)",
           gridDet,
@@ -979,33 +1021,38 @@ object Dedup {
             f"descriptor through embedding-LSH measured $gridDet%.3f at " +
             "this shift (r16 crop sweep), and is the cheaper, " +
             "byte-exact-oracled descriptor inside its 1 px band")
-      else if (spectralDet >= minDetection)
+      else if (spectralGeo >= minDetection)
         FamilyRecommendation("image_spectral_lsh",
           "Multimodal.imageSpectralFeatures + imageFeatureAssign (threshold 0.9)",
-          spectralDet,
+          spectralGeo,
           f"geometric tolerance ${geometricTolerance}%.0f px is past both " +
-            f"aligned-cell descriptors (dHash $dhashDet%.3f, grid " +
-            f"$gridDet%.3f measured) — the low-band DFT-magnitude " +
-            f"descriptor measured $spectralDet%.3f at this shift " +
-            "(r16 crop sweep): a shift changes phases, not magnitudes")
+            f"aligned-cell descriptors (dHash $dhashDet%.3f measured" +
+            (if (gridEligible) f", grid $gridDet%.3f measured) — "
+             else f"; the grid tier has NO measured recode law at " +
+               f"quality ${recodeQuality}%.0f, so it is skipped) — ") +
+            f"the low-band DFT-magnitude descriptor measured " +
+            f"$spectralGeo%.3f (min of the r16 crop and r17 recode " +
+            "sweeps): shifts change phases and quantization lives in the " +
+            "high band, neither touches the low-band magnitudes")
       else if (hasEmbeddings)
         FamilyRecommendation("embedding_lsh",
           "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over image embeddings",
           1.0,
-          f"spectral-descriptor detection $spectralDet%.3f misses " +
+          f"spectral-descriptor detection $spectralGeo%.3f misses " +
             f"$minDetection%.2f at ${geometricTolerance}%.0f px shift — " +
             "only a model image-embedding column sees past the measured " +
             "geometric band")
       else
         FamilyRecommendation("image_spectral_lsh",
           "Multimodal.imageSpectralFeatures + imageFeatureAssign (threshold 0.9)",
-          spectralDet,
+          spectralGeo,
           f"best available without embeddings: measured detection " +
-            f"$spectralDet%.3f is BELOW the requested $minDetection%.2f — " +
+            f"$spectralGeo%.3f is BELOW the requested $minDetection%.2f — " +
             "supply an image-embedding column for the semantic tier")
     }
-    val det = interpSweep(ImageSweep, mutationTolerance)
-    if (mutationTolerance < 0.0005)
+    val churnDet = interpSweep(ImageSweep, mutationTolerance)
+    val det = math.min(churnDet, dhashRecode)
+    if (mutationTolerance < 0.0005 && recodeQuality >= 100.0)
       FamilyRecommendation("exact", "Dedup.dropExactDuplicates over payload digests",
         1.0,
         "sub-sweep-resolution churn tolerance: byte-identical payloads " +
@@ -1015,10 +1062,27 @@ object Dedup {
       FamilyRecommendation("image_dhash",
         "Multimodal.imageFingerprints + imageAssign", det,
         f"dHash radius-3 clears $minDetection%.2f at " +
-          f"${mutationTolerance * 100}%.1f%% pixel churn (r15 sweep: detection " +
-          f"$det%.4f; the law is flat — a jittered pixel moves one 9x8 cell " +
-          "mean by ~1/14th of itself); one 64-bit fingerprint/doc, the " +
-          "smallest relation of any perceptual family")
+          f"${mutationTolerance * 100}%.1f%% pixel churn (r15 sweep: " +
+          f"$churnDet%.4f — the law is flat, a jittered pixel moves one " +
+          "9x8 cell mean by ~1/14th of itself)" +
+          (if (recodeQuality < 100.0)
+            f" and at quality-${recodeQuality}%.0f recodes (r17 sweep: " +
+              f"$dhashRecode%.4f; conservative min composition)"
+           else "") +
+          "; one 64-bit fingerprint/doc, the smallest relation of any " +
+          "perceptual family")
+    else if (mutationTolerance < 0.0005 && spectralRecode >= minDetection)
+      // a pure-recode corpus (no pixel churn asked for): the spectral
+      // descriptor's recode law is measured FLAT 1.000 to quality 10 —
+      // the tier that survives brutal recompression where the 64-bit
+      // fingerprint's radius saturates (r17 sweep: dHash 0.868 at q30)
+      FamilyRecommendation("image_spectral_lsh",
+        "Multimodal.imageSpectralFeatures + imageFeatureAssign (threshold 0.9)",
+        spectralRecode,
+        f"quality-${recodeQuality}%.0f recodes exceed the dHash radius " +
+          f"(r17 sweep: $dhashRecode%.4f) — the low-band DFT-magnitude " +
+          f"descriptor measured $spectralRecode%.3f there (quantization " +
+          "perturbs the high band the descriptor ignores)")
     else if (hasEmbeddings)
       FamilyRecommendation("embedding_lsh",
         "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over image embeddings",
@@ -1216,10 +1280,11 @@ object Dedup {
       scratchBudgetGb: Double = 0.0, threshold: Double = 0.98,
       targetRecall: Double = 0.98, hasEmbeddings: Boolean = true,
       vecCol: String = "embedding", maxPartitions: Int = 1024,
-      modality: String = "text", geometricTolerance: Double = 0.0): DedupPlan = {
+      modality: String = "text", geometricTolerance: Double = 0.0,
+      recodeQuality: Double = 100.0): DedupPlan = {
     require(scratchBudgetGb >= 0.0, s"negative scratch budget: $scratchBudgetGb")
     val rec = recommendFamily(mutationTolerance, minDetection, hasEmbeddings,
-      modality, geometricTolerance)
+      modality, geometricTolerance, recodeQuality)
     // the descriptor families (image grid/spectral, audio
     // envelope/spectral) ARE the embedding family over a derived
     // descriptor column — they share the embedding tier's sizing,

@@ -105,6 +105,29 @@ object ImageDedupProbe {
     spark.createDataFrame(rdd, Multimodal.imageSchema)
   }
 
+  /** Cross-CODEC recode twin corpus (r17): dup twins are the
+    * PREDECESSOR'S EXACT pixels re-encoded as baseline JPEG at
+    * `quality`, originals stay PNG — the "same image re-uploaded as a
+    * JPEG" web scenario the JpegGray decoder exists for. The only
+    * difference inside a planted pair is quantization noise, so the
+    * sweep reads the dHash radius directly against JPEG quality. */
+  def recodeCorpus(spark: SparkSession, n: Long, quality: Int,
+      w: Int = 32, h: Int = 32): DataFrame = {
+    val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+        val seed = if (isDup) id - 1 else id
+        val pix = Multimodal.patternPixels(seed, w, h)
+        val payload =
+          if (isDup) graft.functions.JpegGray.encodeGray(w, h, pix, quality)
+          else graft.functions.PngGray.encodeGray(w, h, pix)
+        Row(id, payload)
+      }
+    }
+    spark.createDataFrame(rdd, Multimodal.imageSchema)
+  }
+
   def main(args: Array[String]): Unit = {
     var size = 200000L
     var mutations = Seq(0.001, 0.005, 0.01, 0.02, 0.05, 0.10)
@@ -117,6 +140,7 @@ object ImageDedupProbe {
     var gridThreshold = 0.9
     var codec = "png"
     var throughput = false
+    var recodeQualities: Seq[Int] = Nil
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -134,6 +158,8 @@ object ImageDedupProbe {
           gridThreshold = args(i + 1).toDouble; i += 2
         case "--codec" if i + 1 < args.length => codec = args(i + 1); i += 2
         case "--throughput" => throughput = true; i += 1
+        case "--recodeSweep" if i + 1 < args.length =>
+          recodeQualities = args(i + 1).split(",").map(_.toInt).toSeq; i += 2
         case other => sys.error(s"unknown arg '$other'; usage: ImageDedupProbe " +
           "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B] " +
           "[--survivors] [--reprobe] [--cropSweep 1,2,4] [--family dhash|grid|spectral] " +
@@ -146,6 +172,85 @@ object ImageDedupProbe {
       s"--codec must be png|jpeg|jpeg420, got '$codec'")
     require(!throughput || cropShifts.isEmpty,
       "--throughput and --cropSweep are separate cells - pass one")
+    require(recodeQualities.isEmpty || (!throughput && cropShifts.isEmpty),
+      "--recodeSweep is its own cell - pass it alone")
+    if (recodeQualities.nonEmpty) {
+      // Cross-codec dedup boundary (r17): planted twins are byte-DIFFERENT
+      // (PNG original vs JPEG recode of the same pixels) so exact digests
+      // see nothing — detection is the dHash radius absorbing pure
+      // quantization noise, measured per quality. The median planted
+      // hamming locates the noise against the radius the way the crop
+      // sweep's does against the grid.
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+      val spark0 = graft.core.Sessions.local(cpus0)
+      if (family != "dhash") {
+        // the descriptor tiers on the SAME recode corpus: where the
+        // 64-bit fingerprint's radius saturates (low quality), the
+        // float descriptors' cosine cut may still hold — the routing
+        // evidence for re-encode-heavy corpora
+        recodeQualities.foreach { q =>
+          val t0 = System.nanoTime()
+          val feats = (if (family == "grid")
+            Multimodal.imageGridFeatures(recodeCorpus(spark0, size, q))
+          else Multimodal.imageSpectralFeatures(recodeCorpus(spark0, size, q)))
+            .filter(col("feature").isNotNull)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val detected = graft.ext.Similarity.nearDupPairsLsh(feats,
+            gridThreshold, idCol = "media_id", vecCol = "feature")
+            .filter(col("id_b") === col("id_a") + 1 &&
+              pmod(col("id_b"), lit(20)) === 1).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          feats.unpersist()
+          spark0.sharedState.cacheManager.clearCache()
+          println(f"""{"check":"image_recode_detection","family":"$family",""" +
+            f""""rows":$size,"quality":$q,"threshold":$gridThreshold,""" +
+            f""""detected":$detected,"true_dups":${size / 20},""" +
+            f""""detection":${detected.toDouble / (size / 20)}%.4f,"wall_s":$dt%.3f}""")
+        }
+        spark0.stop()
+        return
+      }
+      recodeQualities.foreach { q =>
+        val t0 = System.nanoTime()
+        val fps = Multimodal.imageFingerprints(recodeCorpus(spark0, size, q))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val detected = Multimodal.imageNearDups(fps, radius, blocks)
+          .filter(col("media_b") === col("media_a") + 1 &&
+            pmod(col("media_b"), lit(20)) === 1)
+          .count()
+        // 65-bin distributed hamming histogram (the crop sweep's shape)
+        val valid = fps.filter(col("dhash").isNotNull)
+        val hist = valid.select(col("media_id"), col("dhash"))
+          .join(valid.select((col("media_id") - 1).as("media_id"),
+            col("dhash").as("dhash_b")), "media_id")
+          .filter(pmod(col("media_id"), lit(20)) === 0)
+          .groupBy(graft.ext.Dedup.hamming(col("dhash"), col("dhash_b"))
+            .cast("int").as("ham"))
+          .count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val total = hist.map(_._2).sum
+        val med =
+          if (total == 0) -1
+          else {
+            var rem = total / 2 + 1; var m = -1; var k = 0
+            while (rem > 0 && k < hist.length) {
+              m = hist(k)._1; rem -= hist(k)._2; k += 1
+            }
+            m
+          }
+        val maxHam = if (hist.isEmpty) -1 else hist.last._1
+        val dt = (System.nanoTime() - t0) / 1e9
+        fps.unpersist()
+        spark0.sharedState.cacheManager.clearCache()
+        println(f"""{"check":"image_recode_detection","rows":$size,"quality":$q,""" +
+          f""""radius":$radius,"detected":$detected,"true_dups":${size / 20},""" +
+          f""""detection":${detected.toDouble / (size / 20)}%.4f,""" +
+          f""""median_planted_hamming":$med,"max_planted_hamming":$maxHam,""" +
+          f""""wall_s":$dt%.3f}""")
+      }
+      spark0.stop()
+      return
+    }
     if (throughput) {
       // The r17 at-scale cell (AudioDedupProbe's shape): decode + dHash
       // rate per codec — the blob-to-8-bytes reduction that makes 100 TB

@@ -1713,6 +1713,77 @@ class ExtSpec extends SparkSpec {
     } finally { media.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
+  test("recode tolerance routes dHash then the spectral tier; runPlan executes on recodes") {
+    import graft.ext.Dedup
+    import graft.functions.{JpegGray, PngGray}
+    // ── routing pins at the r17 recode-sweep cells ──
+    // quality-85 re-encounters stay inside the dHash radius (0.9996)
+    val r85 = Dedup.recommendFamily(0.01, modality = "image",
+      recodeQuality = 85)
+    assert(r85.family == "image_dhash" && r85.expectedDetection >= 0.96,
+      r85.rationale)
+    // recodes are byte-DIFFERENT: the exact rung must NOT trigger even
+    // at byte-identical churn tolerance when recodes are in scope
+    assert(Dedup.recommendFamily(0.0001, modality = "image").family == "exact")
+    val rPure = Dedup.recommendFamily(0.0001, modality = "image",
+      recodeQuality = 85)
+    assert(rPure.family == "image_dhash", rPure.rationale)
+    // quality 30 exceeds the radius (0.868 measured) — the spectral
+    // tier's flat recode law takes over
+    val r30 = Dedup.recommendFamily(0.0001, modality = "image",
+      recodeQuality = 30)
+    assert(r30.family == "image_spectral_lsh" &&
+      math.abs(r30.expectedDetection - 1.0) < 1e-9, r30.rationale)
+    // ...unless the caller's bar sits below the measured dHash cell
+    assert(Dedup.recommendFamily(0.0001, minDetection = 0.85,
+      modality = "image", recodeQuality = 30).family == "image_dhash")
+    // under recodes the grid tier has NO measured law: the geometric
+    // ladder skips it for the spectral tier (vs winning without recodes)
+    assert(Dedup.recommendFamily(0.01, minDetection = 0.7,
+      modality = "image", geometricTolerance = 1).family == "image_grid_lsh")
+    val geoRec = Dedup.recommendFamily(0.01, minDetection = 0.7,
+      modality = "image", geometricTolerance = 1, recodeQuality = 85)
+    assert(geoRec.family == "image_spectral_lsh" &&
+      geoRec.rationale.contains("NO measured recode law"), geoRec.rationale)
+    // measured-domain guardrails: below quality 10 nothing is measured;
+    // the knob is image-only
+    intercept[IllegalArgumentException] {
+      Dedup.recommendFamily(0.01, modality = "image", recodeQuality = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.recommendFamily(0.01, recodeQuality = 85)
+    }
+
+    // ── execution: a quality-35 recode corpus through the routed plan ──
+    val media = spark.range(60).select($"id".as("media_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+      val seed = if (isDup) id - 1 else id
+      val pix = Multimodal.patternPixels(seed, 32, 32)
+      val payload =
+        if (isDup) JpegGray.encodeGray(32, 32, pix, 35)
+        else PngGray.encodeGray(32, 32, pix)
+      org.apache.spark.sql.Row(id, payload)
+    }
+    val mediaDf = spark.createDataFrame(media, Multimodal.imageSchema)
+    val feats = Multimodal.imageSpectralFeatures(mediaDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = Dedup.plan(feats, mutationTolerance = 0.0001,
+        modality = "image", recodeQuality = 30, vecCol = "feature",
+        hasEmbeddings = false)
+      assert(p.family == "image_spectral_lsh" && p.lshConfig.isDefined)
+      val assign = Dedup.runPlan(p, feats, idCol = "media_id",
+        vecCol = "feature").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // every planted recode twin is eliminated toward its original
+      (1L to 41L by 20).foreach { id =>
+        assert(assign(id).isDefined, s"recode twin $id survived")
+      }
+    } finally { feats.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("runPlanByKind: one call curates a mixed png/jpeg/wav/mp4 corpus, per-kind equal") {
     import graft.ext.Dedup
     val docs = spark.range(60).select($"id".as("doc_id"),
