@@ -10,17 +10,20 @@ package graft.functions
   *
   * Subset, all from the public spec (ITU-T T.81 / ISO 10918-1, JFIF):
   * baseline sequential DCT (SOF0; SOF1's 8-bit case decodes identically
-  * and is accepted), Huffman entropy coding, 8-bit precision, 1 component
-  * (grayscale) or 3 components (JFIF YCbCr) with any sampling factors
-  * 1..4 where the luma component carries the frame maxima (every JFIF
-  * encoder in practice — 4:4:4, 4:2:2, 4:2:0, 4:4:0), restart markers,
-  * multi-table DQT/DHT segments, 16-bit DQT precision, APPn/COM skip.
-  * Progressive (SOF2), arithmetic coding, hierarchical, lossless, and
-  * 12-bit frames land in per-row `error` — one odd blob poisons its row,
-  * never the job, the [[MediaHeader]] contract. Every failure is a Left;
-  * the decode is throw-free and every loop advances (hostile bytes can
-  * neither hang nor OOM it: the same 64 MPix dimension cap as
-  * [[PngGray]]).
+  * and is accepted) AND progressive DCT (SOF2, r17: spectral selection +
+  * successive approximation, DC/AC first and refinement scans with EOB
+  * runs — the dominant remaining web-JPEG class), Huffman entropy
+  * coding, 8-bit precision, 1 component (grayscale) or 3 components
+  * (JFIF YCbCr) with any sampling factors 1..4 where the luma component
+  * carries the frame maxima (every JFIF encoder in practice — 4:4:4,
+  * 4:2:2, 4:2:0, 4:4:0), restart markers, multi-table DQT/DHT segments,
+  * 16-bit DQT precision, APPn/COM skip. Arithmetic coding, hierarchical,
+  * lossless, and 12-bit frames land in per-row `error` — one odd blob
+  * poisons its row, never the job, the [[MediaHeader]] contract. Every
+  * failure is a Left; the decode is throw-free and every loop advances
+  * (hostile bytes can neither hang nor OOM it: a 64 MPix dimension cap
+  * like [[PngGray]]'s, tightened to 32 MPix for progressive frames whose
+  * cross-scan luma coefficient buffer costs 4 bytes/sample).
   *
   * The output is the LUMINANCE plane only — exactly what every consumer
   * of [[ImageCodecs.decode]] wants. JFIF's Y channel IS luma, so the
@@ -194,6 +197,8 @@ private[graft] object JpegGray {
     var comps: Array[Comp] = null
     var width = 0; var height = 0
     var ri = 0 // restart interval in MCUs
+    var progressive = false
+    var prog: ProgState = null // luma coefficient accumulator (SOF2 path)
     var i = 2
     while (true) {
       // marker scan: 0xFF fill bytes tolerated
@@ -203,11 +208,16 @@ private[graft] object JpegGray {
       if (i >= n) return Left("jpeg_truncated")
       val marker = u8(payload, i); i += 1
       marker match {
-        case 0xd9 => return Left("jpeg_no_sos") // EOI before any scan
+        case 0xd9 => // EOI: progressive decodes accumulate until here
+          return if (prog != null && prog.sawLuma)
+            finishProgressive(prog, qt, qtSeen, comps, width, height)
+          else if (prog != null) Left("jpeg_bad_data") // scans, none luma
+          else Left("jpeg_no_sos") // EOI before any scan
         case 0xd8 => return Left("jpeg_bad_marker") // duplicate SOI
         case 0x01 => () // TEM, standalone
         case m if m >= 0xd0 && m <= 0xd7 => () // stray RST, standalone
-        case 0xc0 | 0xc1 => // SOF0 / SOF1 (8-bit case identical)
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 (identical at 8-bit) / SOF2
+          progressive = marker == 0xc2
           if (comps != null) return Left("jpeg_bad_marker")
           if (i + 2 > n) return Left("jpeg_truncated")
           val len = be16(payload, i)
@@ -228,8 +238,18 @@ private[graft] object JpegGray {
           }
           if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 ||
             c.tq > 3)) return Left("jpeg_unsupported_sampling")
+          // single-component frames normalize to 1x1 factors here, ONCE,
+          // so the baseline and progressive paths share the T.81 A.2.2
+          // non-interleaved geometry (decodeScan's internal
+          // normalization is then a no-op)
+          if (nf == 1) comps = Array(comps(0).copy(h = 1, v = 1))
+          // the progressive path holds a full-image luma COEFFICIENT
+          // buffer across scans (4 bytes/sample) — a tighter cap than
+          // the baseline's streaming 64 MPix keeps the worst case at
+          // ~128 MB of scratch
+          if (progressive && width.toLong * height > 32L * 1024 * 1024)
+            return Left("jpeg_bad_dims")
           i += len
-        case 0xc2 => return Left("jpeg_unsupported_progressive")
         case 0xc4 => // DHT, possibly several tables in one segment
           if (i + 2 > n) return Left("jpeg_truncated")
           val len = be16(payload, i)
@@ -288,7 +308,9 @@ private[graft] object JpegGray {
           val len = be16(payload, i)
           if (len < 6 || i + len > n) return Left("jpeg_truncated")
           val ns = u8(payload, i + 2)
-          if (ns != comps.length) return Left("jpeg_unsupported_scan")
+          if (!progressive && ns != comps.length)
+            return Left("jpeg_unsupported_scan")
+          if (ns < 1 || ns > comps.length) return Left("jpeg_bad_scan")
           if (len != 6 + 2 * ns) return Left("jpeg_truncated")
           // scan components must reference frame components; collect
           // their entropy table ids in scan order
@@ -305,9 +327,25 @@ private[graft] object JpegGray {
           val ss = u8(payload, i + 3 + 2 * ns)
           val se = u8(payload, i + 4 + 2 * ns)
           val ahal = u8(payload, i + 5 + 2 * ns)
-          if (ss != 0 || se != 63 || ahal != 0) return Left("jpeg_bad_scan")
-          return decodeScan(payload, i + len, n, comps, scan, qt, qtSeen,
-            dcTabs, acTabs, width, height, ri)
+          if (!progressive) {
+            if (ss != 0 || se != 63 || ahal != 0) return Left("jpeg_bad_scan")
+            return decodeScan(payload, i + len, n, comps, scan, qt, qtSeen,
+              dcTabs, acTabs, width, height, ri)
+          }
+          // progressive: one of many scans — validate the spectral band
+          // and successive-approximation fields, decode, keep walking
+          val ah = ahal >> 4; val al = ahal & 15
+          if (ss > 63 || se > 63 || se < ss) return Left("jpeg_bad_scan")
+          if (ss == 0 && se != 0) return Left("jpeg_bad_scan") // DC alone
+          if (ss > 0 && ns != 1) return Left("jpeg_bad_scan") // AC: 1 comp
+          if (al > 13 || !(ah == 0 || ah == al + 1))
+            return Left("jpeg_bad_scan")
+          if (prog == null) prog = new ProgState(comps, width, height)
+          decodeProgressiveScan(payload, i + len, n, comps, scan,
+            ss, se, ah, al, ri, prog, dcTabs, acTabs, width, height) match {
+            case Left(e) => return Left(e)
+            case Right(next) => i = next
+          }
         case _ => // APPn, COM, anything else with a length: skip
           if (i + 2 > n) return Left("jpeg_truncated")
           val len = be16(payload, i)
@@ -408,52 +446,9 @@ private[graft] object JpegGray {
                 k += 1
               }
             }
-            if (isLuma) {
-              // ── separable double IDCT, fixed order, into the plane ──
-              // rows: tmp(i)(x) = Σ_j ct(j)(x)·coef(i, j)
-              var ii = 0
-              while (ii < 8) {
-                var x = 0
-                while (x < 8) {
-                  var s2 = 0.0
-                  var j = 0
-                  while (j < 8) {
-                    val cv = coef(ii * 8 + j)
-                    if (cv != 0) s2 += Ct(j)(x) * cv
-                    j += 1
-                  }
-                  tmp(ii * 8 + x) = s2
-                  x += 1
-                }
-                ii += 1
-              }
-              val px0 = (mx * comp.h + bx) * 8
-              val py0 = (my * comp.v + by) * 8
-              var y = 0
-              while (y < 8) {
-                val py = py0 + y
-                if (py < height) {
-                  var x = 0
-                  while (x < 8) {
-                    val px = px0 + x
-                    if (px < width) {
-                      var s2 = 0.0
-                      var iU = 0
-                      while (iU < 8) {
-                        s2 += Ct(iU)(y) * tmp(iU * 8 + x)
-                        iU += 1
-                      }
-                      val v = StrictMath.rint(s2) + 128.0
-                      val clamped =
-                        if (v <= 0.0) 0 else if (v >= 255.0) 255 else v.toInt
-                      pix(py * width + px) = clamped.toByte
-                    }
-                    x += 1
-                  }
-                }
-                y += 1
-              }
-            }
+            if (isLuma)
+              idctBlock(coef, tmp, pix, width, height,
+                (mx * comp.h + bx) * 8, (my * comp.v + by) * 8)
             bx += 1
           }
           by += 1
@@ -463,6 +458,348 @@ private[graft] object JpegGray {
       mcu += 1
     }
     Right(Gray(width, height, pix))
+  }
+
+  /** Luma coefficient accumulator for the progressive (SOF2) path: one
+    * Int per sample over the MCU-PADDED block grid (interleaved DC scans
+    * cover padding blocks; non-interleaved scans cover the unpadded
+    * raster), filled across scans and dequantized+IDCT'd once at EOI.
+    * Coefficients are stored at their NATURAL in-block positions, scaled
+    * by the successive-approximation point transform as decoded. */
+  private final class ProgState(comps: Array[Comp], width: Int, height: Int) {
+    private val hmax = comps.map(_.h).max
+    private val vmax = comps.map(_.v).max
+    val mcusX: Int = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY: Int = (height + 8 * vmax - 1) / (8 * vmax)
+    val wBlocksPad: Int = mcusX * comps(0).h
+    val hBlocksPad: Int = mcusY * comps(0).v
+    val wBlocks: Int = (width + 7) / 8 // luma is full-res (maxima enforced)
+    val hBlocks: Int = (height + 7) / 8
+    val coef: Array[Int] = new Array[Int](wBlocksPad * hBlocksPad * 64)
+    var sawLuma: Boolean = false
+  }
+
+  /** Position of the next REAL marker at or after `from`: steps over
+    * entropy bytes, stuffed 0xFF00 pairs, fill 0xFFs, and restart
+    * markers. Returns the index of the marker's 0xFF (the outer loop's
+    * expected shape), or `end` when the stream runs out. */
+  private def skipToMarker(b: Array[Byte], from: Int, end: Int): Int = {
+    var p = math.max(from, 0)
+    while (p + 1 < end) {
+      if ((b(p) & 0xff) == 0xff) {
+        val m = b(p + 1) & 0xff
+        if (m == 0) p += 2 // stuffed data byte
+        else if (m == 0xff) p += 1 // fill
+        else if (m >= 0xd0 && m <= 0xd7) p += 2 // restart, keep walking
+        else return p
+      } else p += 1
+    }
+    end
+  }
+
+  /** One progressive scan (T.81 G.2): DC first/refinement (interleaved
+    * or single-component) and AC first/refinement with EOB runs — LUMA
+    * coefficients land in `st.coef`; chroma-only scans are skipped
+    * structurally (self-delimited by the next marker) and chroma blocks
+    * inside interleaved DC scans are entropy-walked for bit sync, the
+    * baseline chroma discipline. Returns the position of the next
+    * marker's 0xFF. */
+  private def decodeProgressiveScan(b: Array[Byte], start: Int, end: Int,
+      comps: Array[Comp], scan: Array[(Int, Int, Int)], ss: Int, se: Int,
+      ah: Int, al: Int, ri: Int, st: ProgState,
+      dcTabs: Array[Huff], acTabs: Array[Huff],
+      width: Int, height: Int): Either[String, Int] = {
+    val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+    if (comps(0).h != hmax || comps(0).v != vmax)
+      return Left("jpeg_unsupported_sampling")
+    // a scan with no luma carries nothing this decoder keeps: its
+    // entropy data is self-delimited, so skip to the next marker without
+    // paying the Huffman walk at all
+    if (!scan.exists(_._1 == 0)) return Right(skipToMarker(b, start, end))
+    // table availability: DC-first needs the DC table, AC needs the AC
+    // table; REFINEMENT DC scans read raw bits only
+    if (ss == 0 && ah == 0) {
+      var c = 0
+      while (c < scan.length) {
+        if (dcTabs(scan(c)._2) == null) return Left("jpeg_no_dht")
+        c += 1
+      }
+    }
+    if (ss > 0 && acTabs(scan(0)._3) == null) return Left("jpeg_no_dht")
+
+    val bits = new Bits(b, start, end)
+    val pred = new Array[Int](scan.length)
+    var eobrun = 0
+    var rstIdx = 0
+    st.sawLuma = true
+
+    /** Correction bits over nonzero-history coefficients k..se of one
+      * block (AC refinement, G.1.2.3); -1 = bitstream ended. */
+    def corrections(base: Int, fromK: Int): Int = {
+      val p1 = 1 << al
+      var k = fromK
+      while (k <= se) {
+        val idx = base + Zigzag(k)
+        if (st.coef(idx) != 0) {
+          val bit = bits.nextBit()
+          if (bit < 0) return -1
+          if (bit == 1 && (st.coef(idx) & p1) == 0)
+            st.coef(idx) += (if (st.coef(idx) >= 0) p1 else -p1)
+        }
+        k += 1
+      }
+      0
+    }
+
+    /** One luma AC block (first or refinement). Returns false on error. */
+    def acBlock(base: Int): Boolean = {
+      if (ah == 0) {
+        // first scan for this band
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        var done = false
+        while (!done && k <= se) {
+          val rs = bits.huffDecode(acTabs(scan(0)._3))
+          if (rs < 0) return false
+          val r = rs >> 4; val sBits = rs & 15
+          if (sBits == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) {
+                val extra = bits.receive(r)
+                if (extra == Int.MinValue) return false
+                eobrun += extra
+              }
+              done = true
+            }
+          } else {
+            k += r
+            if (k > se) return false
+            val v = bits.receive(sBits)
+            if (v == Int.MinValue) return false
+            st.coef(base + Zigzag(k)) = extend(v, sBits) << al
+            k += 1
+          }
+        }
+        true
+      } else {
+        // refinement (G.1.2.3)
+        val p1 = 1 << al
+        if (eobrun > 0) {
+          if (corrections(base, ss) < 0) return false
+          eobrun -= 1
+          return true
+        }
+        var k = ss
+        var done = false
+        while (!done && k <= se) {
+          val rs = bits.huffDecode(acTabs(scan(0)._3))
+          if (rs < 0) return false
+          var r = rs >> 4; val sBits = rs & 15
+          var newVal = 0
+          if (sBits == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) {
+                val extra = bits.receive(r)
+                if (extra == Int.MinValue) return false
+                eobrun += extra
+              }
+              // the CURRENT block's tail gets correction bits; the run
+              // count covers the blocks AFTER it (no decrement here)
+              if (corrections(base, k) < 0) return false
+              done = true
+            }
+            // r == 15 (ZRL): pass 16 zero-history coefficients below
+          } else {
+            if (sBits != 1) return false
+            val bit = bits.nextBit()
+            if (bit < 0) return false
+            newVal = if (bit == 1) p1 else -p1
+          }
+          if (!done) {
+            var placed = false
+            while (!placed && k <= se) {
+              val idx = base + Zigzag(k)
+              if (st.coef(idx) != 0) {
+                val bit = bits.nextBit()
+                if (bit < 0) return false
+                if (bit == 1 && (st.coef(idx) & p1) == 0)
+                  st.coef(idx) += (if (st.coef(idx) >= 0) p1 else -p1)
+              } else {
+                if (r == 0) {
+                  if (newVal != 0) st.coef(idx) = newVal
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) return false // band overrun
+          }
+        }
+        true
+      }
+    }
+
+    /** One DC data unit for scan component c; stores into luma when
+      * `base >= 0`. Returns false on error. */
+    def dcUnit(c: Int, base: Int): Boolean = {
+      if (ah == 0) {
+        val t = bits.huffDecode(dcTabs(scan(c)._2))
+        if (t < 0 || t > 15) return false
+        val diffBits = if (t == 0) 0 else bits.receive(t)
+        if (diffBits == Int.MinValue) return false
+        pred(c) += extend(diffBits, t)
+        if (base >= 0) st.coef(base) = pred(c) << al
+        true
+      } else {
+        val bit = bits.nextBit()
+        if (bit < 0) return false
+        if (base >= 0 && bit == 1) st.coef(base) |= (1 << al)
+        true
+      }
+    }
+
+    if (ss == 0 && scan.length > 1) {
+      // interleaved DC scan: the baseline MCU geometry, all components
+      // entropy-decoded, luma stored (padding blocks included — the
+      // buffer is MCU-padded for exactly this)
+      val totalMcus = st.mcusY.toLong * st.mcusX
+      var mcu = 0
+      while (mcu < totalMcus) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          if (!bits.expectRestart(0xd0 + (rstIdx & 7)))
+            return Left("jpeg_bad_restart")
+          rstIdx += 1
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+        val mx = mcu % st.mcusX; val my = mcu / st.mcusX
+        var c = 0
+        while (c < scan.length) {
+          val comp = comps(scan(c)._1)
+          val isLuma = scan(c)._1 == 0
+          var by = 0
+          while (by < comp.v) {
+            var bx = 0
+            while (bx < comp.h) {
+              val base =
+                if (isLuma)
+                  ((my * comp.v + by) * st.wBlocksPad + (mx * comp.h + bx)) * 64
+                else -1
+              if (!dcUnit(c, base)) return Left("jpeg_bad_data")
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved LUMA scan (DC or AC band): one data unit per
+      // MCU over the component's unpadded full-resolution raster
+      val total = st.hBlocks.toLong * st.wBlocks
+      var blk = 0
+      while (blk < total) {
+        if (ri > 0 && blk > 0 && blk % ri == 0) {
+          if (!bits.expectRestart(0xd0 + (rstIdx & 7)))
+            return Left("jpeg_bad_restart")
+          rstIdx += 1
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+        val bx = (blk % st.wBlocks).toInt; val by = (blk / st.wBlocks).toInt
+        val base = (by * st.wBlocksPad + bx) * 64
+        val ok = if (ss == 0) dcUnit(0, base) else acBlock(base)
+        if (!ok) return Left("jpeg_bad_data")
+        blk += 1
+      }
+    }
+    Right(
+      if (bits.marker >= 0) bits.pos - 2
+      else skipToMarker(b, bits.pos, end))
+  }
+
+  /** EOI for the progressive path: dequantize the accumulated luma
+    * coefficients with the CURRENT luma table and IDCT every unpadded
+    * block into the plane. Partial files (refinement scans missing)
+    * decode to their coarse approximation — the format's own contract. */
+  private def finishProgressive(st: ProgState, qt: Array[Array[Int]],
+      qtSeen: Array[Boolean], comps: Array[Comp], width: Int,
+      height: Int): Either[String, Gray] = {
+    if (!qtSeen(comps(0).tq)) return Left("jpeg_no_dqt")
+    val q = qt(comps(0).tq)
+    val pix = new Array[Byte](width * height)
+    val dq = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var by = 0
+    while (by < st.hBlocks) {
+      var bx = 0
+      while (bx < st.wBlocks) {
+        val base = (by * st.wBlocksPad + bx) * 64
+        var k = 0
+        while (k < 64) {
+          val nat = Zigzag(k)
+          dq(nat) = st.coef(base + nat) * q(k)
+          k += 1
+        }
+        idctBlock(dq, tmp, pix, width, height, bx * 8, by * 8)
+        bx += 1
+      }
+      by += 1
+    }
+    Right(Gray(width, height, pix))
+  }
+
+  /** Separable double IDCT of one dequantized block (natural order),
+    * fixed summation order, +128 level shift, clamp — written into the
+    * plane at (px0, py0) with edge clipping. Shared by the baseline MCU
+    * loop and the progressive finish pass. */
+  private def idctBlock(coef: Array[Int], tmp: Array[Double],
+      pix: Array[Byte], width: Int, height: Int, px0: Int, py0: Int): Unit = {
+    // rows: tmp(i)(x) = Σ_j ct(j)(x)·coef(i, j)
+    var ii = 0
+    while (ii < 8) {
+      var x = 0
+      while (x < 8) {
+        var s2 = 0.0
+        var j = 0
+        while (j < 8) {
+          val cv = coef(ii * 8 + j)
+          if (cv != 0) s2 += Ct(j)(x) * cv
+          j += 1
+        }
+        tmp(ii * 8 + x) = s2
+        x += 1
+      }
+      ii += 1
+    }
+    var y = 0
+    while (y < 8) {
+      val py = py0 + y
+      if (py < height) {
+        var x = 0
+        while (x < 8) {
+          val px = px0 + x
+          if (px < width) {
+            var s2 = 0.0
+            var iU = 0
+            while (iU < 8) {
+              s2 += Ct(iU)(y) * tmp(iU * 8 + x)
+              iU += 1
+            }
+            val v = StrictMath.rint(s2) + 128.0
+            val clamped =
+              if (v <= 0.0) 0 else if (v >= 255.0) 255 else v.toInt
+            pix(py * width + px) = clamped.toByte
+          }
+          x += 1
+        }
+      }
+      y += 1
+    }
   }
 
   // ─────────────── Fixture-grade encoders (tests + corpus) ───────────────

@@ -149,9 +149,8 @@ class JpegSpec extends SparkSpec {
     def patched(f: Array[Byte] => Unit): Array[Byte] = {
       val b = good.clone(); f(b); b
     }
-    // progressive: ImageIO writes a real SOF2 stream
-    val prog = imageioEncode(grayBI(24, 16, pix), 0.8f, progressive = true)
-    assert(JpegGray.decode(prog) == Left("jpeg_unsupported_progressive"))
+    // progressive streams are REAL decodes now (r17) — the negative pin
+    // moved to the dedicated progressive test below
     // find our SOF0 marker and patch classes onto it
     def findMarker(m: Int): Int = {
       var i = 2
@@ -249,6 +248,81 @@ class JpegSpec extends SparkSpec {
       val v = valids(rnd.nextInt(valids.length)).clone()
       v(rnd.nextInt(v.length)) = rnd.nextInt(256).toByte
       JpegGray.decode(v) // must not throw (Left or lossy Right, both fine)
+    }
+  }
+
+  test("JpegGray progressive (SOF2): ImageIO parity +-1, partial-file coarse decode, fuzz") {
+    // spectral-selection + successive-approximation scans, luma kept,
+    // chroma scans skipped structurally (self-delimited) or sync-walked
+    // (interleaved DC) — parity against ImageIO's own progressive output
+    for (seed <- 1 to 15) {
+      val r = new scala.util.Random(seed + 900)
+      val w = 1 + r.nextInt(64); val h = 1 + r.nextInt(64)
+      val pix =
+        if (seed % 2 == 0) graft.ext.Multimodal.patternPixels(seed.toLong, w, h)
+        else Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      val q = 0.4f + r.nextInt(6) / 10.0f
+      for (gray <- Seq(true, false)) {
+        val bi = if (gray) grayBI(w, h, pix) else rgbBI(w, h, pix)
+        val bytes = imageioEncode(bi, q, progressive = true)
+        JpegGray.decode(bytes) match {
+          case Left(e) => fail(s"seed $seed gray=$gray ${w}x$h: $e")
+          case Right(g) =>
+            val ref = imageioDecode(bytes)
+            for (y <- 0 until h; x <- 0 until w) {
+              val expect =
+                if (gray) ref.getRaster.getSample(x, y, 0)
+                else {
+                  val rgb = ref.getRGB(x, y)
+                  (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+                    29 * (rgb & 0xff)) >> 8
+                }
+              assert(math.abs((g.pix(y * w + x) & 0xff) - expect) <= 1,
+                s"seed $seed gray=$gray ($x,$y)")
+            }
+        }
+      }
+    }
+    // the format's own contract: a file cut AFTER a complete scan but
+    // before the refinements decodes to the coarse approximation (EOI
+    // appended), still structurally valid — and every raw truncation
+    // prefix / corruption never throws
+    val pix = graft.ext.Multimodal.patternPixels(31L, 40, 28)
+    val full = imageioEncode(grayBI(40, 28, pix), 0.8f, progressive = true)
+    assert(JpegGray.decode(full).isRight)
+    (0 until full.length).foreach { cut =>
+      JpegGray.decode(full.take(cut)) // must not throw
+    }
+    val rnd = new scala.util.Random(2024)
+    (1 to 300).foreach { _ =>
+      val v = full.clone()
+      v(rnd.nextInt(v.length)) = rnd.nextInt(256).toByte
+      JpegGray.decode(v) // must not throw (Left or lossy Right)
+    }
+    // cut after the first scan's data (find the second SOS, cut before
+    // it, append EOI): coarse but valid — pixel plane close to the full
+    // decode's (DC + first AC band carry most of the smooth content)
+    var sosCount = 0; var secondSos = -1
+    var i = 2
+    while (i + 1 < full.length && secondSos < 0) {
+      if ((full(i) & 0xff) == 0xff && (full(i + 1) & 0xff) == 0xda) {
+        sosCount += 1
+        if (sosCount == 2) secondSos = i
+      }
+      i += 1
+    }
+    assert(secondSos > 0, "ImageIO progressive stream had a single scan")
+    val partial = full.take(secondSos) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    JpegGray.decode(partial) match {
+      case Left(e) => fail(s"partial progressive decode failed: $e")
+      case Right(g) =>
+        val fullG = JpegGray.decode(full).toOption.get
+        var sumAbs = 0L
+        for (k <- g.pix.indices)
+          sumAbs += math.abs((g.pix(k) & 0xff) - (fullG.pix(k) & 0xff))
+        val mean = sumAbs.toDouble / g.pix.length
+        assert(mean < 32.0, s"coarse decode too far from full: mean |d| $mean")
     }
   }
 
