@@ -337,8 +337,14 @@ object Multimodal {
         val idm20 = java.lang.Math.floorMod(id, 20L)
         val payload =
           if (java.lang.Math.floorMod(id, 3L) == 0L && idm20 >= 2L) {
-            if (java.lang.Math.floorMod(id, 6L) == 0L)
+            if (java.lang.Math.floorMod(id, 12L) == 0L)
               graft.functions.JpegGray.encodeGray(w, h, pix, quality = 92)
+            else if (java.lang.Math.floorMod(id, 6L) == 0L)
+              // the SOF2 half of the gray-JPEG slice: bit-identical
+              // decode to the baseline encoding (spec-pinned), so the
+              // gates exercise the progressive path at zero oracle risk
+              graft.functions.JpegGray.encodeGrayProgressive(w, h, pix,
+                quality = 92)
             else {
               val cw = (w + 1) / 2; val ch = (h + 1) / 2
               graft.functions.JpegGray.encodeColor420(w, h, pix,

@@ -1064,6 +1064,94 @@ private[graft] object JpegGray {
     out.toByteArray
   }
 
+  /** Fixture-grade PROGRESSIVE (SOF2) grayscale encoder: the simplest
+    * legal scan script — one full-precision DC scan, then one AC scan of
+    * the whole 1..63 band (spectral selection only, no successive
+    * approximation; per-block EOBs, no cross-block runs). Coefficients
+    * come from the SAME [[fdctQuant]] as [[encodeGray]], so
+    * `decode(encodeGrayProgressive(...)) == decode(encodeGray(...))`
+    * BIT-exact (both paths dequantize the same ints through the same
+    * IDCT) — the ExtSpec/JpegSpec cross-encoding pin, PngGray's
+    * interlaced-encoder contract applied to JPEG. `restartInterval`
+    * applies per scan (DC predictors / EOB state reset). */
+  def encodeGrayProgressive(width: Int, height: Int, pix: Array[Byte],
+      quality: Int = 90, restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && pix.length == width * height,
+      s"bad gray buffer: ${width}x$height vs ${pix.length}")
+    val q = scaledQ(LumQBase, quality)
+    val out = new java.io.ByteArrayOutputStream()
+    writeMarker(out, 0xd8)
+    writeSeg(out, 0xe0, jfifApp0)
+    writeSeg(out, 0xdb, dqtSeg(0, q))
+    writeSeg(out, 0xc2, Array(8, height >> 8, height & 0xff,
+      width >> 8, width & 0xff, 1, 1, 0x11, 0))
+    writeSeg(out, 0xc4, dhtSeg(0, 0, DcLumBits, DcLumVals))
+    writeSeg(out, 0xc4, dhtSeg(1, 0, AcLumBits, AcLumVals))
+    if (restartInterval > 0)
+      writeSeg(out, 0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+    val dc = encCodes(DcLumBits, DcLumVals)
+    val ac = encCodes(AcLumBits, AcLumVals)
+    val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
+    val total = mcusX * mcusY
+    // ── scan 1: DC only (Ss = Se = 0, full precision) ──
+    writeSeg(out, 0xda, Array(1, 1, 0x00, 0, 0, 0))
+    var bw = new BitWriter(out)
+    var pred = 0
+    var rstIdx = 0
+    var mcu = 0
+    while (mcu < total) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush()
+        writeMarker(out, 0xd0 + (rstIdx & 7))
+        rstIdx += 1
+        pred = 0
+      }
+      val zz = fdctQuant(pix, width, height,
+        (mcu % mcusX) * 8, (mcu / mcusX) * 8, q)
+      val diff = zz(0) - pred
+      pred = zz(0)
+      val t = ssss(diff)
+      val (c, l) = dc(t)
+      bw.put(c, l)
+      putCoef(bw, diff, t)
+      mcu += 1
+    }
+    bw.flush()
+    // ── scan 2: the whole AC band (Ss = 1, Se = 63) ──
+    writeSeg(out, 0xda, Array(1, 1, 0x00, 1, 63, 0))
+    bw = new BitWriter(out)
+    rstIdx = 0
+    mcu = 0
+    while (mcu < total) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush()
+        writeMarker(out, 0xd0 + (rstIdx & 7))
+        rstIdx += 1
+      }
+      val zz = fdctQuant(pix, width, height,
+        (mcu % mcusX) * 8, (mcu / mcusX) * 8, q)
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run >= 16) { val (c, l) = ac(0xf0); bw.put(c, l); run -= 16 }
+          val sB = ssss(zz(k))
+          val (c, l) = ac((run << 4) | sB)
+          bw.put(c, l)
+          putCoef(bw, zz(k), sB)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (c, l) = ac(0x00); bw.put(c, l) } // EOB (run of 1)
+      mcu += 1
+    }
+    bw.flush()
+    writeMarker(out, 0xd9)
+    out.toByteArray
+  }
+
   /** Fixture-grade baseline COLOR (YCbCr 4:2:0) JPEG encoder: `pix` is
     * the luma plane; `cb`/`cr` are the quarter-res chroma planes
     * (⌈w/2⌉×⌈h/2⌉ bytes, default neutral 128). The luma blocks run the

@@ -326,6 +326,39 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("JpegGray progressive fixture encoder: bit-exact vs baseline; ImageIO parity") {
+    // the PngGray interlaced-encoder contract applied to JPEG: the
+    // progressive scan script carries the SAME fdctQuant coefficients,
+    // so both encodings dequantize to identical ints through the same
+    // IDCT — decode equality is BIT-exact, not +-1
+    for (seed <- 1 to 12) {
+      val r = new scala.util.Random(seed + 700)
+      val w = 1 + r.nextInt(48); val h = 1 + r.nextInt(48)
+      val pix =
+        if (seed % 2 == 0) graft.ext.Multimodal.patternPixels(seed.toLong, w, h)
+        else Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      val q = 40 + r.nextInt(61)
+      val base = JpegGray.decode(JpegGray.encodeGray(w, h, pix, q)).toOption.get
+      val prog = JpegGray.decode(JpegGray.encodeGrayProgressive(w, h, pix, q))
+      assert(prog.isRight, s"seed $seed: $prog")
+      assert(java.util.Arrays.equals(prog.toOption.get.pix, base.pix),
+        s"seed $seed: progressive encoding decoded differently")
+      // restart intervals through BOTH progressive scan types (DC pred
+      // reset + AC EOB-state reset) — still bit-exact
+      val progR = JpegGray.decode(
+        JpegGray.encodeGrayProgressive(w, h, pix, q, restartInterval = 1 + seed % 4))
+      assert(java.util.Arrays.equals(progR.toOption.get.pix, base.pix),
+        s"seed $seed: progressive restart decode diverged")
+      // the independent parser agrees the file is valid and +-1-close
+      val ref = imageioDecode(JpegGray.encodeGrayProgressive(w, h, pix, q))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h, s"seed $seed")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(math.abs((base.pix(y * w + x) & 0xff) -
+          ref.getRaster.getSample(x, y, 0)) <= 1,
+          s"seed $seed ($x,$y): imageio parity on our progressive file")
+    }
+  }
+
   test("ImageCodecs dispatch: JPEG flows through dHash/grid/spectral/luma; not_image") {
     import graft.ext.Multimodal
     val pix = Multimodal.patternPixels(23L, 32, 32)
