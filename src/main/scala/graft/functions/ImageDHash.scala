@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Perceptual difference-hash (dHash) of a PNG or baseline-JPEG payload —
+/** Perceptual difference-hash (dHash) of a PNG or JPEG (baseline/progressive) payload —
   * `struct<dhash: bigint, error: string>` — the image analogue of the
   * text SimHash: a 64-bit fingerprint whose hamming distance tracks
   * VISUAL similarity, so the Manku-blocked pairing machinery
@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * weights applied to their PLTE triple. Baseline-JPEG payloads decode
   * through [[JpegGray]] (Huffman + dequant + IDCT, luma plane only) via
   * the [[ImageCodecs]] magic-byte dispatch. Anything outside the subset
-  * (alpha, sub-byte depths, progressive JPEG, or a non-image payload)
+  * (alpha, sub-byte depths, arithmetic-coded JPEG, or a non-image payload)
   * lands in `error` with a null hash — one odd blob poisons its row,
   * never the job, the [[MediaHeader]] contract.
   *
