@@ -351,6 +351,20 @@ object Multimodal {
                 patternPixels(seed + 101, cw, ch),
                 patternPixels(seed + 211, cw, ch), quality = 92)
             }
+          } else if (java.lang.Math.floorMod(id, 6L) == 2L) {
+            // RGBA slice (r17): r=g=b=pix is BT.601-exact (77+150+29 =
+            // 256) and the decode is alpha-blind, so a varying alpha
+            // plane exercises the 4-channel filter path with zero
+            // change to any planted value — palette's trick, type 6
+            val rgba = new Array[Byte](w * h * 4)
+            var k = 0
+            while (k < w * h) {
+              rgba(4 * k) = pix(k); rgba(4 * k + 1) = pix(k)
+              rgba(4 * k + 2) = pix(k)
+              rgba(4 * k + 3) = ((id + k * 37) & 0xff).toByte
+              k += 1
+            }
+            graft.functions.PngGray.encodeRgba(w, h, rgba)
           } else if (java.lang.Math.floorMod(id, 3L) == 2L)
             graft.functions.PngGray.encodePalette(w, h,
               graft.functions.PngGray.identityGrayPalette, pix)

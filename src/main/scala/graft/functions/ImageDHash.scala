@@ -175,8 +175,16 @@ private[graft] object PngGray {
     // big-endian sample — the standard 8-bit reduction); sub-byte depths
     // stay out of the subset. The spec caps palette depth at 8, so a
     // 16-bit color-type-3 header is invalid, not merely unsupported.
+    // Alpha types 4 (gray+alpha) and 6 (RGBA — the dominant web PNG
+    // class, r17) decode ALPHA-BLIND: luma comes from the color
+    // channels, the alpha sample is carried through the filter
+    // arithmetic (it is part of bpp, the left-neighbor distance) and
+    // then ignored — the fingerprint-pipeline convention, since a
+    // compositing choice would make the luma depend on an arbitrary
+    // background color.
     if (bitDepth != 8 && bitDepth != 16) return Left("png_unsupported_depth")
-    if (colorType != 0 && colorType != 2 && colorType != 3)
+    if (colorType != 0 && colorType != 2 && colorType != 3 &&
+      colorType != 4 && colorType != 6)
       return Left("png_unsupported_color")
     if (colorType == 3 && bitDepth != 8) return Left("png_unsupported_depth")
     // RFC 2083 defines exactly one compression (0 = deflate) and one
@@ -189,7 +197,9 @@ private[graft] object PngGray {
     // interlace method 1 = Adam7, decoded below; anything else is invalid
     if (interlace > 1) return Left("png_bad_interlace")
     val bytesPerSample = bitDepth / 8
-    val channels = if (colorType == 2) 3 else 1
+    val channels = colorType match {
+      case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
+    }
     val bpp = channels * bytesPerSample // filter distance, bytes per pixel
     // chunk walk: concatenate IDAT payloads, capture PLTE for color type 3
     val idat = new java.io.ByteArrayOutputStream()
@@ -234,7 +244,7 @@ private[graft] object PngGray {
       val (wp, hp) = dims(pi)
       if (wp == 0 || hp == 0) 0L else hp.toLong * (1L + wp.toLong * bpp)
     }.sum
-    // 64 MPix at the widest bpp (16-bit RGB = 6) is ~402 MB — inside Int
+    // 64 MPix at the widest bpp (16-bit RGBA = 8) is ~537 MB — inside Int
     // range but still guarded: a future subset widening must not overflow
     if (rawLen > Int.MaxValue - 64) return Left("png_bad_dims")
     val raw = new Array[Byte](rawLen.toInt)
@@ -315,9 +325,11 @@ private[graft] object PngGray {
                 // spec — loud per-row Left, never a silent wrong color
                 if (idx >= nEntries) return Left("png_bad_palette_index")
                 lut(idx)
-              } else if (channels == 1) raw(sOff) // 16-bit: first byte IS the high byte
-              else ((77 * u8(raw, sOff) + 150 * u8(raw, sOff + bytesPerSample) +
-                29 * u8(raw, sOff + 2 * bytesPerSample)) >> 8).toByte
+              } else if (colorType == 0 || colorType == 4)
+                raw(sOff) // gray (alpha, if any, ignored); 16-bit: high byte
+              else // RGB / RGBA: BT.601 of the three color samples
+                ((77 * u8(raw, sOff) + 150 * u8(raw, sOff + bytesPerSample) +
+                  29 * u8(raw, sOff + 2 * bytesPerSample)) >> 8).toByte
             pix((y0 + j * dy) * wI + (x0 + i * dx)) = lum
             i += 1
           }
@@ -397,6 +409,65 @@ private[graft] object PngGray {
     require(deflater.finished(), "fixture deflate buffer undersized")
     deflater.end()
     writeChunk(out, "IDAT", java.util.Arrays.copyOf(buf, m))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Fixture-grade RGBA (color type 6) encoder: 4 bytes/pixel, filter-0
+    * scanlines, real CRCs — the dominant web PNG class. The decoder is
+    * alpha-blind, so `decode(encodeRgba(w, h, rgba)).pix` equals the
+    * BT.601 luminance of the RGB samples whatever the alpha plane
+    * carries (the ExtSpec pin). */
+  def encodeRgba(width: Int, height: Int, rgba: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgba.length == width * height * 4,
+      s"bad rgba buffer: ${width}x$height vs ${rgba.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Sig)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 6; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    val stride = 1 + width * 4
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      raw(y * stride) = 0 // filter type None
+      System.arraycopy(rgba, y * width * 4, raw, y * stride + 1, width * 4)
+      y += 1
+    }
+    writeChunk(out, "IDAT", deflateRaw(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Fixture-grade GRAY+ALPHA (color type 4) encoder: 2 bytes/pixel
+    * (gray, alpha), filter-0 scanlines — decode returns the gray plane
+    * exactly, alpha-blind. */
+  def encodeGrayAlpha(width: Int, height: Int, gray: Array[Byte],
+      alpha: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height &&
+      alpha.length == width * height,
+      s"bad gray+alpha buffers: ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Sig)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 4; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    val stride = 1 + width * 2
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      raw(y * stride) = 0
+      var x = 0
+      while (x < width) {
+        raw(y * stride + 1 + x * 2) = gray(y * width + x)
+        raw(y * stride + 2 + x * 2) = alpha(y * width + x)
+        x += 1
+      }
+      y += 1
+    }
+    writeChunk(out, "IDAT", deflateRaw(raw))
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }

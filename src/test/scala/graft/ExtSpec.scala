@@ -2636,6 +2636,64 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("PngGray alpha (types 4/6): alpha-blind luma, filter arithmetic, ImageIO parity") {
+    import graft.functions.PngGray
+    // our RGBA encoder: luma = BT.601 of the RGB samples, whatever the
+    // alpha plane carries — exact, per pixel
+    for (seed <- 1 to 15) {
+      val r = new scala.util.Random(seed + 500)
+      val w = 1 + r.nextInt(24); val h = 1 + r.nextInt(24)
+      val rgba = Array.fill[Byte](w * h * 4)(r.nextInt(256).toByte)
+      val ours = PngGray.decode(PngGray.encodeRgba(w, h, rgba))
+      assert(ours.isRight, s"seed $seed: $ours")
+      for (k <- 0 until w * h) {
+        val expect = (77 * (rgba(4 * k) & 0xff) + 150 * (rgba(4 * k + 1) & 0xff) +
+          29 * (rgba(4 * k + 2) & 0xff)) >> 8
+        assert((ours.toOption.get.pix(k) & 0xff) == expect, s"seed $seed px $k")
+      }
+      // gray+alpha: the gray plane exactly, alpha ignored
+      val gray = Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      val alpha = Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      val ga = PngGray.decode(PngGray.encodeGrayAlpha(w, h, gray, alpha))
+      assert(ga.isRight && ga.toOption.get.pix.toSeq == gray.toSeq, s"seed $seed ga")
+      // FOREIGN encoder: ImageIO writes a real type-6 RGBA PNG (its own
+      // filter choices — the Paeth/Sub/Up reversal at bpp = 4); decode
+      // must match the BT.601 of the stored ARGB exactly (lossless)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = y * w + x
+        bi.setRGB(x, y, ((alpha(k) & 0xff) << 24) | ((rgba(4 * k) & 0xff) << 16) |
+          ((rgba(4 * k + 1) & 0xff) << 8) | (rgba(4 * k + 2) & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos)
+      val foreign = PngGray.decode(bos.toByteArray)
+      assert(foreign.isRight, s"seed $seed foreign: $foreign")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = bi.getRGB(x, y)
+        val expect = (77 * ((argb >> 16) & 0xff) + 150 * ((argb >> 8) & 0xff) +
+          29 * (argb & 0xff)) >> 8
+        assert((foreign.toOption.get.pix(y * w + x) & 0xff) == expect,
+          s"seed $seed foreign ($x,$y)")
+      }
+    }
+    // an OPAQUE rgba encoding of gray pixels fingerprints identically to
+    // the gray encoding — alpha blindness in the planted-invariant sense
+    val pix = Multimodal.patternPixels(29L, 32, 32)
+    val rgbaGray = new Array[Byte](32 * 32 * 4)
+    for (k <- 0 until 32 * 32) {
+      rgbaGray(4 * k) = pix(k); rgbaGray(4 * k + 1) = pix(k)
+      rgbaGray(4 * k + 2) = pix(k)
+      rgbaGray(4 * k + 3) = ((k * 37) & 0xff).toByte // varying alpha
+    }
+    import graft.functions.ImageDHash
+    assert(ImageDHash.dHash64(PngGray.decode(
+      PngGray.encodeRgba(32, 32, rgbaGray)).toOption.get) ==
+      ImageDHash.dHash64(PngGray.decode(
+        PngGray.encodeGray(32, 32, pix)).toOption.get))
+  }
+
   test("PngGray Adam7 + 16-bit: pixel-exact deinterlace, high-byte reduction, ImageIO parity") {
     import graft.functions.{ImageDHash, PngGray}
     // deinterlace == straight decode, pixel-exact, across dims that leave
