@@ -583,11 +583,22 @@ object Multimodal {
         }
         val rate = Array(8000, 16000, 22050, 44100, 48000)(
           java.lang.Math.floorMod(id, 5L).toInt)
+        // r17 slices carve the previously-default mono-16 rows ONLY (the
+        // 8-bit and stereo branches keep precedence, so no existing row
+        // moves); 24-bit, float32, and the extensible wrapper all decode
+        // value-EXACT on the 16-bit scale, so every planted feature is
+        // unchanged while the gates exercise the widened subset
         val wav =
           if (java.lang.Math.floorMod(id, 5L) == 3L)
             graft.functions.WavPcm.encodePcm8(rate, 1, samples)
           else if (java.lang.Math.floorMod(id, 3L) == 2L)
             graft.functions.WavPcm.encodePcm16(rate, 2, samples)
+          else if (java.lang.Math.floorMod(id, 7L) == 1L)
+            graft.functions.WavPcm.encodePcm24(rate, 1, samples)
+          else if (java.lang.Math.floorMod(id, 7L) == 4L)
+            graft.functions.WavPcm.encodeFloat32(rate, 1, samples)
+          else if (java.lang.Math.floorMod(id, 7L) == 6L)
+            graft.functions.WavPcm.encodePcm24Extensible(rate, 1, samples)
           else
             graft.functions.WavPcm.encodePcm16(rate, 1, samples)
         Row(id, wav)

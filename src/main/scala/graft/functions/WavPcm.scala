@@ -6,12 +6,17 @@ package graft.functions
   * transcoder can emit), implemented from the public RIFF/WAVE spec
   * (Microsoft/IBM Multimedia Programming Interface, 1991; the same layout
   * [[MediaHeader]] header-parses) — chunk walk with the RIFF odd-size pad
-  * rule, `fmt ` validation, and sample decode for 16-bit signed
-  * little-endian and 8-bit unsigned PCM, mono or multi-channel (channels
-  * mix to mono by integer floor-average, the deterministic reduction every
-  * downstream feature shares). Anything outside the subset (compressed
-  * formats, float PCM, 24/32-bit) lands in a per-row error `Left` — one
-  * odd blob poisons its row, never the job, the [[MediaHeader]] contract.
+  * rule, `fmt ` validation, and sample decode for integer PCM at 8
+  * (unsigned) / 16 / 24 / 32 bits (signed LE; 24/32 reduce to the shared
+  * 16-bit scale by the high-16 convention), IEEE float32 PCM (format
+  * tag 3: clamp to [−1, 1], scale by 32767, rint; non-finite samples map
+  * to 0), and WAVE_FORMAT_EXTENSIBLE wrappers (tag 0xFFFE: the real tag
+  * from the SubFormat GUID — the layout every >2-channel or 24-bit
+  * encoder emits), mono or multi-channel (channels mix to mono by
+  * integer floor-average, the deterministic reduction every downstream
+  * feature shares). Anything outside the subset (compressed formats,
+  * float64) lands in a per-row error `Left` — one odd blob poisons its
+  * row, never the job, the [[MediaHeader]] contract.
   *
   * Reference behavior: the reference pipeline treats media as opaque GCS
   * blobs with metadata only (`/root/reference/utils/gcs_handler.py`);
@@ -47,7 +52,8 @@ package graft.functions
   */
 object WavPcm {
 
-  /** A decoded clip: `samples` are mono-mixed, 16-bit-scaled ints. */
+  /** A decoded clip: `samples` are mono-mixed, 16-bit-scaled ints
+    * (whatever the stored depth or float encoding). */
   final case class Pcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
       samples: Array[Int])
 
@@ -75,6 +81,7 @@ object WavPcm {
     // fmt fields captured when the chunk binds
     var haveFmt = false
     var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
+    var floatPcm = false
     var off = 12
     while (off + 8 <= b.length) {
       val size = le32(b, off + 4)
@@ -83,8 +90,16 @@ object WavPcm {
       if (body + size > b.length) return Left("wav_chunk_truncated")
       if (ascii(b, off, "fmt ") && !haveFmt) {
         if (size < 16) return Left("wav_bad_fmt")
-        val fmtTag = le16(b, body)
-        if (fmtTag != 1) return Left("wav_not_pcm")
+        var fmtTag = le16(b, body)
+        // WAVE_FORMAT_EXTENSIBLE (0xFFFE, r17): the real tag is the
+        // first two bytes of the SubFormat GUID at body+24 — the layout
+        // every >2-channel or 24-bit encoder emits in practice
+        if (fmtTag == 0xfffe) {
+          if (size < 40) return Left("wav_bad_fmt")
+          fmtTag = le16(b, body + 24)
+        }
+        if (fmtTag != 1 && fmtTag != 3) return Left("wav_not_pcm")
+        floatPcm = fmtTag == 3
         channels = le16(b, body + 2)
         if (channels < 1 || channels > 8) return Left("wav_bad_channels")
         val r = le32(b, body + 4)
@@ -92,7 +107,12 @@ object WavPcm {
         rate = r.toInt
         blockAlign = le16(b, body + 12)
         bits = le16(b, body + 14)
-        if (bits != 8 && bits != 16) return Left("wav_bad_bits")
+        // integer PCM: 8 (unsigned) / 16 / 24 / 32 (signed LE);
+        // float PCM: 32-bit IEEE only (float64 WAVs are vanishingly
+        // rare and stay out of the subset)
+        if (floatPcm) { if (bits != 32) return Left("wav_bad_bits") }
+        else if (bits != 8 && bits != 16 && bits != 24 && bits != 32)
+          return Left("wav_bad_bits")
         if (blockAlign != channels * (bits / 8)) return Left("wav_bad_block_align")
         haveFmt = true
       } else if (ascii(b, off, "data")) {
@@ -108,9 +128,25 @@ object WavPcm {
           var sum = 0L
           var c = 0
           while (c < channels) {
+            val o = base + c * bytesPer
             val s =
-              if (bits == 16) le16(b, base + c * bytesPer).toShort.toInt
-              else ((b(base + c) & 0xff) - 128) << 8
+              if (floatPcm) {
+                // IEEE float32 → the shared 16-bit scale: clamp to
+                // [-1, 1], round half-even (rint — deterministic);
+                // non-finite samples map to 0 (a NaN blob poisoning a
+                // whole clip would be louder than the data warrants:
+                // every other sample is still real audio)
+                val fv = java.lang.Float.intBitsToFloat(le32(b, o).toInt)
+                if (java.lang.Float.isNaN(fv) || java.lang.Float.isInfinite(fv)) 0
+                else StrictMath.rint(
+                  math.max(-1.0, math.min(1.0, fv.toDouble)) * 32767.0).toInt
+              }
+              else if (bits == 32) le32(b, o).toInt >> 16 // high-16 reduction
+              else if (bits == 24) // signed 24-bit LE, high-16 reduction
+                (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+                  ((b(o + 2) & 0xff) << 16)) << 8) >> 16
+              else if (bits == 16) le16(b, o).toShort.toInt
+              else ((b(o) & 0xff) - 128) << 8
             sum += s
             c += 1
           }
@@ -157,6 +193,90 @@ object WavPcm {
       val v = math.max(-32768, math.min(32767, mono(i)))
       var c = 0
       while (c < channels) { wLe16(out, v & 0xffff); c += 1 }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** 24-bit signed PCM: stores `v << 8` per channel (the inverse of the
+    * decode-side high-16 reduction, so a round-trip is value-EXACT on
+    * the whole 16-bit scale — unlike 8-bit's lossy quantization). */
+  def encodePcm24(rate: Int, channels: Int, mono: Array[Int]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels 1-8, got $channels")
+    val out = new java.io.ByteArrayOutputStream(44 + mono.length * channels * 3)
+    header(out, mono.length * channels * 3, rate, channels, 24)
+    var i = 0
+    while (i < mono.length) {
+      val v = math.max(-32768, math.min(32767, mono(i))) << 8
+      var c = 0
+      while (c < channels) {
+        out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+        out.write((v >>> 16) & 0xff)
+        c += 1
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** IEEE float32 PCM (format tag 3): stores `v / 32767f` per channel —
+    * the decode-side clamp+rint recovers `v` exactly (float32 carries
+    * ~7 significant digits; the scaled error is ≪ 0.5). */
+  def encodeFloat32(rate: Int, channels: Int, mono: Array[Int]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels 1-8, got $channels")
+    val out = new java.io.ByteArrayOutputStream(44 + mono.length * channels * 4)
+    val blockAlign = channels * 4
+    out.write("RIFF".getBytes("US-ASCII"))
+    wLe32(out, 36 + mono.length * blockAlign)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); wLe32(out, 16)
+    wLe16(out, 3); wLe16(out, channels); wLe32(out, rate)
+    wLe32(out, rate * blockAlign); wLe16(out, blockAlign); wLe16(out, 32)
+    out.write("data".getBytes("US-ASCII"))
+    wLe32(out, mono.length * blockAlign)
+    var i = 0
+    while (i < mono.length) {
+      val v = math.max(-32768, math.min(32767, mono(i)))
+      val fBits = java.lang.Float.floatToIntBits(v / 32767.0f)
+      var c = 0
+      while (c < channels) { wLe32(out, fBits); c += 1 }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** 24-bit PCM behind a WAVE_FORMAT_EXTENSIBLE wrapper (tag 0xFFFE,
+    * 40-byte fmt, KSDATAFORMAT_SUBTYPE_PCM GUID) — the layout every
+    * >2-channel or 24-bit encoder emits in practice. */
+  def encodePcm24Extensible(rate: Int, channels: Int,
+      mono: Array[Int]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels 1-8, got $channels")
+    val blockAlign = channels * 3
+    val out = new java.io.ByteArrayOutputStream(68 + mono.length * blockAlign)
+    out.write("RIFF".getBytes("US-ASCII"))
+    wLe32(out, 60 + mono.length * blockAlign)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); wLe32(out, 40)
+    wLe16(out, 0xfffe); wLe16(out, channels); wLe32(out, rate)
+    wLe32(out, rate * blockAlign); wLe16(out, blockAlign); wLe16(out, 24)
+    wLe16(out, 22)        // cbSize
+    wLe16(out, 24)        // valid bits per sample
+    wLe32(out, 0)         // channel mask (unspecified)
+    // KSDATAFORMAT_SUBTYPE_PCM: 00000001-0000-0010-8000-00AA00389B71
+    wLe32(out, 1); wLe16(out, 0); wLe16(out, 0x10)
+    out.write(Array[Byte](0x80.toByte, 0x00, 0x00, 0xAA.toByte,
+      0x00, 0x38, 0x9B.toByte, 0x71))
+    out.write("data".getBytes("US-ASCII"))
+    wLe32(out, mono.length * blockAlign)
+    var i = 0
+    while (i < mono.length) {
+      val v = math.max(-32768, math.min(32767, mono(i))) << 8
+      var c = 0
+      while (c < channels) {
+        out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+        out.write((v >>> 16) & 0xff)
+        c += 1
+      }
       i += 1
     }
     out.toByteArray

@@ -2063,6 +2063,47 @@ class ExtSpec extends SparkSpec {
     assert(d8.bitsPerSample == 8)
     assert(d8.samples.toSeq == mono.map(v => (v >> 8) << 8).toSeq)
 
+    // ── the r17 depth/format widening: every new path value-EXACT on
+    // the 16-bit scale (unlike 8-bit's lossy quantization) ──
+    val d24 = WavPcm.decode(WavPcm.encodePcm24(8000, 1, mono))
+      .getOrElse(fail("24-bit decode failed"))
+    assert(d24.bitsPerSample == 24 && d24.samples.toSeq == mono.toSeq)
+    // stereo 24-bit: equal channels mix exactly (floorDiv(2s, 2) = s)
+    assert(WavPcm.decode(WavPcm.encodePcm24(8000, 2, mono))
+      .exists(_.samples.toSeq == mono.toSeq))
+    val dF = WavPcm.decode(WavPcm.encodeFloat32(8000, 1, mono))
+      .getOrElse(fail("float32 decode failed"))
+    assert(dF.bitsPerSample == 32 && dF.samples.toSeq == mono.toSeq)
+    // extensible wrapper: the SubFormat GUID carries the real tag
+    val dX = WavPcm.decode(WavPcm.encodePcm24Extensible(8000, 1, mono))
+      .getOrElse(fail("extensible decode failed"))
+    assert(dX.samples.toSeq == mono.toSeq)
+    // non-finite float samples map to 0 (documented), never throw: patch
+    // the first stored float to NaN
+    val fBytes = WavPcm.encodeFloat32(8000, 1, mono)
+    val nanBits = java.lang.Float.floatToIntBits(Float.NaN)
+    val dataOff = fBytes.length - mono.length * 4
+    fBytes(dataOff) = (nanBits & 0xff).toByte
+    fBytes(dataOff + 1) = ((nanBits >>> 8) & 0xff).toByte
+    fBytes(dataOff + 2) = ((nanBits >>> 16) & 0xff).toByte
+    fBytes(dataOff + 3) = ((nanBits >>> 24) & 0xff).toByte
+    assert(WavPcm.decode(fBytes).exists(d =>
+      d.samples(0) == 0 && d.samples.drop(1).toSeq == mono.drop(1).toSeq))
+    // javax.sound parity on the 24-bit path (the JDK reads 24-bit PCM):
+    // its 3-byte LE frames reduce to our samples exactly
+    locally {
+      val bytes = WavPcm.encodePcm24(8000, 1, mono)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = ais.readAllBytes()
+      assert(buf.length == mono.length * 3)
+      mono.indices.foreach { k =>
+        val raw = ((buf(3 * k) & 0xff) | ((buf(3 * k + 1) & 0xff) << 8) |
+          ((buf(3 * k + 2) & 0xff) << 16)) << 8 >> 16
+        assert(raw == mono(k), s"javax 24-bit sample $k")
+      }
+    }
+
     // ── raw chunk builder for the walk/pad/error fixtures ──
     def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
     def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
@@ -2095,8 +2136,12 @@ class ExtSpec extends SparkSpec {
     // ── error taxonomy, one fixture per Left ──
     assert(WavPcm.decode(Array[Byte](1, 2, 3)) == Left("wav_truncated"))
     assert(WavPcm.decode("ABCDEFGHIJKL".getBytes("US-ASCII")) == Left("wav_not_riff"))
-    assert(WavPcm.decode(riff(fmtChunk(tag = 3), dataChunk)) == Left("wav_not_pcm"))
-    assert(WavPcm.decode(riff(fmtChunk(bits = 24), dataChunk)) == Left("wav_bad_bits"))
+    // tag 2 (ADPCM) is out of subset; tag 3 (float) demands 32-bit; an
+    // odd integer depth refuses — 24-bit itself is IN subset since r17
+    assert(WavPcm.decode(riff(fmtChunk(tag = 2), dataChunk)) == Left("wav_not_pcm"))
+    assert(WavPcm.decode(riff(fmtChunk(tag = 3), dataChunk)) == Left("wav_bad_bits"))
+    assert(WavPcm.decode(riff(fmtChunk(bits = 20, align = 2), dataChunk)) ==
+      Left("wav_bad_bits"))
     assert(WavPcm.decode(riff(fmtChunk(ch = 0), dataChunk)) == Left("wav_bad_channels"))
     assert(WavPcm.decode(riff(fmtChunk(align = 3), dataChunk)) == Left("wav_bad_block_align"))
     assert(WavPcm.decode(riff(fmtChunk(ch = 2, align = 4),
