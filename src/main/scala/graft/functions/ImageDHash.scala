@@ -182,11 +182,17 @@ private[graft] object PngGray {
     // then ignored — the fingerprint-pipeline convention, since a
     // compositing choice would make the luma depend on an arbitrary
     // background color.
-    if (bitDepth != 8 && bitDepth != 16) return Left("png_unsupported_depth")
+    // sub-byte depths (1/2/4 — line art, legacy thumbnails, small
+    // palettes) are legal for gray and palette only (r17); color/alpha
+    // types require 8 or 16 per the spec
+    val subByteOk = (bitDepth == 1 || bitDepth == 2 || bitDepth == 4) &&
+      (colorType == 0 || colorType == 3)
+    if (bitDepth != 8 && bitDepth != 16 && !subByteOk)
+      return Left("png_unsupported_depth")
     if (colorType != 0 && colorType != 2 && colorType != 3 &&
       colorType != 4 && colorType != 6)
       return Left("png_unsupported_color")
-    if (colorType == 3 && bitDepth != 8) return Left("png_unsupported_depth")
+    if (colorType == 3 && bitDepth == 16) return Left("png_unsupported_depth")
     // RFC 2083 defines exactly one compression (0 = deflate) and one
     // filter method (0 = adaptive 5-type); a payload declaring anything
     // else would otherwise unfilter as method 0 and yield a
@@ -196,11 +202,14 @@ private[graft] object PngGray {
     if (u8(payload, 27) != 0) return Left("png_unsupported_filter_method")
     // interlace method 1 = Adam7, decoded below; anything else is invalid
     if (interlace > 1) return Left("png_bad_interlace")
-    val bytesPerSample = bitDepth / 8
+    val bytesPerSample = bitDepth / 8 // 0 for sub-byte depths
     val channels = colorType match {
       case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
     }
-    val bpp = channels * bytesPerSample // filter distance, bytes per pixel
+    val bitsPerPixel = channels * bitDepth
+    // filter distance in BYTES: floor(bits/8) clamped to >= 1 — RFC 2083
+    // §6.2 (sub-byte rows filter byte-against-byte at distance 1)
+    val bpp = math.max(1, bitsPerPixel / 8)
     // chunk walk: concatenate IDAT payloads, capture PLTE for color type 3
     val idat = new java.io.ByteArrayOutputStream()
     var plte: Array[Byte] = null
@@ -242,7 +251,8 @@ private[graft] object PngGray {
     }
     val rawLen = passes.indices.map { pi =>
       val (wp, hp) = dims(pi)
-      if (wp == 0 || hp == 0) 0L else hp.toLong * (1L + wp.toLong * bpp)
+      if (wp == 0 || hp == 0) 0L
+      else hp.toLong * (1L + (wp.toLong * bitsPerPixel + 7) / 8)
     }.sum
     // 64 MPix at the widest bpp (16-bit RGBA = 8) is ~537 MB — inside Int
     // range but still guarded: a future subset widening must not overflow
@@ -289,8 +299,9 @@ private[graft] object PngGray {
       val (x0, y0, dx, dy) = passes(pi)
       val (wp, hp) = dims(pi)
       if (wp > 0 && hp > 0) {
-        val stride = 1 + wp * bpp
-        val wB = wp * bpp
+        val rowBytes = ((wp.toLong * bitsPerPixel + 7) / 8).toInt
+        val stride = 1 + rowBytes
+        val wB = rowBytes
         var j = 0
         while (j < hp) {
           val rowOff = base + j * stride + 1
@@ -317,19 +328,32 @@ private[graft] object PngGray {
           }
           var i = 0
           while (i < wp) {
-            val sOff = rowOff + i * bpp
             val lum: Byte =
-              if (colorType == 3) {
-                val idx = u8(raw, sOff)
-                // an index past the palette is an encoding error per the
-                // spec — loud per-row Left, never a silent wrong color
-                if (idx >= nEntries) return Left("png_bad_palette_index")
-                lut(idx)
-              } else if (colorType == 0 || colorType == 4)
-                raw(sOff) // gray (alpha, if any, ignored); 16-bit: high byte
-              else // RGB / RGBA: BT.601 of the three color samples
-                ((77 * u8(raw, sOff) + 150 * u8(raw, sOff + bytesPerSample) +
-                  29 * u8(raw, sOff + 2 * bytesPerSample)) >> 8).toByte
+              if (bitDepth < 8) {
+                // MSB-first bit extraction (RFC 2083 §2.3), then either
+                // the palette LUT or the standard max-value scaling
+                // (v·255/(2^d−1): 1-bit → 0/255, 2-bit → ×85, 4-bit → ×17)
+                val bitPos = i * bitDepth
+                val v = (u8(raw, rowOff + (bitPos >> 3)) >>
+                  (8 - bitDepth - (bitPos & 7))) & ((1 << bitDepth) - 1)
+                if (colorType == 3) {
+                  if (v >= nEntries) return Left("png_bad_palette_index")
+                  lut(v)
+                } else ((v * 255) / ((1 << bitDepth) - 1)).toByte
+              } else {
+                val sOff = rowOff + i * bpp
+                if (colorType == 3) {
+                  val idx = u8(raw, sOff)
+                  // an index past the palette is an encoding error per
+                  // the spec — loud per-row Left, never silent color
+                  if (idx >= nEntries) return Left("png_bad_palette_index")
+                  lut(idx)
+                } else if (colorType == 0 || colorType == 4)
+                  raw(sOff) // gray (alpha, if any, ignored); 16-bit: high byte
+                else // RGB / RGBA: BT.601 of the three color samples
+                  ((77 * u8(raw, sOff) + 150 * u8(raw, sOff + bytesPerSample) +
+                    29 * u8(raw, sOff + 2 * bytesPerSample)) >> 8).toByte
+              }
             pix((y0 + j * dy) * wI + (x0 + i * dx)) = lum
             i += 1
           }
@@ -409,6 +433,61 @@ private[graft] object PngGray {
     require(deflater.finished(), "fixture deflate buffer undersized")
     deflater.end()
     writeChunk(out, "IDAT", java.util.Arrays.copyOf(buf, m))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Fixture-grade SUB-BYTE grayscale encoder (depth 1/2/4, color type
+    * 0, filter-0 scanlines, MSB-first packing): `samples` carry values
+    * in [0, 2^depth). Decode scales them to 8-bit by the standard
+    * max-value rule (×255/(2^d−1)) — the ExtSpec pin. */
+  def encodeGraySub(width: Int, height: Int, depth: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"depth 1|2|4, got $depth")
+    require(width > 0 && height > 0 && samples.length == width * height,
+      s"bad buffer: ${width}x$height vs ${samples.length}")
+    require(samples.forall(v => v >= 0 && v < (1 << depth)), "sample range")
+    encodeSubByte(width, height, depth, colorType = 0, plte = null, samples)
+  }
+
+  /** Fixture-grade SUB-BYTE palette encoder (depth 1/2/4, color type 3):
+    * `indices` in [0, 2^depth) select from `palette` RGB triples. */
+  def encodePaletteSub(width: Int, height: Int, depth: Int,
+      palette: Array[Byte], indices: Array[Int]): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"depth 1|2|4, got $depth")
+    require(palette.length >= 3 && palette.length % 3 == 0 && palette.length <= 768,
+      s"palette must be 1-256 RGB triples, got ${palette.length} bytes")
+    require(indices.forall(v => v >= 0 && v < (1 << depth)), "index range")
+    encodeSubByte(width, height, depth, colorType = 3, plte = palette, indices)
+  }
+
+  private def encodeSubByte(width: Int, height: Int, depth: Int,
+      colorType: Int, plte: Array[Byte], samples: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Sig)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    if (plte != null) writeChunk(out, "PLTE", plte)
+    val rowBytes = (width * depth + 7) / 8
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + rowBytes)
+      raw(rowOff) = 0 // filter type None
+      var x = 0
+      while (x < width) {
+        val bitPos = x * depth
+        val sh = 8 - depth - (bitPos & 7)
+        raw(rowOff + 1 + (bitPos >> 3)) =
+          (raw(rowOff + 1 + (bitPos >> 3)) | (samples(y * width + x) << sh)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    writeChunk(out, "IDAT", deflateRaw(raw))
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }

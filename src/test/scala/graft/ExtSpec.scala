@@ -2739,6 +2739,53 @@ class ExtSpec extends SparkSpec {
         PngGray.encodeGray(32, 32, pix)).toOption.get))
   }
 
+  test("PngGray sub-byte depths (1/2/4): max-value scaling, palette LUT, ImageIO parity") {
+    import graft.functions.PngGray
+    for (seed <- 1 to 12; depth <- Seq(1, 2, 4)) {
+      val r = new scala.util.Random(seed * 31 + depth)
+      val w = 1 + r.nextInt(24); val h = 1 + r.nextInt(24)
+      val maxV = (1 << depth) - 1
+      // gray: decode scales by the standard max-value rule (x255/maxV)
+      val gs = Array.fill(w * h)(r.nextInt(1 << depth))
+      val ours = PngGray.decode(PngGray.encodeGraySub(w, h, depth, gs))
+      assert(ours.isRight, s"d$depth seed $seed: $ours")
+      for (k <- 0 until w * h)
+        assert((ours.toOption.get.pix(k) & 0xff) == gs(k) * 255 / maxV,
+          s"d$depth seed $seed px $k")
+      // ...and the independent parser reads the SAME raw samples
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        PngGray.encodeGraySub(w, h, depth, gs)))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == gs(y * w + x),
+          s"d$depth imageio ($x,$y)")
+      // palette: indices through the PLTE BT.601 LUT, bit-packed
+      val nCol = 1 << depth
+      val pal = Array.fill[Byte](nCol * 3)(r.nextInt(256).toByte)
+      val ind = Array.fill(w * h)(r.nextInt(nCol))
+      val op = PngGray.decode(PngGray.encodePaletteSub(w, h, depth, pal, ind))
+      assert(op.isRight, s"pal d$depth seed $seed: $op")
+      val imgP = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        PngGray.encodePaletteSub(w, h, depth, pal, ind)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = imgP.getRGB(x, y)
+        val expect = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+          29 * (rgb & 0xff)) >> 8
+        assert((op.toOption.get.pix(y * w + x) & 0xff) == expect,
+          s"pal d$depth ($x,$y)")
+      }
+    }
+    // an index past a SHORT sub-byte palette still refuses loudly
+    assert(PngGray.decode(PngGray.encodePaletteSub(4, 4, 4,
+      Array[Byte](1, 2, 3, 4, 5, 6), // 2 entries
+      Array.fill(16)(3))) == Left("png_bad_palette_index"))
+    // 16-bit palette headers stay invalid; sub-byte RGB stays unsupported
+    // (spec-illegal combinations refuse rather than decode plausibly)
+    val bad = PngGray.encodeGraySub(4, 4, 4, Array.fill(16)(1)).clone()
+    bad(24) = 4; bad(25) = 2 // depth 4, color type 2 (RGB) — illegal
+    assert(PngGray.decode(bad) == Left("png_unsupported_depth"))
+  }
+
   test("PngGray Adam7 + 16-bit: pixel-exact deinterlace, high-byte reduction, ImageIO parity") {
     import graft.functions.{ImageDHash, PngGray}
     // deinterlace == straight decode, pixel-exact, across dims that leave
@@ -2797,7 +2844,9 @@ class ExtSpec extends SparkSpec {
     val good = PngGray.encodeGray(8, 8, new Array[Byte](64))
     val badInterlace = good.clone(); badInterlace(28) = 2
     assert(PngGray.decode(badInterlace) == Left("png_bad_interlace"))
-    val badDepth = good.clone(); badDepth(24) = 4
+    // depth 3 is illegal per spec (1/2/4/8/16 only; 4 became a REAL
+    // decode in r17, so the fixture moved off it)
+    val badDepth = good.clone(); badDepth(24) = 3
     assert(PngGray.decode(badDepth) == Left("png_unsupported_depth"))
     // 16-bit palette is invalid per spec (palette depth caps at 8)
     val pal16 = PngGray.encodePalette(4, 4,
