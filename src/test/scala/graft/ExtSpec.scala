@@ -566,14 +566,15 @@ class ExtSpec extends SparkSpec {
         .select(graft.functions.AudioSpectralFeature(unhex(lit(wavHex)), 8).as("m"))
         .select($"m.*").head().toSeq)
     // hostile payloads refuse through SQL exactly like the column form
-    // (the canonical 1x1 fixture is RGBA — outside PngGray's subset, so
-    // the loud error IS the parity check)
+    // (the canonical 1x1 fixture is RGBA — a REAL decode since the r17
+    // alpha widening, so the refusal moved downstream to the descriptor
+    // families' tiny-image gate; the loud error IS the parity check)
     assert(spark.sql(
         s"SELECT graft_image_grid(unhex('$pngHex')).error").head().getString(0)
-      == "png_unsupported_color")
+      == "image_too_small")
     assert(spark.sql(
         s"SELECT graft_image_spectral(unhex('$pngHex'), 3).error").head().getString(0)
-      == "png_unsupported_color")
+      == "image_too_small")
     // a foldable NULL parameter gets the clear literal-integer message,
     // not a bare NPE out of the analyzer
     val nullLit = intercept[Exception] {
