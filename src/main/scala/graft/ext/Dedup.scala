@@ -1474,6 +1474,9 @@ object Dedup {
     * `mutationTolerance` is per-unit content churn (pixel/sample — one
     * knob, the shared "how much noise must I still catch" semantics);
     * geometric tolerances are px (image) vs samples (audio);
+    * `imageRecodeQuality` routes the image pool's r17 recode law
+    * (a mixed corpus facing JPEG re-encounters needs it on the image
+    * rung only — audio/video have no measured recode laws);
     * `videoMutationTolerance` DEFAULTS to byte-identical because the
     * exact rung is video's only executable family without model
     * embeddings ([[recommendVideoFamily]]) — a caller raising it gets
@@ -1490,7 +1493,8 @@ object Dedup {
       minDetection: Double = 0.9, imageGeometricTolerance: Double = 0.0,
       audioGeometricTolerance: Double = 0.0,
       videoMutationTolerance: Double = 0.0,
-      scratchBudgetGb: Double = 0.0): Map[String, DedupPlan] = {
+      scratchBudgetGb: Double = 0.0,
+      imageRecodeQuality: Double = 100.0): Map[String, DedupPlan] = {
     TableShapes.requireColumns(media, Seq("media_id", "payload"),
       "planByKind", "the media-family (media_id, payload) shape")
     // own persist: sizing a descriptor-tier plan re-reads the pool (count
@@ -1500,7 +1504,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try planByKindFrom(headed, mutationTolerance, minDetection,
       imageGeometricTolerance, audioGeometricTolerance,
-      videoMutationTolerance, scratchBudgetGb)
+      videoMutationTolerance, scratchBudgetGb, imageRecodeQuality)
     finally headed.unpersist(blocking = false)
   }
 
@@ -1510,27 +1514,29 @@ object Dedup {
   private def planByKindFrom(headed: DataFrame, mutationTolerance: Double,
       minDetection: Double, imageGeometricTolerance: Double,
       audioGeometricTolerance: Double, videoMutationTolerance: Double,
-      scratchBudgetGb: Double): Map[String, DedupPlan] = {
+      scratchBudgetGb: Double,
+      imageRecodeQuality: Double = 100.0): Map[String, DedupPlan] = {
     val present = headed.groupBy("__kind").count()
       .collect().map(_.getString(0)).toSet
     def modalityPlan(kinds: Set[String], modality: String, tol: Double,
-        geo: Double): Option[(String, DedupPlan)] =
+        geo: Double, recodeQ: Double): Option[(String, DedupPlan)] =
       if (kinds.intersect(present).isEmpty) None
       else {
         val rows = headed.filter(col("__kind").isin(kinds.toSeq: _*))
           .select(col("media_id"), col("payload"))
         val rec = recommendFamily(tol, minDetection, hasEmbeddings = false,
-          modality, geo)
+          modality, geo, recodeQ)
         Some(modality -> plan(derivedTable(rows, rec.family), tol,
           minDetection, scratchBudgetGb, targetRecall = 0.98,
           hasEmbeddings = false, vecCol = "feature", modality = modality,
-          geometricTolerance = geo))
+          geometricTolerance = geo, recodeQuality = recodeQ))
       }
     (modalityPlan(Set("png", "jpeg"), "image", mutationTolerance,
-      imageGeometricTolerance) ++
+      imageGeometricTolerance, imageRecodeQuality) ++
       modalityPlan(Set("wav"), "audio", mutationTolerance,
-        audioGeometricTolerance) ++
-      modalityPlan(Set("mp4"), "video", videoMutationTolerance, 0.0)).toMap
+        audioGeometricTolerance, 100.0) ++
+      modalityPlan(Set("mp4"), "video", videoMutationTolerance, 0.0,
+        100.0)).toMap
   }
 
   /** Execute [[planByKind]] over a mixed corpus in ONE call: detect each
@@ -1554,7 +1560,8 @@ object Dedup {
       audioGeometricTolerance: Double = 0.0,
       videoMutationTolerance: Double = 0.0,
       scratchBudgetGb: Double = 0.0, scratchDir: String = "",
-      maxRepsPerCell: Int = 4096): DataFrame = {
+      maxRepsPerCell: Int = 4096,
+      imageRecodeQuality: Double = 100.0): DataFrame = {
     TableShapes.requireColumns(media, Seq("media_id", "payload"),
       "runPlanByKind", "the media-family (media_id, payload) shape")
     val headed = withDetectedKind(media)
@@ -1562,7 +1569,7 @@ object Dedup {
     try {
       val plans = planByKindFrom(headed, mutationTolerance, minDetection,
         imageGeometricTolerance, audioGeometricTolerance,
-        videoMutationTolerance, scratchBudgetGb)
+        videoMutationTolerance, scratchBudgetGb, imageRecodeQuality)
       val modalityKinds = Seq(
         "image" -> Set("png", "jpeg"), "audio" -> Set("wav"),
         "video" -> Set("mp4"))

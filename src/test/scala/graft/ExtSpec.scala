@@ -1852,6 +1852,12 @@ class ExtSpec extends SparkSpec {
       // identity without embeddings refuses LOUDLY at run time
       val plansImgOnly = Dedup.planByKind(imgPool, mutationTolerance = 0.01)
       assert(plansImgOnly.keySet == Set("image"))
+      // the r17 recode law routes through the dispatcher's image rung:
+      // quality-30 re-encounters swap the image pool to the spectral tier
+      val plansRecode = Dedup.planByKind(imgPool, mutationTolerance = 0.0001,
+        imageRecodeQuality = 30)
+      assert(plansRecode("image").family == "image_spectral_lsh",
+        plansRecode("image").rationale)
       val ex = intercept[IllegalArgumentException] {
         Dedup.runPlanByKind(mixed, mutationTolerance = 0.01,
           videoMutationTolerance = 0.05)
