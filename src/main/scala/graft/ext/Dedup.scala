@@ -1464,10 +1464,10 @@ object Dedup {
     * real curation run is not one modality — the media table carries
     * png/jpeg/wav/mp4 side by side. Kinds are DETECTED from payload magic
     * ([[graft.functions.MediaHeader]]'s format), never trusted from a
-    * caller column; png+jpeg route together as ONE image pool (the
-    * [[graft.functions.ImageCodecs]] decode is codec-blind, so a JPEG
-    * re-encode of a PNG deduplicates cross-codec), wav routes the audio
-    * branch, mp4 the video branch. Input contract: `(media_id, payload)`
+    * caller column; png+jpeg+gif route together as ONE image pool (the
+    * [[graft.functions.ImageCodecs]] decode is codec-blind, so a JPEG or
+    * GIF re-encode of a PNG deduplicates cross-codec), wav routes the
+    * audio branch, mp4 the video branch. Input contract: `(media_id, payload)`
     * — the media-family shape every Multimodal entry point shares.
     *
     * Knob units differ by modality, so they are SEPARATE parameters:
@@ -1531,7 +1531,7 @@ object Dedup {
           hasEmbeddings = false, vecCol = "feature", modality = modality,
           geometricTolerance = geo, recodeQuality = recodeQ))
       }
-    (modalityPlan(Set("png", "jpeg"), "image", mutationTolerance,
+    (modalityPlan(Set("png", "jpeg", "gif"), "image", mutationTolerance,
       imageGeometricTolerance, imageRecodeQuality) ++
       modalityPlan(Set("wav"), "audio", mutationTolerance,
         audioGeometricTolerance, 100.0) ++
@@ -1571,7 +1571,7 @@ object Dedup {
         imageGeometricTolerance, audioGeometricTolerance,
         videoMutationTolerance, scratchBudgetGb, imageRecodeQuality)
       val modalityKinds = Seq(
-        "image" -> Set("png", "jpeg"), "audio" -> Set("wav"),
+        "image" -> Set("png", "jpeg", "gif"), "audio" -> Set("wav"),
         "video" -> Set("mp4"))
       val pooled = modalityKinds.collect {
         case (modality, kinds) if plans.contains(modality) =>

@@ -286,9 +286,10 @@ object Multimodal {
 
   /** Deterministic MIXED-CODEC image corpus keyed by the documents
     * table: each doc_id becomes a `width`×`height` image (gray PNG,
-    * palette PNG, or — on a non-pair slice — baseline gray/4:2:0 JPEG;
-    * all format-valid, [[graft.functions.PngGray]] /
-    * [[graft.functions.JpegGray]] encoders) whose pixels are a smooth
+    * palette PNG, RGBA PNG, GIF, or — on a non-pair slice — baseline/
+    * progressive gray and 4:2:0 color JPEG; all format-valid,
+    * [[graft.functions.PngGray]] / [[graft.functions.JpegGray]] /
+    * [[graft.functions.GifGray]] encoders) whose pixels are a smooth
     * two-frequency sine field seeded by the id.
     * The planted structure mirrors every dedup fixture in this repo:
     * docs with id % 20 == 1 render the PREDECESSOR's pattern shifted
@@ -368,6 +369,12 @@ object Multimodal {
           } else if (java.lang.Math.floorMod(id, 3L) == 2L)
             graft.functions.PngGray.encodePalette(w, h,
               graft.functions.PngGray.identityGrayPalette, pix)
+          else if (java.lang.Math.floorMod(id, 9L) == 4L)
+            // GIF slice (r17): identity-gray palette decodes EXACTLY, so
+            // even planted-pair members are safe here — half interlaced
+            // to exercise the four-pass row order in the gates
+            graft.functions.GifGray.encodeGray(w, h, pix,
+              interlaced = java.lang.Math.floorMod(id, 18L) == 4L)
           else graft.functions.PngGray.encodeGray(w, h, pix)
         Row(id, payload)
       }

@@ -1228,16 +1228,19 @@ private[graft] object JpegGray {
 
 /** Magic-byte dispatch over the constrained image codecs — THE decode
   * every image expression calls. PNG signature → [[PngGray]]; JPEG SOI →
-  * [[JpegGray]]; anything else is `not_image` (one odd blob poisons its
-  * row, never the job). Adding a codec here upgrades dHash, the grid and
-  * spectral descriptors, and the luma proof artifact simultaneously —
-  * they are all consumers of the same luminance plane. */
+  * [[JpegGray]]; `GIF8` → [[GifGray]] (r17); anything else is
+  * `not_image` (one odd blob poisons its row, never the job). Adding a
+  * codec here upgrades dHash, the grid and spectral descriptors, and the
+  * luma proof artifact simultaneously — they are all consumers of the
+  * same luminance plane. */
 private[graft] object ImageCodecs {
   def decode(payload: Array[Byte]): Either[String, PngGray.Gray] = {
     if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
       (payload(1) & 0xff) == 0xd8) JpegGray.decode(payload)
     else if (payload.length >= 1 && (payload(0) & 0xff) == 0x89)
       PngGray.decode(payload)
+    else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8') GifGray.decode(payload)
     else Left("not_image")
   }
 }

@@ -124,6 +124,15 @@ object MediaHeader {
         return row("png", error = "png_bad_dims")
       return row("png", w, h, u8(b, 24).toLong)
     }
+    // ─ GIF (r17, alongside the GifGray pixel decode) ─
+    if (n >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      if (n < 13) return row("gif", error = "gif_truncated")
+      val w = le16(b, 6).toLong; val h = le16(b, 8).toLong
+      if (w <= 0 || h <= 0) return row("gif", error = "gif_bad_dims")
+      // bit depth: the color-resolution field (flags bits 4-6) + 1
+      return row("gif", w, h, (((u8(b, 10) >> 4) & 7) + 1).toLong)
+    }
     // ─ JPEG ─
     if (n >= 2 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {
       var i = 2

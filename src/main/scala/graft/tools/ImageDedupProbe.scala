@@ -62,6 +62,7 @@ object ImageDedupProbe {
           case "jpeg" => graft.functions.JpegGray.encodeGray(w, h, pix, 92)
           case "jpegprog" =>
             graft.functions.JpegGray.encodeGrayProgressive(w, h, pix, 92)
+          case "gif" => graft.functions.GifGray.encodeGray(w, h, pix)
           case "jpeg420" =>
             val cw = (w + 1) / 2; val ch = (h + 1) / 2
             graft.functions.JpegGray.encodeColor420(w, h, pix,
@@ -171,8 +172,8 @@ object ImageDedupProbe {
     require(family == "dhash" || family == "grid" || family == "spectral",
       s"--family must be dhash|grid|spectral, got '$family'")
     require(codec == "png" || codec == "jpeg" || codec == "jpeg420" ||
-      codec == "jpegprog",
-      s"--codec must be png|jpeg|jpeg420|jpegprog, got '$codec'")
+      codec == "jpegprog" || codec == "gif",
+      s"--codec must be png|jpeg|jpeg420|jpegprog|gif, got '$codec'")
     require(!throughput || cropShifts.isEmpty,
       "--throughput and --cropSweep are separate cells - pass one")
     require(recodeQualities.isEmpty || (!throughput && cropShifts.isEmpty),

@@ -359,6 +359,68 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("GifGray: exact round-trips, foreign LZW parity, error classes, fuzz") {
+    import graft.functions.GifGray
+    for (seed <- 1 to 12) {
+      val r = new scala.util.Random(seed + 1100)
+      val w = 1 + r.nextInt(40); val h = 1 + r.nextInt(40)
+      val pix =
+        if (seed % 2 == 0) graft.ext.Multimodal.patternPixels(seed.toLong, w, h)
+        else Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      // our encoder: identity-gray palette ⇒ EXACT round trip, both row
+      // orders (the interlace pass machinery is the decode's riskiest bit)
+      for (il <- Seq(false, true)) {
+        val g = GifGray.decode(GifGray.encodeGray(w, h, pix, interlaced = il))
+        assert(g.isRight, s"seed $seed il=$il: $g")
+        assert(java.util.Arrays.equals(g.toOption.get.pix, pix),
+          s"seed $seed il=$il round trip")
+      }
+      // FOREIGN encoder: ImageIO writes real variable-width LZW with
+      // dictionary growth — decode must agree with ImageIO's own read
+      // exactly (GIF is lossless through the palette)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0, pix(y * w + x) & 0xff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "gif", bos)
+      val foreign = bos.toByteArray
+      val ours = GifGray.decode(foreign)
+      assert(ours.isRight, s"seed $seed foreign: $ours")
+      val ref = imageioDecode(foreign)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val lum = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+          29 * (rgb & 0xff)) >> 8
+        assert((ours.toOption.get.pix(y * w + x) & 0xff) == lum,
+          s"seed $seed foreign ($x,$y)")
+      }
+    }
+    // error classes and the never-throws fuzz
+    assert(GifGray.decode("GIF90a??".getBytes("US-ASCII")) == Left("not_gif"))
+    assert(GifGray.decode("GIF89a".getBytes("US-ASCII")) == Left("gif_truncated"))
+    val pix = graft.ext.Multimodal.patternPixels(13L, 24, 16)
+    val good = GifGray.encodeGray(24, 16, pix)
+    // trailer immediately after the header: no frame
+    val headerOnly = good.take(13 + 768) ++ Array[Byte](0x3b)
+    assert(GifGray.decode(headerOnly) == Left("gif_no_image"))
+    val rnd = new scala.util.Random(1113)
+    (0 until good.length).foreach(cut => GifGray.decode(good.take(cut)))
+    (1 to 300).foreach { _ =>
+      val v = good.clone(); v(rnd.nextInt(v.length)) = rnd.nextInt(256).toByte
+      GifGray.decode(v) // must not throw
+    }
+    // the dispatch: GIF payloads flow through the image expressions
+    val viaHash = graft.functions.ImageDHash.dHash64(
+      graft.functions.ImageCodecs.decode(
+        GifGray.encodeGray(32, 32, graft.ext.Multimodal.patternPixels(5L, 32, 32)))
+        .toOption.get)
+    val viaPng = graft.functions.ImageDHash.dHash64(
+      graft.functions.PngGray.decode(graft.functions.PngGray.encodeGray(
+        32, 32, graft.ext.Multimodal.patternPixels(5L, 32, 32))).toOption.get)
+    assert(viaHash == viaPng, "GIF and PNG of the same pixels hash differently")
+  }
+
   test("ImageCodecs dispatch: JPEG flows through dHash/grid/spectral/luma; not_image") {
     import graft.ext.Multimodal
     val pix = Multimodal.patternPixels(23L, 32, 32)
