@@ -1531,7 +1531,7 @@ object Dedup {
           hasEmbeddings = false, vecCol = "feature", modality = modality,
           geometricTolerance = geo, recodeQuality = recodeQ))
       }
-    (modalityPlan(Set("png", "jpeg", "gif"), "image", mutationTolerance,
+    (modalityPlan(Set("png", "jpeg", "gif", "bmp"), "image", mutationTolerance,
       imageGeometricTolerance, imageRecodeQuality) ++
       modalityPlan(Set("wav"), "audio", mutationTolerance,
         audioGeometricTolerance, 100.0) ++
@@ -1571,7 +1571,7 @@ object Dedup {
         imageGeometricTolerance, audioGeometricTolerance,
         videoMutationTolerance, scratchBudgetGb, imageRecodeQuality)
       val modalityKinds = Seq(
-        "image" -> Set("png", "jpeg", "gif"), "audio" -> Set("wav"),
+        "image" -> Set("png", "jpeg", "gif", "bmp"), "audio" -> Set("wav"),
         "video" -> Set("mp4"))
       val pooled = modalityKinds.collect {
         case (modality, kinds) if plans.contains(modality) =>

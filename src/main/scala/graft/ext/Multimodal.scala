@@ -375,6 +375,11 @@ object Multimodal {
             // to exercise the four-pass row order in the gates
             graft.functions.GifGray.encodeGray(w, h, pix,
               interlaced = java.lang.Math.floorMod(id, 18L) == 4L)
+          else if (java.lang.Math.floorMod(id, 9L) == 7L)
+            // BMP slice (r17): identity-gray palette, exact — half
+            // top-down to exercise both row orders in the gates
+            graft.functions.BmpGray.encodeGray(w, h, pix,
+              topDown = java.lang.Math.floorMod(id, 18L) == 7L)
           else graft.functions.PngGray.encodeGray(w, h, pix)
         Row(id, payload)
       }

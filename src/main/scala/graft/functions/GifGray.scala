@@ -298,3 +298,116 @@ private[graft] object GifGray {
     out.toByteArray
   }
 }
+
+/** Constrained BMP decoder — the fourth image codec behind
+  * [[ImageCodecs]]: uncompressed Windows bitmaps (the scan/legacy-dataset
+  * format), from the public BITMAPINFOHEADER layout. Subset: BI_RGB
+  * (compression 0) at 8-bit (palette), 24-bit (BGR), and 32-bit (BGRX);
+  * bottom-up and top-down (negative height) row orders; 4-byte row
+  * padding; BITMAPINFOHEADER or larger DIB headers (V4/V5 — the extra
+  * fields are skipped, the pixel offset field locates the data). RLE and
+  * bitfield compressions land in per-row error Lefts. Luma through the
+  * shared BT.601 weights; the same 64 MPix cap as every codec here. */
+private[graft] object BmpGray {
+  import PngGray.Gray
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong) | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  def decode(payload: Array[Byte]): Either[String, Gray] = {
+    val b = payload
+    val n = b.length
+    if (n < 2 || b(0) != 'B' || b(1) != 'M') return Left("not_bmp")
+    if (n < 54) return Left("bmp_truncated")
+    val dataOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return Left("bmp_unsupported_header") // core headers out
+    val w = le32(b, 18).toInt // i32 LE
+    val hRaw = le32(b, 22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val maxPix = 64L * 1024 * 1024
+    if (w <= 0 || h <= 0 || w.toLong * h > maxPix) return Left("bmp_bad_dims")
+    if (le16(b, 26) != 1) return Left("bmp_bad_planes")
+    val bits = le16(b, 28)
+    if (bits != 8 && bits != 24 && bits != 32)
+      return Left("bmp_unsupported_depth")
+    if (le32(b, 30) != 0L) return Left("bmp_unsupported_compression") // BI_RGB only
+    // palette (8-bit): BGRA quads right after the DIB header; clrUsed 0
+    // means the full 256
+    var lut: Array[Byte] = null
+    if (bits == 8) {
+      val clrUsed0 = le32(b, 46)
+      val entries = if (clrUsed0 == 0L) 256 else clrUsed0.toInt
+      if (entries < 1 || entries > 256) return Left("bmp_bad_palette")
+      val palOff = 14 + dibSize
+      if (palOff + 4L * entries > n) return Left("bmp_truncated")
+      lut = new Array[Byte](entries)
+      var k = 0
+      while (k < entries) {
+        val o = (palOff + 4 * k).toInt // B, G, R, reserved
+        lut(k) = ((77 * u8(b, o + 2) + 150 * u8(b, o + 1) +
+          29 * u8(b, o)) >> 8).toByte
+        k += 1
+      }
+    }
+    val bytesPerPx = bits / 8
+    val rowBytes = ((w.toLong * bits + 31) / 32 * 4)
+    if (dataOff < 54 || dataOff + rowBytes * h > n) return Left("bmp_truncated")
+    val pix = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val ro = (dataOff + srcRow * rowBytes).toInt
+      var x = 0
+      while (x < w) {
+        val o = ro + x * bytesPerPx
+        pix(y * w + x) =
+          if (bits == 8) {
+            val idx = u8(b, o)
+            if (idx >= lut.length) return Left("bmp_bad_palette_index")
+            lut(idx)
+          } else // BGR / BGRX
+            ((77 * u8(b, o + 2) + 150 * u8(b, o + 1) + 29 * u8(b, o)) >> 8).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Right(Gray(w, h, pix))
+  }
+
+  /** Fixture-grade 8-bit palette BMP encoder (identity-gray palette —
+    * decode reproduces the pixels exactly), bottom-up rows unless
+    * `topDown`. */
+  def encodeGray(width: Int, height: Int, pix: Array[Byte],
+      topDown: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && pix.length == width * height,
+      s"bad gray buffer: ${width}x$height vs ${pix.length}")
+    val rowBytes = (width + 3) / 4 * 4
+    val dataOff = 14 + 40 + 4 * 256
+    val out = new java.io.ByteArrayOutputStream(dataOff + rowBytes * height)
+    def le16w(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32w(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    out.write('B'); out.write('M')
+    le32w(dataOff + rowBytes * height); le16w(0); le16w(0); le32w(dataOff)
+    le32w(40); le32w(width); le32w(if (topDown) -height else height)
+    le16w(1); le16w(8); le32w(0) // planes, bits, BI_RGB
+    le32w(rowBytes * height); le32w(2835); le32w(2835); le32w(256); le32w(0)
+    var k = 0
+    while (k < 256) { out.write(k); out.write(k); out.write(k); out.write(0); k += 1 }
+    val rows = if (topDown) 0 until height else (height - 1) to 0 by -1
+    rows.foreach { y =>
+      var x = 0
+      while (x < width) { out.write(pix(y * width + x) & 0xff); x += 1 }
+      var p = width
+      while (p < rowBytes) { out.write(0); p += 1 }
+    }
+    out.toByteArray
+  }
+}

@@ -1241,6 +1241,8 @@ private[graft] object ImageCodecs {
       PngGray.decode(payload)
     else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == '8') GifGray.decode(payload)
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+      BmpGray.decode(payload)
     else Left("not_image")
   }
 }

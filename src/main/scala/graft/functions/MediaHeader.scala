@@ -85,6 +85,8 @@ object MediaHeader {
   private def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32s(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
   private def le32(b: Array[Byte], i: Int): Long =
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
       (u8(b, i + 3).toLong << 24)
@@ -132,6 +134,13 @@ object MediaHeader {
       if (w <= 0 || h <= 0) return row("gif", error = "gif_bad_dims")
       // bit depth: the color-resolution field (flags bits 4-6) + 1
       return row("gif", w, h, (((u8(b, 10) >> 4) & 7) + 1).toLong)
+    }
+    // ─ BMP (r17, alongside the BmpGray pixel decode) ─
+    if (n >= 2 && b(0) == 'B' && b(1) == 'M') {
+      if (n < 54) return row("bmp", error = "bmp_truncated")
+      val w = le32s(b, 18); val h = math.abs(le32s(b, 22))
+      if (w <= 0 || h <= 0) return row("bmp", error = "bmp_bad_dims")
+      return row("bmp", w.toLong, h.toLong, le16(b, 28).toLong)
     }
     // ─ JPEG ─
     if (n >= 2 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {

@@ -421,6 +421,68 @@ class JpegSpec extends SparkSpec {
     assert(viaHash == viaPng, "GIF and PNG of the same pixels hash differently")
   }
 
+  test("BmpGray: exact round-trips, row orders, foreign 24-bit parity, fuzz") {
+    import graft.functions.BmpGray
+    for (seed <- 1 to 12) {
+      val r = new scala.util.Random(seed + 1300)
+      val w = 1 + r.nextInt(40); val h = 1 + r.nextInt(40)
+      val pix = Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      // our 8-bit identity-gray encoder: exact, both row orders (the
+      // bottom-up/top-down flip is the format's classic trap)
+      for (td <- Seq(false, true)) {
+        val g = BmpGray.decode(BmpGray.encodeGray(w, h, pix, topDown = td))
+        assert(g.isRight, s"seed $seed td=$td: $g")
+        assert(java.util.Arrays.equals(g.toOption.get.pix, pix),
+          s"seed $seed td=$td round trip")
+      }
+      // FOREIGN: ImageIO writes 24-bit bottom-up BGR — exact through the
+      // BT.601 weights (BMP is lossless)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = pix(y * w + x) & 0xff
+        bi.setRGB(x, y, (v << 16) | ((255 - v) << 8) | (v ^ 0x55))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "bmp", bos)
+      val foreign = bos.toByteArray
+      val ours = BmpGray.decode(foreign)
+      assert(ours.isRight, s"seed $seed foreign: $ours")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = bi.getRGB(x, y)
+        val lum = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+          29 * (rgb & 0xff)) >> 8
+        assert((ours.toOption.get.pix(y * w + x) & 0xff) == lum,
+          s"seed $seed foreign ($x,$y)")
+      }
+    }
+    // error classes + fuzz
+    assert(BmpGray.decode("XX".getBytes) == Left("not_bmp"))
+    assert(BmpGray.decode("BM123".getBytes) == Left("bmp_truncated"))
+    val pix = graft.ext.Multimodal.patternPixels(17L, 24, 16)
+    val good = BmpGray.encodeGray(24, 16, pix)
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8
+    assert(BmpGray.decode(rle) == Left("bmp_unsupported_compression"))
+    val d16 = good.clone(); d16(28) = 16
+    assert(BmpGray.decode(d16) == Left("bmp_unsupported_depth"))
+    val rnd = new scala.util.Random(1311)
+    (0 until good.length).foreach(cut => BmpGray.decode(good.take(cut)))
+    (1 to 300).foreach { _ =>
+      val v = good.clone(); v(rnd.nextInt(v.length)) = rnd.nextInt(256).toByte
+      BmpGray.decode(v) // must not throw
+    }
+    // dispatch + cross-codec hash identity
+    assert(graft.functions.ImageCodecs.decode(good).isRight)
+    val viaBmp = graft.functions.ImageDHash.dHash64(
+      graft.functions.ImageCodecs.decode(
+        BmpGray.encodeGray(32, 32, graft.ext.Multimodal.patternPixels(5L, 32, 32)))
+        .toOption.get)
+    val viaPng = graft.functions.ImageDHash.dHash64(
+      graft.functions.PngGray.decode(graft.functions.PngGray.encodeGray(
+        32, 32, graft.ext.Multimodal.patternPixels(5L, 32, 32))).toOption.get)
+    assert(viaBmp == viaPng)
+  }
+
   test("ImageCodecs dispatch: JPEG flows through dHash/grid/spectral/luma; not_image") {
     import graft.ext.Multimodal
     val pix = Multimodal.patternPixels(23L, 32, 32)
