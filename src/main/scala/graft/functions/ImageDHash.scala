@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Perceptual difference-hash (dHash) of a PNG or JPEG (baseline/progressive) payload —
+/** Perceptual difference-hash (dHash) of a PNG / JPEG (baseline or
+  * progressive) / GIF / BMP payload —
   * `struct<dhash: bigint, error: string>` — the image analogue of the
   * text SimHash: a 64-bit fingerprint whose hamming distance tracks
   * VISUAL similarity, so the Manku-blocked pairing machinery
@@ -29,9 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (None/Sub/Up/Average/Paeth) reversed per row, per interlace pass.
   * RGB converts to luminance by the integer BT.601 weights
   * ((77·R + 150·G + 29·B) >> 8); palette indices go through the same
-  * weights applied to their PLTE triple. Baseline-JPEG payloads decode
-  * through [[JpegGray]] (Huffman + dequant + IDCT, luma plane only) via
-  * the [[ImageCodecs]] magic-byte dispatch. Anything outside the subset
+  * weights applied to their PLTE triple. JPEG payloads decode through
+  * [[JpegGray]] (Huffman + dequant + IDCT, luma plane only), GIFs
+  * through [[GifGray]] (LZW, first frame), BMPs through [[BmpGray]] —
+  * all via the [[ImageCodecs]] magic-byte dispatch. Anything outside the subset
   * (alpha, sub-byte depths, arithmetic-coded JPEG, or a non-image payload)
   * lands in `error` with a null hash — one odd blob poisons its row,
   * never the job, the [[MediaHeader]] contract.
