@@ -1587,8 +1587,12 @@ object Dedup {
       val handledKinds = modalityKinds.collect {
         case (m, ks) if plans.contains(m) => ks
       }.flatten
+      // NULL __kind (NULL payload through MediaHeader's nullSafeEval, or
+      // an unparseable header) must SURVIVE into the others pool — a bare
+      // `!isin` evaluates to NULL under three-valued logic and would
+      // silently drop the row, contradicting the pass-through contract
       val others = headed
-        .filter(!col("__kind").isin(handledKinds: _*))
+        .filter(col("__kind").isNull || !col("__kind").isin(handledKinds: _*))
         .select(col("media_id"), col("__kind").as("kind"),
           lit(null).cast("long").as("dup_of"))
       // materialize before unpersist: the union is lazy and `headed`

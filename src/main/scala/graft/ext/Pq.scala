@@ -295,12 +295,21 @@ object Pq {
         // ADC tables or return a plausible-but-foreign recall
         val shape = emb.agg(
           max(size(col("codes"))).as("maxM"),
-          max(array_max(col("codes"))).as("maxCode")).collect()(0)
+          max(array_max(col("codes"))).as("maxCode"),
+          min(size(col("codes"))).as("minM")).collect()(0)
         if (!shape.isNullAt(0)) {
           require(shape.getInt(0) == cb.m,
             s"measureRecall: 'codes' has ${shape.getInt(0)} subvectors but " +
               s"cb.m=${cb.m} - these codes were not produced by the passed " +
               "codebooks; drop the column to re-encode under cb")
+          // ragged corpora (mixed-m rows whose MAX happens to equal cb.m,
+          // e.g. partial re-encodes with fewer subvectors) must fail as
+          // loudly as a uniformly-wrong m
+          require(shape.getInt(2) == cb.m,
+            s"measureRecall: 'codes' is ragged - min ${shape.getInt(2)} vs " +
+              s"max ${shape.getInt(0)} subvectors; some rows were not " +
+              "encoded under the passed codebooks; drop the column to " +
+              "re-encode under cb")
           val maxCode = if (shape.isNullAt(1)) -1 else shape.getInt(1)
           require(shape.isNullAt(1) || maxCode < cb.k,
             s"measureRecall: 'codes' references codeword $maxCode >= " +

@@ -47,8 +47,9 @@ package graft.functions
   * Scale: one pass over payload bytes per row, scan-stage — the honest
   * O(payload) floor of any content fingerprint, like [[PngGray]]'s
   * inflate. Reference behavior replicated: the reference pipeline treats
-  * media blobs as opaque typed columns (gcs_handler.py:34-71); content
-  * decode is this repo's extension mandate.
+  * storage blobs as opaque objects fetched whole (utils/auto_healer.py:
+  * 59-72, dag/self_healing_pipeline.py:86-98); content decode is this
+  * repo's extension mandate.
   */
 private[graft] object JpegGray {
   import PngGray.Gray
@@ -329,6 +330,15 @@ private[graft] object JpegGray {
           val ahal = u8(payload, i + 5 + 2 * ns)
           if (!progressive) {
             if (ss != 0 || se != 63 || ahal != 0) return Left("jpeg_bad_scan")
+            // T.81 B.2.3: scan components shall follow frame-header order.
+            // decodeScan pairs scan entropy tables with comps(c) by
+            // POSITION (and keys luma off c == 0), so a permuted SOS must
+            // refuse loudly here rather than decode with swapped tables.
+            var sc = 0
+            while (sc < ns) {
+              if (scan(sc)._1 != sc) return Left("jpeg_bad_scan")
+              sc += 1
+            }
             return decodeScan(payload, i + len, n, comps, scan, qt, qtSeen,
               dcTabs, acTabs, width, height, ri)
           }

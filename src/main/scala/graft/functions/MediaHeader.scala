@@ -14,9 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Replaces the former byte-histogram decode stub with a REAL parse of the
   * three public fixed-layout container headers a training-data pipeline
-  * most often meets (reference treats media as opaque GCS blobs with
-  * metadata rows — utils/gcs_handler.py:41-77 — so the header fields ARE
-  * its metadata surface, derived here from the bytes instead of trusted):
+  * most often meets (the reference handles storage objects only as whole
+  * opaque blobs — utils/auto_healer.py:59-72, dag/self_healing_pipeline
+  * .py:86-98 — so typed header fields are this engine's extension,
+  * derived from the bytes instead of trusted metadata):
   *
   *  - PNG  (public spec, RFC 2083 §3.1/§4.1.1): 8-byte signature
   *    `89 50 4E 47 0D 0A 1A 0A`, then the IHDR chunk — width/height as

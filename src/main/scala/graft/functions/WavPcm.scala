@@ -18,8 +18,9 @@ package graft.functions
   * float64) lands in a per-row error `Left` — one odd blob poisons its
   * row, never the job, the [[MediaHeader]] contract.
   *
-  * Reference behavior: the reference pipeline treats media as opaque GCS
-  * blobs with metadata only (`/root/reference/utils/gcs_handler.py`);
+  * Reference behavior: the reference pipeline treats storage objects as
+  * opaque blobs it downloads/uploads whole (`/root/reference/utils/
+  * auto_healer.py:59-72`, `dag/self_healing_pipeline.py:86-98`);
   * decoding is this engine's extension surface, same as the PNG tier.
   *
   * Decode rules (strict, each violation its own error string):

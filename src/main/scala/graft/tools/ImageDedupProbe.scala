@@ -68,8 +68,10 @@ object ImageDedupProbe {
             graft.functions.JpegGray.encodeColor420(w, h, pix,
               Multimodal.patternPixels(seed + 101, cw, ch),
               Multimodal.patternPixels(seed + 211, cw, ch), 92)
+          case "bmp" => graft.functions.BmpGray.encodeGray(w, h, pix,
+            topDown = id % 2 == 0)
           case other => throw new IllegalArgumentException(
-            s"codec must be png|jpeg|jpeg420, got '$other'")
+            s"codec must be png|jpeg|jpeg420|jpegprog|gif|bmp, got '$other'")
         }
         Row(id, payload)
       }
@@ -166,14 +168,13 @@ object ImageDedupProbe {
         case other => sys.error(s"unknown arg '$other'; usage: ImageDedupProbe " +
           "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B] " +
           "[--survivors] [--reprobe] [--cropSweep 1,2,4] [--family dhash|grid|spectral] " +
-          "[--gridThreshold 0.9] [--codec png|jpeg|jpeg420] [--throughput]")
+          "[--gridThreshold 0.9] [--codec png|jpeg|jpeg420|jpegprog|gif|bmp] [--throughput]")
       }
     }
     require(family == "dhash" || family == "grid" || family == "spectral",
       s"--family must be dhash|grid|spectral, got '$family'")
-    require(codec == "png" || codec == "jpeg" || codec == "jpeg420" ||
-      codec == "jpegprog" || codec == "gif",
-      s"--codec must be png|jpeg|jpeg420|jpegprog|gif, got '$codec'")
+    require(Set("png", "jpeg", "jpeg420", "jpegprog", "gif", "bmp")(codec),
+      s"--codec must be png|jpeg|jpeg420|jpegprog|gif|bmp, got '$codec'")
     require(!throughput || cropShifts.isEmpty,
       "--throughput and --cropSweep are separate cells - pass one")
     require(recodeQualities.isEmpty || (!throughput && cropShifts.isEmpty),

@@ -1068,6 +1068,15 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Pq.measureRecall(corpus, foreignM, k = 5, nQueries = 8)
     }
+    // RAGGED codes whose MAX size happens to equal cb.m (partial
+    // re-encodes with fewer subvectors) must fail as loudly (r17 advice)
+    val ragged = corpus.withColumn("codes",
+      when($"vec_id" === 1L, slice($"codes", 1, reloaded.m - 1))
+        .otherwise($"codes"))
+    val raggedEx = intercept[IllegalArgumentException] {
+      Pq.measureRecall(ragged, reloaded, k = 5, nQueries = 8)
+    }
+    assert(raggedEx.getMessage.contains("ragged"))
 
     // the shared ledger accumulated the append and trips the threshold
     val l = Ivf.loadLedger(cat, "ann.pqa_ledger")
@@ -1802,6 +1811,8 @@ class ExtSpec extends SparkSpec {
         .select("media_id", "payload"))
       .unionByName(Seq((30000L, "no codec speaks this".getBytes))
         .toDF("media_id", "payload"))
+      .unionByName(Seq(30001L).toDF("media_id")
+        .select($"media_id", lit(null).cast("binary").as("payload")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val byKind = Dedup.runPlanByKind(mixed, mutationTolerance = 0.01)
@@ -1815,6 +1826,10 @@ class ExtSpec extends SparkSpec {
       // image pool is png+jpeg TOGETHER, audio wav, video mp4, and the
       // garbage row survives as its detected 'unknown'
       assert(got(30000L) == ("unknown", None))
+      // a NULL payload yields NULL __kind through nullSafeEval; under
+      // three-valued logic a bare `!isin` filter would silently DROP it —
+      // the pass-through contract says it must survive (r17 advice)
+      assert(got.contains(30001L) && got(30001L) == ((null, None)))
       val kinds = got.values.map(_._1).toSet
       assert(Set("png", "jpeg", "wav", "mp4", "unknown").subsetOf(kinds))
 
@@ -1840,7 +1855,7 @@ class ExtSpec extends SparkSpec {
         idCol = "media_id", textCol = "payload"))
       val direct = directImg ++ directAud ++ directVid
       got.foreach { case (id, (kind, dupOf)) =>
-        if (kind != "unknown")
+        if (kind != null && kind != "unknown")
           assert(dupOf == direct(id), s"id $id ($kind): $dupOf vs ${direct(id)}")
       }
       // the planted image pairs fold inside the one mixed call (dup_of

@@ -221,6 +221,25 @@ class JpegSpec extends SparkSpec {
     for (y <- 0 until 16; x <- 0 until 24)
       assert(math.abs((with22.toOption.get.pix(y * 24 + x) & 0xff) -
         io22.getRaster.getSample(x, y, 0)) <= 1, s"io parity ($x,$y)")
+
+    // T.81 B.2.3: scan components shall follow frame-header order. The
+    // baseline decoder pairs scan tables with comps BY POSITION, so a
+    // permuted SOS must refuse loudly (jpeg_bad_scan), never decode with
+    // swapped tables/geometry (r17 advice).
+    val cw2 = 12; val ch2 = 8
+    val colorGood = JpegGray.encodeColor420(24, 16, pix,
+      graft.ext.Multimodal.patternPixels(11L, cw2, ch2),
+      graft.ext.Multimodal.patternPixels(13L, cw2, ch2), 85)
+    assert(JpegGray.decode(colorGood).isRight)
+    var sos = 2
+    while (!((colorGood(sos) & 0xff) == 0xff &&
+        (colorGood(sos + 1) & 0xff) == 0xda)) sos += 1
+    assert((colorGood(sos + 4) & 0xff) == 3) // ns = 3
+    val permuted = colorGood.clone()
+    // swap scan entries 0 and 1: (cs, td/ta) pairs at sos+5.. and sos+7..
+    permuted(sos + 5) = colorGood(sos + 7); permuted(sos + 6) = colorGood(sos + 8)
+    permuted(sos + 7) = colorGood(sos + 5); permuted(sos + 8) = colorGood(sos + 6)
+    assert(JpegGray.decode(permuted) == Left("jpeg_bad_scan"))
   }
 
   test("JpegGray: hostile-bytes and truncation-prefix fuzz never throws") {
