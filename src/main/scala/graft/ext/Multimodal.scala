@@ -573,8 +573,12 @@ object Multimodal {
     * cosine moves < 1e-4 at this amplitude), else every 3rd (id % 3 == 2)
     * encodes equal-channel STEREO (the mono mix reproduces the samples
     * EXACTLY — floorDiv(2s, 2) = s — zero feature movement), else mono
-    * 16-bit. Generation is partition-local (one iterator in, one out,
-    * nothing collected); `StrictMath` keeps the field bit-reproducible. */
+    * 16-bit; r17 carved the remaining mono-16 rows into 24-bit, float32,
+    * and extensible slices (all value-exact), and r18 carves G.711
+    * µ-law/A-law slices from NON-PAIR mono-16 rows only (companding is
+    * lossy — planted invariants stay byte-identical). Generation is
+    * partition-local (one iterator in, one out, nothing collected);
+    * `StrictMath` keeps the field bit-reproducible. */
   def syntheticAudio(docs: DataFrame, samplesPerClip: Int = 2048): DataFrame = {
     val spark = docs.sparkSession
     val n = samplesPerClip
@@ -611,6 +615,17 @@ object Multimodal {
             graft.functions.WavPcm.encodeFloat32(rate, 1, samples)
           else if (java.lang.Math.floorMod(id, 7L) == 6L)
             graft.functions.WavPcm.encodePcm24Extensible(rate, 1, samples)
+          // r18 G.711 slices: LOSSY companding, so they carve NON-PAIR
+          // rows only (id % 20 ∉ {0, 1} — neither a planted dup nor its
+          // source), the q92 lesson: planted invariants stay measured
+          // against byte-identical waveforms while the gates exercise
+          // the telephony decode paths
+          else if (java.lang.Math.floorMod(id, 20L) >= 2L &&
+              java.lang.Math.floorMod(id, 11L) == 5L)
+            graft.functions.WavPcm.encodeUlaw(rate, 1, samples)
+          else if (java.lang.Math.floorMod(id, 20L) >= 2L &&
+              java.lang.Math.floorMod(id, 11L) == 8L)
+            graft.functions.WavPcm.encodeAlaw(rate, 1, samples)
           else
             graft.functions.WavPcm.encodePcm16(rate, 1, samples)
         Row(id, wav)

@@ -10,9 +10,14 @@ package graft.functions
   * (unsigned) / 16 / 24 / 32 bits (signed LE; 24/32 reduce to the shared
   * 16-bit scale by the high-16 convention), IEEE float32 PCM (format
   * tag 3: clamp to [−1, 1], scale by 32767, rint; non-finite samples map
-  * to 0), and WAVE_FORMAT_EXTENSIBLE wrappers (tag 0xFFFE: the real tag
+  * to 0), G.711 companded telephony audio (r18 — tags 7 µ-law / 6 A-law,
+  * the 256-entry logarithmic tables from the public ITU-T G.711 spec,
+  * 8-bit codes decoding EXACTLY to their defined 16-bit-scale values),
+  * and WAVE_FORMAT_EXTENSIBLE wrappers (tag 0xFFFE: the real tag
   * from the SubFormat GUID — the layout every >2-channel or 24-bit
-  * encoder emits), mono or multi-channel (channels mix to mono by
+  * encoder emits; the ALAW/MULAW subtype GUIDs share the tag-in-GUID
+  * layout so companded extensible WAVs route too), mono or multi-channel
+  * (channels mix to mono by
   * integer floor-average, the deterministic reduction every downstream
   * feature shares). Anything outside the subset (compressed formats,
   * float64) lands in a per-row error `Left` — one odd blob poisons its
@@ -58,6 +63,62 @@ object WavPcm {
   final case class Pcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
       samples: Array[Int])
 
+  // ───── G.711 companding (r18): format tags 7 (µ-law) / 6 (A-law) ─────
+  // The telephony codecs real audio corpora carry when they are not raw
+  // PCM — both are pure 256-entry table lookups from the public ITU-T
+  // G.711 spec (tables as published in CCITT's reference code): 8-bit
+  // logarithmic code → 16-bit-scale linear sample. µ-law: complement,
+  // then ((quant << 3) + 132) << segment, bias-corrected, sign from bit
+  // 7. A-law: XOR 0x55, then the per-segment linearization (segments 0/1
+  // are linear, higher ones double). Decode is EXACT by construction
+  // (the spec defines the byte→linear mapping); encode is the lossy
+  // direction, used only by fixtures/corpus.
+
+  /** µ-law byte → linear sample (G.711 table; max magnitude 32124). */
+  private[graft] val UlawToLinear: Array[Int] = Array.tabulate(256) { u =>
+    val uv = ~u & 0xff
+    val t = (((uv & 0x0f) << 3) + 0x84) << ((uv & 0x70) >> 4)
+    if ((uv & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law byte → linear sample (G.711 table; max magnitude 32256). */
+  private[graft] val AlawToLinear: Array[Int] = Array.tabulate(256) { a =>
+    val av = a ^ 0x55
+    val seg = (av & 0x70) >> 4
+    var t = (av & 0x0f) << 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    if ((av & 0x80) != 0) t else -t
+  }
+
+  /** Linear 16-bit sample → µ-law byte (G.711 encode: bias, clip at
+    * 8159 on the 14-bit scale, segment search, complement). */
+  private[graft] def linearToUlaw(pcm: Int): Int = {
+    var v = math.max(-32768, math.min(32767, pcm)) >> 2
+    val mask = if (v < 0) { v = -v; 0x7f } else 0xff
+    if (v > 8159) v = 8159
+    v += 0x84 >> 2 // bias on the 14-bit scale (33)
+    var seg = 0
+    while (seg < 8 && v > ((0x3f << seg) | ((1 << seg) - 1))) seg += 1
+    if (seg >= 8) 0x7f ^ mask
+    else (((seg << 4) | ((v >> (seg + 1)) & 0x0f)) ^ mask) & 0xff
+  }
+
+  /** Linear 16-bit sample → A-law byte (G.711 encode: 13-bit scale,
+    * segment search, XOR 0x55 transmission toggle). */
+  private[graft] def linearToAlaw(pcm: Int): Int = {
+    var v = math.max(-32768, math.min(32767, pcm)) >> 3
+    val mask = if (v >= 0) 0xd5 else { v = -v - 1; 0x55 }
+    var seg = 0
+    while (seg < 8 && v > ((0x1f << seg) | ((1 << seg) - 1))) seg += 1
+    if (seg >= 8) 0x7f ^ mask
+    else {
+      val quant = if (seg < 2) (v >> 1) & 0x0f else (v >> seg) & 0x0f
+      (((seg << 4) | quant) ^ mask) & 0xff
+    }
+  }
+
   private def ascii(b: Array[Byte], off: Int, s: String): Boolean = {
     if (off + s.length > b.length) return false
     var i = 0
@@ -83,6 +144,7 @@ object WavPcm {
     var haveFmt = false
     var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
     var floatPcm = false
+    var compand: Array[Int] = null // G.711 table when tag is 6/7
     var off = 12
     while (off + 8 <= b.length) {
       val size = le32(b, off + 4)
@@ -99,8 +161,14 @@ object WavPcm {
           if (size < 40) return Left("wav_bad_fmt")
           fmtTag = le16(b, body + 24)
         }
-        if (fmtTag != 1 && fmtTag != 3) return Left("wav_not_pcm")
+        if (fmtTag != 1 && fmtTag != 3 && fmtTag != 6 && fmtTag != 7)
+          return Left("wav_not_pcm")
         floatPcm = fmtTag == 3
+        // G.711 companded telephony WAVs (r18): tag 6 = A-law, 7 = µ-law
+        compand =
+          if (fmtTag == 6) AlawToLinear
+          else if (fmtTag == 7) UlawToLinear
+          else null
         channels = le16(b, body + 2)
         if (channels < 1 || channels > 8) return Left("wav_bad_channels")
         val r = le32(b, body + 4)
@@ -110,8 +178,10 @@ object WavPcm {
         bits = le16(b, body + 14)
         // integer PCM: 8 (unsigned) / 16 / 24 / 32 (signed LE);
         // float PCM: 32-bit IEEE only (float64 WAVs are vanishingly
-        // rare and stay out of the subset)
+        // rare and stay out of the subset); G.711 codes are 8-bit by
+        // definition
         if (floatPcm) { if (bits != 32) return Left("wav_bad_bits") }
+        else if (compand != null) { if (bits != 8) return Left("wav_bad_bits") }
         else if (bits != 8 && bits != 16 && bits != 24 && bits != 32)
           return Left("wav_bad_bits")
         if (blockAlign != channels * (bits / 8)) return Left("wav_bad_block_align")
@@ -131,7 +201,8 @@ object WavPcm {
           while (c < channels) {
             val o = base + c * bytesPer
             val s =
-              if (floatPcm) {
+              if (compand != null) compand(b(o) & 0xff) // G.711 table
+              else if (floatPcm) {
                 // IEEE float32 → the shared 16-bit scale: clamp to
                 // [-1, 1], round half-even (rint — deterministic);
                 // non-finite samples map to 0 (a NaN blob poisoning a
@@ -278,6 +349,49 @@ object WavPcm {
         out.write((v >>> 16) & 0xff)
         c += 1
       }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** G.711 µ-law WAV (format tag 7, 8 bits/code): lossy logarithmic
+    * companding — `decode(encodeUlaw(x))` returns `UlawToLinear(
+    * linearToUlaw(x))`, the spec's quantization of x (≤ 3.1% relative
+    * error above the deepest segment). Pre-quantize with
+    * [[quantizeUlaw]] when a fixture needs a value-exact round-trip. */
+  def encodeUlaw(rate: Int, channels: Int, mono: Array[Int]): Array[Byte] =
+    encodeG711(rate, channels, mono, tag = 7, linearToUlaw)
+
+  /** G.711 A-law WAV (format tag 6, 8 bits/code); see [[encodeUlaw]]. */
+  def encodeAlaw(rate: Int, channels: Int, mono: Array[Int]): Array[Byte] =
+    encodeG711(rate, channels, mono, tag = 6, linearToAlaw)
+
+  /** The µ-law codebook value nearest x under the spec's encoder — what
+    * a µ-law round-trip returns (corpus slices pre-quantize with this so
+    * planted invariants are measured against the stored waveform). */
+  def quantizeUlaw(x: Int): Int = UlawToLinear(linearToUlaw(x))
+
+  /** A-law twin of [[quantizeUlaw]]. */
+  def quantizeAlaw(x: Int): Int = AlawToLinear(linearToAlaw(x))
+
+  private def encodeG711(rate: Int, channels: Int, mono: Array[Int],
+      tag: Int, enc: Int => Int): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels 1-8, got $channels")
+    val out = new java.io.ByteArrayOutputStream(44 + mono.length * channels)
+    val blockAlign = channels
+    out.write("RIFF".getBytes("US-ASCII"))
+    wLe32(out, 36 + mono.length * blockAlign)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); wLe32(out, 16)
+    wLe16(out, tag); wLe16(out, channels); wLe32(out, rate)
+    wLe32(out, rate * blockAlign); wLe16(out, blockAlign); wLe16(out, 8)
+    out.write("data".getBytes("US-ASCII"))
+    wLe32(out, mono.length * blockAlign)
+    var i = 0
+    while (i < mono.length) {
+      val code = enc(mono(i))
+      var c = 0
+      while (c < channels) { out.write(code); c += 1 }
       i += 1
     }
     out.toByteArray

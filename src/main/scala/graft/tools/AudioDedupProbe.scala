@@ -39,7 +39,8 @@ object AudioDedupProbe {
   /** Jitter twin corpus: dup twins at ×1.25 gain + `jitters` single-sample
     * perturbations of the predecessor's waveform. Partition-local. */
   def corpus(spark: SparkSession, n: Long, jitters: Int,
-      samples: Int): DataFrame = {
+      samples: Int, codec: String = "pcm16"): DataFrame = {
+    val enc = encoderFor(codec)
     val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
@@ -58,11 +59,23 @@ object AudioDedupProbe {
             j += 1
           }
         }
-        Row(id, graft.functions.WavPcm.encodePcm16(16000, 1, wave))
+        Row(id, enc(16000, 1, wave))
       }
     }
     spark.createDataFrame(rdd, Multimodal.audioSchema)
   }
+
+  /** The per-codec WAV encoder behind the `--codec` knob (r18): pcm16 is
+    * the exact baseline; ulaw/alaw measure the G.711 decode rate and the
+    * planted detection under LOSSY companding (a measured output). */
+  private def encoderFor(codec: String): (Int, Int, Array[Int]) => Array[Byte] =
+    codec match {
+      case "pcm16" => graft.functions.WavPcm.encodePcm16
+      case "ulaw" => graft.functions.WavPcm.encodeUlaw
+      case "alaw" => graft.functions.WavPcm.encodeAlaw
+      case other => throw new IllegalArgumentException(
+        s"codec must be pcm16|ulaw|alaw, got '$other'")
+    }
 
   /** Shift twin corpus for the GEOMETRIC sweep: dup twins window the same
     * aperiodic field `shift` samples later — same content, re-trimmed. */
@@ -90,6 +103,7 @@ object AudioDedupProbe {
     var threshold = 0.9
     var samples = 2048
     var throughput = false
+    var codec = "pcm16"
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -103,14 +117,21 @@ object AudioDedupProbe {
           threshold = args(i + 1).toDouble; i += 2
         case "--samples" if i + 1 < args.length => samples = args(i + 1).toInt; i += 2
         case "--throughput" => throughput = true; i += 1
+        case "--codec" if i + 1 < args.length => codec = args(i + 1); i += 2
         case other => sys.error(s"unknown arg '$other'; usage: AudioDedupProbe " +
           "[--size N] [--shiftSweep 8,32,...|--jitterSweep 0.001,...] " +
           "[--family envelope|spectral] [--threshold 0.9] [--samples 2048] " +
-          "[--throughput]")
+          "[--throughput] [--codec pcm16|ulaw|alaw]")
       }
     }
     require(family == "envelope" || family == "spectral",
       s"--family must be envelope|spectral, got '$family'")
+    require(Set("pcm16", "ulaw", "alaw")(codec),
+      s"--codec must be pcm16|ulaw|alaw, got '$codec'")
+    // the shift corpus does not take the codec knob — refuse rather than
+    // silently ignore it (the r16 silent-discard lesson)
+    require(codec == "pcm16" || shiftSweep.isEmpty,
+      "--codec applies to --throughput/--jitterSweep cells only")
     // r16 advice: --throughput with a sweep flag previously passed the
     // guard and silently discarded the sweep (the throughput branch
     // returns early) — reject the combination instead
@@ -126,8 +147,9 @@ object AudioDedupProbe {
       // walk over the resulting embedding at the auto-sized config —
       // the planted gain+jitter twins measure detection while the
       // accumulator meters the walk's actual work.
-      val bytesPerClip = 44L + 2L * samples // canonical mono-16 layout
-      val media = corpus(spark, size, 1, samples)
+      val bytesPerClip = // canonical layout: mono-16 or 1-byte G.711 codes
+        if (codec == "pcm16") 44L + 2L * samples else 44L + 1L * samples
+      val media = corpus(spark, size, 1, samples, codec)
       val t0 = System.nanoTime()
       val featsOf =
         if (family == "envelope") Multimodal.audioEnvelopeFeatures(media)
@@ -155,7 +177,7 @@ object AudioDedupProbe {
       val detected = assign.filter(col("dup_of").isNotNull &&
         pmod(col("media_id"), lit(20)) === 1).count()
       val dtWalk = (System.nanoTime() - t1) / 1e9
-      println(f"""{"check":"audio_throughput","family":"$family","rows":$size,""" +
+      println(f"""{"check":"audio_throughput","family":"$family","codec":"$codec","rows":$size,""" +
         f""""planes":$planes,"tables":$tables,""" +
         f""""samples":$samples,"decoded":$n,"payload_mb":${size * bytesPerClip / 1e6}%.1f,""" +
         f""""feature_mb":${n * dims * 4 / 1e6}%.1f,"decode_feature_s":$dtFeat%.3f,""" +
@@ -175,7 +197,7 @@ object AudioDedupProbe {
       else
         jitterSweep.map { f =>
           val jitters = math.max(1, math.round(f * samples).toInt)
-          ("jitter", f, corpus(spark, size, jitters, samples))
+          ("jitter", f, corpus(spark, size, jitters, samples, codec))
         }
     cells.foreach { case (kind, knob, media) =>
       val t0 = System.nanoTime()

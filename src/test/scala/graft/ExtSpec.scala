@@ -2175,6 +2175,63 @@ class ExtSpec extends SparkSpec {
       le32(1000) ++ Array[Byte](1, 2)
     assert(WavPcm.decode(truncated) == Left("wav_chunk_truncated"))
 
+    // ── G.711 µ-law/A-law (r18): exhaustive decode parity with the
+    // JDK's own codec — all 256 code bytes of BOTH laws through a WAV
+    // the JDK converts to PCM_SIGNED 16-bit; the tables must agree on
+    // every entry (they implement the same published spec) ──
+    Seq(("ulaw", 7), ("alaw", 6)).foreach { case (law, tag) =>
+      val codes = Array.tabulate(256)(identity)
+      val bytes = new java.io.ByteArrayOutputStream()
+      def w16(v: Int) = { bytes.write(v & 0xff); bytes.write((v >>> 8) & 0xff) }
+      def w32(v: Int) = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      bytes.write("RIFF".getBytes("US-ASCII")); w32(36 + 256)
+      bytes.write("WAVE".getBytes("US-ASCII"))
+      bytes.write("fmt ".getBytes("US-ASCII")); w32(16)
+      w16(tag); w16(1); w32(8000); w32(8000); w16(1); w16(8)
+      bytes.write("data".getBytes("US-ASCII")); w32(256)
+      codes.foreach(bytes.write)
+      val wav = bytes.toByteArray
+      val ours = WavPcm.decode(wav).getOrElse(fail(s"$law decode failed"))
+      assert(ours.bitsPerSample == 8 && ours.samples.length == 256)
+      val srcAis = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val pcmAis = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        target, srcAis)
+      val raw = pcmAis.readAllBytes()
+      assert(raw.length == 512, s"$law: javax frame count ${raw.length}")
+      (0 until 256).foreach { k =>
+        val theirs = ((raw(2 * k) & 0xff) | ((raw(2 * k + 1) & 0xff) << 8))
+          .toShort.toInt
+        assert(ours.samples(k) == theirs,
+          s"$law code $k: ours ${ours.samples(k)} vs javax $theirs")
+      }
+      // encode round-trip: decode(encode(x)) is the spec's quantization
+      // of x, monotone and within the top-segment step of the input
+      val xs = Array.tabulate(200)(i => i * 327 - 32700)
+      val enc = if (law == "ulaw") WavPcm.encodeUlaw(8000, 1, xs)
+        else WavPcm.encodeAlaw(8000, 1, xs)
+      val rt = WavPcm.decode(enc).getOrElse(fail(s"$law round-trip failed"))
+      val q = if (law == "ulaw") xs.map(WavPcm.quantizeUlaw)
+        else xs.map(WavPcm.quantizeAlaw)
+      assert(rt.samples.toSeq == q.toSeq, s"$law: round-trip != quantize")
+      xs.indices.foreach { i =>
+        assert(math.abs(rt.samples(i) - xs(i)) <= 1024,
+          s"$law: |${rt.samples(i)} - ${xs(i)}| > top-segment step")
+      }
+      // stereo companded frames mix exactly (equal channels)
+      val encSt = if (law == "ulaw") WavPcm.encodeUlaw(8000, 2, xs)
+        else WavPcm.encodeAlaw(8000, 2, xs)
+      assert(WavPcm.decode(encSt).exists(_.samples.toSeq == q.toSeq))
+    }
+    // G.711 demands 8-bit codes: a 16-bit claim refuses
+    assert(WavPcm.decode(riff(fmtChunk(tag = 7, bits = 16, align = 2),
+      dataChunk)) == Left("wav_bad_bits"))
+    assert(WavPcm.decode(riff(fmtChunk(tag = 6, bits = 16, align = 2),
+      dataChunk)) == Left("wav_bad_bits"))
+
     // ── javax.sound.sampled parity fuzz: the JDK's own WAV parser as the
     // independent reference (the ImageIO-parity posture for audio) ──
     val rnd = new scala.util.Random(4242)
