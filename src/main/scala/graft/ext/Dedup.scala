@@ -1531,13 +1531,21 @@ object Dedup {
           hasEmbeddings = false, vecCol = "feature", modality = modality,
           geometricTolerance = geo, recodeQuality = recodeQ))
       }
-    (modalityPlan(Set("png", "jpeg", "gif", "bmp"), "image", mutationTolerance,
+    (modalityPlan(ModalityKinds("image"), "image", mutationTolerance,
       imageGeometricTolerance, imageRecodeQuality) ++
-      modalityPlan(Set("wav"), "audio", mutationTolerance,
+      modalityPlan(ModalityKinds("audio"), "audio", mutationTolerance,
         audioGeometricTolerance, 100.0) ++
-      modalityPlan(Set("mp4"), "video", videoMutationTolerance, 0.0,
-        100.0)).toMap
+      modalityPlan(ModalityKinds("video"), "video", videoMutationTolerance,
+        0.0, 100.0)).toMap
   }
+
+  /** The ONE detected-kind → modality-pool mapping both [[planByKindFrom]]
+    * and [[runPlanByKind]] read (a kind listed here but only in one place
+    * would silently split plan and run). */
+  private val ModalityKinds: Map[String, Set[String]] = Map(
+    "image" -> Set("png", "jpeg", "gif", "bmp"),
+    "audio" -> Set("wav", "flac"),
+    "video" -> Set("mp4"))
 
   /** Execute [[planByKind]] over a mixed corpus in ONE call: detect each
     * payload's kind, run each present modality pool through its own
@@ -1570,9 +1578,8 @@ object Dedup {
       val plans = planByKindFrom(headed, mutationTolerance, minDetection,
         imageGeometricTolerance, audioGeometricTolerance,
         videoMutationTolerance, scratchBudgetGb, imageRecodeQuality)
-      val modalityKinds = Seq(
-        "image" -> Set("png", "jpeg", "gif", "bmp"), "audio" -> Set("wav"),
-        "video" -> Set("mp4"))
+      val modalityKinds = Seq("image", "audio", "video")
+        .map(m => m -> ModalityKinds(m))
       val pooled = modalityKinds.collect {
         case (modality, kinds) if plans.contains(modality) =>
           val rows = headed.filter(col("__kind").isin(kinds.toSeq: _*))

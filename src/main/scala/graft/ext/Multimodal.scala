@@ -74,7 +74,8 @@ object Multimodal {
   private def asc(s: String): Column = lit(s.getBytes("US-ASCII"))
 
   /** Fabricate a media corpus whose payloads carry REAL container headers
-    * (PNG / JPEG+JFIF / canonical WAV — public byte formats), with the
+    * (PNG / JPEG+JFIF / canonical WAV / FLAC STREAMINFO — public byte
+    * formats), with the
     * document text as the opaque body and dimensions derived
     * deterministically from `doc_id`. Every 4th document is deliberately
     * malformed — a half cut PNG header or a leading NUL byte that matches
@@ -122,6 +123,25 @@ object Multimodal {
       le(wavRate * wavCh * 2, 4),                  // byte rate
       le(wavCh * 2, 2), le(lit(16), 2),            // block align, bits
       asc("data"), le(bodyBytes, 4), body)
+    // FLAC (r18): fLaC magic + a last-block STREAMINFO (type 0, 34 bytes)
+    // whose packed rate/channels/bps fields derive from the id — rate 20
+    // bits, channels-1 3 bits, bps-1 5 bits share bytes 10-13 (RFC 9639),
+    // emitted as 3 BE bytes of rate·16 + (ch-1)·2 (bps 16 ⇒ high bit 0)
+    // then 0xF0 | total[35:32] = 0xF0; the text body stands in for the
+    // opaque frame section (header-tier corpus — content decode has its
+    // own FlacSpec/ExtSpec witnesses)
+    val flacCh = (pmod(id.divide(lit(8)).cast("long"), lit(2)) + 1).cast("int")
+    val flacTotal = pmod(id * 11, lit(100000)).cast("int")
+    val flac = concat(
+      asc("fLaC"),
+      bin("80"), bin("000022"),                    // last block, type 0, len 34
+      be(lit(4096), 2), be(lit(4096), 2),          // min/max block size
+      bin("000000"), bin("000000"),                // frame sizes unknown
+      be(wavRate * 16 + (flacCh - 1) * 2, 3),      // rate|ch-1|bps-1 high
+      bin("F0"),                                   // bps-1 low | total high
+      be(flacTotal, 4),                            // total samples low 32
+      bin("00000000000000000000000000000000"),     // MD5 unknown
+      body)
     val corrupt = when(pmod(id, lit(8)) === 3,
         // PNG signature then a cut mid-IHDR: 15 bytes, under the 26 the
         // header needs -> png_truncated
@@ -134,7 +154,11 @@ object Multimodal {
       id.as("media_id"),
       element_at(array(lit("image"), lit("image"), lit("audio"), lit("unknown")),
         (cls + 1).cast("int")).as("kind"),
-      when(cls === 0, png).when(cls === 1, jpeg).when(cls === 2, wav)
+      // the audio class (cls 2) splits wav/flac on id%8 (2 or 6 — both
+      // hit cls 2; a plain mod of the raw id stays NON-constant here
+      // unlike the rate/channel derivations above)
+      when(cls === 0, png).when(cls === 1, jpeg)
+        .when(cls === 2, when(pmod(id, lit(8)) === 6, flac).otherwise(wav))
         .otherwise(corrupt).as("payload"),
       to_json(struct(col("source"), col("n_chars"))).as("meta"))
   }
@@ -626,6 +650,14 @@ object Multimodal {
           else if (java.lang.Math.floorMod(id, 20L) >= 2L &&
               java.lang.Math.floorMod(id, 11L) == 8L)
             graft.functions.WavPcm.encodeAlaw(rate, 1, samples)
+          // r18 FLAC slices: LOSSLESS, so they may carve pair rows —
+          // mono fixed-2 and stereo mid/side both decode value-EXACT on
+          // the shared 16-bit scale (FlacSpec round-trip pins)
+          else if (java.lang.Math.floorMod(id, 13L) == 3L)
+            graft.functions.FlacPcm.encode(rate, 1, samples)
+          else if (java.lang.Math.floorMod(id, 13L) == 9L)
+            graft.functions.FlacPcm.encode(rate, 2, samples,
+              stereoMode = "mid_side")
           else
             graft.functions.WavPcm.encodePcm16(rate, 1, samples)
         Row(id, wav)

@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Deterministic frame-envelope audio descriptor —
   * `struct<feature: array<float>, error: string>` — the audio analogue of
   * [[ImageGridFeature]]: `frames` equal time bins over the mono-mixed
-  * samples ([[WavPcm]] decode), each bin's MEAN ABSOLUTE amplitude,
+  * samples ([[AudioCodecs]] decode — WAV or FLAC), each bin's MEAN ABSOLUTE amplitude,
   * mean-centered — the aligned-cell tier of the audio dedup family.
   *
   * Sample i of n lands in frame i·F/n — the SAME integer binning rule as
@@ -61,7 +61,7 @@ object AudioEnvelopeFeature {
     InternalRow(null, UTF8String.fromString(e))
 
   private[functions] def featureRow(payload: Array[Byte], frames: Int): InternalRow =
-    WavPcm.decode(payload) match {
+    AudioCodecs.decode(payload) match {
       case Left(e) => err(e)
       // below one sample per frame the integer binning leaves empty
       // frames (cnt = 0) — the degenerate-tiny refusal every descriptor
@@ -157,7 +157,7 @@ object AudioSpectralFeature {
     InternalRow(null, UTF8String.fromString(e))
 
   private[functions] def featureRow(payload: Array[Byte], maxFreq: Int): InternalRow =
-    WavPcm.decode(payload) match {
+    AudioCodecs.decode(payload) match {
       case Left(e) => err(e)
       // below ~2 samples per probed cycle the band aliases — the
       // ImageSpectralFeature refusal bound in one dimension
@@ -214,7 +214,7 @@ object AudioSpectralFeature {
 
 /** Decoded-sample dump — `struct<sample_rate: int, channels: int,
   * bits: int, samples: array<int>, error: string>` — the PERSISTABLE form
-  * of the [[WavPcm]] decode behind [[AudioEnvelopeFeature]] /
+  * of the [[AudioCodecs]] decode behind [[AudioEnvelopeFeature]] /
   * [[AudioSpectralFeature]], exactly [[ImageLuma]]'s role for the image
   * family: the decode VALUES are engine-only (no DuckDB WAV codec), but
   * everything downstream of the samples is pure relational arithmetic, so
@@ -232,7 +232,7 @@ case class AudioSamples(child: Expression)
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    WavPcm.decode(input.asInstanceOf[Array[Byte]]) match {
+    AudioCodecs.decode(input.asInstanceOf[Array[Byte]]) match {
       case Left(e) => InternalRow(null, null, null, null, UTF8String.fromString(e))
       case Right(pcm) =>
         InternalRow(pcm.sampleRate, pcm.channels, pcm.bitsPerSample,

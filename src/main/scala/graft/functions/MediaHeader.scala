@@ -37,6 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the modality family: real container metadata from the bytes, with
   *    the frame payload staying opaque ([[graft.ext.Multimodal
   *    .frameSample]] is the documented decode stub past it).
+  *  - FLAC (RFC 9639, r18): `fLaC` magic then the mandatory first
+  *    STREAMINFO block — 20-bit sample rate, 3-bit channels−1, 5-bit
+  *    bits-per-sample−1 at fixed offsets; content decode is
+  *    [[FlacPcm]].
   *
   * Total work is O(markers) with fixed-offset reads — NOT O(payload) — so
   * the expression is safe in a 100 TB scan stage; the payload bytes never
@@ -252,6 +256,21 @@ object MediaHeader {
       if (rate <= 0 || rate > Int.MaxValue) return row("wav", error = "wav_bad_rate")
       return row("wav", bitDepth = le16(b, 34).toLong, sampleRate = rate,
         channels = le16(b, 22).toLong)
+    }
+    // ─ FLAC (r18, alongside the FlacPcm content decode) ─
+    // `fLaC` magic, then the mandatory first STREAMINFO block (type 0,
+    // 34 bytes): 20-bit sample rate / 3-bit channels-1 / 5-bit bps-1
+    // packed at STREAMINFO bytes 10-13 (RFC 9639 §8.2)
+    if (n >= 4 && ascii(b, 0, "fLaC")) {
+      if (n < 42) return row("flac", error = "flac_truncated")
+      if ((b(4) & 0x7f) != 0) return row("flac", error = "flac_no_streaminfo")
+      val rate = ((b(18) & 0xff) << 12) | ((b(19) & 0xff) << 4) |
+        ((b(20) & 0xff) >> 4)
+      if (rate <= 0) return row("flac", error = "flac_bad_streaminfo")
+      return row("flac",
+        bitDepth = ((((b(20) & 0x01) << 4) | ((b(21) & 0xff) >> 4)) + 1).toLong,
+        sampleRate = rate.toLong,
+        channels = (((b(20) >> 1) & 0x07) + 1).toLong)
     }
     row("unknown", error = "unknown_format")
   }

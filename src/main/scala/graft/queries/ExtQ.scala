@@ -1247,6 +1247,7 @@ object ExtQ {
             CASE WHEN substring(h,1,16)='89504E470D0A1A0A' THEN 'png'
                  WHEN substring(h,1,4)='FFD8' THEN 'jpeg'
                  WHEN substring(h,1,8)='52494646' AND substring(h,17,8)='57415645' THEN 'wav'
+                 WHEN substring(h,1,8)='664C6143' THEN 'flac'
                  ELSE 'unknown' END AS format,
             CASE WHEN substring(h,1,16)='89504E470D0A1A0A' THEN
                    CASE WHEN n<26 THEN 'png_truncated'
@@ -1256,6 +1257,10 @@ object ExtQ {
                  WHEN substring(h,1,8)='52494646' AND substring(h,17,8)='57415645' THEN
                    CASE WHEN n<36 THEN 'wav_truncated'
                         WHEN substring(h,25,8)<>'666D7420' THEN 'wav_no_fmt' END
+                 WHEN substring(h,1,8)='664C6143' THEN
+                   CASE WHEN n<42 THEN 'flac_truncated'
+                        WHEN substring(h,9,2) NOT IN ('00','80')
+                          THEN 'flac_no_streaminfo' END
                  ELSE 'unknown_format' END AS error
           FROM m)
         SELECT media_id, kind, format,
@@ -1269,12 +1274,19 @@ object ExtQ {
                  THEN CAST('0x'||substring(h,49,2) AS BIGINT)
                WHEN error IS NULL AND format='wav'
                  THEN CAST('0x'||substring(h,71,2)||substring(h,69,2) AS BIGINT)
+               WHEN error IS NULL AND format='flac'
+                 THEN (CAST('0x'||substring(h,42,1) AS BIGINT) % 2) * 16
+                      + CAST('0x'||substring(h,43,1) AS BIGINT) + 1
                END AS bit_depth,
           CASE WHEN error IS NULL AND format='wav'
                  THEN CAST('0x'||substring(h,55,2)||substring(h,53,2)||substring(h,51,2)||substring(h,49,2) AS BIGINT)
+               WHEN error IS NULL AND format='flac'
+                 THEN CAST('0x'||substring(h,37,5) AS BIGINT)
                END AS sample_rate,
           CASE WHEN error IS NULL AND format='wav'
                  THEN CAST('0x'||substring(h,47,2)||substring(h,45,2) AS BIGINT)
+               WHEN error IS NULL AND format='flac'
+                 THEN CAST('0x'||substring(h,42,1) AS BIGINT) // 2 + 1
                END AS channels,
           error
         FROM c ORDER BY media_id""")),

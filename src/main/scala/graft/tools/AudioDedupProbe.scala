@@ -73,8 +73,9 @@ object AudioDedupProbe {
       case "pcm16" => graft.functions.WavPcm.encodePcm16
       case "ulaw" => graft.functions.WavPcm.encodeUlaw
       case "alaw" => graft.functions.WavPcm.encodeAlaw
+      case "flac" => (r, c, m) => graft.functions.FlacPcm.encode(r, c, m)
       case other => throw new IllegalArgumentException(
-        s"codec must be pcm16|ulaw|alaw, got '$other'")
+        s"codec must be pcm16|ulaw|alaw|flac, got '$other'")
     }
 
   /** Shift twin corpus for the GEOMETRIC sweep: dup twins window the same
@@ -121,13 +122,13 @@ object AudioDedupProbe {
         case other => sys.error(s"unknown arg '$other'; usage: AudioDedupProbe " +
           "[--size N] [--shiftSweep 8,32,...|--jitterSweep 0.001,...] " +
           "[--family envelope|spectral] [--threshold 0.9] [--samples 2048] " +
-          "[--throughput] [--codec pcm16|ulaw|alaw]")
+          "[--throughput] [--codec pcm16|ulaw|alaw|flac]")
       }
     }
     require(family == "envelope" || family == "spectral",
       s"--family must be envelope|spectral, got '$family'")
-    require(Set("pcm16", "ulaw", "alaw")(codec),
-      s"--codec must be pcm16|ulaw|alaw, got '$codec'")
+    require(Set("pcm16", "ulaw", "alaw", "flac")(codec),
+      s"--codec must be pcm16|ulaw|alaw|flac, got '$codec'")
     // the shift corpus does not take the codec knob — refuse rather than
     // silently ignore it (the r16 silent-discard lesson)
     require(codec == "pcm16" || shiftSweep.isEmpty,
@@ -147,9 +148,13 @@ object AudioDedupProbe {
       // walk over the resulting embedding at the auto-sized config —
       // the planted gain+jitter twins measure detection while the
       // accumulator meters the walk's actual work.
-      val bytesPerClip = // canonical layout: mono-16 or 1-byte G.711 codes
-        if (codec == "pcm16") 44L + 2L * samples else 44L + 1L * samples
       val media = corpus(spark, size, 1, samples, codec)
+      // FLAC payloads are variable-length (entropy-coded) — meter the
+      // REAL byte volume instead of assuming a canonical layout
+      val bytesPerClip = media.agg(
+        org.apache.spark.sql.functions.avg(
+          org.apache.spark.sql.functions.length(col("payload"))))
+        .first().getDouble(0)
       val t0 = System.nanoTime()
       val featsOf =
         if (family == "envelope") Multimodal.audioEnvelopeFeatures(media)

@@ -1831,7 +1831,8 @@ class ExtSpec extends SparkSpec {
       // the pass-through contract says it must survive (r17 advice)
       assert(got.contains(30001L) && got(30001L) == ((null, None)))
       val kinds = got.values.map(_._1).toSet
-      assert(Set("png", "jpeg", "wav", "mp4", "unknown").subsetOf(kinds))
+      assert(Set("png", "jpeg", "wav", "flac", "mp4", "unknown")
+        .subsetOf(kinds))
 
       // per-kind equality with the DIRECT per-modality calls
       def assigns(df: org.apache.spark.sql.DataFrame) =
@@ -2365,7 +2366,9 @@ class ExtSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getString(2)).toMap
       val specBad = Multimodal.audioSpectralFeatures(bad).collect()
         .map(r => r.getLong(0) -> r.getString(2)).toMap
-      assert(envBad(1L) == "wav_not_riff" && specBad(1L) == "wav_not_riff")
+      // r18: the AudioCodecs dispatch names the refusal (neither RIFF
+      // nor fLaC magic) before any per-container error can
+      assert(envBad(1L) == "not_audio" && specBad(1L) == "not_audio")
       assert(envBad(2L) == "audio_too_short" && specBad(2L) == "audio_too_short")
 
       // ── the survivor form: planted gain+jitter twins eliminate soundly
@@ -3928,6 +3931,17 @@ class ExtSpec extends SparkSpec {
           else ("wav", None, None, Some((le.getShort(34) & 0xFFFF).toLong),
             Some(rate), Some((le.getShort(22) & 0xFFFF).toLong), None)
         }
+      } else if (n >= 4 && str(0, 4) == "fLaC") {
+        // r18: STREAMINFO packed fields (independent re-derivation)
+        if (n < 42) err("flac", "flac_truncated")
+        else if ((u8(4) & 0x7f) != 0) err("flac", "flac_no_streaminfo")
+        else {
+          val rate = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+          if (rate <= 0) err("flac", "flac_bad_streaminfo")
+          else ("flac", None, None,
+            Some(((((u8(20) & 1) << 4) | (u8(21) >> 4)) + 1).toLong),
+            Some(rate.toLong), Some((((u8(20) >> 1) & 7) + 1).toLong), None)
+        }
       } else err("unknown", "unknown_format")
     }
 
@@ -3974,6 +3988,14 @@ class ExtSpec extends SparkSpec {
         ("jpeg", None, None, None, None, None, Some("jpeg_truncated")),
       hexBytes("524946460000000057415645") ->
         ("wav", None, None, None, None, None, Some("wav_truncated")),
+      // FLAC: a real encode (rate 22050 mono 16-bit), a truncated magic,
+      // and a stream whose first block is not STREAMINFO
+      graft.functions.FlacPcm.encode(22050, 1, Array.tabulate(64)(_ * 100)) ->
+        ("flac", None, None, Some(16L), Some(22050L), Some(1L), None),
+      hexBytes("664C614300") ->
+        ("flac", None, None, None, None, None, Some("flac_truncated")),
+      (hexBytes("664C6143" + "84" + "000022") ++ new Array[Byte](40)) ->
+        ("flac", None, None, None, None, None, Some("flac_no_streaminfo")),
       Array.emptyByteArray ->
         ("unknown", None, None, None, None, None, Some("unknown_format")))
     val got = parseAll(fixtures.map(_._1))
@@ -3987,7 +4009,8 @@ class ExtSpec extends SparkSpec {
       val a = new Array[Byte](n); rnd.nextBytes(a); a
     }
     val prefixes = Seq(Array.emptyByteArray, hexBytes("89504E470D0A1A0A"),
-      hexBytes("FFD8"), hexBytes("52494646AABBCCDD57415645"))
+      hexBytes("FFD8"), hexBytes("52494646AABBCCDD57415645"),
+      hexBytes("664C6143"))
     val fuzz = (1 to 300).map(_ => randBytes(rnd.nextInt(64))) ++
       (1 to 200).map { _ =>
         prefixes(rnd.nextInt(prefixes.length)) ++ randBytes(rnd.nextInt(48))
