@@ -908,7 +908,8 @@ object Dedup {
   def recommendFamily(mutationTolerance: Double, minDetection: Double = 0.9,
       hasEmbeddings: Boolean = false, modality: String = "text",
       geometricTolerance: Double = 0.0,
-      recodeQuality: Double = 100.0): FamilyRecommendation = {
+      recodeQuality: Double = 100.0,
+      frameDecodable: Boolean = false): FamilyRecommendation = {
     require(mutationTolerance >= 0 && mutationTolerance <= 1,
       s"mutationTolerance is a per-token probability, got $mutationTolerance")
     require(minDetection > 0 && minDetection <= 1,
@@ -929,13 +930,16 @@ object Dedup {
     require(recodeQuality >= 10.0 && recodeQuality <= 100.0,
       s"recodeQuality must be in [10, 100] (the r17 sweep's measured " +
         s"domain — below quality 10 nothing is measured), got $recodeQuality")
+    require(!frameDecodable || modality == "video",
+      "frameDecodable (the whole pool is MJPEG-AVI, so frame 0 decodes " +
+        "through ImageCodecs) only parameterizes the video ladder")
     if (modality == "image") return recommendImageFamily(
       mutationTolerance, minDetection, hasEmbeddings, geometricTolerance,
       recodeQuality)
     if (modality == "audio") return recommendAudioFamily(
       mutationTolerance, minDetection, hasEmbeddings, geometricTolerance)
     if (modality == "video") return recommendVideoFamily(
-      mutationTolerance, minDetection, hasEmbeddings)
+      mutationTolerance, minDetection, hasEmbeddings, frameDecodable)
     val sweep = Seq( // (churn, minhash detection, simhash detection) — r12 measured
       (0.01, 0.998, 0.770),
       (0.02, 0.986, 0.581),
@@ -1204,7 +1208,8 @@ object Dedup {
     *     header-band candidates can be mined but verify NOTHING about
     *     content, and no measured detection exists to quote. */
   private def recommendVideoFamily(mutationTolerance: Double,
-      minDetection: Double, hasEmbeddings: Boolean): FamilyRecommendation = {
+      minDetection: Double, hasEmbeddings: Boolean,
+      frameDecodable: Boolean): FamilyRecommendation = {
     if (mutationTolerance < 0.0005)
       FamilyRecommendation("exact", "Dedup.dropExactDuplicates over payload digests",
         1.0,
@@ -1216,22 +1221,37 @@ object Dedup {
       FamilyRecommendation("embedding_lsh",
         "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over video embeddings",
         1.0,
-        f"content-level video similarity has no measured descriptor tier " +
-          "(frame decode is stubbed — no codec libs) — the model-embedding " +
-          "tier is the only measured option; " +
+        f"content-level video similarity over arbitrary codecs needs the " +
+          "model-embedding tier (frame decode exists for MJPEG-AVI only); " +
           "Multimodal.videoHeaderCandidates (dims+timescale header bands, " +
           "q91 fields) can pre-filter candidate pairs before the rerank")
-    else
+    else if (frameDecodable) {
+      // r18: every payload in the pool is MJPEG-AVI, so frame 0 decodes
+      // through ImageCodecs and the video content question REDUCES to the
+      // image fingerprint question — same family, same measured churn law
+      // (the r18 probe re-measured it THROUGH the AVI path: detection
+      // 0.985+ at ≤10% frame-pixel churn, SCALE.md r18)
+      val det = interpSweep(ImageSweep, mutationTolerance)
+      FamilyRecommendation("image_dhash",
+        "Multimodal.imageFingerprints (frame-0 dHash via MjpegAvi + " +
+          "ImageCodecs) + imageNearDups/fingerprintAssign",
+        det,
+        f"MJPEG-AVI pool: frame-0 decode makes video content dedup THE " +
+          f"image dHash problem — measured detection $det%.3f at " +
+          f"${mutationTolerance * 100}%.1f%% frame-pixel churn (r18 AVI-path " +
+          "sweep == r15 image law); re-trims/re-crops need the descriptor " +
+          "tiers over frame 0, re-encodes follow the r17 recode law")
+    } else
       FamilyRecommendation("video_header_blocking",
         "Multimodal.videoHeaderCandidates (candidate pairs ONLY — no verification)",
         0.0,
         f"UNMEASURED: content-level video similarity at " +
           f"${mutationTolerance * 100}%.1f%% churn needs frame decode " +
-          "(stubbed: no codec libs in this environment) or a model " +
-          "video-embedding column — header-band candidates (same " +
-          "dims+timescale) bound the pair volume but verify nothing, so " +
-          "expectedDetection is honestly 0.0; supply embeddings or accept " +
-          "byte-identical exact dedup")
+          "(available for MJPEG-AVI pools only — this pool carries other " +
+          "containers) or a model video-embedding column — header-band " +
+          "candidates (same dims+timescale) bound the pair volume but " +
+          "verify nothing, so expectedDetection is honestly 0.0; supply " +
+          "embeddings or accept byte-identical exact dedup")
   }
 
   /** An executable dedup plan — [[recommendFamily]]'s verdict composed
@@ -1281,10 +1301,11 @@ object Dedup {
       targetRecall: Double = 0.98, hasEmbeddings: Boolean = true,
       vecCol: String = "embedding", maxPartitions: Int = 1024,
       modality: String = "text", geometricTolerance: Double = 0.0,
-      recodeQuality: Double = 100.0): DedupPlan = {
+      recodeQuality: Double = 100.0,
+      frameDecodable: Boolean = false): DedupPlan = {
     require(scratchBudgetGb >= 0.0, s"negative scratch budget: $scratchBudgetGb")
     val rec = recommendFamily(mutationTolerance, minDetection, hasEmbeddings,
-      modality, geometricTolerance, recodeQuality)
+      modality, geometricTolerance, recodeQuality, frameDecodable)
     // the descriptor families (image grid/spectral, audio
     // envelope/spectral) ARE the embedding family over a derived
     // descriptor column — they share the embedding tier's sizing,
@@ -1524,12 +1545,18 @@ object Dedup {
       else {
         val rows = headed.filter(col("__kind").isin(kinds.toSeq: _*))
           .select(col("media_id"), col("payload"))
+        // the frame-0 content rung applies only when the WHOLE video pool
+        // decodes a frame (MJPEG-AVI) — one undecodable container present
+        // and the rung would silently claim detection it cannot deliver
+        val decodable = modality == "video" &&
+          kinds.intersect(present).subsetOf(Set("avi"))
         val rec = recommendFamily(tol, minDetection, hasEmbeddings = false,
-          modality, geo, recodeQ)
+          modality, geo, recodeQ, frameDecodable = decodable)
         Some(modality -> plan(derivedTable(rows, rec.family), tol,
           minDetection, scratchBudgetGb, targetRecall = 0.98,
           hasEmbeddings = false, vecCol = "feature", modality = modality,
-          geometricTolerance = geo, recodeQuality = recodeQ))
+          geometricTolerance = geo, recodeQuality = recodeQ,
+          frameDecodable = decodable))
       }
     (modalityPlan(ModalityKinds("image"), "image", mutationTolerance,
       imageGeometricTolerance, imageRecodeQuality) ++
@@ -1545,7 +1572,7 @@ object Dedup {
   private val ModalityKinds: Map[String, Set[String]] = Map(
     "image" -> Set("png", "jpeg", "gif", "bmp"),
     "audio" -> Set("wav", "flac"),
-    "video" -> Set("mp4"))
+    "video" -> Set("mp4", "avi"))
 
   /** Execute [[planByKind]] over a mixed corpus in ONE call: detect each
     * payload's kind, run each present modality pool through its own

@@ -666,6 +666,55 @@ object Multimodal {
     spark.createDataFrame(rdd, audioSchema)
   }
 
+  /** Deterministic MJPEG-in-AVI video corpus keyed by the documents
+    * table (r18 — the video CONTENT tier's witness corpus): each doc_id
+    * becomes a real single-stream AVI ([[graft.functions.MjpegAvi]]
+    * canonical layout) whose frames are baseline JPEGs of the same
+    * smooth field [[syntheticImages]] renders. Planted structure mirrors
+    * every dedup fixture here: docs with id % 20 == 1 render the
+    * PREDECESSOR's frame-0 field at +8 brightness with one pixel jitter
+    * — the frame-0 dHash twins the image tier detects (JPEG is lossy, so
+    * detection is the r18 MEASURED law, not an invariant). Every 12th
+    * row (id % 12 == 5, mirroring [[syntheticVideo]]'s malformed classes)
+    * is a TRUNCATED AVI — header magic only — so the loud-per-row error
+    * contract is exercised by the corpus itself. Later frames (k ≥ 1)
+    * render distinct fields: frame 0 is the dedup witness, the rest
+    * prove the container walk finds the FIRST frame, not just any. */
+  def syntheticVideoAvi(docs: DataFrame, width: Int = 32, height: Int = 32,
+      frames: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val w = width; val h = height; val nf = frames
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload: Array[Byte] =
+          if (java.lang.Math.floorMod(id, 12L) == 5L)
+            // magic-only truncation: RIFF size "AVI " and nothing else
+            "RIFF".getBytes("US-ASCII") ++
+              Array[Byte](4, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII")
+          else {
+            val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+            val seed = if (isDup) id - 1 else id
+            val fs = (0 until nf).map { k =>
+              val pix = patternPixels(seed + 7919L * k, w, h)
+              if (isDup && k == 0) {
+                var i = 0
+                while (i < pix.length) {
+                  pix(i) = ((pix(i) & 0xff) + 8).toByte; i += 1
+                }
+                val j1 = java.lang.Math.floorMod(id * 31L, (w * h).toLong).toInt
+                pix(j1) = ((pix(j1) & 0xff) ^ 0x14).toByte
+              }
+              graft.functions.JpegGray.encodeGray(w, h, pix, quality = 92)
+            }
+            graft.functions.MjpegAvi.encode(w, h, fs, fps = 25)
+          }
+        Row(id, payload)
+      }
+    }
+    spark.createDataFrame(rdd, imageSchema)
+  }
+
   /** The amplitude-modulated sine field behind [[syntheticAudio]] —
     * sample i reads the field at absolute position `offset + i`, so the
     * shift-sweep probe can window the SAME content at an offset (the

@@ -1253,6 +1253,12 @@ private[graft] object ImageCodecs {
       payload(2) == 'F' && payload(3) == '8') GifGray.decode(payload)
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
       BmpGray.decode(payload)
+    else if (MjpegAvi.isAvi(payload))
+      // r18 video content tier: an MJPEG AVI's frame 0 IS a baseline
+      // JPEG — extract and decode it, and every consumer of this
+      // dispatch (dHash, grid, spectral, luma) becomes a FIRST-FRAME
+      // feature over video with zero new machinery
+      MjpegAvi.frameBytes(payload).flatMap(JpegGray.decode)
     else Left("not_image")
   }
 }

@@ -120,7 +120,7 @@ object MediaHeader {
     * cannot occur (the spec caps at 2^31-1), but a hostile header could
     * carry them — they surface as the spec-violation error, not a silent
     * negative. */
-  private[functions] def parse(b: Array[Byte]): InternalRow = {
+  private[graft] def parse(b: Array[Byte]): InternalRow = {
     val n = b.length
     // ─ PNG ─
     if (n >= 8 && hasPngSig(b)) {
@@ -247,6 +247,24 @@ object MediaHeader {
         width = if (w > 0) w else null,
         height = if (h > 0) h else null,
         sampleRate = timescale)
+    }
+    // ─ AVI (r18, alongside the MjpegAvi frame-0 content decode) ─
+    // RIFF with the `AVI ` form type; the canonical first chunk is
+    // `LIST hdrl` whose first child `avih` carries dwWidth/dwHeight at
+    // body bytes 32/36 (file bytes 64/68 — the fixed layout every AVI
+    // muxer emits and q93's DuckDB hex replay reads)
+    if (n >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "AVI ")) {
+      if (n < 72) return row("avi", error = "avi_truncated")
+      if (!ascii(b, 12, "LIST") || !ascii(b, 20, "hdrl") ||
+        !ascii(b, 24, "avih")) return row("avi", error = "avi_no_hdrl")
+      val w = le32s(b, 64); val h = le32s(b, 68)
+      if (w <= 0 || h <= 0) return row("avi", error = "avi_bad_dims")
+      // sample_rate carries frames/s ×1000 (dwMicroSecPerFrame inverted,
+      // integer) — the temporal field the header-band pre-filter blocks on
+      val uspf = le32s(b, 32)
+      if (uspf <= 0) return row("avi", error = "avi_bad_rate")
+      return row("avi", w.toLong, h.toLong,
+        sampleRate = (1000000000L / uspf.toLong))
     }
     // ─ WAV ─
     if (n >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {

@@ -1884,6 +1884,79 @@ object ExtQ {
       Some(ivfPqSearchOracleFor("q92"))),
 
     // ───── Video (MP4) container header decode, persisted oracle (q91) ──
+    // ───── Video frame-0 dHash pairs, persisted-decode oracle (q93) ─────
+    // The r18 video CONTENT rung's driver gate, q80's proof applied to
+    // MJPEG-AVI: syntheticVideoAvi builds real single-stream AVIs whose
+    // frames are baseline JPEGs (planted +8-brightness frame-0 twins, a
+    // truncated-container malformed class), imageFingerprints decodes
+    // frame 0 THROUGH the MjpegAvi container walk + JpegGray and dHashes
+    // it, and DuckDB replays the exhaustive hamming pair relation from
+    // the persisted fingerprints. A hash match proves the container walk
+    // and frame decode land on consistent bytes — the planted video
+    // twins appear as pairs (detection is the r18 MEASURED law: the
+    // AVI-path sweep reads identically to the r15 image law).
+    "q93_video_frame_dhash_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.imageFingerprints(
+            Multimodal.syntheticVideoAvi(t(s, dir, "documents"))),
+          "media.q93_fps")
+        Multimodal.imageNearDups(cat.load("media.q93_fps"), maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy("media_a", "media_b")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT media_id, dhash
+          FROM read_parquet('$AnnOracleRoot/media/q93_fps/*.parquet')
+          WHERE dhash IS NOT NULL)
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+          CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM f a JOIN f b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        ORDER BY 1, 2""")),
+
+    // ───── AVI header decode, persisted oracle (q94) ─────
+    // q91's proof applied to the RIFF/AVI container: MjpegAvi.encode's
+    // canonical layout puts avih's dwMicroSecPerFrame/dwWidth/dwHeight at
+    // FIXED file offsets (32/64/68), so DuckDB replays MediaHeader's avi
+    // branch as little-endian hex arithmetic — including the planted
+    // truncated-container class (magic-only payloads → avi_truncated).
+    "q94_avi_header_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.syntheticVideoAvi(t(s, dir, "documents"))
+            .select(col("media_id"), lit("video").as("kind"), col("payload")),
+          "media.q94_corpus")
+        Multimodal.decodeHeaders(cat.load("media.q94_corpus"))
+          .orderBy("media_id")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT media_id, kind, upper(hex(payload)) AS h,
+                 octet_length(payload) AS n
+          FROM read_parquet('$AnnOracleRoot/media/q94_corpus/*.parquet')),
+        c AS (
+          SELECT *,
+            CASE WHEN n < 72 THEN 'avi_truncated' END AS error
+          FROM m)
+        SELECT media_id, kind, 'avi' AS format,
+          CASE WHEN error IS NULL THEN CAST('0x'||substring(h,135,2)||
+            substring(h,133,2)||substring(h,131,2)||substring(h,129,2) AS BIGINT)
+            END AS width,
+          CASE WHEN error IS NULL THEN CAST('0x'||substring(h,143,2)||
+            substring(h,141,2)||substring(h,139,2)||substring(h,137,2) AS BIGINT)
+            END AS height,
+          CAST(NULL AS BIGINT) AS bit_depth,
+          CASE WHEN error IS NULL THEN 1000000000 // CAST('0x'||
+            substring(h,71,2)||substring(h,69,2)||substring(h,67,2)||
+            substring(h,65,2) AS BIGINT) END AS sample_rate,
+          CAST(NULL AS BIGINT) AS channels,
+          error
+        FROM c ORDER BY media_id""")),
+
     // The VIDEO tier of the modality family, q78's proof applied to ISO
     // BMFF: syntheticVideo fabricates real ftyp/moov(mvhd+trak(tkhd))/mdat
     // box structures (fixed v0 layout ⇒ every interesting field sits at a

@@ -70,8 +70,14 @@ object ImageDedupProbe {
               Multimodal.patternPixels(seed + 211, cw, ch), 92)
           case "bmp" => graft.functions.BmpGray.encodeGray(w, h, pix,
             topDown = id % 2 == 0)
+          case "mjpegavi" =>
+            // r18 video content tier: the SAME luma field wrapped as a
+            // single-frame MJPEG AVI — the sweep then measures planted
+            // detection THROUGH the container walk + frame-0 JPEG decode
+            graft.functions.MjpegAvi.encode(w, h,
+              Seq(graft.functions.JpegGray.encodeGray(w, h, pix, 92)))
           case other => throw new IllegalArgumentException(
-            s"codec must be png|jpeg|jpeg420|jpegprog|gif|bmp, got '$other'")
+            s"codec must be png|jpeg|jpeg420|jpegprog|gif|bmp|mjpegavi, got '$other'")
         }
         Row(id, payload)
       }
@@ -168,13 +174,14 @@ object ImageDedupProbe {
         case other => sys.error(s"unknown arg '$other'; usage: ImageDedupProbe " +
           "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B] " +
           "[--survivors] [--reprobe] [--cropSweep 1,2,4] [--family dhash|grid|spectral] " +
-          "[--gridThreshold 0.9] [--codec png|jpeg|jpeg420|jpegprog|gif|bmp] [--throughput]")
+          "[--gridThreshold 0.9] [--codec png|jpeg|jpeg420|jpegprog|gif|bmp|mjpegavi] [--throughput]")
       }
     }
     require(family == "dhash" || family == "grid" || family == "spectral",
       s"--family must be dhash|grid|spectral, got '$family'")
-    require(Set("png", "jpeg", "jpeg420", "jpegprog", "gif", "bmp")(codec),
-      s"--codec must be png|jpeg|jpeg420|jpegprog|gif|bmp, got '$codec'")
+    require(
+      Set("png", "jpeg", "jpeg420", "jpegprog", "gif", "bmp", "mjpegavi")(codec),
+      s"--codec must be png|jpeg|jpeg420|jpegprog|gif|bmp|mjpegavi, got '$codec'")
     require(!throughput || cropShifts.isEmpty,
       "--throughput and --cropSweep are separate cells - pass one")
     require(recodeQualities.isEmpty || (!throughput && cropShifts.isEmpty),

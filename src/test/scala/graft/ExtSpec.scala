@@ -1882,6 +1882,54 @@ class ExtSpec extends SparkSpec {
     } finally { mixed.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
+  test("video content rung (r18): an MJPEG-AVI pool routes to frame-0 dHash; mixed pools refuse") {
+    import graft.ext.Dedup
+    val docs = spark.range(120).select($"id".as("doc_id"))
+    val avis = Multimodal.syntheticVideoAvi(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // an avi-only pool at content-level tolerance plans the image_dhash
+      // family with the MEASURED law's detection, not a 0.0 refusal
+      val plans = Dedup.planByKind(avis, mutationTolerance = 0.01,
+        videoMutationTolerance = 0.01)
+      assert(plans.keySet == Set("video"), plans.keySet.toString)
+      assert(plans("video").family == "image_dhash", plans("video").rationale)
+      assert(plans("video").expectedDetection > 0.9,
+        plans("video").rationale)
+      // ...and runPlanByKind executes it: planted frame-0 twins eliminate
+      val got = Dedup.runPlanByKind(avis, mutationTolerance = 0.01,
+          videoMutationTolerance = 0.01)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+        .toMap
+      assert(got.size == 120)
+      val aviDups = (1L to 119L by 20).filter(id => id % 12 != 5)
+      assert(aviDups.nonEmpty && aviDups.forall(id => got(id)._2.isDefined),
+        s"undetected frame-0 twins: ${aviDups.filterNot(id => got(id)._2.isDefined)}")
+      // truncated containers survive with their detected kind
+      assert(got(5L) == (("avi", None)))
+      // a MIXED mp4+avi pool cannot claim the frame rung: content-level
+      // tolerance over it refuses loudly through video_header_blocking
+      val mixed = avis.unionByName(
+        Multimodal.syntheticVideo(docs.select($"doc_id",
+            lit("t").as("text"), lit("web").as("source"), lit(1L).as("n_chars")))
+          .withColumn("media_id", $"media_id" + 10000L)
+          .select("media_id", "payload"))
+      val mixedPlans = Dedup.planByKind(mixed, mutationTolerance = 0.01,
+        videoMutationTolerance = 0.01)
+      assert(mixedPlans("video").family == "video_header_blocking",
+        mixedPlans("video").rationale)
+      assert(mixedPlans("video").expectedDetection == 0.0)
+      // byte-identical tolerance still executes over the mixed pool
+      val exact = Dedup.runPlanByKind(mixed, mutationTolerance = 0.0)
+      assert(exact.count() == mixed.count())
+      // the direct recommendFamily knob is guarded to video
+      intercept[IllegalArgumentException] {
+        Dedup.recommendFamily(0.01, modality = "image", frameDecodable = true)
+      }
+    } finally { avis.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("image descriptors: grid equals its relational twin; spectral is shift/brightness-blind") {
     import graft.functions.{ImageGridFeature, ImageSpectralFeature, PngGray}
     // ── grid: native expression == the q85 relational twin re-centered ──

@@ -547,4 +547,90 @@ class JpegSpec extends SparkSpec {
       .left.toOption.get.startsWith("jpeg_"))
     assert(ImageCodecs.decode(Array.emptyByteArray) == Left("not_image"))
   }
+
+  test("MjpegAvi: container walk, frame-0 dispatch, error classes, fuzz") {
+    import graft.ext.Multimodal
+    import graft.functions.MjpegAvi
+    val pix0 = Multimodal.patternPixels(31L, 32, 32)
+    val pix1 = Multimodal.patternPixels(32L, 32, 32)
+    val pix2 = Multimodal.patternPixels(33L, 32, 32)
+    val frames = Seq(pix0, pix1, pix2).map(JpegGray.encodeGray(32, 32, _, 92))
+    val avi = MjpegAvi.encode(32, 32, frames, fps = 25)
+    // the walk recovers EVERY frame's exact bytes, in order
+    frames.indices.foreach { k =>
+      assert(MjpegAvi.frameBytes(avi, k).exists(
+        java.util.Arrays.equals(_, frames(k))), s"frame $k bytes")
+    }
+    assert(MjpegAvi.frameBytes(avi, 3) == Left("avi_no_frames"))
+    // ImageCodecs routes AVI through frame 0's JPEG decode: identical
+    // luma plane to decoding the bare frame
+    val direct = JpegGray.decode(frames.head).toOption.get
+    val viaAvi = ImageCodecs.decode(avi).toOption.get
+    assert(java.util.Arrays.equals(direct.pix, viaAvi.pix))
+    // a LIST rec -wrapped movi (the interleaved-muxer grouping): wrap the
+    // frame chunks in one rec list by hand and re-walk
+    locally {
+      val inner = frames.flatMap { f =>
+        "00dc".getBytes("US-ASCII") ++
+          Array[Byte]((f.length & 0xff).toByte, ((f.length >> 8) & 0xff).toByte,
+            ((f.length >> 16) & 0xff).toByte, ((f.length >> 24) & 0xff).toByte) ++
+          f ++ (if ((f.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+      }.toArray
+      val rec = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](((inner.length + 4) & 0xff).toByte,
+          (((inner.length + 4) >> 8) & 0xff).toByte,
+          (((inner.length + 4) >> 16) & 0xff).toByte, 0) ++
+        "rec ".getBytes("US-ASCII") ++ inner
+      val movi = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](((rec.length + 4) & 0xff).toByte,
+          (((rec.length + 4) >> 8) & 0xff).toByte,
+          (((rec.length + 4) >> 16) & 0xff).toByte, 0) ++
+        "movi".getBytes("US-ASCII") ++ rec
+      val wrapped = "RIFF".getBytes("US-ASCII") ++
+        Array[Byte](((movi.length + 4) & 0xff).toByte,
+          (((movi.length + 4) >> 8) & 0xff).toByte,
+          (((movi.length + 4) >> 16) & 0xff).toByte, 0) ++
+        "AVI ".getBytes("US-ASCII") ++ movi
+      frames.indices.foreach { k =>
+        assert(MjpegAvi.frameBytes(wrapped, k).exists(
+          java.util.Arrays.equals(_, frames(k))), s"rec-wrapped frame $k")
+      }
+    }
+    // error classes
+    assert(MjpegAvi.frameBytes("not an avi at all".getBytes) == Left("not_avi"))
+    assert(MjpegAvi.frameBytes(
+      "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "WAVE".getBytes) ==
+      Left("not_avi"))
+    assert(MjpegAvi.frameBytes(
+      "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "AVI ".getBytes) ==
+      Left("avi_no_movi"))
+    // a declared chunk size past the payload
+    val cut = java.util.Arrays.copyOf(avi, avi.length / 2)
+    assert(MjpegAvi.frameBytes(cut).left.toOption.get.startsWith("avi_"))
+    // MediaHeader's avi branch reads the canonical avih offsets
+    val hdr = graft.functions.MediaHeader.parse(avi)
+    assert(hdr.getUTF8String(0).toString == "avi")
+    assert(hdr.getLong(1) == 32 && hdr.getLong(2) == 32)
+    assert(hdr.getLong(4) == 25000) // fps × 1000 from dwMicroSecPerFrame
+    assert(hdr.isNullAt(6))
+    val hdrCut = graft.functions.MediaHeader.parse(
+      "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "AVI ".getBytes)
+    assert(hdrCut.getUTF8String(0).toString == "avi" &&
+      hdrCut.getUTF8String(6).toString == "avi_truncated")
+    // fuzz: hostile bytes behind the magic never throw
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val junk = new Array[Byte](12 + rnd.nextInt(300))
+      rnd.nextBytes(junk)
+      System.arraycopy("RIFF".getBytes, 0, junk, 0, 4)
+      System.arraycopy("AVI ".getBytes, 0, junk, 8, 4)
+      MjpegAvi.frameBytes(junk) // must not throw
+      ImageCodecs.decode(junk) // must not throw
+      graft.functions.MediaHeader.parse(junk) // must not throw
+    }
+    (0 until avi.length by 11).foreach { k =>
+      MjpegAvi.frameBytes(java.util.Arrays.copyOf(avi, k))
+      ImageCodecs.decode(java.util.Arrays.copyOf(avi, k))
+    }
+  }
 }
