@@ -805,6 +805,12 @@ object Dedup {
     * quality 50/30/10 (quantization perturbs high-frequency content the
     * low band barely carries). Qualities below 10 are outside the
     * measured domain and refuse loudly — no optimistic extrapolation. */
+  // Both recode laws are measured ORIGIN-BLIND (r18): PNG-origin single
+  // quantization and q92-JPEG-origin DOUBLE quantization (the commonest
+  // real re-encounter — already-binned coefficients re-bin) read the
+  // same detection within ±0.004 at every shared quality, and spectral
+  // stays flat 1.000 to quality 10 under both (SCALE.md r18) — so ONE
+  // table serves and the planner needs no origin knob.
   private val ImageRecodeSweepDHash = Seq(
     (30.0, 0.8684), (50.0, 0.9637), (70.0, 0.9903), (85.0, 0.9996),
     (95.0, 0.9999), (100.0, 1.0))

@@ -123,16 +123,32 @@ object ImageDedupProbe {
     * difference inside a planted pair is quantization noise, so the
     * sweep reads the dHash radius directly against JPEG quality. */
   def recodeCorpus(spark: SparkSession, n: Long, quality: Int,
-      w: Int = 32, h: Int = 32): DataFrame = {
+      w: Int = 32, h: Int = 32, origin: String = "png"): DataFrame = {
+    require(origin == "png" || origin == "jpeg",
+      s"recode origin must be png|jpeg, got '$origin'")
     val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val isDup = java.lang.Math.floorMod(id, 20L) == 1L
         val seed = if (isDup) id - 1 else id
         val pix = Multimodal.patternPixels(seed, w, h)
+        // origin=png (r17): lossless original vs a quality-q JPEG of the
+        // SAME pixels — single quantization. origin=jpeg (r18): original
+        // stored at the web-norm quality 92, twin = the DECODED q92
+        // pixels re-encoded at quality q — true double quantization
+        // (already-binned coefficients re-bin), the commonest real
+        // re-encounter shape
         val payload =
-          if (isDup) graft.functions.JpegGray.encodeGray(w, h, pix, quality)
-          else graft.functions.PngGray.encodeGray(w, h, pix)
+          if (origin == "png") {
+            if (isDup) graft.functions.JpegGray.encodeGray(w, h, pix, quality)
+            else graft.functions.PngGray.encodeGray(w, h, pix)
+          } else {
+            val q92 = graft.functions.JpegGray.encodeGray(w, h, pix, 92)
+            if (isDup)
+              graft.functions.JpegGray.encodeGray(w, h,
+                graft.functions.JpegGray.decode(q92).toOption.get.pix, quality)
+            else q92
+          }
         Row(id, payload)
       }
     }
@@ -152,6 +168,7 @@ object ImageDedupProbe {
     var codec = "png"
     var throughput = false
     var recodeQualities: Seq[Int] = Nil
+    var recodeOrigin = "png"
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -171,6 +188,8 @@ object ImageDedupProbe {
         case "--throughput" => throughput = true; i += 1
         case "--recodeSweep" if i + 1 < args.length =>
           recodeQualities = args(i + 1).split(",").map(_.toInt).toSeq; i += 2
+        case "--recodeOrigin" if i + 1 < args.length =>
+          recodeOrigin = args(i + 1); i += 2
         case other => sys.error(s"unknown arg '$other'; usage: ImageDedupProbe " +
           "[--size N] [--mutations 0.01,..] [--radius H] [--blocks B] " +
           "[--survivors] [--reprobe] [--cropSweep 1,2,4] [--family dhash|grid|spectral] " +
@@ -186,6 +205,9 @@ object ImageDedupProbe {
       "--throughput and --cropSweep are separate cells - pass one")
     require(recodeQualities.isEmpty || (!throughput && cropShifts.isEmpty),
       "--recodeSweep is its own cell - pass it alone")
+    require(recodeOrigin == "png" ||
+      (recodeQualities.nonEmpty && (recodeOrigin == "jpeg")),
+      "--recodeOrigin png|jpeg applies to --recodeSweep cells only")
     if (recodeQualities.nonEmpty) {
       // Cross-codec dedup boundary (r17): planted twins are byte-DIFFERENT
       // (PNG original vs JPEG recode of the same pixels) so exact digests
@@ -203,8 +225,8 @@ object ImageDedupProbe {
         recodeQualities.foreach { q =>
           val t0 = System.nanoTime()
           val feats = (if (family == "grid")
-            Multimodal.imageGridFeatures(recodeCorpus(spark0, size, q))
-          else Multimodal.imageSpectralFeatures(recodeCorpus(spark0, size, q)))
+            Multimodal.imageGridFeatures(recodeCorpus(spark0, size, q, origin = recodeOrigin))
+          else Multimodal.imageSpectralFeatures(recodeCorpus(spark0, size, q, origin = recodeOrigin)))
             .filter(col("feature").isNotNull)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val detected = graft.ext.Similarity.nearDupPairsLsh(feats,
@@ -215,7 +237,7 @@ object ImageDedupProbe {
           feats.unpersist()
           spark0.sharedState.cacheManager.clearCache()
           println(f"""{"check":"image_recode_detection","family":"$family",""" +
-            f""""rows":$size,"quality":$q,"threshold":$gridThreshold,""" +
+            f""""origin":"$recodeOrigin","rows":$size,"quality":$q,"threshold":$gridThreshold,""" +
             f""""detected":$detected,"true_dups":${size / 20},""" +
             f""""detection":${detected.toDouble / (size / 20)}%.4f,"wall_s":$dt%.3f}""")
         }
@@ -224,7 +246,7 @@ object ImageDedupProbe {
       }
       recodeQualities.foreach { q =>
         val t0 = System.nanoTime()
-        val fps = Multimodal.imageFingerprints(recodeCorpus(spark0, size, q))
+        val fps = Multimodal.imageFingerprints(recodeCorpus(spark0, size, q, origin = recodeOrigin))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val detected = Multimodal.imageNearDups(fps, radius, blocks)
           .filter(col("media_b") === col("media_a") + 1 &&
@@ -254,7 +276,7 @@ object ImageDedupProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         fps.unpersist()
         spark0.sharedState.cacheManager.clearCache()
-        println(f"""{"check":"image_recode_detection","rows":$size,"quality":$q,""" +
+        println(f"""{"check":"image_recode_detection","origin":"$recodeOrigin","rows":$size,"quality":$q,""" +
           f""""radius":$radius,"detected":$detected,"true_dups":${size / 20},""" +
           f""""detection":${detected.toDouble / (size / 20)}%.4f,""" +
           f""""median_planted_hamming":$med,"max_planted_hamming":$maxHam,""" +
