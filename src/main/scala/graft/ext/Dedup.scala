@@ -1575,7 +1575,7 @@ object Dedup {
   /** The ONE detected-kind → modality-pool mapping both [[planByKindFrom]]
     * and [[runPlanByKind]] read (a kind listed here but only in one place
     * would silently split plan and run). */
-  private val ModalityKinds: Map[String, Set[String]] = Map(
+  private[graft] val ModalityKinds: Map[String, Set[String]] = Map(
     "image" -> Set("png", "jpeg", "gif", "bmp"),
     "audio" -> Set("wav", "flac"),
     "video" -> Set("mp4", "avi"))

@@ -233,6 +233,117 @@ object CurationStream {
     }
   }
 
+  /** Mixed-modality streaming curation (r18) — the streaming twin of
+    * [[graft.ext.Dedup.runPlanByKind]]: a REAL ingest stream is not one
+    * modality, so this router detects each arrival's kind scan-side (ONE
+    * [[graft.functions.MediaHeader]] parse per row — the `planByKind`
+    * parse) and routes each micro-batch's pools into the existing
+    * state-backed dedupers:
+    *
+    *  - image kinds (png/jpeg/gif/bmp) → [[IncrementalImageDedup]]
+    *    (frame-capable dHash through ImageCodecs, radius `maxHamming`) —
+    *    the batch dispatcher's `image_dhash` family;
+    *  - audio kinds (wav/flac) → envelope descriptor scan-side, then
+    *    [[IncrementalLshDedup]] over `feature` — the batch
+    *    `audio_envelope_lsh` family at the same explicit config; clips
+    *    whose header parses but whose PCM decode fails pass through like
+    *    unrecognized rows (the BATCH survivor contract: no content to
+    *    match — note this differs from [[curateAudio]]'s emit-clean gate,
+    *    because this router's pin is batch equality);
+    *  - video kinds (mp4/avi) → [[IncrementalExactDedup]] payload
+    *    digests — the batch video pool's default byte-identical rung;
+    *  - unrecognized/undecodable kinds ("unknown", malformed containers)
+    *    PASS THROUGH to the others table — the `runPlanByKind`
+    *    pass-through contract, never silently dropped.
+    *
+    * The kind sets are [[graft.ext.Dedup.ModalityKinds]] — the SAME map
+    * the batch dispatcher reads, so stream and batch can never drift on
+    * pool membership. Per-pool state/corpus tables live under
+    * `tablePrefix` (`<p>_image`/`<p>_image_blocks`/`<p>_audio`/
+    * `<p>_audio_buckets`/`<p>_video`/`<p>_video_digests`/`<p>_others`).
+    * Greedy-prefix == batch-dispatch equality on id-ordered chain-free
+    * arrivals is the StreamingSpec pin, malformed classes included. */
+  final class KindRouter(catalog: Catalog, tablePrefix: String,
+      maxHamming: Int = 3, nPlanes: Int = 8, nTables: Int = 4,
+      threshold: Double = 0.9, frames: Int = 64,
+      payloadCol: String = "payload", idCol: String = "media_id",
+      exactlyOnce: Boolean = false) {
+    private val image = IncrementalImageDedup(catalog, s"${tablePrefix}_image",
+      s"${tablePrefix}_image_blocks", maxHamming, payloadCol, idCol, exactlyOnce)
+    private val audio = new IncrementalLshDedup(catalog, s"${tablePrefix}_audio",
+      s"${tablePrefix}_audio_buckets", nPlanes, nTables, threshold,
+      idCol, "feature", exactlyOnce)
+    private val video = new IncrementalExactDedup(catalog, s"${tablePrefix}_video",
+      s"${tablePrefix}_video_digests", payloadCol, idCol, exactlyOnce)
+    private val othersChecked = scala.collection.mutable.Set.empty[String]
+
+    /** Route one micro-batch; returns per-pool survivor counts. */
+    def processBatch(batchRaw: DataFrame, batchId: Long): Map[String, Long] = {
+      import graft.ext.Dedup.ModalityKinds
+      val headed = batchRaw.withColumn("__kind",
+        coalesce(graft.functions.MediaHeader(col(payloadCol))
+          .getField("format"), lit("unknown")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def pool(kinds: Set[String]): DataFrame =
+          headed.filter(col("__kind").isin(kinds.toSeq: _*)).drop("__kind")
+        val img = pool(ModalityKinds("image"))
+        val aud = pool(ModalityKinds("audio"))
+          .withColumn("feature",
+            graft.functions.AudioEnvelopeFeature(col(payloadCol), frames)
+              .getField("feature"))
+        val vid = pool(ModalityKinds("video"))
+        // coalesce above makes __kind non-null, so a bare NOT-isin is
+        // null-safe here (the r17-advice trap this router must not re-dig)
+        val handled = ModalityKinds.values.flatten.toSeq
+        val others = headed.filter(!col("__kind").isin(handled: _*))
+          .drop("__kind")
+        // header-parsed but content-undecodable audio SURVIVES (batch
+        // contract) — route it with the others append, not the LSH state
+        val audBad = aud.filter(col("feature").isNull).drop("feature")
+        val nImg = image.processBatch(img, batchId)
+        val nAud = audio.processBatch(aud.filter(col("feature").isNotNull),
+          batchId)
+        val nVid = video.processBatch(vid, batchId)
+        val passThrough = others.unionByName(audBad)
+        val nOth = passThrough.count()
+        if (nOth > 0)
+          StreamingAppend.appendOnce(catalog, s"${tablePrefix}_others",
+            passThrough, batchId, keys = Seq(idCol), partitionBy = Nil,
+            partitionMode = exactlyOnce, modeChecked = othersChecked)
+        Map("image" -> nImg, "audio" -> nAud, "video" -> nVid,
+          "others" -> nOth)
+      } finally headed.unpersist(blocking = false)
+    }
+  }
+
+  /** Attach a [[KindRouter]] to a mixed media stream: watermark + exact
+    * sampling gates, then per-kind routing each micro-batch, survivors
+    * appended per pool with the wall-clock `arrival_ts` stamp. */
+  def curateByKindToTable(media: DataFrame, catalog: Catalog,
+      tablePrefix: String, clock: Clock = SystemClock,
+      payloadCol: String = "payload", idCol: String = "media_id",
+      tsCol: String = "ts", sampleRate: Double = 1.0,
+      maxHamming: Int = 3, nPlanes: Int = 8, nTables: Int = 4,
+      threshold: Double = 0.9, frames: Int = 64,
+      watermark: String = "1 hour",
+      queryName: String = "graft_mixed_curation_stream",
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None,
+      exactlyOnce: Boolean = false): StreamingQuery = {
+    val router = new KindRouter(catalog, tablePrefix, maxHamming, nPlanes,
+      nTables, threshold, frames, payloadCol, idCol, exactlyOnce)
+    val gated = (if (media.isStreaming) media.withWatermark(tsCol, watermark)
+                 else media)
+      .filter(graft.ext.Sampling.mixtureKeep(col(idCol), sampleRate))
+    StreamingAppend.startForeachBatch(gated, queryName, continuous,
+      interval, checkpoint) { (batch, id) =>
+      router.processBatch(
+        batch.withColumn("arrival_ts", lit(clock.nowTs)), id)
+      ()
+    }
+  }
+
   /** Run [[curate]] end-to-end into a catalog table with WALL-CLOCK arrival
     * stamping: every micro-batch's survivors carry an `arrival_ts` read from
     * the injected clock at commit time (a driver-side literal per batch, not

@@ -214,3 +214,83 @@ object IncrementalDedup {
       .join(broadcast(newBands), Seq("band", "bucket"))
       .select(col(idCol), col("old_id")).distinct()
 }
+
+/** Incremental EXACT payload dedup — the byte-identity rung of the
+  * streaming matrix (the state-backed twin of [[graft.ext.Dedup]]'s
+  * exact family, which is what the by-kind dispatcher runs for video
+  * pools at byte-identical tolerance): state is the accumulated
+  * (id, fp) digest relation plus the accepted corpus, both
+  * Catalog-persisted. An arrival drops when its md5 digest matches an
+  * accepted row's, or a LOWER-id arrival of the same batch (the batch
+  * family's min-id-keeper rule, so greedy-prefix == batch sweep on
+  * id-ordered arrivals); survivors append exactly-once via
+  * [[StreamingAppend.appendOnce]] like every twin. The digest state is
+  * 24 bytes/row — the cheapest of the five streaming dedup families. */
+final class IncrementalExactDedup(
+    catalog: Catalog, docsTable: String, digestsTable: String,
+    payloadCol: String = "payload", idCol: String = "media_id",
+    exactlyOnce: Boolean = false) {
+
+  /** Fault-injection hook (tests): throw once AFTER the survivors append
+    * but BEFORE the digests append. */
+  private[graft] var crashBetweenAppendsOnce: Boolean = false
+
+  private val modeChecked = scala.collection.mutable.Set.empty[String]
+
+  private def appendOnce(rows: DataFrame, table: String, keys: Seq[String],
+      batchId: Long): Unit =
+    StreamingAppend.appendOnce(catalog, table, rows, batchId,
+      keys = keys, partitionBy = Nil, partitionMode = exactlyOnce,
+      modeChecked = modeChecked)
+
+  /** Deduplicate one micro-batch against the accumulated corpus and
+    * itself; append survivors. Returns the survivor count. */
+  def processBatch(batchRaw: DataFrame, batchId: Long): Long = {
+    val batch = StreamingAppend.collapseSameId(batchRaw, idCol)
+    val newFps = batch.select(col(idCol), md5(col(payloadCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val droppedVsState: DataFrame =
+        StreamingAppend.loadIfReadable(catalog, digestsTable) match {
+          case None => batch.select(col(idCol)).limit(0)
+          case Some(loaded) =>
+            val state = StreamingAppend.acceptedState(loaded, batchId, exactlyOnce)
+            // arrivals broadcast: the accumulated digest state is
+            // scanned, never shuffled (the stateCandidates convention)
+            state.select(col("fp"))
+              .join(broadcast(newFps), Seq("fp"))
+              .select(col(idCol)).distinct()
+        }
+      val a = newFps.select(col("fp"), col(idCol).as("id_a"))
+      val droppedIntra = a
+        .join(newFps.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_b").as(idCol)).distinct()
+      val dropped = droppedVsState.union(droppedIntra).distinct()
+      val survivors = batch.join(broadcast(dropped), Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = survivors.count()
+        if (n > 0) {
+          appendOnce(survivors, docsTable, Seq(idCol), batchId)
+          if (crashBetweenAppendsOnce) {
+            crashBetweenAppendsOnce = false
+            throw new RuntimeException(
+              "injected crash between docs append and digests append")
+          }
+          appendOnce(
+            newFps.join(survivors.select(col(idCol)), Seq(idCol), "left_semi"),
+            digestsTable, Seq(idCol), batchId)
+        }
+        n
+      } finally survivors.unpersist(blocking = false)
+    } finally newFps.unpersist(blocking = false)
+  }
+
+  /** Attach to a media stream (same trigger conventions as the twins). */
+  def start(stream: DataFrame, queryName: String = "graft_incremental_exact",
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None): StreamingQuery =
+    StreamingAppend.startForeachBatch(stream, queryName, continuous,
+      interval, checkpoint) { (batch, id) => processBatch(batch, id); () }
+}

@@ -1221,6 +1221,90 @@ class StreamingSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("curateByKindToTable (r18): a mixed png/jpeg/wav/flac/mp4/avi stream equals runPlanByKind") {
+    import graft.core.StepClock
+    import graft.ext.{Dedup, Multimodal}
+    import graft.streaming.CurationStream
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    implicit val sqlCtx = spark.sqlContext
+
+    // the ExtSpec mixed corpus, streamed: images (png+jpeg+gif+bmp
+    // slices), audio (pcm/G.711/flac rotations), mp4s (incl. both
+    // malformed classes), MJPEG AVIs (incl. the truncated class), one
+    // unrecognizable payload, one NULL payload — every planted dup pair
+    // included
+    val docs = spark.range(30).select($"id".as("doc_id"),
+      concat(lit("body "), $"id".cast("string")).as("text"),
+      lit("web").as("source"), lit(10L).as("n_chars"))
+    val mixed = Multimodal.syntheticImages(docs)
+      .unionByName(Multimodal.syntheticAudio(docs.limit(24))
+        .withColumn("media_id", $"media_id" + 10000L)
+        .select("media_id", "payload"))
+      .unionByName(Multimodal.syntheticVideo(docs.limit(12))
+        .withColumn("media_id", $"media_id" + 20000L)
+        .select("media_id", "payload"))
+      .unionByName(Multimodal.syntheticVideoAvi(docs.limit(24))
+        .withColumn("media_id", $"media_id" + 30000L)
+        .select("media_id", "payload"))
+      .unionByName(Seq((40000L, "no codec speaks this".getBytes))
+        .toDF("media_id", "payload"))
+      .unionByName(Seq(40001L).toDF("media_id")
+        .select($"media_id", lit(null).cast("binary").as("payload")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows: Seq[(Long, Timestamp, Array[Byte])] = mixed.collect()
+        .map(r => (r.getLong(0),
+          ts("2024-01-01T10:00:00Z"),
+          if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)))
+        .sortBy(_._1).toSeq
+
+      val root = java.nio.file.Files.createTempDirectory("graft-bykind").toString
+      val catalog = new graft.core.Catalog(spark, root)
+      val clock = new StepClock(java.time.Instant.parse("2024-02-01T08:00:00Z"))
+      val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+      val q = CurationStream.curateByKindToTable(
+        input.toDF().toDF("media_id", "ts", "payload"),
+        catalog, "cur.mix", clock, continuous = true, interval = "1 second")
+      // three id-ordered batches so cross-batch state drops are exercised
+      // (each planted dup id%20==1 arrives AFTER its id%20==0 original)
+      val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+
+      def kept(table: String): Set[Long] =
+        scala.util.Try(catalog.load(table)
+          .select("media_id").collect().map(_.getLong(0)).toSet)
+          .getOrElse(Set.empty)
+
+      // the batch twin: the SAME corpus through the by-kind dispatcher
+      val byKind = Dedup.runPlanByKind(mixed, mutationTolerance = 0.01)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2)))
+      def batchSurvivors(kinds: Set[String]): Set[Long] =
+        byKind.filter(t => t._2 != null && kinds(t._2) && t._3)
+          .map(_._1).toSet
+      import Dedup.ModalityKinds
+      assert(kept("cur.mix_image") == batchSurvivors(ModalityKinds("image")),
+        s"image pool: ${kept("cur.mix_image")}")
+      assert(kept("cur.mix_audio") == batchSurvivors(ModalityKinds("audio")),
+        s"audio pool: ${kept("cur.mix_audio")}")
+      assert(kept("cur.mix_video") == batchSurvivors(ModalityKinds("video")),
+        s"video pool: ${kept("cur.mix_video")}")
+      // pass-through: the garbage row AND the null-payload row survive
+      // into the others table — never silently dropped
+      val others = kept("cur.mix_others")
+      assert(others.contains(40000L) && others.contains(40001L), others)
+      assert(others == byKind
+        .filter(t => t._2 == null || t._2 == "unknown").map(_._1).toSet)
+      // every input row landed in exactly one pool or was a dup drop
+      val allKept = kept("cur.mix_image") ++ kept("cur.mix_audio") ++
+        kept("cur.mix_video") ++ others
+      val dropped = rows.map(_._1).toSet -- allKept
+      assert(dropped.nonEmpty && dropped.forall(id =>
+        byKind.exists(t => t._1 == id && !t._3)),
+        s"stream dropped $dropped not matched by batch eliminations")
+    } finally { mixed.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("curateMediaToTable geometricTolerance: shifted-crop re-uploads drop via the spectral stream") {
     import graft.core.StepClock
     import graft.ext.{Multimodal, Similarity}
