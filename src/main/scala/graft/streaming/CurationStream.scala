@@ -159,9 +159,10 @@ object CurationStream {
     }
   }
 
-  /** Audio-stream curation gates — [[curateMedia]] for the WAV tier: the
-    * [[graft.functions.MediaHeader]] parse gates format/decodability/rate
-    * the way dimensions gate images, exact dedup is the payload digest,
+  /** Audio-stream curation gates — [[curateMedia]] for the audio tier
+    * (WAV + FLAC since r18, the [[graft.ext.Dedup.ModalityKinds]] audio
+    * set): the [[graft.functions.MediaHeader]] parse gates
+    * format/decodability/rate the way dimensions gate images, exact dedup is the payload digest,
     * sampling is the same deterministic `mixtureKeep`, and the envelope
     * DESCRIPTOR is computed scan-side and carried out as a `feature`
     * column — the embedding the perceptual stage and any downstream ANN
@@ -180,7 +181,11 @@ object CurationStream {
     val gated = (if (media.isStreaming) media.withWatermark(tsCol, watermark)
                  else media)
       .withColumn("__h", graft.functions.MediaHeader(col(payloadCol)))
-      .filter(col("__h.error").isNull && col("__h.format") === "wav" &&
+      // the audio pool's kinds (wav + flac since r18) — the same set the
+      // by-kind dispatcher routes, so the two surfaces cannot drift
+      .filter(col("__h.error").isNull &&
+        col("__h.format").isin(
+          graft.ext.Dedup.ModalityKinds("audio").toSeq: _*) &&
         col("__h.sample_rate") >= minSampleRate)
       .drop("__h")
       .filter(graft.ext.Sampling.mixtureKeep(col(idCol), sampleRate))

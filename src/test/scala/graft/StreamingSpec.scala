@@ -1431,6 +1431,21 @@ class StreamingSpec extends SparkSpec {
       if (jitter) wave(7) += 1000
       WavPcm.encodePcm16(rate, 1, wave)
     }
+    // the FLAC twin builder (r18): SAME waveform mutations, lossless
+    // container — the envelope features are codec-blind, so a FLAC
+    // re-upload of an accepted WAV's content drops on arrival
+    def flac(seed: Long, gain: Double = 1.0, jitter: Boolean = false,
+        rate: Int = 16000): Array[Byte] = {
+      val wave = Multimodal.waveformSamples(seed, 2048, 0)
+      if (gain != 1.0) {
+        var i = 0
+        while (i < wave.length) {
+          wave(i) = StrictMath.rint(wave(i) * gain).toInt; i += 1
+        }
+      }
+      if (jitter) wave(7) += 1000
+      graft.functions.FlacPcm.encode(rate, 1, wave)
+    }
     // header-valid but PCM-undecodable: the fmt tag patched to 3 (float)
     // — passes the MediaHeader gate, fails WavPcm, rejected by the
     // feature gate (the documented stream-vs-batch contract difference)
@@ -1447,7 +1462,11 @@ class StreamingSpec extends SparkSpec {
       (5L, ts("2024-01-01T10:04:00Z"), wav(5)),
       (6L, ts("2024-01-01T10:05:00Z"), wav(5)),
       (7L, ts("2024-01-01T10:06:00Z"), wav(1, gain = 1.25, jitter = true)),
-      (8L, ts("2024-01-01T10:07:00Z"), floatWav))
+      (8L, ts("2024-01-01T10:07:00Z"), floatWav),
+      // r18 FLAC rows: a CROSS-CONTAINER perceptual twin of id 2's
+      // accepted content (drops on arrival) and a clean FLAC keeper
+      (9L, ts("2024-01-01T10:08:00Z"), flac(2, gain = 1.25, jitter = true)),
+      (10L, ts("2024-01-01T10:09:00Z"), flac(10)))
 
     def runStream(rate: Double, tag: String): (Set[Long], graft.core.Catalog) = {
       val root = java.nio.file.Files.createTempDirectory(s"graft-curaudio-$tag").toString
@@ -1484,7 +1503,7 @@ class StreamingSpec extends SparkSpec {
     }
 
     val (kept, catalog) = runStream(1.0, "full")
-    assert(kept == Set(1L, 2L, 5L), s"stream kept $kept")
+    assert(kept == Set(1L, 2L, 5L, 10L), s"stream kept $kept")
     assert(kept == batchTwin(1.0))
     // wall-clock stamps advance with the injected clock per batch
     val stamps = catalog.load("cur.audio_full")
