@@ -715,6 +715,69 @@ object Multimodal {
     spark.createDataFrame(rdd, imageSchema)
   }
 
+  /** Per-frame dHash fingerprints over an MJPEG-AVI table — the
+    * MULTI-FRAME video tier (r18): `(media_id, frame_idx, dhash, error)`
+    * for frames 0..`frames`−1, ONE pass over the media table (frame
+    * indices explode scan-side; each [[graft.functions.AviFrameBytes]] +
+    * dHash evaluation is an O(payload) container walk + one frame
+    * decode). Videos with fewer frames (or undecodable payloads) carry
+    * null dhash rows past their last frame — they match nothing and
+    * survive, the fingerprint convention.
+    *
+    * Why multi-frame: frame-0 matching ([[imageFingerprints]] on AVI
+    * payloads) breaks on a TRIMMED re-upload — drop the first frame and
+    * frame 0 is new content. Sampling K frames and matching on ANY
+    * frame pair recovers trims up to K−1 frames (a t-frame trim still
+    * shares K−t frames with the original) — the video analogue of the
+    * audio shift tier, measured in SCALE.md r18 (`VideoDedupProbe`). */
+  def videoFrameFingerprints(media: DataFrame, frames: Int = 3): DataFrame = {
+    require(frames >= 1 && frames <= MaxVideoFrames,
+      s"frames must be 1..$MaxVideoFrames (the fid packing bound), got $frames")
+    media
+      .select(col("media_id"), col("payload"),
+        explode(array((0 until frames).map(lit): _*)).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        graft.functions.ImageDHash(
+          graft.functions.AviFrameBytes(col("payload"), col("frame_idx")))
+          .as("f"))
+      .select(col("media_id"), col("frame_idx"),
+        col("f.dhash").as("dhash"), col("f.error").as("error"))
+  }
+
+  /** The fid packing bound for [[videoAnyFrameNearDups]]: frame rows key
+    * as `media_id << 6 | frame_idx`, so sampled frames per video cap at
+    * 64 and media ids must be non-negative. */
+  val MaxVideoFrames = 64
+
+  /** Trim-tolerant video near-dup pairs from a (media_id, frame_idx,
+    * dhash) fingerprint table: two videos pair when ANY sampled frame
+    * pair sits within `maxHamming` — `(media_a, media_b, min_hamming)`.
+    * REUSES the Manku pigeonhole blocking verbatim over packed frame ids
+    * (hamming over dHash bits, the [[imageNearDups]] observation), so
+    * the relation is blocked — never all-pairs — and inherits the
+    * zero-false-negative guarantee: every frame pair within the radius
+    * is a verified candidate, hence the per-video-pair MIN over
+    * candidates equals the true min whenever the true min is within the
+    * radius (the q95 oracle replays the exhaustive form and
+    * hash-matches). Same-video frame pairs are excluded; pair order is
+    * media_a < media_b (monotone fid packing). */
+  def videoAnyFrameNearDups(frameFps: DataFrame, maxHamming: Int = 3,
+      blocks: Int = 0): DataFrame = {
+    TableShapes.requireColumns(frameFps, Seq("media_id", "frame_idx", "dhash"),
+      "videoAnyFrameNearDups",
+      "build it with Multimodal.videoFrameFingerprints(media)")
+    val packed = frameFps.filter(col("dhash").isNotNull)
+      .select((shiftleft(col("media_id"), 6) + col("frame_idx")).as("fid"),
+        col("dhash"))
+    Dedup.simhashPairsFromSigs(packed, "fid", "dhash", maxHamming, blocks)
+      .select(shiftright(col("doc_a"), 6).as("media_a"),
+        shiftright(col("doc_b"), 6).as("media_b"),
+        col("hamming"))
+      .filter(col("media_a") =!= col("media_b"))
+      .groupBy("media_a", "media_b")
+      .agg(min(col("hamming")).cast("long").as("min_hamming"))
+  }
+
   /** The amplitude-modulated sine field behind [[syntheticAudio]] —
     * sample i reads the field at absolute position `offset + i`, so the
     * shift-sweep probe can window the SAME content at an offset (the

@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.expressions.Expression
+
 /** MJPEG-in-AVI container plumbing — the video CONTENT tier's missing
   * rung (r17 verdict item #2): AVI is RIFF (the same chunk grammar
   * [[WavPcm]] walks, public MS/IBM spec), and an MJPEG stream's frames
@@ -14,9 +16,11 @@ package graft.functions
   * Frame 0 is the honest scan-stage reduction at 100 TB: one frame's
   * decode per clip (the image tier's measured cost), not a full-stream
   * decode — re-encoded copies of the SAME video share frame-0 content
-  * exactly as re-encoded images share pixels. Multi-frame sampling is a
-  * composition the caller owns (extract frame k, union the features);
-  * the container walk below exposes any frame by index.
+  * exactly as re-encoded images share pixels. TRIM-tolerant matching
+  * samples several frames through [[AviFrameBytes]] +
+  * [[graft.ext.Multimodal.videoFrameFingerprints]] (any-frame pairing;
+  * the r18 trim sweep measures the law); the container walk below
+  * exposes any frame by index.
   *
   * Extraction rules (strict, bounded, throw-free like every codec here):
   * `RIFF....AVI ` else `not_avi`; chunk walk with the RIFF odd-size pad
@@ -31,6 +35,52 @@ package graft.functions
   * 59-72`, `dag/self_healing_pipeline.py:86-98`); content decode is this
   * engine's extension surface, same as every codec here.
   */
+/** Native frame-bytes extraction — `avi_frame_bytes(payload, index)` →
+  * the index-th stream frame's raw bytes (a baseline JPEG for MJPEG), or
+  * NULL when the payload is not a decodable AVI or carries no such frame
+  * (the undecodable-survives convention every fingerprint shares; the
+  * specific refusal is [[MediaHeader]]'s business). The scan-stage
+  * building block of the MULTI-FRAME video tier: compose with
+  * [[ImageDHash]] to fingerprint frame k, explode k = 0..K−1 to
+  * fingerprint a sample of frames in ONE pass over the media table —
+  * the trim-tolerant any-frame matching [[graft.ext.Multimodal
+  * .videoFrameFingerprints]] builds. O(payload) per evaluation (a
+  * bounded container walk + one copy of the frame bytes). */
+case class AviFrameBytes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"avi_frame_bytes requires (binary, int), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(payload: Any, index: Any): Any = {
+    val idx = index.asInstanceOf[Int]
+    if (idx < 0) null
+    else MjpegAvi.frameBytes(payload.asInstanceOf[Array[Byte]], idx)
+      .getOrElse(null)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AviFrameBytes = copy(left = newLeft, right = newRight)
+}
+
+object AviFrameBytes {
+  def apply(payload: org.apache.spark.sql.Column,
+      index: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(AviFrameBytes(
+      org.apache.spark.sql.GraftColumnBridge.expression(payload),
+      org.apache.spark.sql.GraftColumnBridge.expression(index)))
+}
+
 private[graft] object MjpegAvi {
 
   private def ascii(b: Array[Byte], off: Int, s: String): Boolean = {

@@ -1957,6 +1957,39 @@ object ExtQ {
           error
         FROM c ORDER BY media_id""")),
 
+    // ───── Multi-frame video pairs, persisted-decode oracle (q95) ─────
+    // The r18 TRIM-tolerant video tier: frame-0 matching (q93) breaks
+    // when a re-upload drops leading frames, so videoFrameFingerprints
+    // samples K frames per clip (AviFrameBytes + dHash, one pass) and
+    // videoAnyFrameNearDups pairs videos on ANY frame pair within the
+    // radius — Manku-blocked over packed (media<<6|frame) ids, never
+    // all-pairs. The oracle replays the EXHAUSTIVE cross-frame min-
+    // hamming relation from the persisted fingerprints: a hash match
+    // proves the blocked any-frame relation loses nothing (the pigeonhole
+    // zero-false-negative guarantee, per-video-pair min included).
+    "q95_video_multiframe_pairs_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.videoFrameFingerprints(
+            Multimodal.syntheticVideoAvi(t(s, dir, "documents"))),
+          "media.q95_frame_fps")
+        Multimodal.videoAnyFrameNearDups(cat.load("media.q95_frame_fps"),
+            maxHamming = 3)
+          .orderBy("media_a", "media_b")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT media_id, frame_idx, dhash
+          FROM read_parquet('$AnnOracleRoot/media/q95_frame_fps/*.parquet')
+          WHERE dhash IS NOT NULL)
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+          CAST(MIN(bit_count(xor(a.dhash, b.dhash))) AS BIGINT) AS min_hamming
+        FROM f a JOIN f b ON a.media_id < b.media_id
+        GROUP BY 1, 2
+        HAVING MIN(bit_count(xor(a.dhash, b.dhash))) <= 3
+        ORDER BY 1, 2""")),
+
     // The VIDEO tier of the modality family, q78's proof applied to ISO
     // BMFF: syntheticVideo fabricates real ftyp/moov(mvhd+trak(tkhd))/mdat
     // box structures (fixed v0 layout ⇒ every interesting field sits at a

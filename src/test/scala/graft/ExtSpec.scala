@@ -1930,6 +1930,57 @@ class ExtSpec extends SparkSpec {
     } finally { avis.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
+  test("video multi-frame tier (r18): any-frame matching catches the trim frame-0 misses") {
+    import graft.functions.{JpegGray, MjpegAvi}
+    // video A: frames from fields f(0), f(1), f(2); video B: the SAME
+    // content trimmed by one frame — f(1), f(2), f(3). Frame-0 matching
+    // sees new content; any-frame matching shares two exact frames.
+    def frame(k: Long): Array[Byte] =
+      JpegGray.encodeGray(32, 32, Multimodal.patternPixels(500L + k, 32, 32), 92)
+    val a = MjpegAvi.encode(32, 32, Seq(frame(0), frame(1), frame(2)))
+    val b = MjpegAvi.encode(32, 32, Seq(frame(1), frame(2), frame(3)))
+    // an unrelated video and a truncated container (null rows survive)
+    val c = MjpegAvi.encode(32, 32, Seq(frame(100), frame(101), frame(102)))
+    val broken = "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "AVI ".getBytes
+    val media = Seq((1L, a), (2L, b), (3L, c), (4L, broken))
+      .toDF("media_id", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fps = Multimodal.videoFrameFingerprints(media, frames = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-frame fingerprints equal the direct single-frame dHash path
+      val got = fps.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      Seq((1L, a), (2L, b), (3L, c)).foreach { case (id, payload) =>
+        (0 until 3).foreach { k =>
+          val direct = Some(graft.functions.ImageDHash.dHash64(
+            graft.functions.ImageCodecs.decode(
+              MjpegAvi.frameBytes(payload, k).toOption.get).toOption.get))
+          assert(got((id, k)) == direct, s"video $id frame $k")
+        }
+      }
+      // the broken container carries null rows — it matches nothing
+      assert((0 until 3).forall(k => got((4L, k)).isEmpty))
+      // frame-0 matching MISSES the trim (f(0) vs f(1) are unrelated
+      // fields); any-frame matching catches it on the shared frames
+      val frame0 = Multimodal.imageNearDups(
+        Multimodal.imageFingerprints(media)).collect()
+      assert(!frame0.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+        "frame-0 matching unexpectedly caught the trimmed twin")
+      val any = Multimodal.videoAnyFrameNearDups(fps).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(any.contains((1L, 2L)), s"trimmed twin missed: ${any.keySet}")
+      assert(any((1L, 2L)) == 0L, "shared frames should match exactly")
+      assert(!any.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+        "unrelated video paired")
+      // packing guard: the fid bound refuses out-of-range frame counts
+      intercept[IllegalArgumentException] {
+        Multimodal.videoFrameFingerprints(media, frames = 65)
+      }
+      fps.unpersist()
+    } finally { media.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("image descriptors: grid equals its relational twin; spectral is shift/brightness-blind") {
     import graft.functions.{ImageGridFeature, ImageSpectralFeature, PngGray}
     // ── grid: native expression == the q85 relational twin re-centered ──
