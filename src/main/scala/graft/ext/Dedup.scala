@@ -915,7 +915,8 @@ object Dedup {
       hasEmbeddings: Boolean = false, modality: String = "text",
       geometricTolerance: Double = 0.0,
       recodeQuality: Double = 100.0,
-      frameDecodable: Boolean = false): FamilyRecommendation = {
+      frameDecodable: Boolean = false,
+      trimTolerance: Int = 0): FamilyRecommendation = {
     require(mutationTolerance >= 0 && mutationTolerance <= 1,
       s"mutationTolerance is a per-token probability, got $mutationTolerance")
     require(minDetection > 0 && minDetection <= 1,
@@ -939,13 +940,20 @@ object Dedup {
     require(!frameDecodable || modality == "video",
       "frameDecodable (the whole pool is MJPEG-AVI, so frame 0 decodes " +
         "through ImageCodecs) only parameterizes the video ladder")
+    require(trimTolerance >= 0 && trimTolerance < Multimodal.MaxVideoFrames,
+      s"trimTolerance is a leading-frame cut depth in [0, 63], got $trimTolerance")
+    require(trimTolerance == 0 || frameDecodable,
+      "trimTolerance (leading frames of a re-cut to still catch) needs a " +
+        "frame-decodable video pool — the multi-frame tier samples " +
+        "trimTolerance+1 frames per clip")
     if (modality == "image") return recommendImageFamily(
       mutationTolerance, minDetection, hasEmbeddings, geometricTolerance,
       recodeQuality)
     if (modality == "audio") return recommendAudioFamily(
       mutationTolerance, minDetection, hasEmbeddings, geometricTolerance)
     if (modality == "video") return recommendVideoFamily(
-      mutationTolerance, minDetection, hasEmbeddings, frameDecodable)
+      mutationTolerance, minDetection, hasEmbeddings, frameDecodable,
+      trimTolerance)
     val sweep = Seq( // (churn, minhash detection, simhash detection) — r12 measured
       (0.01, 0.998, 0.770),
       (0.02, 0.986, 0.581),
@@ -1215,7 +1223,15 @@ object Dedup {
     *     content, and no measured detection exists to quote. */
   private def recommendVideoFamily(mutationTolerance: Double,
       minDetection: Double, hasEmbeddings: Boolean,
-      frameDecodable: Boolean): FamilyRecommendation = {
+      frameDecodable: Boolean, trimTolerance: Int): FamilyRecommendation = {
+    // a trimmed re-upload is NEVER byte-identical — a caller asking for
+    // trim tolerance at byte-identity tolerance would silently get exact
+    // dedup that misses every trim; refuse the contradiction loudly
+    require(trimTolerance == 0 || mutationTolerance >= 0.0005,
+      f"trimTolerance $trimTolerance%d with byte-identical " +
+        f"mutationTolerance ${mutationTolerance}%.4f is a contradiction: " +
+        "a re-cut video shares no byte identity — raise mutationTolerance " +
+        "to the frame-churn level you must still catch, or drop the trim knob")
     if (mutationTolerance < 0.0005)
       FamilyRecommendation("exact", "Dedup.dropExactDuplicates over payload digests",
         1.0,
@@ -1231,7 +1247,28 @@ object Dedup {
           "model-embedding tier (frame decode exists for MJPEG-AVI only); " +
           "Multimodal.videoHeaderCandidates (dims+timescale header bands, " +
           "q91 fields) can pre-filter candidate pairs before the rerank")
-    else if (frameDecodable) {
+    else if (frameDecodable && trimTolerance > 0) {
+      // r18 multi-frame rung: the caller must still catch a re-upload
+      // whose leading `trimTolerance` frames were cut — frame-0 matching
+      // measured 0.003 detection at ANY trim, while any-frame matching
+      // over K = trim+1 sampled frames measured COMPLETE detection
+      // through trim K−1 and honest collapse at K (the r18 trim sweep,
+      // SCALE.md). Frame-content churn keeps its own measured law (the
+      // AVI-path mutation sweep == r15 image law); the two compose by
+      // MIN, the r17 conservative convention — pure trim costs nothing.
+      val det = interpSweep(ImageSweep, mutationTolerance)
+      val k = trimTolerance + 1
+      FamilyRecommendation("video_anyframe_dhash",
+        s"Multimodal.videoFrameFingerprints(frames = $k) + " +
+          "videoAnyFrameNearDups (pair-closure assignment)",
+        det,
+        f"MJPEG-AVI pool with trim tolerance $trimTolerance: any-frame " +
+          f"matching over $k sampled frames holds measured 1.000 " +
+          f"detection through a ${trimTolerance}-frame cut (r18 trim " +
+          f"sweep) × $det%.3f at ${mutationTolerance * 100}%.1f%% " +
+          "frame-pixel churn (AVI-path sweep) — sampling depth IS the " +
+          "trim tolerance; deeper cuts need a larger K (≤ 63)")
+    } else if (frameDecodable) {
       // r18: every payload in the pool is MJPEG-AVI, so frame 0 decodes
       // through ImageCodecs and the video content question REDUCES to the
       // image fingerprint question — same family, same measured churn law
@@ -1308,10 +1345,12 @@ object Dedup {
       vecCol: String = "embedding", maxPartitions: Int = 1024,
       modality: String = "text", geometricTolerance: Double = 0.0,
       recodeQuality: Double = 100.0,
-      frameDecodable: Boolean = false): DedupPlan = {
+      frameDecodable: Boolean = false,
+      trimTolerance: Int = 0): DedupPlan = {
     require(scratchBudgetGb >= 0.0, s"negative scratch budget: $scratchBudgetGb")
     val rec = recommendFamily(mutationTolerance, minDetection, hasEmbeddings,
-      modality, geometricTolerance, recodeQuality, frameDecodable)
+      modality, geometricTolerance, recodeQuality, frameDecodable,
+      trimTolerance)
     // the descriptor families (image grid/spectral, audio
     // envelope/spectral) ARE the embedding family over a derived
     // descriptor column — they share the embedding tier's sizing,
@@ -1459,6 +1498,21 @@ object Dedup {
         // run time like the simhash family
         val (blocks, _) = simhashParams(corpusN, maxHamming)
         Multimodal.imageAssign(data, maxHamming, maxRepsPerCell, blocks)
+      case "video_anyframe_dhash" =>
+        // data = a FRAME fingerprint table (media_id, frame_idx, dhash) —
+        // the Multimodal.videoFrameFingerprints contract. Assignment is
+        // the PAIR-CLOSURE form (dup_of = the smallest any-frame pair
+        // partner; everything with a smaller partner drops — the q44
+        // batch-sweep convention rather than the per-cell greedy star,
+        // strictly MORE corpus shrinkage on chains and the same survivor
+        // soundness: every elimination is a genuine radius pair toward a
+        // smaller id, component minima always survive). Videos with no
+        // decodable frame match nothing and survive.
+        val pairs = Multimodal.videoAnyFrameNearDups(data, maxHamming)
+        data.select(col("media_id").as(idCol)).distinct()
+          .join(pairs.groupBy(col("media_b").as(idCol))
+            .agg(min(col("media_a")).as("dup_of")),
+            Seq(idCol), "left_outer")
       case "embedding_lsh" =>
         runEmbeddingPlan(p, data, idCol, vecCol, scratchDir, maxRepsPerCell)
       case "image_grid_lsh" | "image_spectral_lsh" |
@@ -1521,7 +1575,8 @@ object Dedup {
       audioGeometricTolerance: Double = 0.0,
       videoMutationTolerance: Double = 0.0,
       scratchBudgetGb: Double = 0.0,
-      imageRecodeQuality: Double = 100.0): Map[String, DedupPlan] = {
+      imageRecodeQuality: Double = 100.0,
+      videoTrimTolerance: Int = 0): Map[String, DedupPlan] = {
     TableShapes.requireColumns(media, Seq("media_id", "payload"),
       "planByKind", "the media-family (media_id, payload) shape")
     // own persist: sizing a descriptor-tier plan re-reads the pool (count
@@ -1531,7 +1586,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try planByKindFrom(headed, mutationTolerance, minDetection,
       imageGeometricTolerance, audioGeometricTolerance,
-      videoMutationTolerance, scratchBudgetGb, imageRecodeQuality)
+      videoMutationTolerance, scratchBudgetGb, imageRecodeQuality,
+      videoTrimTolerance)
     finally headed.unpersist(blocking = false)
   }
 
@@ -1542,7 +1598,8 @@ object Dedup {
       minDetection: Double, imageGeometricTolerance: Double,
       audioGeometricTolerance: Double, videoMutationTolerance: Double,
       scratchBudgetGb: Double,
-      imageRecodeQuality: Double = 100.0): Map[String, DedupPlan] = {
+      imageRecodeQuality: Double = 100.0,
+      videoTrimTolerance: Int = 0): Map[String, DedupPlan] = {
     val present = headed.groupBy("__kind").count()
       .collect().map(_.getString(0)).toSet
     def modalityPlan(kinds: Set[String], modality: String, tol: Double,
@@ -1556,13 +1613,16 @@ object Dedup {
         // and the rung would silently claim detection it cannot deliver
         val decodable = modality == "video" &&
           kinds.intersect(present).subsetOf(Set("avi"))
+        val trim = if (decodable) videoTrimTolerance else 0
         val rec = recommendFamily(tol, minDetection, hasEmbeddings = false,
-          modality, geo, recodeQ, frameDecodable = decodable)
-        Some(modality -> plan(derivedTable(rows, rec.family), tol,
+          modality, geo, recodeQ, frameDecodable = decodable,
+          trimTolerance = trim)
+        Some(modality -> plan(
+          derivedTable(rows, rec.family, videoFrames = trim + 1), tol,
           minDetection, scratchBudgetGb, targetRecall = 0.98,
           hasEmbeddings = false, vecCol = "feature", modality = modality,
           geometricTolerance = geo, recodeQuality = recodeQ,
-          frameDecodable = decodable))
+          frameDecodable = decodable, trimTolerance = trim))
       }
     (modalityPlan(ModalityKinds("image"), "image", mutationTolerance,
       imageGeometricTolerance, imageRecodeQuality) ++
@@ -1602,7 +1662,8 @@ object Dedup {
       videoMutationTolerance: Double = 0.0,
       scratchBudgetGb: Double = 0.0, scratchDir: String = "",
       maxRepsPerCell: Int = 4096,
-      imageRecodeQuality: Double = 100.0): DataFrame = {
+      imageRecodeQuality: Double = 100.0,
+      videoTrimTolerance: Int = 0): DataFrame = {
     TableShapes.requireColumns(media, Seq("media_id", "payload"),
       "runPlanByKind", "the media-family (media_id, payload) shape")
     val headed = withDetectedKind(media)
@@ -1610,7 +1671,8 @@ object Dedup {
     try {
       val plans = planByKindFrom(headed, mutationTolerance, minDetection,
         imageGeometricTolerance, audioGeometricTolerance,
-        videoMutationTolerance, scratchBudgetGb, imageRecodeQuality)
+        videoMutationTolerance, scratchBudgetGb, imageRecodeQuality,
+        videoTrimTolerance)
       val modalityKinds = Seq("image", "audio", "video")
         .map(m => m -> ModalityKinds(m))
       val pooled = modalityKinds.collect {
@@ -1618,7 +1680,7 @@ object Dedup {
           val rows = headed.filter(col("__kind").isin(kinds.toSeq: _*))
           val p = plans(modality)
           runPlan(p, derivedTable(rows.select(col("media_id"), col("payload")),
-              p.family),
+              p.family, videoFrames = videoTrimTolerance + 1),
             idCol = "media_id", textCol = "payload", vecCol = "feature",
             scratchDir = scratchDir, maxRepsPerCell = maxRepsPerCell)
             .join(rows.select(col("media_id"), col("__kind")), Seq("media_id"))
@@ -1654,10 +1716,13 @@ object Dedup {
     * input contract resolved per family: raw payloads for the exact
     * rung, dHash fingerprints for the perceptual rung, descriptor
     * features for the geometric/audio tiers. */
-  private def derivedTable(rows: DataFrame, family: String): DataFrame =
+  private def derivedTable(rows: DataFrame, family: String,
+      videoFrames: Int = 1): DataFrame =
     family match {
       case "exact" | "video_header_blocking" => rows
       case "image_dhash" => Multimodal.imageFingerprints(rows)
+      case "video_anyframe_dhash" =>
+        Multimodal.videoFrameFingerprints(rows, videoFrames)
       case "image_grid_lsh" => Multimodal.imageGridFeatures(rows)
       case "image_spectral_lsh" => Multimodal.imageSpectralFeatures(rows)
       case "audio_envelope_lsh" => Multimodal.audioEnvelopeFeatures(rows)

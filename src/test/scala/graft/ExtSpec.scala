@@ -1927,6 +1927,45 @@ class ExtSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Dedup.recommendFamily(0.01, modality = "image", frameDecodable = true)
       }
+
+      // ── the r18 TRIM knob: the multi-frame rung ──
+      // trim tolerance swaps the family to any-frame matching over K =
+      // trim+1 sampled frames (the measured trim law, SCALE.md r18)
+      val trimPlans = Dedup.planByKind(avis, mutationTolerance = 0.01,
+        videoMutationTolerance = 0.01, videoTrimTolerance = 1)
+      assert(trimPlans("video").family == "video_anyframe_dhash",
+        trimPlans("video").rationale)
+      assert(trimPlans("video").expectedDetection > 0.9)
+      // one-call execution: a 1-frame-trimmed re-upload of an accepted
+      // video drops where the frame-0 rung above misses it. Append a
+      // trimmed twin of id 0's content (syntheticVideoAvi frame fields
+      // are seed + 7919k, so the trim twin renders fields 7919·1, 7919·2,
+      // 7919·3 of seed 0)
+      val trimmedTwin = graft.functions.MjpegAvi.encode(32, 32,
+        (1 to 3).map(k => graft.functions.JpegGray.encodeGray(32, 32,
+          Multimodal.patternPixels(0L + 7919L * k, 32, 32), 92)))
+      val withTrim = avis.unionByName(
+        Seq((900L, trimmedTwin)).toDF("media_id", "payload"))
+      val trimGot = Dedup.runPlanByKind(withTrim, mutationTolerance = 0.01,
+          videoMutationTolerance = 0.01, videoTrimTolerance = 1)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(trimGot(900L).isDefined,
+        "the trimmed twin survived the any-frame rung")
+      // frame-0 rung (no trim knob): the same twin survives — the
+      // CONTRAST the knob exists for
+      val noTrimGot = Dedup.runPlanByKind(withTrim, mutationTolerance = 0.01,
+          videoMutationTolerance = 0.01)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(noTrimGot(900L).isEmpty,
+        "frame-0 rung unexpectedly caught the trimmed twin")
+      // contradiction guard: trim tolerance at byte-identical tolerance
+      // refuses loudly instead of silently running exact
+      intercept[IllegalArgumentException] {
+        Dedup.planByKind(avis, mutationTolerance = 0.01,
+          videoTrimTolerance = 1) // videoMutationTolerance defaults 0.0
+      }
     } finally { avis.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
