@@ -256,7 +256,11 @@ object CurationStream {
     *    match — note this differs from [[curateAudio]]'s emit-clean gate,
     *    because this router's pin is batch equality);
     *  - video kinds (mp4/avi) → [[IncrementalExactDedup]] payload
-    *    digests — the batch video pool's default byte-identical rung;
+    *    digests — the batch video pool's default byte-identical rung; a
+    *    `videoTrimTolerance` > 0 swaps in
+    *    [[IncrementalVideoFrameDedup]] (any-frame dHash over trim+1
+    *    sampled frames — the batch dispatcher's knob applied to the
+    *    stream: a re-CUT re-upload drops on arrival);
     *  - unrecognized/undecodable kinds ("unknown", malformed containers)
     *    PASS THROUGH to the others table — the `runPlanByKind`
     *    pass-through contract, never silently dropped.
@@ -272,14 +276,28 @@ object CurationStream {
       maxHamming: Int = 3, nPlanes: Int = 8, nTables: Int = 4,
       threshold: Double = 0.9, frames: Int = 64,
       payloadCol: String = "payload", idCol: String = "media_id",
-      exactlyOnce: Boolean = false) {
+      exactlyOnce: Boolean = false,
+      videoTrimTolerance: Int = 0) {
     private val image = IncrementalImageDedup(catalog, s"${tablePrefix}_image",
       s"${tablePrefix}_image_blocks", maxHamming, payloadCol, idCol, exactlyOnce)
     private val audio = new IncrementalLshDedup(catalog, s"${tablePrefix}_audio",
       s"${tablePrefix}_audio_buckets", nPlanes, nTables, threshold,
       idCol, "feature", exactlyOnce)
-    private val video = new IncrementalExactDedup(catalog, s"${tablePrefix}_video",
-      s"${tablePrefix}_video_digests", payloadCol, idCol, exactlyOnce)
+    // videoTrimTolerance > 0 swaps the video pool's rung exactly like the
+    // batch dispatcher's knob: any-frame matching over trim+1 sampled
+    // frames (drops a re-CUT re-upload the digest rung provably misses)
+    // instead of byte-identical digests
+    private val videoExact: Option[IncrementalExactDedup] =
+      if (videoTrimTolerance == 0)
+        Some(new IncrementalExactDedup(catalog, s"${tablePrefix}_video",
+          s"${tablePrefix}_video_digests", payloadCol, idCol, exactlyOnce))
+      else None
+    private val videoFrames: Option[IncrementalVideoFrameDedup] =
+      if (videoTrimTolerance > 0)
+        Some(new IncrementalVideoFrameDedup(catalog, s"${tablePrefix}_video",
+          s"${tablePrefix}_video_blocks", videoTrimTolerance + 1, maxHamming,
+          payloadCol, idCol, exactlyOnce))
+      else None
     private val othersChecked = scala.collection.mutable.Set.empty[String]
 
     /** Route one micro-batch; returns per-pool survivor counts. */
@@ -309,7 +327,8 @@ object CurationStream {
         val nImg = image.processBatch(img, batchId)
         val nAud = audio.processBatch(aud.filter(col("feature").isNotNull),
           batchId)
-        val nVid = video.processBatch(vid, batchId)
+        val nVid = videoExact.map(_.processBatch(vid, batchId))
+          .orElse(videoFrames.map(_.processBatch(vid, batchId))).get
         val passThrough = others.unionByName(audBad)
         val nOth = passThrough.count()
         if (nOth > 0)
@@ -335,9 +354,11 @@ object CurationStream {
       queryName: String = "graft_mixed_curation_stream",
       continuous: Boolean = false, interval: String = "1 minute",
       checkpoint: Option[String] = None,
-      exactlyOnce: Boolean = false): StreamingQuery = {
+      exactlyOnce: Boolean = false,
+      videoTrimTolerance: Int = 0): StreamingQuery = {
     val router = new KindRouter(catalog, tablePrefix, maxHamming, nPlanes,
-      nTables, threshold, frames, payloadCol, idCol, exactlyOnce)
+      nTables, threshold, frames, payloadCol, idCol, exactlyOnce,
+      videoTrimTolerance)
     val gated = (if (media.isStreaming) media.withWatermark(tsCol, watermark)
                  else media)
       .filter(graft.ext.Sampling.mixtureKeep(col(idCol), sampleRate))

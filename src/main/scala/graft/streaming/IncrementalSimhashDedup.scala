@@ -199,3 +199,121 @@ object IncrementalSimhashDedup {
       .select(col(idCol), col("old_id"), col("sh_a"), col("sh_b")).distinct()
   }
 }
+
+/** Incremental MULTI-FRAME video near-duplicate removal — the streaming
+  * twin of the r18 `video_anyframe_dhash` batch family: a re-uploaded
+  * video whose leading frames were CUT drops on arrival by any-frame
+  * dHash matching, where the frame-0 loop ([[IncrementalImageDedup]]
+  * over AVI payloads) measurably misses it (the r18 trim law: frame-0
+  * detection 0.003 at any trim, any-frame 1.000 through K−1 frames).
+  *
+  * Arrivals are (idCol, payloadCol) MJPEG-AVI rows; each micro-batch
+  * fingerprints K frames per clip scan-side ([[graft.ext.Multimodal
+  * .videoFrameFingerprints]] — one pass, undecodable frames yield no
+  * rows so frameless videos SURVIVE), packs frame ids as
+  * `media_id << 6 | frame_idx`, and reuses [[IncrementalSimhashDedup]]'s
+  * block-state machinery verbatim over the packed ids: state is the
+  * accumulated fid-block relation (radius-stamped, probed with the
+  * arrivals broadcast so state is scanned never shuffled) plus the
+  * accepted corpus. An arrival drops when ANY of its frames sits within
+  * the radius of an accepted video's frame, or of a LOWER-id arrival's
+  * in the same batch. Greedy-prefix semantics at the VIDEO level;
+  * equality with the batch pair-closure sweep on chain-free data is the
+  * StreamingSpec pin (on a chain the batch form drops strictly more —
+  * the same documented split as every streaming twin, in the closure
+  * direction). */
+final class IncrementalVideoFrameDedup(
+    catalog: Catalog, docsTable: String, blocksTable: String,
+    frames: Int = 3, maxHamming: Int = 3,
+    payloadCol: String = "payload", idCol: String = "media_id",
+    exactlyOnce: Boolean = false) {
+  require(frames >= 1 && frames <= graft.ext.Multimodal.MaxVideoFrames,
+    s"frames must be 1..${graft.ext.Multimodal.MaxVideoFrames}, got $frames")
+  require(maxHamming >= 0 && maxHamming <= 15,
+    s"maxHamming must be in [0, 15], got $maxHamming")
+
+  /** Fault-injection hook (tests): throw once AFTER the survivors append
+    * but BEFORE the blocks append. */
+  private[graft] var crashBetweenAppendsOnce: Boolean = false
+
+  private val modeChecked = scala.collection.mutable.Set.empty[String]
+  private var radiusChecked = false
+
+  private def appendOnce(rows: DataFrame, table: String, keys: Seq[String],
+      batchId: Long): Unit =
+    StreamingAppend.appendOnce(catalog, table, rows, batchId,
+      keys = keys, partitionBy = Nil, partitionMode = exactlyOnce,
+      modeChecked = modeChecked)
+
+  /** Deduplicate one micro-batch against the accumulated corpus and
+    * itself; append survivors. Returns the survivor count. */
+  def processBatch(batchRaw: DataFrame, batchId: Long): Long = {
+    val batch = StreamingAppend.collapseSameId(batchRaw, idCol)
+    val newFids = graft.ext.Multimodal.videoFrameFingerprints(
+        batch.select(col(idCol).as("media_id"), col(payloadCol).as("payload")),
+        frames)
+      .filter(col("dhash").isNotNull)
+      .select((shiftleft(col("media_id"), 6) + col("frame_idx")).as("fid"),
+        col("dhash").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def newBlocks = graft.ext.Dedup.simhashBlockTable(
+      newFids, "fid", "sh", maxHamming)
+    try {
+      val droppedVsState: DataFrame =
+        StreamingAppend.loadIfReadable(catalog, blocksTable) match {
+          case None => batch.select(col(idCol)).limit(0)
+          case Some(loaded) =>
+            if (!radiusChecked) {
+              val stampRow = loaded.select("max_hamming").limit(1).collect()
+              if (stampRow.nonEmpty) {
+                val stamped = stampRow.head.getInt(0)
+                require(stamped == maxHamming,
+                  s"block table '$blocksTable' is blocked at radius $stamped " +
+                    s"but this loop probes at $maxHamming: the pigeonhole " +
+                    "guarantee does not transfer across radii")
+                radiusChecked = true
+              }
+            }
+            val state = StreamingAppend.acceptedState(loaded, batchId, exactlyOnce)
+            IncrementalSimhashDedup.stateCandidates(state, newBlocks, "fid")
+              .filter(graft.ext.Dedup.hamming(col("sh_a"), col("sh_b")) <= maxHamming)
+              .select(shiftright(col("fid"), 6).as(idCol)).distinct()
+        }
+      // intra-batch: any frame pair across two arrivals, lower VIDEO id
+      // wins (fid packing is monotone in media_id)
+      val droppedIntra = graft.ext.Dedup.simhashPairsFromBlocks(newBlocks, "fid")
+        .select(shiftright(col("doc_a"), 6).as("va"),
+          shiftright(col("doc_b"), 6).as("vb"))
+        .filter(col("va") < col("vb"))
+        .select(col("vb").as(idCol)).distinct()
+      val dropped = droppedVsState.union(droppedIntra).distinct()
+      val survivors = batch.join(broadcast(dropped), Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = survivors.count()
+        if (n > 0) {
+          appendOnce(survivors, docsTable, Seq(idCol), batchId)
+          if (crashBetweenAppendsOnce) {
+            crashBetweenAppendsOnce = false
+            throw new RuntimeException(
+              "injected crash between docs append and blocks append")
+          }
+          appendOnce(
+            newBlocks.withColumn("__vid", shiftright(col("fid"), 6))
+              .join(survivors.select(col(idCol).as("__vid")),
+                Seq("__vid"), "left_semi")
+              .drop("__vid"),
+            blocksTable, Seq("fid", "blk"), batchId)
+        }
+        n
+      } finally survivors.unpersist(blocking = false)
+    } finally newFids.unpersist(blocking = false)
+  }
+
+  /** Attach to a media stream (same trigger conventions as the twins). */
+  def start(stream: DataFrame, queryName: String = "graft_incremental_videoframe",
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None): StreamingQuery =
+    StreamingAppend.startForeachBatch(stream, queryName, continuous,
+      interval, checkpoint) { (batch, id) => processBatch(batch, id); () }
+}

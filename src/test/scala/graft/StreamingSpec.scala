@@ -1137,6 +1137,79 @@ class StreamingSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("IncrementalVideoFrameDedup (r18): a trimmed re-upload drops on arrival; equals the batch sweep") {
+    import graft.ext.Multimodal
+    import graft.functions.{JpegGray, MjpegAvi}
+    import graft.streaming.IncrementalVideoFrameDedup
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+
+    // avi(seed, trim): a 3-frame MJPEG AVI of fields seed·131 + trim+k —
+    // the VideoDedupProbe construction, byte-identical overlapping frames
+    def avi(seed: Long, trim: Int = 0): Array[Byte] =
+      MjpegAvi.encode(32, 32, (0 until 3).map(k =>
+        JpegGray.encodeGray(32, 32,
+          Multimodal.patternPixels(seed * 131L + trim + k, 32, 32), 92)))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-incvid").toString
+    val catalog = new graft.core.Catalog(spark, root)
+    val inc = new IncrementalVideoFrameDedup(catalog, "cur.vdocs",
+      "cur.vblocks", frames = 3, maxHamming = 3)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = inc.start(input.toDF().toDF("media_id", "payload"),
+      continuous = true, interval = "1 second")
+
+    input.addData((1L, avi(1)), (2L, avi(2)))
+    q.processAllAvailable()
+    // intra-batch: a 1-frame-trimmed re-cut of a LOWER-id arrival drops;
+    // a frameless container survives (no content to match)
+    input.addData((3L, "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++
+      "AVI ".getBytes), (4L, avi(4)), (5L, avi(4, trim = 1)))
+    q.processAllAvailable()
+    // a trimmed re-cut of a batch-1 video TWO batches later: the
+    // persisted fid-block state drops it on arrival — the case the
+    // frame-0 stream (IncrementalImageDedup over AVI payloads)
+    // measurably misses (r18 trim law)
+    input.addData((6L, avi(1, trim = 2)))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = catalog.load("cur.vdocs").select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L), s"stream kept $kept")
+    // fid-block rows exist exactly for the frame-decodable survivors
+    assert(catalog.load("cur.vblocks")
+      .select(org.apache.spark.sql.functions.shiftright(col("fid"), 6))
+      .distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+
+    // chain-free corpus: online equals the batch any-frame sweep (the
+    // pair-closure drop convention over the same fingerprints)
+    val all = Seq((1L, avi(1)), (2L, avi(2)),
+      (3L, "RIFF".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "AVI ".getBytes),
+      (4L, avi(4)), (5L, avi(4, trim = 1)), (6L, avi(1, trim = 2)))
+      .toDF("media_id", "payload")
+    val dropB = Multimodal.videoAnyFrameNearDups(
+      Multimodal.videoFrameFingerprints(all, 3), maxHamming = 3)
+      .select(col("media_b").as("media_id")).distinct()
+    val sweep = all.join(dropB, Seq("media_id"), "left_anti")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(sweep == kept, s"batch sweep $sweep vs stream $kept")
+
+    // the KindRouter knob routes the video pool through this loop: the
+    // same trimmed twin drops in the mixed by-kind stream
+    val root2 = java.nio.file.Files.createTempDirectory("graft-incvid2").toString
+    val cat2 = new graft.core.Catalog(spark, root2)
+    val router = new graft.streaming.CurationStream.KindRouter(cat2,
+      "cur.vmix", videoTrimTolerance = 1)
+    router.processBatch(Seq((1L, avi(1)), (2L, avi(2)))
+      .toDF("media_id", "payload"), 1L)
+    router.processBatch(Seq((3L, avi(1, trim = 1)))
+      .toDF("media_id", "payload"), 2L)
+    assert(cat2.load("cur.vmix_video").select("media_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("curateMediaToTable: gates + sample + exact/perceptual dedup equal the batch pipeline") {
     import graft.core.StepClock
     import graft.ext.Multimodal
@@ -1608,7 +1681,23 @@ class StreamingSpec extends SparkSpec {
           threshold = 0.999, exactlyOnce = eo)
         Harness(l.processBatch, () => l.crashBetweenAppendsOnce = true,
           () => l.crashBetweenAppendsOnce = false)
-      }, rows => rows.map { case (id, k) => (id, vec(k)) }.toDF("vec_id", "embedding")))
+      }, rows => rows.map { case (id, k) => (id, vec(k)) }.toDF("vec_id", "embedding")),
+      ("exact", (c, d, s, eo) => {
+        val l = new graft.streaming.IncrementalExactDedup(c, d, s, exactlyOnce = eo)
+        Harness(l.processBatch, () => l.crashBetweenAppendsOnce = true,
+          () => l.crashBetweenAppendsOnce = false)
+      }, rows => rows.map { case (id, k) => (id, text(k).getBytes) }
+        .toDF("media_id", "payload")),
+      ("videoframe", (c, d, s, eo) => {
+        val l = new graft.streaming.IncrementalVideoFrameDedup(c, d, s,
+          frames = 2, maxHamming = 3, exactlyOnce = eo)
+        Harness(l.processBatch, () => l.crashBetweenAppendsOnce = true,
+          () => l.crashBetweenAppendsOnce = false)
+      }, rows => rows.map { case (id, k) =>
+        (id, graft.functions.MjpegAvi.encode(16, 16, (0 until 2).map(f =>
+          graft.functions.JpegGray.encodeGray(16, 16,
+            graft.ext.Multimodal.patternPixels(k * 131L + f, 16, 16), 92))))
+      }.toDF("media_id", "payload")))
 
     for ((fam, mkLoop, mkBatch) <- families; eo <- Seq(false, true)) {
       val rnd = new scala.util.Random(fam.hashCode ^ (if (eo) 77 else 13))
@@ -1645,7 +1734,10 @@ class StreamingSpec extends SparkSpec {
         } else crashy.process(df, b.toLong)
         clean.process(df, b.toLong)
       }
-      val idCol = if (fam == "lsh") "vec_id" else "doc_id"
+      val idCol =
+        if (fam == "lsh") "vec_id"
+        else if (fam == "exact" || fam == "videoframe") "media_id"
+        else "doc_id"
       def ids(t: String) = cat.load(t).select(idCol).collect()
         .map(_.getLong(0)).toSet
       assert(ids(s"fz.${fam}_docs") == ids(s"fz.${fam}_docs2"),
