@@ -1982,13 +1982,20 @@ object ExtQ {
         WITH f AS (
           SELECT media_id, frame_idx, dhash
           FROM read_parquet('$AnnOracleRoot/media/q95_frame_fps/*.parquet')
-          WHERE dhash IS NOT NULL)
-        SELECT a.media_id AS media_a, b.media_id AS media_b,
-          CAST(MIN(bit_count(xor(a.dhash, b.dhash))) AS BIGINT) AS min_hamming
-        FROM f a JOIN f b ON a.media_id < b.media_id
-        GROUP BY 1, 2
-        HAVING MIN(bit_count(xor(a.dhash, b.dhash))) <= 3
-        ORDER BY 1, 2""")),
+          WHERE dhash IS NOT NULL),
+        -- filter BEFORE grouping: the radius prunes the exhaustive frame
+        -- cross join down to colliding pairs, so the aggregate's hash
+        -- table holds collided video pairs only (grouping the full
+        -- quadratic relation first would OOM the sweep at sf0.1). The
+        -- filtered MIN equals the unfiltered MIN for every surviving
+        -- pair: a true min <= radius is itself a retained row.
+        hits AS (
+          SELECT a.media_id AS media_a, b.media_id AS media_b,
+            bit_count(xor(a.dhash, b.dhash)) AS h
+          FROM f a JOIN f b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)
+        SELECT media_a, media_b, CAST(MIN(h) AS BIGINT) AS min_hamming
+        FROM hits GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // The VIDEO tier of the modality family, q78's proof applied to ISO
     // BMFF: syntheticVideo fabricates real ftyp/moov(mvhd+trak(tkhd))/mdat
