@@ -31,17 +31,30 @@ object VideoDedupProbe {
   /** Trim twin corpus: K-frame MJPEG AVIs; dup twins re-cut the
     * predecessor's field sequence `trim` frames later. */
   def corpus(spark: SparkSession, n: Long, trim: Int, frames: Int,
-      w: Int = 32, h: Int = 32): DataFrame = {
+      w: Int = 32, h: Int = 32, churn: Double = 0.0): DataFrame = {
     require(trim >= 0, s"bad trim $trim")
+    require(churn >= 0.0 && churn <= 1.0, s"bad churn $churn")
     val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val isDup = java.lang.Math.floorMod(id, 20L) == 1L
         val seed = if (isDup) id - 1 else id
         val off = if (isDup) trim else 0
+        val jitters = math.round(churn * w * h).toInt
         val fs = (0 until frames).map { k =>
-          graft.functions.JpegGray.encodeGray(w, h,
-            Multimodal.patternPixels(seed * 131L + off + k, w, h), 92)
+          val pix = Multimodal.patternPixels(seed * 131L + off + k, w, h)
+          if (isDup && jitters > 0) {
+            // the ImageDedupProbe mutation recipe, applied PER FRAME on
+            // top of the trim: the twin is a re-cut AND a re-render
+            var j = 0
+            while (j < jitters) {
+              val pos = java.lang.Math.floorMod(
+                id * 31L + k * 7919L + j * 131L, (w * h).toLong).toInt
+              pix(pos) = ((pix(pos) & 0xff) ^ 0x14).toByte
+              j += 1
+            }
+          }
+          graft.functions.JpegGray.encodeGray(w, h, pix, 92)
         }
         Row(id, graft.functions.MjpegAvi.encode(w, h, fs, fps = 25))
       }
@@ -53,6 +66,7 @@ object VideoDedupProbe {
     var size = 100000L
     var frames = 3
     var trimSweep: Seq[Int] = Seq(0, 1, 2, 3)
+    var churn = 0.0
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -60,14 +74,16 @@ object VideoDedupProbe {
         case "--frames" if i + 1 < args.length => frames = args(i + 1).toInt; i += 2
         case "--trimSweep" if i + 1 < args.length =>
           trimSweep = args(i + 1).split(",").map(_.toInt).toSeq; i += 2
+        case "--churn" if i + 1 < args.length =>
+          churn = args(i + 1).toDouble; i += 2
         case other => sys.error(s"unknown arg '$other'; usage: VideoDedupProbe " +
-          "[--size N] [--frames K] [--trimSweep 0,1,2,3]")
+          "[--size N] [--frames K] [--trimSweep 0,1,2,3] [--churn 0.01]")
       }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
     trimSweep.foreach { trim =>
-      val media = corpus(spark, size, trim, frames)
+      val media = corpus(spark, size, trim, frames, churn = churn)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       val fps = Multimodal.videoFrameFingerprints(media, frames)
@@ -86,7 +102,7 @@ object VideoDedupProbe {
         Multimodal.videoAnyFrameNearDups(fps.filter(col("frame_idx") === 0)))
       val trueDups = size / 20
       println(f"""{"check":"video_trim_detection","rows":$size,"frames":$frames,""" +
-        f""""trim":$trim,"decoded_frames":$decoded,""" +
+        f""""trim":$trim,"churn":$churn,"decoded_frames":$decoded,""" +
         f""""fps_wall_s":$dtFps%.3f,"clips_per_s":${size / dtFps}%.0f,""" +
         f""""frame0_detected":$frame0,"anyframe_detected":$anyFrame,""" +
         f""""true_dups":$trueDups,""" +
