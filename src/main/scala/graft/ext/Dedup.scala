@@ -1613,6 +1613,14 @@ object Dedup {
         // and the rung would silently claim detection it cannot deliver
         val decodable = modality == "video" &&
           kinds.intersect(present).subsetOf(Set("avi"))
+        // a trim promise over a pool with undecodable containers cannot
+        // be kept — refuse instead of silently running the exact rung
+        // and missing every re-cut (the r17 silent-discard class)
+        require(modality != "video" || videoTrimTolerance == 0 || decodable,
+          s"videoTrimTolerance $videoTrimTolerance needs an all-AVI video " +
+            s"pool (frame decode covers MJPEG-AVI only) but this pool " +
+            s"carries ${kinds.intersect(present) - "avi"} — drop the knob, " +
+            "split the pool, or supply video embeddings")
         val trim = if (decodable) videoTrimTolerance else 0
         val rec = recommendFamily(tol, minDetection, hasEmbeddings = false,
           modality, geo, recodeQ, frameDecodable = decodable,

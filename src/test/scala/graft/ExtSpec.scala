@@ -1966,6 +1966,14 @@ class ExtSpec extends SparkSpec {
         Dedup.planByKind(avis, mutationTolerance = 0.01,
           videoTrimTolerance = 1) // videoMutationTolerance defaults 0.0
       }
+      // ...and a trim promise over a MIXED (mp4-carrying) pool refuses
+      // loudly too — the knob would otherwise be silently dropped by the
+      // non-decodable forcing (the r17 silent-discard class)
+      val mixedTrimEx = intercept[IllegalArgumentException] {
+        Dedup.planByKind(mixed, mutationTolerance = 0.01,
+          videoMutationTolerance = 0.01, videoTrimTolerance = 1)
+      }
+      assert(mixedTrimEx.getMessage.contains("all-AVI"))
     } finally { avis.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
