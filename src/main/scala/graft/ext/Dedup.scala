@@ -1507,8 +1507,13 @@ object Dedup {
         // strictly MORE corpus shrinkage on chains and the same survivor
         // soundness: every elimination is a genuine radius pair toward a
         // smaller id, component minima always survive). Videos with no
-        // decodable frame match nothing and survive.
-        val pairs = Multimodal.videoAnyFrameNearDups(data, maxHamming)
+        // decodable frame match nothing and survive. The Manku split is
+        // auto-deepened from the FRAME-row count (corpusN here counts the
+        // frame table, K rows per clip) exactly like the image_dhash
+        // branch above — the any-frame tier's collision mass is linear in
+        // frame rows, so it must size on that axis, not on clips.
+        val (blocks, _) = simhashParams(corpusN, maxHamming)
+        val pairs = Multimodal.videoAnyFrameNearDups(data, maxHamming, blocks)
         data.select(col("media_id").as(idCol)).distinct()
           .join(pairs.groupBy(col("media_b").as(idCol))
             .agg(min(col("media_a")).as("dup_of")),
@@ -1612,15 +1617,16 @@ object Dedup {
         // decodes a frame (MJPEG-AVI) — one undecodable container present
         // and the rung would silently claim detection it cannot deliver
         val decodable = modality == "video" &&
-          kinds.intersect(present).subsetOf(Set("avi"))
+          kinds.intersect(present).subsetOf(FrameDecodableKinds)
         // a trim promise over a pool with undecodable containers cannot
         // be kept — refuse instead of silently running the exact rung
         // and missing every re-cut (the r17 silent-discard class)
         require(modality != "video" || videoTrimTolerance == 0 || decodable,
-          s"videoTrimTolerance $videoTrimTolerance needs an all-AVI video " +
-            s"pool (frame decode covers MJPEG-AVI only) but this pool " +
-            s"carries ${kinds.intersect(present) - "avi"} — drop the knob, " +
-            "split the pool, or supply video embeddings")
+          s"videoTrimTolerance $videoTrimTolerance needs a frame-decodable " +
+            s"video pool (${FrameDecodableKinds.mkString("/")} only) but " +
+            s"this pool carries " +
+            s"${kinds.intersect(present) -- FrameDecodableKinds} — drop " +
+            "the knob, split the pool, or supply video embeddings")
         val trim = if (decodable) videoTrimTolerance else 0
         val rec = recommendFamily(tol, minDetection, hasEmbeddings = false,
           modality, geo, recodeQ, frameDecodable = decodable,
@@ -1647,6 +1653,15 @@ object Dedup {
     "image" -> Set("png", "jpeg", "gif", "bmp"),
     "audio" -> Set("wav", "flac"),
     "video" -> Set("mp4", "avi"))
+
+  /** The ONE set of video container kinds whose frames decode (so the
+    * frame-0 content rung and the trim-tolerant any-frame tier can keep
+    * their detection promises). Read by BOTH the batch dispatcher
+    * ([[planByKindFrom]]'s all-decodable require) and the streaming
+    * [[graft.streaming.CurationStream.KindRouter]] — a kind added here
+    * but gated in only one place would silently split stream and batch
+    * (the r18-advice drift class). */
+  private[graft] val FrameDecodableKinds: Set[String] = Set("avi")
 
   /** Execute [[planByKind]] over a mixed corpus in ONE call: detect each
     * payload's kind, run each present modality pool through its own

@@ -28,6 +28,13 @@ import scala.util.control.NoStackTrace
   * left/side, right/side, and mid/side (the side channel carries the +1
   * bit the spec mandates); 1–8 independent channels.
   *
+  * One documented exclusion: a 32-bps stream using a side-coded stereo
+  * mode (left/side, right/side, mid/side) puts 33 bits on the side
+  * channel — beyond this decoder's Int sample lanes. That corner refuses
+  * LOUDLY as `flac_unsupported_33bps_side` (never a silent mis-decode);
+  * 32-bps independent-channel streams and side-coded stereo at ≤31 bps
+  * decode fully.
+  *
   * Output lands on the SHARED 16-bit mono scale every audio consumer in
   * this repo uses ([[WavPcm.Pcm]]): bit depths ≠ 16 reduce by the same
   * high-16 convention as WAV (shift toward 16 bits), channels mix by
@@ -116,9 +123,14 @@ object FlacPcm {
       v
     }
 
-    /** n ≤ 32 bits, two's-complement signed. */
+    /** n ≤ 32 bits, two's-complement signed. Widths above 32 cannot fit
+      * the Int lane — bail rather than truncate (only the 33-bit side
+      * channel of 32-bps stereo could reach here, and decodeSubframe
+      * refuses that earlier; this guard keeps the truncation
+      * unreachable by construction). */
     def readSigned(n: Int): Int = {
       if (n == 0) return 0
+      if (n > 32) bail("flac_unsupported_33bps_side")
       val raw = readBits(n)
       ((raw << (64 - n)).toLong >> (64 - n)).toInt
     }
@@ -344,7 +356,14 @@ object FlacPcm {
     var wasted = 0
     if (bits.readBit() == 1) wasted = bits.readUnary() + 1
     val sbps = bps - wasted
-    if (sbps < 1 || sbps > 32) bail("flac_bad_subframe")
+    if (sbps < 1) bail("flac_bad_subframe")
+    // 33-bit effective width is reachable ONLY for the side channel of a
+    // 32-bps side-coded stereo stream (spec-legal; RFC 9639 §9.2.2) — this
+    // decoder's Int sample lanes carry ≤32 bits, so that one corner
+    // refuses LOUDLY with its own taxonomy entry instead of mis-decoding
+    // (r18 advice: the header claimed full 32-bit support without noting
+    // the exclusion; now both document it)
+    if (sbps > 32) bail("flac_unsupported_33bps_side")
     val out = new Array[Int](blockSize)
     if (t == 0) { // CONSTANT
       val v = bits.readSigned(sbps)

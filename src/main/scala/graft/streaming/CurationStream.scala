@@ -260,7 +260,12 @@ object CurationStream {
     *    `videoTrimTolerance` > 0 swaps in
     *    [[IncrementalVideoFrameDedup]] (any-frame dHash over trim+1
     *    sampled frames — the batch dispatcher's knob applied to the
-    *    stream: a re-CUT re-upload drops on arrival);
+    *    stream: a re-CUT re-upload drops on arrival). The trim rung
+    *    REQUIRES a frame-decodable pool: a micro-batch whose video pool
+    *    carries a kind outside [[graft.ext.Dedup.FrameDecodableKinds]]
+    *    refuses loudly, mirroring the batch dispatcher's require (an
+    *    undecodable arrival yields no frames and would survive forever,
+    *    even byte-identical re-uploads);
     *  - unrecognized/undecodable kinds ("unknown", malformed containers)
     *    PASS THROUGH to the others table — the `runPlanByKind`
     *    pass-through contract, never silently dropped.
@@ -278,6 +283,12 @@ object CurationStream {
       payloadCol: String = "payload", idCol: String = "media_id",
       exactlyOnce: Boolean = false,
       videoTrimTolerance: Int = 0) {
+    require(videoTrimTolerance >= 0 &&
+        videoTrimTolerance < graft.ext.Multimodal.MaxVideoFrames,
+      s"videoTrimTolerance must be in [0, " +
+        s"${graft.ext.Multimodal.MaxVideoFrames}), got $videoTrimTolerance " +
+        "(a negative value would leave the video pool with NO rung and " +
+        "fail opaquely on the first micro-batch)")
     private val image = IncrementalImageDedup(catalog, s"${tablePrefix}_image",
       s"${tablePrefix}_image_blocks", maxHamming, payloadCol, idCol, exactlyOnce)
     private val audio = new IncrementalLshDedup(catalog, s"${tablePrefix}_audio",
@@ -316,6 +327,26 @@ object CurationStream {
             graft.functions.AudioEnvelopeFeature(col(payloadCol), frames)
               .getField("feature"))
         val vid = pool(ModalityKinds("video"))
+        // the trim rung's promise holds only for frame-decodable
+        // containers — a non-decodable arrival (e.g. an opaque-codec mp4)
+        // yields no frames and would SURVIVE FOREVER, even byte-identical
+        // re-uploads. The batch dispatcher refuses exactly this mixed
+        // pool (planByKindFrom's require); mirror it per micro-batch so
+        // stream and batch cannot drift (r18 advice, medium).
+        if (videoFrames.isDefined) {
+          val vidKinds = headed
+            .filter(col("__kind").isin(
+              graft.ext.Dedup.ModalityKinds("video").toSeq: _*))
+            .select("__kind").distinct().collect().map(_.getString(0)).toSet
+          val undecodable = vidKinds -- graft.ext.Dedup.FrameDecodableKinds
+          require(undecodable.isEmpty,
+            s"videoTrimTolerance $videoTrimTolerance needs a " +
+              "frame-decodable video pool " +
+              s"(${graft.ext.Dedup.FrameDecodableKinds.mkString("/")} " +
+              s"only) but batch $batchId carries $undecodable — drop the " +
+              "knob, split the stream, or supply video embeddings (the " +
+              "batch dispatcher refuses this same pool)")
+        }
         // coalesce above makes __kind non-null, so a bare NOT-isin is
         // null-safe here (the r17-advice trap this router must not re-dig)
         val handled = ModalityKinds.values.flatten.toSeq

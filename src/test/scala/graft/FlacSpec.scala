@@ -125,6 +125,37 @@ class FlacSpec extends SparkSpec {
     // first block is not STREAMINFO
     val noInfo = good.clone(); noInfo(4) = 0x04 // type 4 (VORBIS_COMMENT)
     assert(FlacPcm.decode(noInfo) == Left("flac_no_streaminfo"))
+    // the documented 33-bit corner: a 32-bps stream whose frame uses
+    // left/side stereo puts 33 bits on the side channel — spec-legal but
+    // beyond the Int sample lanes, so the taxonomy carries a DISTINCT
+    // loud refusal (r18 advice; the fixture encoder is 16-bit-only, so
+    // this stream is hand-assembled: STREAMINFO at 2ch/32bps, then one
+    // frame header (blockSize 192, left/side, 32 bps, valid CRC-8), a
+    // CONSTANT left subframe, and the side subframe header that trips
+    // the width check)
+    locally {
+      def crc8(bs: Array[Byte]): Byte = {
+        var c = 0
+        bs.foreach { x =>
+          c = c ^ (x & 0xff)
+          (0 until 8).foreach { _ =>
+            c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff
+          }
+        }
+        c.toByte
+      }
+      val info = new Array[Byte](34)
+      info(10) = 0x01; info(11) = 0xf4.toByte // rate 8000 (20 bits)
+      info(12) = 0x03 // rate low nibble 0 | channels-1=1 | bps-1 top bit
+      info(13) = 0xf0.toByte // bps-1 low nibble = 0xF (bps 32) | total=0
+      val header = Array[Byte](0xff.toByte, 0xf8.toByte, 0x10, 0x8e.toByte, 0x00)
+      val stream = "fLaC".getBytes ++
+        Array[Byte](0x80.toByte, 0, 0, 34) ++ info ++
+        header ++ Array[Byte](crc8(header)) ++
+        Array[Byte](0, 0, 0, 0, 0, // CONSTANT left subframe, value 0
+          0) // side subframe header: CONSTANT, no wasted bits → 33 bps
+      assert(FlacPcm.decode(stream) == Left("flac_unsupported_33bps_side"))
+    }
     // corrupt the frame header CRC-8 byte region: flipping the block-size
     // field breaks the stored CRC
     val sync = {

@@ -1207,6 +1207,32 @@ class StreamingSpec extends SparkSpec {
       .toDF("media_id", "payload"), 2L)
     assert(cat2.load("cur.vmix_video").select("media_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // the trim rung REFUSES a mixed video pool per micro-batch — an
+    // undecodable mp4 yields no frames and would survive forever, even
+    // byte-identical re-uploads — mirroring the batch dispatcher's
+    // require (r18 advice, medium). Same corpus WITHOUT the knob routes
+    // the mp4 through the exact-digest rung fine.
+    val mp4ish = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++
+      Array[Byte](0, 0, 2, 0) // parses as mp4 (no moov, error set)
+    val mixedVid = Seq((7L, avi(7)), (8L, mp4ish)).toDF("media_id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      router.processBatch(mixedVid, 3L)
+    }
+    assert(e.getMessage.contains("frame-decodable"))
+    val rootE = java.nio.file.Files.createTempDirectory("graft-incvid3").toString
+    val exactRouter = new graft.streaming.CurationStream.KindRouter(
+      new graft.core.Catalog(spark, rootE), "cur.vexact")
+    val counts = exactRouter.processBatch(mixedVid, 1L)
+    assert(counts("video") == 2L)
+
+    // a negative trim refuses at CONSTRUCTION, not with an opaque
+    // NoSuchElementException on the first micro-batch (r18 advice, low)
+    val e2 = intercept[IllegalArgumentException] {
+      new graft.streaming.CurationStream.KindRouter(cat2, "cur.vneg",
+        videoTrimTolerance = -1)
+    }
+    assert(e2.getMessage.contains("videoTrimTolerance"))
     spark.sharedState.cacheManager.clearCache()
   }
 
