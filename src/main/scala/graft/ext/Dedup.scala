@@ -938,8 +938,9 @@ object Dedup {
       s"recodeQuality must be in [10, 100] (the r17 sweep's measured " +
         s"domain — below quality 10 nothing is measured), got $recodeQuality")
     require(!frameDecodable || modality == "video",
-      "frameDecodable (the whole pool is MJPEG-AVI, so frame 0 decodes " +
-        "through ImageCodecs) only parameterizes the video ladder")
+      "frameDecodable (the whole pool decodes a frame: MJPEG-AVI or " +
+        "jpeg-codec mp4, so frame 0 decodes through ImageCodecs) only " +
+        "parameterizes the video ladder")
     require(trimTolerance >= 0 && trimTolerance < Multimodal.MaxVideoFrames,
       s"trimTolerance is a leading-frame cut depth in [0, 63], got $trimTolerance")
     require(trimTolerance == 0 || frameDecodable,
@@ -1244,7 +1245,8 @@ object Dedup {
         "Similarity.nearDupPairsLsh (corpusAwareSizing=true) over video embeddings",
         1.0,
         f"content-level video similarity over arbitrary codecs needs the " +
-          "model-embedding tier (frame decode exists for MJPEG-AVI only); " +
+          "model-embedding tier (frame decode exists for MJPEG-AVI and " +
+          "jpeg-codec mp4 only); " +
           "Multimodal.videoHeaderCandidates (dims+timescale header bands, " +
           "q91 fields) can pre-filter candidate pairs before the rerank")
     else if (frameDecodable && trimTolerance > 0) {
@@ -1262,24 +1264,28 @@ object Dedup {
         s"Multimodal.videoFrameFingerprints(frames = $k) + " +
           "videoAnyFrameNearDups (pair-closure assignment)",
         det,
-        f"MJPEG-AVI pool with trim tolerance $trimTolerance: any-frame " +
+        f"frame-decodable video pool (MJPEG-AVI / jpeg-codec mp4) with " +
+          f"trim tolerance $trimTolerance: any-frame " +
           f"matching over $k sampled frames holds measured 1.000 " +
           f"detection through a ${trimTolerance}-frame cut (r18 trim " +
           f"sweep) × $det%.3f at ${mutationTolerance * 100}%.1f%% " +
           "frame-pixel churn (AVI-path sweep) — sampling depth IS the " +
           "trim tolerance; deeper cuts need a larger K (≤ 63)")
     } else if (frameDecodable) {
-      // r18: every payload in the pool is MJPEG-AVI, so frame 0 decodes
-      // through ImageCodecs and the video content question REDUCES to the
+      // r18 (mp4 widened r19): every payload in the pool decodes a frame
+      // (MJPEG-AVI / jpeg-codec mp4), so frame 0 decodes through
+      // ImageCodecs and the video content question REDUCES to the
       // image fingerprint question — same family, same measured churn law
       // (the r18 probe re-measured it THROUGH the AVI path: detection
-      // 0.985+ at ≤10% frame-pixel churn, SCALE.md r18)
+      // 0.985+ at ≤10% frame-pixel churn, SCALE.md r18; the r19 mp4-path
+      // spot-check reads the same values — the frames are the same
+      // JpegGray bytes either way)
       val det = interpSweep(ImageSweep, mutationTolerance)
       FamilyRecommendation("image_dhash",
-        "Multimodal.imageFingerprints (frame-0 dHash via MjpegAvi + " +
-          "ImageCodecs) + imageNearDups/fingerprintAssign",
+        "Multimodal.imageFingerprints (frame-0 dHash via the container " +
+          "walks + ImageCodecs) + imageNearDups/fingerprintAssign",
         det,
-        f"MJPEG-AVI pool: frame-0 decode makes video content dedup THE " +
+        f"frame-decodable video pool: frame-0 decode makes video content dedup THE " +
           f"image dHash problem — measured detection $det%.3f at " +
           f"${mutationTolerance * 100}%.1f%% frame-pixel churn (r18 AVI-path " +
           "sweep == r15 image law); re-trims/re-crops need the descriptor " +
@@ -1290,8 +1296,9 @@ object Dedup {
         0.0,
         f"UNMEASURED: content-level video similarity at " +
           f"${mutationTolerance * 100}%.1f%% churn needs frame decode " +
-          "(available for MJPEG-AVI pools only — this pool carries other " +
-          "containers) or a model video-embedding column — header-band " +
+          "(available for MJPEG-AVI / jpeg-codec mp4 pools — this pool " +
+          "carries other containers or codecs) or a model video-embedding " +
+          "column — header-band " +
           "candidates (same dims+timescale) bound the pair volume but " +
           "verify nothing, so expectedDetection is honestly 0.0; supply " +
           "embeddings or accept byte-identical exact dedup")
@@ -1613,19 +1620,26 @@ object Dedup {
       else {
         val rows = headed.filter(col("__kind").isin(kinds.toSeq: _*))
           .select(col("media_id"), col("payload"))
-        // the frame-0 content rung applies only when the WHOLE video pool
-        // decodes a frame (MJPEG-AVI) — one undecodable container present
-        // and the rung would silently claim detection it cannot deliver
-        val decodable = modality == "video" &&
-          kinds.intersect(present).subsetOf(FrameDecodableKinds)
+        // the frame rungs apply only when the WHOLE video pool decodes a
+        // frame — one undecodable VALID video present and the rung would
+        // silently claim detection it cannot deliver. AVI qualifies on
+        // kind (MJPEG walk); mp4 per row by stsd codec (r19) — judged by
+        // the ONE predicate the streaming KindRouter also calls
+        val blockers: Set[String] =
+          if (modality != "video") Set.empty
+          else {
+            val ks = kinds.intersect(present)
+            if (ks.subsetOf(FrameDecodableKinds)) Set.empty
+            else videoPoolBlockers(headed, ks)
+          }
+        val decodable = modality == "video" && blockers.isEmpty
         // a trim promise over a pool with undecodable containers cannot
         // be kept — refuse instead of silently running the exact rung
         // and missing every re-cut (the r17 silent-discard class)
         require(modality != "video" || videoTrimTolerance == 0 || decodable,
           s"videoTrimTolerance $videoTrimTolerance needs a frame-decodable " +
-            s"video pool (${FrameDecodableKinds.mkString("/")} only) but " +
-            s"this pool carries " +
-            s"${kinds.intersect(present) -- FrameDecodableKinds} — drop " +
+            s"video pool (${FrameDecodableKinds.mkString("/")} or " +
+            s"jpeg-codec mp4) but this pool carries $blockers — drop " +
             "the knob, split the pool, or supply video embeddings")
         val trim = if (decodable) videoTrimTolerance else 0
         val rec = recommendFamily(tol, minDetection, hasEmbeddings = false,
@@ -1654,14 +1668,53 @@ object Dedup {
     "audio" -> Set("wav", "flac"),
     "video" -> Set("mp4", "avi"))
 
-  /** The ONE set of video container kinds whose frames decode (so the
-    * frame-0 content rung and the trim-tolerant any-frame tier can keep
-    * their detection promises). Read by BOTH the batch dispatcher
-    * ([[planByKindFrom]]'s all-decodable require) and the streaming
-    * [[graft.streaming.CurationStream.KindRouter]] — a kind added here
-    * but gated in only one place would silently split stream and batch
-    * (the r18-advice drift class). */
+  /** The set of video container kinds whose frames decode
+    * UNCONDITIONALLY (so the frame-0 content rung and the trim-tolerant
+    * any-frame tier can keep their detection promises on kind alone).
+    * mp4 is deliberately NOT here: its decodability depends on the stsd
+    * codec fourcc, so it is judged per-row by [[videoPoolBlockers]]. Read
+    * by BOTH the batch dispatcher and the streaming
+    * [[graft.streaming.CurationStream.KindRouter]] through that ONE
+    * predicate — a kind gated in only one place would silently split
+    * stream and batch (the r18-advice drift class). */
   private[graft] val FrameDecodableKinds: Set[String] = Set("avi")
+
+  /** THE frame-rung decodability predicate both the batch dispatcher
+    * ([[planByKindFrom]]) and the streaming KindRouter call: the
+    * blockers preventing the video frame rungs (frame-0 content,
+    * trim-tolerant any-frame) from keeping their detection promise over
+    * this pool. Empty = decodable. Rules, per kind present:
+    *
+    *  - kinds in [[FrameDecodableKinds]] (AVI) never block — the MJPEG
+    *    walk decodes them; a MALFORMED container merely survives like
+    *    any undecodable row (it is not a video the rung silently
+    *    misses);
+    *  - mp4 rows block iff [[graft.functions.Mp4Codec]] parses a
+    *    non-`jpeg` answer: an opaque codec (`avc1`, …) or a parseable
+    *    moov with no video track are VALID videos whose content the
+    *    rung cannot see — running the rung anyway would let even
+    *    byte-identical re-uploads survive silently (the r17
+    *    silent-discard class). Malformed mp4s (null codec) survive;
+    *  - any other kind blocks outright (future-kind safety).
+    *
+    * Cost: one bounded moov walk per mp4 row (sample data untouched) —
+    * plan-time only, and only when mp4 rows are present. */
+  private[graft] def videoPoolBlockers(headed: DataFrame,
+      presentVideoKinds: Set[String],
+      payloadCol: String = "payload"): Set[String] = {
+    val kindBlockers = presentVideoKinds -- FrameDecodableKinds - "mp4"
+    val codecBlockers =
+      if (!presentVideoKinds.contains("mp4")) Set.empty[String]
+      else headed.filter(col("__kind") === "mp4")
+        .select(graft.functions.Mp4Codec(col(payloadCol)).as("c"))
+        .filter(col("c").isNotNull && col("c") =!= "jpeg")
+        .distinct().collect()
+        .map(_.getString(0)).map {
+          case "mp4_no_video_trak" => "mp4(no video track)"
+          case c => s"mp4(codec $c)"
+        }.toSet
+    kindBlockers ++ codecBlockers
+  }
 
   /** Execute [[planByKind]] over a mixed corpus in ONE call: detect each
     * payload's kind, run each present modality pool through its own

@@ -715,14 +715,70 @@ object Multimodal {
     spark.createDataFrame(rdd, imageSchema)
   }
 
-  /** Per-frame dHash fingerprints over an MJPEG-AVI table — the
-    * MULTI-FRAME video tier (r18): `(media_id, frame_idx, dhash, error)`
+  /** Deterministic JPEG-codec mp4 video corpus keyed by the documents
+    * table (r19 — the mp4 content rung's witness corpus, the
+    * [[syntheticVideoAvi]] playbook applied to ISO BMFF): each doc_id
+    * becomes a real single-video-track mp4 ([[graft.functions.Mp4Jpeg]]
+    * canonical layout, one sample per chunk so stsc/stco resolution is
+    * genuinely exercised) whose samples are baseline JPEGs of the same
+    * smooth field. Planted structure: id % 20 == 1 renders the
+    * PREDECESSOR's frame-0 field at +8 brightness with one pixel jitter
+    * (the frame-0 dHash twins); id % 12 == 5 is a TRUNCATED container
+    * (ftyp box only, no moov — `mp4_no_moov`); id % 12 == 9 carries the
+    * SAME jpeg samples under an `avc1` stsd fourcc — the opaque-codec
+    * class the frame rungs must refuse to promise over (`mp4_codec_avc1`
+    * per row; such rows fingerprint null and survive). Frame 0 fields
+    * match [[syntheticVideoAvi]]'s exactly, so an AVI and an mp4 of the
+    * same doc_id are CROSS-CONTAINER near-twins (the q92-era cross-codec
+    * image trick applied to video containers). */
+  def syntheticVideoMp4(docs: DataFrame, width: Int = 32, height: Int = 32,
+      frames: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val w = width; val h = height; val nf = frames
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload: Array[Byte] =
+          if (java.lang.Math.floorMod(id, 12L) == 5L)
+            // magic-only truncation: a bare ftyp box, no moov
+            Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++
+              Array[Byte](0, 0, 2, 0)
+          else {
+            val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+            val seed = if (isDup) id - 1 else id
+            val fs = (0 until nf).map { k =>
+              val pix = patternPixels(seed + 7919L * k, w, h)
+              if (isDup && k == 0) {
+                var i = 0
+                while (i < pix.length) {
+                  pix(i) = ((pix(i) & 0xff) + 8).toByte; i += 1
+                }
+                val j1 = java.lang.Math.floorMod(id * 31L, (w * h).toLong).toInt
+                pix(j1) = ((pix(j1) & 0xff) ^ 0x14).toByte
+              }
+              graft.functions.JpegGray.encodeGray(w, h, pix, quality = 92)
+            }
+            val codec =
+              if (java.lang.Math.floorMod(id, 12L) == 9L) "avc1" else "jpeg"
+            graft.functions.Mp4Jpeg.encode(w, h, fs, fps = 25,
+              codecFourcc = codec)
+          }
+        Row(id, payload)
+      }
+    }
+    spark.createDataFrame(rdd, imageSchema)
+  }
+
+  /** Per-frame dHash fingerprints over a video table (MJPEG-AVI and
+    * jpeg-codec mp4, dispatched by magic) — the MULTI-FRAME video tier
+    * (r18; mp4 widened r19): `(media_id, frame_idx, dhash, error)`
     * for frames 0..`frames`−1, ONE pass over the media table (frame
-    * indices explode scan-side; each [[graft.functions.AviFrameBytes]] +
-    * dHash evaluation is an O(payload) container walk + one frame
-    * decode). Videos with fewer frames (or undecodable payloads) carry
-    * null dhash rows past their last frame — they match nothing and
-    * survive, the fingerprint convention.
+    * indices explode scan-side; each [[graft.functions.VideoFrameBytes]]
+    * + dHash evaluation is an O(payload) container walk + one frame
+    * decode). Videos with fewer frames (or undecodable payloads — a
+    * malformed container, an opaque mp4 codec) carry null dhash rows
+    * past their last frame — they match nothing and survive, the
+    * fingerprint convention.
     *
     * Why multi-frame: frame-0 matching ([[imageFingerprints]] on AVI
     * payloads) breaks on a TRIMMED re-upload — drop the first frame and
@@ -738,7 +794,7 @@ object Multimodal {
         explode(array((0 until frames).map(lit): _*)).as("frame_idx"))
       .select(col("media_id"), col("frame_idx"),
         graft.functions.ImageDHash(
-          graft.functions.AviFrameBytes(col("payload"), col("frame_idx")))
+          graft.functions.VideoFrameBytes(col("payload"), col("frame_idx")))
           .as("f"))
       .select(col("media_id"), col("frame_idx"),
         col("f.dhash").as("dhash"), col("f.error").as("error"))

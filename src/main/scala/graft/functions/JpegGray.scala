@@ -1259,6 +1259,12 @@ private[graft] object ImageCodecs {
       // dispatch (dHash, grid, spectral, luma) becomes a FIRST-FRAME
       // feature over video with zero new machinery
       MjpegAvi.frameBytes(payload).flatMap(JpegGray.decode)
+    else if (Mp4Jpeg.isMp4(payload))
+      // r19: the same rung for the second container — a jpeg-codec mp4's
+      // frame 0 resolves through the stsc/stsz/stco sample tables to a
+      // baseline JPEG; opaque codecs (avc1 …) refuse inside the walk and
+      // the row survives like any undecodable payload
+      Mp4Jpeg.frameBytes(payload).flatMap(JpegGray.decode)
     else Left("not_image")
   }
 }

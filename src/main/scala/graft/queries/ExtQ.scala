@@ -1997,6 +1997,43 @@ object ExtQ {
         SELECT media_a, media_b, CAST(MIN(h) AS BIGINT) AS min_hamming
         FROM hits GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ───── MP4 frame-0 dHash pairs, persisted-decode oracle (q96) ─────
+    // The r19 mp4 content rung (r18 verdict item #1), q93's proof applied
+    // to the SECOND container — and to the cross-container guarantee: the
+    // corpus interleaves syntheticVideoAvi (even ids) with
+    // syntheticVideoMp4 (odd ids) over the SAME documents table; the two
+    // generators render identical frame-0 fields per doc, so every
+    // decodable doc contributes an (avi, mp4) hamming-0 pair — a hash
+    // match proves the ISO BMFF sample-table walk (stsd/stsc/stsz/stco)
+    // and the RIFF movi walk land on byte-consistent frames, plus the
+    // planted same-container twins, plus the malformed classes (truncated
+    // AVI, moov-less mp4, avc1-codec mp4) fingerprinting null and
+    // surviving. DuckDB replays the exhaustive radius-3 pair relation
+    // from the persisted fingerprints.
+    "q96_mp4_frame_dhash_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        val docs = t(s, dir, "documents")
+        val corpus = Multimodal.syntheticVideoAvi(docs)
+          .select((col("media_id") * 2).as("media_id"), col("payload"))
+          .unionByName(Multimodal.syntheticVideoMp4(docs)
+            .select((col("media_id") * 2 + 1).as("media_id"), col("payload")))
+        cat.save(Multimodal.imageFingerprints(corpus), "media.q96_fps")
+        Multimodal.imageNearDups(cat.load("media.q96_fps"), maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy("media_a", "media_b")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT media_id, dhash
+          FROM read_parquet('$AnnOracleRoot/media/q96_fps/*.parquet')
+          WHERE dhash IS NOT NULL)
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+          CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM f a JOIN f b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        ORDER BY 1, 2""")),
+
     // The VIDEO tier of the modality family, q78's proof applied to ISO
     // BMFF: syntheticVideo fabricates real ftyp/moov(mvhd+trak(tkhd))/mdat
     // box structures (fixed v0 layout ⇒ every interesting field sits at a

@@ -262,10 +262,12 @@ object CurationStream {
     *    sampled frames — the batch dispatcher's knob applied to the
     *    stream: a re-CUT re-upload drops on arrival). The trim rung
     *    REQUIRES a frame-decodable pool: a micro-batch whose video pool
-    *    carries a kind outside [[graft.ext.Dedup.FrameDecodableKinds]]
-    *    refuses loudly, mirroring the batch dispatcher's require (an
-    *    undecodable arrival yields no frames and would survive forever,
-    *    even byte-identical re-uploads);
+    *    carries a blocker per [[graft.ext.Dedup.videoPoolBlockers]] — a
+    *    kind outside [[graft.ext.Dedup.FrameDecodableKinds]] other than
+    *    jpeg-codec mp4, an opaque-codec mp4, a track-less mp4 — refuses
+    *    loudly, mirroring the batch dispatcher's require (an undecodable
+    *    VALID video yields no frames and would survive forever, even
+    *    byte-identical re-uploads);
     *  - unrecognized/undecodable kinds ("unknown", malformed containers)
     *    PASS THROUGH to the others table — the `runPlanByKind`
     *    pass-through contract, never silently dropped.
@@ -338,14 +340,18 @@ object CurationStream {
             .filter(col("__kind").isin(
               graft.ext.Dedup.ModalityKinds("video").toSeq: _*))
             .select("__kind").distinct().collect().map(_.getString(0)).toSet
-          val undecodable = vidKinds -- graft.ext.Dedup.FrameDecodableKinds
-          require(undecodable.isEmpty,
+          val blockers =
+            if (vidKinds.subsetOf(graft.ext.Dedup.FrameDecodableKinds))
+              Set.empty[String]
+            else graft.ext.Dedup.videoPoolBlockers(headed, vidKinds,
+              payloadCol)
+          require(blockers.isEmpty,
             s"videoTrimTolerance $videoTrimTolerance needs a " +
               "frame-decodable video pool " +
-              s"(${graft.ext.Dedup.FrameDecodableKinds.mkString("/")} " +
-              s"only) but batch $batchId carries $undecodable — drop the " +
-              "knob, split the stream, or supply video embeddings (the " +
-              "batch dispatcher refuses this same pool)")
+              s"(${graft.ext.Dedup.FrameDecodableKinds.mkString("/")} or " +
+              s"jpeg-codec mp4) but batch $batchId carries $blockers — " +
+              "drop the knob, split the stream, or supply video " +
+              "embeddings (the batch dispatcher refuses this same pool)")
         }
         // coalesce above makes __kind non-null, so a bare NOT-isin is
         // null-safe here (the r17-advice trap this router must not re-dig)

@@ -1,0 +1,212 @@
+package graft
+
+import graft.ext.Multimodal
+import graft.functions.{ImageCodecs, JpegGray, MjpegAvi, Mp4Jpeg}
+import org.apache.spark.sql.functions._
+
+/** JPEG-codec MP4 witnesses (r19 — the second video container, the
+  * MJPEG-AVI playbook applied to ISO BMFF): sample-table round-trips
+  * across chunk layouts, the codec/taxonomy surface, cross-container
+  * frame equality (an AVI and an mp4 of the same frames decode
+  * IDENTICALLY through ImageCodecs), the planner/dispatcher routing
+  * pins, and hostile-bytes fuzz. */
+class Mp4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(k: Long, w: Int = 32, h: Int = 32): Array[Byte] =
+    JpegGray.encodeGray(w, h, Multimodal.patternPixels(900L + k, w, h), 92)
+
+  test("Mp4Jpeg: frame round-trips across chunk layouts (stsc runs, co64)") {
+    val frames = (0L until 5L).map(frame(_))
+    // one sample per chunk (the canonical corpus layout)
+    val one = Mp4Jpeg.encode(32, 32, frames)
+    (0 until 5).foreach { k =>
+      assert(Mp4Jpeg.frameBytes(one, k).toOption.get.toSeq == frames(k).toSeq,
+        s"1-per-chunk frame $k")
+    }
+    assert(Mp4Jpeg.frameBytes(one, 5) == Left("mp4_no_frame"))
+    assert(Mp4Jpeg.codec(one) == Right("jpeg"))
+    // multi-sample chunks with a ragged tail: 5 frames at spc 2 → chunks
+    // of 2/2/1 and TWO stsc runs — the run-transition resolution path
+    val ragged = Mp4Jpeg.encode(32, 32, frames, samplesPerChunk = 2)
+    (0 until 5).foreach { k =>
+      assert(Mp4Jpeg.frameBytes(ragged, k).toOption.get.toSeq ==
+        frames(k).toSeq, s"ragged frame $k")
+    }
+    // all frames in ONE chunk (offset-within-chunk accumulates sizes)
+    val packed = Mp4Jpeg.encode(32, 32, frames, samplesPerChunk = 5)
+    (0 until 5).foreach { k =>
+      assert(Mp4Jpeg.frameBytes(packed, k).toOption.get.toSeq ==
+        frames(k).toSeq, s"packed frame $k")
+    }
+    // 64-bit chunk offsets
+    val wide = Mp4Jpeg.encode(32, 32, frames, useCo64 = true)
+    (0 until 5).foreach { k =>
+      assert(Mp4Jpeg.frameBytes(wide, k).toOption.get.toSeq ==
+        frames(k).toSeq, s"co64 frame $k")
+    }
+  }
+
+  test("Mp4Jpeg: codec taxonomy — opaque codecs and track-less movies refuse loudly") {
+    val frames = (0L until 2L).map(frame(_))
+    val avc1 = Mp4Jpeg.encode(32, 32, frames, codecFourcc = "avc1")
+    assert(Mp4Jpeg.codec(avc1) == Right("avc1"))
+    assert(Mp4Jpeg.frameBytes(avc1, 0) == Left("mp4_codec_avc1"))
+    // the header-tier shape (syntheticVideo): a parseable moov with no
+    // video track — a VALID video whose content no rung can see
+    val headerOnly = Multimodal.syntheticVideo(
+      Seq((0L, "b", "web", 1L)).toDF("doc_id", "text", "source", "n_chars"))
+      .select("payload").collect()(0).getAs[Array[Byte]](0)
+    assert(Mp4Jpeg.codec(headerOnly) == Left("mp4_no_video_trak"))
+    assert(Mp4Jpeg.frameBytes(headerOnly, 0) == Left("mp4_no_video_trak"))
+    // malformed containers
+    assert(Mp4Jpeg.frameBytes("no box here".getBytes, 0) == Left("mp4_not_mp4"))
+    val bareFtyp = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++
+      Array[Byte](0, 0, 2, 0)
+    assert(Mp4Jpeg.frameBytes(bareFtyp, 0) == Left("mp4_no_moov"))
+    // a lying top-level size refuses instead of walking past the payload
+    val good = Mp4Jpeg.encode(32, 32, frames)
+    val lying = good.clone(); lying(3) = 0x04 // ftyp claims a huge size
+    assert(Mp4Jpeg.frameBytes(lying, 0).isLeft)
+  }
+
+  test("Mp4Jpeg: truncation sweep and hostile-bytes fuzz never throw") {
+    val frames = (0L until 3L).map(frame(_))
+    val good = Mp4Jpeg.encode(32, 32, frames)
+    // every prefix either refuses cleanly or (when the cut lands past
+    // frame 0's mdat bytes) returns EXACTLY frame 0 — never throws,
+    // never returns garbage bytes for the claimed frame
+    (0 until good.length by 5).foreach { k =>
+      Mp4Jpeg.frameBytes(java.util.Arrays.copyOf(good, k), 0) match {
+        case Left(_) => ()
+        case Right(f) => assert(f.toSeq == frames(0).toSeq, s"prefix $k")
+      }
+    }
+    // hostile random bytes behind the ftyp magic
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val junk = new Array[Byte](8 + rnd.nextInt(400))
+      rnd.nextBytes(junk)
+      System.arraycopy("????ftyp".getBytes, 0, junk, 0, 8)
+      Mp4Jpeg.frameBytes(junk, rnd.nextInt(4)) // must not throw
+      Mp4Jpeg.codec(junk)
+    }
+    // bit-flip fuzz over a real stream: the walk must stay bounded and
+    // throw-free (a flipped size/offset lands in Left or a wrong-but-
+    // bounded byte copy that JpegGray then refuses downstream)
+    (1 to 300).foreach { _ =>
+      val mut = good.clone()
+      val p = rnd.nextInt(mut.length)
+      mut(p) = (mut(p) ^ (1 << rnd.nextInt(8))).toByte
+      Mp4Jpeg.frameBytes(mut, 0)
+      Mp4Jpeg.codec(mut)
+    }
+  }
+
+  test("Mp4Jpeg: cross-container frame equality through ImageCodecs and VideoFrameBytes") {
+    val frames = (0L until 3L).map(frame(_))
+    val mp4 = Mp4Jpeg.encode(32, 32, frames)
+    val avi = MjpegAvi.encode(32, 32, frames)
+    // frame 0 decodes IDENTICALLY through the magic dispatch — the
+    // cross-container twin guarantee (same JPEG bytes in, same luma out)
+    val viaMp4 = ImageCodecs.decode(mp4).toOption.get
+    val viaAvi = ImageCodecs.decode(avi).toOption.get
+    assert(viaMp4.pix.toSeq == viaAvi.pix.toSeq &&
+      viaMp4.width == viaAvi.width)
+    // VideoFrameBytes dispatches BOTH containers in one expression; junk
+    // and opaque codecs are null (the undecodable-survives convention)
+    val rows = Seq((1L, mp4), (2L, avi),
+      (3L, Mp4Jpeg.encode(32, 32, frames, codecFourcc = "avc1")),
+      (4L, "not a video".getBytes))
+      .toDF("media_id", "payload")
+    val got = rows.select($"media_id",
+      graft.functions.VideoFrameBytes($"payload", lit(1)).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getAs[Array[Byte]](1).toSeq)))
+      .toMap
+    assert(got(1L) == Some(frames(1).toSeq))
+    assert(got(2L) == Some(frames(1).toSeq))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+    // the Mp4Codec expression: fourcc / the no-track marker / null
+    val codecs = Seq((1L, mp4),
+      (3L, Mp4Jpeg.encode(32, 32, frames, codecFourcc = "avc1")),
+      (4L, "not a video".getBytes)).toDF("media_id", "payload")
+      .select($"media_id", graft.functions.Mp4Codec($"payload").as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(codecs(1L) == Some("jpeg") && codecs(3L) == Some("avc1") &&
+      codecs(4L).isEmpty)
+    // videoFrameFingerprints now fingerprints a MIXED avi+mp4 pool in one
+    // pass: per-frame hashes agree across containers
+    val fps = Multimodal.videoFrameFingerprints(
+      Seq((1L, mp4), (2L, avi)).toDF("media_id", "payload"), frames = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    (0 until 3).foreach { k =>
+      assert(fps((1L, k)).isDefined && fps((1L, k)) == fps((2L, k)),
+        s"cross-container frame $k hash")
+    }
+  }
+
+  test("planner (r19): jpeg-mp4 pools and mixed avi+jpeg-mp4 pools take the frame rungs; opaque codecs refuse") {
+    import graft.ext.Dedup
+    val docs = spark.range(120).select($"id".as("doc_id"))
+    val mp4s = Multimodal.syntheticVideoMp4(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the corpus carries avc1 rows (id % 12 == 9) — content-level
+      // tolerance over it keeps the honest header-blocking refusal, and
+      // a trim promise refuses LOUDLY naming the blocker
+      val blocked = Dedup.planByKind(mp4s, mutationTolerance = 0.01,
+        videoMutationTolerance = 0.01)
+      assert(blocked("video").family == "video_header_blocking",
+        blocked("video").rationale)
+      val trimEx = intercept[IllegalArgumentException] {
+        Dedup.planByKind(mp4s, mutationTolerance = 0.01,
+          videoMutationTolerance = 0.01, videoTrimTolerance = 1)
+      }
+      assert(trimEx.getMessage.contains("mp4(codec avc1)"), trimEx.getMessage)
+
+      // drop the opaque rows: an all-jpeg mp4 pool (malformed rows are
+      // fine — they survive, they do not block) routes to frame-0 dHash
+      // exactly like the r18 AVI pool
+      val clean = mp4s.filter(pmod($"media_id", lit(12)) =!= 9)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val plans = Dedup.planByKind(clean, mutationTolerance = 0.01,
+        videoMutationTolerance = 0.01)
+      assert(plans("video").family == "image_dhash", plans("video").rationale)
+      assert(plans("video").expectedDetection > 0.9)
+      // ...and executes: the planted frame-0 twins eliminate
+      val got = Dedup.runPlanByKind(clean, mutationTolerance = 0.01,
+          videoMutationTolerance = 0.01)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      val dups = (1L to 119L by 20)
+        .filter(id => id % 12 != 5 && id % 12 != 9 &&
+          (id - 1) % 12 != 5 && (id - 1) % 12 != 9)
+      assert(dups.nonEmpty && dups.forall(id => got(id).isDefined),
+        s"undetected mp4 frame-0 twins: ${dups.filterNot(id => got(id).isDefined)}")
+      assert(got(5L).isEmpty, "the truncated container must survive")
+
+      // a MIXED avi + jpeg-mp4 pool is frame-decodable (the r18 refusal
+      // this round retires): the trim rung runs, and a CROSS-CONTAINER
+      // trimmed re-upload (an mp4 re-cut of an AVI's content) drops
+      def f(seed: Long, k: Long): Array[Byte] =
+        JpegGray.encodeGray(32, 32,
+          Multimodal.patternPixels(seed + 7919L * k, 32, 32), 92)
+      val aviOrig = MjpegAvi.encode(32, 32, (0L to 2L).map(f(4000L, _)))
+      val mp4Trim = Mp4Jpeg.encode(32, 32, (1L to 3L).map(f(4000L, _)))
+      val mixed = Seq((1L, aviOrig), (2L, mp4Trim)).toDF("media_id", "payload")
+      val mixedPlan = Dedup.planByKind(mixed, mutationTolerance = 0.01,
+        videoMutationTolerance = 0.01, videoTrimTolerance = 1)
+      assert(mixedPlan("video").family == "video_anyframe_dhash",
+        mixedPlan("video").rationale)
+      val mixedGot = Dedup.runPlanByKind(mixed, mutationTolerance = 0.01,
+          videoMutationTolerance = 0.01, videoTrimTolerance = 1)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(mixedGot(2L) == Some(1L),
+        s"cross-container trimmed re-upload survived: $mixedGot")
+    } finally { mp4s.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+}

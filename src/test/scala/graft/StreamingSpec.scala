@@ -1208,23 +1208,48 @@ class StreamingSpec extends SparkSpec {
     assert(cat2.load("cur.vmix_video").select("media_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
 
-    // the trim rung REFUSES a mixed video pool per micro-batch — an
-    // undecodable mp4 yields no frames and would survive forever, even
-    // byte-identical re-uploads — mirroring the batch dispatcher's
-    // require (r18 advice, medium). Same corpus WITHOUT the knob routes
-    // the mp4 through the exact-digest rung fine.
-    val mp4ish = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++
-      Array[Byte](0, 0, 2, 0) // parses as mp4 (no moov, error set)
-    val mixedVid = Seq((7L, avi(7)), (8L, mp4ish)).toDF("media_id", "payload")
+    // the trim rung REFUSES a video pool carrying a VALID undecodable
+    // video per micro-batch — an opaque-codec mp4 yields no frames and
+    // would survive forever, even byte-identical re-uploads — mirroring
+    // the batch dispatcher's require through the ONE videoPoolBlockers
+    // predicate (r18 advice, medium; r19: blockers are per-row, so a
+    // jpeg-codec mp4 is FINE while an avc1 one refuses). Same corpus
+    // WITHOUT the knob routes through the exact-digest rung fine.
+    def jpegFrames(seed: Long) = (0L to 2L).map(k =>
+      graft.functions.JpegGray.encodeGray(32, 32,
+        graft.ext.Multimodal.patternPixels(seed + 7919L * k, 32, 32), 92))
+    val avc1 = graft.functions.Mp4Jpeg.encode(32, 32, jpegFrames(600L),
+      codecFourcc = "avc1")
+    val mixedVid = Seq((7L, avi(7)), (8L, avc1)).toDF("media_id", "payload")
     val e = intercept[IllegalArgumentException] {
       router.processBatch(mixedVid, 3L)
     }
-    assert(e.getMessage.contains("frame-decodable"))
+    assert(e.getMessage.contains("frame-decodable") &&
+      e.getMessage.contains("mp4(codec avc1)"), e.getMessage)
     val rootE = java.nio.file.Files.createTempDirectory("graft-incvid3").toString
     val exactRouter = new graft.streaming.CurationStream.KindRouter(
       new graft.core.Catalog(spark, rootE), "cur.vexact")
     val counts = exactRouter.processBatch(mixedVid, 1L)
     assert(counts("video") == 2L)
+
+    // r19: a mixed avi + JPEG-CODEC mp4 pool IS frame-decodable — the
+    // trim rung runs, and a cross-container trimmed re-upload (an mp4
+    // re-cut of an AVI's content) drops on arrival
+    val rootX = java.nio.file.Files.createTempDirectory("graft-incvid4").toString
+    val catX = new graft.core.Catalog(spark, rootX)
+    val xRouter = new graft.streaming.CurationStream.KindRouter(catX,
+      "cur.vx", videoTrimTolerance = 1)
+    xRouter.processBatch(Seq(
+      (1L, graft.functions.MjpegAvi.encode(32, 32, jpegFrames(700L))))
+      .toDF("media_id", "payload"), 1L)
+    xRouter.processBatch(Seq(
+      (2L, graft.functions.Mp4Jpeg.encode(32, 32, (1L to 3L).map(k =>
+        graft.functions.JpegGray.encodeGray(32, 32,
+          graft.ext.Multimodal.patternPixels(700L + 7919L * k, 32, 32), 92)))))
+      .toDF("media_id", "payload"), 2L)
+    assert(catX.load("cur.vx_video").select("media_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "cross-container trimmed mp4 re-upload survived the stream")
 
     // a negative trim refuses at CONSTRUCTION, not with an opaque
     // NoSuchElementException on the first micro-batch (r18 advice, low)
