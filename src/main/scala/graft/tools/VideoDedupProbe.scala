@@ -23,17 +23,31 @@ import graft.ext.Multimodal
   * trimming (frame-content churn has its own measured law: the AVI-path
   * mutation sweep == the r15 image law).
   *
+  * r19 widenings: `--container avi|mp4|mixed` routes the corpus through
+  * either decodable container (mixed alternates per id — and because dup
+  * twins land on odd ids with even-id seeds, EVERY planted pair is then
+  * cross-container: an mp4 re-cut of an AVI original); `--recodeQuality
+  * Q` re-encodes the twin's frames at JPEG quality Q (the re-cut AND
+  * re-encoded re-upload — the realistic case the r18 verdict asked to
+  * compose: trim × churn × recode in one measured cell).
+  *
   * `sbt 'runMain graft.tools.VideoDedupProbe [--size N] [--frames K]
-  * [--trimSweep 0,1,2,3]'` — one JSON line per trim cell.
+  * [--trimSweep 0,1,2,3] [--churn 0.01] [--container avi|mp4|mixed]
+  * [--recodeQuality 92]'` — one JSON line per trim cell.
   */
 object VideoDedupProbe {
 
   /** Trim twin corpus: K-frame MJPEG AVIs; dup twins re-cut the
     * predecessor's field sequence `trim` frames later. */
   def corpus(spark: SparkSession, n: Long, trim: Int, frames: Int,
-      w: Int = 32, h: Int = 32, churn: Double = 0.0): DataFrame = {
+      w: Int = 32, h: Int = 32, churn: Double = 0.0,
+      container: String = "avi", recodeQuality: Int = 92): DataFrame = {
     require(trim >= 0, s"bad trim $trim")
     require(churn >= 0.0 && churn <= 1.0, s"bad churn $churn")
+    require(Set("avi", "mp4", "mixed").contains(container),
+      s"bad container '$container'")
+    require(recodeQuality >= 10 && recodeQuality <= 100,
+      s"bad recodeQuality $recodeQuality")
     val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
@@ -41,6 +55,10 @@ object VideoDedupProbe {
         val seed = if (isDup) id - 1 else id
         val off = if (isDup) trim else 0
         val jitters = math.round(churn * w * h).toInt
+        // the twin's frames may be RE-ENCODED at a lower JPEG quality —
+        // the re-cut + re-encoded re-upload (r18 verdict item #4's
+        // composition axis); originals stay at the corpus quality 92
+        val q = if (isDup) recodeQuality else 92
         val fs = (0 until frames).map { k =>
           val pix = Multimodal.patternPixels(seed * 131L + off + k, w, h)
           if (isDup && jitters > 0) {
@@ -54,9 +72,16 @@ object VideoDedupProbe {
               j += 1
             }
           }
-          graft.functions.JpegGray.encodeGray(w, h, pix, 92)
+          graft.functions.JpegGray.encodeGray(w, h, pix, q)
         }
-        Row(id, graft.functions.MjpegAvi.encode(w, h, fs, fps = 25))
+        // mixed alternates per id: dup twins (odd) become mp4 re-cuts of
+        // avi originals (even seeds) — every planted pair cross-container
+        val useMp4 = container == "mp4" ||
+          (container == "mixed" && java.lang.Math.floorMod(id, 2L) == 1L)
+        val payload =
+          if (useMp4) graft.functions.Mp4Jpeg.encode(w, h, fs, fps = 25)
+          else graft.functions.MjpegAvi.encode(w, h, fs, fps = 25)
+        Row(id, payload)
       }
     }
     spark.createDataFrame(rdd, Multimodal.imageSchema)
@@ -67,6 +92,8 @@ object VideoDedupProbe {
     var frames = 3
     var trimSweep: Seq[Int] = Seq(0, 1, 2, 3)
     var churn = 0.0
+    var container = "avi"
+    var recodeQuality = 92
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -76,14 +103,20 @@ object VideoDedupProbe {
           trimSweep = args(i + 1).split(",").map(_.toInt).toSeq; i += 2
         case "--churn" if i + 1 < args.length =>
           churn = args(i + 1).toDouble; i += 2
+        case "--container" if i + 1 < args.length =>
+          container = args(i + 1); i += 2
+        case "--recodeQuality" if i + 1 < args.length =>
+          recodeQuality = args(i + 1).toInt; i += 2
         case other => sys.error(s"unknown arg '$other'; usage: VideoDedupProbe " +
-          "[--size N] [--frames K] [--trimSweep 0,1,2,3] [--churn 0.01]")
+          "[--size N] [--frames K] [--trimSweep 0,1,2,3] [--churn 0.01] " +
+          "[--container avi|mp4|mixed] [--recodeQuality 92]")
       }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
     trimSweep.foreach { trim =>
-      val media = corpus(spark, size, trim, frames, churn = churn)
+      val media = corpus(spark, size, trim, frames, churn = churn,
+        container = container, recodeQuality = recodeQuality)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
       val fps = Multimodal.videoFrameFingerprints(media, frames)
@@ -102,7 +135,8 @@ object VideoDedupProbe {
         Multimodal.videoAnyFrameNearDups(fps.filter(col("frame_idx") === 0)))
       val trueDups = size / 20
       println(f"""{"check":"video_trim_detection","rows":$size,"frames":$frames,""" +
-        f""""trim":$trim,"churn":$churn,"decoded_frames":$decoded,""" +
+        f""""trim":$trim,"churn":$churn,"container":"$container",""" +
+        f""""recode_quality":$recodeQuality,"decoded_frames":$decoded,""" +
         f""""fps_wall_s":$dtFps%.3f,"clips_per_s":${size / dtFps}%.0f,""" +
         f""""frame0_detected":$frame0,"anyframe_detected":$anyFrame,""" +
         f""""true_dups":$trueDups,""" +

@@ -148,6 +148,28 @@ class Mp4Spec extends SparkSpec {
     }
   }
 
+  test("planner quotes stay conservative at the r19 measured composition points") {
+    import graft.ext.Dedup
+    // the planner models trim × churn by MIN; its quote must sit at or
+    // below the measured cells for the axes it models. The deepest
+    // modeled point measured: trim 1 × 10% churn read 1.0000 (r18 sweep)
+    // while the quote is the single-image churn law (~0.985) — the
+    // conservative direction, never the optimistic one.
+    val rec10 = Dedup.recommendFamily(0.10, modality = "video",
+      frameDecodable = true, trimTolerance = 1)
+    assert(rec10.family == "video_anyframe_dhash")
+    assert(rec10.expectedDetection <= 1.0000 &&
+      rec10.expectedDetection >= 0.98, rec10.expectedDetection.toString)
+    // recode is OUTSIDE the video model: the r19 3-axis cells (0.9972 at
+    // recode q50, 0.7088 at q10 — SCALE.md r19) are documentation, not a
+    // knob, and asking the planner for a video recode promise refuses
+    // loudly instead of silently quoting the churn-only law over it
+    intercept[IllegalArgumentException] {
+      Dedup.recommendFamily(0.01, modality = "video",
+        frameDecodable = true, trimTolerance = 1, recodeQuality = 50.0)
+    }
+  }
+
   test("planner (r19): jpeg-mp4 pools and mixed avi+jpeg-mp4 pools take the frame rungs; opaque codecs refuse") {
     import graft.ext.Dedup
     val docs = spark.range(120).select($"id".as("doc_id"))
