@@ -942,16 +942,18 @@ object Dedup {
         "jpeg-codec mp4, so frame 0 decodes through ImageCodecs) only " +
         "parameterizes the video ladder")
     require(trimTolerance >= 0 && trimTolerance < Multimodal.MaxVideoFrames,
-      s"trimTolerance is a leading-frame cut depth in [0, 63], got $trimTolerance")
-    require(trimTolerance == 0 || frameDecodable,
-      "trimTolerance (leading frames of a re-cut to still catch) needs a " +
-        "frame-decodable video pool — the multi-frame tier samples " +
-        "trimTolerance+1 frames per clip")
+      s"trimTolerance is a leading-frame/-window cut depth in [0, 63], " +
+        s"got $trimTolerance")
+    require(trimTolerance == 0 || frameDecodable || modality == "audio",
+      "trimTolerance (leading frames/windows of a re-cut to still catch) " +
+        "needs a frame-decodable video pool or an audio pool — the " +
+        "multi-frame/any-segment tiers sample trimTolerance+1 units per clip")
     if (modality == "image") return recommendImageFamily(
       mutationTolerance, minDetection, hasEmbeddings, geometricTolerance,
       recodeQuality)
     if (modality == "audio") return recommendAudioFamily(
-      mutationTolerance, minDetection, hasEmbeddings, geometricTolerance)
+      mutationTolerance, minDetection, hasEmbeddings, geometricTolerance,
+      trimTolerance)
     if (modality == "video") return recommendVideoFamily(
       mutationTolerance, minDetection, hasEmbeddings, frameDecodable,
       trimTolerance)
@@ -1131,7 +1133,42 @@ object Dedup {
     * past both. */
   private def recommendAudioFamily(mutationTolerance: Double,
       minDetection: Double, hasEmbeddings: Boolean,
-      geometricTolerance: Double): FamilyRecommendation = {
+      geometricTolerance: Double,
+      trimTolerance: Int = 0): FamilyRecommendation = {
+    if (trimTolerance > 0) {
+      // r19 — the audio TRIM tier (the video trim law's shape applied to
+      // windows): a head-trimmed re-encode is NEVER byte-identical and
+      // is invisible to the whole-clip envelope (shift-collapse at one
+      // frame, r16) — mirror the video contradiction guard
+      require(mutationTolerance >= 0.0005,
+        f"trimTolerance $trimTolerance%d with byte-identical " +
+          f"mutationTolerance ${mutationTolerance}%.4f is a contradiction: " +
+          "a re-cut clip shares no byte identity — raise mutationTolerance " +
+          "to the sample-churn level you must still catch, or drop the knob")
+      // trim × intra-window shift is UNMEASURED: the segment tier's law
+      // covers WINDOW-ALIGNED cuts (the r19 sweep, incl. the measured
+      // off-grid collapse) — refuse the combined promise loudly
+      require(geometricTolerance == 0,
+        f"trimTolerance $trimTolerance%d with geometricTolerance " +
+          f"${geometricTolerance}%.0f samples is an unmeasured composition: " +
+          "the any-segment law holds for window-ALIGNED cuts (an off-grid " +
+          "trim misaligns every window — measured collapse, SCALE.md r19); " +
+          "pick one knob, or supply audio embeddings")
+      val det = interpSweep(AudioJitterSweepEnvelope, mutationTolerance)
+      val k = trimTolerance + 1
+      return FamilyRecommendation("audio_anysegment_lsh",
+        s"Multimodal.audioSegmentFeatures(segments = $k) + " +
+          "audioAnySegmentNearDups (threshold 0.9, pair-closure assignment)",
+        det,
+        f"audio pool with trim tolerance $trimTolerance window(s): " +
+          f"any-segment matching over $k fixed-length windows holds " +
+          f"measured 1.000 detection through a $trimTolerance-window cut " +
+          f"(r19 trim sweep) × $det%.4f at " +
+          f"${mutationTolerance * 100}%.1f%% sample churn (envelope law — " +
+          "the min composition, the r17 convention); window count IS the " +
+          "trim tolerance, and OFF-GRID cuts collapse honestly (measured) — " +
+          "they need the semantic tier")
+    }
     if (geometricTolerance > 0) {
       val envDet = interpLinearSweep(AudioShiftSweepEnvelope, geometricTolerance)
       val spectralDet = interpLinearSweep(AudioShiftSweepSpectral, geometricTolerance)
@@ -1376,7 +1413,7 @@ object Dedup {
     // always stamp and size at 0.9; a caller wanting a different cosine
     // cut owns the embedding family directly with their own column.
     val descriptorTier = Set("image_grid_lsh", "image_spectral_lsh",
-      "audio_envelope_lsh", "audio_spectral_lsh")
+      "audio_envelope_lsh", "audio_spectral_lsh", "audio_anysegment_lsh")
     // r16 advice: an EXPLICIT caller threshold that conflicts with the
     // descriptor operating point must fail loudly, not be silently
     // overridden — a caller passing 0.95 to avoid false eliminations
@@ -1397,8 +1434,12 @@ object Dedup {
           "re-stamped — the sweep's detection is only valid at 0.9)"
       else rec.rationale
     if (!embeddingLike(rec.family))
-      DedupPlan(rec.family, rec.entryPoint, rec.expectedDetection, rec.rationale,
-        None, "one_shot", 1, 0.0, 0.0, budgetSatisfied = true, threshold)
+      // execThreshold, not the caller's raw threshold: the any-segment
+      // tier is descriptor-tier (operating point 0.9) but not
+      // embedding-like (it sizes its own LSH from the SEGMENT-row count
+      // at run time); for every other family here the two are equal
+      DedupPlan(rec.family, rec.entryPoint, rec.expectedDetection, rationale0,
+        None, "one_shot", 1, 0.0, 0.0, budgetSatisfied = true, execThreshold)
     else {
       val n = emb.count()
       val law = Similarity.measureNonUniformityLaw(emb, n, vecCol = vecCol)
@@ -1525,6 +1566,19 @@ object Dedup {
           .join(pairs.groupBy(col("media_b").as(idCol))
             .agg(min(col("media_a")).as("dup_of")),
             Seq(idCol), "left_outer")
+      case "audio_anysegment_lsh" =>
+        // data = a SEGMENT feature table (media_id, segment_idx, feature)
+        // — the Multimodal.audioSegmentFeatures contract. Pair-closure
+        // assignment exactly like the video any-frame branch: dup_of =
+        // the smallest any-segment pair partner above the plan's cosine
+        // operating point; clips with no decodable window match nothing
+        // and survive. The LSH config auto-sizes inside
+        // audioAnySegmentNearDups from the segment-row count.
+        val pairs = Multimodal.audioAnySegmentNearDups(data, p.threshold)
+        data.select(col("media_id").as(idCol)).distinct()
+          .join(pairs.groupBy(col("media_b").as(idCol))
+            .agg(min(col("media_a")).as("dup_of")),
+            Seq(idCol), "left_outer")
       case "embedding_lsh" =>
         runEmbeddingPlan(p, data, idCol, vecCol, scratchDir, maxRepsPerCell)
       case "image_grid_lsh" | "image_spectral_lsh" |
@@ -1588,7 +1642,8 @@ object Dedup {
       videoMutationTolerance: Double = 0.0,
       scratchBudgetGb: Double = 0.0,
       imageRecodeQuality: Double = 100.0,
-      videoTrimTolerance: Int = 0): Map[String, DedupPlan] = {
+      videoTrimTolerance: Int = 0,
+      audioTrimTolerance: Int = 0): Map[String, DedupPlan] = {
     TableShapes.requireColumns(media, Seq("media_id", "payload"),
       "planByKind", "the media-family (media_id, payload) shape")
     // own persist: sizing a descriptor-tier plan re-reads the pool (count
@@ -1599,7 +1654,7 @@ object Dedup {
     try planByKindFrom(headed, mutationTolerance, minDetection,
       imageGeometricTolerance, audioGeometricTolerance,
       videoMutationTolerance, scratchBudgetGb, imageRecodeQuality,
-      videoTrimTolerance)
+      videoTrimTolerance, audioTrimTolerance)
     finally headed.unpersist(blocking = false)
   }
 
@@ -1611,7 +1666,8 @@ object Dedup {
       audioGeometricTolerance: Double, videoMutationTolerance: Double,
       scratchBudgetGb: Double,
       imageRecodeQuality: Double = 100.0,
-      videoTrimTolerance: Int = 0): Map[String, DedupPlan] = {
+      videoTrimTolerance: Int = 0,
+      audioTrimTolerance: Int = 0): Map[String, DedupPlan] = {
     val present = headed.groupBy("__kind").count()
       .collect().map(_.getString(0)).toSet
     def modalityPlan(kinds: Set[String], modality: String, tol: Double,
@@ -1641,12 +1697,19 @@ object Dedup {
             s"video pool (${FrameDecodableKinds.mkString("/")} or " +
             s"jpeg-codec mp4) but this pool carries $blockers — drop " +
             "the knob, split the pool, or supply video embeddings")
-        val trim = if (decodable) videoTrimTolerance else 0
+        // per-modality trim: video's knob is gated by decodability above;
+        // audio windows always decode (undecodable clips survive), so its
+        // knob passes straight through (units differ — frames vs windows)
+        val trim =
+          if (modality == "video") { if (decodable) videoTrimTolerance else 0 }
+          else if (modality == "audio") audioTrimTolerance
+          else 0
         val rec = recommendFamily(tol, minDetection, hasEmbeddings = false,
           modality, geo, recodeQ, frameDecodable = decodable,
           trimTolerance = trim)
         Some(modality -> plan(
-          derivedTable(rows, rec.family, videoFrames = trim + 1), tol,
+          derivedTable(rows, rec.family, videoFrames = trim + 1,
+            audioSegments = trim + 1), tol,
           minDetection, scratchBudgetGb, targetRecall = 0.98,
           hasEmbeddings = false, vecCol = "feature", modality = modality,
           geometricTolerance = geo, recodeQuality = recodeQ,
@@ -1739,7 +1802,8 @@ object Dedup {
       scratchBudgetGb: Double = 0.0, scratchDir: String = "",
       maxRepsPerCell: Int = 4096,
       imageRecodeQuality: Double = 100.0,
-      videoTrimTolerance: Int = 0): DataFrame = {
+      videoTrimTolerance: Int = 0,
+      audioTrimTolerance: Int = 0): DataFrame = {
     TableShapes.requireColumns(media, Seq("media_id", "payload"),
       "runPlanByKind", "the media-family (media_id, payload) shape")
     val headed = withDetectedKind(media)
@@ -1748,7 +1812,7 @@ object Dedup {
       val plans = planByKindFrom(headed, mutationTolerance, minDetection,
         imageGeometricTolerance, audioGeometricTolerance,
         videoMutationTolerance, scratchBudgetGb, imageRecodeQuality,
-        videoTrimTolerance)
+        videoTrimTolerance, audioTrimTolerance)
       val modalityKinds = Seq("image", "audio", "video")
         .map(m => m -> ModalityKinds(m))
       val pooled = modalityKinds.collect {
@@ -1756,7 +1820,8 @@ object Dedup {
           val rows = headed.filter(col("__kind").isin(kinds.toSeq: _*))
           val p = plans(modality)
           runPlan(p, derivedTable(rows.select(col("media_id"), col("payload")),
-              p.family, videoFrames = videoTrimTolerance + 1),
+              p.family, videoFrames = videoTrimTolerance + 1,
+              audioSegments = audioTrimTolerance + 1),
             idCol = "media_id", textCol = "payload", vecCol = "feature",
             scratchDir = scratchDir, maxRepsPerCell = maxRepsPerCell)
             .join(rows.select(col("media_id"), col("__kind")), Seq("media_id"))
@@ -1793,12 +1858,14 @@ object Dedup {
     * rung, dHash fingerprints for the perceptual rung, descriptor
     * features for the geometric/audio tiers. */
   private def derivedTable(rows: DataFrame, family: String,
-      videoFrames: Int = 1): DataFrame =
+      videoFrames: Int = 1, audioSegments: Int = 1): DataFrame =
     family match {
       case "exact" | "video_header_blocking" => rows
       case "image_dhash" => Multimodal.imageFingerprints(rows)
       case "video_anyframe_dhash" =>
         Multimodal.videoFrameFingerprints(rows, videoFrames)
+      case "audio_anysegment_lsh" =>
+        Multimodal.audioSegmentFeatures(rows, segments = audioSegments)
       case "image_grid_lsh" => Multimodal.imageGridFeatures(rows)
       case "image_spectral_lsh" => Multimodal.imageSpectralFeatures(rows)
       case "audio_envelope_lsh" => Multimodal.audioEnvelopeFeatures(rows)

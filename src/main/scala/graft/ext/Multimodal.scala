@@ -934,6 +934,74 @@ object Multimodal {
       .join(assigned, Seq("media_id"), "left_outer")
   }
 
+  /** The fid packing bound for [[audioAnySegmentNearDups]]: segment rows
+    * key as `media_id << 6 | segment_idx` (the [[MaxVideoFrames]]
+    * convention applied to audio windows). */
+  val MaxAudioSegments = 64
+
+  /** Per-segment envelope descriptors over an audio table — the scan
+    * stage of the audio TRIM tier (r19): `(media_id, segment_idx,
+    * feature, error)` for windows 0..`segments`−1 of `segmentSamples`
+    * mono samples each, ONE [[graft.functions.AudioCodecs]] decode per
+    * clip ([[graft.functions.AudioSegmentFeatures]] slices the decoded
+    * samples in memory — unlike the video tier's K container walks).
+    * Windows past the clip's end (and undecodable clips) carry null
+    * feature rows — they match nothing and survive, the fingerprint
+    * convention. Window length is ABSOLUTE (samples, not clip-relative),
+    * so a clip trimmed by t whole windows shares `segments − t`
+    * IDENTICAL windows with its original — the re-alignment the trim
+    * law measures. */
+  def audioSegmentFeatures(media: DataFrame, segmentSamples: Int = 2048,
+      segments: Int = 4, frames: Int = 16): DataFrame = {
+    require(segments >= 1 && segments <= MaxAudioSegments,
+      s"segments must be 1..$MaxAudioSegments (the fid packing bound), " +
+        s"got $segments")
+    media
+      .select(col("media_id"),
+        graft.functions.AudioSegmentFeatures(col("payload"), segmentSamples,
+          segments, frames).as("f"))
+      .select(col("media_id"), col("f.features").as("fs"),
+        col("f.error").as("error"))
+      .select(col("media_id"),
+        posexplode(coalesce(col("fs"),
+          array_repeat(lit(null).cast("array<float>"), segments))),
+        col("error"))
+      .select(col("media_id"), col("pos").as("segment_idx"),
+        col("col").as("feature"), col("error"))
+  }
+
+  /** Trim-tolerant audio near-dup pairs from a (media_id, segment_idx,
+    * feature) segment table: two clips pair when ANY segment pair scores
+    * above `threshold` cosine — `(media_a, media_b, best_cosine)`. The
+    * [[videoAnyFrameNearDups]] machinery with hyperplane LSH in place of
+    * Manku blocking: segment rows pack as `media_id << 6 | segment_idx`
+    * and ride [[Similarity.nearDupPairsLsh]] (auto-sized from the
+    * segment-row count unless an explicit config is passed), so the
+    * relation is bucketed — never all-pairs — and each surviving pair
+    * carries its best verified cosine. Same-clip segment pairs are
+    * excluded; pair order is media_a < media_b (monotone fid packing).
+    * Recall is the LSH targetRecall (≈0.98 at the default), so q97's
+    * oracle is the SOUNDNESS form (every elimination re-verified as an
+    * exact cosine cross-engine), not the exhaustive replay the
+    * pigeonhole families get. */
+  def audioAnySegmentNearDups(segFeats: DataFrame, threshold: Double = 0.9,
+      nPlanes: Int = 0, nTables: Int = 0,
+      targetRecall: Double = 0.98): DataFrame = {
+    TableShapes.requireColumns(segFeats,
+      Seq("media_id", "segment_idx", "feature"), "audioAnySegmentNearDups",
+      "build it with Multimodal.audioSegmentFeatures(media)")
+    val packed = segFeats.filter(col("feature").isNotNull)
+      .select((shiftleft(col("media_id"), 6) + col("segment_idx")).as("fid"),
+        col("feature"))
+    Similarity.nearDupPairsLsh(packed, threshold, nPlanes, nTables,
+        idCol = "fid", vecCol = "feature", targetRecall = targetRecall)
+      .select(shiftright(col("id_a"), 6).as("media_a"),
+        shiftright(col("id_b"), 6).as("media_b"), col("cosine_sim"))
+      .filter(col("media_a") =!= col("media_b"))
+      .groupBy("media_a", "media_b")
+      .agg(max(col("cosine_sim")).as("best_cosine"))
+  }
+
   /** Frame/segment sampling stub: slices the payload into `every`-byte
     * strides, keeping the first `frameLen` bytes of each stride — the same
     * row-explode shape a real video frame sampler has (one row per frame,

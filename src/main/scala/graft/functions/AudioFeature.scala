@@ -254,3 +254,82 @@ object AudioSamples {
   def apply(payload: Column): Column =
     GraftColumnBridge.column(AudioSamples(GraftColumnBridge.expression(payload)))
 }
+
+/** Per-SEGMENT envelope descriptors in ONE decode —
+  * `struct<features: array<array<float>>, error: string>` — the scan
+  * stage of the audio TRIM tier (r19, the r18 verdict's #2 item): a
+  * head-trimmed re-encode (the podcast/ad cut) is invisible to the
+  * whole-clip envelope (shift-collapse at one frame, SCALE.md r16) and
+  * beyond the spectral tier past 512 samples, but windows of FIXED
+  * absolute length re-align once the cut consumes whole windows — the
+  * audio analogue of the video frame: `segments` consecutive windows of
+  * `segmentSamples` mono samples each, each window's [[
+  * AudioEnvelopeFeature]] descriptor (`frames` bins, mean-centered), so
+  * a clip trimmed by t·segmentSamples shares `segments − t` IDENTICAL
+  * windows with its original and any-segment matching recovers it (the
+  * r19 trim sweep measures the law, including its honest off-grid
+  * collapse — window boundaries are absolute, so a half-window cut
+  * misaligns every window).
+  *
+  * One [[AudioCodecs]] decode per clip (NOT per segment — the samples
+  * array is sliced in memory); windows running past the clip's end are
+  * null entries (fewer-segments clips match on what they have — the
+  * null-fingerprint convention). `segments · frames` floats per clip
+  * leave the scan. */
+case class AudioSegmentFeatures(child: Expression, segmentSamples: Int,
+    segments: Int, frames: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(segments >= 1 && segments <= 64,
+    s"segments must be 1..64 (the fid packing bound), got $segments")
+  require(frames >= 1 && frames <= 4096, s"frames must be 1..4096, got $frames")
+  require(segmentSamples >= frames,
+    s"segmentSamples ($segmentSamples) must be >= frames ($frames): below " +
+      "one sample per bin the integer binning leaves empty frames")
+
+  override def dataType: DataType = AudioSegmentFeatures.Schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"audio_segment_features requires binary, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioCodecs.decode(input.asInstanceOf[Array[Byte]]) match {
+      case Left(e) => InternalRow(null, UTF8String.fromString(e))
+      case Right(pcm) if pcm.samples.length < segmentSamples =>
+        // not even one full window — the descriptor family's
+        // degenerate-tiny refusal (a partial window would make the
+        // trim re-alignment guarantee a lie at the clip tail)
+        InternalRow(null, UTF8String.fromString("audio_too_short"))
+      case Right(pcm) =>
+        val out = new Array[Any](segments)
+        var k = 0
+        while (k < segments) {
+          val from = k * segmentSamples
+          val until = from + segmentSamples
+          out(k) =
+            if (until > pcm.samples.length) null
+            else new GenericArrayData(AudioEnvelopeFeature.feature(
+              java.util.Arrays.copyOfRange(pcm.samples, from, until), frames))
+          k += 1
+        }
+        InternalRow(new GenericArrayData(out), null)
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioSegmentFeatures =
+    copy(child = newChild)
+}
+
+object AudioSegmentFeatures {
+  val Schema: StructType = StructType(Seq(
+    StructField("features",
+      ArrayType(ArrayType(FloatType, containsNull = false), containsNull = true),
+      nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  def apply(payload: Column, segmentSamples: Int, segments: Int,
+      frames: Int): Column =
+    GraftColumnBridge.column(AudioSegmentFeatures(
+      GraftColumnBridge.expression(payload), segmentSamples, segments, frames))
+}

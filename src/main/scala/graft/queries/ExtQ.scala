@@ -2034,6 +2034,62 @@ object ExtQ {
         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         ORDER BY 1, 2""")),
 
+    // ───── Audio any-segment pairs, persisted soundness oracle (q97) ────
+    // The r19 audio TRIM tier (r18 verdict item #2): fixed-length window
+    // envelopes (audioSegmentFeatures — ONE decode per clip, windows
+    // sliced in memory) paired on ANY window by hyperplane LSH over
+    // packed (media<<6|segment) ids (audioAnySegmentNearDups). LSH recall
+    // is the approximate knob (targetRecall 0.98), so the oracle is the
+    // SOUNDNESS form (the q89 convention, not q95's exhaustive replay):
+    // every claimed pair's best cross-window cosine is recomputed
+    // EXHAUSTIVELY from the persisted segment features by both engines —
+    // a hash match proves the window slicing, the per-window envelope,
+    // and the packing arithmetic land on identical floats, and the
+    // `sound` column proves every pair genuinely clears the threshold.
+    // Corpus: the q88/q89 synthetic audio at 4096 samples (TWO windows;
+    // gain+jitter twins pair through any window; wav/G.711/FLAC
+    // rotations included).
+    "q97_audio_anysegment_pairs_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.audioSegmentFeatures(
+            Multimodal.syntheticAudio(t(s, dir, "documents"),
+              samplesPerClip = 4096),
+          segmentSamples = 2048, segments = 2),
+          "media.q97_segs")
+        val segs = cat.load("media.q97_segs")
+        cat.save(Multimodal.audioAnySegmentNearDups(segs, threshold = 0.9),
+          "media.q97_pairs")
+        val f = segs.filter(col("feature").isNotNull)
+        cat.load("media.q97_pairs").select("media_a", "media_b")
+          .join(f.select(col("media_id").as("media_a"),
+            col("feature").as("f_a")), Seq("media_a"))
+          .join(f.select(col("media_id").as("media_b"),
+            col("feature").as("f_b")), Seq("media_b"))
+          .groupBy("media_a", "media_b")
+          .agg(round(max(Similarity.cosine(col("f_a"), col("f_b"))), 6)
+            .as("best_cosine"))
+          .withColumn("sound",
+            col("best_cosine") > 0.9 && col("media_a") < col("media_b"))
+          .orderBy("media_a", "media_b")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT media_id, CAST(feature AS DOUBLE[]) AS v
+          FROM read_parquet('$AnnOracleRoot/media/q97_segs/*.parquet')
+          WHERE feature IS NOT NULL),
+        p AS (
+          SELECT media_a, media_b
+          FROM read_parquet('$AnnOracleRoot/media/q97_pairs/*.parquet'))
+        SELECT p.media_a, p.media_b,
+          round(MAX(list_cosine_similarity(a.v, b.v)), 6) AS best_cosine,
+          round(MAX(list_cosine_similarity(a.v, b.v)), 6) > 0.9
+            AND p.media_a < p.media_b AS sound
+        FROM p JOIN f a ON a.media_id = p.media_a
+               JOIN f b ON b.media_id = p.media_b
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // The VIDEO tier of the modality family, q78's proof applied to ISO
     // BMFF: syntheticVideo fabricates real ftyp/moov(mvhd+trak(tkhd))/mdat
     // box structures (fixed v0 layout ⇒ every interesting field sits at a

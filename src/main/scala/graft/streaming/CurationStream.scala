@@ -254,7 +254,12 @@ object CurationStream {
     *    whose header parses but whose PCM decode fails pass through like
     *    unrecognized rows (the BATCH survivor contract: no content to
     *    match — note this differs from [[curateAudio]]'s emit-clean gate,
-    *    because this router's pin is batch equality);
+    *    because this router's pin is batch equality). An
+    *    `audioTrimTolerance` > 0 swaps in
+    *    [[IncrementalAudioSegmentDedup]] (any-segment cosine over trim+1
+    *    fixed-length windows — the r19 batch knob applied to the stream:
+    *    a head-trimmed re-encode drops on arrival; undecodable clips then
+    *    survive in the clips table, the runPlanByKind assignment shape);
     *  - video kinds (mp4/avi) → [[IncrementalExactDedup]] payload
     *    digests — the batch video pool's default byte-identical rung; a
     *    `videoTrimTolerance` > 0 swaps in
@@ -284,18 +289,40 @@ object CurationStream {
       threshold: Double = 0.9, frames: Int = 64,
       payloadCol: String = "payload", idCol: String = "media_id",
       exactlyOnce: Boolean = false,
-      videoTrimTolerance: Int = 0) {
+      videoTrimTolerance: Int = 0,
+      audioTrimTolerance: Int = 0,
+      segmentSamples: Int = 2048) {
     require(videoTrimTolerance >= 0 &&
         videoTrimTolerance < graft.ext.Multimodal.MaxVideoFrames,
       s"videoTrimTolerance must be in [0, " +
         s"${graft.ext.Multimodal.MaxVideoFrames}), got $videoTrimTolerance " +
         "(a negative value would leave the video pool with NO rung and " +
         "fail opaquely on the first micro-batch)")
+    require(audioTrimTolerance >= 0 &&
+        audioTrimTolerance < graft.ext.Multimodal.MaxAudioSegments,
+      s"audioTrimTolerance must be in [0, " +
+        s"${graft.ext.Multimodal.MaxAudioSegments}), got $audioTrimTolerance")
     private val image = IncrementalImageDedup(catalog, s"${tablePrefix}_image",
       s"${tablePrefix}_image_blocks", maxHamming, payloadCol, idCol, exactlyOnce)
-    private val audio = new IncrementalLshDedup(catalog, s"${tablePrefix}_audio",
-      s"${tablePrefix}_audio_buckets", nPlanes, nTables, threshold,
-      idCol, "feature", exactlyOnce)
+    // audioTrimTolerance > 0 swaps the audio pool's rung exactly like the
+    // batch dispatcher's knob (r19): any-SEGMENT matching over trim+1
+    // fixed-length windows (drops a head-trimmed re-encode the whole-clip
+    // envelope provably misses — the r19 trim law) instead of the
+    // whole-clip envelope LSH
+    private val audioLsh: Option[IncrementalLshDedup] =
+      if (audioTrimTolerance == 0)
+        Some(new IncrementalLshDedup(catalog, s"${tablePrefix}_audio",
+          s"${tablePrefix}_audio_buckets", nPlanes, nTables, threshold,
+          idCol, "feature", exactlyOnce))
+      else None
+    private val audioSegs: Option[IncrementalAudioSegmentDedup] =
+      if (audioTrimTolerance > 0)
+        Some(new IncrementalAudioSegmentDedup(catalog,
+          s"${tablePrefix}_audio", s"${tablePrefix}_audio_buckets",
+          s"${tablePrefix}_audio_segs", nPlanes, nTables, threshold,
+          segments = audioTrimTolerance + 1, segmentSamples = segmentSamples,
+          payloadCol = payloadCol, idCol = idCol, exactlyOnce = exactlyOnce))
+      else None
     // videoTrimTolerance > 0 swaps the video pool's rung exactly like the
     // batch dispatcher's knob: any-frame matching over trim+1 sampled
     // frames (drops a re-CUT re-upload the digest rung provably misses)
@@ -324,7 +351,11 @@ object CurationStream {
         def pool(kinds: Set[String]): DataFrame =
           headed.filter(col("__kind").isin(kinds.toSeq: _*)).drop("__kind")
         val img = pool(ModalityKinds("image"))
-        val aud = pool(ModalityKinds("audio"))
+        val audRaw = pool(ModalityKinds("audio"))
+        // the envelope feature is computed ONLY for the whole-clip LSH
+        // rung; the segment rung computes its own per-window features
+        // inside IncrementalAudioSegmentDedup (one decode per clip)
+        def aud = audRaw
           .withColumn("feature",
             graft.functions.AudioEnvelopeFeature(col(payloadCol), frames)
               .getField("feature"))
@@ -359,11 +390,18 @@ object CurationStream {
         val others = headed.filter(!col("__kind").isin(handled: _*))
           .drop("__kind")
         // header-parsed but content-undecodable audio SURVIVES (batch
-        // contract) — route it with the others append, not the LSH state
-        val audBad = aud.filter(col("feature").isNull).drop("feature")
+        // contract). Routing differs by rung, each mirroring ITS batch
+        // family: the whole-clip LSH rung sends undecodable clips to the
+        // others append; the segment rung keeps them in the clips table
+        // (they emit no segment rows and match nothing — the
+        // runPlanByKind audio-pool assignment shape)
+        val audBad =
+          if (audioSegs.isDefined) audRaw.limit(0)
+          else aud.filter(col("feature").isNull).drop("feature")
         val nImg = image.processBatch(img, batchId)
-        val nAud = audio.processBatch(aud.filter(col("feature").isNotNull),
-          batchId)
+        val nAud = audioSegs.map(_.processBatch(audRaw, batchId))
+          .orElse(audioLsh.map(_.processBatch(
+            aud.filter(col("feature").isNotNull), batchId))).get
         val nVid = videoExact.map(_.processBatch(vid, batchId))
           .orElse(videoFrames.map(_.processBatch(vid, batchId))).get
         val passThrough = others.unionByName(audBad)
@@ -392,10 +430,12 @@ object CurationStream {
       continuous: Boolean = false, interval: String = "1 minute",
       checkpoint: Option[String] = None,
       exactlyOnce: Boolean = false,
-      videoTrimTolerance: Int = 0): StreamingQuery = {
+      videoTrimTolerance: Int = 0,
+      audioTrimTolerance: Int = 0,
+      segmentSamples: Int = 2048): StreamingQuery = {
     val router = new KindRouter(catalog, tablePrefix, maxHamming, nPlanes,
       nTables, threshold, frames, payloadCol, idCol, exactlyOnce,
-      videoTrimTolerance)
+      videoTrimTolerance, audioTrimTolerance, segmentSamples)
     val gated = (if (media.isStreaming) media.withWatermark(tsCol, watermark)
                  else media)
       .filter(graft.ext.Sampling.mixtureKeep(col(idCol), sampleRate))

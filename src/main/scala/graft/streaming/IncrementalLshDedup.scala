@@ -176,3 +176,147 @@ object IncrementalLshDedup {
       .select(col(idCol), col("old_id")).distinct()
   }
 }
+
+/** Incremental ANY-SEGMENT audio near-duplicate removal — the r19
+  * streaming twin of [[graft.ext.Multimodal.audioAnySegmentNearDups]]
+  * and the SIXTH streaming dedup family: a head-trimmed re-encode (the
+  * podcast/ad cut — invisible to the whole-clip envelope the
+  * [[IncrementalLshDedup]] audio rung scores) drops ON ARRIVAL when ANY
+  * of its fixed-length windows scores above `threshold` cosine against
+  * any accepted clip's window. [[IncrementalVideoFrameDedup]]'s packing
+  * (fid = media_id << 6 | segment_idx) with hyperplane-LSH buckets in
+  * place of Manku blocks, and exact-cosine verification in place of
+  * hamming.
+  *
+  * State: the accumulated per-segment bucket relation
+  * ([[graft.ext.Similarity.lshTable]] over fids), PLUS a per-segment
+  * feature table (fid → feature) the cosine verification reads back
+  * (bounded by the collision candidates, broadcast) — both
+  * Catalog-persisted, exactly-once via [[StreamingAppend.appendOnce]].
+  * Clips whose every window is undecodable (or shorter than one window)
+  * emit no segment rows: they match nothing and SURVIVE, the
+  * fingerprint convention. Greedy-prefix semantics as every twin;
+  * chain-free equality with the batch any-segment sweep is the
+  * StreamingSpec pin. The LSH config is EXPLICIT by design (the
+  * write-once bucket-table contract of [[IncrementalLshDedup]]). */
+final class IncrementalAudioSegmentDedup(
+    catalog: Catalog, clipsTable: String, bucketsTable: String,
+    segsTable: String,
+    nPlanes: Int, nTables: Int, threshold: Double = 0.9,
+    segments: Int = 4, segmentSamples: Int = 2048, frames: Int = 16,
+    payloadCol: String = "payload", idCol: String = "media_id",
+    exactlyOnce: Boolean = false) {
+  require(nPlanes >= 1 && nTables >= 1,
+    s"explicit LSH config required, got ($nPlanes, $nTables)")
+  require(segments >= 1 && segments <= graft.ext.Multimodal.MaxAudioSegments,
+    s"segments must be 1..${graft.ext.Multimodal.MaxAudioSegments}, " +
+      s"got $segments")
+
+  /** Fault-injection hook (tests): throw once AFTER the survivors append
+    * but BEFORE the state appends. */
+  private[graft] var crashBetweenAppendsOnce: Boolean = false
+
+  private val modeChecked = scala.collection.mutable.Set.empty[String]
+
+  private def appendOnce(rows: DataFrame, table: String, keys: Seq[String],
+      batchId: Long): Unit =
+    StreamingAppend.appendOnce(catalog, table, rows, batchId,
+      keys = keys, partitionBy = Nil, partitionMode = exactlyOnce,
+      modeChecked = modeChecked)
+
+  private def aboveThreshold(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(Similarity.cosine(a, b), 6) > threshold
+
+  /** Deduplicate one micro-batch against the accumulated corpus and
+    * itself; append survivors. Returns the survivor count. */
+  def processBatch(batchRaw: DataFrame, batchId: Long): Long = {
+    val batch = StreamingAppend.collapseSameId(batchRaw, idCol)
+    val newSegs = graft.ext.Multimodal.audioSegmentFeatures(
+        batch.select(col(idCol).as("media_id"), col(payloadCol).as("payload")),
+        segmentSamples, segments, frames)
+      .filter(col("feature").isNotNull)
+      .select((shiftleft(col("media_id"), 6) + col("segment_idx")).as("fid"),
+        col("feature"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBuckets = Similarity.lshTable(newSegs, nPlanes, nTables,
+        "fid", "feature")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val droppedVsState: DataFrame =
+        StreamingAppend.loadIfReadable(catalog, bucketsTable) match {
+          case None => batch.select(col(idCol)).limit(0)
+          case Some(loaded) =>
+            val state = StreamingAppend.acceptedState(loaded, batchId,
+              exactlyOnce)
+            val candidates = IncrementalLshDedup.stateCandidates(
+              state, newBuckets, "fid")
+            // fetch the OLD segment vectors keyed by the (bounded,
+            // broadcast) candidate fids — the IncrementalLshDedup corpus
+            // join-back, against the segment state table
+            val oldSegs = catalog.load(segsTable)
+              .join(broadcast(candidates.select(col("old_id").as("fid"))
+                .distinct()), Seq("fid"))
+              .select(col("fid").as("old_id"), col("feature").as("v_b"))
+            candidates
+              .join(newSegs.select(col("fid"), col("feature").as("v_a")),
+                Seq("fid"))
+              .join(oldSegs, Seq("old_id"))
+              .filter(aboveThreshold(col("v_a"), col("v_b")))
+              .select(shiftright(col("fid"), 6).as(idCol)).distinct()
+        }
+      // intra-batch: any segment pair across two arrivals, lower CLIP id
+      // wins (fid packing is monotone in media_id)
+      val a = newBuckets.select(col("ckey"), col("tbl"), col("bucket"),
+        col("fid").as("fid_a"))
+      val b = newBuckets.select(col("ckey"), col("tbl"), col("bucket"),
+        col("fid").as("fid_b"))
+      val droppedIntra = a.join(b, Seq("ckey", "tbl", "bucket"))
+        .filter(shiftright(col("fid_a"), 6) < shiftright(col("fid_b"), 6))
+        .select("fid_a", "fid_b").distinct()
+        .join(newSegs.select(col("fid").as("fid_a"), col("feature").as("v_a")),
+          Seq("fid_a"))
+        .join(newSegs.select(col("fid").as("fid_b"), col("feature").as("v_b")),
+          Seq("fid_b"))
+        .filter(aboveThreshold(col("v_a"), col("v_b")))
+        .select(shiftright(col("fid_b"), 6).as(idCol)).distinct()
+      val dropped = droppedVsState.union(droppedIntra).distinct()
+      val survivors = batch.join(broadcast(dropped), Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = survivors.count()
+        if (n > 0) {
+          appendOnce(survivors, clipsTable, Seq(idCol), batchId)
+          if (crashBetweenAppendsOnce) {
+            crashBetweenAppendsOnce = false
+            throw new RuntimeException(
+              "injected crash between clips append and state appends")
+          }
+          val survFids = newSegs
+            .withColumn("__clip", shiftright(col("fid"), 6))
+            .join(survivors.select(col(idCol).as("__clip")),
+              Seq("__clip"), "left_semi")
+            .drop("__clip")
+          appendOnce(survFids, segsTable, Seq("fid"), batchId)
+          appendOnce(
+            newBuckets.withColumn("__clip", shiftright(col("fid"), 6))
+              .join(survivors.select(col(idCol).as("__clip")),
+                Seq("__clip"), "left_semi")
+              .drop("__clip"),
+            bucketsTable, Seq("fid", "tbl"), batchId)
+        }
+        n
+      } finally survivors.unpersist(blocking = false)
+    } finally {
+      newSegs.unpersist(blocking = false)
+      newBuckets.unpersist(blocking = false)
+    }
+  }
+
+  /** Attach to a media stream (same trigger conventions as the twins). */
+  def start(stream: DataFrame, queryName: String = "graft_incremental_audioseg",
+      continuous: Boolean = false, interval: String = "1 minute",
+      checkpoint: Option[String] = None): StreamingQuery =
+    StreamingAppend.startForeachBatch(stream, queryName, continuous,
+      interval, checkpoint) { (batch, id) => processBatch(batch, id); () }
+}

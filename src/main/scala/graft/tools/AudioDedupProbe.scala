@@ -78,6 +78,29 @@ object AudioDedupProbe {
         s"codec must be pcm16|ulaw|alaw|flac, got '$other'")
     }
 
+  /** Trim twin corpus for the SEGMENT-tier sweep (r19): dup twins window
+    * the same aperiodic field `trim` SAMPLES later over a clip of
+    * `segments · segmentSamples` samples — the head-cut re-encode (a
+    * podcast ad cut). A trim that is a whole multiple of segmentSamples
+    * re-aligns `segments − trim/segmentSamples` windows exactly; an
+    * off-grid trim misaligns every window (the law's honest boundary). */
+  def trimCorpus(spark: SparkSession, n: Long, trim: Int,
+      segments: Int, segmentSamples: Int): DataFrame = {
+    require(trim >= 0, s"bad trim $trim")
+    val total = segments * segmentSamples
+    val rdd = spark.range(n).select(col("id").as("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val isDup = java.lang.Math.floorMod(id, 20L) == 1L
+        val seed = if (isDup) id - 1 else id
+        val off = if (isDup) trim else 0
+        val wave = Multimodal.waveformSamples(seed, total, off)
+        Row(id, graft.functions.WavPcm.encodePcm16(16000, 1, wave))
+      }
+    }
+    spark.createDataFrame(rdd, Multimodal.audioSchema)
+  }
+
   /** Shift twin corpus for the GEOMETRIC sweep: dup twins window the same
     * aperiodic field `shift` samples later — same content, re-trimmed. */
   def shiftCorpus(spark: SparkSession, n: Long, shift: Int,
@@ -105,6 +128,9 @@ object AudioDedupProbe {
     var samples = 2048
     var throughput = false
     var codec = "pcm16"
+    var trimSweep: Seq[Int] = Nil
+    var segments = 4
+    var segmentSamples = 2048
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -119,8 +145,15 @@ object AudioDedupProbe {
         case "--samples" if i + 1 < args.length => samples = args(i + 1).toInt; i += 2
         case "--throughput" => throughput = true; i += 1
         case "--codec" if i + 1 < args.length => codec = args(i + 1); i += 2
+        case "--trimSweep" if i + 1 < args.length =>
+          trimSweep = args(i + 1).split(",").map(_.toInt).toSeq; i += 2
+        case "--segments" if i + 1 < args.length =>
+          segments = args(i + 1).toInt; i += 2
+        case "--segmentSamples" if i + 1 < args.length =>
+          segmentSamples = args(i + 1).toInt; i += 2
         case other => sys.error(s"unknown arg '$other'; usage: AudioDedupProbe " +
-          "[--size N] [--shiftSweep 8,32,...|--jitterSweep 0.001,...] " +
+          "[--size N] [--shiftSweep 8,32,...|--jitterSweep 0.001,...|" +
+          "--trimSweep 0,2048,4096 --segments 4 --segmentSamples 2048] " +
           "[--family envelope|spectral] [--threshold 0.9] [--samples 2048] " +
           "[--throughput] [--codec pcm16|ulaw|alaw|flac]")
       }
@@ -131,15 +164,16 @@ object AudioDedupProbe {
       s"--codec must be pcm16|ulaw|alaw|flac, got '$codec'")
     // the shift corpus does not take the codec knob — refuse rather than
     // silently ignore it (the r16 silent-discard lesson)
-    require(codec == "pcm16" || shiftSweep.isEmpty,
+    require(codec == "pcm16" || (shiftSweep.isEmpty && trimSweep.isEmpty),
       "--codec applies to --throughput/--jitterSweep cells only")
     // r16 advice: --throughput with a sweep flag previously passed the
     // guard and silently discarded the sweep (the throughput branch
     // returns early) — reject the combination instead
     require(
-      (throughput && shiftSweep.isEmpty && jitterSweep.isEmpty) ||
-        (!throughput && (shiftSweep.nonEmpty ^ jitterSweep.nonEmpty)),
-      "pass exactly one of --shiftSweep / --jitterSweep / --throughput")
+      Seq(throughput, shiftSweep.nonEmpty, jitterSweep.nonEmpty,
+        trimSweep.nonEmpty).count(identity) == 1,
+      "pass exactly one of --shiftSweep / --jitterSweep / --trimSweep / " +
+        "--throughput")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = graft.core.Sessions.local(cpus)
     if (throughput) {
@@ -190,6 +224,53 @@ object AudioDedupProbe {
         f""""walk_comparisons":${cmp.value},"survivors":$surv,"detected":$detected,""" +
         f""""true_dups":${size / 20},"walk_s":$dtWalk%.3f}""")
       assign.unpersist(); feats.unpersist()
+      spark.stop()
+      return
+    }
+    if (trimSweep.nonEmpty) {
+      // ── the r19 SEGMENT tier: trim law (on-grid re-alignment, off-grid
+      //    collapse), plus the whole-clip and first-window baselines the
+      //    tier rescues/collapses to ──
+      trimSweep.foreach { t =>
+        val media = trimCorpus(spark, size, t, segments, segmentSamples)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val t0 = System.nanoTime()
+        val segs = Multimodal.audioSegmentFeatures(media, segmentSamples,
+            segments)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nf = segs.filter(col("feature").isNotNull).count()
+        val dtF = (System.nanoTime() - t0) / 1e9
+        def planted(pairs: DataFrame): Long = pairs
+          .filter(col("media_b") === col("media_a") + 1 &&
+            pmod(col("media_b"), lit(20)) === 1)
+          .count()
+        val t1 = System.nanoTime()
+        val anySeg = planted(Multimodal.audioAnySegmentNearDups(segs, threshold))
+        val dtA = (System.nanoTime() - t1) / 1e9
+        val firstWin = planted(Multimodal.audioAnySegmentNearDups(
+          segs.filter(col("segment_idx") === 0), threshold))
+        val whole = {
+          val feats = Multimodal.audioEnvelopeFeatures(media)
+            .filter(col("feature").isNotNull)
+          planted(graft.ext.Similarity.nearDupPairsLsh(feats, threshold,
+              idCol = "media_id", vecCol = "feature")
+            .select(col("id_a").as("media_a"), col("id_b").as("media_b")))
+        }
+        val trueDups = size / 20
+        println(f"""{"check":"audio_trim_detection","rows":$size,""" +
+          f""""segments":$segments,"segment_samples":$segmentSamples,""" +
+          f""""trim":$t,"on_grid":${t % segmentSamples == 0},""" +
+          f""""decoded_segments":$nf,"feats_wall_s":$dtF%.3f,""" +
+          f""""clips_per_s":${size / dtF}%.0f,""" +
+          f""""wholeclip_detected":$whole,"firstwin_detected":$firstWin,""" +
+          f""""anyseg_detected":$anySeg,"true_dups":$trueDups,""" +
+          f""""wholeclip_detection":${whole.toDouble / trueDups}%.4f,""" +
+          f""""firstwin_detection":${firstWin.toDouble / trueDups}%.4f,""" +
+          f""""anyseg_detection":${anySeg.toDouble / trueDups}%.4f,""" +
+          f""""anyseg_wall_s":$dtA%.3f}""")
+        segs.unpersist(); media.unpersist()
+        spark.sharedState.cacheManager.clearCache()
+      }
       spark.stop()
       return
     }
