@@ -1145,17 +1145,41 @@ object Dedup {
           f"mutationTolerance ${mutationTolerance}%.4f is a contradiction: " +
           "a re-cut clip shares no byte identity — raise mutationTolerance " +
           "to the sample-churn level you must still catch, or drop the knob")
-      // trim × intra-window shift is UNMEASURED: the segment tier's law
-      // covers WINDOW-ALIGNED cuts (the r19 sweep, incl. the measured
-      // off-grid collapse) — refuse the combined promise loudly
-      require(geometricTolerance == 0,
+      // trim × intra-window shift: an off-grid cut (t·window + δ)
+      // misaligns every window, which the ENVELOPE windows collapse
+      // under (measured 0.031/0.033, r19) but the SPECTRAL windows
+      // absorb for δ inside the r16 512-sample shift band (|DFT|
+      // magnitudes are blind to the phase a small window shift changes;
+      // measured ≥ 0.995 at δ ≤ 512). Beyond 512 is UNMEASURED — and on
+      // the synthetic corpus UNMEASURABLE: the r19 null control (trim =
+      // K·window, ZERO shared samples, spectral detection still 1.0)
+      // proves the field's spectral stationarity, not trim tolerance —
+      // so the band edge refuses loudly rather than quote corpus fiction
+      require(geometricTolerance <= 512,
         f"trimTolerance $trimTolerance%d with geometricTolerance " +
-          f"${geometricTolerance}%.0f samples is an unmeasured composition: " +
-          "the any-segment law holds for window-ALIGNED cuts (an off-grid " +
-          "trim misaligns every window — measured collapse, SCALE.md r19); " +
-          "pick one knob, or supply audio embeddings")
-      val det = interpSweep(AudioJitterSweepEnvelope, mutationTolerance)
+          f"${geometricTolerance}%.0f samples: off-grid recovery is " +
+          "measured only inside the r16 512-sample shift band (beyond it " +
+          "the r19 null control shows the corpus cannot even measure the " +
+          "claim — SCALE.md r19); lower the shift, or supply audio " +
+          "embeddings")
       val k = trimTolerance + 1
+      if (geometricTolerance > 0) {
+        val shiftDet = interpLinearSweep(AudioShiftSweepSpectral,
+          geometricTolerance)
+        return FamilyRecommendation("audio_anysegment_spectral_lsh",
+          s"Multimodal.audioSegmentFeatures(segments = $k, descriptor = " +
+            "\"spectral\") + audioAnySegmentNearDups (threshold 0.9, " +
+            "pair-closure assignment)",
+          shiftDet,
+          f"audio pool with trim tolerance $trimTolerance window(s) AND " +
+            f"${geometricTolerance}%.0f samples of off-grid shift: " +
+            f"per-window |DFT| magnitudes hold the r16 shift law " +
+            f"($shiftDet%.3f at this δ) inside each window while " +
+            "any-segment matching holds 1.000 through the whole-window " +
+            "part of the cut (r19 sweep) — min composition; the " +
+            "stationarity caveat and the null control live in SCALE.md r19")
+      }
+      val det = interpSweep(AudioJitterSweepEnvelope, mutationTolerance)
       return FamilyRecommendation("audio_anysegment_lsh",
         s"Multimodal.audioSegmentFeatures(segments = $k) + " +
           "audioAnySegmentNearDups (threshold 0.9, pair-closure assignment)",
@@ -1166,8 +1190,9 @@ object Dedup {
           f"(r19 trim sweep) × $det%.4f at " +
           f"${mutationTolerance * 100}%.1f%% sample churn (envelope law — " +
           "the min composition, the r17 convention); window count IS the " +
-          "trim tolerance, and OFF-GRID cuts collapse honestly (measured) — " +
-          "they need the semantic tier")
+          "trim tolerance, and OFF-GRID cuts collapse honestly under the " +
+          "envelope windows (measured) — route geometricTolerance <= 512 " +
+          "for the spectral-window variant, the semantic tier past it")
     }
     if (geometricTolerance > 0) {
       val envDet = interpLinearSweep(AudioShiftSweepEnvelope, geometricTolerance)
@@ -1413,7 +1438,8 @@ object Dedup {
     // always stamp and size at 0.9; a caller wanting a different cosine
     // cut owns the embedding family directly with their own column.
     val descriptorTier = Set("image_grid_lsh", "image_spectral_lsh",
-      "audio_envelope_lsh", "audio_spectral_lsh", "audio_anysegment_lsh")
+      "audio_envelope_lsh", "audio_spectral_lsh", "audio_anysegment_lsh",
+      "audio_anysegment_spectral_lsh")
     // r16 advice: an EXPLICIT caller threshold that conflicts with the
     // descriptor operating point must fail loudly, not be silently
     // overridden — a caller passing 0.95 to avoid false eliminations
@@ -1566,7 +1592,7 @@ object Dedup {
           .join(pairs.groupBy(col("media_b").as(idCol))
             .agg(min(col("media_a")).as("dup_of")),
             Seq(idCol), "left_outer")
-      case "audio_anysegment_lsh" =>
+      case "audio_anysegment_lsh" | "audio_anysegment_spectral_lsh" =>
         // data = a SEGMENT feature table (media_id, segment_idx, feature)
         // — the Multimodal.audioSegmentFeatures contract. Pair-closure
         // assignment exactly like the video any-frame branch: dup_of =
@@ -1866,6 +1892,9 @@ object Dedup {
         Multimodal.videoFrameFingerprints(rows, videoFrames)
       case "audio_anysegment_lsh" =>
         Multimodal.audioSegmentFeatures(rows, segments = audioSegments)
+      case "audio_anysegment_spectral_lsh" =>
+        Multimodal.audioSegmentFeatures(rows, segments = audioSegments,
+          descriptor = "spectral")
       case "image_grid_lsh" => Multimodal.imageGridFeatures(rows)
       case "image_spectral_lsh" => Multimodal.imageSpectralFeatures(rows)
       case "audio_envelope_lsh" => Multimodal.audioEnvelopeFeatures(rows)

@@ -950,16 +950,23 @@ object Multimodal {
     * convention. Window length is ABSOLUTE (samples, not clip-relative),
     * so a clip trimmed by t whole windows shares `segments − t`
     * IDENTICAL windows with its original — the re-alignment the trim
-    * law measures. */
+    * law measures. `descriptor = "spectral"` swaps in the per-window
+    * |DFT| magnitudes (`frames` is then maxFreq): an OFF-GRID cut
+    * within the r16 512-sample shift band still matches — the
+    * envelope variant's measured off-grid collapse, recovered (r19
+    * off-grid sweep). */
   def audioSegmentFeatures(media: DataFrame, segmentSamples: Int = 2048,
-      segments: Int = 4, frames: Int = 16): DataFrame = {
+      segments: Int = 4, frames: Int = 16,
+      descriptor: String = "envelope"): DataFrame = {
     require(segments >= 1 && segments <= MaxAudioSegments,
       s"segments must be 1..$MaxAudioSegments (the fid packing bound), " +
         s"got $segments")
+    require(descriptor == "envelope" || descriptor == "spectral",
+      s"descriptor must be envelope|spectral, got '$descriptor'")
     media
       .select(col("media_id"),
         graft.functions.AudioSegmentFeatures(col("payload"), segmentSamples,
-          segments, frames).as("f"))
+          segments, frames, spectral = descriptor == "spectral").as("f"))
       .select(col("media_id"), col("f.features").as("fs"),
         col("f.error").as("error"))
       .select(col("media_id"),

@@ -267,9 +267,15 @@ object AudioSamples {
   * AudioEnvelopeFeature]] descriptor (`frames` bins, mean-centered), so
   * a clip trimmed by t·segmentSamples shares `segments − t` IDENTICAL
   * windows with its original and any-segment matching recovers it (the
-  * r19 trim sweep measures the law, including its honest off-grid
-  * collapse — window boundaries are absolute, so a half-window cut
-  * misaligns every window).
+  * r19 trim sweep measures the law, including the envelope variant's
+  * honest off-grid collapse — window boundaries are absolute, so a
+  * half-window cut misaligns every window). `spectral = true` swaps the
+  * per-window descriptor for the |DFT| magnitudes ([[
+  * AudioSpectralFeature]]'s Goertzel math over the window; `frames` is
+  * then maxFreq): magnitudes are blind to the phase an intra-window
+  * shift changes, so an OFF-GRID cut within the r16-measured 512-sample
+  * shift band still matches — the off-grid recovery the envelope
+  * variant honestly lacks (the r19 off-grid sweep measures it).
   *
   * One [[AudioCodecs]] decode per clip (NOT per segment — the samples
   * array is sliced in memory); windows running past the clip's end are
@@ -277,7 +283,7 @@ object AudioSamples {
   * null-fingerprint convention). `segments · frames` floats per clip
   * leave the scan. */
 case class AudioSegmentFeatures(child: Expression, segmentSamples: Int,
-    segments: Int, frames: Int)
+    segments: Int, frames: Int, spectral: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(segments >= 1 && segments <= 64,
     s"segments must be 1..64 (the fid packing bound), got $segments")
@@ -285,6 +291,11 @@ case class AudioSegmentFeatures(child: Expression, segmentSamples: Int,
   require(segmentSamples >= frames,
     s"segmentSamples ($segmentSamples) must be >= frames ($frames): below " +
       "one sample per bin the integer binning leaves empty frames")
+  // spectral windows: `frames` is then maxFreq and the window must hold
+  // ~2 samples per probed cycle (the AudioSpectralFeature alias bound)
+  require(!spectral || (frames <= 128 && segmentSamples >= 2 * frames + 2),
+    s"spectral windows need frames (maxFreq) <= 128 and segmentSamples >= " +
+      s"2*maxFreq+2, got ($segmentSamples, $frames)")
 
   override def dataType: DataType = AudioSegmentFeatures.Schema
 
@@ -310,8 +321,12 @@ case class AudioSegmentFeatures(child: Expression, segmentSamples: Int,
           val until = from + segmentSamples
           out(k) =
             if (until > pcm.samples.length) null
-            else new GenericArrayData(AudioEnvelopeFeature.feature(
-              java.util.Arrays.copyOfRange(pcm.samples, from, until), frames))
+            else {
+              val w = java.util.Arrays.copyOfRange(pcm.samples, from, until)
+              new GenericArrayData(
+                if (spectral) AudioSpectralFeature.feature(w, frames)
+                else AudioEnvelopeFeature.feature(w, frames))
+            }
           k += 1
         }
         InternalRow(new GenericArrayData(out), null)
@@ -329,7 +344,8 @@ object AudioSegmentFeatures {
     StructField("error", StringType, nullable = true)))
 
   def apply(payload: Column, segmentSamples: Int, segments: Int,
-      frames: Int): Column =
+      frames: Int, spectral: Boolean): Column =
     GraftColumnBridge.column(AudioSegmentFeatures(
-      GraftColumnBridge.expression(payload), segmentSamples, segments, frames))
+      GraftColumnBridge.expression(payload), segmentSamples, segments, frames,
+      spectral))
 }

@@ -2090,6 +2090,56 @@ object ExtQ {
                JOIN f b ON b.media_id = p.media_b
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ───── Spectral any-segment pairs, persisted soundness oracle (q98) ─
+    // q97's proof applied to the OFF-GRID variant: the per-window
+    // descriptor is the |DFT| magnitudes (Goertzel, the q89-proven
+    // float-parity surface), so an off-grid re-cut within the r16
+    // 512-sample shift band still pairs where the envelope windows
+    // misalign (the r19 off-grid sweep; the stationarity null control is
+    // documented in SCALE.md r19). Same corpus, same soundness form —
+    // every claimed pair's best cross-window cosine recomputed
+    // exhaustively from the persisted SPECTRAL features by both engines.
+    "q98_audio_anysegment_spectral_persisted" -> QueryDef(
+      (s, dir) => {
+        val cat = new graft.core.Catalog(s, annRoot(dir))
+        cat.save(
+          Multimodal.audioSegmentFeatures(
+            Multimodal.syntheticAudio(t(s, dir, "documents"),
+              samplesPerClip = 4096),
+            segmentSamples = 2048, segments = 2, descriptor = "spectral"),
+          "media.q98_segs")
+        val segs = cat.load("media.q98_segs")
+        cat.save(Multimodal.audioAnySegmentNearDups(segs, threshold = 0.9),
+          "media.q98_pairs")
+        val f = segs.filter(col("feature").isNotNull)
+        cat.load("media.q98_pairs").select("media_a", "media_b")
+          .join(f.select(col("media_id").as("media_a"),
+            col("feature").as("f_a")), Seq("media_a"))
+          .join(f.select(col("media_id").as("media_b"),
+            col("feature").as("f_b")), Seq("media_b"))
+          .groupBy("media_a", "media_b")
+          .agg(round(max(Similarity.cosine(col("f_a"), col("f_b"))), 6)
+            .as("best_cosine"))
+          .withColumn("sound",
+            col("best_cosine") > 0.9 && col("media_a") < col("media_b"))
+          .orderBy("media_a", "media_b")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT media_id, CAST(feature AS DOUBLE[]) AS v
+          FROM read_parquet('$AnnOracleRoot/media/q98_segs/*.parquet')
+          WHERE feature IS NOT NULL),
+        p AS (
+          SELECT media_a, media_b
+          FROM read_parquet('$AnnOracleRoot/media/q98_pairs/*.parquet'))
+        SELECT p.media_a, p.media_b,
+          round(MAX(list_cosine_similarity(a.v, b.v)), 6) AS best_cosine,
+          round(MAX(list_cosine_similarity(a.v, b.v)), 6) > 0.9
+            AND p.media_a < p.media_b AS sound
+        FROM p JOIN f a ON a.media_id = p.media_a
+               JOIN f b ON b.media_id = p.media_b
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // The VIDEO tier of the modality family, q78's proof applied to ISO
     // BMFF: syntheticVideo fabricates real ftyp/moov(mvhd+trak(tkhd))/mdat
     // box structures (fixed v0 layout ⇒ every interesting field sits at a

@@ -291,7 +291,8 @@ object CurationStream {
       exactlyOnce: Boolean = false,
       videoTrimTolerance: Int = 0,
       audioTrimTolerance: Int = 0,
-      segmentSamples: Int = 2048) {
+      segmentSamples: Int = 2048,
+      audioSegmentSpectral: Boolean = false) {
     require(videoTrimTolerance >= 0 &&
         videoTrimTolerance < graft.ext.Multimodal.MaxVideoFrames,
       s"videoTrimTolerance must be in [0, " +
@@ -321,7 +322,8 @@ object CurationStream {
           s"${tablePrefix}_audio", s"${tablePrefix}_audio_buckets",
           s"${tablePrefix}_audio_segs", nPlanes, nTables, threshold,
           segments = audioTrimTolerance + 1, segmentSamples = segmentSamples,
-          payloadCol = payloadCol, idCol = idCol, exactlyOnce = exactlyOnce))
+          payloadCol = payloadCol, idCol = idCol, exactlyOnce = exactlyOnce,
+          spectral = audioSegmentSpectral))
       else None
     // videoTrimTolerance > 0 swaps the video pool's rung exactly like the
     // batch dispatcher's knob: any-frame matching over trim+1 sampled
@@ -432,10 +434,12 @@ object CurationStream {
       exactlyOnce: Boolean = false,
       videoTrimTolerance: Int = 0,
       audioTrimTolerance: Int = 0,
-      segmentSamples: Int = 2048): StreamingQuery = {
+      segmentSamples: Int = 2048,
+      audioSegmentSpectral: Boolean = false): StreamingQuery = {
     val router = new KindRouter(catalog, tablePrefix, maxHamming, nPlanes,
       nTables, threshold, frames, payloadCol, idCol, exactlyOnce,
-      videoTrimTolerance, audioTrimTolerance, segmentSamples)
+      videoTrimTolerance, audioTrimTolerance, segmentSamples,
+      audioSegmentSpectral)
     val gated = (if (media.isStreaming) media.withWatermark(tsCol, watermark)
                  else media)
       .filter(graft.ext.Sampling.mixtureKeep(col(idCol), sampleRate))

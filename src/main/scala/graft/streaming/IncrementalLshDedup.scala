@@ -195,7 +195,11 @@ object IncrementalLshDedup {
   * Catalog-persisted, exactly-once via [[StreamingAppend.appendOnce]].
   * Clips whose every window is undecodable (or shorter than one window)
   * emit no segment rows: they match nothing and SURVIVE, the
-  * fingerprint convention. Greedy-prefix semantics as every twin;
+  * fingerprint convention. `spectral = true` swaps the per-window
+  * descriptor for the |DFT| magnitudes — the r19 OFF-GRID variant (a
+  * re-cut at t·window + δ, δ ≤ the r16 512-sample band, still drops on
+  * arrival where the envelope windows misalign). Greedy-prefix
+  * semantics as every twin;
   * chain-free equality with the batch any-segment sweep is the
   * StreamingSpec pin. The LSH config is EXPLICIT by design (the
   * write-once bucket-table contract of [[IncrementalLshDedup]]). */
@@ -205,7 +209,8 @@ final class IncrementalAudioSegmentDedup(
     nPlanes: Int, nTables: Int, threshold: Double = 0.9,
     segments: Int = 4, segmentSamples: Int = 2048, frames: Int = 16,
     payloadCol: String = "payload", idCol: String = "media_id",
-    exactlyOnce: Boolean = false) {
+    exactlyOnce: Boolean = false,
+    spectral: Boolean = false) {
   require(nPlanes >= 1 && nTables >= 1,
     s"explicit LSH config required, got ($nPlanes, $nTables)")
   require(segments >= 1 && segments <= graft.ext.Multimodal.MaxAudioSegments,
@@ -234,7 +239,8 @@ final class IncrementalAudioSegmentDedup(
     val batch = StreamingAppend.collapseSameId(batchRaw, idCol)
     val newSegs = graft.ext.Multimodal.audioSegmentFeatures(
         batch.select(col(idCol).as("media_id"), col(payloadCol).as("payload")),
-        segmentSamples, segments, frames)
+        segmentSamples, segments, frames,
+        descriptor = if (spectral) "spectral" else "envelope")
       .filter(col("feature").isNotNull)
       .select((shiftleft(col("media_id"), 6) + col("segment_idx")).as("fid"),
         col("feature"))

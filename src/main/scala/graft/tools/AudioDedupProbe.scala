@@ -236,7 +236,7 @@ object AudioDedupProbe {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val t0 = System.nanoTime()
         val segs = Multimodal.audioSegmentFeatures(media, segmentSamples,
-            segments)
+            segments, descriptor = family)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nf = segs.filter(col("feature").isNotNull).count()
         val dtF = (System.nanoTime() - t0) / 1e9
@@ -258,6 +258,7 @@ object AudioDedupProbe {
         }
         val trueDups = size / 20
         println(f"""{"check":"audio_trim_detection","rows":$size,""" +
+          f""""family":"$family",""" +
           f""""segments":$segments,"segment_samples":$segmentSamples,""" +
           f""""trim":$t,"on_grid":${t % segmentSamples == 0},""" +
           f""""decoded_segments":$nf,"feats_wall_s":$dtF%.3f,""" +

@@ -85,10 +85,11 @@ class AudioTrimSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.recommendFamily(0.0, modality = "audio", trimTolerance = 1)
     }
-    intercept[IllegalArgumentException] {
-      Dedup.recommendFamily(0.01, modality = "audio", trimTolerance = 1,
-        geometricTolerance = 64.0)
-    }
+    // r19 off-grid widening: trim + shift ≤ 512 no longer refuses — it
+    // routes the spectral-window variant (its own test below); only the
+    // beyond-band ask refuses
+    assert(Dedup.recommendFamily(0.01, modality = "audio", trimTolerance = 1,
+      geometricTolerance = 64.0).family == "audio_anysegment_spectral_lsh")
     // trim without a valid modality still refuses
     intercept[IllegalArgumentException] {
       Dedup.recommendFamily(0.01, modality = "text", trimTolerance = 1)
@@ -110,6 +111,71 @@ class AudioTrimSpec extends SparkSpec {
         (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     assert(knob(2L) == Some(1L), s"trimmed twin survived the knob: $knob")
     assert(knob(1L).isEmpty && knob(3L).isEmpty && knob(4L).isEmpty)
+  }
+
+  test("spectral windows (off-grid trims): bit-identity, routing, and the 512 band edge") {
+    // bit-identity: spectral window k == the whole-clip spectral feature
+    // of a WAV holding exactly that window's samples
+    val rows = Seq((1L, clip(40L))).toDF("media_id", "payload")
+    val segs = Multimodal.audioSegmentFeatures(rows, Seg, 4, 16,
+      descriptor = "spectral")
+      .collect().map(r => r.getInt(1) -> r.getSeq[Float](2)).toMap
+    (0 until 4).foreach { k =>
+      val windowOnly = Seq((9L, WavPcm.encodePcm16(16000, 1,
+        java.util.Arrays.copyOfRange(
+          Multimodal.waveformSamples(40L, 4 * Seg, 0), k * Seg, (k + 1) * Seg))))
+        .toDF("media_id", "payload")
+      val direct = Multimodal.audioSpectralFeatures(windowOnly, maxFreq = 16)
+        .collect()(0).getSeq[Float](1)
+      assert(segs(k) == direct, s"spectral window $k")
+    }
+
+    // routing: trim + off-grid shift ≤ 512 → the spectral segment
+    // family quoting the r16 shift law; past 512 → loud refusal naming
+    // the band (and the r19 null control)
+    val rec = Dedup.recommendFamily(0.01, modality = "audio",
+      trimTolerance = 1, geometricTolerance = 256.0)
+    assert(rec.family == "audio_anysegment_spectral_lsh", rec.rationale)
+    assert(rec.expectedDetection > 0.99, rec.expectedDetection.toString)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.recommendFamily(0.01, modality = "audio",
+        trimTolerance = 1, geometricTolerance = 600.0)
+    }
+    assert(e.getMessage.contains("512"), e.getMessage)
+
+    // end to end: an OFF-GRID re-cut (one window + 256 samples) survives
+    // the envelope trim knob (windows misalign — the measured collapse)
+    // and DROPS under the spectral variant
+    val media = Seq(
+      (1L, clip(5000L)), (2L, clip(5000L, trim = Seg + 256)),
+      (3L, clip(5300L))).toDF("media_id", "payload")
+    val envGot = Dedup.runPlanByKind(media, mutationTolerance = 0.01,
+        audioTrimTolerance = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(envGot(2L).isEmpty,
+      "envelope windows unexpectedly caught the off-grid cut")
+    val spGot = Dedup.runPlanByKind(media, mutationTolerance = 0.01,
+        audioTrimTolerance = 1, audioGeometricTolerance = 256.0)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(spGot(2L) == Some(1L), s"off-grid cut survived: $spGot")
+    assert(spGot(3L).isEmpty, "unrelated clip eliminated")
+
+    // streaming twin: the spectral loop drops the same off-grid arrival
+    val root = java.nio.file.Files.createTempDirectory("graft-offgrid").toString
+    val cat = new graft.core.Catalog(spark, root)
+    val loop = new graft.streaming.IncrementalAudioSegmentDedup(cat,
+      "cur.sclips", "cur.sbuckets", "cur.ssegs",
+      nPlanes = 8, nTables = 4, segments = 2, segmentSamples = Seg,
+      spectral = true)
+    loop.processBatch(Seq((1L, clip(5000L, windows = 2)))
+      .toDF("media_id", "payload"), 1L)
+    val n = loop.processBatch(Seq(
+      (2L, clip(5000L, windows = 2, trim = Seg + 256)))
+      .toDF("media_id", "payload"), 2L)
+    assert(n == 0L, "off-grid re-cut survived the spectral stream")
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("IncrementalAudioSegmentDedup: a trimmed re-upload drops on arrival; equals the batch sweep; crash replay") {
