@@ -1205,19 +1205,52 @@ object Similarity {
       else if (corpusAwareSizing)
         lshParamsMeasured(emb, threshold, targetRecall, vecCol = vecCol)
       else lshParams(emb.count(), threshold, targetRecall)
-    val candidates = lshCandidates(emb, planes, tables, idCol, vecCol)
-    // squared norms ride the per-vector projection, so the rerank costs
-    // one dot per candidate pair instead of three (values bit-identical).
-    // Materialized because BOTH join-backs consume it — unpersisted, each
-    // side re-runs the corpus scan + norm2. Caching contract as
-    // [[lshCandidates]]: callers release after materializing.
-    val v = emb.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("n2"))
+    // Rerank-in-join (r19 optimization round, guide §2.3/§2.4): the vector
+    // and its squared norm ride the bucket rows, the exact cosine is
+    // computed IN the self-join's projection, and the threshold filter
+    // runs BEFORE the cross-table distinct — so the distinct (and the two
+    // join-backs the old shape paid) only ever see pairs that already
+    // cleared the threshold. On clustered corpora the collision mass is
+    // the dominant term (q98's spectral corpus: 48.6M raw collisions →
+    // 24.9M distinct candidates of C(10k,2) = 50M — measured this round),
+    // and shuffling that mass through a distinct plus joining it back to
+    // the vectors twice cost ~7× the dots themselves. The trade: a pair
+    // colliding in t tables pays t dot products (map-side, codegen, zero
+    // shuffle) instead of one dot plus (distinct + 2 joins) shuffle rows —
+    // measured 48.6M dots ≈ 2 s vs 33 s for the distinct alone at sf0.1.
+    // Pair-set equality with the old shape is exact: distinct∘filter =
+    // filter∘distinct for a per-pair-deterministic cosine (same vectors,
+    // same IEEE fold order via cosinePre2 → bit-identical values), pinned
+    // in ExtSpec against the exhaustive oracles. The explicit
+    // defaultParallelism repartition spreads the bucket build: a small
+    // persisted corpus arrives in 1-2 file partitions and the broadcast
+    // self-join inherits the PROBE side's partitioning, so without it the
+    // whole collision stream lands on 1-2 cores (measured: the q98 distinct
+    // ran 33 s on 2 of 32 cores); keyed by idCol (deterministic, not
+    // round-robin) and sized by the cluster's core count, not a constant.
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val fat = emb
+      .repartition(par, col(idCol))
+      .select(col(idCol), col(vecCol), norm2(col(vecCol)).as("n2"),
+        posexplode(graft.functions.HyperplaneLsh(col(vecCol), planes, tables)))
+      .toDF(idCol, vecCol, "n2", "tbl", "bucket")
+      .select(col(idCol), col(vecCol), col("n2"),
+        xxhash64(col("tbl"), col("bucket")).as("ckey"),
+        col("tbl"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates
-      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-        col("n2").as("n2_a")), Seq("id_a"))
-      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
-        col("n2").as("n2_b")), Seq("id_b"))
+    // ckey is the only equi-key; tbl/bucket equality rides as XOR-form
+    // residuals exactly as [[lshCandidatesRaw]] — same planner contract,
+    // same fuzz-pinned collision semantics (PropertiesSpec).
+    val a = fat.select(col("ckey"), col("tbl").as("tbl_a"),
+      col("bucket").as("bucket_a"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"), col("n2").as("n2_a"))
+    val b = fat.select(col("ckey").as("ckey_b"), col("tbl").as("tbl_b"),
+      col("bucket").as("bucket_b"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"), col("n2").as("n2_b"))
+    a.join(b, col("ckey") === col("ckey_b") &&
+        col("tbl_a").bitwiseXOR(col("tbl_b")) === lit(0) &&
+        col("bucket_a").bitwiseXOR(col("bucket_b")) === lit(0L) &&
+        col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosinePre2(col("v_a"), col("v_b"), col("n2_a"), col("n2_b")), 6)
           .as("cosine_sim"))
@@ -1226,6 +1259,11 @@ object Similarity {
       // walk's roundedCosine (NaN → -Infinity) rejects them — the parity
       // the survivor specs pin would silently diverge on hostile corpora
       .filter(col("cosine_sim") > threshold && !isnan(col("cosine_sim")))
+      // cross-table reconciliation AFTER the filter: cosine_sim is a pure
+      // function of the pair, so distinct over (id_a, id_b, cosine_sim)
+      // is pair-distinct — it just runs over the filter's survivors
+      // instead of the full collision mass
+      .distinct()
       .orderBy(desc("cosine_sim"), col("id_a"), col("id_b"))
   }
 }
