@@ -301,6 +301,21 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedSchema)
   }
 
+  /** Spread the documents scan across the executor cores before the
+    * per-row encode loops (r19 optimization round, guide §2.5 input
+    * skew): the documents table arrives as ONE small parquet file — one
+    * scan split — so every synthetic encode (JPEG/FLAC/WAV/AVI/mp4
+    * fabrication, the CPU-heavy part of each witness corpus) ran on 1
+    * core of 32, and the corpus it saved was ONE file, collapsing every
+    * downstream decode scan the same way. Hash-partitioned by doc_id
+    * (deterministic under task retries — never round-robin, SPARK-38388)
+    * and sized by the cluster's defaultParallelism, not a local
+    * constant; per-row values are untouched, so every query result is
+    * byte-identical. */
+  private def spreadDocs(docs: DataFrame): DataFrame =
+    docs.select("doc_id").repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   // ───── Image perceptual near-dup (dHash over real PNG decode) ─────
 
   /** Schema of [[syntheticImages]]. */
@@ -333,7 +348,7 @@ object Multimodal {
   def syntheticImages(docs: DataFrame, width: Int = 32, height: Int = 32): DataFrame = {
     val spark = docs.sparkSession
     val w = width; val h = height
-    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+    val rdd = spreadDocs(docs).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val isDup = java.lang.Math.floorMod(id, 20L) == 1L
@@ -606,7 +621,7 @@ object Multimodal {
   def syntheticAudio(docs: DataFrame, samplesPerClip: Int = 2048): DataFrame = {
     val spark = docs.sparkSession
     val n = samplesPerClip
-    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+    val rdd = spreadDocs(docs).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val isDup = java.lang.Math.floorMod(id, 20L) == 1L
@@ -684,7 +699,7 @@ object Multimodal {
       frames: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     val w = width; val h = height; val nf = frames
-    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+    val rdd = spreadDocs(docs).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val payload: Array[Byte] =
@@ -735,7 +750,7 @@ object Multimodal {
       frames: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     val w = width; val h = height; val nf = frames
-    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+    val rdd = spreadDocs(docs).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val payload: Array[Byte] =
