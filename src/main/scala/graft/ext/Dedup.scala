@@ -638,6 +638,23 @@ object Dedup {
   def simhashAssignFromBlocks(blockTable: DataFrame, idCol: String = "doc_id",
       maxRepsPerCell: Int = 4096,
       comparisons: Option[org.apache.spark.util.LongAccumulator] = None,
+      reprobe: Boolean = false): DataFrame =
+    blockTable.select(col(idCol)).distinct()
+      .join(simhashEliminations(blockTable, idCol, maxRepsPerCell,
+        comparisons, reprobe), Seq(idCol), "left_outer")
+
+  /** The min-reconciled eliminations behind [[simhashAssignFromBlocks]] —
+    * one `(idCol, dup_of)` row PER ELIMINATED doc only (survivors
+    * absent). Package-private for wrappers that already left-join the
+    * result onto their own complete id set
+    * ([[Multimodal.imageAssign]]): joining eliminations directly is
+    * row-identical to joining the full assignment — eliminated ids ⊆
+    * blockTable ids ⊆ the wrapper's ids — and skips BOTH the blockTable
+    * id distinct and the redundant completion join (r20, two fewer
+    * stages on a fixed-overhead-dominated path; oracle-verified on q84). */
+  private[graft] def simhashEliminations(blockTable: DataFrame,
+      idCol: String = "doc_id", maxRepsPerCell: Int = 4096,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None,
       reprobe: Boolean = false): DataFrame = {
     require(maxRepsPerCell >= 1, s"maxRepsPerCell must be >= 1, got $maxRepsPerCell")
     TableShapes.requireColumns(blockTable,
@@ -723,9 +740,9 @@ object Dedup {
           .toDF(idCol, "dup_of")
         elimFirst.unionAll(elim2)
       }
-    blockTable.select(col(idCol)).distinct()
-      .join(elim.groupBy(idCol).agg(min(col("dup_of")).as("dup_of")),
-        Seq(idCol), "left_outer")
+    // a doc eliminated in several cells reconciles to the smallest
+    // eliminating representative — deterministic on any partitioning
+    elim.groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
   }
 
   /** [[simhashAssignFromBlocks]] from raw documents — signature + block

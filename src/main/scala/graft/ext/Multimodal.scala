@@ -308,13 +308,35 @@ object Multimodal {
     * fabrication, the CPU-heavy part of each witness corpus) ran on 1
     * core of 32, and the corpus it saved was ONE file, collapsing every
     * downstream decode scan the same way. Hash-partitioned by doc_id
-    * (deterministic under task retries — never round-robin, SPARK-38388)
-    * and sized by the cluster's defaultParallelism, not a local
-    * constant; per-row values are untouched, so every query result is
-    * byte-identical. */
-  private def spreadDocs(docs: DataFrame): DataFrame =
-    docs.select("doc_id").repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    * (deterministic under task retries — never round-robin, SPARK-38388);
+    * per-row values are untouched, so every query result is
+    * byte-identical.
+    *
+    * Partition count is DATA-SIZED (r20, guide §2 partition sizing):
+    * `min(defaultParallelism, ceil(n / GenRowsPerTask))` — r19's
+    * unconditional defaultParallelism spread put 32 tasks (and 32 output
+    * files, and 32-split downstream decode scans) under corpora of a few
+    * hundred rows, where per-task scheduling cost exceeded the encode
+    * parallelism it bought (the r19 verdict's q84 regression; the 8-core
+    * bench beating the 32-core bench on every media witness). At scale
+    * n/GenRowsPerTask ≫ cores, so the count saturates at
+    * defaultParallelism and the 100 TB shape is unchanged. The count job
+    * is one zero-column scan of the small documents parquet. */
+  private def spreadDocs(docs: DataFrame): DataFrame = {
+    val ids = docs.select("doc_id")
+    val par = docs.sparkSession.sparkContext.defaultParallelism.toLong
+    val parts = math.max(1L,
+      math.min(par, (ids.count() + GenRowsPerTask - 1) / GenRowsPerTask)).toInt
+    ids.repartition(parts, col("doc_id"))
+  }
+
+  /** Target rows per synthetic-encode task (each row is a full media
+    * encode — JPEG/FLAC/WAV/AVI/mp4 fabrication at ~0.5-2 ms/row — so a
+    * task of this many rows runs ~0.2-1 s: large enough that scheduling
+    * overhead stays noise, small enough to parallelize from a few
+    * thousand rows up). Measured r20 against 256/512/1024 on the sf0.1
+    * media fleet; see OPTIMIZATION_r20.md. */
+  private val GenRowsPerTask = 512L
 
   // ───── Image perceptual near-dup (dHash over real PNG decode) ─────
 
@@ -510,13 +532,17 @@ object Multimodal {
       reprobe: Boolean = false): DataFrame = {
     TableShapes.requireColumns(fingerprints, Seq("media_id", "dhash"),
       "imageAssign", "build it with Multimodal.imageFingerprints(media)")
-    val assigned = Dedup.simhashAssignFromBlocks(
+    // eliminations-only join (r20): the completion join below already
+    // covers every fingerprint id, so simhashAssignFromBlocks' blockTable
+    // id distinct + its own completion join would be two redundant stages
+    // — eliminated ids ⊆ blocked ids ⊆ these ids (oracle-verified, q84)
+    val elim = Dedup.simhashEliminations(
       Dedup.simhashBlockTable(
         fingerprints.filter(col("dhash").isNotNull),
         "media_id", "dhash", maxHamming, blocks),
       "media_id", maxRepsPerCell, reprobe = reprobe)
     fingerprints.select(col("media_id"))
-      .join(assigned, Seq("media_id"), "left_outer")
+      .join(elim, Seq("media_id"), "left_outer")
   }
 
   /** Decoded-luminance dump (media_id, width, height, pix, error) — one
@@ -575,12 +601,14 @@ object Multimodal {
       "imageFeatureAssign",
       "build it with Multimodal.imageGridFeatures(media) or " +
         "Multimodal.imageSpectralFeatures(media)")
-    val assigned = Similarity.nearDupAssign(
+    // eliminations-only join, as [[audioFeatureAssign]] (r20): the
+    // completion join below makes nearDupAssign's internal one redundant
+    val elim = Similarity.nearDupEliminations(
       features.filter(col("feature").isNotNull),
       threshold, idCol = "media_id", vecCol = "feature",
       targetRecall = targetRecall, maxRepsPerCell = maxRepsPerCell)
     features.select(col("media_id"))
-      .join(assigned, Seq("media_id"), "left_outer")
+      .join(elim, Seq("media_id"), "left_outer")
   }
 
   // ───── Audio near-dup (real WAV PCM decode → deterministic descriptors) ─
@@ -941,12 +969,17 @@ object Multimodal {
       "audioFeatureAssign",
       "build it with Multimodal.audioEnvelopeFeatures(media) or " +
         "Multimodal.audioSpectralFeatures(media)")
-    val assigned = Similarity.nearDupAssign(
+    // join the min-reconciled ELIMINATIONS directly (r20): the left join
+    // below is already the completion join over the full feature id set,
+    // so [[Similarity.nearDupAssign]]'s own emb-ids completion join would
+    // be a second, redundant join stage — eliminated ids ⊆ non-null
+    // feature ids ⊆ these ids, so the rows are identical (oracle-verified)
+    val elim = Similarity.nearDupEliminations(
       features.filter(col("feature").isNotNull),
       threshold, idCol = "media_id", vecCol = "feature",
       targetRecall = targetRecall, maxRepsPerCell = maxRepsPerCell)
     features.select(col("media_id"))
-      .join(assigned, Seq("media_id"), "left_outer")
+      .join(elim, Seq("media_id"), "left_outer")
   }
 
   /** The fid packing bound for [[audioAnySegmentNearDups]]: segment rows
@@ -1015,7 +1048,15 @@ object Multimodal {
     val packed = segFeats.filter(col("feature").isNotNull)
       .select((shiftleft(col("media_id"), 6) + col("segment_idx")).as("fid"),
         col("feature"))
-    Similarity.nearDupPairsLsh(packed, threshold, nPlanes, nTables,
+    // Aggregate-form pair reconciliation (r20, guide §2.3): the per-media
+    // max BELOW already absorbs duplicate (pair, cosine) rows — max over a
+    // multiset equals max over its set — so consume the pre-distinct
+    // scored collision stream instead of [[Similarity.nearDupPairsLsh]]
+    // and skip its distinct's extra hash-aggregate pass over the survivor
+    // multiplicity (plus its orderBy, which the old shape paid only to
+    // re-aggregate). Pair-set and best_cosine equality with the
+    // distinct-first shape is exact; oracle-verified (q97/q98).
+    Similarity.lshScoredCollisions(packed, threshold, nPlanes, nTables,
         idCol = "fid", vecCol = "feature", targetRecall = targetRecall)
       .select(shiftright(col("id_a"), 6).as("media_a"),
         shiftright(col("id_b"), 6).as("media_b"), col("cosine_sim"))

@@ -976,13 +976,37 @@ object Similarity {
     require(!(corpusAwareSizing && nPlanes > 0),
       "corpusAwareSizing measures the corpus to SIZE the config — it is " +
         "meaningless beside an explicit (nPlanes, nTables)")
+    emb.select(col(idCol)).join(
+      nearDupEliminations(emb, threshold, nPlanes, nTables, idCol, vecCol,
+        targetRecall, corpusAwareSizing, maxRepsPerCell),
+      Seq(idCol), "left_outer")
+  }
+
+  /** The min-reconciled eliminations behind [[nearDupAssign]] — one
+    * `(idCol, dup_of)` row PER ELIMINATED doc only (survivors absent),
+    * auto-sized exactly like [[nearDupAssign]]. Package-private for
+    * wrappers that already left-join the result onto their own complete
+    * id set ([[Multimodal.audioFeatureAssign]]/`imageFeatureAssign`):
+    * joining eliminations directly is row-identical to joining the full
+    * assignment — eliminated ids ⊆ emb ids ⊆ the wrapper's ids — and
+    * skips [[nearDupAssign]]'s completion join outright (r20, one fewer
+    * join stage on a fixed-overhead-dominated path; oracle-verified on
+    * q86/q89). */
+  private[graft] def nearDupEliminations(emb: DataFrame, threshold: Double,
+      nPlanes: Int = 0, nTables: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetRecall: Double = 0.98, corpusAwareSizing: Boolean = false,
+      maxRepsPerCell: Int = 4096): DataFrame = {
     val (planes, tables) =
       if (nPlanes > 0) (nPlanes, nTables)
       else if (corpusAwareSizing)
         lshParamsMeasured(emb, threshold, targetRecall, vecCol = vecCol)
       else lshParams(emb.count(), threshold, targetRecall)
-    nearDupAssignFromTable(lshTable(emb, planes, tables, idCol, vecCol),
-      emb, threshold, idCol, vecCol, maxRepsPerCell)
+    starEliminations(lshTable(emb, planes, tables, idCol, vecCol), emb,
+      threshold, idCol, vecCol, maxRepsPerCell, None)
+      // a doc eliminated in several cells reconciles to the smallest
+      // eliminating representative — deterministic on any partitioning
+      .groupBy(idCol).agg(min(col("dup_of")).as("dup_of"))
   }
 
   /** [[nearDupAssign]] filtered to the survivor ids — what a curation
@@ -1200,35 +1224,77 @@ object Similarity {
     // pairs, matching the target; the sf0.01 oracle corpora happen to have
     // full recall). Dial 0.999 when completeness beats cost — tables (and
     // candidate volume) grow roughly with log(1 - recall).
+    lshScoredCollisions(emb, threshold, nPlanes, nTables, idCol, vecCol,
+      targetRecall, corpusAwareSizing)
+      // cross-table reconciliation AFTER the threshold filter: cosine_sim
+      // is a pure function of the pair, so distinct over
+      // (id_a, id_b, cosine_sim) is pair-distinct — it just runs over the
+      // filter's survivors instead of the full collision mass
+      .distinct()
+      .orderBy(desc("cosine_sim"), col("id_a"), col("id_b"))
+  }
+
+  /** The pre-reconciliation scored collision stream behind
+    * [[nearDupPairsLsh]]: one `(id_a, id_b, cosine_sim)` row per (pair,
+    * colliding table) that already cleared the threshold — a pair
+    * colliding in t tables appears t times, all with the identical
+    * cosine. Package-private for consumers whose NEXT operator is itself
+    * an aggregate over the pair key ([[Multimodal.audioAnySegmentNearDups]]'
+    * per-media max): max over a multiset equals max over its set, so they
+    * absorb the duplicates in the aggregate they already pay and skip the
+    * distinct's extra hash-aggregate pass over the survivor multiplicity
+    * entirely (guide §2.3 — r20; the q98 survivor stream carries ~20M
+    * duplicate-bearing rows at sf0.1 where the distinct pairs are ~1M). */
+  private[graft] def lshScoredCollisions(emb: DataFrame, threshold: Double,
+      nPlanes: Int = 0, nTables: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetRecall: Double = 0.98, corpusAwareSizing: Boolean = false): DataFrame = {
+    // one count serves both the auto-sizing and the data-sized partition
+    // count below (the explicit-config path pays it only for the sizing
+    // of the repartition — one zero-column scan)
+    val n = emb.count()
     val (planes, tables) =
       if (nPlanes > 0) (nPlanes, nTables)
       else if (corpusAwareSizing)
-        lshParamsMeasured(emb, threshold, targetRecall, vecCol = vecCol)
-      else lshParams(emb.count(), threshold, targetRecall)
+        lshParams(n, threshold, targetRecall,
+          law = measureNonUniformityLaw(emb, n, vecCol = vecCol))
+      else lshParams(n, threshold, targetRecall)
     // Rerank-in-join (r19 optimization round, guide §2.3/§2.4): the vector
     // and its squared norm ride the bucket rows, the exact cosine is
     // computed IN the self-join's projection, and the threshold filter
-    // runs BEFORE the cross-table distinct — so the distinct (and the two
-    // join-backs the old shape paid) only ever see pairs that already
-    // cleared the threshold. On clustered corpora the collision mass is
-    // the dominant term (q98's spectral corpus: 48.6M raw collisions →
-    // 24.9M distinct candidates of C(10k,2) = 50M — measured this round),
-    // and shuffling that mass through a distinct plus joining it back to
-    // the vectors twice cost ~7× the dots themselves. The trade: a pair
-    // colliding in t tables pays t dot products (map-side, codegen, zero
-    // shuffle) instead of one dot plus (distinct + 2 joins) shuffle rows —
-    // measured 48.6M dots ≈ 2 s vs 33 s for the distinct alone at sf0.1.
-    // Pair-set equality with the old shape is exact: distinct∘filter =
-    // filter∘distinct for a per-pair-deterministic cosine (same vectors,
+    // runs BEFORE the cross-table reconciliation — so the distinct (and
+    // the two join-backs the old shape paid) only ever see pairs that
+    // already cleared the threshold. On clustered corpora the collision
+    // mass is the dominant term (q98's spectral corpus: 48.6M raw
+    // collisions → 24.9M distinct candidates of C(10k,2) = 50M — measured
+    // r19), and shuffling that mass through a distinct plus joining it
+    // back to the vectors twice cost ~7× the dots themselves. The trade: a
+    // pair colliding in t tables pays t dot products (map-side, codegen,
+    // zero shuffle) instead of one dot plus (distinct + 2 joins) shuffle
+    // rows — measured 48.6M dots ≈ 2 s vs 33 s for the distinct alone at
+    // sf0.1. Pair-set equality with the old shape is exact: distinct∘filter
+    // = filter∘distinct for a per-pair-deterministic cosine (same vectors,
     // same IEEE fold order via cosinePre2 → bit-identical values), pinned
-    // in ExtSpec against the exhaustive oracles. The explicit
-    // defaultParallelism repartition spreads the bucket build: a small
-    // persisted corpus arrives in 1-2 file partitions and the broadcast
-    // self-join inherits the PROBE side's partitioning, so without it the
-    // whole collision stream lands on 1-2 cores (measured: the q98 distinct
-    // ran 33 s on 2 of 32 cores); keyed by idCol (deterministic, not
-    // round-robin) and sized by the cluster's core count, not a constant.
-    val par = emb.sparkSession.sparkContext.defaultParallelism
+    // in ExtSpec against the exhaustive oracles. The explicit repartition
+    // spreads the bucket build: a small persisted corpus arrives in 1-2
+    // file partitions and the broadcast self-join inherits the PROBE
+    // side's partitioning, so without it the whole collision stream lands
+    // on 1-2 cores (measured r19: the q98 distinct ran 33 s on 2 of 32
+    // cores); keyed by idCol (deterministic, not round-robin) and
+    // DATA-SIZED (r20, guide §2 partition sizing):
+    // min(defaultParallelism, ceil(n·tables / BucketRowsPerTask)) — the
+    // unconditional defaultParallelism count put 32 tasks under tiny
+    // corpora where scheduling cost ate the spread's win. Sized on the
+    // POST-EXPLODE bucket rows (n·tables), not the input rows: the
+    // self-join's probe stage — whose collision-dot work dominates on
+    // loose thresholds — inherits this partitioning, and sizing on n
+    // alone under-parallelized exactly there (measured r20: q42 2.60 →
+    // 3.02 s at ceil(n/256)=8 partitions; restored at bucket-row
+    // sizing). At scale n·tables/4096 ≫ cores, so the count saturates
+    // at defaultParallelism — the 100 TB shape is unchanged.
+    val par = math.max(1L, math.min(
+      emb.sparkSession.sparkContext.defaultParallelism.toLong,
+      (n * tables + BucketRowsPerTask - 1) / BucketRowsPerTask)).toInt
     val fat = emb
       .repartition(par, col(idCol))
       .select(col(idCol), col(vecCol), norm2(col(vecCol)).as("n2"),
@@ -1259,11 +1325,12 @@ object Similarity {
       // walk's roundedCosine (NaN → -Infinity) rejects them — the parity
       // the survivor specs pin would silently diverge on hostile corpora
       .filter(col("cosine_sim") > threshold && !isnan(col("cosine_sim")))
-      // cross-table reconciliation AFTER the filter: cosine_sim is a pure
-      // function of the pair, so distinct over (id_a, id_b, cosine_sim)
-      // is pair-distinct — it just runs over the filter's survivors
-      // instead of the full collision mass
-      .distinct()
-      .orderBy(desc("cosine_sim"), col("id_a"), col("id_b"))
   }
+
+  /** Target post-explode bucket rows per task for
+    * [[lshScoredCollisions]]' repartition — sized so a task carries
+    * enough collision-probe work to amortize scheduling while tiny
+    * corpora stop fanning to the full core count. Measured r20; see
+    * OPTIMIZATION_r20.md. */
+  private val BucketRowsPerTask = 4096L
 }

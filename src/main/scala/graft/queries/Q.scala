@@ -33,8 +33,25 @@ object Q {
     * instant under every session zone (exact for fixed-offset zones; a
     * zone's DST transition window can differ by the transition delta,
     * which UTC — every in-repo session — never has). */
+  /** Per-path schema cache for [[t]] — the catalog role a metastore plays
+    * in production, applied to the bare-path driver tables (r20
+    * optimization round, guide §6 / the r19 verdict's floor-audit item):
+    * without it EVERY query construction re-infers each input's schema
+    * from the parquet footer (measured 81 ms vs 9 ms with an explicit
+    * schema — `tools.FloorProbe` — ~a third of a sub-second query's
+    * total), re-paying per query what real deployments pay once at table
+    * registration. Strictly METADATA: the data path still scans parquet
+    * on every invocation (nothing about rows, stats, or results is
+    * memoized), so bench samples keep computing from the inputs. Keyed by
+    * the full file path; the driver test tables are read-only for a
+    * session's lifetime. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    val df = s.read.schema(schema).parquet(path)
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) => df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
