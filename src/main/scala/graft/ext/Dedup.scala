@@ -500,6 +500,21 @@ object Dedup {
         "from signatures is simhashPairsFromSigs)")
     val bk = if (!cache) blockTable
       else blockTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashRawCollisions(bk, idCol)
+      // a close pair shares several blocks — collapse before the verify
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"), col("max_hamming"))
+      .distinct()
+      .filter(hamming(col("sh_a"), col("sh_b")) <= col("max_hamming"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
+  }
+
+  /** The pre-collapse block-collision pairs — the self-join output before
+    * the shared-block distinct, one row per (pair, colliding block
+    * combination), signatures still attached. Shared by the published
+    * distinct-first pairing above and the aggregate-form stream below so
+    * their collision semantics can never drift. */
+  private def simhashRawCollisions(bk: DataFrame, idCol: String): DataFrame = {
     val a = bk.select(col("bkey"), col("blk").as("blk_a"), col("bits").as("bits_a"),
       col(idCol).as("doc_a"), col("sh").as("sh_a"), col("max_hamming"))
     val b = bk.select(col("bkey").as("bkey_b"), col("blk").as("blk_b"),
@@ -514,9 +529,27 @@ object Dedup {
         col("blk_a").bitwiseXOR(col("blk_b")) === lit(0) &&
         col("bits_a").bitwiseXOR(col("bits_b")) === lit(0L) &&
         col("doc_a") < col("doc_b"))
-      // a close pair shares several blocks — collapse before the verify
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"), col("max_hamming"))
-      .distinct()
+  }
+
+  /** The pre-distinct VERIFIED pair stream behind [[simhashPairsFromSigs]]:
+    * one `(doc_a, doc_b, hamming)` row per colliding block combination
+    * that already passed the radius verify — a pair sharing b blocks
+    * appears b times, all with the identical hamming (one signature per
+    * id, so the popcount is a pure pair function). Package-private for
+    * consumers whose NEXT operator aggregates over the pair key
+    * ([[Multimodal.videoAnyFrameNearDups]]' per-media min): min over a
+    * multiset equals min over its set, so they absorb the duplicates in
+    * the aggregate they already pay and skip the distinct's extra
+    * hash-aggregate pass (r20, guide §2.3 — the audioAnySegment treatment
+    * applied to the Manku-block family; the popcount repeated per
+    * duplicate row is one instruction against a saved aggregation pass). */
+  private[graft] def simhashScoredPairsFromSigs(sigs: DataFrame,
+      idCol: String = "doc_id", sigCol: String = "simhash",
+      maxHamming: Int = 3, blocks: Int = 0): DataFrame = {
+    val sh = sigs.select(col(idCol), col(sigCol).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashRawCollisions(
+      simhashBlockTable(sh, idCol, "sh", maxHamming, blocks), idCol)
       .filter(hamming(col("sh_a"), col("sh_b")) <= col("max_hamming"))
       .select(col("doc_a"), col("doc_b"),
         hamming(col("sh_a"), col("sh_b")).cast("int").as("hamming"))

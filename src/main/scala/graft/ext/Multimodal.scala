@@ -336,7 +336,7 @@ object Multimodal {
     * overhead stays noise, small enough to parallelize from a few
     * thousand rows up). Measured r20 against 256/512/1024 on the sf0.1
     * media fleet; see OPTIMIZATION_r20.md. */
-  private val GenRowsPerTask = 512L
+  private val GenRowsPerTask = 256L
 
   // ───── Image perceptual near-dup (dHash over real PNG decode) ─────
 
@@ -868,7 +868,13 @@ object Multimodal {
     val packed = frameFps.filter(col("dhash").isNotNull)
       .select((shiftleft(col("media_id"), 6) + col("frame_idx")).as("fid"),
         col("dhash"))
-    Dedup.simhashPairsFromSigs(packed, "fid", "dhash", maxHamming, blocks)
+    // aggregate-form reconciliation (r20, the audioAnySegmentNearDups
+    // treatment): the per-media min below absorbs duplicate (pair,
+    // hamming) rows — min over a multiset equals min over its set — so
+    // consume the pre-distinct verified stream and skip the distinct's
+    // hash-aggregate pass over the collision survivors (oracle-verified,
+    // q95)
+    Dedup.simhashScoredPairsFromSigs(packed, "fid", "dhash", maxHamming, blocks)
       .select(shiftright(col("doc_a"), 6).as("media_a"),
         shiftright(col("doc_b"), 6).as("media_b"),
         col("hamming"))

@@ -1498,7 +1498,14 @@ object ExtQ {
     "q81_near_dup_survivors_persisted" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, annRoot(dir))
-        val corpus = twinCorpus(s, dir)
+        // persisted (q44's mid-stage convention, r20): the derived twin
+        // union is consumed ~5× — the walk's auto-size count, bucket
+        // table, vector fetch, and both sides of the soundness join —
+        // and each consumer re-derived it from parquet before. Values,
+        // partitioning and therefore the assignment are unchanged (the
+        // exact oracle re-proves); the bench clears the cache manager
+        // between samples, so no run ever reads a prior sample's cache.
+        val corpus = twinCorpus(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
         cat.save(
           Similarity.nearDupAssign(corpus, threshold = 0.9, targetRecall = 0.9999),
           "ann.q81_assign")
@@ -1785,17 +1792,23 @@ object ExtQ {
     "q87_ivf_search_after_append" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, annRoot(dir))
-        val emb = t(s, dir, "embeddings")
-        val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
-        val cents = Ivf.trainCentroids(evens, k = 8, iters = 3)
-        Ivf.saveCentroids(cat, "ann.q87_centroids", cents)
-        // overwrite-then-append keeps the artifact deterministic per run
-        // (the oracle globs the directory, so stale appended files from a
-        // prior run must never survive into this one)
-        cat.save(Ivf.assign(evens, cents), "ann.q87_corpus",
-          partitionBy = Seq("cluster"))
-        Ivf.appendAssign(cat, "ann.q87_corpus", "ann.q87_centroids", odds)
+        // shared materialization across train + write + append (r20):
+        // values and partitioning are unchanged, so the trained centroids
+        // are bit-identical; unpersisted before the search, which reads
+        // only the persisted artifact
+        val emb = t(s, dir, "embeddings").persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+          val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          val cents = Ivf.trainCentroids(evens, k = 8, iters = 3)
+          Ivf.saveCentroids(cat, "ann.q87_centroids", cents)
+          // overwrite-then-append keeps the artifact deterministic per run
+          // (the oracle globs the directory, so stale appended files from a
+          // prior run must never survive into this one)
+          cat.save(Ivf.assign(evens, cents), "ann.q87_corpus",
+            partitionBy = Seq("cluster"))
+          Ivf.appendAssign(cat, "ann.q87_corpus", "ann.q87_centroids", odds)
+        } finally emb.unpersist(blocking = false)
         Ivf.ivfTopKPartitioned(cat.load("ann.q87_corpus"),
           Ivf.loadCentroids(cat, "ann.q87_centroids"),
           queryId = 0L, k = 10, nProbe = 3)
@@ -1817,15 +1830,19 @@ object ExtQ {
     "q90_pq_search_after_append" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, annRoot(dir))
-        val emb = t(s, dir, "embeddings")
-        val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
-        val cb = Pq.trainCodebooks(evens, m = 8, k = 64, iters = 3)
-        Pq.saveCodebooks(cat, "ann.q90_codebooks", cb)
-        // overwrite-then-append keeps the artifact deterministic per run
-        // (the oracle globs the directory — q87's convention)
-        cat.save(Pq.encode(evens, cb), "ann.q90_corpus")
-        Pq.appendEncode(cat, "ann.q90_corpus", "ann.q90_codebooks", odds)
+        // shared materialization across train + write + append (q87's
+        // r20 convention; values unchanged, codebooks bit-identical)
+        val emb = t(s, dir, "embeddings").persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+          val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          val cb = Pq.trainCodebooks(evens, m = 8, k = 64, iters = 3)
+          Pq.saveCodebooks(cat, "ann.q90_codebooks", cb)
+          // overwrite-then-append keeps the artifact deterministic per run
+          // (the oracle globs the directory — q87's convention)
+          cat.save(Pq.encode(evens, cb), "ann.q90_corpus")
+          Pq.appendEncode(cat, "ann.q90_corpus", "ann.q90_codebooks", odds)
+        } finally emb.unpersist(blocking = false)
         val enc = cat.load("ann.q90_corpus")
         val qRows = enc.filter(col("vec_id") === 0L)
           .select(col("embedding")).take(1)
@@ -1856,19 +1873,23 @@ object ExtQ {
     "q92_ivfpq_search_after_append" -> QueryDef(
       (s, dir) => {
         val cat = new graft.core.Catalog(s, annRoot(dir))
-        val emb = t(s, dir, "embeddings")
-        val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
-        val cents = Ivf.trainCentroids(evens, k = 8, iters = 3)
-        val cb = Pq.trainCodebooks(evens, m = 8, k = 64, iters = 3)
-        Ivf.saveCentroids(cat, "ann.q92_centroids", cents)
-        Pq.saveCodebooks(cat, "ann.q92_codebooks", cb)
-        // overwrite-then-append keeps the artifact deterministic per run
-        // (the oracle globs the partition directories — q87's convention)
-        cat.save(Pq.encode(Ivf.assign(evens, cents), cb), "ann.q92_corpus",
-          partitionBy = Seq("cluster"))
-        Pq.appendAssignEncode(cat, "ann.q92_corpus", "ann.q92_centroids",
-          "ann.q92_codebooks", odds)
+        // shared materialization across BOTH trainers + write + append
+        // (q87's r20 convention; values unchanged, artifacts bit-identical)
+        val emb = t(s, dir, "embeddings").persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+          val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          val cents = Ivf.trainCentroids(evens, k = 8, iters = 3)
+          val cb = Pq.trainCodebooks(evens, m = 8, k = 64, iters = 3)
+          Ivf.saveCentroids(cat, "ann.q92_centroids", cents)
+          Pq.saveCodebooks(cat, "ann.q92_codebooks", cb)
+          // overwrite-then-append keeps the artifact deterministic per run
+          // (the oracle globs the partition directories — q87's convention)
+          cat.save(Pq.encode(Ivf.assign(evens, cents), cb), "ann.q92_corpus",
+            partitionBy = Seq("cluster"))
+          Pq.appendAssignEncode(cat, "ann.q92_corpus", "ann.q92_centroids",
+            "ann.q92_codebooks", odds)
+        } finally emb.unpersist(blocking = false)
         val corpus = cat.load("ann.q92_corpus")
         val qRows = corpus.filter(col("vec_id") === 0L)
           .select(col("embedding")).take(1)
@@ -2329,11 +2350,18 @@ object ExtQ {
 
   private def buildIvfArtifacts(s: SparkSession, dir: String,
       cat: graft.core.Catalog): Unit = {
-    val emb = t(s, dir, "embeddings")
-    val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
-    Ivf.saveCentroids(cat, "ann.q68_centroids", cents)
-    cat.save(Ivf.assign(emb, cents), "ann.q68_corpus",
-      partitionBy = Seq("cluster"))
+    // one materialization feeds train + the assign-write (r20: the
+    // builder re-scanned the parquet per consumer; values, partitioning
+    // and therefore the trained centroids are bit-identical — persist
+    // only cuts the repeated scan). Unpersisted before returning: every
+    // downstream read is from the persisted artifact, not this lineage.
+    val emb = t(s, dir, "embeddings").persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
+      Ivf.saveCentroids(cat, "ann.q68_centroids", cents)
+      cat.save(Ivf.assign(emb, cents), "ann.q68_corpus",
+        partitionBy = Seq("cluster"))
+    } finally emb.unpersist(blocking = false)
   }
 
   private def serveIvf(cat: graft.core.Catalog): DataFrame =
@@ -2369,10 +2397,13 @@ object ExtQ {
 
   private def buildPqArtifacts(s: SparkSession, dir: String,
       cat: graft.core.Catalog): Unit = {
-    val emb = t(s, dir, "embeddings")
-    val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
-    Pq.saveCodebooks(cat, "ann.q69_codebooks", cb)
-    cat.save(Pq.encode(emb, cb), "ann.q69_corpus")
+    // shared materialization, as [[buildIvfArtifacts]] (r20)
+    val emb = t(s, dir, "embeddings").persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
+      Pq.saveCodebooks(cat, "ann.q69_codebooks", cb)
+      cat.save(Pq.encode(emb, cb), "ann.q69_corpus")
+    } finally emb.unpersist(blocking = false)
   }
 
   private def servePq(cat: graft.core.Catalog): DataFrame = {
@@ -2417,13 +2448,17 @@ object ExtQ {
 
   private def buildIvfPqArtifacts(s: SparkSession, dir: String,
       cat: graft.core.Catalog): Unit = {
-    val emb = t(s, dir, "embeddings")
-    val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
-    val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
-    Ivf.saveCentroids(cat, "ann.q70_centroids", cents)
-    Pq.saveCodebooks(cat, "ann.q70_codebooks", cb)
-    cat.save(Pq.encode(Ivf.assign(emb, cents), cb), "ann.q70_corpus",
-      partitionBy = Seq("cluster"))
+    // shared materialization, as [[buildIvfArtifacts]] (r20): BOTH
+    // trainers plus the encode-write read it
+    val emb = t(s, dir, "embeddings").persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = Ivf.trainCentroids(emb, k = 8, iters = 3)
+      val cb = Pq.trainCodebooks(emb, m = 8, k = 64, iters = 3)
+      Ivf.saveCentroids(cat, "ann.q70_centroids", cents)
+      Pq.saveCodebooks(cat, "ann.q70_codebooks", cb)
+      cat.save(Pq.encode(Ivf.assign(emb, cents), cb), "ann.q70_corpus",
+        partitionBy = Seq("cluster"))
+    } finally emb.unpersist(blocking = false)
   }
 
   private def serveIvfPq(cat: graft.core.Catalog): DataFrame = {

@@ -56,6 +56,23 @@ object R20PlanDump {
     dump("q98pairs_new_aggregate_form",
       Multimodal.audioAnySegmentNearDups(segs, threshold = 0.9))
 
+    // ── q95 pairing stage: old distinct-first vs new aggregate-form ──
+    cat.save(Multimodal.videoFrameFingerprints(
+      Multimodal.syntheticVideoAvi(docs)), "media.r20plan_vfps")
+    val vfps = cat.load("media.r20plan_vfps")
+    val vpacked = vfps.filter(col("dhash").isNotNull)
+      .select((shiftleft(col("media_id"), 6) + col("frame_idx")).as("fid"),
+        col("dhash"))
+    dump("q95pairs_old_distinct_first",
+      Dedup.simhashPairsFromSigs(vpacked, "fid", "dhash", maxHamming = 3)
+        .select(shiftright(col("doc_a"), 6).as("media_a"),
+          shiftright(col("doc_b"), 6).as("media_b"), col("hamming"))
+        .filter(col("media_a") =!= col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(min(col("hamming")).cast("long").as("min_hamming")))
+    dump("q95pairs_new_aggregate_form",
+      Multimodal.videoAnyFrameNearDups(vfps, maxHamming = 3))
+
     // ── q84 assign stage: old assignment-join vs eliminations join ──
     cat.save(Multimodal.imageFingerprints(Multimodal.syntheticImages(docs)),
       "media.r20plan_fps")

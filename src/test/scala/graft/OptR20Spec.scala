@@ -93,6 +93,30 @@ class OptR20Spec extends SparkSpec {
       "planted twins must produce eliminations")
   }
 
+  test("videoAnyFrameNearDups (aggregate form) equals the old " +
+      "distinct-first composition row for row") {
+    val fps = ((0L until 24L).flatMap { m =>
+      (0 until 3).map { f =>
+        // frame dhashes: media m%8 share patterns → cross-media matches
+        (m, f, Some(0x1111111111111111L * (m % 8) + f))
+      }
+    } :+ ((99L, 0, None))).toDF("media_id", "frame_idx", "dhash")
+    val agg = Multimodal.videoAnyFrameNearDups(fps, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val packed = fps.filter(col("dhash").isNotNull)
+      .select((shiftleft(col("media_id"), 6) + col("frame_idx")).as("fid"),
+        col("dhash"))
+    val old = Dedup.simhashPairsFromSigs(packed, "fid", "dhash", maxHamming = 3)
+      .select(shiftright(col("doc_a"), 6).as("media_a"),
+        shiftright(col("doc_b"), 6).as("media_b"), col("hamming"))
+      .filter(col("media_a") =!= col("media_b"))
+      .groupBy("media_a", "media_b")
+      .agg(min(col("hamming")).cast("long").as("min_hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(agg == old)
+    assert(agg.nonEmpty, "shared frame patterns must pair across media")
+  }
+
   test("imageAssign equals the old simhashAssignFromBlocks composition") {
     val fps = ((0L until 30L).map { i =>
       (i, Some(0x0F0F0F0FL * (i % 10) + (i % 3))) // radius-groups + ties
